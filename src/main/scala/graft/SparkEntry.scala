@@ -1,13 +1,725 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{Changelog, EventTime, Joins}
+import graft.functions.{DedupOps, SimilarityOps, TextAnalysis}
+
+/** Driver contract — the full operator inventory of SURVEY.md §2 plus the
+  * training-data-pipeline extensions, each as a batch query over the
+  * harness parquet tables with a DuckDB oracle.
+  *
+  * Cross-engine determinism rules used throughout (SURVEY.md §5.2):
+  *  - every output column is aliased identically in Spark and SQL;
+  *  - event-time outputs are epoch-second longs (ns/us-precision raw
+  *    timestamps are not representation-portable);
+  *  - float aggregates are rounded at a digit where the true value is
+  *    exact (all money/quantity columns are 2-decimal, so sums are exact
+  *    at 2 decimals, discounted products at 4);
+  *  - rankings order by the *rounded* score with an id tie-break.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- helpers -----------------------------------------------------------
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  private val tsFmt = "yyyy-MM-dd"
+
+  /** Latest event per user, ordered by (ts_sec, event_id) — the KTable
+    * materialization used by several queries. */
+  private def latestEvents(s: SparkSession, dir: String): DataFrame =
+    Changelog.latestByKey(ev(s, dir), Seq("user_id"), Seq(col("ts_sec"), col("event_id")))
+
+  /** The same latest-per-key view in DuckDB SQL. */
+  private val latestSql =
+    """latest AS (
+      |  SELECT * FROM (
+      |    SELECT *, floor(epoch(ts))::BIGINT AS ts_sec,
+      |           row_number() OVER (PARTITION BY user_id
+      |                              ORDER BY floor(epoch(ts))::BIGINT DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1
+      |)""".stripMargin
+
+  private val evSql = "ev AS (SELECT *, floor(epoch(ts))::BIGINT AS ts_sec FROM events)"
+
+  private val toksSql =
+    """toks AS (SELECT doc_id, text,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS t
+      |  FROM documents)""".stripMargin
+
+  // ---- flagship ----------------------------------------------------------
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q3Shipping(spark, "/root/testdata/sf0.001")
+
+  /** TPC-H Q3-shaped join-aggregate: the canonical multi-join + agg shape.
+    * Dimension filter first, broadcast-able dim, single shuffle on the
+    * group key. */
+  private def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li   = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), tsFmt).as("orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .select("l_orderkey", "orderdate", "revenue")
+  }
+
+  // ---- the corpus --------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.2 projections / per-record transforms -----------------------------
+
+    "p1_pipe" -> ((s, dir) =>
+      ev(s, dir).select("event_id", "event_type", "value")),
+
+    "p2_mapvalues" -> ((s, dir) =>
+      ev(s, dir).select(col("event_id"),
+        round(col("value") * col("value"), 4).as("squared"))),
+
+    "p3_selectkey" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+        concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("key"),
+        col("l_orderkey"), col("l_linenumber"))),
+
+    "p4_flatmap_split" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("word"))),
+
+    // §2.3 grouping / aggregation ------------------------------------------
+
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc"),
+          count(lit(1)).as("cnt"))),
+
+    "a2_wordcount" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))),
+
+    "a3_count_by_key" -> ((s, dir) =>
+      ev(s, dir).groupBy("user_id").agg(count(lit(1)).as("cnt"))),
+
+    "a4_reduce_sum" -> ((s, dir) =>
+      ev(s, dir).groupBy("user_id").agg(round(sum("value"), 2).as("total"))),
+
+    "a5_agg_stats" -> ((s, dir) =>
+      Tables.orders(s, dir).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("total"),
+          min("o_totalprice").as("lo"),
+          max("o_totalprice").as("hi"))),
+
+    // §2.4 event-time windows ----------------------------------------------
+
+    "w1_tumbling_count" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(EventTime.tumble(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(EventTime.startSec(col("win")).as("win_start"), col("event_type"), col("cnt"))),
+
+    "w2_tumbling_sum" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(EventTime.tumble(col("ts"), "1 day").as("win"), col("user_id"))
+        .agg(round(sum("value"), 2).as("total"))
+        .select(EventTime.startSec(col("win")).as("win_start"), col("user_id"), col("total"))),
+
+    "w3_session" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(EventTime.session(timestamp_seconds(col("ts_sec")), "6 hours").as("win"),
+          col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+          EventTime.startSec(col("win")).as("sess_start"),
+          EventTime.endSec(col("win")).as("sess_end"), col("cnt"))),
+
+    "w4_sliding_count" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(EventTime.slide(col("ts"), "2 hours", "1 hour").as("win"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(EventTime.startSec(col("win")).as("win_start"), col("cnt"))),
+
+    // §2.5 joins -----------------------------------------------------------
+
+    "j1_band_join" -> ((s, dir) => {
+      val e1 = ev(s, dir).select(col("user_id"), col("event_id").as("left_id"),
+        col("ts_sec").as("ts1"))
+      val e2 = ev(s, dir).select(col("user_id").as("user_id2"),
+        col("event_id").as("right_id"), col("ts_sec").as("ts2"))
+      Joins.bandJoin(e1, e2, col("user_id") === col("user_id2"),
+          col("ts1"), col("ts2"), 0L, 86400L)
+        .filter(col("left_id") =!= col("right_id"))
+        .select("left_id", "right_id")
+    }),
+
+    "j2_left_band_count" -> ((s, dir) => {
+      val e1 = ev(s, dir).select(col("user_id"), col("event_id").as("left_id"),
+        col("ts_sec").as("ts1"))
+      val e2 = ev(s, dir).select(col("user_id").as("user_id2"),
+        col("event_id").as("right_id"), col("ts_sec").as("ts2"))
+      Joins.bandJoin(e1, e2,
+          col("user_id") === col("user_id2") && col("left_id") =!= col("right_id"),
+          col("ts1"), col("ts2"), 0L, 86400L, "left_outer")
+        .groupBy(col("left_id").as("event_id"))
+        .agg(count(col("right_id")).as("match_cnt"))
+    }),
+
+    "j3_enrich" -> ((s, dir) =>
+      Joins.enrich(ev(s, dir), Tables.customer(s, dir),
+          col("user_id") === col("c_custkey"))
+        .select("event_id", "user_id", "c_name", "c_mktsegment")),
+
+    "j4_ktable_join" -> ((s, dir) =>
+      Joins.tableJoin(latestEvents(s, dir), broadcast(Tables.customer(s, dir)),
+          col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_val"), col("c_name"))),
+
+    "j5_table_self_join" -> ((s, dir) => {
+      val clicks = Changelog.latestByKey(
+        ev(s, dir).filter(col("event_type") === "click"),
+        Seq("user_id"), Seq(col("ts_sec"), col("event_id")))
+        .select(col("user_id"), col("event_id").as("click_event_id"))
+      val buys = Changelog.latestByKey(
+        ev(s, dir).filter(col("event_type") === "purchase"),
+        Seq("user_id"), Seq(col("ts_sec"), col("event_id")))
+        .select(col("user_id").as("user_id2"), col("event_id").as("purchase_event_id"))
+      Joins.tableJoin(clicks, buys, col("user_id") === col("user_id2"))
+        .select("user_id", "click_event_id", "purchase_event_id")
+    }),
+
+    "j6_fk_left_join" -> ((s, dir) =>
+      Joins.fkJoin(Tables.orders(s, dir),
+          broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey"), col("c_custkey"), "left_outer")
+        .select("o_orderkey", "c_name")),
+
+    "j7_fk_inner_join" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .select("l_orderkey", "l_linenumber", "p_name", "s_name")),
+
+    "j8_semi_join" -> ((s, dir) =>
+      Joins.semi(Tables.customer(s, dir),
+          Tables.orders(s, dir).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"))
+        .select("c_custkey", "c_name")),
+
+    "j9_anti_join" -> ((s, dir) =>
+      Joins.anti(Tables.customer(s, dir),
+          Tables.orders(s, dir).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"))
+        .select("c_custkey", "c_name")),
+
+    "j10_q3_shipping" -> ((s, dir) => q3Shipping(s, dir)),
+
+    // §2 KTable / changelog ------------------------------------------------
+
+    "k1_latest_per_key" -> ((s, dir) =>
+      latestEvents(s, dir).select("user_id", "event_id", "event_type", "ts_sec")),
+
+    "k2_upsert_tombstone" -> ((s, dir) =>
+      Changelog.upsertView(ev(s, dir), Seq("user_id"),
+          Seq(col("ts_sec"), col("event_id")),
+          col("event_type") === "error")
+        .select("user_id", "event_id")),
+
+    // dedup suite ----------------------------------------------------------
+
+    "d1_exact_dedup" -> ((s, dir) =>
+      DedupOps.exactDedup(Tables.documents(s, dir), "doc_id", "text")),
+
+    "d2_minhash_lsh" -> ((s, dir) =>
+      DedupOps.minhashLsh(Tables.documents(s, dir), "doc_id", "text")),
+
+    "d3_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val l = docs.select(col("source"), col("doc_id").as("a"))
+      val r = docs.select(col("source").as("source2"), col("doc_id").as("b"))
+      val pairs = l.join(r, col("source") === col("source2") && col("a") < col("b"))
+        .select("a", "b")
+      DedupOps.ngramJaccard(docs, "doc_id", "text", pairs)
+        .filter(col("jaccard") > 0)
+    }),
+
+    "d4_simhash" -> ((s, dir) =>
+      DedupOps.simhash16(Tables.documents(s, dir), "doc_id", "text")),
+
+    "d5_simhash_neardup" -> ((s, dir) =>
+      DedupOps.simhashPairs(
+        DedupOps.simhash16(Tables.documents(s, dir), "doc_id", "text"), 3)),
+
+    "d6_embedding_neardup" -> ((s, dir) => {
+      val v = SimilarityOps.withNorm(Tables.embeddings(s, dir), "embedding")
+      val l = v.select(col("label"), col("vec_id").as("a"),
+        col("embedding").as("va"), col("nrm").as("na"))
+      val r = v.select(col("label").as("label2"), col("vec_id").as("b"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
+      l.join(r, col("label") === col("label2") && col("a") < col("b"))
+        .select(col("a"), col("b"),
+          SimilarityOps.cosine(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+        .filter(col("sim") >= 0.3)
+    }),
+
+    // similarity search ----------------------------------------------------
+
+    "s1_cosine_topk" -> ((s, dir) =>
+      SimilarityOps.bruteTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") < 20, 5)),
+
+    "s2_lsh_ann" -> ((s, dir) =>
+      SimilarityOps.bucketedPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        4, 0.2)),
+
+    // text analysis --------------------------------------------------------
+
+    "t1_langid" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess"))),
+
+    "t2_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("t", TextAnalysis.tokens(col("text")))
+      d.select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        TextAnalysis.avgTokenLen(col("t")).as("avg_token_len"),
+        TextAnalysis.stopwordRatio(col("t")).as("stopword_ratio"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
+    "t3_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.reTokenCount(col("text")).cast("long").as("re_tokens"))),
+
+    "t4_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    "m1_bytes_meta" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("byte_len"),
+        length(col("text")).cast("long").as("char_len"))),
+
+    // relational extras (set ops, top-k, rollup, analytic, json) -----------
+
+    "x1_setops" -> ((s, dir) => {
+      // restricted to the first 2 days so the EXCEPT arm actually prunes
+      val e = ev(s, dir).filter(col("ts_sec") < lit(1704067200L + 2 * 86400))
+      def users(t: String) = e.filter(col("event_type") === t).select("user_id").distinct()
+      users("click").intersect(users("view")).except(users("error"))
+    }),
+
+    "x2_topk_users" -> ((s, dir) => {
+      val totals = ev(s, dir).groupBy("user_id")
+        .agg(round(sum("value"), 2).as("total"))
+      val w = Window.orderBy(col("total").desc, col("user_id").asc)
+      totals.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("rank", "user_id", "total")
+    }),
+
+    "x3_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))),
+
+    "x4_json_extract" -> ((s, dir) =>
+      ev(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))),
+
+    "x5_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+      ev(s, dir).withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("user_id", "rnk", "event_id", "value")
+    })
+  )
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+
+    "p1_pipe" -> "SELECT event_id, event_type, value FROM events",
+
+    "p2_mapvalues" ->
+      "SELECT event_id, round(value * value, 4) AS squared FROM events",
+
+    "p3_selectkey" ->
+      """SELECT l_returnflag || '-' || l_linestatus AS key, l_orderkey, l_linenumber
+        |FROM lineitem""".stripMargin,
+
+    "p4_flatmap_split" ->
+      """SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS word
+        |FROM documents""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+        |  count(*) AS cnt
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "a2_wordcount" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS word
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
+
+    "a3_count_by_key" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY 1",
+
+    "a4_reduce_sum" ->
+      "SELECT user_id, round(sum(value), 2) AS total FROM events GROUP BY 1",
+
+    "a5_agg_stats" ->
+      """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "w1_tumbling_count" ->
+      s"""WITH $evSql
+        |SELECT (ts_sec // 3600) * 3600 AS win_start, event_type, count(*) AS cnt
+        |FROM ev GROUP BY 1, 2""".stripMargin,
+
+    "w2_tumbling_sum" ->
+      s"""WITH $evSql
+        |SELECT (ts_sec // 86400) * 86400 AS win_start, user_id,
+        |  round(sum(value), 2) AS total
+        |FROM ev GROUP BY 1, 2""".stripMargin,
+
+    "w3_session" ->
+      s"""WITH $evSql,
+        |marked AS (
+        |  SELECT user_id, ts_sec,
+        |    CASE WHEN ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) >= 21600
+        |         OR lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) IS NULL
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev),
+        |sess AS (
+        |  SELECT user_id, ts_sec,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM marked)
+        |SELECT user_id, min(ts_sec) AS sess_start, max(ts_sec) + 21600 AS sess_end,
+        |  count(*) AS cnt
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    "w4_sliding_count" ->
+      s"""WITH $evSql
+        |SELECT win_start, count(*) AS cnt FROM (
+        |  SELECT unnest([(ts_sec // 3600) * 3600, (ts_sec // 3600) * 3600 - 3600]) AS win_start
+        |  FROM ev)
+        |GROUP BY 1""".stripMargin,
+
+    "j1_band_join" ->
+      s"""WITH $evSql
+        |SELECT e1.event_id AS left_id, e2.event_id AS right_id
+        |FROM ev e1 JOIN ev e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts_sec BETWEEN e1.ts_sec AND e1.ts_sec + 86400
+        | AND e1.event_id <> e2.event_id""".stripMargin,
+
+    "j2_left_band_count" ->
+      s"""WITH $evSql
+        |SELECT e1.event_id AS event_id, count(e2.event_id) AS match_cnt
+        |FROM ev e1 LEFT JOIN ev e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts_sec BETWEEN e1.ts_sec AND e1.ts_sec + 86400
+        | AND e1.event_id <> e2.event_id
+        |GROUP BY 1""".stripMargin,
+
+    "j3_enrich" ->
+      """SELECT event_id, user_id, c_name, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
+
+    "j4_ktable_join" ->
+      s"""WITH $latestSql
+        |SELECT user_id, event_type AS last_type, value AS last_val, c_name
+        |FROM latest JOIN customer ON user_id = c_custkey""".stripMargin,
+
+    "j5_table_self_join" ->
+      """WITH e AS (SELECT *, floor(epoch(ts))::BIGINT AS ts_sec FROM events),
+        |clicks AS (
+        |  SELECT user_id, event_id AS click_event_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_sec DESC, event_id DESC) rn
+        |    FROM e WHERE event_type = 'click') WHERE rn = 1),
+        |buys AS (
+        |  SELECT user_id, event_id AS purchase_event_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_sec DESC, event_id DESC) rn
+        |    FROM e WHERE event_type = 'purchase') WHERE rn = 1)
+        |SELECT clicks.user_id AS user_id, click_event_id, purchase_event_id
+        |FROM clicks JOIN buys ON clicks.user_id = buys.user_id""".stripMargin,
+
+    "j6_fk_left_join" ->
+      """SELECT o_orderkey, c_name
+        |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |  ON o_custkey = c_custkey""".stripMargin,
+
+    "j7_fk_inner_join" ->
+      """SELECT l_orderkey, l_linenumber, p_name, s_name
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+
+    "j8_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "j9_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "j10_q3_shipping" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "k1_latest_per_key" ->
+      s"""WITH $latestSql
+        |SELECT user_id, event_id, event_type, ts_sec FROM latest""".stripMargin,
+
+    "k2_upsert_tombstone" ->
+      s"""WITH $latestSql
+        |SELECT user_id, event_id FROM latest WHERE event_type <> 'error'""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS rep_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "d2_minhash_lsh" ->
+      s"""WITH $toksSql,
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |      ELSE [array_to_string(t, ' ')] END) AS sh
+        |  FROM toks),
+        |mh AS (
+        |  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS mh
+        |  FROM sh, unnest(range(0, 12)) AS u(seed)
+        |  GROUP BY doc_id, seed),
+        |bands AS (
+        |  SELECT doc_id, seed // 3 AS band,
+        |    array_to_string(list_sort(list(lpad(seed::VARCHAR, 2, '0') || ':' || mh)), '|') AS sig
+        |  FROM mh GROUP BY doc_id, seed // 3)
+        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |FROM bands l JOIN bands r
+        |  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id""".stripMargin,
+
+    "d3_ngram_jaccard" ->
+      s"""WITH $toksSql,
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |      ELSE [array_to_string(t, ' ')] END) AS sh
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT d1.doc_id AS a, d2.doc_id AS b
+        |  FROM documents d1 JOIN documents d2
+        |    ON d1.source = d2.source AND d1.doc_id < d2.doc_id),
+        |inter AS (
+        |  SELECT p.a, p.b, count(*) AS i
+        |  FROM pairs p
+        |  JOIN sh sa ON sa.doc_id = p.a
+        |  JOIN sh sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+        |  GROUP BY 1, 2)
+        |SELECT p.a AS a, p.b AS b,
+        |  round(coalesce(i, 0)::DOUBLE / (na.n + nb.n - coalesce(i, 0))::DOUBLE, 6) AS jaccard
+        |FROM pairs p
+        |JOIN sizes na ON na.doc_id = p.a
+        |JOIN sizes nb ON nb.doc_id = p.b
+        |LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b
+        |WHERE coalesce(i, 0) > 0""".stripMargin,
+
+    "d4_simhash" ->
+      s"""WITH $toksSql,
+        |h AS (SELECT doc_id, md5(unnest(t)) AS h FROM toks),
+        |b AS (
+        |  SELECT doc_id, i AS bitpos,
+        |    strpos('0123456789abcdef', substr(h, (i // 4)::INT + 1, 1)) - 1 AS nib
+        |  FROM h, unnest(range(0, 16)) AS u(i)),
+        |bits AS (
+        |  SELECT doc_id, bitpos,
+        |    CASE WHEN sum(((nib >> (3 - (bitpos % 4))::INT) % 2) * 2 - 1) > 0
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM b GROUP BY 1, 2)
+        |SELECT doc_id, sum(bit::BIGINT << bitpos::INT)::BIGINT AS simhash
+        |FROM bits GROUP BY 1""".stripMargin,
+
+    "d5_simhash_neardup" ->
+      s"""WITH $toksSql,
+        |h AS (SELECT doc_id, md5(unnest(t)) AS h FROM toks),
+        |b AS (
+        |  SELECT doc_id, i AS bitpos,
+        |    strpos('0123456789abcdef', substr(h, (i // 4)::INT + 1, 1)) - 1 AS nib
+        |  FROM h, unnest(range(0, 16)) AS u(i)),
+        |bits AS (
+        |  SELECT doc_id, bitpos,
+        |    CASE WHEN sum(((nib >> (3 - (bitpos % 4))::INT) % 2) * 2 - 1) > 0
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM b GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id, sum(bit::BIGINT << bitpos::INT)::BIGINT AS simhash
+        |  FROM bits GROUP BY 1)
+        |SELECT l.doc_id AS a, r.doc_id AS b,
+        |  bit_count(xor(l.simhash, r.simhash))::INT AS hamming
+        |FROM sig l JOIN sig r
+        |  ON (l.simhash >> 8) = (r.simhash >> 8) AND l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin,
+
+    "d6_embedding_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+        |         (a, b) -> a + b)) AS nrm
+        |  FROM embeddings)
+        |SELECT a, b, sim FROM (
+        |  SELECT l.vec_id AS a, r.vec_id AS b,
+        |    round(list_reduce(list_transform(range(1, len(l.embedding) + 1),
+        |            i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE),
+        |          (x, y) -> x + y) / (l.nrm * r.nrm), 6) AS sim
+        |  FROM v l JOIN v r ON l.label = r.label AND l.vec_id < r.vec_id)
+        |WHERE sim >= 0.3""".stripMargin,
+
+    "s1_cosine_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+        |         (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1, len(q.embedding) + 1),
+        |            i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE),
+        |          (x, y) -> x + y) / (q.nrm * c.nrm), 6) AS sim
+        |  FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, rank, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    "s2_lsh_ann" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+        |         (a, b) -> a + b)) AS nrm,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)::BIGINT AS bkt
+        |  FROM embeddings)
+        |SELECT a, b, sim FROM (
+        |  SELECT l.vec_id AS a, r.vec_id AS b,
+        |    round(list_reduce(list_transform(range(1, len(l.embedding) + 1),
+        |            i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE),
+        |          (x, y) -> x + y) / (l.nrm * r.nrm), 6) AS sim
+        |  FROM v l JOIN v r ON l.bkt = r.bkt AND l.vec_id < r.vec_id)
+        |WHERE sim >= 0.2""".stripMargin,
+
+    "t1_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '[^\x00-\x7F]') THEN 'other'
+        |       WHEN len(list_filter(
+        |              list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> ''),
+        |              x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) > 0 THEN 'en'
+        |       ELSE 'und' END AS lang_guess
+        |FROM documents""".stripMargin,
+
+    "t2_quality" ->
+      s"""WITH $toksSql,
+        |feat AS (
+        |  SELECT doc_id, text, t,
+        |    len(t)::BIGINT AS n_tokens,
+        |    round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(t, x -> len(x)::DOUBLE)),
+        |          (a, b) -> a + b) / greatest(len(t)::DOUBLE, 1.0), 4) AS avg_token_len,
+        |    round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))::DOUBLE
+        |          / greatest(len(t)::DOUBLE, 1.0), 4) AS stopword_ratio,
+        |    round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+        |          / greatest(length(text)::DOUBLE, 1.0), 4) AS punct_ratio
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, punct_ratio,
+        |  round(greatest(least(
+        |    least(n_tokens::DOUBLE / 20.0, 1.0) * 0.5
+        |    + least(stopword_ratio * 4, 1.0) * 0.5
+        |    - punct_ratio, 1.0), 0.0), 4) AS quality
+        |FROM feat""".stripMargin,
+
+    "t3_token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+        |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS re_tokens
+        |FROM documents""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "m1_bytes_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
+        |  length(text)::BIGINT AS char_len
+        |FROM documents""".stripMargin,
+
+    "x1_setops" ->
+      s"""WITH $evSql,
+        |e AS (SELECT * FROM ev WHERE ts_sec < ${1704067200L + 2 * 86400})
+        |SELECT DISTINCT user_id FROM e WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM e WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM e WHERE event_type = 'error'""".stripMargin,
+
+    "x2_topk_users" ->
+      """SELECT rank, user_id, total FROM (
+        |  SELECT user_id, total,
+        |    row_number() OVER (ORDER BY total DESC, user_id ASC) AS rank
+        |  FROM (SELECT user_id, round(sum(value), 2) AS total FROM events GROUP BY 1))
+        |WHERE rank <= 10""".stripMargin,
+
+    "x3_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "x4_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k_val
+        |FROM events""".stripMargin,
+
+    "x5_window_rank" ->
+      """SELECT user_id, rnk, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY value DESC, event_id ASC) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3""".stripMargin
+  )
 }

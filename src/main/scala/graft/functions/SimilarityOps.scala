@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two tiers, per the scale plan:
+  *  - brute-force cosine top-k — exact baseline; query set × corpus as a
+  *    broadcast join, corpus side streams (never collected);
+  *  - sign-bucket LSH (random-hyperplane family with axis-aligned planes) —
+  *    the scale path: bucket on the sign pattern of leading dimensions, so
+  *    candidate pairs form inside buckets (n²/2^b instead of n²).
+  *
+  * All arithmetic is done with Spark's higher-order functions
+  * (`zip_with`/`aggregate`) in double precision with a fixed left-to-right
+  * fold, giving bit-identical results to the DuckDB oracle's
+  * `list_reduce(list_transform(...))`.
+  */
+object SimilarityOps {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm (same fold discipline). */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity rounded to 6 places — ranking/thresholding on the
+    * rounded value keeps orderings identical across engines. */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    round(dot(a, b) / (normA * normB), 6)
+
+  /** Vectors with a precomputed norm column (map-side, one pass). */
+  def withNorm(vecs: DataFrame, vecCol: String): DataFrame =
+    vecs.withColumn("nrm", norm(col(vecCol)))
+
+  /** Exact top-k neighbors for a query subset. The query side is small by
+    * construction (a filter) and broadcast; the corpus side streams through
+    * the join, so this scales to any corpus size at O(|queries| · corpus). */
+  def bruteTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int): DataFrame = {
+    val v = withNorm(vecs, vecCol)
+    val q = v.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
+    val c = v.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Bucketed approximate near-neighbor pairs: vectors sharing a sign
+    * bucket, scored, thresholded. The self-join key is the bucket id, so
+    * work is Σ_bucket |bucket|² — the LSH contract. */
+  def bucketedPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                    bits: Int, minSim: Double): DataFrame = {
+    val v = withNorm(vecs, vecCol).withColumn("bkt", signBucketExpr(vecCol, bits))
+    val l = v.select(col("bkt"), col(idCol).as("a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val r = v.select(col("bkt").as("bkt2"), col(idCol).as("b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    l.join(r, l("bkt") === r("bkt2") && l("a") < r("b"))
+      .select(col("a"), col("b"),
+        cosine(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** Sign-bucket id over the first `bits` dimensions: bit i set iff
+    * dim i > 0 — an axis-aligned instance of random-hyperplane LSH,
+    * deterministic and engine-portable. */
+  def signBucketExpr(vecCol: String, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(col(vecCol), i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, token counting, document
+  * fingerprinting. Everything is built from codegen'd Catalyst expressions
+  * (`split`/`filter`/`transform`/`md5` …) — no Scala UDFs — so the whole
+  * pipeline stays inside WholeStageCodegen and scales linearly with input
+  * splits (pure map-side work, zero shuffles).
+  */
+object TextAnalysis {
+
+  /** Word tokens: lowercase, split on non-word runs, drop empties.
+    * Mirrors the reference's only tokenizer
+    * (`WordCount.java:54`: `toLowerCase().split("\\W+")`). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\W+"), t => t =!= "")
+
+  /** Tiny multilingual stopword list used by the heuristics below. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Count of stopword occurrences (duplicates counted). */
+  def stopwordHits(toks: Column): Column =
+    size(filter(toks, t => t.isin(Stopwords: _*)))
+
+  /** N-gram-heuristic language ID: presence of high-frequency English
+    * function words ⇒ "en"; all-ASCII but no stopword hits ⇒ "und";
+    * any non-ASCII character ⇒ "other". Deterministic, shuffle-free. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    when(text.rlike("[^\\x00-\\x7F]"), lit("other"))
+      .when(stopwordHits(toks) > 0, lit("en"))
+      .otherwise(lit("und"))
+  }
+
+  /** Whitespace token count (cheap) — `split` on space runs. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /** Regex token count — BPE-ish word/number/punct-run tokens. */
+  def reTokenCount(text: Column): Column =
+    size(filter(split(lower(text), "[^a-z0-9]+"), t => t =!= ""))
+
+  /** Mean token length (rounded to 4 places for cross-engine stability). */
+  def avgTokenLen(toks: Column): Column =
+    round(
+      aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double")) /
+        greatest(size(toks).cast("double"), lit(1.0)),
+      4)
+
+  /** Ratio of stopword tokens (quality signal). */
+  def stopwordRatio(toks: Column): Column =
+    round(stopwordHits(toks).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0)), 4)
+
+  /** Punctuation-character ratio over the raw text. */
+  def punctRatio(text: Column): Column =
+    round((length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
+      .cast("double") / greatest(length(text).cast("double"), lit(1.0)), 4)
+
+  /** Composite document-quality score in [0,1]: favors mid-length docs with
+    * some (but not all) stopwords and little punctuation. Weights are
+    * arbitrary but fixed; the point is a deterministic, columnar scoring
+    * pipeline. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val lenScore  = least(size(toks).cast("double") / lit(20.0), lit(1.0))
+    val stopScore = least(stopwordRatio(toks) * 4, lit(1.0))
+    val punctPen  = punctRatio(text)
+    round(greatest(least(lenScore * 0.5 + stopScore * 0.5 - punctPen, lit(1.0)), lit(0.0)), 4)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * (The rolling-hash shape of the prompt realized as a single pass —
+    * normalization + hash are both codegen'd, and md5 keys are uniform for
+    * downstream hash-partitioned dedup at any scale.) */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's seven join forms (SURVEY.md §2.5), re-expressed as
+  * Catalyst-plannable joins. Batch shapes here; streaming variants in
+  * [[graft.streaming]].
+  *
+  * Scale notes baked into each helper:
+  *  - dimension enrichment broadcasts the small side (no shuffle of the
+  *    100 TB fact side);
+  *  - band (interval) joins keep an equi-key so Spark plans a hash/sort-merge
+  *    join with a residual range predicate, NOT a cartesian product;
+  *  - FK joins are plain equi-joins — Catalyst + AQE pick broadcast vs
+  *    sort-merge and handle skew.
+  */
+object Joins {
+
+  /** Stream-table enrichment (reference KStream⋈KTable,
+    * `TopologiesTest.scala:421-435`): each fact row joins the dimension's
+    * current value for its key. `broadcastDim` forces the small-side
+    * broadcast so the fact table never shuffles. */
+  def enrich(facts: DataFrame, dim: DataFrame, joinExpr: Column,
+             how: String = "inner", broadcastDim: Boolean = true): DataFrame =
+    facts.join(if (broadcastDim) broadcast(dim) else dim, joinExpr, how)
+
+  /** Windowed stream-stream join (reference KStream⋈KStream with
+    * `JoinWindows.ofTimeDifference*`, `apps/WindowedJoin.scala:46-53`):
+    * equi-join on key plus `tsR ∈ [tsL + lowerSec, tsL + upperSec]`.
+    * The equality keeps this a shuffled hash/merge join; the band is a
+    * cheap residual filter. */
+  def bandJoin(left: DataFrame, right: DataFrame, keyEq: Column,
+               tsL: Column, tsR: Column, lowerSec: Long, upperSec: Long,
+               how: String = "inner"): DataFrame =
+    left.join(right,
+      keyEq && tsR >= tsL + lit(lowerSec) && tsR <= tsL + lit(upperSec), how)
+
+  /** Primary-key table-table join (reference KTable⋈KTable,
+    * `TopologiesTest.scala:437-452`): materialize both changelogs to their
+    * latest rows first (see [[Changelog]]), then equi-join. */
+  def tableJoin(leftLatest: DataFrame, rightLatest: DataFrame,
+                joinExpr: Column, how: String = "inner"): DataFrame =
+    leftLatest.join(rightLatest, joinExpr, how)
+
+  /** Foreign-key table-table join (reference KTable FK join,
+    * `apps/ForeignJoin.scala:37-42`): left rows carry a FK matched against
+    * the right table's primary key. Relational semantics (one row per match,
+    * null-extended for "left"), deliberately NOT reproducing the reference's
+    * duplicate-tombstone emissions (SURVEY.md §2.5 bug catalog). */
+  def fkJoin(left: DataFrame, right: DataFrame, fk: Column, pk: Column,
+             how: String = "left_outer"): DataFrame =
+    left.join(right, fk === pk, how)
+
+  /** EXISTS — rows of `left` having a match. Spark's left-semi never
+    * duplicates or widens rows, and the right side is reduced before the
+    * probe. */
+  def semi(left: DataFrame, right: DataFrame, joinExpr: Column): DataFrame =
+    left.join(right, joinExpr, "left_semi")
+
+  /** NOT EXISTS. */
+  def anti(left: DataFrame, right: DataFrame, joinExpr: Column): DataFrame =
+    left.join(right, joinExpr, "left_anti")
+}
