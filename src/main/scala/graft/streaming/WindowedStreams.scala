@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming windowed aggregation shapes (reference SURVEY.md §2.4 W1–W5).
+  *
+  * Emit strategy mapping (the reference's three emission modes):
+  *  - continuous changelog (default KTable emission, commit interval 0) →
+  *    run the returned aggregation with `outputMode("update")`;
+  *  - `EmitStrategy.onWindowClose` / `suppress(untilWindowCloses)` →
+  *    `outputMode("append")`: rows emit once the watermark passes window
+  *    end — Spark's suppression buffer is the state store itself.
+  *
+  * Grace period maps to `withWatermark(ts, grace)`: a record older than
+  * (max event time − grace) is dropped by the stateful operator, the
+  * reference's late-record drop (`apps/WindowedGrouping.scala:20-37`).
+  * Divergence note (SURVEY.md §2.4): Spark's watermark is global
+  * per-query, not per-topic — single-input aggregations match the
+  * reference modulo micro-batch granularity; the reference's per-topic
+  * stream-time join anomaly is deliberately not reproduced.
+  */
+object WindowedStreams {
+
+  /** Tumbling count per key (reference WindowedGrouping topology). */
+  def tumblingCounts(input: DataFrame, tsCol: String, width: String,
+                     grace: String, keyCols: Column*): DataFrame =
+    input.withWatermark(tsCol, grace)
+      .groupBy(window(col(tsCol), width) +: keyCols: _*)
+      .count()
+
+  /** Tumbling sum over a value column (reference `reduce(IntegerAdd)`,
+    * `TopologiesTest.scala:355-367`). */
+  def tumblingSum(input: DataFrame, tsCol: String, width: String,
+                  grace: String, valueCol: String, keyCols: Column*): DataFrame =
+    input.withWatermark(tsCol, grace)
+      .groupBy(window(col(tsCol), width) +: keyCols: _*)
+      .agg(sum(valueCol).as("total"))
+
+  /** Session-window count per key (reference
+    * `SessionWindows.ofInactivityGapWithNoGrace`, `TopologiesTest.scala:413`). */
+  def sessionCounts(input: DataFrame, tsCol: String, gap: String,
+                    grace: String, keyCols: Column*): DataFrame =
+    input.withWatermark(tsCol, grace)
+      .groupBy(session_window(col(tsCol), gap) +: keyCols: _*)
+      .count()
+
+  /** Flatten the window struct to the reference's `"$key-$windowStart"`
+    * output key (`apps/WindowedGrouping.scala:47`). */
+  def flattenWindowKey(df: DataFrame, keyCol: String): DataFrame =
+    df.withColumn("out_key",
+      concat(col(keyCol), lit("-"), (col("window.start").cast("long") * 1000).cast("string")))
+}
