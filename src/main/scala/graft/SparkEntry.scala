@@ -50,6 +50,41 @@ object SparkEntry {
       |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS t
       |  FROM documents)""".stripMargin
 
+  /** Shared DuckDB CTE chain mirroring [[DedupOps.minhashLsh]]: 3-word
+    * shingles → one md5 per shingle → 12 universal hashes (same integer
+    * constants as `DedupOps.minhashSignatures`) → 4 LSH bands → candidate
+    * pairs. Generated programmatically so the constants cannot drift from
+    * the Scala side. Expects `toks` in scope. */
+  private val minhashCandSql: String = {
+    val mins = (0 until 12).map(s =>
+      s"    min((v * ${2 * s + 1} + ${7919 * s + 13}) % ${DedupOps.HashMod}) AS mh$s")
+      .mkString(",\n")
+    val bandSelects = (0 until 4).map { b =>
+      val sig = (0 until 3).map(r => s"mh${b * 3 + r}::VARCHAR").mkString(" || '|' || ")
+      s"  SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+    }.mkString("\n  UNION ALL\n")
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    unnest(CASE WHEN len(t) >= 3
+       |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+       |      ELSE [array_to_string(t, ' ')] END) AS sh
+       |  FROM toks),
+       |shv AS (
+       |  SELECT doc_id,
+       |    (('0x' || substr(md5(sh), 1, 15))::BIGINT % ${DedupOps.BaseMod}) AS v
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM shv GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)""".stripMargin
+  }
+
   // ---- flagship ----------------------------------------------------------
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -245,14 +280,12 @@ object SparkEntry {
     "d2_minhash_lsh" -> ((s, dir) =>
       DedupOps.minhashLsh(Tables.documents(s, dir), "doc_id", "text")),
 
+    // LSH candidate generation + exact n-gram-Jaccard verification — the
+    // two-stage near-dup pipeline; never an all-pairs product.
     "d3_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val l = docs.select(col("source"), col("doc_id").as("a"))
-      val r = docs.select(col("source").as("source2"), col("doc_id").as("b"))
-      val pairs = l.join(r, col("source") === col("source2") && col("a") < col("b"))
-        .select("a", "b")
-      DedupOps.ngramJaccard(docs, "doc_id", "text", pairs)
-        .filter(col("jaccard") > 0)
+      DedupOps.ngramJaccard(docs, "doc_id", "text",
+        DedupOps.minhashLsh(docs, "doc_id", "text"))
     }),
 
     "d4_simhash" -> ((s, dir) =>
@@ -514,50 +547,26 @@ object SparkEntry {
 
     "d2_minhash_lsh" ->
       s"""WITH $toksSql,
-        |sh AS (
-        |  SELECT doc_id,
-        |    unnest(CASE WHEN len(t) >= 3
-        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-        |      ELSE [array_to_string(t, ' ')] END) AS sh
-        |  FROM toks),
-        |mh AS (
-        |  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS mh
-        |  FROM sh, unnest(range(0, 12)) AS u(seed)
-        |  GROUP BY doc_id, seed),
-        |bands AS (
-        |  SELECT doc_id, seed // 3 AS band,
-        |    array_to_string(list_sort(list(lpad(seed::VARCHAR, 2, '0') || ':' || mh)), '|') AS sig
-        |  FROM mh GROUP BY doc_id, seed // 3)
-        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        |FROM bands l JOIN bands r
-        |  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id""".stripMargin,
+        |$minhashCandSql
+        |SELECT a, b FROM cand""".stripMargin,
 
     "d3_ngram_jaccard" ->
       s"""WITH $toksSql,
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(CASE WHEN len(t) >= 3
-        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-        |      ELSE [array_to_string(t, ' ')] END) AS sh
-        |  FROM toks),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (
-        |  SELECT d1.doc_id AS a, d2.doc_id AS b
-        |  FROM documents d1 JOIN documents d2
-        |    ON d1.source = d2.source AND d1.doc_id < d2.doc_id),
+        |$minhashCandSql,
+        |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
         |inter AS (
         |  SELECT p.a, p.b, count(*) AS i
-        |  FROM pairs p
-        |  JOIN sh sa ON sa.doc_id = p.a
-        |  JOIN sh sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+        |  FROM cand p
+        |  JOIN shd sa ON sa.doc_id = p.a
+        |  JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
         |  GROUP BY 1, 2)
         |SELECT p.a AS a, p.b AS b,
         |  round(coalesce(i, 0)::DOUBLE / (na.n + nb.n - coalesce(i, 0))::DOUBLE, 6) AS jaccard
-        |FROM pairs p
+        |FROM cand p
         |JOIN sizes na ON na.doc_id = p.a
         |JOIN sizes nb ON nb.doc_id = p.b
-        |LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b
-        |WHERE coalesce(i, 0) > 0""".stripMargin,
+        |LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b""".stripMargin,
 
     "d4_simhash" ->
       s"""WITH $toksSql,

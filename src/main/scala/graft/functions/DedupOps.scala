@@ -27,37 +27,69 @@ object DedupOps {
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_cnt"))
 
   /** Word n-gram shingles (default 3). Documents shorter than n words
-    * collapse to a single whole-document shingle. */
+    * collapse to a single whole-document shingle.
+    *
+    * PERFORMANCE: pass an *attribute reference* to a materialized token
+    * array (project `tokens(...)` into a column first), never the raw
+    * `tokens(text)` expression — higher-order-function lambdas re-evaluate
+    * their captured expressions per element, which would re-run the regex
+    * tokenizer once per shingle index (measured 10× slowdown). Use
+    * [[shingleRows]] which stages the projections correctly. */
   def shingles(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
 
-  /** MinHash signature rows: one row per (doc, seed) with the min md5 over
-    * the doc's shingles. Lexicographic min over hex digests is a valid
-    * uniform minhash and is engine-portable. The min is an algebraic
-    * aggregate ⇒ map-side combine; shuffle volume is |docs| × numHashes
-    * short strings regardless of document size. */
-  def minhashRows(docs: DataFrame, idCol: String, textCol: String,
-                  numHashes: Int, shingleN: Int = 3): DataFrame =
+  /** (doc_id, shingle) rows: tokenize → project → shingle → explode, each
+    * HOF consuming a materialized column so every expression evaluates
+    * once per row. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"),
-        explode(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("sh"))
-      .select(col("doc_id"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"), col("sh"))
-      .withColumn("h", md5(concat_ws("|", col("seed"), col("sh"))))
-      .groupBy("doc_id", "seed").agg(min("h").as("mh"))
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), explode(shingles(col("__t"), shingleN)).as("sh"))
 
-  /** LSH band signatures: seeds are grouped into bands of `rowsPerBand`;
-    * a band's signature joins its (seed-tagged, sorted) minhashes. Docs
-    * sharing any (band, signature) are near-dup candidates. */
-  def lshBands(mh: DataFrame, rowsPerBand: Int): DataFrame =
-    mh.withColumn("band", col("seed") / lit(rowsPerBand) cast "int")
-      .groupBy("doc_id", "band")
-      .agg(concat_ws("|",
-        sort_array(collect_list(concat(lpad(col("seed"), 2, "0"), lit(":"), col("mh")))))
-        .as("sig"))
+  /** Universal-hash family constants (shared with the DuckDB oracle —
+    * plain 64-bit integer arithmetic is engine-exact):
+    * base value v = first 15 hex chars of md5(shingle) mod 2^30, then
+    * hash_s(v) = (v·(2s+1) + (7919·s+13)) mod 1e9+7. */
+  val HashMod = 1000000007L
+  val BaseMod = 1073741824L // 2^30 keeps v·A + B inside 64 bits
+
+  /** MinHash signatures: one row per doc with columns mh0..mh{k−1}.
+    *
+    * Design for volume: ONE md5 per shingle (not per shingle×seed), the k
+    * hashes derived by codegen'd integer arithmetic in a single
+    * projection, and the per-doc minima taken as k algebraic `min`
+    * aggregates — map-side combined, no row explosion. Replaced an
+    * explode-by-seed formulation that pushed |shingles|·k rows through a
+    * shuffle (12× the md5 work and dominated the dedup bench). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, shingleN: Int = 3): DataFrame =
+    shingleRows(docs, idCol, textCol, shingleN)
+      .withColumn("v",
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long") % BaseMod)
+      .groupBy("doc_id")
+      .agg(
+        min((col("v") * lit(1L) + lit(13L)) % HashMod).as("mh0"),
+        (1 until numHashes).map(s =>
+          min((col("v") * lit(2L * s + 1) + lit(7919L * s + 13)) % HashMod)
+            .as(s"mh$s")): _*)
+
+  /** LSH band rows (doc_id, band, sig): consecutive `rowsPerBand`
+    * signature columns joined into one band signature, unpivoted with
+    * `stack` (codegen'd, no shuffle). */
+  def lshBands(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val stackArgs = (0 until numBands).map { b =>
+      val sig = (0 until rowsPerBand)
+        .map(r => s"cast(mh${b * rowsPerBand + r} as string)")
+        .mkString("concat_ws('|', ", ", ", ")")
+      s"$b, $sig"
+    }.mkString(", ")
+    sigs.selectExpr("doc_id", s"stack($numBands, $stackArgs) as (band, sig)")
+  }
 
   /** Candidate near-dup pairs (a < b) from shared LSH buckets. The join key
     * (band, sig) is the LSH bucket — cardinality ∝ corpus size, and each
@@ -72,7 +104,8 @@ object DedupOps {
   /** End-to-end MinHash-LSH candidate pairs. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame =
-    lshCandidatePairs(lshBands(minhashRows(docs, idCol, textCol, numHashes), rowsPerBand))
+    lshCandidatePairs(lshBands(
+      minhashSignatures(docs, idCol, textCol, numHashes), numHashes, rowsPerBand))
 
   /** 16-bit SimHash signature per document: per token-hash bit, majority
     * vote of ±1 contributions. Two shuffle-free explodes + one aggregation
@@ -114,9 +147,7 @@ object DedupOps {
     * blocker) ever meet. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-        explode(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("sh"))
-      .distinct()
+    val sh = shingleRows(docs, idCol, textCol, shingleN).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // hash-join on (doc, shingle) both hops — never a per-pair cross product
     val inter = pairs
