@@ -1,0 +1,132 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+/** Multimodal (image/audio/video) columns for training-data pipelines.
+  *
+  * Representation: media ride as opaque `binary` columns next to typed
+  * metadata — the schema a 100 TB multimodal corpus actually uses (content
+  * in parquet binary or object-store pointers; metadata queryable without
+  * touching bytes).
+  *
+  * What is REAL here: container sniffing and header parsing (PNG IHDR,
+  * JPEG SOF, WAV RIFF — plain byte arithmetic, no codec libraries), the
+  * record/feature schemas, partition-local batched decode plumbing
+  * (`mapPartitions` in fixed-size batches — the same batch shape a
+  * vectorized/Arrow UDF would see).
+  *
+  * What is STUBBED: pixel/sample decoding into features.
+  * [[StubFeatureDecoder]] produces a deterministic hash-derived vector —
+  * this container has no image/audio libraries. Swap in a real
+  * [[FeatureDecoder]] (e.g. JNI to a codec, or an ONNX runtime) without
+  * touching any of the plumbing.
+  */
+object Multimodal {
+
+  /** Sniff the container from magic bytes. */
+  def mediaType(bytes: Array[Byte]): String =
+    if (bytes == null || bytes.length < 12) "unknown"
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+      "image/png"
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "image/jpeg"
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
+      "audio/wav"
+    else "unknown"
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** Parse structural metadata from raw bytes (real header parsing):
+    * PNG: width/height from the IHDR chunk (bytes 16..23);
+    * JPEG: scan markers for SOF0-15, dims from its payload;
+    * WAV: channels/sample-rate from the fmt chunk, duration from data size.
+    */
+  def parseMeta(bytes: Array[Byte]): MediaMeta = mediaType(bytes) match {
+    case "image/png" if bytes.length >= 24 =>
+      MediaMeta("image/png", beInt(bytes, 16), beInt(bytes, 20), 0L, 0, 0)
+    case "image/jpeg" =>
+      var i = 2
+      var meta = MediaMeta("image/jpeg", 0, 0, 0L, 0, 0)
+      var done = false
+      while (!done && i + 9 < bytes.length) {
+        if ((bytes(i) & 0xff) != 0xff) { i += 1 }
+        else {
+          val marker = bytes(i + 1) & 0xff
+          if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            meta = MediaMeta("image/jpeg",
+              ((bytes(i + 7) & 0xff) << 8) | (bytes(i + 8) & 0xff),
+              ((bytes(i + 5) & 0xff) << 8) | (bytes(i + 6) & 0xff), 0L, 0, 0)
+            done = true
+          } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+          else i += 2 + (((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff))
+        }
+      }
+      meta
+    case "audio/wav" if bytes.length >= 44 =>
+      val channels = leShort(bytes, 22)
+      val sampleRate = leInt(bytes, 24)
+      val byteRate = leInt(bytes, 28)
+      val dataSize = leInt(bytes, 40)
+      val durMs = if (byteRate > 0) dataSize.toLong * 1000 / byteRate else 0L
+      MediaMeta("audio/wav", 0, 0, durMs, channels, sampleRate)
+    case t => MediaMeta(t, 0, 0, 0L, 0, 0)
+  }
+
+  /** Partition-local batched decode: groups each partition's records into
+    * `batchSize` chunks and hands whole batches to the decoder — the batch
+    * shape of a vectorized UDF, so a real decoder can amortize model /
+    * codec setup per batch. No shuffle: decode is pure map-side work and
+    * scales with input splits. */
+  def extractFeatures(records: Dataset[MediaRecord], decoder: FeatureDecoder,
+                      batchSize: Int = 64)
+                     (implicit enc: Encoder[MediaFeatures]): Dataset[MediaFeatures] =
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val decoded = decoder.decodeBatch(batch.map(r => (r.meta, r.content)))
+        batch.iterator.zip(decoded.iterator).map { case (r, feats) =>
+          MediaFeatures(r.id, r.meta.mediaType,
+            if (r.content == null) 0L else r.content.length.toLong, feats)
+        }
+      }
+    }
+}
+
+/** Typed metadata carried beside the binary payload. */
+case class MediaMeta(mediaType: String, width: Int, height: Int,
+                     durationMs: Long, channels: Int, sampleRate: Int)
+
+/** One media row: id + metadata + opaque bytes. */
+case class MediaRecord(id: Long, meta: MediaMeta, content: Array[Byte])
+
+/** Decoded features row. */
+case class MediaFeatures(id: Long, mediaType: String, byteLen: Long,
+                         features: Array[Float])
+
+/** Batch decoder contract — receives whole batches (metadata + bytes),
+  * returns one feature vector per input, in order. */
+trait FeatureDecoder extends Serializable {
+  def decodeBatch(batch: Seq[(MediaMeta, Array[Byte])]): Seq[Array[Float]]
+}
+
+/** STUB — deterministic fake decoder. Real pixel/sample decoding needs
+  * codec libraries this container does not ship; this stands in with a
+  * hash-derived vector (stable across runs/engines) so the pipeline
+  * plumbing is fully exercisable. Marked ??? on the real path. */
+object StubFeatureDecoder extends FeatureDecoder {
+  val Dim = 8
+
+  override def decodeBatch(batch: Seq[(MediaMeta, Array[Byte])]): Seq[Array[Float]] =
+    batch.map { case (meta, bytes) =>
+      // real implementation would be: decodePixels(meta, bytes) → model(...)
+      // ??? — no codec libs in this environment; deterministic fake below
+      val h = if (bytes == null) 0 else java.util.Arrays.hashCode(bytes)
+      Array.tabulate(Dim)(i => (((h * (i + 1)) % 1000).toFloat) / 1000f)
+    }
+}

@@ -1,0 +1,60 @@
+package graft.state
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interactive state queries — the reference's "query engine face"
+  * (`utils/IQueriesService.java`, SURVEY.md §2.9): read a running/stopped
+  * streaming query's materialized state as a table and serve the four
+  * query shapes (point / all / key-range / windowed fetch).
+  *
+  * Implementation: Spark 4's State Data Source reads a query's checkpoint
+  * directly (`spark.read.format("statestore")`), so state reads are plain
+  * DataFrames — filters and projections push into the state files; no
+  * cross-instance routing layer is needed (the reference's
+  * `MetadataService` key→host hop disappears: the driver addresses every
+  * partition).
+  *
+  * The reference's REST layer is a transport detail over exactly these
+  * four reads; any HTTP framework can wrap the returned DataFrames.
+  */
+object StateQueries {
+
+  /** Raw state rows (columns `key`, `value` as structs, `partition_id`)
+    * for operator 0 of the query checkpointed at `checkpointDir`. */
+  def store(spark: SparkSession, checkpointDir: String): DataFrame =
+    spark.read.format("statestore").load(checkpointDir)
+
+  /** Flattened view: key.* and value.* side by side (names prefixed to
+    * avoid collisions). */
+  def flattened(spark: SparkSession, checkpointDir: String): DataFrame = {
+    val df = store(spark, checkpointDir)
+    val keyCols = df.select(col("key.*")).columns
+      .map(c => col(s"key.$c").as(s"key_$c"))
+    val valCols = df.select(col("value.*")).columns
+      .map(c => col(s"value.$c").as(s"value_$c"))
+    df.select(keyCols ++ valCols: _*)
+  }
+
+  /** Point lookup: rows whose key matches `pred`
+    * (reference `GET /state/keyvalue/{store}/{key}`). */
+  def point(state: DataFrame, pred: Column): DataFrame = state.filter(pred)
+
+  /** Full scan (reference `GET /state/keyvalues/{store}/all`). */
+  def all(state: DataFrame): DataFrame = state
+
+  /** Inclusive key-range scan
+    * (reference `GET /state/keyvalues/{store}/range/{from}/{to}`). */
+  def range(state: DataFrame, keyCol: Column, from: Any, to: Any): DataFrame =
+    state.filter(keyCol >= lit(from) && keyCol <= lit(to))
+
+  /** Windowed fetch: a key's windows intersecting [fromSec, toSec]
+    * (reference `GET /state/windowed/{store}/{key}/{from}/{to}`), with the
+    * reference's `"$key@$windowStart"` rendering. */
+  def windowedFetch(state: DataFrame, keyCol: Column, winStartCol: Column,
+                    key: Any, fromSec: Long, toSec: Long): DataFrame =
+    state.filter(keyCol === lit(key) &&
+        winStartCol.cast("long").between(fromSec, toSec))
+      .withColumn("rendered_key",
+        concat(keyCol.cast("string"), lit("@"), winStartCol.cast("long").cast("string")))
+}

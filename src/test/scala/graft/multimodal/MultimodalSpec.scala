@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Multimodal plumbing: header parsing is real (synthesized valid PNG /
+  * JPEG / WAV headers), decode is the documented stub, batching is
+  * observable through a counting decoder. */
+class MultimodalSpec extends SparkSpec {
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val b = new Array[Byte](24)
+    val magic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    magic.copyToArray(b)
+    // length(4) + "IHDR" then width/height big-endian
+    b(12) = 'I'; b(13) = 'H'; b(14) = 'D'; b(15) = 'R'
+    for (i <- 0 until 4) b(16 + i) = ((w >>> (24 - 8 * i)) & 0xff).toByte
+    for (i <- 0 until 4) b(20 + i) = ((h >>> (24 - 8 * i)) & 0xff).toByte
+    b
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    // SOI, APP0 (len 4, empty), SOF0 with height/width
+    val b = scala.collection.mutable.ArrayBuffer[Byte]()
+    b ++= Array(0xff, 0xd8).map(_.toByte)                     // SOI
+    b ++= Array(0xff, 0xe0, 0x00, 0x04, 0x00, 0x00).map(_.toByte) // APP0 len=4
+    b ++= Array(0xff, 0xc0, 0x00, 0x0b, 0x08).map(_.toByte)   // SOF0 len=11 prec=8
+    b += ((h >> 8) & 0xff).toByte; b += (h & 0xff).toByte
+    b += ((w >> 8) & 0xff).toByte; b += (w & 0xff).toByte
+    b ++= Array(0x01, 0x01, 0x11, 0x00).map(_.toByte)
+    b.toArray
+  }
+
+  private def wavBytes(sampleRate: Int, channels: Int, dataSize: Int): Array[Byte] = {
+    val b = new Array[Byte](44 + dataSize)
+    def le(off: Int, v: Int, n: Int): Unit =
+      for (i <- 0 until n) b(off + i) = ((v >>> (8 * i)) & 0xff).toByte
+    "RIFF".getBytes.copyToArray(b, 0); le(4, 36 + dataSize, 4)
+    "WAVE".getBytes.copyToArray(b, 8); "fmt ".getBytes.copyToArray(b, 12)
+    le(16, 16, 4); le(20, 1, 2); le(22, channels, 2); le(24, sampleRate, 4)
+    val byteRate = sampleRate * channels * 2
+    le(28, byteRate, 4); le(32, channels * 2, 2); le(34, 16, 2)
+    "data".getBytes.copyToArray(b, 36); le(40, dataSize, 4)
+    b
+  }
+
+  test("container sniffing and header parsing (PNG/JPEG/WAV) without codec libs") {
+    val png = Multimodal.parseMeta(pngBytes(640, 480))
+    assert(png == MediaMeta("image/png", 640, 480, 0L, 0, 0))
+
+    val jpg = Multimodal.parseMeta(jpegBytes(1920, 1080))
+    assert(jpg == MediaMeta("image/jpeg", 1920, 1080, 0L, 0, 0))
+
+    val wav = Multimodal.parseMeta(wavBytes(16000, 1, 32000))
+    assert(wav.mediaType == "audio/wav" && wav.channels == 1 &&
+      wav.sampleRate == 16000 && wav.durationMs == 1000L)
+
+    assert(Multimodal.parseMeta("not media".getBytes).mediaType == "unknown")
+  }
+
+  test("batched mapPartitions decode: real batch shape, stub features, deterministic") {
+    val s = spark
+    import s.implicits._
+    val records = (0L until 100L).map(i =>
+      MediaRecord(i, Multimodal.parseMeta(pngBytes(64, 64)), pngBytes(64, 64)))
+    val ds = s.createDataset(records).repartition(4)
+
+    val batchSizes = s.sparkContext.collectionAccumulator[Int]("batches")
+    val countingDecoder = new FeatureDecoder {
+      override def decodeBatch(batch: Seq[(MediaMeta, Array[Byte])]): Seq[Array[Float]] = {
+        batchSizes.add(batch.size)
+        StubFeatureDecoder.decodeBatch(batch)
+      }
+    }
+    val feats = Multimodal.extractFeatures(ds, countingDecoder, batchSize = 16).collect()
+
+    assert(feats.length == 100)
+    assert(feats.forall(_.mediaType == "image/png"))
+    assert(feats.forall(_.features.length == StubFeatureDecoder.Dim))
+    // identical bytes → identical stub features (deterministic)
+    assert(feats.map(_.features.toList).distinct.size == 1)
+    // batches respect the requested size and cover all rows
+    val sizes = batchSizes.value
+    import scala.jdk.CollectionConverters._
+    assert(sizes.asScala.sum == 100)
+    assert(sizes.asScala.forall(_ <= 16))
+  }
+}

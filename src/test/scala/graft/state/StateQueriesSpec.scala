@@ -1,0 +1,67 @@
+package graft.state
+
+import graft.SparkSpec
+import graft.streaming.WindowedStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** The four interactive state-query shapes of SURVEY.md §2.9 over a real
+  * streaming checkpoint (reference `IQueriesService.java` endpoints;
+  * in-process window scan `TopologiesTest.scala:60-70`). */
+class StateQueriesSpec extends SparkSpec {
+
+  private val base = 1700000000L
+  private def ts(off: Long) = new Timestamp((base + off) * 1000)
+  case class Ev(key: String, value: Int, ts: Timestamp)
+
+  test("point/all/range/windowed reads over a windowed-count checkpoint") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val ckpt = Files.createTempDirectory("graft_state").toString
+    val in = MemoryStream[Ev]
+    // 1h grace = long retention: closed windows stay in the store (the
+    // reference's window-store retention; 0s grace would evict [0,10) the
+    // moment the watermark passes it)
+    val agg = WindowedStreams.tumblingCounts(in.toDF(), "ts", "10 seconds", "1 hour",
+      col("key"))
+    val q = agg.select(col("window.start").cast("long").as("win"), col("key"), col("count"))
+      .writeStream.format("memory").queryName("state_src")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      in.addData(Ev("hmida", 1, ts(0)), Ev("hmida", 1, ts(0)), Ev("hmida", 1, ts(1)),
+        Ev("lambda", 1, ts(11)), Ev("hmida", 1, ts(12)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the state store now holds per-(key, window) counts
+    val st = StateQueries.flattened(s, ckpt)
+      .select(col("key_key").as("key"),
+        col("key_window.start").cast("long").as("win_start"),
+        col("value_count").as("cnt"))
+
+    // all
+    val allRows = StateQueries.all(st).as[(String, Long, Long)].collect().toSet
+    assert(allRows == Set(
+      ("hmida", base, 3L), ("hmida", base + 10, 1L), ("lambda", base + 10, 1L)))
+
+    // point
+    val pt = StateQueries.point(st, col("key") === "lambda")
+      .as[(String, Long, Long)].collect().toSet
+    assert(pt == Set(("lambda", base + 10, 1L)))
+
+    // key range (inclusive both ends; "h".."l" spans both keys)
+    val rg = StateQueries.range(st, col("key"), "h", "lz")
+      .as[(String, Long, Long)].collect().toSet
+    assert(rg == allRows)
+
+    // windowed fetch with the reference's key@start rendering
+    val wf = StateQueries.windowedFetch(st, col("key"), col("win_start"),
+        "hmida", base, base + 9)
+      .select("rendered_key", "cnt").as[(String, Long)].collect().toSet
+    assert(wf == Set((s"hmida@$base", 3L)))
+  }
+}
