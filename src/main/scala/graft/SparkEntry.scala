@@ -380,6 +380,33 @@ object SparkEntry {
       ev(s, dir).withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select("user_id", "rnk", "event_id", "value")
+    }),
+
+    "x6_distinct_count" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"),
+          count(lit(1)).as("cnt"))),
+
+    // as-of self-join: each order's customer's most recent PRIOR order
+    "x7_asof_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val prev = o.select(col("o_custkey").as("ck2"), col("o_orderkey").as("ok2"),
+        col("o_orderdate").as("od2"))
+      graft.operators.AsOfJoin.asof(
+        o, prev, col("o_custkey") === col("ck2"),
+        col("o_orderdate"), col("od2"), "o_orderkey",
+        Seq("prev_orderkey" -> col("ok2")), col("ok2"), strict = true)
+    }),
+
+    // the reference's custom Reducer (IntegerAdd) as a typed Aggregator
+    // registered through functions.udaf: exact per-user cents total
+    "a6_custom_udaf" -> ((s, dir) => {
+      val addCents = udaf(graft.functions.Aggregators.longAdd)
+      ev(s, dir)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy("user_id")
+        .agg(addCents(col("cents")).as("total_cents"))
     })
   )
 
@@ -729,6 +756,26 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id
         |                       ORDER BY value DESC, event_id ASC) AS rnk
         |  FROM events)
-        |WHERE rnk <= 3""".stripMargin
+        |WHERE rnk <= 3""".stripMargin,
+
+    "x6_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS cnt
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "x7_asof_join" ->
+      """WITH prev AS (
+        |  SELECT o1.o_orderkey AS o_orderkey,
+        |    arg_max(o2.o_orderkey,
+        |            epoch(o2.o_orderdate)::BIGINT * 1000000 + o2.o_orderkey) AS prev_orderkey
+        |  FROM orders o1 JOIN orders o2
+        |    ON o1.o_custkey = o2.o_custkey AND o2.o_orderdate < o1.o_orderdate
+        |  GROUP BY 1)
+        |SELECT o.o_orderkey AS o_orderkey, prev.prev_orderkey AS prev_orderkey
+        |FROM orders o LEFT JOIN prev ON o.o_orderkey = prev.o_orderkey""".stripMargin,
+
+    "a6_custom_udaf" ->
+      """SELECT user_id, sum(round(value * 100)::BIGINT) AS total_cents
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

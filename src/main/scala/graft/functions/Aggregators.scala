@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed custom aggregates — the general form of the reference's
+  * `Reducer` hook (`IntegerAdd`, reference `TopologiesTest.scala:355-357`;
+  * SURVEY.md §2.8). A Spark `Aggregator[IN, BUF, OUT]` gets map-side
+  * partial merging for free (`reduce` + `merge`), the same contract a
+  * Kafka Streams reducer satisfies, but distributed. Register with
+  * `functions.udaf(...)` for untyped/SQL use. */
+object Aggregators {
+
+  /** The reference's IntegerAdd, verbatim semantics: associative sum. */
+  val longAdd: Aggregator[Long, Long, Long] = new Aggregator[Long, Long, Long] {
+    override def zero: Long = 0L
+    override def reduce(b: Long, a: Long): Long = b + a
+    override def merge(b1: Long, b2: Long): Long = b1 + b2
+    override def finish(r: Long): Long = r
+    override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Numerically-stable mean via (sum, count) buffer — demonstrates a
+    * composite buffer the way a real sketch would carry one. */
+  val doubleMean: Aggregator[Double, (Double, Long), Double] =
+    new Aggregator[Double, (Double, Long), Double] {
+      override def zero: (Double, Long) = (0.0, 0L)
+      override def reduce(b: (Double, Long), a: Double): (Double, Long) =
+        (b._1 + a, b._2 + 1)
+      override def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+        (a._1 + b._1, a._2 + b._2)
+      override def finish(r: (Double, Long)): Double =
+        if (r._2 == 0) 0.0 else r._1 / r._2
+      override def bufferEncoder: Encoder[(Double, Long)] =
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+      override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+}

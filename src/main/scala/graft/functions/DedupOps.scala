@@ -112,20 +112,27 @@ object DedupOps {
     * keyed by (doc, bit) then (doc); contributions sum map-side.
     * 16 bits keeps the oracle SQL tractable; the construction generalizes
     * to 64 by changing the constant. */
-  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // per token-hash, 16 ±1 contributions as plain codegen'd columns
+    // (bit i = bit (3 − i%4) of hex digit i/4) — no per-bit explode, no
+    // interpreted lambdas; the per-doc vote is 16 algebraic sums.
+    val contribs = (0 until 16).map { i =>
+      expr(s"(shiftright(cast(conv(substring(h, ${i / 4 + 1}, 1), 16, 10) as int), " +
+        s"${3 - i % 4}) % 2) * 2 - 1").as(s"c$i")
+    }
+    val votes = (0 until 16).map(i => sum(col(s"c$i")).as(s"s$i"))
+    val assemble = (0 until 16).map { i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
     docs
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), md5(col("tok")).as("h"),
-        explode(sequence(lit(0), lit(15))).as("bitpos"))
-      // nibble = hex digit at bitpos/4; bit = that nibble's (3 - bitpos%4)-th bit
-      .withColumn("nib", conv(expr("substring(h, (bitpos div 4) + 1, 1)"), 16, 10).cast("int"))
-      .withColumn("contrib", expr("(shiftright(nib, 3 - (bitpos % 4)) % 2) * 2 - 1"))
-      .groupBy("doc_id", "bitpos")
-      .agg(sum("contrib").as("s"))
-      .withColumn("bit", when(col("s") > 0, 1L).otherwise(0L))
+      .select(col("doc_id") +: md5(col("tok")).as("h") +: Nil: _*)
+      .select(col("doc_id") +: contribs: _*)
       .groupBy("doc_id")
-      .agg(sum(expr("shiftleft(bit, cast(bitpos as int))")).as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), assemble.as("simhash"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked by the
     * high byte of the signature (at 16 bits a coarse block; at 64 bits use
