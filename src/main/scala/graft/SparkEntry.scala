@@ -317,6 +317,9 @@ object SparkEntry {
       SimilarityOps.bucketedPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         4, 0.2)),
 
+    "s3_ivf_assign" -> ((s, dir) =>
+      SimilarityOps.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding", 16)),
+
     // text analysis --------------------------------------------------------
 
     "t1_langid" -> ((s, dir) =>
@@ -681,6 +684,22 @@ object SparkEntry {
         |          (x, y) -> x + y) / (l.nrm * r.nrm), 6) AS sim
         |  FROM v l JOIN v r ON l.bkt = r.bkt AND l.vec_id < r.vec_id)
         |WHERE sim >= 0.2""".stripMargin,
+
+    "s3_ivf_assign" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+        |         (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cn FROM v WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT v.vec_id AS vec_id, cid,
+        |    round(round(list_reduce(list_transform(range(1, len(v.embedding) + 1),
+        |            i -> v.embedding[i]::DOUBLE * cv[i]::DOUBLE),
+        |          (x, y) -> x + y) / (v.nrm * cn), 6) * 1000000)::BIGINT * 100 - cid AS score
+        |  FROM v, c)
+        |SELECT vec_id, arg_max(cid, score) AS centroid_id
+        |FROM scored GROUP BY 1""".stripMargin,
 
     "t1_langid" ->
       """SELECT doc_id,

@@ -78,6 +78,28 @@ object SimilarityOps {
       .filter(col("sim") >= minSim)
   }
 
+  /** IVF index build: assign every vector to its nearest of k fixed
+    * centroids (here: the vectors with id < k — deterministic and
+    * engine-portable; swap in k-means centroids in production). The
+    * centroid set broadcasts; assignment is one map-side pass, so index
+    * build is O(n·k) with zero shuffles of the corpus. Queries then probe
+    * only the nearest centroid lists (same shape as [[bucketedPairs]]).
+    *
+    * Tie-breaking: highest rounded similarity, then lowest centroid id,
+    * encoded in one bigint so the argmax is portable to the SQL oracle. */
+  def ivfAssign(vecs: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val v = withNorm(vecs, vecCol)
+    val cents = v.filter(col(idCol) < k)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("nrm").as("cn"))
+    v.join(broadcast(cents), lit(true))
+      .select(col(idCol).as("vec_id"),
+        col("cid"),
+        (round(cosine(col(vecCol), col("cv"), col("nrm"), col("cn")) * 1000000, 0)
+          .cast("long") * 100 - col("cid")).as("score"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), col("score")).as("centroid_id"))
+  }
+
   /** Sign-bucket id over the first `bits` dimensions: bit i set iff
     * dim i > 0 — an axis-aligned instance of random-hyperplane LSH,
     * deterministic and engine-portable. */
