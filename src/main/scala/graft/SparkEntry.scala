@@ -374,6 +374,11 @@ object SparkEntry {
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))),
 
+    "x8_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
+
     "x4_json_extract" -> ((s, dir) =>
       ev(s, dir).select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_val"))),
@@ -764,6 +769,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "x8_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "x4_json_extract" ->
       """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k_val

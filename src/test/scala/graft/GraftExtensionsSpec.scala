@@ -1,0 +1,30 @@
+package graft
+
+/** The custom expression must be reachable from SQL text through the
+  * registry, with the same results as the Column API. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("dot_product_float is callable from SQL and matches the Column API") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql(
+      """SELECT vec_id, dot_product_float(embedding, embedding) AS d
+        |FROM emb_sql""".stripMargin)
+    val viaColumn = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        functions.SimilarityOps.dot(
+          org.apache.spark.sql.functions.col("embedding"),
+          org.apache.spark.sql.functions.col("embedding")).as("d"))
+    assert(viaSql.exceptAll(viaColumn).count() == 0)
+    assert(viaColumn.exceptAll(viaSql).count() == 0)
+  }
+
+  test("SQL arity errors are caught at registration boundary") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_product_float(array(1.0f))").collect()
+    }
+    assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("dot_product_float"))
+  }
+}
