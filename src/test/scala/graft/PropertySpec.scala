@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Changelog
+
+/** Property layer (SURVEY.md §5.2 #4): algebraic laws checked on random
+  * inputs, batch side. scalacheck generators sampled with explicit seeds
+  * (the scalatest bridge artifact is not in the offline cache). */
+class PropertySpec extends SparkSpec {
+
+  private def forAll[A](gen: Gen[A], cases: Int = 10)(body: A => Unit): Unit =
+    (1 to cases).foreach { i =>
+      body(gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(fail(s"generator failed for seed $i")))
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val upserts: Gen[List[(String, Option[Int])]] = Gen.listOfN(40,
+    for {
+      k <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.option(Gen.choose(0, 100))
+    } yield (k, v))
+
+  test("changelog law: latestByKey equals the sequential fold of upserts/tombstones") {
+    val s = spark
+    import s.implicits._
+    forAll(upserts) { ops =>
+      val rows = ops.zipWithIndex.map { case ((k, v), i) =>
+        (k, v.map(_.toString).orNull, i.toLong)
+      }
+      val df = rows.toDF("key", "value", "seq")
+      // engine: materialize + tombstone filter
+      val got = Changelog.upsertView(df, Seq("key"), Seq(col("seq")),
+          col("value").isNull)
+        .select("key", "value").as[(String, String)].collect().toMap
+      // law: naive in-order fold
+      val expected = rows.foldLeft(Map.empty[String, String]) {
+        case (m, (k, v, _)) => if (v == null) m - k else m + (k -> v)
+      }
+      assert(got == expected)
+    }
+  }
+
+  test("tumbling-window law: every event lands in exactly one window containing it") {
+    val s = spark
+    import s.implicits._
+    forAll(Gen.listOfN(50, Gen.choose(0L, 10000L))) { offsets =>
+      whenever(offsets.nonEmpty) {
+        val df = offsets.zipWithIndex
+          .map { case (o, i) => (i.toLong, new java.sql.Timestamp(1700000000000L + o * 1000)) }
+          .toDF("id", "ts")
+        val assigned = df.select(col("id"), window(col("ts"), "37 seconds").as("w"), col("ts"))
+        // exactly one row per event
+        assert(assigned.count() == offsets.length)
+        // and the window contains the event
+        val violations = assigned.filter(
+          col("ts") < col("w.start") || col("ts") >= col("w.end")).count()
+        assert(violations == 0)
+      }
+    }
+  }
+
+  test("sliding-window law: every event lands in exactly size/slide windows") {
+    val s = spark
+    import s.implicits._
+    forAll(Gen.listOfN(30, Gen.choose(0L, 5000L))) { offsets =>
+      whenever(offsets.nonEmpty) {
+        val df = offsets.zipWithIndex
+          .map { case (o, i) => (i.toLong, new java.sql.Timestamp(1700000000000L + o * 1000)) }
+          .toDF("id", "ts")
+        val n = df.select(col("id"), window(col("ts"), "40 seconds", "10 seconds")).count()
+        assert(n == offsets.length * 4L) // 40/10 = 4 windows per event
+      }
+    }
+  }
+}
