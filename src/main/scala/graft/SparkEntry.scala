@@ -477,7 +477,10 @@ object SparkEntry {
       s"""WITH $evSql,
         |marked AS (
         |  SELECT user_id, ts_sec,
-        |    CASE WHEN ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) >= 21600
+        |    -- Spark merges a session when the next event lands exactly on
+        |    -- the session end (t2 <= t1 + gap), so a new session needs a
+        |    -- STRICTLY greater gap — verified against an exact-gap pair at sf0.1
+        |    CASE WHEN ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) > 21600
         |         OR lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) IS NULL
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM ev),

@@ -38,7 +38,12 @@ object WindowedStreams {
       .agg(sum(valueCol).as("total"))
 
   /** Session-window count per key (reference
-    * `SessionWindows.ofInactivityGapWithNoGrace`, `TopologiesTest.scala:413`). */
+    * `SessionWindows.ofInactivityGapWithNoGrace`, `TopologiesTest.scala:413`).
+    *
+    * Merge semantics: an event landing EXACTLY on a session's end
+    * (gap seconds after the previous event) still merges — a new session
+    * needs a strictly greater gap. Matches Kafka Streams' inclusive
+    * inactivity-gap comparison. */
   def sessionCounts(input: DataFrame, tsCol: String, gap: String,
                     grace: String, keyCols: Column*): DataFrame =
     input.withWatermark(tsCol, grace)
