@@ -1,9 +1,13 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen paths and the shared file-status cache once so
@@ -13,15 +17,29 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
+    // A crashed query must not masquerade as a fast one: its slot is null
+    // and the error message is reported separately.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\]", " ").replaceAll("[\\r\\n\\t]", " ") + "\""
+    val qs = results.map { case (k, sec, err) =>
+      jstr(k) + ":" + (if (err.isEmpty) sec.toString else "null")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m.take(200)) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, sec, None) => sec }.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // stdout gets buried in sbt [info] noise — the file is the reliable channel.
+    val p = Paths.get(outPath)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.write(p, (json + "\n").getBytes(StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }

@@ -361,12 +361,16 @@ object SparkEntry {
     }),
 
     "x2_topk_users" -> ((s, dir) => {
+      import s.implicits._
       val totals = ev(s, dir).groupBy("user_id")
         .agg(round(sum("value"), 2).as("total"))
-      val w = Window.orderBy(col("total").desc, col("user_id").asc)
-      totals.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select("rank", "user_id", "total")
+      // Distributed top-k: orderBy+limit plans TakeOrderedAndProject (per-
+      // partition heaps, no global sort / single-partition WindowExec).
+      // Rank is derived from the 10 collected survivors — constant driver work.
+      val top = totals.orderBy(col("total").desc, col("user_id").asc).limit(10)
+        .as[(Long, Double)].collect()
+      s.createDataFrame(top.toSeq.zipWithIndex.map { case ((u, t), i) => (i + 1, u, t) })
+        .toDF("rank", "user_id", "total")
     }),
 
     "x3_rollup" -> ((s, dir) =>
@@ -807,7 +811,7 @@ object SparkEntry {
         |FROM orders o LEFT JOIN prev ON o.o_orderkey = prev.o_orderkey""".stripMargin,
 
     "a6_custom_udaf" ->
-      """SELECT user_id, sum(round(value * 100)::BIGINT) AS total_cents
+      """SELECT user_id, sum(round(value * 100)::BIGINT)::BIGINT AS total_cents
         |FROM events GROUP BY 1""".stripMargin
   )
 }

@@ -24,7 +24,8 @@ object PkJoinStream {
 
   private[streaming] case class Tagged(side: Int, key: String, value: String, seq: Long)
   private[streaming] case class Both(left: String, right: String,
-                          leftSet: Boolean, rightSet: Boolean)
+                          leftSet: Boolean, rightSet: Boolean,
+                          leftSeq: Long, rightSeq: Long)
 
   def join(left: Dataset[Rec], right: Dataset[Rec], how: String): Dataset[JoinChange] = {
     require(how == "inner" || how == "left", s"unsupported join type: $how")
@@ -39,20 +40,34 @@ object PkJoinStream {
         (key: String, rows: Iterator[Tagged], state: GroupState[Both]) => {
           val ordered = rows.toSeq.sortBy(t => (t.seq, t.side))
           val out = Seq.newBuilder[JoinChange]
-          var st = state.getOption.getOrElse(Both(null, null, leftSet = false, rightSet = false))
+          var st = state.getOption.getOrElse(
+            Both(null, null, leftSet = false, rightSet = false,
+              leftSeq = Long.MinValue, rightSeq = Long.MinValue))
           def visible(s: Both): Boolean =
             if (inner) s.leftSet && s.rightSet else s.leftSet
+          // Per-side seq high-water mark: a change with seq <= the side's
+          // last applied seq is a stale duplicate (at-least-once redelivery
+          // or batch replay after recovery) and must not be re-applied —
+          // the changelog stays idempotent under replay. Cross-SIDE arrival
+          // order follows processing order, same as the reference's
+          // cross-topic behavior (Kafka guarantees order per topic only).
           ordered.foreach { t =>
-            val wasVisible = visible(st)
-            st =
-              if (t.side == 0) st.copy(left = t.value, leftSet = t.value != null)
-              else st.copy(right = t.value, rightSet = t.value != null)
-            val isVisible = visible(st)
-            if (isVisible)
-              out += JoinChange(key, st.left, if (st.rightSet) st.right else null,
-                deleted = false, t.seq)
-            else if (wasVisible)
-              out += JoinChange(key, null, null, deleted = true, t.seq)
+            val stale =
+              if (t.side == 0) t.seq <= st.leftSeq else t.seq <= st.rightSeq
+            if (!stale) {
+              val wasVisible = visible(st)
+              st =
+                if (t.side == 0)
+                  st.copy(left = t.value, leftSet = t.value != null, leftSeq = t.seq)
+                else
+                  st.copy(right = t.value, rightSet = t.value != null, rightSeq = t.seq)
+              val isVisible = visible(st)
+              if (isVisible)
+                out += JoinChange(key, st.left, if (st.rightSet) st.right else null,
+                  deleted = false, t.seq)
+              else if (wasVisible)
+                out += JoinChange(key, null, null, deleted = true, t.seq)
+            }
           }
           if (!st.leftSet && !st.rightSet) state.remove() else state.update(st)
           out.result().iterator
