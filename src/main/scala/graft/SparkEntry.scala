@@ -26,6 +26,14 @@ object SparkEntry {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
+  /** x2's distributed top-k core, exposed for the plan-guard spec: must
+    * plan as `TakeOrderedAndProject` (per-partition heaps + tiny merge),
+    * never a global-sort or single-partition window. */
+  private[graft] def topkUsersBase(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).groupBy("user_id")
+      .agg(round(sum("value"), 2).as("total"))
+      .orderBy(col("total").desc, col("user_id").asc).limit(10)
+
   private val tsFmt = "yyyy-MM-dd"
 
   /** Latest event per user, ordered by (ts_sec, event_id) — the KTable
@@ -295,17 +303,11 @@ object SparkEntry {
       DedupOps.simhashPairs(
         DedupOps.simhash16(Tables.documents(s, dir), "doc_id", "text"), 3)),
 
-    "d6_embedding_neardup" -> ((s, dir) => {
-      val v = SimilarityOps.withNorm(Tables.embeddings(s, dir), "embedding")
-      val l = v.select(col("label"), col("vec_id").as("a"),
-        col("embedding").as("va"), col("nrm").as("na"))
-      val r = v.select(col("label").as("label2"), col("vec_id").as("b"),
-        col("embedding").as("vb"), col("nrm").as("nb"))
-      l.join(r, col("label") === col("label2") && col("a") < col("b"))
-        .select(col("a"), col("b"),
-          SimilarityOps.cosine(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
-        .filter(col("sim") >= 0.3)
-    }),
+    // label-blocked near-dup pairs, salted: identical output to a plain
+    // label self-join, but a dominant label can't serialize the stage
+    "d6_embedding_neardup" -> ((s, dir) =>
+      SimilarityOps.saltedBlockPairs(Tables.embeddings(s, dir),
+        "label", "vec_id", "embedding", shards = 8, minSim = 0.3)),
 
     // similarity search ----------------------------------------------------
 
@@ -362,13 +364,8 @@ object SparkEntry {
 
     "x2_topk_users" -> ((s, dir) => {
       import s.implicits._
-      val totals = ev(s, dir).groupBy("user_id")
-        .agg(round(sum("value"), 2).as("total"))
-      // Distributed top-k: orderBy+limit plans TakeOrderedAndProject (per-
-      // partition heaps, no global sort / single-partition WindowExec).
       // Rank is derived from the 10 collected survivors — constant driver work.
-      val top = totals.orderBy(col("total").desc, col("user_id").asc).limit(10)
-        .as[(Long, Double)].collect()
+      val top = topkUsersBase(s, dir).as[(Long, Double)].collect()
       s.createDataFrame(top.toSeq.zipWithIndex.map { case ((u, t), i) => (i + 1, u, t) })
         .toDF("rank", "user_id", "total")
     }),
@@ -410,6 +407,13 @@ object SparkEntry {
         col("o_orderdate"), col("od2"), "o_orderkey",
         Seq("prev_orderkey" -> col("ok2")), col("ok2"), strict = true)
     }),
+
+    // salted two-phase exact distinct count — the skew treatment from
+    // operators.Skew wired into the oracle gate (same answer as a plain
+    // count(DISTINCT), but a hot key's dedup spreads over 16 reducers)
+    "x9_skew_distinct" -> ((s, dir) =>
+      graft.operators.Skew.saltedDistinctCount(
+        ev(s, dir), Seq("event_type"), "user_id", buckets = 16, outCol = "n_users")),
 
     // the reference's custom Reducer (IntegerAdd) as a typed Aggregator
     // registered through functions.udaf: exact per-user cents total
@@ -812,6 +816,10 @@ object SparkEntry {
 
     "a6_custom_udaf" ->
       """SELECT user_id, sum(round(value * 100)::BIGINT)::BIGINT AS total_cents
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "x9_skew_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1""".stripMargin
   )
 }

@@ -3,6 +3,14 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
+/** One scored neighbor inside a bounded top-k buffer. */
+case class ScoredHit(sim: Double, neighbor_id: Long)
+
+/** Bounded top-k buffer — kept sorted (sim desc, id asc), never more than
+  * k elements, so partial-aggregate shuffle payloads are O(k) regardless
+  * of input size. */
+case class TopKHits(hits: Seq[ScoredHit])
+
 /** Typed custom aggregates — the general form of the reference's
   * `Reducer` hook (`IntegerAdd`, reference `TopologiesTest.scala:355-357`;
   * SURVEY.md §2.8). A Spark `Aggregator[IN, BUF, OUT]` gets map-side
@@ -20,6 +28,29 @@ object Aggregators {
     override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
+
+  /** Bounded top-k by (sim desc, neighbor_id asc). As a Spark `Aggregator`
+    * it gets map-side partial aggregation: each input partition reduces to
+    * at most k hits per group BEFORE the shuffle, so a top-k over n scored
+    * rows moves k·partitions rows per group instead of n — the
+    * distributed-top-k shape `TakeOrderedAndProject` uses, generalized to
+    * per-group. */
+  def topK(k: Int): Aggregator[ScoredHit, TopKHits, TopKHits] =
+    new Aggregator[ScoredHit, TopKHits, TopKHits] {
+      private def worseThanLast(a: ScoredHit, last: ScoredHit): Boolean =
+        a.sim < last.sim || (a.sim == last.sim && a.neighbor_id >= last.neighbor_id)
+      private def prune(s: Seq[ScoredHit]): Seq[ScoredHit] =
+        s.sortBy(h => (-h.sim, h.neighbor_id)).take(k)
+      override def zero: TopKHits = TopKHits(Vector.empty)
+      override def reduce(b: TopKHits, a: ScoredHit): TopKHits =
+        if (b.hits.size >= k && worseThanLast(a, b.hits.last)) b
+        else TopKHits(prune(b.hits :+ a))
+      override def merge(a: TopKHits, b: TopKHits): TopKHits =
+        TopKHits(prune(a.hits ++ b.hits))
+      override def finish(r: TopKHits): TopKHits = r
+      override def bufferEncoder: Encoder[TopKHits] = Encoders.product[TopKHits]
+      override def outputEncoder: Encoder[TopKHits] = Encoders.product[TopKHits]
+    }
 
   /** Numerically-stable mean via (sum, count) buffer — demonstrates a
     * composite buffer the way a real sketch would carry one. */

@@ -1,8 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -47,7 +46,14 @@ object SimilarityOps {
 
   /** Exact top-k neighbors for a query subset. The query side is small by
     * construction (a filter) and broadcast; the corpus side streams through
-    * the join, so this scales to any corpus size at O(|queries| · corpus). */
+    * the join, so this scales to any corpus size at O(|queries| · corpus).
+    *
+    * The top-k itself is a bounded [[Aggregators.topK]] aggregate: every
+    * corpus partition reduces to ≤ k hits per query map-side, so the final
+    * shuffle moves k·partitions rows per query — unlike a `row_number`
+    * window, whose single exchange would repartition ALL n·|queries|
+    * scored rows into only |queries| partitions (a parallelism collapse
+    * when queries are few). */
   def bruteTopK(vecs: DataFrame, idCol: String, vecCol: String,
                 queryPred: Column, k: Int): DataFrame = {
     val v = withNorm(vecs, vecCol)
@@ -57,11 +63,36 @@ object SimilarityOps {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+    val topk = udaf(Aggregators.topK(k), Encoders.product[ScoredHit])
+    scored.groupBy("query_id")
+      .agg(topk(col("sim"), col("neighbor_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.hits")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("sim"))
+  }
+
+  /** All intra-block scored pairs via a salt grid — exact (same pair set
+    * as a plain block self-join) but with parallelism |blocks|·shards
+    * instead of |blocks|, so one dominant block no longer serializes the
+    * whole quadratic stage. Each right row lands in shard
+    * `hash(id) % shards`; each left row is replicated once per partner
+    * shard, so pair (x, y) with x < y is produced exactly once, at join
+    * key (block, shard(y)). Replication costs shards× on the left —
+    * bounded, chosen, and AQE-splittable, unlike a hot block. */
+  def saltedBlockPairs(vecs: DataFrame, blockCol: String, idCol: String,
+                       vecCol: String, shards: Int, minSim: Double): DataFrame = {
+    val v = withNorm(vecs, vecCol)
+    val l = v.select(col(blockCol).as("blk"), col(idCol).as("a"),
+        col(vecCol).as("va"), col("nrm").as("na"))
+      .withColumn("partner", explode(sequence(lit(0), lit(shards - 1))))
+    val r = v.select(col(blockCol).as("blk2"), col(idCol).as("b"),
+        col(vecCol).as("vb"), col("nrm").as("nb"))
+      .withColumn("shard", pmod(hash(col("b")), lit(shards)))
+    l.join(r, col("blk") === col("blk2") && col("partner") === col("shard")
+        && col("a") < col("b"))
+      .select(col("a"), col("b"),
+        cosine(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+      .filter(col("sim") >= minSim)
   }
 
   /** Bucketed approximate near-neighbor pairs: vectors sharing a sign

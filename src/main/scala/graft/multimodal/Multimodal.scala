@@ -115,8 +115,56 @@ trait FeatureDecoder extends Serializable {
   def decodeBatch(batch: Seq[(MediaMeta, Array[Byte])]): Seq[Array[Float]]
 }
 
-/** STUB — deterministic fake decoder. Real pixel/sample decoding needs
-  * codec libraries this container does not ship; this stands in with a
+/** REAL image decoder on the JDK's own codecs: `javax.imageio` ships
+  * PNG/JPEG/GIF/BMP readers, so pixel decode needs no external libraries.
+  * Proves the [[FeatureDecoder]] contract end-to-end with actual pixels;
+  * non-image or undecodable payloads (e.g. audio, truncated bytes) fall
+  * back to [[StubFeatureDecoder]] so mixed-modality batches still yield a
+  * vector per row.
+  *
+  * Features (all in [0, 1]-ish ranges, deterministic):
+  * width/4096, height/4096, aspect, mean R/G/B, mean luma, luma stddev —
+  * the cheap global statistics a curation pipeline filters on before any
+  * model runs. */
+object ImageIoFeatureDecoder extends FeatureDecoder {
+  val Dim = 8
+
+  override def decodeBatch(batch: Seq[(MediaMeta, Array[Byte])]): Seq[Array[Float]] =
+    batch.map { case (meta, bytes) =>
+      val img =
+        if (bytes == null) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Throwable => null }
+      if (img == null) StubFeatureDecoder.decodeBatch(Seq((meta, bytes))).head
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr, sg, sb, sl, sl2 = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+            val l = 0.299 * r + 0.587 * g + 0.114 * b
+            sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h
+        val meanL = sl / n
+        val varL = math.max(0.0, sl2 / n - meanL * meanL)
+        Array(w / 4096f, h / 4096f, w.toFloat / h,
+          (sr / n / 255).toFloat, (sg / n / 255).toFloat, (sb / n / 255).toFloat,
+          (meanL / 255).toFloat, (math.sqrt(varL) / 255).toFloat)
+      }
+    }
+}
+
+/** STUB — deterministic fake decoder for modalities whose codecs the JDK
+  * does not ship (audio samples, video frames); this stands in with a
   * hash-derived vector (stable across runs/engines) so the pipeline
   * plumbing is fully exercisable. Marked ??? on the real path. */
 object StubFeatureDecoder extends FeatureDecoder {

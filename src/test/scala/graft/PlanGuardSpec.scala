@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression guards: the properties that make the headline
+  * queries scale are asserted here, so a refactor can't silently
+  * reintroduce a global sort, a shuffled dimension join, or a
+  * single-partition window (the round-1 `x2` failure mode).
+  *
+  * Assertions read the pre-execution plan string (AQE initial plan) —
+  * broadcast hints and TakeOrderedAndProject are decided at planning
+  * time, so no job needs to run. */
+class PlanGuardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def planOf(q: String): String =
+    plan(SparkEntry.queries(q)(spark, dir))
+
+  test("x2 top-k plans TakeOrderedAndProject, not a global sort/window") {
+    val p = plan(SparkEntry.topkUsersBase(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("dimension joins broadcast (j4, j6, j7, j10) — no shuffled dim side") {
+    Seq("j4_ktable_join", "j6_fk_left_join", "j7_fk_inner_join", "j10_q3_shipping")
+      .foreach { q =>
+        val p = planOf(q)
+        assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join:\n$p")
+      }
+  }
+
+  test("s1 top-k is a bounded partial aggregate, not a per-query window") {
+    val p = planOf("s1_cosine_topk")
+    assert(!p.contains("WindowExec"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("d6 salted pairs stay an equi hash join — no cartesian/nested-loop") {
+    val p = planOf("d6_embedding_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("j1 band join is planned on the equi key, not as a cartesian") {
+    val p = planOf("j1_band_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

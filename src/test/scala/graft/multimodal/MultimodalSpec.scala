@@ -57,6 +57,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMeta("not media".getBytes).mediaType == "unknown")
   }
 
+  test("real PNG decode via javax.imageio: fixture pixels → non-stub features") {
+    val s = spark
+    import s.implicits._
+    // a genuine 4×4 PNG (left half red, right half blue) checked into
+    // test resources — decoded by the JDK's own PNG reader, no stub
+    val in = getClass.getResourceAsStream("/fixture.png")
+    val bytes = in.readAllBytes(); in.close()
+    assert(Multimodal.parseMeta(bytes) == MediaMeta("image/png", 4, 4, 0L, 0, 0))
+
+    val ds = s.createDataset(Seq(MediaRecord(1L, Multimodal.parseMeta(bytes), bytes)))
+    val Array(f) = Multimodal.extractFeatures(ds, ImageIoFeatureDecoder).collect()
+    val feats = f.features
+    assert(feats.length == ImageIoFeatureDecoder.Dim)
+    assert(math.abs(feats(0) - 4f / 4096f) < 1e-6)  // width
+    assert(math.abs(feats(1) - 4f / 4096f) < 1e-6)  // height
+    assert(math.abs(feats(2) - 1f) < 1e-6)          // aspect
+    assert(math.abs(feats(3) - 0.5f) < 1e-3)        // mean R: half the pixels are pure red
+    assert(math.abs(feats(4)) < 1e-3)               // mean G: none
+    assert(math.abs(feats(5) - 0.5f) < 1e-3)        // mean B: half pure blue
+    assert(feats(7) > 0f)                           // two-tone image has luma variance
+    // and it is NOT the stub's hash vector
+    val stub = StubFeatureDecoder.decodeBatch(Seq((f1Meta(bytes), bytes))).head
+    assert(feats.toList != stub.toList)
+  }
+
+  private def f1Meta(bytes: Array[Byte]) = Multimodal.parseMeta(bytes)
+
+  test("undecodable bytes fall back to the stub path") {
+    val wav = wavBytes(16000, 1, 320)
+    val out = ImageIoFeatureDecoder.decodeBatch(
+      Seq((Multimodal.parseMeta(wav), wav)))
+    assert(out.head.toList ==
+      StubFeatureDecoder.decodeBatch(Seq((Multimodal.parseMeta(wav), wav))).head.toList)
+  }
+
   test("batched mapPartitions decode: real batch shape, stub features, deterministic") {
     val s = spark
     import s.implicits._

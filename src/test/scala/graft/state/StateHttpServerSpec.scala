@@ -1,0 +1,81 @@
+package graft.state
+
+import graft.SparkSpec
+import graft.streaming.WindowedStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.file.Files
+import java.sql.Timestamp
+import scala.io.Source
+
+/** The reference's four Interactive-Query REST endpoints
+  * (`IQueriesService.java:78-176`) served over a real streaming
+  * checkpoint, including the `key@windowStart` rendering (:173). */
+class StateHttpServerSpec extends SparkSpec {
+
+  private val base = 1700000000L
+  private def ts(off: Long) = new Timestamp((base + off) * 1000)
+  case class Ev(key: String, value: Int, ts: Timestamp)
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = Source.fromInputStream(is, "UTF-8").mkString
+    conn.disconnect()
+    (code, body)
+  }
+
+  test("point/all/range/windowed endpoints over a windowed-count checkpoint") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val ckpt = Files.createTempDirectory("graft_http_state").toString
+    val in = MemoryStream[Ev]
+    val agg = WindowedStreams.tumblingCounts(in.toDF(), "ts", "10 seconds", "1 hour",
+      col("key"))
+    val q = agg.select(col("window.start").cast("long").as("win"), col("key"), col("count"))
+      .writeStream.format("memory").queryName("http_state_src")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      in.addData(Ev("hmida", 1, ts(0)), Ev("hmida", 1, ts(0)), Ev("hmida", 1, ts(1)),
+        Ev("lambda", 1, ts(11)), Ev("hmida", 1, ts(12)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val srv = new StateHttpServer(s)
+      .registerView("window_store", () =>
+        StateQueries.flattened(s, ckpt)
+          .select(col("key_key").as("key"),
+            col("key_window.start").cast("long").as("win_start"),
+            col("value_count").as("cnt")),
+        keyCol = "key", winStartCol = Some("win_start"))
+    val port = srv.start()
+    try {
+      // point lookup (GET /state/keyvalue/{store}/{key})
+      val (c1, b1) = get(port, "/state/keyvalue/window_store/lambda")
+      assert(c1 == 200 && b1 == s"""[{"key":"lambda","win_start":${base + 10},"cnt":1}]""")
+
+      // full scan (GET /state/keyvalues/{store}/all) — 3 state rows
+      val (c2, b2) = get(port, "/state/keyvalues/window_store/all")
+      assert(c2 == 200)
+      assert(b2.split("\\},\\{").length == 3 && b2.contains(s""""key":"hmida","win_start":$base,"cnt":3"""))
+
+      // inclusive key range (GET /state/keyvalues/{store}/range/{from}/{to})
+      val (c3, b3) = get(port, "/state/keyvalues/window_store/range/h/hz")
+      assert(c3 == 200 && b3.contains("hmida") && !b3.contains("lambda"))
+
+      // windowed fetch with key@start rendering (GET /state/windowed/...)
+      val (c4, b4) = get(port, s"/state/windowed/window_store/hmida/$base/${base + 9}")
+      assert(c4 == 200 && b4.contains(s""""rendered_key":"hmida@$base"""") && b4.contains("\"cnt\":3"))
+
+      // unknown store → 404
+      val (c5, _) = get(port, "/state/keyvalue/nope/k")
+      assert(c5 == 404)
+    } finally srv.stop()
+  }
+}
