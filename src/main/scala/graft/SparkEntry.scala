@@ -403,7 +403,7 @@ object SparkEntry {
       val prev = o.select(col("o_custkey").as("ck2"), col("o_orderkey").as("ok2"),
         col("o_orderdate").as("od2"))
       graft.operators.AsOfJoin.asof(
-        o, prev, col("o_custkey") === col("ck2"),
+        o, prev, col("o_custkey"), col("ck2"),
         col("o_orderdate"), col("od2"), "o_orderkey",
         Seq("prev_orderkey" -> col("ok2")), col("ok2"), strict = true)
     }),

@@ -1,42 +1,63 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of join: for each left row, the single right row with the same key
   * and the greatest right-time ≤ left-time (classic enrich-with-latest —
-  * prices, dimensions slowly changing, etc.). Spark has no built-in;
-  * this composes an equi-join with a residual time filter and a
-  * `max_by` per left row.
+  * prices, slowly-changing dimensions, "previous order per customer").
+  * Spark has no built-in.
   *
-  * Plan shape: one shuffle on the key for the join, one aggregation keyed
-  * by the left row id with map-side partials. The per-key right history is
-  * the only amplification (|left| × avg right-per-key intermediate) — at
-  * 100 TB, bucket both sides by key, or pre-reduce the right side to the
-  * time-bucketed latest to bound the history each left row meets.
+  * Implementation is the merge-scan shape, not a pair join: both sides
+  * are unioned into one keyed timeline (right rows = "events", left rows
+  * = "probes"), shuffled ONCE on the key, sorted by (time, side,
+  * tie-break), and each probe reads the running `last` event via a
+  * cumulative window. Cost is O((|left|+|right|) log) with zero pair
+  * amplification — a left row never meets more than the one history scan
+  * of its key, unlike join+max_by, which materializes |left| × per-key
+  * history intermediates before aggregating.
   *
-  * Ordering is made total with `(time, tieBreak)` so results are
-  * deterministic when several right rows share a timestamp.
+  * At 100 TB this is one Exchange on the key + an in-partition sort —
+  * both AQE-managed; a hot key degrades to a linear scan of that key's
+  * timeline, not a quadratic pair blowup.
+  *
+  * Ordering is made total with `(time, side, tieBreak)` so results are
+  * deterministic when several right rows share a timestamp: the winner is
+  * `max_by(struct(rightTime, rightTieBreak))` among visible events.
   */
 object AsOfJoin {
 
   /** `left` must carry a unique `leftIdCol`. Returns the left id plus the
     * as-of matched right columns (null when no right row precedes).
     * `strict` = match right-time strictly before left-time (e.g. a
-    * self-as-of for "previous row per key"). */
-  def asof(left: DataFrame, right: DataFrame, keyEq: Column,
+    * self-as-of for "previous row per key"). `leftTime` and `rightTime`
+    * must be union-compatible types. */
+  def asof(left: DataFrame, right: DataFrame, leftKey: Column, rightKey: Column,
            leftTime: Column, rightTime: Column, leftIdCol: String,
            rightPick: Seq[(String, Column)], rightTieBreak: Column,
            strict: Boolean = false): DataFrame = {
-    val timeCond = if (strict) rightTime < leftTime else rightTime <= leftTime
-    val matched = left.join(right, keyEq && timeCond, "inner")
-      .groupBy(col(leftIdCol))
-      .agg(rightPick.map { case (name, c) =>
-        max_by(c, struct(rightTime, rightTieBreak)).as(name)
-      }.head, rightPick.tail.map { case (name, c) =>
-        max_by(c, struct(rightTime, rightTieBreak)).as(name)
-      }: _*)
-    left.select(col(leftIdCol)).distinct()
-      .join(matched, Seq(leftIdCol), "left_outer")
+    // At equal time: non-strict ⇒ events are visible to the probe (events
+    // sort first); strict ⇒ they are not (probes sort first).
+    val (eventSide, probeSide) = if (strict) (1, 0) else (0, 1)
+    val events = right.select(
+      Seq(rightKey.as("__k"), rightTime.as("__t"),
+        lit(eventSide).as("__side"), rightTieBreak.as("__tb")) ++
+        rightPick.map { case (name, c) => c.as(name) }: _*)
+    val probes = left.select(
+      leftKey.as("__k"), leftTime.as("__t"),
+      lit(probeSide).as("__side"), col(leftIdCol))
+    val timeline = events.unionByName(probes, allowMissingColumns = true)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val annotated = timeline.select(
+      col(leftIdCol) +:
+        rightPick.map { case (name, _) =>
+          last(col(name), ignoreNulls = true).over(w).as(s"__asof_$name")
+        }: _*)
+    annotated.filter(col(leftIdCol).isNotNull)
+      .select(col(leftIdCol) +:
+        rightPick.map { case (name, _) => col(s"__asof_$name").as(name) }: _*)
   }
 }

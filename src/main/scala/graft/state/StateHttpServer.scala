@@ -39,6 +39,7 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0) {
 
   private val stores = scala.collection.concurrent.TrieMap.empty[String, StoreConfig]
   private var server: HttpServer = _
+  private var boundPort: Int = bindPort
 
   /** Register a named store (reference `Materialized.as("counts-store")`,
     * `WordCount.java:56`) backed by `checkpoint`'s state, keyed by
@@ -62,16 +63,18 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0) {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
     server.createContext("/state", (ex: HttpExchange) => handle(ex))
     server.start()
-    server.getAddress.getPort
+    boundPort = server.getAddress.getPort
+    boundPort
   }
 
   def stop(): Unit = if (server != null) server.stop(0)
 
   private def handle(ex: HttpExchange): Unit = {
     val resp =
-      try route(ex.getRequestURI.getPath) match {
-        case Some(df) => (200, toJsonArray(df))
-        case None     => (404, """{"error":"unknown path or store"}""")
+      try route(ex.getRequestURI.getPath)
+        .orElse(routeMetadata(ex.getRequestURI.getPath).map(js => js)) match {
+        case Some(body) => (200, body)
+        case None       => (404, """{"error":"unknown path or store"}""")
       } catch {
         case e: Throwable =>
           (500, s"""{"error":${quote(Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
@@ -83,27 +86,49 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0) {
     ex.close()
   }
 
-  private def route(path: String): Option[DataFrame] = {
-    val parts = path.stripPrefix("/").split("/").toList
-      .map(p => URLDecoder.decode(p, "UTF-8"))
-    parts match {
-      case "state" :: "keyvalue" :: store :: key :: Nil =>
-        stores.get(store).map { cfg =>
-          StateQueries.point(cfg.stateDf(), col(cfg.keyCol).cast("string") === key)
+  private def segments(path: String): List[String] =
+    path.stripPrefix("/").split("/").toList.map(p => URLDecoder.decode(p, "UTF-8"))
+
+  private def route(path: String): Option[String] = segments(path) match {
+    case "state" :: "keyvalue" :: store :: key :: Nil =>
+      stores.get(store).map { cfg =>
+        toJsonArray(
+          StateQueries.point(cfg.stateDf(), col(cfg.keyCol).cast("string") === key))
+      }
+    case "state" :: "keyvalues" :: store :: "all" :: Nil =>
+      stores.get(store).map(cfg => toJsonArray(StateQueries.all(cfg.stateDf())))
+    case "state" :: "keyvalues" :: store :: "range" :: from :: to :: Nil =>
+      stores.get(store).map { cfg =>
+        toJsonArray(
+          StateQueries.range(cfg.stateDf(), col(cfg.keyCol).cast("string"), from, to))
+      }
+    case "state" :: "windowed" :: store :: key :: from :: to :: Nil =>
+      stores.get(store).flatMap { cfg =>
+        cfg.winStartCol.map { ws =>
+          toJsonArray(StateQueries.windowedFetch(cfg.stateDf(), col(cfg.keyCol),
+            col(ws), key, from.toLong, to.toLong))
         }
-      case "state" :: "keyvalues" :: store :: "all" :: Nil =>
-        stores.get(store).map(cfg => StateQueries.all(cfg.stateDf()))
-      case "state" :: "keyvalues" :: store :: "range" :: from :: to :: Nil =>
-        stores.get(store).map { cfg =>
-          StateQueries.range(cfg.stateDf(), col(cfg.keyCol).cast("string"), from, to)
-        }
-      case "state" :: "windowed" :: store :: key :: from :: to :: Nil =>
-        stores.get(store).flatMap { cfg =>
-          cfg.winStartCol.map { ws =>
-            StateQueries.windowedFetch(cfg.stateDf(), col(cfg.keyCol), col(ws),
-              key, from.toLong, to.toLong)
-          }
-        }
+      }
+    case _ => None
+  }
+
+  /** Instance-metadata endpoints (reference
+    * `IQueriesService.java:182-215`, `MetadataService.java:30-68`). On
+    * Spark the topology degenerates to one driver that owns every store
+    * and key, so the metadata answers are constant — kept so a reference
+    * client's discovery flow works unchanged. */
+  private def routeMetadata(path: String): Option[String] = {
+    def instance(storeNames: Iterable[String]): String =
+      s"""[{"host":"127.0.0.1","port":$boundPort,"stores":${
+        storeNames.toSeq.sorted.map(quote).mkString("[", ",", "]")}}]"""
+    segments(path) match {
+      case "state" :: "instances" :: Nil =>
+        Some(instance(stores.keys))
+      case "state" :: "instances" :: store :: Nil =>
+        stores.get(store).map(_ => instance(Seq(store)))
+      case "state" :: "instance" :: store :: key :: Nil =>
+        stores.get(store).map(_ =>
+          s"""{"host":"127.0.0.1","port":$boundPort,"store":${quote(store)},"key":${quote(key)}}""")
       case _ => None
     }
   }

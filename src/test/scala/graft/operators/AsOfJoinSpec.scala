@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** As-of join semantics on hand-built timelines: strict vs non-strict
+  * time bounds, no-predecessor null padding, and same-timestamp
+  * tie-breaking (winner = max_by(time, tieBreak) among visible events). */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def run(strict: Boolean) = {
+    val s = spark
+    import s.implicits._
+    // prices: key p at t=10 → 100, t=20 → 200 (and a same-time duplicate
+    // at t=20 with tb=1 → 250 that must win the tie-break)
+    val right = Seq(("p", 10L, 0L, 100L), ("p", 20L, 0L, 200L), ("p", 20L, 1L, 250L),
+      ("q", 50L, 0L, 900L)).toDF("k", "t", "tb", "price")
+    // probes at t=5 (before any), t=10 (equal), t=25 (after both)
+    val left = Seq((1L, "p", 5L), (2L, "p", 10L), (3L, "p", 25L), (4L, "q", 40L))
+      .toDF("id", "k", "t")
+    AsOfJoin.asof(left, right, col("k"), col("k"), col("t"), col("t"), "id",
+        Seq("price" -> col("price")), col("tb"), strict = strict)
+      .as[(Long, Option[Long])].collect().toMap
+  }
+
+  test("non-strict: equal-time event is visible; ties resolved by tieBreak") {
+    assert(run(strict = false) ==
+      Map(1L -> None, 2L -> Some(100L), 3L -> Some(250L), 4L -> None))
+  }
+
+  test("strict: equal-time event is NOT visible") {
+    assert(run(strict = true) ==
+      Map(1L -> None, 2L -> None, 3L -> Some(250L), 4L -> None))
+  }
+
+  test("plan: single key-partitioned window, no pair join of left×history") {
+    val s = spark
+    import s.implicits._
+    val right = Seq(("p", 10L, 0L, 100L)).toDF("k", "t", "tb", "price")
+    val left = Seq((1L, "p", 5L)).toDF("id", "k", "t")
+    val p = AsOfJoin.asof(left, right, col("k"), col("k"), col("t"), col("t"), "id",
+      Seq("price" -> col("price")), col("tb")).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p) // merge-scan: union + window, no join at all
+    assert(p.contains("Window"), p)
+  }
+}

@@ -76,6 +76,17 @@ class StateHttpServerSpec extends SparkSpec {
       // unknown store → 404
       val (c5, _) = get(port, "/state/keyvalue/nope/k")
       assert(c5 == 404)
+
+      // instance metadata (reference IQueriesService.java:182-215):
+      // single-driver topology — one instance owns every store and key
+      val (c6, b6) = get(port, "/state/instances")
+      assert(c6 == 200 && b6 == s"""[{"host":"127.0.0.1","port":$port,"stores":["window_store"]}]""")
+      val (c7, b7) = get(port, "/state/instances/window_store")
+      assert(c7 == 200 && b7.contains("\"window_store\""))
+      val (c8, b8) = get(port, "/state/instance/window_store/hmida")
+      assert(c8 == 200 && b8.contains(s"\"port\":$port") && b8.contains("\"key\":\"hmida\""))
+      val (c9, _) = get(port, "/state/instances/nope")
+      assert(c9 == 404)
     } finally srv.stop()
   }
 }
