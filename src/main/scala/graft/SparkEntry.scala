@@ -303,6 +303,18 @@ object SparkEntry {
       DedupOps.simhashPairs(
         DedupOps.simhash16(Tables.documents(s, dir), "doc_id", "text"), 3)),
 
+    // near-dup pairs → dedup clusters: connected components over the
+    // verified-Jaccard graph; cluster_id = min reachable doc_id, so
+    // keep-one-per-cluster is a groupBy away
+    "d7_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = DedupOps.ngramJaccard(docs, "doc_id", "text",
+          DedupOps.minhashLsh(docs, "doc_id", "text"))
+        .filter(col("jaccard") >= 0.4)
+        .select("a", "b")
+      DedupOps.connectedComponents(docs.select("doc_id"), pairs)
+    }),
+
     // label-blocked near-dup pairs, salted: identical output to a plain
     // label self-join, but a dominant label can't serialize the stage
     "d6_embedding_neardup" -> ((s, dir) =>
@@ -613,6 +625,34 @@ object SparkEntry {
         |JOIN sizes na ON na.doc_id = p.a
         |JOIN sizes nb ON nb.doc_id = p.b
         |LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b""".stripMargin,
+
+    // same candidate+Jaccard chain as d3, thresholded, then transitive
+    // closure to the minimum reachable id (DuckDB recursive CTE = the
+    // oracle for the Spark side's iterative label propagation)
+    "d7_dedup_clusters" ->
+      s"""WITH RECURSIVE $toksSql,
+        |$minhashCandSql,
+        |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |inter AS (
+        |  SELECT p.a, p.b, count(*) AS i
+        |  FROM cand p
+        |  JOIN shd sa ON sa.doc_id = p.a
+        |  JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+        |  GROUP BY 1, 2),
+        |pj AS (
+        |  SELECT p.a, p.b
+        |  FROM cand p
+        |  JOIN sizes na ON na.doc_id = p.a
+        |  JOIN sizes nb ON nb.doc_id = p.b
+        |  LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b
+        |  WHERE round(coalesce(i, 0)::DOUBLE / (na.n + nb.n - coalesce(i, 0))::DOUBLE, 6) >= 0.4),
+        |edges AS (SELECT a AS s, b AS d FROM pj UNION SELECT b, a FROM pj),
+        |reach AS (
+        |  SELECT doc_id AS node, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.node = e.d)
+        |SELECT node AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY 1""".stripMargin,
 
     "d4_simhash" ->
       s"""WITH $toksSql,

@@ -170,4 +170,51 @@ object DedupOps {
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
   }
+
+  /** Connected components over a near-dup pair graph → dedup clusters:
+    * every node gets `cluster_id` = the minimum node id reachable through
+    * the pairs, so "keep one doc per cluster" is a `groupBy(cluster_id)`
+    * away. This is the step that turns pairwise near-dup evidence
+    * (MinHash/SimHash/embedding pairs) into an actual dedup decision.
+    *
+    * Algorithm: label propagation to the minimum ("hash-to-min") —
+    * iterate `label(v) ← min(label(v), min over neighbors' labels)` until
+    * fixpoint. Each iteration is one hash join + one map-side-partial
+    * `min` aggregation on the edge list; convergence takes
+    * O(component diameter) rounds, and near-dup clusters are shallow by
+    * construction (they are cliques-ish blobs from a similarity
+    * threshold, not long chains). Lineage is cut per round with an eager
+    * `localCheckpoint` so the loop's plan does not snowball; on a real
+    * cluster point `spark.sparkContext.setCheckpointDir` at durable
+    * storage and swap in `checkpoint()`. For adversarial graphs with
+    * giant high-diameter components, the published fix is the
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — same join primitives, fewer
+    * rounds; not needed for threshold-blob graphs.
+    *
+    * `nodes`: one column, the node id. `edges`: columns `a`, `b`. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val idCol = nodes.columns.head
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(sym("src").as("nbr_node")).agg(min("label").as("nbr_label"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("nbr_node"), "left_outer")
+        .select(labels("node"),
+          least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"),
+          labels("label").as("prev"))
+        .localCheckpoint(true)
+      converged = next.filter(col("label") < col("prev")).isEmpty
+      labels = next.select("node", "label")
+      i += 1
+    }
+    labels.select(col("node").as(idCol), col("label").as("cluster_id"))
+  }
 }

@@ -1,0 +1,32 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** Connected-components label propagation: chains (multi-round
+  * convergence), separate components, singletons, and symmetry. */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  test("chain, triangle, and singleton all resolve to min-id clusters") {
+    val s = spark
+    import s.implicits._
+    // component 1: chain 1-2-3-4 (diameter 3 → needs >1 round)
+    // component 2: triangle 10-11-12
+    // singleton: 99 (no edges)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L).toDF("doc_id")
+    val out = DedupOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
+  test("empty edge set: every node is its own cluster") {
+    val s = spark
+    import s.implicits._
+    val nodes = Seq(5L, 6L).toDF("doc_id")
+    val out = DedupOps.connectedComponents(nodes, Seq.empty[(Long, Long)].toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(5L -> 5L, 6L -> 6L))
+  }
+}
