@@ -420,6 +420,13 @@ object SparkEntry {
         Seq("prev_orderkey" -> col("ok2")), col("ok2"), strict = true)
     }),
 
+    // deterministic 10% sample + hash train/val/test split — pure
+    // map-side filters, stable across runs/partitionings/engines
+    "x10_hash_sample" -> ((s, dir) =>
+      graft.functions.Sampling.sampleByHash(ev(s, dir), col("event_id"), 10)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          graft.functions.Sampling.split(col("event_id")).as("split"))),
+
     // salted two-phase exact distinct count — the skew treatment from
     // operators.Skew wired into the oracle gate (same answer as a plain
     // count(DISTINCT), but a hot key's dedup spreads over 16 reducers)
@@ -860,6 +867,15 @@ object SparkEntry {
 
     "x9_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "x10_hash_sample" ->
+      """WITH h AS (
+        |  SELECT event_id, user_id, event_type,
+        |    ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+        |  FROM events)
+        |SELECT event_id, user_id, event_type,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM h WHERE b < 10""".stripMargin
   )
 }

@@ -199,7 +199,11 @@ object DedupOps {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
-    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("label"))
+    // Iterate ONLY over edge-touching nodes: in a 100 TB corpus the vast
+    // majority of documents are near-dup singletons — they must never
+    // enter (or be shuffled by) the loop. Singletons rejoin at the end.
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
@@ -215,6 +219,9 @@ object DedupOps {
       labels = next.select("node", "label")
       i += 1
     }
-    labels.select(col("node").as(idCol), col("label").as("cluster_id"))
+    nodes.select(col(idCol).as("node"))
+      .join(labels, Seq("node"), "left_outer")
+      .select(col("node").as(idCol),
+        coalesce(col("label"), col("node")).as("cluster_id"))
   }
 }

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Random sampling (`df.sample`) is partitioning- and seed-dependent —
+  * re-running the pipeline after a repartition changes the sample. Data
+  * pipelines instead split on a content hash of a stable key: the same
+  * row lands on the same side of every split, on every engine, on every
+  * run, with no RNG state to thread. The md5-prefix construction is the
+  * same engine-portable hash discipline the dedup family uses
+  * ([[DedupOps]]); DuckDB computes the identical bucket with
+  * `('0x' || substr(md5(k), 1, 15))::BIGINT % buckets`.
+  *
+  * Scale: a pure map-side filter — no shuffle, pushes nothing, adds one
+  * codegen'd projection; 100 TB in, pct% out.
+  */
+object Sampling {
+
+  /** Stable pseudo-uniform bucket in [0, buckets) from the md5 of the
+    * key's string form. 15 hex chars < 2^60, so the long cast is exact. */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Keep ~pct% of rows, deterministically by `key`. */
+  def sampleByHash(df: DataFrame, key: Column, pct: Int, buckets: Int = 100): DataFrame =
+    df.filter(hashBucket(key, buckets) < pct)
+
+  /** Disjoint train/validation/test split by key hash: returns a bucket
+    * label column, e.g. 0..79 → "train", 80..89 → "val", 90..99 → "test"
+    * for the default 80/10/10. Splits are disjoint and exhaustive by
+    * construction — the usual leakage guard. */
+  def split(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(key, 100)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+}
