@@ -420,6 +420,23 @@ object SparkEntry {
         Seq("prev_orderkey" -> col("ok2")), col("ok2"), strict = true)
     }),
 
+    // end-to-end curation pipeline: language filter → quality gate →
+    // exact-dedup to the min-id representative → deterministic 50%
+    // downsample. One pass of map-side scoring, one digest-keyed shuffle
+    // for dedup, one map-side sample filter — the composed shape these
+    // operators run in production.
+    "c1_curation" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+          TextAnalysis.langId(col("text")).as("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .filter(col("lang") === "en" && col("quality") >= 0.5)
+      val reps = scored.groupBy("fp")
+        .agg(min("doc_id").as("doc_id"), min_by(col("quality"), col("doc_id")).as("quality"))
+      graft.functions.Sampling.sampleByHash(reps, col("doc_id"), 50)
+        .select("doc_id", "quality")
+    }),
+
     // deterministic 10% sample + hash train/val/test split — pure
     // map-side filters, stable across runs/partitionings/engines
     "x10_hash_sample" -> ((s, dir) =>
@@ -868,6 +885,37 @@ object SparkEntry {
     "x9_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "c1_curation" ->
+      s"""WITH $toksSql,
+        |feat AS (
+        |  SELECT doc_id, text, t,
+        |    len(t)::BIGINT AS n_tokens,
+        |    round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))::DOUBLE
+        |          / greatest(len(t)::DOUBLE, 1.0), 4) AS stopword_ratio,
+        |    round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+        |          / greatest(length(text)::DOUBLE, 1.0), 4) AS punct_ratio
+        |  FROM toks),
+        |q AS (
+        |  SELECT doc_id, text, t, stopword_ratio,
+        |    round(greatest(least(
+        |      least(n_tokens::DOUBLE / 20.0, 1.0) * 0.5
+        |      + least(stopword_ratio * 4, 1.0) * 0.5
+        |      - punct_ratio, 1.0), 0.0), 4) AS quality
+        |  FROM feat),
+        |en AS (
+        |  SELECT doc_id, text, quality FROM q
+        |  WHERE quality >= 0.5
+        |    AND (CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]') THEN 'other'
+        |              WHEN len(list_filter(t,
+        |                     x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) > 0 THEN 'en'
+        |              ELSE 'und' END) = 'en'),
+        |reps AS (
+        |  SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+        |    min(doc_id)::BIGINT AS doc_id, min_by(quality, doc_id) AS quality
+        |  FROM en GROUP BY 1)
+        |SELECT doc_id, quality FROM reps
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 50""".stripMargin,
 
     "x10_hash_sample" ->
       """WITH h AS (
