@@ -196,14 +196,24 @@ object DedupOps {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 20): DataFrame = {
     val idCol = nodes.columns.head
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+    // The edge list is usually orders of magnitude smaller than the node
+    // set (it already passed a similarity threshold); size the loop's
+    // parallelism to the edges, not the session default — every round
+    // pays per-task scheduling overhead times the partition count.
+    val symRaw = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // materialize pair generation ONCE, before sizing
+    val edgeCount = symRaw.count()
+    val parts = math.max(1, math.min(
+      edges.sparkSession.sparkContext.defaultParallelism,
+      (edgeCount / 100000L).toInt + 1))
+    val sym = symRaw.repartition(parts, col("dst")).localCheckpoint(true)
     // Iterate ONLY over edge-touching nodes: in a 100 TB corpus the vast
     // majority of documents are near-dup singletons — they must never
     // enter (or be shuffled by) the loop. Singletons rejoin at the end.
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+      .repartition(parts, col("node"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
