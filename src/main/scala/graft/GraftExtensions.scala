@@ -18,14 +18,15 @@ import graft.expressions.DotProductFloat
   * Catalyst folding/codegen exactly like `functions._` ones. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotProductFloatDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
 
-  val dotProductFloatDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+  type Descriptor = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val dotProductFloatDescriptor: Descriptor = (
     FunctionIdentifier("dot_product_float"),
     new ExpressionInfo(classOf[DotProductFloat].getName, "dot_product_float"),
     (children: Seq[Expression]) => {
@@ -34,9 +35,48 @@ object GraftExtensions {
       DotProductFloat(children.head, children(1))
     })
 
-  /** Imperative registration for an already-built session (tests, REPL). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = dotProductFloatDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  /** SQL twins of the curation helpers, built from raw Catalyst nodes —
+    * a registry builder must return a resolvable Expression tree, and
+    * Spark 4 Columns are lazy ColumnNodes whose unresolved functions do
+    * not re-enter analysis from inside a registered function. The
+    * HOF-based scorers (lang-id, quality) stay Column-API-only for that
+    * reason. Equivalence with the Column forms is spec-asserted. */
+  private object SqlExprs {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+
+    /** md5(normalized text) — mirror of `TextAnalysis.fingerprint`. */
+    def fingerprint(text: Expression): Expression =
+      Md5(Cast(RegExpReplace(
+        new StringTrim(Lower(text)), Literal("\\s+"), Literal(" ")), BinaryType))
+
+    /** pmod(60-bit md5 prefix of key's string form, buckets) — mirror of
+      * `Sampling.hashBucket` with a column/expression bucket count. */
+    def hashBucket(key: Expression, buckets: Expression): Expression =
+      Pmod(
+        Cast(Conv(Substring(
+          Md5(Cast(Cast(key, org.apache.spark.sql.types.StringType), BinaryType)),
+          Literal(1), Literal(15)), Literal(16), Literal(10)), LongType),
+        Cast(buckets, LongType))
   }
+
+  private def exprFn(name: String, arity: Int)
+                    (f: Seq[Expression] => Expression): Descriptor = (
+    FunctionIdentifier(name),
+    new ExpressionInfo("graft.GraftExtensions", name),
+    (children: Seq[Expression]) => {
+      require(children.length == arity, s"$name expects $arity arguments, got ${children.length}")
+      f(children)
+    })
+
+  val descriptors: Seq[Descriptor] = Seq(
+    dotProductFloatDescriptor,
+    exprFn("graft_fingerprint", 1)(cs => SqlExprs.fingerprint(cs.head)),
+    exprFn("graft_hash_bucket", 2)(cs => SqlExprs.hashBucket(cs.head, cs(1))))
+
+  /** Imperative registration for an already-built session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

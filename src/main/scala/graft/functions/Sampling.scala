@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable pseudo-uniform bucket in [0, buckets) from the md5 of the
-    * key's string form. 15 hex chars < 2^60, so the long cast is exact. */
+  /** The raw 60-bit content hash: md5 of the key's string form, first 15
+    * hex chars (< 2^60, so the long cast is exact). */
+  def rawHash(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Stable pseudo-uniform bucket in [0, buckets) from [[rawHash]]. */
   def hashBucket(key: Column, buckets: Int = 100): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
-      lit(buckets.toLong))
+    pmod(rawHash(key), lit(buckets.toLong))
 
   /** Keep ~pct% of rows, deterministically by `key`. */
   def sampleByHash(df: DataFrame, key: Column, pct: Int, buckets: Int = 100): DataFrame =

@@ -20,6 +20,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaColumn.exceptAll(viaSql).count() == 0)
   }
 
+  test("curation helpers are callable from SQL and match the Column API") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_fingerprint(text) AS fp,
+        |  graft_hash_bucket(doc_id, 10) AS b
+        |FROM docs_sql""".stripMargin)
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions.col
+    val viaColumn = d.select(col("doc_id"),
+      functions.TextAnalysis.fingerprint(col("text")).as("fp"),
+      functions.Sampling.hashBucket(col("doc_id"), 10).as("b"))
+    assert(viaSql.exceptAll(viaColumn).count() == 0)
+    assert(viaColumn.exceptAll(viaSql).count() == 0)
+  }
+
   test("SQL arity errors are caught at registration boundary") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
