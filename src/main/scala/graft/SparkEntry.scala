@@ -420,6 +420,14 @@ object SparkEntry {
         Seq("prev_orderkey" -> col("ok2")), col("ok2"), strict = true)
     }),
 
+    // exact interpolated quantiles per group — the quantile thresholds
+    // quality gates are tuned from (percentile ≡ DuckDB quantile_cont)
+    "t5_quantiles" -> ((s, dir) =>
+      ev(s, dir).groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))),
+
     // end-to-end curation pipeline: language filter → quality gate →
     // exact-dedup to the min-id representative → deterministic 50%
     // downsample. One pass of map-side scoring, one digest-keyed shuffle
@@ -884,6 +892,13 @@ object SparkEntry {
 
     "x9_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "t5_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY 1""".stripMargin,
 
     "c1_curation" ->
