@@ -26,7 +26,7 @@ object Bench {
         catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\]", " ").replaceAll("[\\r\\n\\t]", " ") + "\""
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\]", " ").replaceAll("[\\u0000-\\u001f\\u007f]", " ") + "\""
     val qs = results.map { case (k, sec, err) =>
       jstr(k) + ":" + (if (err.isEmpty) sec.toString else "null")
     }.mkString("{", ",", "}")

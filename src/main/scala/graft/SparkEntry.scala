@@ -935,10 +935,11 @@ object SparkEntry {
     "x10_hash_sample" ->
       """WITH h AS (
         |  SELECT event_id, user_id, event_type,
-        |    ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+        |    ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 100 AS b,
+        |    ('0x' || substr(md5(event_id::VARCHAR || ':split'), 1, 15))::BIGINT % 100 AS sb
         |  FROM events)
         |SELECT event_id, user_id, event_type,
-        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  CASE WHEN sb < 80 THEN 'train' WHEN sb < 90 THEN 'val' ELSE 'test' END AS split
         |FROM h WHERE b < 10""".stripMargin
   )
 }

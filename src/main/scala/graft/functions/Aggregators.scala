@@ -42,9 +42,17 @@ object Aggregators {
       private def prune(s: Seq[ScoredHit]): Seq[ScoredHit] =
         s.sortBy(h => (-h.sim, h.neighbor_id)).take(k)
       override def zero: TopKHits = TopKHits(Vector.empty)
+      // hot path: the buffer is maintained sorted, so an accepted row is a
+      // positional insert (O(k) copy), not a re-sort — reduce() runs once
+      // per scored input row
       override def reduce(b: TopKHits, a: ScoredHit): TopKHits =
         if (b.hits.size >= k && worseThanLast(a, b.hits.last)) b
-        else TopKHits(prune(b.hits :+ a))
+        else {
+          val at = b.hits.indexWhere(h =>
+            a.sim > h.sim || (a.sim == h.sim && a.neighbor_id < h.neighbor_id))
+          val pos = if (at < 0) b.hits.size else at
+          TopKHits(((b.hits.take(pos) :+ a) ++ b.hits.drop(pos)).take(k))
+        }
       override def merge(a: TopKHits, b: TopKHits): TopKHits =
         TopKHits(prune(a.hits ++ b.hits))
       override def finish(r: TopKHits): TopKHits = r

@@ -194,7 +194,7 @@ object DedupOps {
     *
     * `nodes`: one column, the node id. `edges`: columns `a`, `b`. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
     val idCol = nodes.columns.head
     // The edge list is usually orders of magnitude smaller than the node
     // set (it already passed a similarity threshold); size the loop's
@@ -229,6 +229,13 @@ object DedupOps {
       labels = next.select("node", "label")
       i += 1
     }
+    // Truncation must be an ERROR, not silently-split clusters: a dedup
+    // decision made on unconverged labels keeps duplicate documents.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component eccentricity exceeds the budget; raise maxIter or " +
+          "switch to large-star/small-star contraction for chain-shaped graphs")
     nodes.select(col(idCol).as("node"))
       .join(labels, Seq("node"), "left_outer")
       .select(col("node").as(idCol),

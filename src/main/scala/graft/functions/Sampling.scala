@@ -35,9 +35,15 @@ object Sampling {
   /** Disjoint train/validation/test split by key hash: returns a bucket
     * label column, e.g. 0..79 → "train", 80..89 → "val", 90..99 → "test"
     * for the default 80/10/10. Splits are disjoint and exhaustive by
-    * construction — the usual leakage guard. */
+    * construction — the usual leakage guard.
+    *
+    * The split hashes a SALTED key (`key + ":split"`), so it is
+    * independent of [[hashBucket]]/[[sampleByHash]] on the same key —
+    * sampling 10% first must not collapse the split to all-train (the
+    * correlated-hash trap). DuckDB twin:
+    * `('0x' || substr(md5(k::VARCHAR || ':split'), 1, 15))::BIGINT % 100`. */
   def split(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
-    val b = hashBucket(key, 100)
+    val b = pmod(rawHash(concat(key.cast("string"), lit(":split"))), lit(100L))
     when(b < trainPct, lit("train"))
       .when(b < trainPct + valPct, lit("val"))
       .otherwise(lit("test"))

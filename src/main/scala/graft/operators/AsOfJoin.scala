@@ -40,10 +40,18 @@ object AsOfJoin {
     // At equal time: non-strict ⇒ events are visible to the probe (events
     // sort first); strict ⇒ they are not (probes sort first).
     val (eventSide, probeSide) = if (strict) (1, 0) else (0, 1)
-    val events = right.select(
-      Seq(rightKey.as("__k"), rightTime.as("__t"),
-        lit(eventSide).as("__side"), rightTieBreak.as("__tb")) ++
-        rightPick.map { case (name, c) => c.as(name) }: _*)
+    // All picked columns ride in ONE struct per event: `last(ignoreNulls)`
+    // must skip probe rows but NOT events whose picked values are null —
+    // the struct wrapper is non-null exactly for event rows, and taking
+    // every picked column from the same struct also guarantees they all
+    // come from the same winning event. Null-key events are dropped (SQL
+    // equality never matches NULL = NULL); null-key probes then see an
+    // empty partition and null-pad, matching the equi-join they replace.
+    val events = right
+      .filter(rightKey.isNotNull)
+      .select(rightKey.as("__k"), rightTime.as("__t"),
+        lit(eventSide).as("__side"), rightTieBreak.as("__tb"),
+        struct(rightPick.map { case (name, c) => c.as(name) }: _*).as("__pick"))
     val probes = left.select(
       leftKey.as("__k"), leftTime.as("__t"),
       lit(probeSide).as("__side"), col(leftIdCol))
@@ -51,13 +59,10 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val annotated = timeline.select(
-      col(leftIdCol) +:
-        rightPick.map { case (name, _) =>
-          last(col(name), ignoreNulls = true).over(w).as(s"__asof_$name")
-        }: _*)
-    annotated.filter(col(leftIdCol).isNotNull)
+    timeline
+      .select(col(leftIdCol), last(col("__pick"), ignoreNulls = true).over(w).as("__asof"))
+      .filter(col(leftIdCol).isNotNull)
       .select(col(leftIdCol) +:
-        rightPick.map { case (name, _) => col(s"__asof_$name").as(name) }: _*)
+        rightPick.map { case (name, _) => col(s"__asof.$name").as(name) }: _*)
   }
 }

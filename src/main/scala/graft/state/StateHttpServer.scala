@@ -72,7 +72,7 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0) {
   private def handle(ex: HttpExchange): Unit = {
     val resp =
       try route(ex.getRequestURI.getPath)
-        .orElse(routeMetadata(ex.getRequestURI.getPath).map(js => js)) match {
+        .orElse(routeMetadata(ex.getRequestURI.getPath)) match {
         case Some(body) => (200, body)
         case None       => (404, """{"error":"unknown path or store"}""")
       } catch {

@@ -41,7 +41,7 @@ object KafkaEdges {
     raw.select(
       col("key").cast("string").as("key"),
       col("value").cast("string").as("value"),
-      (col("timestamp").cast("double") * 1000).cast("long").as("ts"),
+      unix_millis(col("timestamp")).as("ts"),
       col("offset").cast("long").as("seq"))
       .as[Rec]
   }

@@ -69,7 +69,14 @@ object PkJoinStream {
                 out += JoinChange(key, null, null, deleted = true, t.seq)
             }
           }
-          if (!st.leftSet && !st.rightSet) state.remove() else state.update(st)
+          // State is retained even when both sides are tombstoned: the seq
+          // high-water marks ARE the replay guard, and dropping them would
+          // re-admit a redelivered pre-tombstone change as fresh. The
+          // retained record is two longs + flags per dead key; production
+          // eviction is state TTL (see the transformWithState twins),
+          // mirroring how compaction eventually drops tombstoned keys in
+          // the reference's changelog topics.
+          state.update(st)
           out.result().iterator
         })
   }

@@ -21,6 +21,28 @@ class ConnectedComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
   }
 
+  test("long chain converges within the default round budget") {
+    val s = spark
+    import s.implicits._
+    // path graph 0-1-2-...-24: min label needs 24 propagation rounds
+    val edges = (0L until 24L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (0L to 24L).toDF("doc_id")
+    val out = DedupOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out.values.forall(_ == 0L))
+  }
+
+  test("non-convergence is an error, never silently-split clusters") {
+    val s = spark
+    import s.implicits._
+    val edges = (0L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (0L to 10L).toDF("doc_id")
+    val e = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(nodes, edges, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("empty edge set: every node is its own cluster") {
     val s = spark
     import s.implicits._

@@ -33,6 +33,33 @@ class AsOfJoinSpec extends SparkSpec {
       Map(1L -> None, 2L -> None, 3L -> Some(250L), 4L -> None))
   }
 
+  test("an event with a NULL picked value is the match — not skipped for a stale one") {
+    val s = spark
+    import s.implicits._
+    val right = Seq(("p", 10L, 0L, Some(100L)), ("p", 20L, 0L, None))
+      .toDF("k", "t", "tb", "price")
+    val left = Seq((1L, "p", 25L)).toDF("id", "k", "t")
+    val out = AsOfJoin.asof(left, right, col("k"), col("k"), col("t"), col("t"), "id",
+        Seq("price" -> col("price")), col("tb"))
+      .as[(Long, Option[Long])].collect().toMap
+    // latest event (t=20) carries NULL price: the as-of value IS null,
+    // not the superseded 100 from t=10
+    assert(out == Map(1L -> None))
+  }
+
+  test("NULL keys never match (SQL equality): null-key probe is null-padded") {
+    val s = spark
+    import s.implicits._
+    val right = Seq((Option.empty[String], 1L, 0L, 7L), (Some("p"), 1L, 0L, 9L))
+      .toDF("k", "t", "tb", "price")
+    val left = Seq((1L, Option.empty[String], 5L), (2L, Some("p"), 5L))
+      .toDF("id", "k", "t")
+    val out = AsOfJoin.asof(left, right, col("k"), col("k"), col("t"), col("t"), "id",
+        Seq("price" -> col("price")), col("tb"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> None, 2L -> Some(9L)))
+  }
+
   test("plan: single key-partitioned window, no pair join of left×history") {
     val s = spark
     import s.implicits._

@@ -73,6 +73,17 @@ class PkJoinStreamSpec extends SparkSpec {
       JoinChange("k", "v2", null, deleted = false, 2)))
   }
 
+  test("replay guard survives a full tombstone: pre-tombstone redelivery stays dropped") {
+    val out = run("left", (l, r, step) => {
+      l.addData(Rec("k", "v1", 0, 1)); step()
+      l.addData(Rec("k", null, 0, 2)); step()  // tombstone — key fully unset
+      l.addData(Rec("k", "v1", 0, 1)); step()  // redelivery of seq 1 → must NOT resurrect
+    }, "pk_replay_tomb")
+    assert(out == List(
+      JoinChange("k", "v1", null, deleted = false, 1),
+      JoinChange("k", null, null, deleted = true, 2)))
+  }
+
   test("KTable self-join (reference TopologiesTest.scala:241-253)") {
     val s = spark
     import s.implicits._
