@@ -194,6 +194,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .select(EventTime.startSec(col("win")).as("win_start"), col("cnt"))),
 
+    // dynamic-gap sessions (beyond the reference's fixed gap): each event
+    // proposes its own inactivity gap — clicks expire in 2h, everything
+    // else in 6h; overlapping [ts, ts+gap) intervals merge per key
+    "w5_session_dynamic" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(session_window(timestamp_seconds(col("ts_sec")),
+            // make_interval: session_window's dynamic gap must be
+            // CalendarIntervalType (ANSI INTERVAL literals are rejected)
+            when(col("event_type") === "click", expr("make_interval(0,0,0,0,2,0,0)"))
+              .otherwise(expr("make_interval(0,0,0,0,6,0,0)"))).as("win"),
+          col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+          EventTime.startSec(col("win")).as("sess_start"),
+          EventTime.endSec(col("win")).as("sess_end"), col("cnt"))),
+
     // §2.5 joins -----------------------------------------------------------
 
     "j1_band_join" -> ((s, dir) => {
@@ -551,6 +567,31 @@ object SparkEntry {
         |  SELECT unnest([(ts_sec // 3600) * 3600, (ts_sec // 3600) * 3600 - 3600]) AS win_start
         |  FROM ev)
         |GROUP BY 1""".stripMargin,
+
+    // dynamic gaps need the running MAX of (ts + gap) over preceding rows
+    // — a long-gap event can bridge past a short-gap neighbor, so the
+    // fixed-gap lag(ts) trick is wrong here. Merge is gap-INCLUSIVE
+    // (running end >= ts), matching Spark's session_window (see w3 note).
+    "w5_session_dynamic" ->
+      s"""WITH $evSql,
+        |g AS (
+        |  SELECT user_id, ts_sec,
+        |    CASE WHEN event_type = 'click' THEN 7200 ELSE 21600 END AS gap
+        |  FROM ev),
+        |marked AS (
+        |  SELECT user_id, ts_sec, gap,
+        |    CASE WHEN max(ts_sec + gap) OVER (PARTITION BY user_id ORDER BY ts_sec
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= ts_sec
+        |         THEN 0 ELSE 1 END AS new_sess
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, ts_sec, gap,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM marked)
+        |SELECT user_id, min(ts_sec) AS sess_start, max(ts_sec + gap) AS sess_end,
+        |  count(*) AS cnt
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin,
 
     "j1_band_join" ->
       s"""WITH $evSql
