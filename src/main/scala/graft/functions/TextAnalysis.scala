@@ -14,8 +14,18 @@ object TextAnalysis {
 
   /** Word tokens: lowercase, split on non-word runs, drop empties.
     * Mirrors the reference's only tokenizer
-    * (`WordCount.java:54`: `toLowerCase().split("\\W+")`). */
+    * (`WordCount.java:54`: `toLowerCase().split("\\W+")`).
+    *
+    * Implemented by the codegen'd single-pass
+    * [[graft.expressions.AsciiWordTokens]] — the tokenizer is the hot
+    * loop of every text query; the regex form ([[tokensHof]]) is kept as
+    * the cross-check reference. */
   def tokens(text: Column): Column =
+    graft.expressions.AsciiWordTokens.tokens(text)
+
+  /** Reference implementation of [[tokens]] via built-in regex split —
+    * equivalence is spec-asserted; kept for cross-checking only. */
+  def tokensHof(text: Column): Column =
     filter(split(lower(text), "\\W+"), t => t =!= "")
 
   /** Tiny multilingual stopword list used by the heuristics below. */
