@@ -51,4 +51,11 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("text queries run the codegen'd tokenizer, not the regex split") {
+    Seq("a2_wordcount", "t2_quality").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("ascii_word_tokens"), s"$q lost the fast tokenizer:\n$p")
+    }
+  }
 }
