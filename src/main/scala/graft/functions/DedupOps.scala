@@ -59,14 +59,26 @@ object DedupOps {
 
   /** MinHash signatures: one row per doc with columns mh0..mh{k−1}.
     *
-    * Design for volume: ONE md5 per shingle (not per shingle×seed), the k
-    * hashes derived by codegen'd integer arithmetic in a single
-    * projection, and the per-doc minima taken as k algebraic `min`
-    * aggregates — map-side combined, no row explosion. Replaced an
-    * explode-by-seed formulation that pushed |shingles|·k rows through a
-    * shuffle (12× the md5 work and dominated the dedup bench). */
+    * Computed entirely map-side by the codegen'd
+    * [[graft.expressions.MinHashSignature]] — the signature is row-local
+    * state, so the explode + per-doc `groupBy(min)` shuffle of the
+    * composable chain is structurally unnecessary. One md5 per shingle,
+    * k universal hashes by integer arithmetic, zero exchanges. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleN: Int = 3): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"),
+        graft.expressions.MinHashSignature.sig(col("__t"), numHashes, shingleN).as("__mh"))
+      .select(col("doc_id") +:
+        (0 until numHashes).map(s => element_at(col("__mh"), s + 1).as(s"mh$s")): _*)
+
+  /** The pre-rewrite aggregate formulation of [[minhashSignatures]]
+    * (explode shingles → md5 → k arithmetic columns → per-doc `min`
+    * aggregates). Kept as the cross-check reference for the map-side
+    * expression — equivalence is spec-asserted. */
+  def minhashSignaturesAgg(docs: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int, shingleN: Int = 3): DataFrame =
     shingleRows(docs, idCol, textCol, shingleN)
       .withColumn("v",
         conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long") % BaseMod)
