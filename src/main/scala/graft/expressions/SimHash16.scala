@@ -1,0 +1,84 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** 16-bit SimHash of a token array in ONE map-side pass: md5 each token,
+  * majority-vote the leading 16 digest bits (±1 per token per bit),
+  * assemble the signature — no token explosion, no per-doc aggregation
+  * shuffle, no hex-string parsing.
+  *
+  * Bit parity with the composable chain (and the DuckDB oracle): the
+  * chain reads bit i as bit (3 − i%4) of hex digit i/4, which is exactly
+  * bit (7 − i%8) of digest byte i/8 — the first 16 bits of the digest,
+  * MSB-first. A set vote (sum > 0) contributes `1 << i`.
+  *
+  * Documents with zero tokens produce no rows in the chain (explode of an
+  * empty array); callers filter empty token arrays to match.
+  */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash16.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expressions.SimHash16$$.MODULE$$.compute($c);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+object SimHash16 {
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](16)
+    val digest = md5.get()
+    var t = 0
+    while (t < n) {
+      digest.reset()
+      val d = digest.digest(tokens.getUTF8String(t).getBytes)
+      var i = 0
+      while (i < 16) {
+        val bit = (d(i / 8) >>> (7 - i % 8)) & 1
+        counts(i) += bit * 2 - 1
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 16) {
+      if (counts(i) > 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  /** Column-level API. */
+  def sig(tokens: Column): Column =
+    GraftShims.column(SimHash16(GraftShims.expression(tokens)))
+}

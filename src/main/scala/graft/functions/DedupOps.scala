@@ -124,7 +124,17 @@ object DedupOps {
     * keyed by (doc, bit) then (doc); contributions sum map-side.
     * 16 bits keeps the oracle SQL tractable; the construction generalizes
     * to 64 by changing the constant. */
-  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0) // chain semantics: token-less docs emit no row
+      .select(col("doc_id"),
+        graft.expressions.SimHash16.sig(col("__t")).as("simhash"))
+
+  /** The pre-rewrite aggregate formulation of [[simhash16]] (explode
+    * tokens → md5 → 16 contribution columns → per-doc vote sums). Kept as
+    * the cross-check reference — equivalence is spec-asserted. */
+  def simhash16Agg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // per token-hash, 16 ±1 contributions as plain codegen'd columns
     // (bit i = bit (3 − i%4) of hex digit i/4) — no per-bit explode, no
     // interpreted lambdas; the per-doc vote is 16 algebraic sums.
