@@ -72,7 +72,17 @@ object GraftExtensions {
   val descriptors: Seq[Descriptor] = Seq(
     dotProductFloatDescriptor,
     exprFn("graft_fingerprint", 1)(cs => SqlExprs.fingerprint(cs.head)),
-    exprFn("graft_hash_bucket", 2)(cs => SqlExprs.hashBucket(cs.head, cs(1))))
+    exprFn("graft_hash_bucket", 2)(cs => SqlExprs.hashBucket(cs.head, cs(1))),
+    exprFn("ascii_word_tokens", 1)(cs => graft.expressions.AsciiWordTokens(cs.head)),
+    exprFn("graft_simhash16", 1)(cs => graft.expressions.SimHash16(cs.head)),
+    exprFn("graft_minhash", 2)(cs => {
+      val k = cs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash(tokens, k): k must be an integer literal, got $other")
+      }
+      graft.expressions.MinHashSignature(cs.head, k, 3)
+    }))
 
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

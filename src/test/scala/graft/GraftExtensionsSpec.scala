@@ -37,6 +37,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaColumn.exceptAll(viaSql).count() == 0)
   }
 
+  test("signature expressions are callable from SQL") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("docs_sql2")
+    val viaSql = spark.sql(
+      """SELECT doc_id, ascii_word_tokens(text) AS toks,
+        |  graft_simhash16(ascii_word_tokens(text)) AS sh,
+        |  graft_minhash(ascii_word_tokens(text), 12) AS mh
+        |FROM docs_sql2""".stripMargin)
+    val row = viaSql.orderBy("doc_id").limit(1).collect()(0)
+    assert(row.getSeq[String](1).nonEmpty)
+    assert(row.getSeq[Long](3).length == 12)
+    // same signatures as the Column API path
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val colSide = functions.DedupOps.simhash16(d, "doc_id", "text")
+    val sqlSide = viaSql
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("toks")) > 0)
+      .select("doc_id", "sh")
+    assert(sqlSide.exceptAll(colSide).count() == 0)
+  }
+
   test("SQL arity errors are caught at registration boundary") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
