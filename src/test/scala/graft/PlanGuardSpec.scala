@@ -58,4 +58,14 @@ class PlanGuardSpec extends SparkSpec {
       assert(p.contains("ascii_word_tokens"), s"$q lost the fast tokenizer:\n$p")
     }
   }
+
+  test("filters and pruning reach the parquet scans (j10, q1)") {
+    val j10 = planOf("j10_q3_shipping")
+    // dimension filter pushed into the customer scan
+    assert(j10.contains("EqualTo(c_mktsegment,BUILDING)"), j10)
+    // column pruning: the lineitem scan must not read the wide comment col
+    assert(!j10.contains("l_comment"), j10)
+    val q1 = planOf("q1_agg")
+    assert(q1.contains("PushedFilters: [IsNotNull(l_shipdate)"), q1)
+  }
 }
