@@ -173,17 +173,31 @@ object DedupOps {
   /** n-gram Jaccard similarity for candidate pairs: |shingles(a) ∩
     * shingles(b)| / |union|. Computed via an explode + count join so set
     * sizes aggregate map-side; only candidate pairs (from LSH or another
-    * blocker) ever meet. */
+    * blocker) ever meet.
+    *
+    * The corpus is semi-join-pruned to documents that appear in a
+    * candidate pair BEFORE shingling: verification cost scales with the
+    * candidate set (LSH keeps it tiny), not the corpus — at 100 TB,
+    * exploding shingles for documents no pair references would dominate
+    * the stage for nothing. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleN).distinct()
+    // The candidate list is referenced four times below (membership, the
+    // two size joins, the intersection); materialize it ONCE — candidate
+    // generation is the expensive upstream, and the pair list itself is
+    // tiny by LSH construction.
+    val p = pairs.localCheckpoint(true)
+    val members = p.select(col("a").as(idCol))
+      .union(p.select(col("b").as(idCol))).distinct()
+    val pruned = docs.join(members, Seq(idCol), "left_semi")
+    val sh = shingleRows(pruned, idCol, textCol, shingleN).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // hash-join on (doc, shingle) both hops — never a per-pair cross product
-    val inter = pairs
+    val inter = p
       .join(sh.withColumnRenamed("doc_id", "a"), "a")
       .join(sh.withColumnRenamed("doc_id", "b"), Seq("b", "sh"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    pairs
+    p
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
       .join(inter, Seq("a", "b"), "left_outer")
