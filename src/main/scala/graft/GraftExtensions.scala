@@ -77,9 +77,9 @@ object GraftExtensions {
     exprFn("graft_simhash16", 1)(cs => graft.expressions.SimHash16(cs.head)),
     exprFn("graft_minhash", 2)(cs => {
       val k = cs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) if v > 0 => v
         case other => throw new IllegalArgumentException(
-          s"graft_minhash(tokens, k): k must be an integer literal, got $other")
+          s"graft_minhash(tokens, k): k must be a positive integer literal, got $other")
       }
       graft.expressions.MinHashSignature(cs.head, k, 3)
     }))

@@ -75,6 +75,7 @@ object MinHashSignature {
   private val Space = Array[Byte](' ')
 
   def compute(tokens: ArrayData, numHashes: Int, shingleN: Int): ArrayData = {
+    require(numHashes > 0, s"numHashes must be positive, got $numHashes")
     val n = tokens.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val digest = md5.get()
@@ -84,7 +85,9 @@ object MinHashSignature {
       var i = 0
       while (i < len) {
         if (i > 0) digest.update(Space)
-        digest.update(tokens.getUTF8String(from + i).getBytes)
+        // null tokens hash as empty (concat_ws skips nulls the same way)
+        val tok = tokens.getUTF8String(from + i)
+        if (tok != null) digest.update(tok.getBytes)
         i += 1
       }
       val v = (leading60Bits(digest.digest()) % BaseMod + BaseMod) % BaseMod

@@ -59,13 +59,16 @@ object SimHash16 {
     val digest = md5.get()
     var t = 0
     while (t < n) {
-      digest.reset()
-      val d = digest.digest(tokens.getUTF8String(t).getBytes)
-      var i = 0
-      while (i < 16) {
-        val bit = (d(i / 8) >>> (7 - i % 8)) & 1
-        counts(i) += bit * 2 - 1
-        i += 1
+      val tok = tokens.getUTF8String(t)
+      if (tok != null) { // null tokens are ignored (SQL-callable input)
+        digest.reset()
+        val d = digest.digest(tok.getBytes)
+        var i = 0
+        while (i < 16) {
+          val bit = (d(i / 8) >>> (7 - i % 8)) & 1
+          counts(i) += bit * 2 - 1
+          i += 1
+        }
       }
       t += 1
     }

@@ -68,8 +68,11 @@ object DedupOps {
                         numHashes: Int, shingleN: Int = 3): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      // null text ≡ empty document (the aggregate chain's concat_ws path
+      // hashes the empty shingle) — do not null-propagate the signature
       .select(col("doc_id"),
-        graft.expressions.MinHashSignature.sig(col("__t"), numHashes, shingleN).as("__mh"))
+        graft.expressions.MinHashSignature.sig(
+          coalesce(col("__t"), array()), numHashes, shingleN).as("__mh"))
       .select(col("doc_id") +:
         (0 until numHashes).map(s => element_at(col("__mh"), s + 1).as(s"mh$s")): _*)
 
@@ -183,10 +186,11 @@ object DedupOps {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame = {
     // The candidate list is referenced four times below (membership, the
-    // two size joins, the intersection); materialize it ONCE — candidate
-    // generation is the expensive upstream, and the pair list itself is
-    // tiny by LSH construction.
-    val p = pairs.localCheckpoint(true)
+    // two size joins, the intersection); cache it so candidate generation
+    // — the expensive upstream — runs once. persist() is LAZY: building
+    // the plan stays side-effect-free (explain/plan-guards trigger no
+    // jobs), and the pair list itself is tiny by LSH construction.
+    val p = pairs.persist()
     val members = p.select(col("a").as(idCol))
       .union(p.select(col("b").as(idCol))).distinct()
     val pruned = docs.join(members, Seq(idCol), "left_semi")

@@ -47,8 +47,11 @@ object AsOfJoin {
     // come from the same winning event. Null-key events are dropped (SQL
     // equality never matches NULL = NULL); null-key probes then see an
     // empty partition and null-pad, matching the equi-join they replace.
+    // Null-key events can never equi-match; null-TIME events would sort
+    // NULLS FIRST and wrongly become every probe's "earliest" match —
+    // SQL's rightTime <= leftTime is never true for NULL, so drop both.
     val events = right
-      .filter(rightKey.isNotNull)
+      .filter(rightKey.isNotNull && rightTime.isNotNull)
       .select(rightKey.as("__k"), rightTime.as("__t"),
         lit(eventSide).as("__side"), rightTieBreak.as("__tb"),
         struct(rightPick.map { case (name, c) => c.as(name) }: _*).as("__pick"))

@@ -18,14 +18,23 @@ class MinHashSignatureSpec extends SparkSpec {
     assert(fast.count() == docs.count())
   }
 
-  test("short and empty documents take the whole-document shingle path") {
+  test("short, empty, and NULL documents agree with the aggregate chain") {
     val s = spark
     import s.implicits._
-    val docs = Seq((1L, "one two"), (2L, ""), (3L, "word"), (4L, "a b c d"))
+    val docs = Seq((1L, Some("one two")), (2L, Some("")), (3L, Some("word")),
+        (4L, Some("a b c d")), (5L, Option.empty[String]))
       .toDF("doc_id", "text")
     val fast = DedupOps.minhashSignatures(docs, "doc_id", "text", 12)
     val ref = DedupOps.minhashSignaturesAgg(docs, "doc_id", "text", 12)
     assert(fast.exceptAll(ref).count() == 0)
     assert(ref.exceptAll(fast).count() == 0)
+  }
+
+  test("negative hash count is rejected, not a runtime array error") {
+    intercept[Exception] {
+      graft.expressions.MinHashSignature.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[AnyRef]),
+        numHashes = -1, shingleN = 3)
+    }
   }
 }

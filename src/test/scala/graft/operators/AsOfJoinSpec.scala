@@ -60,6 +60,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map(1L -> None, 2L -> Some(9L)))
   }
 
+  test("NULL-time events never match (rightTime <= leftTime is never true for NULL)") {
+    val s = spark
+    import s.implicits._
+    val right = Seq((Some("p"), Option.empty[Long], 0L, 5L), (Some("p"), Some(10L), 0L, 9L))
+      .toDF("k", "t", "tb", "price")
+    val left = Seq((1L, "p", 100L), (2L, "p", 5L)).toDF("id", "k", "t")
+    val out = AsOfJoin.asof(left, right, col("k"), col("k"), col("t"), col("t"), "id",
+        Seq("price" -> col("price")), col("tb"))
+      .as[(Long, Option[Long])].collect().toMap
+    // probe@100 matches the t=10 event; probe@5 precedes every real event
+    assert(out == Map(1L -> Some(9L), 2L -> None))
+  }
+
   test("plan: single key-partitioned window, no pair join of left×history") {
     val s = spark
     import s.implicits._
