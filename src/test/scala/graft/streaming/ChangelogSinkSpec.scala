@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.nio.file.Files
+
+/** Changelog → materialized table: upserts overwrite, tombstones delete,
+  * re-inserts resurrect, stale batch replays are idempotent. */
+class ChangelogSinkSpec extends SparkSpec {
+
+  test("stream of changes materializes to latest-per-key table with deletes applied") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val table = Files.createTempDirectory("graft_sink").toString + "/table"
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+    val in = MemoryStream[Rec]
+    val q = ChangelogSink.start(KTableStream.changes(in.toDS()), table, ckpt)
+    try {
+      in.addData(Rec("a", "a1", 0, 1), Rec("b", "b1", 0, 2)); q.processAllAvailable()
+      in.addData(Rec("a", "a2", 0, 3)); q.processAllAvailable()   // overwrite a
+      in.addData(Rec("b", null, 0, 4)); q.processAllAvailable()   // delete b
+      in.addData(Rec("c", "c1", 0, 5)); q.processAllAvailable()
+      val rows = s.read.parquet(table).as[(String, String, Long)]
+        .collect().sortBy(_._1).toList
+      assert(rows == List(("a", "a2", 3L), ("c", "c1", 5L)))
+    } finally q.stop()
+  }
+
+  test("batch replay is idempotent: stale seqs never overwrite newer state") {
+    val s = spark
+    import s.implicits._
+    val table = Files.createTempDirectory("graft_sink_replay").toString + "/table"
+    ChangelogSink.applyBatch(
+      Seq(Change("k", "v2", "v1", 7)).toDS(), table)
+    // replay an OLDER change (at-least-once delivery) — must not regress
+    ChangelogSink.applyBatch(
+      Seq(Change("k", "v1", null, 3)).toDS(), table)
+    val rows = s.read.parquet(table).as[(String, String, Long)].collect().toList
+    assert(rows == List(("k", "v2", 7L)))
+  }
+}
