@@ -33,11 +33,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object ChangelogSink {
 
   /** Start materializing `changes` into `tablePath` (parquet dir with
-    * columns key/value/seq). */
+    * columns key/value/seq). `outputMode` follows the upstream operator:
+    * "append" for event-log operators (KTableStream et al.), "update"
+    * when the changelog is derived from a streaming aggregation (each
+    * batch then carries the changed keys — exactly the MERGE input). */
   def start(changes: Dataset[Change], tablePath: String,
-            checkpoint: String): StreamingQuery =
+            checkpoint: String, outputMode: String = "append"): StreamingQuery =
     changes.writeStream
-      .outputMode("append")
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Change], _: Long) =>
         applyBatch(batch, tablePath)
