@@ -190,11 +190,15 @@ object DedupOps {
     // eager localCheckpoint — A/B-measured 3× faster on the dedup family
     // than persist() (lazy or eager), whose InMemoryRelation scans pay
     // columnar cache build + conversions on every reference. The pair
-    // list is tiny by LSH construction, so the checkpoint is cheap;
-    // construction is eager — callers that only want the PLAN should
-    // pass a pre-materialized pair list. On executor loss the truncated
-    // lineage means the query restarts from source — acceptable for a
-    // batch dedup stage, and the restart recomputes deterministically.
+    // list is tiny by LSH construction, so the checkpoint is cheap.
+    // Tradeoffs, honestly: construction runs the candidate chain eagerly
+    // (callers that only want the PLAN should pass a pre-materialized
+    // pair list), and localCheckpoint blocks live in executor storage —
+    // losing an executor FAILS the query (lineage is truncated, Spark
+    // does not recompute); the batch then reruns from source via the
+    // caller's retry, deterministically. On long-lived clusters with
+    // dynamic allocation, prefer reliable `checkpoint()` to a durable
+    // checkpoint dir — same shape, durable blocks.
     val p = pairs.localCheckpoint(true)
     val members = p.select(col("a").as(idCol))
       .union(p.select(col("b").as(idCol))).distinct()

@@ -1,34 +1,33 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Dataset, SaveMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Materializes a [[Change]] log into a queryable table — the
   * "update mode + MERGE-style sink" half of the KTable story (SURVEY.md
   * §2.5 J4 note, §4.2): the changelog is the stream, this sink maintains
-  * the latest-value-per-key VIEW of it, with tombstones deleting rows.
+  * the latest-change-per-key table of it.
   *
-  * Per micro-batch (`foreachBatch`): reduce the batch to its last change
-  * per key (`max_by` on seq — one map-side-combined aggregation), merge
-  * with the current table keeping the higher-seq version of each key,
-  * drop tombstoned keys, and atomically swap the table directory. The
-  * merge is idempotent — replaying a batch after failure converges to
-  * the same table, because seq comparison discards stale versions.
+  * Tombstones are RETAINED as rows with a null value (a compacted topic
+  * before cleanup, not after): that is what makes replay idempotent —
+  * a redelivered stale upsert finds the higher-seq tombstone and loses
+  * the merge instead of resurrecting a deleted key. [[view]] reads the
+  * live rows (tombstones filtered); the raw table keeps the full merge
+  * history heads.
   *
-  * Storage: plain parquet with a write-to-temp + rename swap, the
-  * biggest contract a bare filesystem offers. On a real deployment the
-  * same `foreachBatch` body becomes a `MERGE INTO` against a table
-  * format with row-level upserts (Delta/Iceberg/Hudi) — the batch-side
-  * logic (last-change-per-key, seq-versioned upsert, tombstone delete)
-  * is identical, only the sink API changes.
-  *
-  * Scale: per batch the merge reads the current table once and shuffles
-  * on the key; rewrite cost is O(table). A table format with clustered
-  * row-level merge drops that to O(touched files) — which is why the
-  * production note above matters at 100 TB; the semantics here are the
-  * contract both share.
+  * Crash safety on a bare filesystem: each merge writes a uniquely-named
+  * temp dir, then swaps via `target → .old` + `tmp → target` renames and
+  * only then drops `.old`. Every crash window leaves either `target` or
+  * `.old` holding the complete previous table, and recovery reads
+  * whichever survives — no window loses committed keys. (A real
+  * deployment replaces the whole body with `MERGE INTO` a
+  * Delta/Iceberg/Hudi table: identical batch-side semantics, real
+  * transactional rename, and O(touched files) instead of O(table)
+  * rewrite — which is the 100 TB answer; this parquet fallback is the
+  * semantics contract, not the scale story. Concurrent writers on one
+  * tablePath are out of scope, as with any directory-swap scheme.)
   */
 object ChangelogSink {
 
@@ -47,33 +46,42 @@ object ChangelogSink {
       }
       .start()
 
-  /** One merge step; also the batch-backfill entry (idempotent). */
+  /** Live rows of the materialized table (tombstones filtered). */
+  def view(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(tablePath).filter(col("value").isNotNull)
+
+  /** One merge step; also the batch-backfill entry. Idempotent: seq
+    * comparison discards stale redeliveries, including post-delete ones
+    * (the retained tombstone row outranks them). Equal seqs resolve
+    * upsert-over-tombstone — the same "upsert wins" tie rule as the FK
+    * join's same-seq subscription events. */
   def applyBatch(batch: Dataset[Change], tablePath: String): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
     val target = new Path(tablePath)
-
-    val latestInBatch = batch
-      .groupBy("key")
-      .agg(max_by(struct(col("value"), col("seq")), col("seq")).as("s"))
-      .select(col("key"), col("s.value").as("value"), col("s.seq").as("seq"))
+    val backup = new Path(tablePath + ".old")
+    val fs = target.getFileSystem(conf)
 
     val current =
-      if (fs.exists(target)) spark.read.parquet(tablePath)
+      if (fs.exists(target)) spark.read.parquet(target.toString)
+      else if (fs.exists(backup)) spark.read.parquet(backup.toString)
       else Seq.empty[(String, String, Long)].toDF("key", "value", "seq")
 
-    val merged = current.unionByName(latestInBatch)
-      .groupBy("key")
-      .agg(max_by(struct(col("value"), col("seq")), col("seq")).as("s"))
-      .select(col("key"), col("s.value").as("value"), col("s.seq").as("seq"))
-      .filter(col("value").isNotNull) // tombstone with the highest seq = delete
+    // one hash aggregation over (current ∪ batch): last change per key by
+    // (seq, upsert-wins) — map-side partials, no pre-aggregation pass
+    val merged = graft.operators.Changelog.latestByKey(
+      current.unionByName(batch.select(col("key"), col("value"), col("seq"))),
+      Seq("key"), Seq(col("seq"), col("value").isNotNull))
 
-    val tmp = new Path(tablePath + ".tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val tmp = new Path(tablePath + ".tmp-" + java.util.UUID.randomUUID())
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
+    // swap: at every point, target or backup holds the full previous table
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(target) && !fs.rename(target, backup))
+      throw new IllegalStateException(s"backup rename failed for $tablePath")
     if (!fs.rename(tmp, target))
-      throw new IllegalStateException(s"atomic swap failed for $tablePath")
+      throw new IllegalStateException(s"swap rename failed for $tablePath")
+    fs.delete(backup, true)
   }
 }

@@ -22,8 +22,8 @@ class AppParitySpec extends SparkSpec {
     val conn = new URI(s"http://127.0.0.1:$port$path").toURL
       .openConnection().asInstanceOf[HttpURLConnection]
     val code = conn.getResponseCode
-    val body = Source.fromInputStream(
-      if (code >= 400) conn.getErrorStream else conn.getInputStream, "UTF-8").mkString
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = if (is == null) "" else Source.fromInputStream(is, "UTF-8").mkString
     conn.disconnect()
     (code, body)
   }
@@ -36,31 +36,38 @@ class AppParitySpec extends SparkSpec {
     val sinkCkpt = Files.createTempDirectory("graft_app_sink_ckpt").toString
     val table = Files.createTempDirectory("graft_app_table").toString + "/counts"
 
-    val in = MemoryStream[Rec]
+    // Two queries must NOT share one MemoryStream: its commit() truncates
+    // the shared batch buffer, so the slower query can read empty batches.
+    // Feed two streams the same records (two consumer groups of one topic).
+    val in1 = MemoryStream[Rec]
+    val in2 = MemoryStream[Rec]
     // the reference topology: flatMapValues(split) → groupBy(word) → count
-    val counts = in.toDS().toDF()
+    def counts(ds: org.apache.spark.sql.Dataset[Rec]) = ds.toDF()
       .select(explode(graft.expressions.AsciiWordTokens.tokens(col("value"))).as("word"),
         col("seq"))
       .groupBy("word")
       .agg(count(lit(1)).as("count"), max("seq").as("seq"))
     // "counts-store": the update-mode changelog checkpointed for state reads
-    val q = counts.select(col("word"), col("count"))
+    val q = counts(in1.toDS()).select(col("word"), col("count"))
       .writeStream.format("memory").queryName("counts_app")
       .option("checkpointLocation", ckpt)
       .outputMode("update").start()
     // the .to(topic) sink as a materialized table (word → latest count)
     val sink = ChangelogSink.start(
-      counts.select(col("word").as("key"), col("count").cast("string").as("value"),
+      counts(in2.toDS())
+        .select(col("word").as("key"), col("count").cast("string").as("value"),
           col("seq"))
         .as[(String, String, Long)].map { case (k, v, seq) =>
           graft.streaming.Change(k, v, null, seq)
         },
       table, sinkCkpt, outputMode = "update")
     try {
-      in.addData(
+      val feed = Seq(
         Rec("k1", "Hello Kafka Streams", 0, 1),
         Rec("k2", "All streams lead to Kafka", 0, 2),
         Rec("k3", "Join Kafka Summit", 0, 3))
+      in1.addData(feed)
+      in2.addData(feed)
       q.processAllAvailable()
       sink.processAllAvailable()
 

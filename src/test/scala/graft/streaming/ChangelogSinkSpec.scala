@@ -5,11 +5,13 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import java.nio.file.Files
 
-/** Changelog → materialized table: upserts overwrite, tombstones delete,
-  * re-inserts resurrect, stale batch replays are idempotent. */
+/** Changelog → materialized table: upserts overwrite, tombstones delete
+  * from the view (but are retained as versioned rows), re-inserts
+  * resurrect, and stale batch replays are idempotent — including a stale
+  * upsert replayed AFTER the key was deleted. */
 class ChangelogSinkSpec extends SparkSpec {
 
-  test("stream of changes materializes to latest-per-key table with deletes applied") {
+  test("stream of changes materializes to latest-per-key view with deletes applied") {
     val s = spark
     import s.implicits._
     implicit val sql = s.sqlContext
@@ -22,9 +24,14 @@ class ChangelogSinkSpec extends SparkSpec {
       in.addData(Rec("a", "a2", 0, 3)); q.processAllAvailable()   // overwrite a
       in.addData(Rec("b", null, 0, 4)); q.processAllAvailable()   // delete b
       in.addData(Rec("c", "c1", 0, 5)); q.processAllAvailable()
-      val rows = s.read.parquet(table).as[(String, String, Long)]
+      val live = ChangelogSink.view(s, table).as[(String, String, Long)]
         .collect().sortBy(_._1).toList
-      assert(rows == List(("a", "a2", 3L), ("c", "c1", 5L)))
+      assert(live == List(("a", "a2", 3L), ("c", "c1", 5L)))
+      // the tombstone row is RETAINED (versioned delete, like a compacted
+      // topic before cleanup) — that's what makes post-delete replay safe
+      val raw = s.read.parquet(table).as[(String, Option[String], Long)]
+        .collect().sortBy(_._1).toList
+      assert(raw.contains(("b", None, 4L)))
     } finally q.stop()
   }
 
@@ -37,7 +44,22 @@ class ChangelogSinkSpec extends SparkSpec {
     // replay an OLDER change (at-least-once delivery) — must not regress
     ChangelogSink.applyBatch(
       Seq(Change("k", "v1", null, 3)).toDS(), table)
-    val rows = s.read.parquet(table).as[(String, String, Long)].collect().toList
+    val rows = ChangelogSink.view(s, table).as[(String, String, Long)].collect().toList
     assert(rows == List(("k", "v2", 7L)))
+  }
+
+  test("stale upsert replayed AFTER a delete does not resurrect the key") {
+    val s = spark
+    import s.implicits._
+    val table = Files.createTempDirectory("graft_sink_tomb").toString + "/table"
+    ChangelogSink.applyBatch(Seq(Change("k", "v1", null, 1)).toDS(), table)
+    ChangelogSink.applyBatch(Seq(Change("k", null, "v1", 4)).toDS(), table) // delete
+    ChangelogSink.applyBatch(Seq(Change("k", "v1", null, 1)).toDS(), table) // replay
+    assert(ChangelogSink.view(s, table).count() == 0)
+    // equal-seq tie resolves upsert-over-tombstone (the FK join's tie rule)
+    ChangelogSink.applyBatch(
+      Seq(Change("z", null, null, 9), Change("z", "zv", null, 9)).toDS(), table)
+    val z = ChangelogSink.view(s, table).as[(String, String, Long)].collect().toList
+    assert(z == List(("z", "zv", 9L)))
   }
 }
