@@ -419,6 +419,19 @@ object SparkEntry {
         .select("user_id", "rnk", "event_id", "value")
     }),
 
+    // frame-based analytics: per-user running total and previous-event
+    // delta — key-partitioned windows (shuffle by user_id, in-partition
+    // sort; no global ordering anywhere)
+    "x11_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_sec").asc, col("event_id").asc)
+      ev(s, dir).select(col("user_id"), col("event_id"),
+        round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"),
+        round(col("value") - coalesce(lag("value", 1).over(w), lit(0.0)), 2)
+          .as("delta_prev"))
+    }),
+
     "x6_distinct_count" -> ((s, dir) =>
       Tables.lineitem(s, dir).groupBy("l_returnflag")
         .agg(countDistinct("l_partkey").as("n_parts"),
@@ -910,6 +923,15 @@ object SparkEntry {
         |                       ORDER BY value DESC, event_id ASC) AS rnk
         |  FROM events)
         |WHERE rnk <= 3""".stripMargin,
+
+    "x11_running_sum" ->
+      s"""WITH $evSql
+        |SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |  round(value - coalesce(lag(value, 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts_sec, event_id), 0), 2) AS delta_prev
+        |FROM ev""".stripMargin,
 
     "x6_distinct_count" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
