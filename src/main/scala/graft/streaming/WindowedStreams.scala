@@ -37,6 +37,16 @@ object WindowedStreams {
       .groupBy(window(col(tsCol), width) +: keyCols: _*)
       .agg(sum(valueCol).as("total"))
 
+  /** Sliding (hopping) count per key — the reference's
+    * `advanceBy < size` case (`TimeWindows...advanceBy`, SURVEY.md §2.4
+    * W2 note): each event lands in size/slide overlapping windows; state
+    * per live (key, window) as with tumbling, ×(size/slide) windows. */
+  def slidingCounts(input: DataFrame, tsCol: String, width: String,
+                    slide: String, grace: String, keyCols: Column*): DataFrame =
+    input.withWatermark(tsCol, grace)
+      .groupBy(window(col(tsCol), width, slide) +: keyCols: _*)
+      .count()
+
   /** Session-window count per key (reference
     * `SessionWindows.ofInactivityGapWithNoGrace`, `TopologiesTest.scala:413`).
     *

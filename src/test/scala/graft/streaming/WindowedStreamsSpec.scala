@@ -94,6 +94,28 @@ class WindowedStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows (advanceBy < size): each event counted in every overlapping window") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val in = MemoryStream[Ev]
+    // width 4s, slide 2s: an event at t lands in 2 windows
+    val agg = WindowedStreams.slidingCounts(in.toDF(), "ts", "4 seconds", "2 seconds",
+      "0 seconds", col("key"))
+    val q = agg.select(col("window.start").cast("long").as("win"), col("key"), col("count"))
+      .writeStream.format("memory").queryName("slidecnt").outputMode("update").start()
+    try {
+      in.addData(Ev("k", 1, ts(0)), Ev("k", 1, ts(1)), Ev("k", 1, ts(3)))
+      q.processAllAvailable()
+      val finalRows = s.table("slidecnt")
+        .groupBy("win", "key").agg(max("count").as("cnt"))
+        .as[(Long, String, Long)].collect().toSet
+      // t=0 -> windows [-2,2) [0,4); t=1 -> same; t=3 -> [0,4) [2,6)
+      assert(finalRows == Set(
+        (base - 2, "k", 2L), (base, "k", 3L), (base + 2, "k", 1L)))
+    } finally q.stop()
+  }
+
   test("session windows, 2s gap: foo splits, bar merges (fixture 3)") {
     val s = spark
     import s.implicits._
