@@ -46,9 +46,15 @@ object ChangelogSink {
       }
       .start()
 
-  /** Live rows of the materialized table (tombstones filtered). */
-  def view(spark: SparkSession, tablePath: String): DataFrame =
-    spark.read.parquet(tablePath).filter(col("value").isNotNull)
+  /** Live rows of the materialized table (tombstones filtered). Reads
+    * the backup if a crash left the swap half-done — same recovery rule
+    * as [[applyBatch]]. */
+  def view(spark: SparkSession, tablePath: String): DataFrame = {
+    val target = new Path(tablePath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val path = if (fs.exists(target)) tablePath else tablePath + ".old"
+    spark.read.parquet(path).filter(col("value").isNotNull)
+  }
 
   /** One merge step; also the batch-backfill entry. Idempotent: seq
     * comparison discards stale redeliveries, including post-delete ones
@@ -63,23 +69,37 @@ object ChangelogSink {
     val backup = new Path(tablePath + ".old")
     val fs = target.getFileSystem(conf)
 
+    // temp dirs orphaned by an earlier crash/failed write are never read
+    // by recovery — reclaim them before writing a fresh one
+    fs.globStatus(new Path(tablePath + ".tmp-*")) match {
+      case null => ()
+      case stale => stale.foreach(st => fs.delete(st.getPath, true))
+    }
+
     val current =
       if (fs.exists(target)) spark.read.parquet(target.toString)
       else if (fs.exists(backup)) spark.read.parquet(backup.toString)
       else Seq.empty[(String, String, Long)].toDF("key", "value", "seq")
 
     // one hash aggregation over (current ∪ batch): last change per key by
-    // (seq, upsert-wins) — map-side partials, no pre-aggregation pass
+    // (seq, upsert-wins, value) — the value itself is the final tie-break
+    // so the ordering is total (equal-seq equal-kind duplicates resolve
+    // deterministically to the greatest value), per latestByKey's contract
     val merged = graft.operators.Changelog.latestByKey(
       current.unionByName(batch.select(col("key"), col("value"), col("seq"))),
-      Seq("key"), Seq(col("seq"), col("value").isNotNull))
+      Seq("key"), Seq(col("seq"), col("value").isNotNull, col("value")))
 
     val tmp = new Path(tablePath + ".tmp-" + java.util.UUID.randomUUID())
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // swap: at every point, target or backup holds the full previous table
-    if (fs.exists(backup)) fs.delete(backup, true)
-    if (fs.exists(target) && !fs.rename(target, backup))
-      throw new IllegalStateException(s"backup rename failed for $tablePath")
+    // swap: at EVERY point target or backup holds the full previous
+    // table. The backup is rotated only while target exists; when
+    // recovering (target missing), the surviving backup stays untouched
+    // until the new target is in place.
+    if (fs.exists(target)) {
+      if (fs.exists(backup)) fs.delete(backup, true)
+      if (!fs.rename(target, backup))
+        throw new IllegalStateException(s"backup rename failed for $tablePath")
+    }
     if (!fs.rename(tmp, target))
       throw new IllegalStateException(s"swap rename failed for $tablePath")
     fs.delete(backup, true)

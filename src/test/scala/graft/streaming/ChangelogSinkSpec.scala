@@ -48,6 +48,35 @@ class ChangelogSinkSpec extends SparkSpec {
     assert(rows == List(("k", "v2", 7L)))
   }
 
+  test("half-done swap (only .old survives): view reads backup, next batch recovers all keys") {
+    val s = spark
+    import s.implicits._
+    val table = Files.createTempDirectory("graft_sink_crash").toString + "/table"
+    ChangelogSink.applyBatch(
+      Seq(Change("a", "a1", null, 1), Change("b", "b1", null, 2)).toDS(), table)
+    // simulate a crash between rename(target→.old) and rename(tmp→target):
+    // the committed table survives only as the backup, plus an orphaned tmp
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(table),
+      new org.apache.hadoop.fs.Path(table + ".old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(table + ".tmp-orphan"))
+
+    // reads fall back to the backup
+    val live = ChangelogSink.view(s, table).as[(String, String, Long)]
+      .collect().map(t => t._1 -> t._2).toMap
+    assert(live == Map("a" -> "a1", "b" -> "b1"))
+
+    // the next batch merges ON TOP of the backup — no committed key lost —
+    // and reclaims the orphaned temp dir
+    ChangelogSink.applyBatch(Seq(Change("c", "c1", null, 3)).toDS(), table)
+    val after = ChangelogSink.view(s, table).as[(String, String, Long)]
+      .collect().map(t => t._1 -> t._2).toMap
+    assert(after == Map("a" -> "a1", "b" -> "b1", "c" -> "c1"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(table + ".tmp-orphan")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(table + ".old")))
+  }
+
   test("stale upsert replayed AFTER a delete does not resurrect the key") {
     val s = spark
     import s.implicits._
