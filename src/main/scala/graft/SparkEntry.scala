@@ -419,6 +419,17 @@ object SparkEntry {
         .select("user_id", "rnk", "event_id", "value")
     }),
 
+    // conditional-aggregation pivot: one row per user, one column per
+    // event type — single shuffle on the key, the pivot columns are plain
+    // codegen'd conditional aggregates
+    "x12_pivot" -> ((s, dir) =>
+      ev(s, dir).groupBy("user_id").agg(
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        count(when(col("event_type") === "view", 1)).as("views"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)), 2).as("purchase_value"))),
+
     // frame-based analytics: per-user running total and previous-event
     // delta — key-partitioned windows (shuffle by user_id, in-partition
     // sort; no global ordering anywhere)
@@ -923,6 +934,16 @@ object SparkEntry {
         |                       ORDER BY value DESC, event_id ASC) AS rnk
         |  FROM events)
         |WHERE rnk <= 3""".stripMargin,
+
+    "x12_pivot" ->
+      s"""WITH $evSql
+        |SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS clicks,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS views,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT AS purchases,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+        |    AS purchase_value
+        |FROM ev GROUP BY 1""".stripMargin,
 
     "x11_running_sum" ->
       s"""WITH $evSql
