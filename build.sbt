@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes stdout for Bench's one-line JSON; sbt's default
+// logger decorates forked output with "[info] " which breaks the parse
+// (BENCH_r01/r02 both came back "parsed": null). StdoutOutput passes the
+// child JVM's stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
