@@ -82,12 +82,18 @@ object MinHashSignature {
 
     def hashShingle(from: Int, len: Int): Unit = {
       digest.reset()
+      // concat_ws skips a null token AND its separator ('a',null,'b' → "a b"),
+      // so the separator is written only before a non-null token that follows
+      // at least one other non-null token.
+      var emitted = 0
       var i = 0
       while (i < len) {
-        if (i > 0) digest.update(Space)
-        // null tokens hash as empty (concat_ws skips nulls the same way)
         val tok = tokens.getUTF8String(from + i)
-        if (tok != null) digest.update(tok.getBytes)
+        if (tok != null) {
+          if (emitted > 0) digest.update(Space)
+          digest.update(tok.getBytes)
+          emitted += 1
+        }
         i += 1
       }
       val v = (leading60Bits(digest.digest()) % BaseMod + BaseMod) % BaseMod

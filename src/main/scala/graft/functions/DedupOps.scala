@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, in increasing
@@ -257,6 +257,8 @@ object DedupOps {
       edges.sparkSession.sparkContext.defaultParallelism,
       (edgeCount / 100000L).toInt + 1))
     val sym = symRaw.repartition(parts, col("dst")).localCheckpoint(true)
+    // sym is materialized; the pre-repartition snapshot is now dead weight.
+    GraftShims.unpersistLocalCheckpoint(symRaw)
     // Iterate ONLY over edge-touching nodes: in a 100 TB corpus the vast
     // majority of documents are near-dup singletons — they must never
     // enter (or be shuffled by) the loop. Singletons rejoin at the end.
@@ -264,6 +266,10 @@ object DedupOps {
       .withColumn("label", col("node"))
       .repartition(parts, col("node"))
       .localCheckpoint(true)
+    // The snapshot whose RDD blocks back `labels`; each round's eager
+    // checkpoint supersedes the previous one, which is freed immediately —
+    // otherwise executor storage accumulates O(rounds) label snapshots.
+    var labelsCk = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -275,6 +281,8 @@ object DedupOps {
           labels("label").as("prev"))
         .localCheckpoint(true)
       converged = next.filter(col("label") < col("prev")).isEmpty
+      GraftShims.unpersistLocalCheckpoint(labelsCk)
+      labelsCk = next
       labels = next.select("node", "label")
       i += 1
     }

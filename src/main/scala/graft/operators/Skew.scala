@@ -23,6 +23,9 @@ object Skew {
                           buckets: Int, outCol: String): DataFrame = {
     val keys = keyCols.map(col)
     df.select(keys :+ col(valueCol): _*)
+      // count(DISTINCT v) ignores NULL values; drop them here so the salted
+      // form is equivalent on null-bearing columns too.
+      .filter(col(valueCol).isNotNull)
       .withColumn("__salt", pmod(hash(col(valueCol)), lit(buckets)))
       .distinct() // shuffles on (keys, value-salted) — skew spread
       .groupBy(keys :+ col("__salt"): _*)

@@ -48,12 +48,25 @@ object ChangelogSink {
 
   /** Live rows of the materialized table (tombstones filtered). Reads
     * the backup if a crash left the swap half-done — same recovery rule
-    * as [[applyBatch]]. */
+    * as [[applyBatch]]. A reader concurrent with one writer's swap can
+    * lose the race between the existence check and the parquet load
+    * (target renamed to `.old` in between); the load is retried,
+    * re-resolving which path holds the table — the swap protocol keeps
+    * one of the two complete at every instant. Consume the returned
+    * frame promptly: a swap during a long-running downstream job can
+    * still invalidate the concrete file paths the scan pinned (the
+    * transactional-table MERGE variant is the real concurrent-reader
+    * answer, per the scope note above). */
   def view(spark: SparkSession, tablePath: String): DataFrame = {
     val target = new Path(tablePath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val path = if (fs.exists(target)) tablePath else tablePath + ".old"
-    spark.read.parquet(path).filter(col("value").isNotNull)
+    var last: Throwable = null
+    for (_ <- 0 until 3) {
+      val path = if (fs.exists(target)) tablePath else tablePath + ".old"
+      try return spark.read.parquet(path).filter(col("value").isNotNull)
+      catch { case e: org.apache.spark.sql.AnalysisException => last = e }
+    }
+    throw last
   }
 
   /** One merge step; also the batch-backfill entry. Idempotent: seq

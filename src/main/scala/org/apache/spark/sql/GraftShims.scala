@@ -10,4 +10,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the RDD blocks backing a `localCheckpoint`ed frame.
+    * `Dataset.localCheckpoint` persists an internal RDD wrapped in a
+    * `private[sql]` `LogicalRDD`, so iterative algorithms (label
+    * propagation rounds) have no public handle to free superseded
+    * snapshots — without this, executor storage grows O(rounds). */
+  def unpersistLocalCheckpoint(df: Dataset[_]): Unit = df match {
+    case d: classic.Dataset[_] =>
+      d.queryExecution.analyzed.foreach {
+        case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    case _ => ()
+  }
 }

@@ -30,6 +30,22 @@ class MinHashSignatureSpec extends SparkSpec {
     assert(ref.exceptAll(fast).count() == 0)
   }
 
+  test("null tokens inside the array follow concat_ws semantics (skip token AND separator)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(xs: Any*) = ArrayData.toArrayData(xs.map {
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    }.toArray[Any])
+    // concat_ws(' ', 'a', NULL, 'b') = 'a b' — identical to ('a', 'b')
+    val withNull = MinHashSignature.compute(arr("a", null, "b"), 8, 3)
+    val without = MinHashSignature.compute(arr("a", "b"), 8, 3)
+    assert(withNull.toLongArray().toSeq == without.toLongArray().toSeq)
+    // leading/trailing nulls likewise add no separator
+    val padded = MinHashSignature.compute(arr(null, "a", "b", null), 8, 4)
+    assert(padded.toLongArray().toSeq == without.toLongArray().toSeq)
+  }
+
   test("negative hash count is rejected, not a runtime array error") {
     intercept[Exception] {
       graft.expressions.MinHashSignature.compute(
