@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication operators for training-data pipelines, in increasing
   * fuzziness: exact → MinHash+LSH → SimHash → n-gram Jaccard.
@@ -251,39 +252,54 @@ object DedupOps {
     // pays per-task scheduling overhead times the partition count.
     val symRaw = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true) // materialize pair generation ONCE, before sizing
+      .localCheckpoint() // lazy: the sizing count below materializes it
     val edgeCount = symRaw.count()
     val parts = math.max(1, math.min(
       edges.sparkSession.sparkContext.defaultParallelism,
       (edgeCount / 100000L).toInt + 1))
-    val sym = symRaw.repartition(parts, col("dst")).localCheckpoint(true)
+    val sym = symRaw.repartition(parts, col("src")).localCheckpoint(true)
     // sym is materialized; the pre-repartition snapshot is now dead weight.
     GraftShims.unpersistLocalCheckpoint(symRaw)
     // Iterate ONLY over edge-touching nodes: in a 100 TB corpus the vast
     // majority of documents are near-dup singletons — they must never
     // enter (or be shuffled by) the loop. Singletons rejoin at the end.
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .repartition(parts, col("node"))
-      .localCheckpoint(true)
-    // The snapshot whose RDD blocks back `labels`; each round's eager
-    // checkpoint supersedes the previous one, which is freed immediately —
-    // otherwise executor storage accumulates O(rounds) label snapshots.
+    // The init aggregation does double duty as propagation round 1: with
+    // label(v) = v initially, min(v, min of in-neighbor ids) needs no join
+    // — it falls out of the same groupBy that would dedup the node list.
+    var labels = sym.select(col("src").as("node"), col("dst").as("label"))
+      .unionByName(sym.select(col("src").as("node"), col("src").as("label")))
+      .groupBy("node").agg(min("label").as("label"))
+      .localCheckpoint() // lazy: the first labelSum materializes it
+    // The snapshot whose RDD blocks back `labels`; each round's checkpoint
+    // supersedes the previous one, which is freed immediately — otherwise
+    // executor storage accumulates O(rounds) label snapshots.
     var labelsCk = labels
-    var converged = false
+    // Convergence test without a second per-round job or a prev/next join:
+    // labels only ever take a min, so Σ label is monotonically
+    // non-increasing and strictly decreases until fixpoint — one exact
+    // decimal aggregate doubles as the materializing action for the
+    // round's lazy checkpoint.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))))
+        .first().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = edgeCount == 0
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
-        .groupBy(sym("src").as("nbr_node")).agg(min("label").as("nbr_label"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("nbr_node"), "left_outer")
-        .select(labels("node"),
-          least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"),
-          labels("label").as("prev"))
-        .localCheckpoint(true)
-      converged = next.filter(col("label") < col("prev")).isEmpty
+      // min over {own label} ∪ {labels of in-neighbors}: one hash join +
+      // one map-side-partial min aggregation per round
+      val next = labels.unionByName(
+          sym.join(labels, sym("src") === labels("node"))
+            .select(col("dst").as("node"), col("label")))
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       GraftShims.unpersistLocalCheckpoint(labelsCk)
       labelsCk = next
-      labels = next.select("node", "label")
+      labels = next
       i += 1
     }
     // Truncation must be an ERROR, not silently-split clusters: a dedup
