@@ -350,6 +350,12 @@ object SparkEntry {
     "s3_ivf_assign" -> ((s, dir) =>
       SimilarityOps.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding", 16)),
 
+    // the IVF *search* half: probe nprobe nearest cells, exact top-k
+    // within probed cells only — one corpus shuffle total
+    "s4_ivf_topk" -> ((s, dir) =>
+      SimilarityOps.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 16, queryPred = col("vec_id") < 20, nprobe = 4, topN = 5)),
+
     // text analysis --------------------------------------------------------
 
     "t1_langid" -> ((s, dir) =>
@@ -853,6 +859,46 @@ object SparkEntry {
         |  FROM v, c)
         |SELECT vec_id, arg_max(cid, score) AS centroid_id
         |FROM scored GROUP BY 1""".stripMargin,
+
+    "s4_ivf_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+        |         (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cn FROM v WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, arg_max(cid, score) AS cid FROM (
+        |    SELECT v.vec_id, cid,
+        |      round(round(list_reduce(list_transform(range(1, len(v.embedding) + 1),
+        |              i -> v.embedding[i]::DOUBLE * cv[i]::DOUBLE),
+        |            (x, y) -> x + y) / (v.nrm * cn), 6) * 1000000)::BIGINT * 100 - cid AS score
+        |    FROM v, c) GROUP BY 1),
+        |probes AS (
+        |  SELECT query_id, cid FROM (
+        |    SELECT q.vec_id AS query_id, cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(round(list_reduce(list_transform(range(1, len(q.embedding) + 1),
+        |                i -> q.embedding[i]::DOUBLE * cv[i]::DOUBLE),
+        |              (x, y) -> x + y) / (q.nrm * cn), 6) * 1000000)::BIGINT * 100 - cid DESC) AS rn
+        |    FROM v q, c WHERE q.vec_id < 20)
+        |  WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1, len(q.embedding) + 1),
+        |            i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE),
+        |          (x, y) -> x + y) / (q.nrm * n.nrm), 6) AS sim
+        |  FROM probes p
+        |  JOIN assign a ON a.cid = p.cid
+        |  JOIN v n ON n.vec_id = a.vec_id
+        |  JOIN v q ON q.vec_id = p.query_id
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT query_id, rank, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
 
     "t1_langid" ->
       """SELECT doc_id,

@@ -204,6 +204,10 @@ object DedupOps {
     val members = p.select(col("a").as(idCol))
       .union(p.select(col("b").as(idCol))).distinct()
     val pruned = docs.join(members, Seq(idCol), "left_semi")
+    // referenced three times (sizes + both intersection hops) — left as a
+    // plan, NOT materialized: the three references share one shuffle via
+    // exchange reuse, and an eager checkpoint here A/B-measured slower
+    // (extra sync barrier + fresh codegen for the post-checkpoint stages).
     val sh = shingleRows(pruned, idCol, textCol, shingleN).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // hash-join on (doc, shingle) both hops — never a per-pair cross product

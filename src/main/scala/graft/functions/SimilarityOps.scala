@@ -131,6 +131,62 @@ object SimilarityOps {
       .agg(max_by(col("cid"), col("score")).as("centroid_id"))
   }
 
+  /** IVF search — the scale path ANN query. Probe the `nprobe`
+    * nearest centroid cells per query, then exact cosine top-k among only
+    * the corpus vectors assigned to a probed cell: the per-query work is
+    * Σ|probed cells| instead of the whole corpus.
+    *
+    * Shuffle audit: ONE corpus-sized exchange (the cell-assignment
+    * argmax, which carries each vector once); centroids, probe lists and
+    * query vectors are all broadcast; the final top-k is the bounded
+    * [[Aggregators.topK]] (k rows per query per partition map-side).
+    * Recall is governed by (k, nprobe) exactly as in a production IVF
+    * index; centroids here are the deterministic id<k convention shared
+    * with [[ivfAssign]] and the SQL oracle (swap in k-means in
+    * production). */
+  def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+              queryPred: Column, nprobe: Int, topN: Int): DataFrame = {
+    val v = withNorm(vecs, vecCol)
+    val cents = v.filter(col(idCol) < k)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("nrm").as("cn"))
+    val cellScore = (vec: Column, nrm: Column) =>
+      round(cosine(vec, col("cv"), nrm, col("cn")) * 1000000, 0)
+        .cast("long") * 100 - col("cid")
+    // index build: nearest cell per corpus vector, vector carried through
+    // the one corpus shuffle so candidates need no second corpus join
+    val assigned = v.join(broadcast(cents), lit(true))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("nrm").as("nn"),
+        col("cid"), cellScore(col(vecCol), col("nrm")).as("score"))
+      .groupBy("neighbor_id")
+      .agg(max_by(col("cid"), col("score")).as("cid"),
+        first(col("nv")).as("nv"), first(col("nn")).as("nn"))
+    // probe lists: nprobe best cells per query (same score encoding, so
+    // the ranking is portable to the oracle); queries are few by
+    // construction — the bounded aggregator keeps this a tiny exchange
+    val topCells = udaf(Aggregators.topK(nprobe), Encoders.product[ScoredHit])
+    val q = v.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .select(col("query_id"),
+        cellScore(col("qv"), col("qn")).cast("double").as("score"), col("cid"))
+      .groupBy("query_id")
+      .agg(topCells(col("score"), col("cid")).as("tc"))
+      .select(col("query_id"), explode(col("tc.hits")).as("h"))
+      .select(col("query_id"), col("h.neighbor_id").as("cid"))
+    // candidates stream map-side past the broadcast probe/query tables
+    val topk = udaf(Aggregators.topK(topN), Encoders.product[ScoredHit])
+    assigned.join(broadcast(probes), "cid")
+      .join(broadcast(q), "query_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv"), col("qn"), col("nn")).as("sim"))
+      .groupBy("query_id")
+      .agg(topk(col("sim"), col("neighbor_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.hits")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("sim"))
+  }
+
   /** Sign-bucket id over the first `bits` dimensions: bit i set iff
     * dim i > 0 — an axis-aligned instance of random-hyperplane LSH,
     * deterministic and engine-portable. */
