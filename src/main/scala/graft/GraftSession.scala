@@ -24,6 +24,19 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Keep the codegen stage id OUT of generated class names: under AQE
+      // the id reflects runtime stage ordering, so structurally identical
+      // plan fragments (every round of an iterative algorithm, every
+      // re-run of a query) would get fresh class names and miss the
+      // compiled-class cache — measured ~12 needless Janino compiles per
+      // connected-components round. The id stays in the explain output.
+      .config("spark.sql.codegen.useIdInClassName", "false")
+      // The compiled-class cache defaults to 100 entries; a session running
+      // many distinct queries (or an iterative loop with several stages per
+      // round) cycles past that and recompiles on every revisit. Classes
+      // are small; 1000 entries is a few MB of metaspace. (Static conf —
+      // must be set before the session exists.)
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")

@@ -24,6 +24,11 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("SCRATCH_CGLOG")) {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
+        org.apache.logging.log4j.Level.DEBUG)
+    }
     import org.apache.spark.metrics.source.CodegenMetrics
     targets.foreach { name =>
       val fn = SparkEntry.queries(name)

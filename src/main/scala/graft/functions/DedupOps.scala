@@ -246,10 +246,60 @@ object DedupOps {
     * Components in MapReduce and Beyond") — same join primitives, fewer
     * rounds; not needed for threshold-blob graphs.
     *
+    * Small graphs short-circuit to a driver union-find: the edge list has
+    * already survived LSH banding AND exact-Jaccard thresholding, so in
+    * practice it is minuscule next to the corpus (tens of pairs per 10⁴
+    * docs here). When it fits the `driverEdgeBudget`, a sequential
+    * union-find with path compression (O(E·α)) replaces O(diameter)
+    * distributed rounds whose per-round job-scheduling cost dwarfs the
+    * actual work; above the budget — or for non-integral id types — the
+    * distributed loop runs. The budget bounds driver memory explicitly
+    * (2^22 edges ≈ 64 MB collected), the same small-side reasoning as a
+    * broadcast-join threshold; both paths compute the identical fixpoint
+    * and both stay spec- and oracle-covered.
+    *
     * `nodes`: one column, the node id. `edges`: columns `a`, `b`. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          driverEdgeBudget: Long = 1L << 22): DataFrame = {
     val idCol = nodes.columns.head
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val idType = edges.schema("a").dataType
+    val budgetProbe = math.min(driverEdgeBudget + 1, Int.MaxValue.toLong).toInt
+    // Probe and payload in ONE pass: collect up to budget+1 edges; an
+    // overflowing row falls through to the distributed loop (re-running
+    // the edge pipeline once — bounded, rare), otherwise the collected
+    // array IS the working set and the upstream pipeline ran exactly once.
+    val probed: Array[org.apache.spark.sql.Row] =
+      if ((idType == LongType || idType == IntegerType) && driverEdgeBudget > 0)
+        edges.select(col("a").cast("long"), col("b").cast("long"))
+          .limit(budgetProbe).collect()
+      else null
+    if (probed != null && probed.length <= driverEdgeBudget) {
+      val pairs = probed.map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val touched = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labels = touched.map(n => (n, find(n))).toSeq
+        .toDF("node", "label")
+        .select(col("node").cast(idType).as("node"), col("label").cast(idType).as("label"))
+      return nodes.select(col(idCol).as("node"))
+        .join(broadcast(labels), Seq("node"), "left_outer")
+        .select(col("node").as(idCol),
+          coalesce(col("label"), col("node")).as("cluster_id"))
+    }
     // The edge list is usually orders of magnitude smaller than the node
     // set (it already passed a similarity threshold); size the loop's
     // parallelism to the edges, not the session default — every round

@@ -42,10 +42,17 @@ class ConnectedComponentsPropertySpec extends SparkSpec {
     (1 to 10).foreach { i =>
       val (nodes, edges) = graphGen(Gen.Parameters.default, Seed(i.toLong))
         .getOrElse(fail(s"generator failed for seed $i"))
-      val out = DedupOps.connectedComponents(
+      val expected = unionFind(nodes, edges)
+      // distributed label-propagation loop (budget 0 forces it)
+      val loop = DedupOps.connectedComponents(
+          nodes.toDF("doc_id"), edges.toDF("a", "b"), driverEdgeBudget = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(loop == expected, s"loop: seed $i nodes=$nodes edges=$edges")
+      // driver union-find fast path (default budget)
+      val fast = DedupOps.connectedComponents(
           nodes.toDF("doc_id"), edges.toDF("a", "b"))
         .as[(Long, Long)].collect().toMap
-      assert(out == unionFind(nodes, edges), s"seed $i nodes=$nodes edges=$edges")
+      assert(fast == expected, s"fast: seed $i nodes=$nodes edges=$edges")
     }
   }
 }
