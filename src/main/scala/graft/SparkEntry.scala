@@ -505,6 +505,47 @@ object SparkEntry {
       graft.operators.Skew.saltedDistinctCount(
         ev(s, dir), Seq("event_type"), "user_id", buckets = 16, outCol = "n_users")),
 
+    // per-class rebalancing: each event_type keeps its own deterministic
+    // rate (rare classes whole, dominant classes thinned) — still a pure
+    // map-side hash filter, stable under repartitioning
+    "x13_stratified_sample" -> ((s, dir) =>
+      graft.functions.Sampling.stratifiedSampleByHash(
+        ev(s, dir), col("event_id"), col("event_type"),
+        Map("click" -> 10, "view" -> 5, "error" -> 0, "purchase" -> 100),
+        defaultPct = 25)
+        .select("event_id", "user_id", "event_type")),
+
+    // TF-IDF: per-document top term by tf·ln((N+1)/(df+1)); term and
+    // document frequencies aggregate map-side, the vocabulary join is the
+    // only exchange that scales with corpus distinct-term count
+    "t6_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tf = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfc, "term").crossJoin(broadcast(total))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log((col("n_docs") + 1).cast("double") /
+            (col("df") + 1).cast("double")), 6).as("tfidf"))
+      // portable argmax: max score per doc, then min term among the ties
+      val best = scored.groupBy("doc_id").agg(max("tfidf").as("tfidf"))
+      scored.join(best, Seq("doc_id", "tfidf"))
+        .groupBy("doc_id")
+        .agg(min("term").as("top_term"), max("tfidf").as("tfidf"))
+    }),
+
+    // SemDeDup shape: IVF-cell blocking (data-driven, unlike d6's label
+    // column) + salted intra-cell cosine pairs — embedding near-dup whose
+    // blocking needs no labels and whose parallelism no hot cell bounds
+    "d8_semantic_dedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cells = SimilarityOps.ivfAssign(e, "vec_id", "embedding", 16)
+      SimilarityOps.saltedBlockPairs(e.join(cells, "vec_id"),
+        "centroid_id", "vec_id", "embedding", shards = 8, minSim = 0.3)
+    }),
+
     // the reference's custom Reducer (IntegerAdd) as a typed Aggregator
     // registered through functions.udaf: exact per-user cents total
     "a6_custom_udaf" -> ((s, dir) => {
@@ -900,6 +941,30 @@ object SparkEntry {
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
 
+    "d8_semantic_dedup" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+        |         (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cn FROM v WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, arg_max(cid, score) AS cid FROM (
+        |    SELECT v.vec_id, cid,
+        |      round(round(list_reduce(list_transform(range(1, len(v.embedding) + 1),
+        |              i -> v.embedding[i]::DOUBLE * cv[i]::DOUBLE),
+        |            (x, y) -> x + y) / (v.nrm * cn), 6) * 1000000)::BIGINT * 100 - cid AS score
+        |    FROM v, c) GROUP BY 1)
+        |SELECT a, b, sim FROM (
+        |  SELECT l.vec_id AS a, r.vec_id AS b,
+        |    round(list_reduce(list_transform(range(1, len(l.embedding) + 1),
+        |            i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE),
+        |          (x, y) -> x + y) / (l.nrm * r.nrm), 6) AS sim
+        |  FROM v l, v r, assign la, assign ra
+        |  WHERE la.vec_id = l.vec_id AND ra.vec_id = r.vec_id
+        |    AND la.cid = ra.cid AND l.vec_id < r.vec_id)
+        |WHERE sim >= 0.3""".stripMargin,
+
     "t1_langid" ->
       """SELECT doc_id,
         |  CASE WHEN regexp_matches(text, '[^\x00-\x7F]') THEN 'other'
@@ -1024,12 +1089,36 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1""".stripMargin,
 
+    "x13_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT event_id, user_id, event_type,
+        |    ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+        |  FROM events)
+        |SELECT event_id, user_id, event_type FROM h
+        |WHERE b < CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 5
+        |          WHEN 'error' THEN 0 WHEN 'purchase' THEN 100 ELSE 25 END""".stripMargin,
+
     "t5_quantiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 4) AS p50,
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY 1""".stripMargin,
+
+    "t6_tfidf" ->
+      s"""WITH $toksSql,
+        |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE), 6) AS tfidf
+        |  FROM tf JOIN dfc USING (term) CROSS JOIN nd),
+        |best AS (SELECT doc_id, max(tfidf) AS tfidf FROM scored GROUP BY 1)
+        |SELECT s.doc_id, min(s.term) AS top_term, max(s.tfidf) AS tfidf
+        |FROM scored s JOIN best b ON s.doc_id = b.doc_id AND s.tfidf = b.tfidf
+        |GROUP BY s.doc_id""".stripMargin,
 
     "c1_curation" ->
       s"""WITH $toksSql,

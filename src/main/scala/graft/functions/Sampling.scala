@@ -32,6 +32,21 @@ object Sampling {
   def sampleByHash(df: DataFrame, key: Column, pct: Int, buckets: Int = 100): DataFrame =
     df.filter(hashBucket(key, buckets) < pct)
 
+  /** Per-stratum deterministic sampling — the class-rebalancing primitive
+    * (downsample dominant classes, keep rare ones whole). The stratum
+    * picks the keep-rate; the row's fate is still decided by the content
+    * hash of its key, so the op stays a pure map-side filter and a row's
+    * membership is stable under any repartition or rate change to OTHER
+    * strata. Strata absent from `rates` keep `defaultPct`. */
+  def stratifiedSampleByHash(df: DataFrame, key: Column, stratum: Column,
+                             rates: Map[String, Int], defaultPct: Int,
+                             buckets: Int = 100): DataFrame = {
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(stratum === s, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(key, buckets) < pct)
+  }
+
   /** Disjoint train/validation/test split by key hash: returns a bucket
     * label column, e.g. 0..79 → "train", 80..89 → "val", 90..99 → "test"
     * for the default 80/10/10. Splits are disjoint and exhaustive by
