@@ -13,12 +13,15 @@ import org.apache.spark.sql.{Dataset, Encoder}
   * JPEG SOF, WAV RIFF — plain byte arithmetic, no codec libraries), the
   * record/feature schemas, partition-local batched decode plumbing
   * (`mapPartitions` in fixed-size batches — the same batch shape a
-  * vectorized/Arrow UDF would see).
+  * vectorized/Arrow UDF would see), AND pixel/sample decode for the
+  * modalities the JDK itself can read: [[ImageIoFeatureDecoder]]
+  * (PNG/JPEG/GIF/BMP via `javax.imageio`) and [[WavFeatureDecoder]]
+  * (WAV/PCM via `javax.sound.sampled`), routed per record by
+  * [[JdkFeatureDecoder]].
   *
-  * What is STUBBED: pixel/sample decoding into features.
-  * [[StubFeatureDecoder]] produces a deterministic hash-derived vector —
-  * this container has no image/audio libraries. Swap in a real
-  * [[FeatureDecoder]] (e.g. JNI to a codec, or an ONNX runtime) without
+  * What is STUBBED: modalities with no JDK codec (video frames).
+  * [[StubFeatureDecoder]] produces a deterministic hash-derived vector;
+  * swap in a real [[FeatureDecoder]] (JNI codec, ONNX runtime) without
   * touching any of the plumbing.
   */
 object Multimodal {
@@ -163,10 +166,106 @@ object ImageIoFeatureDecoder extends FeatureDecoder {
     }
 }
 
+/** REAL audio decoder on the JDK's own codec: `javax.sound.sampled`
+  * ships a WAV/PCM reader, so sample decode needs no external libraries.
+  * Proves the [[FeatureDecoder]] contract on actual audio samples;
+  * undecodable payloads fall back to [[StubFeatureDecoder]].
+  *
+  * Features (deterministic): durationMin, channels/8, sampleRate/48k,
+  * RMS amplitude, peak amplitude, zero-crossing rate (channel 0),
+  * mean amplitude, amplitude stddev — the cheap global statistics an
+  * audio curation pipeline gates on (silence, clipping, noise). */
+object WavFeatureDecoder extends FeatureDecoder {
+  val Dim = 8
+
+  override def decodeBatch(batch: Seq[(MediaMeta, Array[Byte])]): Seq[Array[Float]] =
+    batch.map { case (meta, bytes) =>
+      val decoded =
+        if (bytes == null) null
+        else try decodePcm(bytes) catch { case _: Throwable => null }
+      decoded match {
+        case null => StubFeatureDecoder.decodeBatch(Seq((meta, bytes))).head
+        case (samples, channels, sampleRate) if samples.nonEmpty =>
+          val n = samples.length
+          var sum, sum2, peak = 0.0
+          var zc = 0
+          var i = 0
+          var prev = samples(0)
+          while (i < n) {
+            val s = samples(i)
+            sum += s; sum2 += s * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            // zero crossings on channel 0 only (stride = channel count)
+            if (i >= channels && (channels == 1 || i % channels == 0)) {
+              if (s * prev < 0) zc += 1
+              prev = s
+            }
+            i += 1
+          }
+          val mean = sum / n
+          val std = math.sqrt(math.max(0.0, sum2 / n - mean * mean))
+          val frames = n.toDouble / channels
+          val durMin = frames / sampleRate / 60.0
+          val zcr = if (frames > 1) zc / (frames - 1) else 0.0
+          Array(durMin.toFloat, channels / 8f, sampleRate / 48000f,
+            math.sqrt(sum2 / n).toFloat, peak.toFloat, zcr.toFloat,
+            mean.toFloat, std.toFloat)
+        case _ => StubFeatureDecoder.decodeBatch(Seq((meta, bytes))).head
+      }
+    }
+
+  /** PCM samples normalized to [-1, 1], interleaved; returns
+    * (samples, channels, sampleRate). Covers the JDK reader's PCM forms:
+    * 16-bit signed (either endianness) and 8-bit unsigned. */
+  private def decodePcm(bytes: Array[Byte]): (Array[Float], Int, Int) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val raw = ais.readAllBytes()
+      val samples =
+        if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16) {
+          val out = new Array[Float](raw.length / 2)
+          var i = 0
+          while (i < out.length) {
+            val lo = raw(2 * i) & 0xff
+            val hi = raw(2 * i + 1) & 0xff
+            val v = if (fmt.isBigEndian) (raw(2 * i) << 8) | hi else (raw(2 * i + 1) << 8) | lo
+            out(i) = v / 32768f
+            i += 1
+          }
+          out
+        } else if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8) {
+          raw.map(b => ((b & 0xff) - 128) / 128f)
+        } else null
+      if (samples == null) null else (samples, fmt.getChannels, fmt.getSampleRate.toInt)
+    } finally ais.close()
+  }
+}
+
+/** One decoder for a mixed-modality corpus: route each record to the JDK
+  * codec for its container (imageio for PNG/JPEG, sampled-audio for WAV);
+  * modalities without a JDK codec (video frames) take the stub. */
+object JdkFeatureDecoder extends FeatureDecoder {
+  val Dim = 8
+
+  override def decodeBatch(batch: Seq[(MediaMeta, Array[Byte])]): Seq[Array[Float]] =
+    batch.map { rec =>
+      rec._1.mediaType match {
+        case "image/png" | "image/jpeg" => ImageIoFeatureDecoder.decodeBatch(Seq(rec)).head
+        case "audio/wav" => WavFeatureDecoder.decodeBatch(Seq(rec)).head
+        case _ => StubFeatureDecoder.decodeBatch(Seq(rec)).head
+      }
+    }
+}
+
 /** STUB — deterministic fake decoder for modalities whose codecs the JDK
-  * does not ship (audio samples, video frames); this stands in with a
-  * hash-derived vector (stable across runs/engines) so the pipeline
-  * plumbing is fully exercisable. Marked ??? on the real path. */
+  * does not ship (video frames; exotic image/audio containers); stands in
+  * with a hash-derived vector (stable across runs/engines) so the
+  * pipeline plumbing is fully exercisable. Marked ??? on the real path. */
 object StubFeatureDecoder extends FeatureDecoder {
   val Dim = 8
 

@@ -84,6 +84,59 @@ class MultimodalSpec extends SparkSpec {
 
   private def f1Meta(bytes: Array[Byte]) = Multimodal.parseMeta(bytes)
 
+  /** A genuine WAV file produced by the JDK's own encoder (16-bit mono
+    * PCM sine), so the decode test exercises the real reader round-trip,
+    * not a hand-rolled header. */
+  private def sineWav(sampleRate: Int, seconds: Double, amp: Double,
+                      freq: Double): Array[Byte] = {
+    val n = (sampleRate * seconds).toInt
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (amp * math.sin(2 * math.Pi * freq * i / sampleRate) * 32767).toInt
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real WAV decode via javax.sound.sampled: sine fixture → physical features") {
+    val s = spark
+    import s.implicits._
+    val bytes = sineWav(8000, 0.25, 0.5, 440)
+    val meta = Multimodal.parseMeta(bytes)
+    assert(meta.mediaType == "audio/wav" && meta.channels == 1 && meta.sampleRate == 8000)
+
+    val ds = s.createDataset(Seq(MediaRecord(1L, meta, bytes)))
+    val Array(f) = Multimodal.extractFeatures(ds, WavFeatureDecoder).collect()
+    val feats = f.features
+    assert(feats.length == WavFeatureDecoder.Dim)
+    assert(math.abs(feats(1) - 1f / 8f) < 1e-6)        // channels
+    assert(math.abs(feats(2) - 8000f / 48000f) < 1e-6) // sample rate
+    assert(math.abs(feats(3) - (0.5 / math.sqrt(2)).toFloat) < 0.01) // RMS of a 0.5-amp sine
+    assert(math.abs(feats(4) - 0.5f) < 0.01)           // peak
+    assert(feats(5) > 0.08f && feats(5) < 0.15f)       // zcr ≈ 2·440/8000 = 0.11
+    assert(math.abs(feats(6)) < 0.01)                  // sine mean ≈ 0
+    assert(feats.toList != StubFeatureDecoder.decodeBatch(Seq((meta, bytes))).head.toList)
+  }
+
+  test("JdkFeatureDecoder routes each record of a mixed batch to its codec") {
+    val in = getClass.getResourceAsStream("/fixture.png")
+    val png = in.readAllBytes(); in.close()
+    val wav = sineWav(8000, 0.1, 0.3, 200)
+    val junk = "definitely not media".getBytes
+    val batch = Seq(png, wav, junk).map(b => (Multimodal.parseMeta(b), b))
+    val out = JdkFeatureDecoder.decodeBatch(batch)
+    assert(out(0).toList == ImageIoFeatureDecoder.decodeBatch(Seq(batch(0))).head.toList)
+    assert(out(1).toList == WavFeatureDecoder.decodeBatch(Seq(batch(1))).head.toList)
+    assert(out(2).toList == StubFeatureDecoder.decodeBatch(Seq(batch(2))).head.toList)
+  }
+
   test("undecodable bytes fall back to the stub path") {
     val wav = wavBytes(16000, 1, 320)
     val out = ImageIoFeatureDecoder.decodeBatch(
