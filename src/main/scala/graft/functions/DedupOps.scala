@@ -258,6 +258,11 @@ object DedupOps {
     * broadcast-join threshold; both paths compute the identical fixpoint
     * and both stay spec- and oracle-covered.
     *
+    * NOTE: construction is EAGER when the fast path is considered (the
+    * probe collect runs the upstream edge pipeline once at builder time,
+    * like [[ngramJaccard]]'s candidate materialization) — callers that
+    * only want the unexecuted plan should pass `driverEdgeBudget = 0`.
+    *
     * `nodes`: one column, the node id. `edges`: columns `a`, `b`. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 50,
@@ -265,17 +270,19 @@ object DedupOps {
     val idCol = nodes.columns.head
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val idType = edges.schema("a").dataType
-    val budgetProbe = math.min(driverEdgeBudget + 1, Int.MaxValue.toLong).toInt
+    // A collect cannot exceed Int.MaxValue rows, so larger budgets clamp
+    // (saturating — no overflow for e.g. Long.MaxValue "unlimited").
+    val budget = math.min(math.max(driverEdgeBudget, 0L), (Int.MaxValue - 1).toLong)
     // Probe and payload in ONE pass: collect up to budget+1 edges; an
     // overflowing row falls through to the distributed loop (re-running
     // the edge pipeline once — bounded, rare), otherwise the collected
     // array IS the working set and the upstream pipeline ran exactly once.
     val probed: Array[org.apache.spark.sql.Row] =
-      if ((idType == LongType || idType == IntegerType) && driverEdgeBudget > 0)
+      if ((idType == LongType || idType == IntegerType) && budget > 0)
         edges.select(col("a").cast("long"), col("b").cast("long"))
-          .limit(budgetProbe).collect()
+          .limit(budget.toInt + 1).collect()
       else null
-    if (probed != null && probed.length <= driverEdgeBudget) {
+    if (probed != null && probed.length <= budget) {
       val pairs = probed.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -306,7 +313,7 @@ object DedupOps {
     // pays per-task scheduling overhead times the partition count.
     val symRaw = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint() // lazy: the sizing count below materializes it
+      .localCheckpoint(false) // lazy: the sizing count below materializes it
     val edgeCount = symRaw.count()
     val parts = math.max(1, math.min(
       edges.sparkSession.sparkContext.defaultParallelism,
@@ -323,7 +330,7 @@ object DedupOps {
     var labels = sym.select(col("src").as("node"), col("dst").as("label"))
       .unionByName(sym.select(col("src").as("node"), col("src").as("label")))
       .groupBy("node").agg(min("label").as("label"))
-      .localCheckpoint() // lazy: the first labelSum materializes it
+      .localCheckpoint(false) // lazy: the first labelSum materializes it
     // The snapshot whose RDD blocks back `labels`; each round's checkpoint
     // supersedes the previous one, which is freed immediately — otherwise
     // executor storage accumulates O(rounds) label snapshots.
@@ -347,7 +354,9 @@ object DedupOps {
           sym.join(labels, sym("src") === labels("node"))
             .select(col("dst").as("node"), col("label")))
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint()
+        // lazy (no-arg localCheckpoint is EAGER): labelSum is the round's
+        // single action — it materializes the snapshot AND tests fixpoint
+        .localCheckpoint(false)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -138,7 +138,9 @@ object ImageIoFeatureDecoder extends FeatureDecoder {
         if (bytes == null) null
         else
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Throwable => null }
+          // NonFatal only: an OOM or task-kill interrupt must fail the
+          // task, not silently hand the record stub features
+          catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) StubFeatureDecoder.decodeBatch(Seq((meta, bytes))).head
       else {
         val w = img.getWidth
@@ -182,7 +184,8 @@ object WavFeatureDecoder extends FeatureDecoder {
     batch.map { case (meta, bytes) =>
       val decoded =
         if (bytes == null) null
-        else try decodePcm(bytes) catch { case _: Throwable => null }
+        // NonFatal only — same rationale as ImageIoFeatureDecoder
+        else try decodePcm(bytes) catch { case scala.util.control.NonFatal(_) => null }
       decoded match {
         case null => StubFeatureDecoder.decodeBatch(Seq((meta, bytes))).head
         case (samples, channels, sampleRate) if samples.nonEmpty =>

@@ -23,13 +23,13 @@ object Skew {
                           buckets: Int, outCol: String): DataFrame = {
     val keys = keyCols.map(col)
     df.select(keys :+ col(valueCol): _*)
-      // count(DISTINCT v) ignores NULL values; drop them here so the salted
-      // form is equivalent on null-bearing columns too.
-      .filter(col(valueCol).isNotNull)
       .withColumn("__salt", pmod(hash(col(valueCol)), lit(buckets)))
       .distinct() // shuffles on (keys, value-salted) — skew spread
       .groupBy(keys :+ col("__salt"): _*)
-      .agg(count(lit(1)).as("__partial"))
+      // count(col) skips NULL values — exactly count(DISTINCT v) semantics,
+      // including a 0 row for a group whose values are all NULL (which a
+      // row-level null pre-filter would silently drop from the output)
+      .agg(count(col(valueCol)).as("__partial"))
       .groupBy(keys: _*)
       .agg(sum("__partial").as(outCol))
   }

@@ -61,7 +61,10 @@ object ChangelogSink {
     val target = new Path(tablePath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var last: Throwable = null
-    for (_ <- 0 until 3) {
+    for (attempt <- 0 until 3) {
+      // back off so the retries span a real swap window (two renames by a
+      // possibly GC-paused writer), not three microsecond-spaced probes
+      if (attempt > 0) Thread.sleep(25L << attempt)
       val path = if (fs.exists(target)) tablePath else tablePath + ".old"
       try return spark.read.parquet(path).filter(col("value").isNotNull)
       catch { case e: org.apache.spark.sql.AnalysisException => last = e }

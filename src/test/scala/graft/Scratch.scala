@@ -14,7 +14,10 @@ object Scratch {
     }
     sys.env.get("SCRATCH_CONF").foreach { kvs =>
       kvs.split(";").foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => sys.error(s"SCRATCH_CONF entry needs key=value, got: $kv")
+        }
       }
     }
     if (sys.env.contains("SCRATCH_EXPLAIN")) {

@@ -20,6 +20,21 @@ class SkewSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("saltedDistinctCount matches count(DISTINCT) NULL semantics, incl. all-NULL groups") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", Some(1)), ("a", Some(1)), ("a", Some(2)), ("a", None), // nulls not counted
+      ("b", None), ("b", None)                                     // all-NULL group → 0 row
+    ).toDF("k", "v")
+    val direct = df.groupBy("k").agg(countDistinct("v").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedDistinctCount(df, Seq("k"), "v", 4, "n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(direct == Map("a" -> 2L, "b" -> 0L))
+    assert(salted == direct)
+  }
+
   test("saltedJoin equals plain join (inner, with a genuinely hot key)") {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey", "l_quantity")
     val part = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
