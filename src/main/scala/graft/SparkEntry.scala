@@ -546,6 +546,15 @@ object SparkEntry {
         "centroid_id", "vec_id", "embedding", shards = 8, minSim = 0.3)
     }),
 
+    // exactly-50-per-class balanced subset — deterministic reservoir via
+    // the bounded k-smallest-by-hash aggregate (n·partitions rows per
+    // class cross the shuffle; no per-class row_number window)
+    "x14_balanced_sample" -> ((s, dir) =>
+      graft.functions.Sampling.balancedSample(
+        ev(s, dir), col("event_type"), col("event_id"), 50)
+        .select(col("stratum").as("event_type"), col("rank"),
+          col("id").as("event_id"))),
+
     // the reference's custom Reducer (IntegerAdd) as a typed Aggregator
     // registered through functions.udaf: exact per-user cents total
     "a6_custom_udaf" -> ((s, dir) => {
@@ -1088,6 +1097,14 @@ object SparkEntry {
     "x9_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "x14_balanced_sample" ->
+      """SELECT event_type, rank, event_id FROM (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY md5(event_id::VARCHAR) ASC, event_id ASC) AS rank
+        |  FROM events)
+        |WHERE rank <= 50""".stripMargin,
 
     "x13_stratified_sample" ->
       """WITH h AS (

@@ -11,6 +11,12 @@ case class ScoredHit(sim: Double, neighbor_id: Long)
   * of input size. */
 case class TopKHits(hits: Seq[ScoredHit])
 
+/** One (sort key, id) pair inside a bounded k-smallest-by-key buffer. */
+case class KeyedHit(key: String, id: Long)
+
+/** Bounded k-smallest buffer ordered (key asc, id asc). */
+case class TopKKeyed(hits: Seq[KeyedHit])
+
 /** Typed custom aggregates — the general form of the reference's
   * `Reducer` hook (`IntegerAdd`, reference `TopologiesTest.scala:355-357`;
   * SURVEY.md §2.8). A Spark `Aggregator[IN, BUF, OUT]` gets map-side
@@ -58,6 +64,32 @@ object Aggregators {
       override def finish(r: TopKHits): TopKHits = r
       override def bufferEncoder: Encoder[TopKHits] = Encoders.product[TopKHits]
       override def outputEncoder: Encoder[TopKHits] = Encoders.product[TopKHits]
+    }
+
+  /** Bounded k-smallest by (key asc, id asc) — the string-ordered sibling
+    * of [[topK]], for deterministic per-group subset selection (e.g. "the
+    * k rows with the smallest content hash per class"). Same scale
+    * contract: each partition reduces to ≤ k hits per group map-side, so
+    * the shuffle moves k·partitions rows per group — never the group. */
+  def topKByKey(k: Int): Aggregator[KeyedHit, TopKKeyed, TopKKeyed] =
+    new Aggregator[KeyedHit, TopKKeyed, TopKKeyed] {
+      private def lt(a: KeyedHit, b: KeyedHit): Boolean =
+        a.key < b.key || (a.key == b.key && a.id < b.id)
+      private def prune(s: Seq[KeyedHit]): Seq[KeyedHit] =
+        s.sortBy(h => (h.key, h.id)).take(k)
+      override def zero: TopKKeyed = TopKKeyed(Vector.empty)
+      override def reduce(b: TopKKeyed, a: KeyedHit): TopKKeyed =
+        if (b.hits.size >= k && !lt(a, b.hits.last)) b
+        else {
+          val at = b.hits.indexWhere(h => lt(a, h))
+          val pos = if (at < 0) b.hits.size else at
+          TopKKeyed(((b.hits.take(pos) :+ a) ++ b.hits.drop(pos)).take(k))
+        }
+      override def merge(a: TopKKeyed, b: TopKKeyed): TopKKeyed =
+        TopKKeyed(prune(a.hits ++ b.hits))
+      override def finish(r: TopKKeyed): TopKKeyed = r
+      override def bufferEncoder: Encoder[TopKKeyed] = Encoders.product[TopKKeyed]
+      override def outputEncoder: Encoder[TopKKeyed] = Encoders.product[TopKKeyed]
     }
 
   /** Numerically-stable mean via (sum, count) buffer — demonstrates a

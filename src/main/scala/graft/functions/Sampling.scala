@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -45,6 +45,27 @@ object Sampling {
       when(stratum === s, lit(p)).otherwise(acc)
     }
     df.filter(hashBucket(key, buckets) < pct)
+  }
+
+  /** Exactly-n-per-stratum balanced subset: for each stratum keep the n
+    * rows with the smallest (md5(key), key) — a deterministic reservoir,
+    * so the subset is stable across runs, engines, and partitionings,
+    * unlike `sample`/reservoir RNGs. Selection is the bounded
+    * [[Aggregators.topKByKey]] aggregate: every partition reduces to ≤ n
+    * candidates per stratum map-side, so the shuffle moves n·partitions
+    * rows per stratum — NOT a per-stratum `row_number` window, whose
+    * exchange would carry every row of every stratum.
+    * Returns (stratum, rank, id) rows; join back on id for payloads. */
+  def balancedSample(df: DataFrame, stratum: Column, idCol: Column,
+                     n: Int): DataFrame = {
+    val pick = udaf(Aggregators.topKByKey(n), Encoders.product[KeyedHit])
+    df.select(stratum.as("stratum"),
+        md5(idCol.cast("string")).as("__h"), idCol.cast("long").as("__id"))
+      .groupBy("stratum")
+      .agg(pick(col("__h"), col("__id")).as("tk"))
+      .select(col("stratum"), posexplode(col("tk.hits")))
+      .select(col("stratum"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("id"))
   }
 
   /** Disjoint train/validation/test split by key hash: returns a bucket

@@ -52,6 +52,26 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s4 IVF search: broadcast probes/queries, bounded top-k, no window") {
+    val p = planOf("s4_ivf_topk")
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("d8 semantic dedup joins on the cell key — no cartesian pair blowup") {
+    val p = planOf("d8_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t6 TF-IDF aggregates with partials — no window, no cartesian corpus join") {
+    val p = planOf("t6_tfidf")
+    assert(!p.contains("WindowExec"), p)
+    // the N-docs scalar rides a broadcast, never a shuffled cross join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("text queries run the codegen'd tokenizer, not the regex split") {
     Seq("a2_wordcount", "t2_quality").foreach { q =>
       val p = planOf(q)
