@@ -555,6 +555,13 @@ object SparkEntry {
         .select(col("stratum").as("event_type"), col("rank"),
           col("id").as("event_id"))),
 
+    // KMV distinct sketch: k smallest hashes per group → (k−1)/u estimate;
+    // engine-exact (unlike HLL) so the oracle gate applies to the sketch —
+    // the x6/x9 distinct family's bounded-state sibling
+    "x15_kmv_distinct" -> ((s, dir) =>
+      graft.functions.Sketches.kmvDistinct(
+        ev(s, dir), Seq("event_type"), "user_id", k = 64, outCol = "est_users")),
+
     // the reference's custom Reducer (IntegerAdd) as a typed Aggregator
     // registered through functions.udaf: exact per-user cents total
     "a6_custom_udaf" -> ((s, dir) => {
@@ -1097,6 +1104,20 @@ object SparkEntry {
     "x9_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "x15_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS hx FROM events),
+        |r AS (SELECT event_type, hx,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn
+        |      FROM h),
+        |agg AS (SELECT event_type, count(*)::BIGINT AS n,
+        |          max(CASE WHEN rn = 64 THEN hx END) AS kth
+        |        FROM r GROUP BY 1)
+        |SELECT event_type,
+        |  round(CASE WHEN n < 64 THEN n::DOUBLE
+        |    ELSE 63.0 / (('0x' || substr(kth, 1, 15))::BIGINT::DOUBLE / 1152921504606846976.0)
+        |  END, 4) AS est_users
+        |FROM agg""".stripMargin,
 
     "x14_balanced_sample" ->
       """SELECT event_type, rank, event_id FROM (

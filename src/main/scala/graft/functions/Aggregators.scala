@@ -68,7 +68,9 @@ object Aggregators {
 
   /** Bounded k-smallest by (key asc, id asc) — the string-ordered sibling
     * of [[topK]], for deterministic per-group subset selection (e.g. "the
-    * k rows with the smallest content hash per class"). Same scale
+    * k rows with the smallest content hash per class"). SET semantics: an
+    * exact (key, id) duplicate is inserted once — which makes the buffer
+    * double as a KMV distinct sketch ([[kmvEstimate]]). Same scale
     * contract: each partition reduces to ≤ k hits per group map-side, so
     * the shuffle moves k·partitions rows per group — never the group. */
   def topKByKey(k: Int): Aggregator[KeyedHit, TopKKeyed, TopKKeyed] =
@@ -76,14 +78,17 @@ object Aggregators {
       private def lt(a: KeyedHit, b: KeyedHit): Boolean =
         a.key < b.key || (a.key == b.key && a.id < b.id)
       private def prune(s: Seq[KeyedHit]): Seq[KeyedHit] =
-        s.sortBy(h => (h.key, h.id)).take(k)
+        s.sortBy(h => (h.key, h.id)).distinct.take(k)
       override def zero: TopKKeyed = TopKKeyed(Vector.empty)
       override def reduce(b: TopKKeyed, a: KeyedHit): TopKKeyed =
         if (b.hits.size >= k && !lt(a, b.hits.last)) b
         else {
           val at = b.hits.indexWhere(h => lt(a, h))
           val pos = if (at < 0) b.hits.size else at
-          TopKKeyed(((b.hits.take(pos) :+ a) ++ b.hits.drop(pos)).take(k))
+          // sorted buffer ⇒ a duplicate of `a` can only sit right before
+          // the insertion point (it satisfies neither lt(a,·) nor lt(·,a))
+          if (pos > 0 && !lt(b.hits(pos - 1), a)) b
+          else TopKKeyed(((b.hits.take(pos) :+ a) ++ b.hits.drop(pos)).take(k))
         }
       override def merge(a: TopKKeyed, b: TopKKeyed): TopKKeyed =
         TopKKeyed(prune(a.hits ++ b.hits))
