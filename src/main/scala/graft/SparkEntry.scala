@@ -555,6 +555,18 @@ object SparkEntry {
         .select(col("stratum").as("event_type"), col("rank"),
           col("id").as("event_id"))),
 
+    // sequence packing: documents → fixed-token-budget bins (next-fit in
+    // hash buckets; deterministic, one bucket-keyed exchange, per-bucket
+    // windows only — never a global order)
+    "x16_seq_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      graft.functions.Packing.packByBudget(docs, col("doc_id"), col("nt"),
+          budget = 512, buckets = 16)
+        .select(col("id").as("doc_id"), col("bucket"), col("bin"),
+          col("n_tokens"))
+    }),
+
     // KMV distinct sketch: k smallest hashes per group → (k−1)/u estimate;
     // engine-exact (unlike HLL) so the oracle gate applies to the sketch —
     // the x6/x9 distinct family's bounded-state sibling
@@ -1104,6 +1116,20 @@ object SparkEntry {
     "x9_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "x16_seq_pack" ->
+      s"""WITH $toksSql,
+        |t AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+        |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS bucket,
+        |        md5(doc_id::VARCHAR) AS h
+        |      FROM toks),
+        |c AS (SELECT doc_id, bucket, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t)
+        |SELECT doc_id, bucket::INT AS bucket,
+        |  ((cum - n_tokens) // 512)::BIGINT AS bin, n_tokens
+        |FROM c""".stripMargin,
 
     "x15_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS hx FROM events),
