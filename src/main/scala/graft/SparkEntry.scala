@@ -1132,7 +1132,8 @@ object SparkEntry {
         |FROM c""".stripMargin,
 
     "x15_kmv_distinct" ->
-      """WITH h AS (SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS hx FROM events),
+      """WITH h AS (SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS hx
+        |           FROM events WHERE user_id IS NOT NULL),
         |r AS (SELECT event_type, hx,
         |        row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn
         |      FROM h),

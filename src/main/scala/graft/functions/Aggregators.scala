@@ -70,10 +70,11 @@ object Aggregators {
     * of [[topK]], for deterministic per-group subset selection (e.g. "the
     * k rows with the smallest content hash per class"). SET semantics: an
     * exact (key, id) duplicate is inserted once — which makes the buffer
-    * double as a KMV distinct sketch ([[kmvEstimate]]). Same scale
+    * double as a KMV distinct sketch ([[Sketches.kmvDistinct]]). Same scale
     * contract: each partition reduces to ≤ k hits per group map-side, so
     * the shuffle moves k·partitions rows per group — never the group. */
-  def topKByKey(k: Int): Aggregator[KeyedHit, TopKKeyed, TopKKeyed] =
+  def topKByKey(k: Int): Aggregator[KeyedHit, TopKKeyed, TopKKeyed] = {
+    require(k > 0, s"topKByKey needs k > 0, got $k")
     new Aggregator[KeyedHit, TopKKeyed, TopKKeyed] {
       private def lt(a: KeyedHit, b: KeyedHit): Boolean =
         a.key < b.key || (a.key == b.key && a.id < b.id)
@@ -81,7 +82,10 @@ object Aggregators {
         s.sortBy(h => (h.key, h.id)).distinct.take(k)
       override def zero: TopKKeyed = TopKKeyed(Vector.empty)
       override def reduce(b: TopKKeyed, a: KeyedHit): TopKKeyed =
-        if (b.hits.size >= k && !lt(a, b.hits.last)) b
+        // a null sort key (hash of a NULL value) is no observation at all —
+        // the count(DISTINCT …) convention of ignoring NULLs
+        if (a.key == null) b
+        else if (b.hits.size >= k && !lt(a, b.hits.last)) b
         else {
           val at = b.hits.indexWhere(h => lt(a, h))
           val pos = if (at < 0) b.hits.size else at
@@ -96,6 +100,7 @@ object Aggregators {
       override def bufferEncoder: Encoder[TopKKeyed] = Encoders.product[TopKKeyed]
       override def outputEncoder: Encoder[TopKKeyed] = Encoders.product[TopKKeyed]
     }
+  }
 
   /** Numerically-stable mean via (sum, count) buffer — demonstrates a
     * composite buffer the way a real sketch would carry one. */

@@ -5,16 +5,21 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing for pretraining batches: assign documents to
-  * fixed-token-budget bins so a downstream batch builder can concatenate
-  * each bin into one training sequence.
+  * token-budget bins so a downstream batch builder can concatenate each
+  * bin into one training sequence.
   *
-  * True first-fit bin packing is inherently sequential; the distributed,
-  * deterministic variant here is NEXT-FIT within hash buckets: documents
-  * are spread over `buckets` by content hash (stable under repartitioning
-  * and re-runs), ordered deterministically inside each bucket (hash, id),
-  * and a running token total assigns `bin = floor((cum − own) / budget)`.
-  * A document longer than the budget ends up in a bin it overflows —
-  * next-fit semantics; filter or truncate upstream if that matters.
+  * Scheme: CONCAT-ORDER CHUNKING (the concat-then-split layout pretraining
+  * pipelines use, with documents kept whole). Documents are spread over
+  * `buckets` by content hash (stable under repartitioning and re-runs),
+  * laid out in a deterministic order inside each bucket (hash, id), and a
+  * document joins the bin whose budget window contains its START offset:
+  * `bin = floor((cum − own) / budget)`. Consequently a bin's token total
+  * is budget-targeted but NOT budget-capped — the document straddling the
+  * boundary stays whole, so a bin overflows by strictly less than the
+  * length of its last document (spec-asserted). Truncate or filter
+  * oversized documents upstream if a hard cap matters; closed-bin
+  * (never-overflow) packing is a sequential recurrence that cannot be a
+  * window function — do it per bin downstream if required.
   *
   * Scale: one exchange on the bucket id; the per-bucket window sorts only
   * its bucket, and `buckets` is the parallelism knob (more buckets =

@@ -58,6 +58,13 @@ object Sampling {
     * Returns (stratum, rank, id) rows; join back on id for payloads. */
   def balancedSample(df: DataFrame, stratum: Column, idCol: Column,
                      n: Int): DataFrame = {
+    require(n > 0, s"balancedSample needs n > 0, got $n")
+    // the hit buffer carries the id as a Long; a string key would ANSI-fail
+    // the cast at runtime — reject it up front (select the payload by
+    // joining back on a numeric surrogate if needed)
+    val idType = df.select(idCol).schema.head.dataType
+    require(Seq("long", "int", "integer", "short", "byte").contains(idType.typeName),
+      s"balancedSample needs an integral id column, got ${idType.catalogString}")
     val pick = udaf(Aggregators.topKByKey(n), Encoders.product[KeyedHit])
     df.select(stratum.as("stratum"),
         md5(idCol.cast("string")).as("__h"), idCol.cast("long").as("__id"))

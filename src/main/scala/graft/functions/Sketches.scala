@@ -28,7 +28,8 @@ object Sketches {
   private val TwoPow60 = 1152921504606846976.0 // the hash is 60 bits
 
   /** Per-group KMV distinct estimate of `valueCol`, rounded to 4 places
-    * (exact below k distinct values). */
+    * (exact below k distinct values). NULL values are ignored — the
+    * count(DISTINCT …) convention (the buffer skips null hash keys). */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Int = 256, outCol: String = "est_distinct"): DataFrame = {
     require(k >= 3, s"KMV needs k >= 3, got $k")

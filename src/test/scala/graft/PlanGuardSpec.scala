@@ -72,6 +72,19 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("x14/x15 use the bounded aggregate — no per-class row_number window") {
+    Seq("x14_balanced_sample", "x15_kmv_distinct").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("WindowExec"), s"$q grew a window:\n$p")
+      assert(p.contains("ObjectHashAggregate"), s"$q lost the bounded aggregate:\n$p")
+    }
+  }
+
+  test("x16 packing window is bucket-partitioned, never a global order") {
+    val p = planOf("x16_seq_pack")
+    assert(p.contains("windowspecdefinition(bucket"), p)
+  }
+
   test("text queries run the codegen'd tokenizer, not the regex split") {
     Seq("a2_wordcount", "t2_quality").foreach { q =>
       val p = planOf(q)

@@ -38,6 +38,15 @@ class SketchesSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("NULL values are ignored, per count(DISTINCT) convention") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", Some(1)), ("g", Some(2)), ("g", None), ("g", None))
+      .toDF("g", "v")
+    val Array(row) = Sketches.kmvDistinct(df, Seq("g"), "v", k = 16).collect()
+    assert(row.getDouble(1) == 2.0)
+  }
+
   test("k below 3 is rejected") {
     val s = spark
     import s.implicits._
