@@ -296,6 +296,16 @@ object SparkEntry {
           col("event_type") === "error")
         .select("user_id", "event_id")),
 
+    // KGroupedTable re-aggregation semantics, batch twin: aggregate over
+    // the LATEST row per key, grouped by a derived attribute — what the
+    // incremental adder/subtractor operator (streaming.TableAggregate)
+    // maintains; its replay equivalence to this shape is spec-asserted
+    "k3_table_reagg" -> ((s, dir) =>
+      latestEvents(s, dir)
+        .groupBy("event_type")
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("total_cents"),
+          count(lit(1)).as("n_users"))),
+
     // dedup suite ----------------------------------------------------------
 
     "d1_exact_dedup" -> ((s, dir) =>
@@ -769,6 +779,13 @@ object SparkEntry {
     "k2_upsert_tombstone" ->
       s"""WITH $latestSql
         |SELECT user_id, event_id FROM latest WHERE event_type <> 'error'""".stripMargin,
+
+    "k3_table_reagg" ->
+      s"""WITH $latestSql
+        |SELECT event_type,
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS total_cents,
+        |  count(*) AS n_users
+        |FROM latest GROUP BY 1""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
