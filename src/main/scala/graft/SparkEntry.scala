@@ -565,6 +565,29 @@ object SparkEntry {
         .select(col("stratum").as("event_type"), col("rank"),
           col("id").as("event_id"))),
 
+    // TPC-H Q5 shape: six-way join, region/nation broadcast down the dim
+    // cascade, facts shuffle once on their join keys, one partial-agg'd
+    // group-by — the join-order/broadcast stress test
+    "j11_q5_local_supplier" -> ((s, dir) => {
+      val asia = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir).join(broadcast(asia),
+        col("n_regionkey") === col("r_regionkey"))
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
     // sequence packing: documents → fixed-token-budget bins (next-fit in
     // hash buckets; deterministic, one bucket-keyed exchange, per-bucket
     // windows only — never a global order)
@@ -1133,6 +1156,18 @@ object SparkEntry {
     "x9_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "j11_q5_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
 
     "x16_seq_pack" ->
       s"""WITH $toksSql,

@@ -27,7 +27,8 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("dimension joins broadcast (j4, j6, j7, j10) — no shuffled dim side") {
-    Seq("j4_ktable_join", "j6_fk_left_join", "j7_fk_inner_join", "j10_q3_shipping")
+    Seq("j4_ktable_join", "j6_fk_left_join", "j7_fk_inner_join", "j10_q3_shipping",
+        "j11_q5_local_supplier")
       .foreach { q =>
         val p = planOf(q)
         assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join:\n$p")
