@@ -47,4 +47,37 @@ class TableAggregateSpec extends SparkSpec {
       assert(state == truth)
     } finally q.stop()
   }
+
+  test("randomized replay equivalence: incremental == batch on random tables") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val recs = (1 to 60).map { i =>
+        val key = s"u${rnd.nextInt(8)}"
+        val value =
+          if (rnd.nextInt(5) == 0) null // tombstone
+          else s"g${rnd.nextInt(3)}|${rnd.nextInt(100)}"
+        Rec(key, value, i.toLong, i.toLong)
+      }
+      val truth = TableAggregate.sumByGroup(
+          KTableStream.changes(s.createDataset(recs)), grpOf, amtOf)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+      val in = MemoryStream[Rec]
+      var state = Map.empty[String, (Long, Long)]
+      val q = TableAggregate.sumByGroup(KTableStream.changes(in.toDS()), grpOf, amtOf)
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach { r =>
+            state += r.getString(0) -> (r.getLong(1), r.getLong(2))
+          }
+        }.start()
+      try {
+        recs.grouped(13).foreach { f => in.addData(f: _*); q.processAllAvailable() }
+        assert(state == truth, s"seed $seed")
+      } finally q.stop()
+    }
+  }
 }
