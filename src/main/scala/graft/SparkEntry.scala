@@ -584,7 +584,7 @@ object SparkEntry {
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("revenue"))
     }),
 
@@ -1159,7 +1159,7 @@ object SparkEntry {
 
     "j11_q5_local_supplier" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey

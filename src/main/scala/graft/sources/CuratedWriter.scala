@@ -25,6 +25,8 @@ object CuratedWriter {
             sortCols: Seq[Column], filesPerDir: Int): Unit = {
     require(filesPerDir > 0, s"filesPerDir must be positive, got $filesPerDir")
     require(sortCols.nonEmpty, "sortCols must be non-empty (they drive file assignment)")
+    require(!df.columns.contains("__file"),
+      "input already has a __file column — rename it; write() uses that name internally")
     val dirs = partitionCols.map(col)
     df.withColumn("__file", pmod(hash(sortCols: _*), lit(filesPerDir)))
       .repartition(dirs :+ col("__file"): _*)

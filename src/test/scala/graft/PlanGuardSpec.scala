@@ -26,7 +26,7 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), p)
   }
 
-  test("dimension joins broadcast (j4, j6, j7, j10) — no shuffled dim side") {
+  test("dimension joins broadcast (j4, j6, j7, j10, j11) — no shuffled dim side") {
     Seq("j4_ktable_join", "j6_fk_left_join", "j7_fk_inner_join", "j10_q3_shipping",
         "j11_q5_local_supplier")
       .foreach { q =>

@@ -61,9 +61,19 @@ class TableAggregateSpec extends SparkSpec {
           else s"g${rnd.nextInt(3)}|${rnd.nextInt(100)}"
         Rec(key, value, i.toLong, i.toLong)
       }
-      val truth = TableAggregate.sumByGroup(
-          KTableStream.changes(s.createDataset(recs)), grpOf, amtOf)
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // INDEPENDENT truth — plain Scala fold, no Spark operator involved:
+      // apply the recs in seq order to a map, then aggregate the survivors.
+      // (Using the operator's own one-batch run as truth would let a
+      // systematic adder/subtractor bug cancel out on both sides.)
+      val finalTable = recs.sortBy(_.seq).foldLeft(Map.empty[String, String]) {
+        case (m, r) => if (r.value == null) m - r.key else m + (r.key -> r.value)
+      }
+      val truth = finalTable.values.groupBy(grpOf)
+        .map { case (g, vs) => g -> (vs.map(amtOf).sum, vs.size.toLong) }
+      // groups whose keys all vanished keep a (0, 0) row in the operator's
+      // running state — add them so the comparison is exact
+      val touched = recs.flatMap(r => Option(r.value)).map(grpOf).toSet
+      val expected = touched.map(g => g -> truth.getOrElse(g, (0L, 0L))).toMap
 
       val in = MemoryStream[Rec]
       var state = Map.empty[String, (Long, Long)]
@@ -76,7 +86,7 @@ class TableAggregateSpec extends SparkSpec {
         }.start()
       try {
         recs.grouped(13).foreach { f => in.addData(f: _*); q.processAllAvailable() }
-        assert(state == truth, s"seed $seed")
+        assert(state == expected, s"seed $seed")
       } finally q.stop()
     }
   }
