@@ -366,6 +366,11 @@ object SparkEntry {
       SimilarityOps.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 16, queryPred = col("vec_id") < 20, nprobe = 4, topN = 5)),
 
+    // int8 embedding quantization — map-side, zero shuffles; outputs are
+    // scalar summaries so the quantized vectors stay hash-checkable
+    "s5_quantize" -> ((s, dir) =>
+      SimilarityOps.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")),
+
     // text analysis --------------------------------------------------------
 
     "t1_langid" -> ((s, dir) =>
@@ -1032,6 +1037,20 @@ object SparkEntry {
         |  WHERE la.vec_id = l.vec_id AND ra.vec_id = r.vec_id
         |    AND la.cid = ra.cid AND l.vec_id < r.vec_id)
         |WHERE sim >= 0.3""".stripMargin,
+
+    "s5_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, mx,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 127.0 / mx)::INT) AS qv
+        |  FROM m)
+        |SELECT vec_id, round(mx, 6) AS max_abs,
+        |  md5(list_aggregate(list_transform(qv, v -> v::VARCHAR), 'string_agg', ',')) AS q_digest,
+        |  list_aggregate(qv, 'sum')::BIGINT AS q_sum
+        |FROM q""".stripMargin,
 
     "t1_langid" ->
       """SELECT doc_id,

@@ -187,6 +187,31 @@ object SimilarityOps {
         col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("sim"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the 4×
+    * storage/bandwidth reduction a 100 TB vector corpus takes before
+    * anything else. Per vector: scale by 127/max|x| and round each
+    * dimension away from zero; reported as scalar summaries (digest, sum)
+    * so the engine-exact contract is hash-checkable without array-typed
+    * outputs. Map-side only, zero shuffles.
+    *
+    * Determinism notes: the per-element expression is `(v · 127) / mx`
+    * with that exact association (a different parenthesization rounds
+    * differently in corner cases), and `mx` is materialized as a column
+    * FIRST so the interpreted HOF lambda does not re-derive an O(d)
+    * array_max per element. */
+  def quantizeInt8(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val withMax = vecs.select(col(idCol),
+      col(vecCol).as("__v"),
+      array_max(transform(col(vecCol), v => abs(v.cast("double")))).as("__mx"))
+    val q = transform(col("__v"),
+      v => round(v.cast("double") * lit(127.0) / col("__mx"), 0).cast("int"))
+    withMax.select(col(idCol), round(col("__mx"), 6).as("max_abs"),
+        q.as("__q"))
+      .select(col(idCol), col("max_abs"),
+        md5(concat_ws(",", transform(col("__q"), _.cast("string")))).as("q_digest"),
+        aggregate(col("__q"), lit(0L), (acc, v) => acc + v).as("q_sum"))
+  }
+
   /** Sign-bucket id over the first `bits` dimensions: bit i set iff
     * dim i > 0 — an axis-aligned instance of random-hyperplane LSH,
     * deterministic and engine-portable. */
