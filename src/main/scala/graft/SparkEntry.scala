@@ -605,6 +605,20 @@ object SparkEntry {
           col("n_tokens"))
     }),
 
+    // corpus n-gram statistics: top-20 bigrams — explode pairs from the
+    // materialized token array (element_at is 1-based in BOTH engines),
+    // map-side count partials, distributed top-k (TakeOrderedAndProject)
+    "x17_bigram_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2) // sequence(1,0) would DESCEND in Spark
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram").asc)
+        .limit(20)),
+
     // KMV distinct sketch: k smallest hashes per group → (k−1)/u estimate;
     // engine-exact (unlike HLL) so the oracle gate applies to the sketch —
     // the x6/x9 distinct family's bounded-state sibling
@@ -1187,6 +1201,16 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1""".stripMargin,
+
+    "x17_bigram_stats" ->
+      s"""WITH $toksSql
+        |SELECT bigram, count(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |           i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM toks WHERE len(t) >= 2)
+        |GROUP BY 1
+        |ORDER BY cnt DESC, bigram ASC
+        |LIMIT 20""".stripMargin,
 
     "x16_seq_pack" ->
       s"""WITH $toksSql,
