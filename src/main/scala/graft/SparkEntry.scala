@@ -612,9 +612,9 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(TextAnalysis.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2) // sequence(1,0) would DESCEND in Spark
-        .select(explode(expr(
-          "transform(sequence(1, size(t) - 1), " +
-            "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))")).as("bigram"))
+        // the dedup family's shingle builder at n=2 IS word bigrams — one
+        // definition of the n-gram convention, not a second copy
+        .select(explode(DedupOps.shingles(col("t"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram").asc)
         .limit(20)),
@@ -1060,7 +1060,7 @@ object SparkEntry {
         |q AS (
         |  SELECT vec_id, mx,
         |    list_transform(embedding, x -> round(x::DOUBLE * 127.0 / mx)::INT) AS qv
-        |  FROM m)
+        |  FROM m WHERE mx > 0)
         |SELECT vec_id, round(mx, 6) AS max_abs,
         |  md5(list_aggregate(list_transform(qv, v -> v::VARCHAR), 'string_agg', ',')) AS q_digest,
         |  list_aggregate(qv, 'sum')::BIGINT AS q_sum

@@ -190,9 +190,12 @@ object SimilarityOps {
   /** Symmetric int8 quantization of an embedding column — the 4×
     * storage/bandwidth reduction a 100 TB vector corpus takes before
     * anything else. Per vector: scale by 127/max|x| and round each
-    * dimension away from zero; reported as scalar summaries (digest, sum)
-    * so the engine-exact contract is hash-checkable without array-typed
-    * outputs. Map-side only, zero shuffles.
+    * dimension to nearest (ties away from zero — both engines' round);
+    * reported as scalar summaries (digest, sum) so the engine-exact
+    * contract is hash-checkable without array-typed outputs. Map-side
+    * only, zero shuffles. Degenerate rows (empty or all-zero vectors have
+    * no scale) are dropped, and that is part of the contract — quantize
+    * only what can be reconstructed.
     *
     * Determinism notes: the per-element expression is `(v · 127) / mx`
     * with that exact association (a different parenthesization rounds
@@ -203,6 +206,9 @@ object SimilarityOps {
     val withMax = vecs.select(col(idCol),
       col(vecCol).as("__v"),
       array_max(transform(col(vecCol), v => abs(v.cast("double")))).as("__mx"))
+      // all-zero/empty vectors have no scale: 127/0 is NaN and the int
+      // cast would ANSI-fail — excluded by contract (documented above)
+      .filter(col("__mx") > 0)
     val q = transform(col("__v"),
       v => round(v.cast("double") * lit(127.0) / col("__mx"), 0).cast("int"))
     withMax.select(col(idCol), round(col("__mx"), 6).as("max_abs"),
