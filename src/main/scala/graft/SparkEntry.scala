@@ -371,6 +371,11 @@ object SparkEntry {
     "s5_quantize" -> ((s, dir) =>
       SimilarityOps.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")),
 
+    // quantization QA: reconstruction error per vector — the metric an
+    // int8 rollout is gated on; map-side, zero shuffles
+    "s6_quant_error" -> ((s, dir) =>
+      SimilarityOps.quantError(Tables.embeddings(s, dir), "vec_id", "embedding")),
+
     // text analysis --------------------------------------------------------
 
     "t1_langid" -> ((s, dir) =>
@@ -1065,6 +1070,26 @@ object SparkEntry {
         |  md5(list_aggregate(list_transform(qv, v -> v::VARCHAR), 'string_agg', ',')) AS q_digest,
         |  list_aggregate(qv, 'sum')::BIGINT AS q_sum
         |FROM q""".stripMargin,
+
+    "s6_quant_error" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, mx, embedding,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 127.0 / mx)::INT) AS qv
+        |  FROM m WHERE mx > 0),
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> embedding[i]::DOUBLE - qv[i]::DOUBLE * mx / 127.0) AS errs
+        |  FROM q)
+        |SELECT vec_id,
+        |  round(list_max(list_transform(errs, x -> abs(x))), 8) AS max_abs_err,
+        |  round(list_reduce(list_transform(errs, x -> x * x), (x, y) -> x + y)
+        |        / len(embedding), 8) AS mse
+        |FROM e""".stripMargin,
 
     "t1_langid" ->
       """SELECT doc_id,

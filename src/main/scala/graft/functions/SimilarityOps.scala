@@ -218,6 +218,29 @@ object SimilarityOps {
         aggregate(col("__q"), lit(0L), (acc, v) => acc + v).as("q_sum"))
   }
 
+  /** Reconstruction error of [[quantizeInt8]] per vector: max absolute
+    * error and mean squared error of dequantized (q·mx/127) against the
+    * original — the QA metric a quantization rollout is gated on. Same
+    * determinism discipline (materialized columns, fixed fold order,
+    * exact operand association); same degenerate-row contract. */
+  def quantError(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val withMax = vecs.select(col(idCol),
+        col(vecCol).as("__v"),
+        array_max(transform(col(vecCol), v => abs(v.cast("double")))).as("__mx"))
+      .filter(col("__mx") > 0)
+    val q = transform(col("__v"),
+      v => round(v.cast("double") * lit(127.0) / col("__mx"), 0).cast("int"))
+    val errs = zip_with(col("__v"), col("__q"),
+      (x, qv) => x.cast("double") - qv.cast("double") * col("__mx") / lit(127.0))
+    withMax.select(col(idCol), col("__mx"), q.as("__q"), col("__v"))
+      .select(col(idCol), col("__mx"), col("__v"), errs.as("__e"))
+      .select(col(idCol),
+        round(aggregate(col("__e"), lit(0.0), (acc, e) => greatest(acc, abs(e))), 8)
+          .as("max_abs_err"),
+        round(aggregate(col("__e"), lit(0.0), (acc, e) => acc + e * e) /
+          size(col("__v")), 8).as("mse"))
+  }
+
   /** Sign-bucket id over the first `bits` dimensions: bit i set iff
     * dim i > 0 — an axis-aligned instance of random-hyperplane LSH,
     * deterministic and engine-portable. */
