@@ -40,6 +40,10 @@ object Bench {
     if (p.getParent != null) Files.createDirectories(p.getParent)
     Files.write(p, (json + "\n").getBytes(StandardCharsets.UTF_8))
     println(json)
+    // The per-query line can exceed a log tail window and get clipped at
+    // the head; repeat the headline number on its own short line so a
+    // parser that only sees the tail still gets the total.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }
