@@ -75,6 +75,7 @@ object GraftExtensions {
     exprFn("graft_hash_bucket", 2)(cs => SqlExprs.hashBucket(cs.head, cs(1))),
     exprFn("ascii_word_tokens", 1)(cs => graft.expressions.AsciiWordTokens(cs.head)),
     exprFn("graft_simhash16", 1)(cs => graft.expressions.SimHash16(cs.head)),
+    exprFn("graft_simhash64", 1)(cs => graft.expressions.SimHash64(cs.head)),
     exprFn("graft_minhash", 2)(cs => {
       val k = cs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) if v > 0 => v

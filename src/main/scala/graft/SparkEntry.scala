@@ -323,11 +323,13 @@ object SparkEntry {
     }),
 
     "d4_simhash" -> ((s, dir) =>
-      DedupOps.simhash16(Tables.documents(s, dir), "doc_id", "text")),
+      DedupOps.simhash64(Tables.documents(s, dir), "doc_id", "text")),
 
+    // (maxDist+1)-band blocking over 64-bit signatures: perfect recall by
+    // pigeonhole, bucket-local join — the shape that survives 100 TB
     "d5_simhash_neardup" -> ((s, dir) =>
-      DedupOps.simhashPairs(
-        DedupOps.simhash16(Tables.documents(s, dir), "doc_id", "text"), 3)),
+      DedupOps.simhashPairsBanded(
+        DedupOps.simhash64(Tables.documents(s, dir), "doc_id", "text"), 3)),
 
     // near-dup pairs → dedup clusters: connected components over the
     // verified-Jaccard graph; cluster_id = min reachable doc_id, so
@@ -890,40 +892,51 @@ object SparkEntry {
         |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.node = e.d)
         |SELECT node AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY 1""".stripMargin,
 
+    // 64-bit signature: assemble in HUGEINT (BIGINT << 63 overflows in
+    // DuckDB), then two's-complement fold to signed BIGINT to match
+    // Spark's long — bit 63 is the sign bit in both engines
     "d4_simhash" ->
       s"""WITH $toksSql,
         |h AS (SELECT doc_id, md5(unnest(t)) AS h FROM toks),
         |b AS (
         |  SELECT doc_id, i AS bitpos,
         |    strpos('0123456789abcdef', substr(h, (i // 4)::INT + 1, 1)) - 1 AS nib
-        |  FROM h, unnest(range(0, 16)) AS u(i)),
+        |  FROM h, unnest(range(0, 64)) AS u(i)),
         |bits AS (
         |  SELECT doc_id, bitpos,
         |    CASE WHEN sum(((nib >> (3 - (bitpos % 4))::INT) % 2) * 2 - 1) > 0
         |         THEN 1 ELSE 0 END AS bit
-        |  FROM b GROUP BY 1, 2)
-        |SELECT doc_id, sum(bit::BIGINT << bitpos::INT)::BIGINT AS simhash
-        |FROM bits GROUP BY 1""".stripMargin,
+        |  FROM b GROUP BY 1, 2),
+        |u AS (SELECT doc_id, sum(bit::HUGEINT << bitpos::INT) AS s FROM bits GROUP BY 1)
+        |SELECT doc_id,
+        |  (CASE WHEN s >= 9223372036854775808::HUGEINT
+        |        THEN s - 18446744073709551616::HUGEINT ELSE s END)::BIGINT AS simhash
+        |FROM u""".stripMargin,
 
+    // oracle is the plain all-pairs Hamming filter: band blocking has
+    // perfect recall at hamming <= maxDist (pigeonhole), so the engine's
+    // banded result must equal this exactly
     "d5_simhash_neardup" ->
       s"""WITH $toksSql,
         |h AS (SELECT doc_id, md5(unnest(t)) AS h FROM toks),
         |b AS (
         |  SELECT doc_id, i AS bitpos,
         |    strpos('0123456789abcdef', substr(h, (i // 4)::INT + 1, 1)) - 1 AS nib
-        |  FROM h, unnest(range(0, 16)) AS u(i)),
+        |  FROM h, unnest(range(0, 64)) AS u(i)),
         |bits AS (
         |  SELECT doc_id, bitpos,
         |    CASE WHEN sum(((nib >> (3 - (bitpos % 4))::INT) % 2) * 2 - 1) > 0
         |         THEN 1 ELSE 0 END AS bit
         |  FROM b GROUP BY 1, 2),
+        |u AS (SELECT doc_id, sum(bit::HUGEINT << bitpos::INT) AS s FROM bits GROUP BY 1),
         |sig AS (
-        |  SELECT doc_id, sum(bit::BIGINT << bitpos::INT)::BIGINT AS simhash
-        |  FROM bits GROUP BY 1)
+        |  SELECT doc_id,
+        |    (CASE WHEN s >= 9223372036854775808::HUGEINT
+        |          THEN s - 18446744073709551616::HUGEINT ELSE s END)::BIGINT AS simhash
+        |  FROM u)
         |SELECT l.doc_id AS a, r.doc_id AS b,
         |  bit_count(xor(l.simhash, r.simhash))::INT AS hamming
-        |FROM sig l JOIN sig r
-        |  ON (l.simhash >> 8) = (r.simhash >> 8) AND l.doc_id < r.doc_id
+        |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin,
 
     "d6_embedding_neardup" ->

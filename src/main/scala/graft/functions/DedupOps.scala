@@ -160,9 +160,99 @@ object DedupOps {
       .select(col("doc_id"), assemble.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked by the
-    * high byte of the signature (at 16 bits a coarse block; at 64 bits use
-    * the standard (d+1)-band split — same shape). */
+  /** 64-bit SimHash signature per document — the production-width variant
+    * of [[simhash16]], computed map-side by the codegen'd
+    * [[graft.expressions.SimHash64]]. 64 bits is the width that keeps
+    * blocked near-dup detection sub-quadratic at corpus scale: see
+    * [[simhashPairsBanded]]. */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0) // chain semantics: token-less docs emit no row
+      .select(col("doc_id"),
+        graft.expressions.SimHash64.sig(col("__t")).as("simhash"))
+
+  /** The pre-rewrite aggregate formulation of [[simhash64]] (explode
+    * tokens → md5 → 64 contribution columns → per-doc vote sums). Kept as
+    * the cross-check reference — equivalence is spec-asserted. Bit 63's
+    * vote contributes `1L << 63` = Long.MinValue, i.e. lands on the sign
+    * bit, matching the expression exactly. */
+  def simhash64Agg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // per token-hash, 64 ±1 contributions as plain codegen'd columns
+    // (bit i = bit (3 − i%4) of hex digit i/4, over the first 16 hex
+    // chars = 8 bytes of the md5)
+    val contribs = (0 until 64).map { i =>
+      expr(s"(shiftright(cast(conv(substring(h, ${i / 4 + 1}, 1), 16, 10) as int), " +
+        s"${3 - i % 4}) % 2) * 2 - 1").as(s"c$i")
+    }
+    val votes = (0 until 64).map(i => sum(col(s"c$i")).as(s"s$i"))
+    val assemble = (0 until 64).map { i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id") +: md5(col("tok")).as("h") +: Nil: _*)
+      .select(col("doc_id") +: contribs: _*)
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), assemble.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist via the
+    * standard (maxDist+1)-band blocking: split the signature into
+    * maxDist+1 contiguous bit bands; by pigeonhole, two signatures within
+    * Hamming distance maxDist agree EXACTLY on at least one band, so a
+    * self-join on (band, band bits) has perfect recall and the exact
+    * XOR-popcount filter keeps precision. Output is therefore identical
+    * to the all-pairs filter — spec-asserted.
+    *
+    * 100 TB shape: the join key carries bits/(maxDist+1) signature bits
+    * (64-bit sigs, d=3 → 16-bit bands → 65k distinct keys per band
+    * position from hash-uniform bits), so buckets stay tiny and the join
+    * is bucket-local, never n². Band extraction uses unsigned shifts —
+    * bit 63 sits on the sign bit.
+    *
+    * `bits` must be the signature width (64 for [[simhash64]], 16 for
+    * [[simhash16]]); bands cover the width evenly with the high band
+    * absorbing any remainder. */
+  def simhashPairsBanded(sigs: DataFrame, maxDist: Int, bits: Int = 64): DataFrame = {
+    val numBands = maxDist + 1
+    require(numBands >= 1 && numBands <= bits,
+      s"need 1..$bits bands, got $numBands")
+    val w = bits / numBands
+    val bandKey = (b: Int) => {
+      // band b covers bit offsets [b*w, (b+1)*w), the top band runs to `bits`
+      val hi = if (b == numBands - 1) bits else (b + 1) * w
+      val width = hi - b * w
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      shiftrightunsigned(col("simhash"), b * w).bitwiseAND(lit(mask))
+    }
+    val banded = sigs.select(
+      col("doc_id") +: col("simhash") +:
+        (0 until numBands).map(b => bandKey(b).as(s"k$b")): _*)
+    val stackArgs = (0 until numBands).map(b => s"$b, k$b").mkString(", ")
+    // carry the full signature through the unpivot so the exact Hamming
+    // filter needs no re-join against the signature table
+    val bands = banded.selectExpr(
+      "doc_id", "simhash", s"stack($numBands, $stackArgs) as (band, key)")
+    val l = bands.select(col("band"), col("key"),
+      col("doc_id").as("a"), col("simhash").as("ha"))
+    val r = bands.select(col("band").as("band2"), col("key").as("key2"),
+      col("doc_id").as("b"), col("simhash").as("hb"))
+    l.join(r, l("band") === r("band2") && l("key") === r("key2") &&
+        l("a") < r("b"))
+      // filter BEFORE distinct: bit_count is a codegen'd no-shuffle map,
+      // so rejecting far pairs first shrinks the dedup exchange
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select("a", "b", "hamming").distinct()
+  }
+
+  /** SimHash near-dup pairs blocked by the high byte of the signature —
+    * the legacy 16-bit shape kept for the [[simhash16]] cross-checks;
+    * production uses [[simhashPairsBanded]], whose (d+1)-band split is
+    * what survives corpus scale. */
   def simhashPairs(sigs: DataFrame, maxDist: Int): DataFrame = {
     val l = sigs.select(col("doc_id").as("a"), col("simhash").as("ha"))
       .withColumn("blk", shiftright(col("ha"), 8))
