@@ -27,8 +27,16 @@ import java.nio.charset.StandardCharsets
   *
   * Rows are rendered as a JSON array via Spark's own row-JSON encoder, so
   * any state schema is servable without bean classes.
+  *
+  * Responses are BOUNDED: at most `maxRows` rows are pulled to the driver
+  * per request (via `toLocalIterator`, one partition resident at a time —
+  * never a whole-store `collect`). Clients page with `?limit=N&offset=M`;
+  * a truncated response carries `X-Graft-Truncated: true` and the next
+  * offset in `X-Graft-Next-Offset`, keeping the body a plain JSON array
+  * so reference clients parse it unchanged.
   */
-class StateHttpServer(spark: SparkSession, bindPort: Int = 0) {
+class StateHttpServer(spark: SparkSession, bindPort: Int = 0,
+                      maxRows: Int = 10000) {
 
   /** A queryable store: a (lazy) flattened state view + which of its
     * columns is the logical key and (for windowed stores) the window
@@ -70,11 +78,20 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0) {
   def stop(): Unit = if (server != null) server.stop(0)
 
   private def handle(ex: HttpExchange): Unit = {
-    val resp =
-      try route(ex.getRequestURI.getPath)
-        .orElse(routeMetadata(ex.getRequestURI.getPath)) match {
-        case Some(body) => (200, body)
-        case None       => (404, """{"error":"unknown path or store"}""")
+    val page = Page.parse(ex.getRequestURI.getQuery, maxRows)
+    val resp: (Int, String) =
+      try route(ex.getRequestURI.getPath, page) match {
+        case Some(result) =>
+          if (result.truncated) {
+            ex.getResponseHeaders.set("X-Graft-Truncated", "true")
+            ex.getResponseHeaders.set("X-Graft-Next-Offset",
+              (page.offset + result.rows).toString)
+          }
+          (200, result.body)
+        case None => routeMetadata(ex.getRequestURI.getPath) match {
+          case Some(body) => (200, body)
+          case None       => (404, """{"error":"unknown path or store"}""")
+        }
       } catch {
         case e: Throwable =>
           (500, s"""{"error":${quote(Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
@@ -89,28 +106,32 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0) {
   private def segments(path: String): List[String] =
     path.stripPrefix("/").split("/").toList.map(p => URLDecoder.decode(p, "UTF-8"))
 
-  private def route(path: String): Option[String] = segments(path) match {
-    case "state" :: "keyvalue" :: store :: key :: Nil =>
-      stores.get(store).map { cfg =>
-        toJsonArray(
-          StateQueries.point(cfg.stateDf(), col(cfg.keyCol).cast("string") === key))
-      }
-    case "state" :: "keyvalues" :: store :: "all" :: Nil =>
-      stores.get(store).map(cfg => toJsonArray(StateQueries.all(cfg.stateDf())))
-    case "state" :: "keyvalues" :: store :: "range" :: from :: to :: Nil =>
-      stores.get(store).map { cfg =>
-        toJsonArray(
-          StateQueries.range(cfg.stateDf(), col(cfg.keyCol).cast("string"), from, to))
-      }
-    case "state" :: "windowed" :: store :: key :: from :: to :: Nil =>
-      stores.get(store).flatMap { cfg =>
-        cfg.winStartCol.map { ws =>
-          toJsonArray(StateQueries.windowedFetch(cfg.stateDf(), col(cfg.keyCol),
-            col(ws), key, from.toLong, to.toLong))
+  private def route(path: String, page: Page): Option[RenderedPage] =
+    segments(path) match {
+      case "state" :: "keyvalue" :: store :: key :: Nil =>
+        stores.get(store).map { cfg =>
+          toJsonArray(
+            StateQueries.point(cfg.stateDf(), col(cfg.keyCol).cast("string") === key),
+            cfg.keyCol, page)
         }
-      }
-    case _ => None
-  }
+      case "state" :: "keyvalues" :: store :: "all" :: Nil =>
+        stores.get(store).map(cfg =>
+          toJsonArray(StateQueries.all(cfg.stateDf()), cfg.keyCol, page))
+      case "state" :: "keyvalues" :: store :: "range" :: from :: to :: Nil =>
+        stores.get(store).map { cfg =>
+          toJsonArray(
+            StateQueries.range(cfg.stateDf(), col(cfg.keyCol).cast("string"), from, to),
+            cfg.keyCol, page)
+        }
+      case "state" :: "windowed" :: store :: key :: from :: to :: Nil =>
+        stores.get(store).flatMap { cfg =>
+          cfg.winStartCol.map { ws =>
+            toJsonArray(StateQueries.windowedFetch(cfg.stateDf(), col(cfg.keyCol),
+              col(ws), key, from.toLong, to.toLong), cfg.keyCol, page)
+          }
+        }
+      case _ => None
+    }
 
   /** Instance-metadata endpoints (reference
     * `IQueriesService.java:182-215`, `MetadataService.java:30-68`). On
@@ -133,14 +154,44 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0) {
     }
   }
 
-  /** Deterministic rendering: rows sorted by their JSON form so responses
-    * are stable across partitionings. State stores are query-addressable
-    * aggregates (bounded per store), not raw streams — collecting a
-    * filtered read is the same driver-side materialization the reference
-    * performs iterating its RocksDB store into a bean list. */
-  private def toJsonArray(df: DataFrame): String =
-    df.toJSON.collect().sorted.mkString("[", ",", "]")
+  /** Deterministic bounded rendering: rows sorted by (key, full JSON) so
+    * pages are stable across partitionings and re-reads, then the page's
+    * `offset`/`limit` pushed into the plan — Spark executes a bounded
+    * take over the sort, never a whole-store collect. One extra row past
+    * the limit probes for truncation and is not rendered. */
+  private def toJsonArray(df: DataFrame, keyCol: String, page: Page): RenderedPage = {
+    val json = df
+      .select(col(keyCol).cast("string").as("__k"),
+        to_json(struct(df.columns.map(col): _*)).as("__j"))
+      .orderBy("__k", "__j")
+      .select("__j")
+      .offset(page.offset)
+      .limit(page.limit + 1)
+    val it = json.toLocalIterator()
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext && rows.length < page.limit) rows += it.next().getString(0)
+    RenderedPage(rows.mkString("[", ",", "]"), rows.length, truncated = it.hasNext)
+  }
 
   private def quote(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\r\\n\\t]", " ") + "\""
 }
+
+/** `?limit=N&offset=M` paging params; `limit` is clamped to the server's
+  * per-request row cap, malformed values fall back to defaults. */
+private[state] case class Page(limit: Int, offset: Int)
+
+private[state] object Page {
+  def parse(query: String, maxRows: Int): Page = {
+    val params = Option(query).getOrElse("").split("&").iterator
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    def intOf(k: String, dflt: Int): Int =
+      params.get(k).flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(dflt)
+    Page(limit = math.max(1, math.min(intOf("limit", maxRows), maxRows)),
+      offset = math.max(0, intOf("offset", 0)))
+  }
+}
+
+/** One rendered response page: JSON-array body, row count, and whether
+  * rows beyond this page exist (drives the truncation headers). */
+private[state] case class RenderedPage(body: String, rows: Int, truncated: Boolean)

@@ -20,13 +20,20 @@ class StateHttpServerSpec extends SparkSpec {
   case class Ev(key: String, value: Int, ts: Timestamp)
 
   private def get(port: Int, path: String): (Int, String) = {
+    val (code, body, _) = getWithHeaders(port, path)
+    (code, body)
+  }
+
+  private def getWithHeaders(port: Int, path: String): (Int, String, Map[String, String]) = {
     val conn = new URI(s"http://127.0.0.1:$port$path").toURL
       .openConnection().asInstanceOf[HttpURLConnection]
     val code = conn.getResponseCode
     val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
     val body = Source.fromInputStream(is, "UTF-8").mkString
+    val headers = Seq("X-Graft-Truncated", "X-Graft-Next-Offset")
+      .flatMap(h => Option(conn.getHeaderField(h)).map(h -> _)).toMap
     conn.disconnect()
-    (code, body)
+    (code, body, headers)
   }
 
   test("point/all/range/windowed endpoints over a windowed-count checkpoint") {
@@ -88,5 +95,41 @@ class StateHttpServerSpec extends SparkSpec {
       val (c9, _) = get(port, "/state/instances/nope")
       assert(c9 == 404)
     } finally srv.stop()
+
+    // Bounded responses: a server whose row cap is smaller than the store
+    // never returns more than the cap, flags truncation, and the client
+    // pages to completion via limit/offset (store has 3 state rows).
+    val small = new StateHttpServer(s, maxRows = 2)
+      .registerView("window_store", () =>
+        StateQueries.flattened(s, ckpt)
+          .select(col("key_key").as("key"),
+            col("key_window.start").cast("long").as("win_start"),
+            col("value_count").as("cnt")),
+        keyCol = "key", winStartCol = Some("win_start"))
+    val port2 = small.start()
+    try {
+      val (cc1, bb1, h1) = getWithHeaders(port2, "/state/keyvalues/window_store/all")
+      assert(cc1 == 200)
+      assert(bb1.split("\\},\\{").length == 2, s"capped page should hold 2 rows: $bb1")
+      assert(h1.get("X-Graft-Truncated").contains("true"))
+      assert(h1.get("X-Graft-Next-Offset").contains("2"))
+
+      // follow the continuation — last page, no truncation flag
+      val (cc2, bb2, h2) = getWithHeaders(port2, "/state/keyvalues/window_store/all?offset=2")
+      assert(cc2 == 200 && bb2.split("\\},\\{").length == 1)
+      assert(!h2.contains("X-Graft-Truncated"))
+
+      // explicit limit below the cap pages one row at a time, stable order
+      val (cc3, bb3, h3) = getWithHeaders(port2, "/state/keyvalues/window_store/all?limit=1")
+      assert(cc3 == 200 && bb3.split("\\},\\{").length == 1)
+      assert(h3.get("X-Graft-Next-Offset").contains("1"))
+      val (cc4, bb4, _) = getWithHeaders(port2, "/state/keyvalues/window_store/all?limit=1&offset=0")
+      assert(cc4 == 200 && bb4 == bb3, "same page re-read must be identical")
+
+      // a limit above the cap is clamped to the cap
+      val (cc5, bb5, h5) = getWithHeaders(port2, "/state/keyvalues/window_store/all?limit=999")
+      assert(cc5 == 200 && bb5.split("\\},\\{").length == 2)
+      assert(h5.get("X-Graft-Truncated").contains("true"))
+    } finally small.stop()
   }
 }
