@@ -61,6 +61,14 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p)
   }
 
+  test("d5 simhash pairs join on the (band, bits) key — no cartesian") {
+    val p = planOf("d5_simhash_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the self-join key is the band split, not the raw signature
+    assert(p.contains("band"), p)
+  }
+
   test("d8 semantic dedup joins on the cell key — no cartesian pair blowup") {
     val p = planOf("d8_semantic_dedup")
     assert(!p.contains("CartesianProduct"), p)
