@@ -93,6 +93,52 @@ object SparkEntry {
        |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)""".stripMargin
   }
 
+  /** DuckDB replay of [[SimilarityOps.kmeansFit]]: `iters` unrolled Lloyd
+    * rounds — same id<k init, same rounded-cosine + lowest-cid-tie-break
+    * score, same `round(avg, 6)::FLOAT` centroid update, same
+    * empty-cluster carry-forward. Generated programmatically so the
+    * iteration count and score constants cannot drift from the Scala
+    * side. Output: final centroids exploded to (cid, dim, val). */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val iterBlocks = (1 to iters).map { j =>
+      val p = j - 1
+      s"""c${p}n AS (
+         |  SELECT cid, cv,
+         |    sqrt(list_reduce(list_transform(cv, x -> x::DOUBLE * x::DOUBLE),
+         |         (a, b) -> a + b)) AS cn
+         |  FROM c$p),
+         |a$j AS (
+         |  SELECT vid, arg_max(cid, score) AS cid FROM (
+         |    SELECT v.vid, cid,
+         |      round(round(list_reduce(list_transform(range(1, len(v.vv) + 1),
+         |              i -> v.vv[i]::DOUBLE * cv[i]::DOUBLE),
+         |            (x, y) -> x + y) / (v.vn * cn), 6) * 1000000)::BIGINT * 100 - cid AS score
+         |    FROM v, c${p}n) GROUP BY 1),
+         |m$j AS (
+         |  SELECT cid, i AS pos, round(avg(x), 6)::FLOAT AS m FROM (
+         |    SELECT a.cid, d.i, v.vv[d.i]::DOUBLE AS x
+         |    FROM a$j a JOIN v ON v.vid = a.vid
+         |    CROSS JOIN dims d)
+         |  GROUP BY 1, 2),
+         |c$j AS (
+         |  SELECT p.cid, coalesce(f.cv, p.cv) AS cv
+         |  FROM c$p p LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY pos) AS cv FROM m$j GROUP BY 1) f
+         |    ON f.cid = p.cid)"""
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id AS vid, embedding AS vv,
+       |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+       |         (a, b) -> a + b)) AS vn
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(range(1,
+       |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+       |c0 AS (SELECT vid AS cid, vv AS cv FROM v WHERE vid < $k),
+       |$iterBlocks
+       |SELECT cid, (d.i - 1)::INT AS dim, cv[d.i]::DOUBLE AS val
+       |FROM c$iters, dims d""".stripMargin
+  }
+
   // ---- flagship ----------------------------------------------------------
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -377,6 +423,16 @@ object SparkEntry {
     // int8 rollout is gated on; map-side, zero shuffles
     "s6_quant_error" -> ((s, dir) =>
       SimilarityOps.quantError(Tables.embeddings(s, dir), "vec_id", "embedding")),
+
+    // Lloyd's k-means fit (3 rounds from the deterministic id<k init) —
+    // the centroid set ivfAssign/ivfTopK take via their `centroids`
+    // param; exploded to (cid, dim, val) so the result is hash-checkable
+    "s7_kmeans" -> ((s, dir) =>
+      SimilarityOps.kmeansFit(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 8, iters = 3)
+        .select(col("cid"), posexplode(col("cv")))
+        .select(col("cid"), col("pos").cast("int").as("dim"),
+          col("col").cast("double").as("val"))),
 
     // text analysis --------------------------------------------------------
 
@@ -1103,6 +1159,8 @@ object SparkEntry {
         |  round(list_reduce(list_transform(errs, x -> x * x), (x, y) -> x + y)
         |        / len(embedding), 8) AS mse
         |FROM e""".stripMargin,
+
+    "s7_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
 
     "t1_langid" ->
       """SELECT doc_id,

@@ -109,6 +109,83 @@ object SimilarityOps {
       .filter(col("sim") >= minSim)
   }
 
+  /** Lloyd's k-means over an embedding column — the centroid fit that
+    * completes the IVF story ([[ivfAssign]]/[[ivfTopK]] take the result
+    * via their `centroids` parameter).
+    *
+    * Engine-portable by construction, so a SQL oracle can replay the
+    * exact iterations: init is the deterministic id < k convention;
+    * assignment uses the same rounded-cosine + lowest-cid-tie-break
+    * score encoding as [[ivfAssign]]; each new centroid component is
+    * `round(avg, 6)` cast to float — the rounding absorbs summation-order
+    * float noise (the established cross-engine convention) and the float
+    * cast keeps centroid arrays the same type as the corpus vectors, so
+    * the codegen'd [[dot]] expression serves every round.
+    *
+    * Scale shape, per iteration: centroids broadcast (k rows); the
+    * assignment argmax is ONE corpus exchange; the per-dimension mean is
+    * a `posexplode` + partial-aggregating `avg` whose shuffle carries at
+    * most k·dims rows per partition. Lineage is cut per round with the
+    * eager-localCheckpoint discipline of
+    * [[DedupOps.connectedComponents]] (superseded snapshots freed
+    * immediately); empty clusters keep their previous centroid. On a
+    * 100 TB corpus, fit on a sample (`vecs.filter(...)`) and assign the
+    * full corpus once with [[ivfAssign]].
+    */
+  def kmeansFit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+                iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0 and iters >= 0, got k=$k iters=$iters")
+    // the corpus projection (with norms) is re-read every round: one scan
+    val v = withNorm(vecs, vecCol)
+      .select(col(idCol).cast("long").as("vid"), col(vecCol).as("vv"),
+        col("nrm").as("vn"))
+      .localCheckpoint(true)
+    var cents = v.filter(col("vid") < k)
+      .select(col("vid").as("cid"), col("vv").as("cv"))
+      .localCheckpoint(true)
+    var centsCk = cents
+    var i = 0
+    while (i < iters) {
+      val c = cents.select(col("cid"), col("cv"), norm(col("cv")).as("cn"))
+      val assigned = v.join(broadcast(c), lit(true))
+        .select(col("vid"), col("vv"), col("cid"),
+          (round(cosine(col("vv"), col("cv"), col("vn"), col("cn")) * 1000000, 0)
+            .cast("long") * 100 - col("cid")).as("score"))
+        .groupBy("vid")
+        .agg(max_by(col("cid"), col("score")).as("cid"), first(col("vv")).as("vv"))
+      val fitted = assigned
+        .select(col("cid"), posexplode(col("vv")))
+        .groupBy("cid", "pos")
+        .agg(round(avg(col("col").cast("double")), 6).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p.getField("m").cast("float")).as("fit"))
+      val next = cents.select(col("cid"), col("cv").as("prev"))
+        .join(fitted, Seq("cid"), "left_outer")
+        .select(col("cid"), coalesce(col("fit"), col("prev")).as("cv"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint(centsCk)
+      centsCk = next
+      cents = next
+      i += 1
+    }
+    // the final snapshot no longer references the corpus checkpoint
+    org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint(v)
+    cents
+  }
+
+  /** Centroid table (cid, cv, cn) for the IVF pair: a fitted set from
+    * [[kmeansFit]] when given, else the deterministic id < k convention
+    * shared with the SQL oracles. */
+  private def centroidTable(v: DataFrame, idCol: String, vecCol: String,
+                            k: Int, centroids: Option[DataFrame]): DataFrame =
+    centroids match {
+      case Some(c) => c.select(col("cid").cast("long").as("cid"), col("cv"),
+        norm(col("cv")).as("cn"))
+      case None => v.filter(col(idCol) < k)
+        .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("nrm").as("cn"))
+    }
+
   /** IVF index build: assign every vector to its nearest of k fixed
     * centroids (here: the vectors with id < k — deterministic and
     * engine-portable; swap in k-means centroids in production). The
@@ -118,10 +195,10 @@ object SimilarityOps {
     *
     * Tie-breaking: highest rounded similarity, then lowest centroid id,
     * encoded in one bigint so the argmax is portable to the SQL oracle. */
-  def ivfAssign(vecs: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def ivfAssign(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+                centroids: Option[DataFrame] = None): DataFrame = {
     val v = withNorm(vecs, vecCol)
-    val cents = v.filter(col(idCol) < k)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("nrm").as("cn"))
+    val cents = centroidTable(v, idCol, vecCol, k, centroids)
     v.join(broadcast(cents), lit(true))
       .select(col(idCol).as("vec_id"),
         col("cid"),
@@ -145,10 +222,10 @@ object SimilarityOps {
     * with [[ivfAssign]] and the SQL oracle (swap in k-means in
     * production). */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-              queryPred: Column, nprobe: Int, topN: Int): DataFrame = {
+              queryPred: Column, nprobe: Int, topN: Int,
+              centroids: Option[DataFrame] = None): DataFrame = {
     val v = withNorm(vecs, vecCol)
-    val cents = v.filter(col(idCol) < k)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("nrm").as("cn"))
+    val cents = centroidTable(v, idCol, vecCol, k, centroids)
     val cellScore = (vec: Column, nrm: Column) =>
       round(cosine(vec, col("cv"), nrm, col("cn")) * 1000000, 0)
         .cast("long") * 100 - col("cid")
