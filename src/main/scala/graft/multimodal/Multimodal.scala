@@ -35,6 +35,8 @@ object Multimodal {
     else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
       "audio/wav"
+    else if (bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p')
+      "video/mp4"
     else "unknown"
 
   private def beInt(b: Array[Byte], off: Int): Int =
@@ -45,13 +47,85 @@ object Multimodal {
       ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
   private def leShort(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def beLong(b: Array[Byte], off: Int): Long =
+    ((beInt(b, off) & 0xffffffffL) << 32) | (beInt(b, off + 4) & 0xffffffffL)
+
+  /** First child box of ISO-BMFF `boxType` in byte range [start, end):
+    * returns the payload range (after the 8- or 16-byte header). Handles
+    * 64-bit `largesize` (size == 1) and to-end-of-file (size == 0) boxes;
+    * bails on corrupt sizes rather than looping. */
+  private def findBox(b: Array[Byte], start: Int, end: Int,
+                      boxType: String): Option[(Int, Int)] = {
+    var off = start
+    while (off + 8 <= end) {
+      val size32 = beInt(b, off)
+      var hdr = 8
+      var size: Long = size32 & 0xffffffffL
+      if (size32 == 1) {
+        if (off + 16 > end) return None
+        size = beLong(b, off + 8)
+        hdr = 16
+      } else if (size32 == 0) size = (end - off).toLong
+      if (size < hdr) return None
+      val sameType = b(off + 4) == boxType(0) && b(off + 5) == boxType(1) &&
+        b(off + 6) == boxType(2) && b(off + 7) == boxType(3)
+      val boxEnd = math.min(end.toLong, off + size).toInt
+      if (sameType) return Some((off + hdr, boxEnd))
+      off = math.min(end.toLong, off + size).toInt
+    }
+    None
+  }
+
+  /** MP4 metadata from plain byte arithmetic — no codec library:
+    * duration from `moov/mvhd` (timescale + duration, v0 and v1 box
+    * layouts), dimensions from the first `moov/trak/tkhd` with nonzero
+    * width/height (16.16 fixed point; audio tracks carry zeros). */
+  private def parseMp4(b: Array[Byte]): MediaMeta =
+    findBox(b, 0, b.length, "moov") match {
+      case None => MediaMeta("video/mp4", 0, 0, 0L, 0, 0)
+      case Some((ms, me)) =>
+        val durMs = findBox(b, ms, me, "mvhd").map { case (s, e) =>
+          val version = b(s) & 0xff
+          if (version == 1 && s + 32 <= e) {
+            val timescale = beInt(b, s + 20)
+            val duration = beLong(b, s + 24)
+            if (timescale > 0) duration * 1000 / timescale else 0L
+          } else if (version == 0 && s + 20 <= e) {
+            val timescale = beInt(b, s + 12)
+            val duration = beInt(b, s + 16) & 0xffffffffL
+            if (timescale > 0) duration * 1000 / timescale else 0L
+          } else 0L
+        }.getOrElse(0L)
+        var w, h = 0
+        var off = ms
+        while (w == 0 && off < me) {
+          findBox(b, off, me, "trak") match {
+            case None => off = me
+            case Some((ts, te)) =>
+              findBox(b, ts, te, "tkhd").foreach { case (s, e) =>
+                val version = b(s) & 0xff
+                val wOff = if (version == 1) s + 88 else s + 76
+                if (wOff + 8 <= e) {
+                  val tw = beInt(b, wOff) >>> 16
+                  val th = beInt(b, wOff + 4) >>> 16
+                  if (tw > 0 && th > 0) { w = tw; h = th }
+                }
+              }
+              off = te
+          }
+        }
+        MediaMeta("video/mp4", w, h, durMs, 0, 0)
+    }
 
   /** Parse structural metadata from raw bytes (real header parsing):
     * PNG: width/height from the IHDR chunk (bytes 16..23);
     * JPEG: scan markers for SOF0-15, dims from its payload;
-    * WAV: channels/sample-rate from the fmt chunk, duration from data size.
+    * WAV: channels/sample-rate from the fmt chunk, duration from data size;
+    * MP4: duration from moov/mvhd, dimensions from the first video
+    * trak's tkhd (see [[parseMp4]]).
     */
   def parseMeta(bytes: Array[Byte]): MediaMeta = mediaType(bytes) match {
+    case "video/mp4" => parseMp4(bytes)
     case "image/png" if bytes.length >= 24 =>
       MediaMeta("image/png", beInt(bytes, 16), beInt(bytes, 20), 0L, 0, 0)
     case "image/jpeg" =>

@@ -43,6 +43,55 @@ class MultimodalSpec extends SparkSpec {
     b
   }
 
+  private def be(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >>> (8 * (n - 1 - i))) & 0xff).toByte)
+
+  private def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.flatten.toArray
+    be(body.length + 8L, 4) ++ typ.getBytes("ISO-8859-1") ++ body
+  }
+
+  /** Minimal valid MP4: ftyp + moov(mvhd v0, audio trak with zero dims,
+    * video trak with 16.16 fixed-point dims) + mdat. */
+  private def mp4Bytes(w: Int, h: Int, timescale: Int, duration: Int): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes, be(0, 4), "isomiso2".getBytes)
+    val mvhd = box("mvhd", be(0, 4), be(0, 4), be(0, 4),
+      be(timescale, 4), be(duration, 4), new Array[Byte](80))
+    val audioTkhd = box("tkhd", new Array[Byte](84))
+    val videoTkhd = box("tkhd", be(0, 4), new Array[Byte](72),
+      be(w.toLong << 16, 4), be(h.toLong << 16, 4))
+    val moov = box("moov", mvhd, box("trak", audioTkhd), box("trak", videoTkhd))
+    ftyp ++ moov ++ box("mdat", new Array[Byte](8))
+  }
+
+  test("MP4 moov/mvhd/tkhd metadata from plain byte walking") {
+    val mp4 = mp4Bytes(640, 360, 600, 3000)
+    assert(Multimodal.mediaType(mp4) == "video/mp4")
+    // timescale 600, duration 3000 ticks → 5000 ms; dims from the video
+    // trak (the zero-dim audio trak before it is skipped)
+    assert(Multimodal.parseMeta(mp4) == MediaMeta("video/mp4", 640, 360, 5000L, 0, 0))
+
+    // version-1 (64-bit) mvhd and tkhd layouts
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0), be(0, 8), be(0, 8),
+      be(1000, 4), be(90000, 8), new Array[Byte](80))
+    val tkhd1 = box("tkhd", Array[Byte](1, 0, 0, 0), new Array[Byte](84),
+      be(1920L << 16, 4), be(1080L << 16, 4))
+    val v1 = box("ftyp", "isom".getBytes) ++ box("moov", mvhd1, box("trak", tkhd1))
+    assert(Multimodal.parseMeta(v1) == MediaMeta("video/mp4", 1920, 1080, 90000L, 0, 0))
+
+    // moov-less stream: container detected, metadata zeroed — not a crash
+    val bare = box("ftyp", "isom".getBytes) ++ box("mdat", new Array[Byte](8))
+    assert(Multimodal.parseMeta(bare) == MediaMeta("video/mp4", 0, 0, 0L, 0, 0))
+
+    // corrupt size field (smaller than its own header) bails cleanly
+    val corrupt = mp4Bytes(640, 360, 600, 3000)
+    corrupt(ftypLen(corrupt)) = 0; corrupt(ftypLen(corrupt) + 3) = 2
+    assert(Multimodal.parseMeta(corrupt).mediaType == "video/mp4")
+  }
+
+  private def ftypLen(b: Array[Byte]): Int =
+    ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) | ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+
   test("container sniffing and header parsing (PNG/JPEG/WAV) without codec libs") {
     val png = Multimodal.parseMeta(pngBytes(640, 480))
     assert(png == MediaMeta("image/png", 640, 480, 0L, 0, 0))
