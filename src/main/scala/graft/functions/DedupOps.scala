@@ -330,11 +330,10 @@ object DedupOps {
     * threshold, not long chains). Lineage is cut per round with an eager
     * `localCheckpoint` so the loop's plan does not snowball; on a real
     * cluster point `spark.sparkContext.setCheckpointDir` at durable
-    * storage and swap in `checkpoint()`. For adversarial graphs with
-    * giant high-diameter components, the published fix is the
-    * large-star/small-star contraction (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond") — same join primitives, fewer
-    * rounds; not needed for threshold-blob graphs.
+    * storage and swap in `checkpoint()`. Adversarial graphs with giant
+    * high-diameter components (where O(diameter) rounds exceed `maxIter`)
+    * fall back to [[starContraction]] — same join primitives,
+    * O(log² n) rounds.
     *
     * Small graphs short-circuit to a driver union-find: the edge list has
     * already survived LSH banding AND exact-Jaccard thresholding, so in
@@ -455,15 +454,92 @@ object DedupOps {
       labels = next
       i += 1
     }
-    // Truncation must be an ERROR, not silently-split clusters: a dedup
-    // decision made on unconverged labels keeps duplicate documents.
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — " +
-          "component eccentricity exceeds the budget; raise maxIter or " +
-          "switch to large-star/small-star contraction for chain-shaped graphs")
+    // High-diameter graphs (chains, lattices — adversarial for
+    // O(diameter) label propagation) hand off to the large-star /
+    // small-star contraction, which converges in O(log² n) rounds on the
+    // same join primitives. Never silent truncation: a dedup decision on
+    // unconverged labels keeps duplicate documents, so contraction either
+    // converges or errors.
+    if (!converged) {
+      val contracted = starContraction(nodes,
+        sym.select(col("src").as("a"), col("dst").as("b")))
+      GraftShims.unpersistLocalCheckpoint(labelsCk)
+      GraftShims.unpersistLocalCheckpoint(sym)
+      return contracted
+    }
     nodes.select(col(idCol).as("node"))
       .join(labels, Seq("node"), "left_outer")
+      .select(col("node").as(idCol),
+        coalesce(col("label"), col("node")).as("cluster_id"))
+  }
+
+  /** Large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — the O(log² n)-round fallback
+    * [[connectedComponents]] takes when hash-to-min exceeds its round
+    * budget on a high-diameter graph.
+    *
+    * State is a canonical parent-pointer edge list (child > parent).
+    * Per round, on the same primitives as the main loop (hash join +
+    * map-side-partial min):
+    *  - large-star: for every node v with neighborhood minimum
+    *    m = min(Γ(v) ∪ {v}), each LARGER neighbor u > v re-points to m;
+    *  - small-star: for every center v of the resulting pointer list with
+    *    parent minimum m = min(parents(v)), every parent and v itself
+    *    point to m.
+    * Rooted stars (every node pointing at its component minimum) are the
+    * joint fixpoint, so convergence = the edge set repeating exactly —
+    * checked with one left-outer marker join per round (new-edge count
+    * AND total count; set shrinkage alone must not read as converged).
+    * Lineage is cut per round with the same lazy-checkpoint +
+    * one-materializing-action discipline as the main loop. */
+  private[functions] def starContraction(nodes: DataFrame, edges: DataFrame,
+                                         maxRounds: Int = 64): DataFrame = {
+    val idCol = nodes.columns.head
+    var e = edges.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("c"), least(col("a"), col("b")).as("p"))
+      .distinct()
+      .localCheckpoint(true)
+    var eCk = e
+    var prevCount = e.count()
+    var converged = prevCount == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val sym = e.select(col("c").as("v"), col("p").as("u"))
+        .union(e.select(col("p").as("v"), col("c").as("u")))
+      val mins = sym.groupBy("v")
+        .agg(min("u").as("mn"))
+        .select(col("v"), least(col("v"), col("mn")).as("m"))
+      val large = sym.join(mins, "v").filter(col("u") > col("v"))
+        .select(col("u").as("c"), col("m").as("p"))
+        .distinct()
+      val pmins = large.groupBy("c").agg(min("p").as("m"))
+      val small = large.join(pmins, "c")
+        .filter(col("p") =!= col("m"))
+        .select(col("p").as("c"), col("m").as("p"))
+        .union(pmins.select(col("c"), col("m").as("p")))
+        .distinct()
+        .localCheckpoint(false) // materialized by the convergence aggregate
+      val row = small
+        .join(e.withColumn("__prev", lit(1)), Seq("c", "p"), "left_outer")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__prev").isNull, 1L).otherwise(0L)).as("fresh"))
+        .first()
+      val nextCount = row.getLong(0)
+      val fresh = if (row.isNullAt(1)) 0L else row.getLong(1)
+      converged = fresh == 0L && nextCount == prevCount
+      prevCount = nextCount
+      GraftShims.unpersistLocalCheckpoint(eCk)
+      eCk = small
+      e = small
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"starContraction did not converge in $maxRounds rounds — " +
+          "raise maxRounds (expected O(log² n) for any graph)")
+    nodes.select(col(idCol).as("node"))
+      .join(e.select(col("c").as("node"), col("p").as("label")),
+        Seq("node"), "left_outer")
       .select(col("node").as(idCol),
         coalesce(col("label"), col("node")).as("cluster_id"))
   }

@@ -53,6 +53,29 @@ class ConnectedComponentsPropertySpec extends SparkSpec {
           nodes.toDF("doc_id"), edges.toDF("a", "b"))
         .as[(Long, Long)].collect().toMap
       assert(fast == expected, s"fast: seed $i nodes=$nodes edges=$edges")
+      // star contraction (the high-diameter fallback), invoked directly
+      val star = DedupOps.starContraction(
+          nodes.toDF("doc_id"), edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(star == expected, s"star: seed $i nodes=$nodes edges=$edges")
     }
+  }
+
+  test("long chain exceeding the hash-to-min budget converges via star contraction") {
+    val s = spark
+    import s.implicits._
+    // a 120-node path has diameter 119: hash-to-min needs ~60 rounds to
+    // reach fixpoint, so maxIter=5 forces the contraction fallback, which
+    // must deliver the same single component — not an error, not a split
+    val n = 120L
+    val nodes = (0L until n).toList
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toList
+    val expected = unionFind(nodes, edges)
+    assert(expected.values.toSet == Set(0L)) // sanity: one chain, root 0
+    val got = DedupOps.connectedComponents(
+        nodes.toDF("doc_id"), edges.toDF("a", "b"),
+        maxIter = 5, driverEdgeBudget = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
   }
 }

@@ -38,13 +38,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(out.values.forall(_ == 0L))
   }
 
-  test("non-convergence is an error, never silently-split clusters") {
+  test("hash-to-min budget exhaustion falls back to star contraction, correctly") {
+    val s = spark
+    import s.implicits._
+    val edges = (0L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (0L to 10L).toDF("doc_id")
+    val got = DedupOps.connectedComponents(nodes, edges, maxIter = 2, driverEdgeBudget = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 10L).map(_ -> 0L).toMap)
+  }
+
+  test("contraction non-convergence is an error, never silently-split clusters") {
     val s = spark
     import s.implicits._
     val edges = (0L until 10L).map(i => (i, i + 1)).toDF("a", "b")
     val nodes = (0L to 10L).toDF("doc_id")
     val e = intercept[IllegalStateException] {
-      DedupOps.connectedComponents(nodes, edges, maxIter = 2, driverEdgeBudget = 0).collect()
+      DedupOps.starContraction(nodes, edges, maxRounds = 1).collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
