@@ -595,7 +595,16 @@ object SparkEntry {
 
     // TF-IDF: per-document top term by tf·ln((N+1)/(df+1)); term and
     // document frequencies aggregate map-side, the vocabulary join is the
-    // only exchange that scales with corpus distinct-term count
+    // only exchange that scales with corpus distinct-term count.
+    // Skew, explicitly: the tf⋈dfc hop shuffles on `term`, and a zipf-hot
+    // stopword puts O(|docs with term|) rows in one partition at corpus
+    // scale. The dfc side is one row per term, so this is exactly the
+    // shape AQE's skew-join split re-plans at runtime
+    // (spark.sql.adaptive.skewJoin.enabled, on by default here): the hot
+    // partition is split and the single matching dfc row duplicated per
+    // split — equivalent to Skew.saltedJoin but decided from observed
+    // sizes instead of a hand-picked salt. If AQE is off, route this hop
+    // through Skew.saltedJoin(tf, dfc, "term", shards).
     "t6_tfidf" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val tf = docs
