@@ -706,6 +706,29 @@ object SparkEntry {
         .withColumn("cents", round(col("value") * 100, 0).cast("long"))
         .groupBy("user_id")
         .agg(addCents(col("cents")).as("total_cents"))
+    }),
+
+    // Gopher-style repetition signals: duplicate token / bigram / trigram
+    // fractions — pure map-side array arithmetic over ONE materialized
+    // token column (zero shuffles; the quality filter costs one scan)
+    "t7_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+        .select(col("doc_id"),
+          TextAnalysis.dupTokenFrac(col("__t")).as("dup_token_frac"),
+          TextAnalysis.dupNgramFrac(col("__t"), 2).as("dup_bigram_frac"),
+          TextAnalysis.dupNgramFrac(col("__t"), 3).as("dup_trigram_frac"))),
+
+    // benchmark decontamination: docs with doc_id % 41 == 0 stand in for
+    // the held-out eval set; corpus docs sharing any 5-gram with it are
+    // flagged (broadcast benchmark digests — the corpus never shuffles
+    // for the probe)
+    "d9_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.decontaminate(
+        docs.filter(col("doc_id") % 41 =!= 0),
+        docs.filter(col("doc_id") % 41 === 0),
+        "doc_id", "text", shingleN = 5)
     })
   )
 
@@ -1290,6 +1313,45 @@ object SparkEntry {
     "a6_custom_udaf" ->
       """SELECT user_id, sum(round(value * 100)::BIGINT)::BIGINT AS total_cents
         |FROM events GROUP BY 1""".stripMargin,
+
+    "t7_repetition" ->
+      s"""WITH $toksSql,
+        |g AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        |      ELSE []::VARCHAR[] END AS g2,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |      ELSE []::VARCHAR[] END AS g3
+        |  FROM toks)
+        |SELECT doc_id,
+        |  round((len(t) - len(list_distinct(t)))::DOUBLE
+        |        / greatest(len(t), 1)::DOUBLE, 4) AS dup_token_frac,
+        |  round((len(g2) - len(list_distinct(g2)))::DOUBLE
+        |        / greatest(len(g2), 1)::DOUBLE, 4) AS dup_bigram_frac,
+        |  round((len(g3) - len(list_distinct(g3)))::DOUBLE
+        |        / greatest(len(g3), 1)::DOUBLE, 4) AS dup_trigram_frac
+        |FROM g""".stripMargin,
+
+    "d9_decontaminate" ->
+      s"""WITH $toksSql,
+        |sh5 AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+        |      ELSE [array_to_string(t, ' ')] END) AS sh
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT md5(sh) AS shh FROM sh5 WHERE doc_id % 41 = 0),
+        |corp AS (SELECT DISTINCT doc_id, md5(sh) AS shh FROM sh5 WHERE doc_id % 41 <> 0),
+        |hits AS (
+        |  SELECT c.doc_id, count(*) AS h
+        |  FROM corp c JOIN bench b ON b.shh = c.shh
+        |  GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.h, 0)::BIGINT AS hits,
+        |  coalesce(h.h, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |WHERE d.doc_id % 41 <> 0""".stripMargin,
 
     "x9_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users

@@ -315,6 +315,37 @@ object DedupOps {
           (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with a held-out benchmark/eval set (the standard
+    * test-set-leakage filter for LLM training data — GPT-3 appendix C /
+    * PaLM §7 use 8–13-gram overlap; the n is a parameter here).
+    *
+    * Output: one row per corpus doc — `doc_id`, `hits` (count of DISTINCT
+    * corpus-doc n-grams that occur anywhere in the benchmark), and
+    * `contaminated` = hits > 0.
+    *
+    * 100 TB shape: the benchmark side is an eval set — thousands of docs,
+    * not billions — so its distinct shingle digests are BROADCAST and the
+    * corpus side never shuffles for the probe; md5 digests (32 hex chars)
+    * keep the broadcast map and the per-doc distinct exchange small no
+    * matter how long the shingles are. The only data-sized exchange is
+    * the per-doc distinct on (doc_id, digest). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleN: Int = 5): DataFrame = {
+    val bench = shingleRows(benchmark, idCol, textCol, shingleN)
+      .select(md5(col("sh")).as("shh")).distinct()
+    val corp = shingleRows(corpus, idCol, textCol, shingleN)
+      .select(col("doc_id"), md5(col("sh")).as("shh")).distinct()
+    val hits = corp.join(broadcast(bench), Seq("shh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Connected components over a near-dup pair graph → dedup clusters:
     * every node gets `cluster_id` = the minimum node id reachable through
     * the pairs, so "keep one doc per cluster" is a `groupBy(cluster_id)`

@@ -88,4 +88,36 @@ object TextAnalysis {
     * downstream hash-partitioned dedup at any scale.) */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  // --- repetition signals (Gopher-style quality filters) -----------------
+  // "Scaling Language Models: Methods, Analysis & Insights from Training
+  // Gopher" (Rae et al. 2021, §A.1.1) filters documents by the fraction of
+  // duplicate n-grams — highly repetitive text is boilerplate or spam.
+  // All three signals below are pure map-side array arithmetic
+  // (array_distinct over a materialized token column): zero shuffles, so
+  // the filter costs one scan at any corpus size.
+
+  /** Consecutive word n-grams of a token array as an array column
+    * (empty for docs shorter than n tokens — a doc with no n-grams has no
+    * repetition evidence, unlike [[DedupOps.shingles]] where the
+    * whole-document fallback keeps short docs joinable). */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Fraction of array elements that are repeats of an earlier element:
+    * (|all| − |distinct|) / |all| (0 for empty arrays — the subtraction
+    * form gets that for free where 1 − d/n would not). Rounded to 4
+    * places for cross-engine stability. */
+  def dupFrac(arr: Column): Column =
+    round((size(arr) - size(array_distinct(arr))).cast("double") /
+      greatest(size(arr).cast("double"), lit(1.0)), 4)
+
+  /** Duplicate-token fraction: how much of the doc is repeated words. */
+  def dupTokenFrac(toks: Column): Column = dupFrac(toks)
+
+  /** Duplicate word-n-gram fraction (Gopher's dup_ngram_frac signal). */
+  def dupNgramFrac(toks: Column, n: Int): Column = dupFrac(ngrams(toks, n))
 }
