@@ -10,16 +10,18 @@ import org.apache.spark.sql.{Dataset, Encoder}
   * touching bytes).
   *
   * What is REAL here: container sniffing and header parsing (PNG IHDR,
-  * JPEG SOF, WAV RIFF — plain byte arithmetic, no codec libraries), the
-  * record/feature schemas, partition-local batched decode plumbing
-  * (`mapPartitions` in fixed-size batches — the same batch shape a
-  * vectorized/Arrow UDF would see), AND pixel/sample decode for the
-  * modalities the JDK itself can read: [[ImageIoFeatureDecoder]]
-  * (PNG/JPEG/GIF/BMP via `javax.imageio`) and [[WavFeatureDecoder]]
-  * (WAV/PCM via `javax.sound.sampled`), routed per record by
+  * JPEG SOF, WAV RIFF, MP4 moov boxes, AVI avih — plain byte arithmetic,
+  * no codec libraries), the record/feature schemas, partition-local
+  * batched decode plumbing (`mapPartitions` in fixed-size batches — the
+  * same batch shape a vectorized/Arrow UDF would see), AND pixel/sample/
+  * frame decode for the modalities the JDK itself can read:
+  * [[ImageIoFeatureDecoder]] (PNG/JPEG/GIF/BMP via `javax.imageio`),
+  * [[WavFeatureDecoder]] (WAV/PCM via `javax.sound.sampled`), and
+  * [[MjpegAviFrameDecoder]] (video frame sampling for MJPEG-in-AVI:
+  * RIFF walking + per-frame JPEG decode), routed per record by
   * [[JdkFeatureDecoder]].
   *
-  * What is STUBBED: modalities with no JDK codec (video frames).
+  * What is STUBBED: codecs the JDK does not ship (H.264/H.265 in MP4).
   * [[StubFeatureDecoder]] produces a deterministic hash-derived vector;
   * swap in a real [[FeatureDecoder]] (JNI codec, ONNX runtime) without
   * touching any of the plumbing.
@@ -35,6 +37,13 @@ object Multimodal {
     else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
       "audio/wav"
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' ')
+      "video/avi"
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8' &&
+      (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+      "image/gif"
+    else if (bytes(0) == 'B' && bytes(1) == 'M') "image/bmp"
     else if (bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p')
       "video/mp4"
     else "unknown"
@@ -117,17 +126,92 @@ object Multimodal {
         MediaMeta("video/mp4", w, h, durMs, 0, 0)
     }
 
+  // --- RIFF/AVI walking (little-endian fourcc chunks) ---------------------
+
+  /** First RIFF child chunk with the given fourcc in [start, end): returns
+    * the payload range. For `LIST` chunks pass the *list type* as
+    * `listType` to match `LIST` chunks of that type (payload starts after
+    * the 4-byte list type). Chunks are even-aligned (odd sizes padded). */
+  private def findRiffChunk(b: Array[Byte], start: Int, end: Int,
+                            fourcc: String,
+                            listType: String = null): Option[(Int, Int)] = {
+    var off = start
+    while (off + 8 <= end) {
+      // chunk layout: fourcc (4) + LE size (4) + payload (+ pad to even)
+      val size = leInt(b, off + 4) & 0xffffffffL
+      if (off + 8 + size > end) return None
+      val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val payload = off + 8
+      val chunkEnd = (payload + size).toInt
+      if (listType != null && id == "LIST" && size >= 4 &&
+        new String(b, payload, 4, java.nio.charset.StandardCharsets.US_ASCII) == listType)
+        return Some((payload + 4, chunkEnd))
+      if (listType == null && id == fourcc) return Some((payload, chunkEnd))
+      off = chunkEnd + (size.toInt & 1) // pad to even
+    }
+    None
+  }
+
+  /** MJPEG frame payloads of an AVI: walk `RIFF/AVI ` → `LIST movi` →
+    * `##dc`/`##db` chunks (compressed/uncompressed video frames for any
+    * stream number). Plain byte arithmetic — no codec involved; the
+    * returned slices are complete JPEG files for an MJPEG stream. */
+  def aviVideoChunks(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (mediaType(bytes) != "video/avi") return Nil
+    findRiffChunk(bytes, 12, bytes.length, null, "movi").toSeq.flatMap {
+      case (ms, me) =>
+        val frames = Seq.newBuilder[Array[Byte]]
+        var off = ms
+        while (off + 8 <= me) {
+          val size = leInt(bytes, off + 4) & 0xffffffffL
+          if (off + 8 + size > me) { off = me }
+          else {
+            val isVideo = bytes(off + 2) == 'd' &&
+              (bytes(off + 3) == 'c' || bytes(off + 3) == 'b')
+            if (isVideo)
+              frames += java.util.Arrays.copyOfRange(bytes, off + 8, (off + 8 + size).toInt)
+            off = (off + 8 + size + (size & 1)).toInt
+          }
+        }
+        frames.result()
+    }
+  }
+
+  /** AVI metadata from the `avih` main header inside `LIST hdrl`:
+    * dwMicroSecPerFrame (offset 0), dwTotalFrames (16), dwWidth (32),
+    * dwHeight (36) — duration = frames × µs/frame. */
+  private def parseAvi(b: Array[Byte]): MediaMeta = {
+    val meta = for {
+      (hs, he) <- findRiffChunk(b, 12, b.length, null, "hdrl")
+      (as, ae) <- findRiffChunk(b, hs, he, "avih") if ae - as >= 40
+    } yield {
+      val usPerFrame = leInt(b, as) & 0xffffffffL
+      val totalFrames = leInt(b, as + 16) & 0xffffffffL
+      MediaMeta("video/avi", leInt(b, as + 32), leInt(b, as + 36),
+        usPerFrame * totalFrames / 1000, 0, 0)
+    }
+    meta.getOrElse(MediaMeta("video/avi", 0, 0, 0L, 0, 0))
+  }
+
   /** Parse structural metadata from raw bytes (real header parsing):
     * PNG: width/height from the IHDR chunk (bytes 16..23);
     * JPEG: scan markers for SOF0-15, dims from its payload;
     * WAV: channels/sample-rate from the fmt chunk, duration from data size;
     * MP4: duration from moov/mvhd, dimensions from the first video
-    * trak's tkhd (see [[parseMp4]]).
+    * trak's tkhd (see [[parseMp4]]);
+    * AVI: dimensions/duration from the avih main header (see [[parseAvi]]).
     */
   def parseMeta(bytes: Array[Byte]): MediaMeta = mediaType(bytes) match {
     case "video/mp4" => parseMp4(bytes)
+    case "video/avi" => parseAvi(bytes)
     case "image/png" if bytes.length >= 24 =>
       MediaMeta("image/png", beInt(bytes, 16), beInt(bytes, 20), 0L, 0, 0)
+    // GIF logical screen descriptor: LE uint16 dims at offsets 6/8
+    case "image/gif" if bytes.length >= 10 =>
+      MediaMeta("image/gif", leShort(bytes, 6), leShort(bytes, 8), 0L, 0, 0)
+    // BITMAPINFOHEADER: LE int32 dims at 18/22 (height negative = top-down)
+    case "image/bmp" if bytes.length >= 26 =>
+      MediaMeta("image/bmp", leInt(bytes, 18), math.abs(leInt(bytes, 22)), 0L, 0, 0)
     case "image/jpeg" =>
       var i = 2
       var meta = MediaMeta("image/jpeg", 0, 0, 0L, 0, 0)
@@ -323,26 +407,94 @@ object WavFeatureDecoder extends FeatureDecoder {
   }
 }
 
+/** REAL video-frame decoder for MJPEG-in-AVI: frame extraction is RIFF
+  * byte walking ([[Multimodal.aviVideoChunks]]) and each MJPEG frame is a
+  * complete JPEG, which `javax.imageio` decodes — so frame-sample +
+  * pixel-decode runs on the JDK alone. Samples up to [[MaxFrames]] frames
+  * evenly across the stream (the standard video-curation shape: cost is
+  * per *sampled* frame, independent of clip length), computes per-frame
+  * color/luma stats, and pools them.
+  *
+  * Features (deterministic): nFrames/1000, width/4096, height/4096,
+  * mean R/G/B over sampled frames, mean luma, motion proxy = mean
+  * |Δ mean-luma| between consecutive sampled frames (0..1).
+  * Non-MJPEG video (e.g. H.264 in MP4 — no JDK codec) falls back to
+  * [[StubFeatureDecoder]]. */
+object MjpegAviFrameDecoder extends FeatureDecoder {
+  val Dim = 8
+  val MaxFrames = 8
+
+  override def decodeBatch(batch: Seq[(MediaMeta, Array[Byte])]): Seq[Array[Float]] =
+    batch.map { case (meta, bytes) =>
+      val frames = Multimodal.aviVideoChunks(bytes)
+      val n = frames.length
+      val idx =
+        if (n <= MaxFrames) 0 until n
+        else (0 until MaxFrames).map(i => i * (n - 1) / (MaxFrames - 1))
+      // (meanR, meanG, meanB, meanLuma) per decoded sampled frame
+      val stats = idx.flatMap { i =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames(i)))
+          // NonFatal only — same rationale as ImageIoFeatureDecoder
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr, sg, sb, sl = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+              sr += r; sg += g; sb += b; sl += 0.299 * r + 0.587 * g + 0.114 * b
+              x += 1
+            }
+            y += 1
+          }
+          val np = w.toDouble * h
+          Some((w, h, sr / np / 255, sg / np / 255, sb / np / 255, sl / np / 255))
+        }
+      }
+      if (stats.isEmpty) StubFeatureDecoder.decodeBatch(Seq((meta, bytes))).head
+      else {
+        val k = stats.length.toDouble
+        val motion =
+          if (stats.length < 2) 0.0
+          else stats.sliding(2).map { case Seq(a, b) => math.abs(b._6 - a._6) }
+            .sum / (stats.length - 1)
+        Array(n / 1000f, stats.head._1 / 4096f, stats.head._2 / 4096f,
+          (stats.map(_._3).sum / k).toFloat, (stats.map(_._4).sum / k).toFloat,
+          (stats.map(_._5).sum / k).toFloat, (stats.map(_._6).sum / k).toFloat,
+          motion.toFloat)
+      }
+    }
+}
+
 /** One decoder for a mixed-modality corpus: route each record to the JDK
-  * codec for its container (imageio for PNG/JPEG, sampled-audio for WAV);
-  * modalities without a JDK codec (video frames) take the stub. */
+  * codec for its container (imageio for PNG/JPEG, sampled-audio for WAV,
+  * RIFF walking + imageio for MJPEG-AVI frames); modalities without a JDK
+  * codec (MP4 video) take the stub. */
 object JdkFeatureDecoder extends FeatureDecoder {
   val Dim = 8
 
   override def decodeBatch(batch: Seq[(MediaMeta, Array[Byte])]): Seq[Array[Float]] =
     batch.map { rec =>
       rec._1.mediaType match {
-        case "image/png" | "image/jpeg" => ImageIoFeatureDecoder.decodeBatch(Seq(rec)).head
+        case "image/png" | "image/jpeg" | "image/gif" | "image/bmp" =>
+          ImageIoFeatureDecoder.decodeBatch(Seq(rec)).head
         case "audio/wav" => WavFeatureDecoder.decodeBatch(Seq(rec)).head
+        case "video/avi" => MjpegAviFrameDecoder.decodeBatch(Seq(rec)).head
         case _ => StubFeatureDecoder.decodeBatch(Seq(rec)).head
       }
     }
 }
 
 /** STUB — deterministic fake decoder for modalities whose codecs the JDK
-  * does not ship (video frames; exotic image/audio containers); stands in
-  * with a hash-derived vector (stable across runs/engines) so the
-  * pipeline plumbing is fully exercisable. Marked ??? on the real path. */
+  * does not ship (H.264/H.265 video in MP4; exotic image/audio
+  * containers); stands in with a hash-derived vector (stable across
+  * runs/engines) so the pipeline plumbing is fully exercisable. Marked
+  * ??? on the real path. */
 object StubFeatureDecoder extends FeatureDecoder {
   val Dim = 8
 

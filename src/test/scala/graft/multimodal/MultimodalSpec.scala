@@ -92,6 +92,110 @@ class MultimodalSpec extends SparkSpec {
   private def ftypLen(b: Array[Byte]): Int =
     ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) | ((b(2) & 0xff) << 8) | (b(3) & 0xff)
 
+  // --- MJPEG-AVI fixture: JDK-encoded JPEG frames in a hand-built RIFF ---
+
+  private def jpegOf(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  private def le(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >>> (8 * i)) & 0xff).toByte)
+
+  private def riffChunk(fourcc: String, body: Array[Byte]): Array[Byte] = {
+    val pad: Array[Byte] = if (body.length % 2 == 1) Array(0.toByte) else Array.empty
+    fourcc.getBytes("ISO-8859-1") ++ le(body.length, 4) ++ body ++ pad
+  }
+
+  private def riffList(listType: String, children: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("ISO-8859-1") ++ children.flatten)
+
+  /** Minimal MJPEG AVI: avih main header + movi list of 00dc JPEG frames. */
+  private def aviBytes(w: Int, h: Int, usPerFrame: Int,
+                       frames: Seq[Array[Byte]]): Array[Byte] = {
+    val avih = new Array[Byte](56)
+    le(usPerFrame, 4).copyToArray(avih, 0)
+    le(frames.length, 4).copyToArray(avih, 16)
+    le(w, 4).copyToArray(avih, 32)
+    le(h, 4).copyToArray(avih, 36)
+    val body = "AVI ".getBytes ++
+      riffList("hdrl", riffChunk("avih", avih)) ++
+      riffList("movi", frames.map(riffChunk("00dc", _)): _*)
+    "RIFF".getBytes ++ le(body.length, 4) ++ body
+  }
+
+  test("AVI avih metadata and movi frame walking from plain bytes") {
+    val frames = Seq(jpegOf(16, 16, 0xff0000), jpegOf(16, 16, 0x00ff00))
+    val avi = aviBytes(16, 16, 40000, frames) // 25 fps, 2 frames → 80 ms
+    assert(Multimodal.mediaType(avi) == "video/avi")
+    assert(Multimodal.parseMeta(avi) == MediaMeta("video/avi", 16, 16, 80L, 0, 0))
+    val chunks = Multimodal.aviVideoChunks(avi)
+    assert(chunks.length == 2)
+    assert(chunks.zip(frames).forall { case (c, f) => c.toList == f.toList })
+    // headerless / truncated RIFF bails to empty, not a crash
+    assert(Multimodal.aviVideoChunks("RIFFxxxxAVI ".getBytes) == Nil)
+  }
+
+  test("real MJPEG video-frame decode: sampled frames → color/motion features") {
+    val s = spark
+    import s.implicits._
+    val frames = Seq(jpegOf(16, 16, 0xff0000), jpegOf(16, 16, 0x00ff00),
+      jpegOf(16, 16, 0x0000ff))
+    val avi = aviBytes(16, 16, 40000, frames)
+    val meta = Multimodal.parseMeta(avi)
+    val ds = s.createDataset(Seq(MediaRecord(1L, meta, avi)))
+    val Array(f) = Multimodal.extractFeatures(ds, MjpegAviFrameDecoder).collect()
+    val feats = f.features
+    assert(feats.length == MjpegAviFrameDecoder.Dim)
+    assert(math.abs(feats(0) - 3f / 1000f) < 1e-6)    // frame count
+    assert(math.abs(feats(1) - 16f / 4096f) < 1e-6)   // width from decoded pixels
+    assert(math.abs(feats(2) - 16f / 4096f) < 1e-6)   // height
+    // one pure-R, one pure-G, one pure-B frame → each channel mean ≈ 1/3
+    assert(math.abs(feats(3) - 1f / 3) < 0.05)
+    assert(math.abs(feats(4) - 1f / 3) < 0.05)
+    assert(math.abs(feats(5) - 1f / 3) < 0.05)
+    assert(feats(7) > 0.1f)                           // frames differ → motion
+    // static clip: identical frames → zero-ish motion
+    val still = aviBytes(16, 16, 40000, Seq.fill(3)(jpegOf(16, 16, 0x808080)))
+    val sf = MjpegAviFrameDecoder.decodeBatch(
+      Seq((Multimodal.parseMeta(still), still))).head
+    assert(sf(7) < 0.01f)
+    // and it is NOT the stub's hash vector
+    assert(feats.toList !=
+      StubFeatureDecoder.decodeBatch(Seq((meta, avi))).head.toList)
+  }
+
+  test("GIF and BMP: sniffed, dims parsed, routed to the real imageio decoder") {
+    def encoded(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(6, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, 0xff0000)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val gif = encoded("gif"); val bmp = encoded("bmp")
+    assert(Multimodal.parseMeta(gif) == MediaMeta("image/gif", 6, 4, 0L, 0, 0))
+    assert(Multimodal.parseMeta(bmp) == MediaMeta("image/bmp", 6, 4, 0L, 0, 0))
+    for (bytes <- Seq(gif, bmp)) {
+      val rec = (Multimodal.parseMeta(bytes), bytes)
+      val feats = JdkFeatureDecoder.decodeBatch(Seq(rec)).head
+      assert(feats.toList == ImageIoFeatureDecoder.decodeBatch(Seq(rec)).head.toList)
+      assert(feats(3) > 0.8f) // an all-red image decoded for real, not hashed
+    }
+  }
+
+  test("AVI with no decodable frames falls back to the stub") {
+    val avi = aviBytes(16, 16, 40000, Seq("not a jpeg".getBytes))
+    val meta = Multimodal.parseMeta(avi)
+    val out = MjpegAviFrameDecoder.decodeBatch(Seq((meta, avi))).head
+    assert(out.toList == StubFeatureDecoder.decodeBatch(Seq((meta, avi))).head.toList)
+  }
+
   test("container sniffing and header parsing (PNG/JPEG/WAV) without codec libs") {
     val png = Multimodal.parseMeta(pngBytes(640, 480))
     assert(png == MediaMeta("image/png", 640, 480, 0L, 0, 0))
@@ -178,12 +282,14 @@ class MultimodalSpec extends SparkSpec {
     val in = getClass.getResourceAsStream("/fixture.png")
     val png = in.readAllBytes(); in.close()
     val wav = sineWav(8000, 0.1, 0.3, 200)
+    val avi = aviBytes(8, 8, 40000, Seq(jpegOf(8, 8, 0xffffff)))
     val junk = "definitely not media".getBytes
-    val batch = Seq(png, wav, junk).map(b => (Multimodal.parseMeta(b), b))
+    val batch = Seq(png, wav, avi, junk).map(b => (Multimodal.parseMeta(b), b))
     val out = JdkFeatureDecoder.decodeBatch(batch)
     assert(out(0).toList == ImageIoFeatureDecoder.decodeBatch(Seq(batch(0))).head.toList)
     assert(out(1).toList == WavFeatureDecoder.decodeBatch(Seq(batch(1))).head.toList)
-    assert(out(2).toList == StubFeatureDecoder.decodeBatch(Seq(batch(2))).head.toList)
+    assert(out(2).toList == MjpegAviFrameDecoder.decodeBatch(Seq(batch(2))).head.toList)
+    assert(out(3).toList == StubFeatureDecoder.decodeBatch(Seq(batch(3))).head.toList)
   }
 
   test("undecodable bytes fall back to the stub path") {
