@@ -122,10 +122,12 @@ object SimilarityOps {
     * cast keeps centroid arrays the same type as the corpus vectors, so
     * the codegen'd [[dot]] expression serves every round.
     *
-    * Scale shape, per iteration: centroids broadcast (k rows); the
-    * assignment argmax is ONE corpus exchange; the per-dimension mean is
-    * a `posexplode` + partial-aggregating `avg` whose shuffle carries at
-    * most k·dims rows per partition. Lineage is cut per round with the
+    * Scale shape, per iteration: the k centroids are collected and the
+    * assignment argmax is a map-side codegen'd expression
+    * ([[nearestCellExpr]]) — the corpus is never exchanged; the
+    * per-dimension mean is a `posexplode` + partial-aggregating `avg`
+    * whose shuffle carries at most k·dims rows per partition, the only
+    * exchange in the round. Lineage is cut per round with the
     * eager-localCheckpoint discipline of
     * [[DedupOps.connectedComponents]] (superseded snapshots freed
     * immediately); empty clusters keep their previous centroid. On a
@@ -146,13 +148,12 @@ object SimilarityOps {
     var centsCk = cents
     var i = 0
     while (i < iters) {
-      val c = cents.select(col("cid"), col("cv"), norm(col("cv")).as("cn"))
-      val assigned = v.join(broadcast(c), lit(true))
-        .select(col("vid"), col("vv"), col("cid"),
-          (round(cosine(col("vv"), col("cv"), col("vn"), col("cn")) * 1000000, 0)
-            .cast("long") * 100 - col("cid")).as("score"))
-        .groupBy("vid")
-        .agg(max_by(col("cid"), col("score")).as("cid"), first(col("vv")).as("vv"))
+      // k rows, already materialized by the round's checkpoint — the
+      // collect turns the assignment into a shuffle-free projection
+      val cLocal = collectCentroids(
+        cents.select(col("cid"), col("cv"), norm(col("cv")).as("cn")))
+      val assigned = v.select(
+        nearestCellExpr(col("vv"), col("vn"), cLocal).as("cid"), col("vv"))
       val fitted = assigned
         .select(col("cid"), posexplode(col("vv")))
         .groupBy("cid", "pos")
@@ -183,14 +184,48 @@ object SimilarityOps {
       case Some(c) => c.select(col("cid").cast("long").as("cid"), col("cv"),
         norm(col("cv")).as("cn"))
       case None => v.filter(col(idCol) < k)
-        .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("nrm").as("cn"))
+        .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"),
+          col("nrm").as("cn"))
     }
 
+  /** Driver-side centroid snapshot (cid, vector, norm). The centroid set
+    * is k rows by contract — the same small-side reasoning as a broadcast
+    * — but collecting it lets the nearest-cell argmax become a pure
+    * map-side EXPRESSION over literal vectors instead of a
+    * crossJoin + per-id aggregation, removing the corpus-sized exchange
+    * from every assignment pass. Norms are taken from the DataFrame (not
+    * recomputed on the driver) so the doubles match the column path
+    * bit-for-bit. */
+  private def collectCentroids(cents: DataFrame): Seq[(Long, Array[Float], Double)] =
+    cents.select(col("cid").cast("long"), col("cv"), col("cn").cast("double"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+
+  /** Nearest-centroid id as a codegen'd map-side expression: one
+    * [[cosine]] per literal centroid vector, the established
+    * rounded-similarity × 100 − cid score encoding (highest similarity
+    * wins, lowest cid breaks ties — portable to the SQL oracles), argmax
+    * as `greatest` over (score, cid) structs. Zero shuffles, zero joins. */
+  private def nearestCellExpr(vec: Column, nrm: Column,
+                              cents: Seq[(Long, Array[Float], Double)]): Column = {
+    require(cents.nonEmpty, "nearest-cell argmax needs at least one centroid")
+    val scored = cents.map { case (cid, cv, cn) =>
+      struct(
+        (round(cosine(vec, typedLit(cv), nrm, lit(cn)) * 1000000, 0)
+          .cast("long") * 100 - lit(cid)).as("s"),
+        lit(cid).as("cid"))
+    }
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    best.getField("cid")
+  }
+
   /** IVF index build: assign every vector to its nearest of k fixed
-    * centroids (here: the vectors with id < k — deterministic and
-    * engine-portable; swap in k-means centroids in production). The
-    * centroid set broadcasts; assignment is one map-side pass, so index
-    * build is O(n·k) with zero shuffles of the corpus. Queries then probe
+    * centroids (default: the vectors with id < k — deterministic and
+    * engine-portable; pass [[kmeansFit]] output in production). The
+    * centroid set is collected (k rows) and the argmax is a pure
+    * map-side codegen'd expression ([[nearestCellExpr]]), so index build
+    * is O(n·k) with ZERO shuffles of the corpus — no crossJoin rows
+    * materialized, no per-id aggregation exchange. Queries then probe
     * only the nearest centroid lists (same shape as [[bucketedPairs]]).
     *
     * Tie-breaking: highest rounded similarity, then lowest centroid id,
@@ -198,14 +233,9 @@ object SimilarityOps {
   def ivfAssign(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
                 centroids: Option[DataFrame] = None): DataFrame = {
     val v = withNorm(vecs, vecCol)
-    val cents = centroidTable(v, idCol, vecCol, k, centroids)
-    v.join(broadcast(cents), lit(true))
-      .select(col(idCol).as("vec_id"),
-        col("cid"),
-        (round(cosine(col(vecCol), col("cv"), col("nrm"), col("cn")) * 1000000, 0)
-          .cast("long") * 100 - col("cid")).as("score"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cid"), col("score")).as("centroid_id"))
+    val cLocal = collectCentroids(centroidTable(v, idCol, vecCol, k, centroids))
+    v.select(col(idCol).as("vec_id"),
+      nearestCellExpr(col(vecCol), col("nrm"), cLocal).as("centroid_id"))
   }
 
   /** IVF search — the scale path ANN query. Probe the `nprobe`
@@ -213,14 +243,15 @@ object SimilarityOps {
     * the corpus vectors assigned to a probed cell: the per-query work is
     * Σ|probed cells| instead of the whole corpus.
     *
-    * Shuffle audit: ONE corpus-sized exchange (the cell-assignment
-    * argmax, which carries each vector once); centroids, probe lists and
-    * query vectors are all broadcast; the final top-k is the bounded
-    * [[Aggregators.topK]] (k rows per query per partition map-side).
-    * Recall is governed by (k, nprobe) exactly as in a production IVF
-    * index; centroids here are the deterministic id<k convention shared
-    * with [[ivfAssign]] and the SQL oracle (swap in k-means in
-    * production). */
+    * Shuffle audit: the cell assignment is a map-side expression over the
+    * collected k centroids ([[nearestCellExpr]]) — the corpus is NEVER
+    * exchanged; probe lists and query vectors are broadcast, so
+    * candidates stream past two broadcast hash joins, and the only
+    * exchange anywhere is the bounded [[Aggregators.topK]] (k rows per
+    * query per partition map-side). Recall is governed by (k, nprobe)
+    * exactly as in a production IVF index; centroids default to the
+    * deterministic id<k convention shared with [[ivfAssign]] and the SQL
+    * oracle (pass [[kmeansFit]] output in production). */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
               queryPred: Column, nprobe: Int, topN: Int,
               centroids: Option[DataFrame] = None): DataFrame = {
@@ -229,14 +260,12 @@ object SimilarityOps {
     val cellScore = (vec: Column, nrm: Column) =>
       round(cosine(vec, col("cv"), nrm, col("cn")) * 1000000, 0)
         .cast("long") * 100 - col("cid")
-    // index build: nearest cell per corpus vector, vector carried through
-    // the one corpus shuffle so candidates need no second corpus join
-    val assigned = v.join(broadcast(cents), lit(true))
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("nrm").as("nn"),
-        col("cid"), cellScore(col(vecCol), col("nrm")).as("score"))
-      .groupBy("neighbor_id")
-      .agg(max_by(col("cid"), col("score")).as("cid"),
-        first(col("nv")).as("nv"), first(col("nn")).as("nn"))
+    // index build: nearest cell per corpus vector as a shuffle-free
+    // projection — no crossJoin rows, no per-id aggregation exchange
+    val cLocal = collectCentroids(cents)
+    val assigned = v.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("nv"), col("nrm").as("nn"),
+      nearestCellExpr(col(vecCol), col("nrm"), cLocal).as("cid"))
     // probe lists: nprobe best cells per query (same score encoding, so
     // the ranking is portable to the oracle); queries are few by
     // construction — the bounded aggregator keeps this a tiny exchange
