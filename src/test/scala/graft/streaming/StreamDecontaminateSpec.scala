@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.sql.Timestamp
+
+/** Streaming decontamination: stream-static semi-join on shingle digests
+  * against a static benchmark set; one verdict row per contaminated doc. */
+class StreamDecontaminateSpec extends SparkSpec {
+
+  private val base = 1700000000L
+  private def ts(off: Long) = new Timestamp((base + off) * 1000)
+  case class Doc(id: Long, text: String, ts: Timestamp)
+
+  test("docs sharing an n-gram with the benchmark are flagged exactly once") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val in = MemoryStream[Doc]
+    val q = StreamDecontaminate.contaminatedIds(
+        in.toDF(), bench, "id", "text", "ts", "10 minutes", shingleN = 3)
+      .writeStream.format("memory").queryName("sdecon").outputMode("append").start()
+    try {
+      in.addData(
+        // two overlapping 3-grams ("quick brown fox", "brown fox jumps"):
+        // must still emit ONE row
+        Doc(1, "a quick brown fox jumps high", ts(0)),
+        Doc(2, "nothing in common here", ts(1)),
+        Doc(3, "over the lazy dog it went", ts(2)))
+      q.processAllAvailable()
+      val ids = s.table("sdecon").as[(Long, Timestamp)].collect().map(_._1).toList
+      assert(ids.sorted == List(1L, 3L))
+      assert(ids.count(_ == 1L) == 1) // multi-shingle match collapsed
+    } finally q.stop()
+  }
+
+  test("clean stream emits nothing; token-less docs do not crash the probe") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val bench = Seq((100L, "x y z w v")).toDF("id", "text")
+    val in = MemoryStream[Doc]
+    val q = StreamDecontaminate.contaminatedIds(
+        in.toDF(), bench, "id", "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sdecon2").outputMode("append").start()
+    try {
+      in.addData(Doc(1, "all clear", ts(0)), Doc(2, "", ts(1)))
+      q.processAllAvailable()
+      assert(s.table("sdecon2").count() == 0)
+    } finally q.stop()
+  }
+}
