@@ -122,36 +122,40 @@ object SimilarityOps {
     * cast keeps centroid arrays the same type as the corpus vectors, so
     * the codegen'd [[dot]] expression serves every round.
     *
-    * Scale shape, per iteration: the k centroids are collected and the
-    * assignment argmax is a map-side codegen'd expression
-    * ([[nearestCellExpr]]) — the corpus is never exchanged; the
-    * per-dimension mean is a `posexplode` + partial-aggregating `avg`
-    * whose shuffle carries at most k·dims rows per partition, the only
-    * exchange in the round. Lineage is cut per round with the
-    * eager-localCheckpoint discipline of
-    * [[DedupOps.connectedComponents]] (superseded snapshots freed
-    * immediately); empty clusters keep their previous centroid. On a
-    * 100 TB corpus, fit on a sample (`vecs.filter(...)`) and assign the
-    * full corpus once with [[ivfAssign]].
+    * Scale shape, per iteration: centroid state lives on the driver
+    * (k rows — the small-side reasoning of a broadcast) and the
+    * assignment argmax is a map-side codegen'd expression over it
+    * ([[nearestCellExpr]]) — the corpus is never exchanged and there is
+    * no per-round lineage to cut; the per-dimension mean is a
+    * `posexplode` + partial-aggregating `avg` whose shuffle carries at
+    * most k·dims rows per partition. Each round is exactly ONE Spark job
+    * (that aggregation's collect of k rows); empty clusters keep their
+    * previous centroid. The corpus projection is checkpointed once and
+    * re-scanned per round. On a 100 TB corpus, fit on a sample
+    * (`vecs.filter(...)`) and assign the full corpus once with
+    * [[ivfAssign]].
     */
   def kmeansFit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
                 iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0 and iters >= 0, got k=$k iters=$iters")
+    val spark = vecs.sparkSession
     // the corpus projection (with norms) is re-read every round: one scan
     val v = withNorm(vecs, vecCol)
       .select(col(idCol).cast("long").as("vid"), col(vecCol).as("vv"),
         col("nrm").as("vn"))
       .localCheckpoint(true)
-    var cents = v.filter(col("vid") < k)
-      .select(col("vid").as("cid"), col("vv").as("cv"))
-      .localCheckpoint(true)
-    var centsCk = cents
+    // Centroid state lives on the DRIVER between rounds: it is k rows by
+    // contract (the same small-side reasoning as a broadcast), each round
+    // reads all of it to build the assignment expression, and holding it
+    // locally makes a Lloyd round exactly ONE Spark job (the per-dim mean
+    // aggregation) — no per-round checkpoint/collect round-trips. Init
+    // norms come from the Spark expression; updated norms replicate
+    // DotProductFloat's left-to-right double fold exactly.
+    var cLocal = collectCentroids(
+      v.filter(col("vid") < k)
+        .select(col("vid").as("cid"), col("vv").as("cv"), norm(col("vv")).as("cn")))
     var i = 0
     while (i < iters) {
-      // k rows, already materialized by the round's checkpoint — the
-      // collect turns the assignment into a shuffle-free projection
-      val cLocal = collectCentroids(
-        cents.select(col("cid"), col("cv"), norm(col("cv")).as("cn")))
       val assigned = v.select(
         nearestCellExpr(col("vv"), col("vn"), cLocal).as("cid"), col("vv"))
       val fitted = assigned
@@ -161,18 +165,22 @@ object SimilarityOps {
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), transform(col("pm"), p => p.getField("m").cast("float")).as("fit"))
-      val next = cents.select(col("cid"), col("cv").as("prev"))
-        .join(fitted, Seq("cid"), "left_outer")
-        .select(col("cid"), coalesce(col("fit"), col("prev")).as("cv"))
-        .localCheckpoint(true)
-      org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint(centsCk)
-      centsCk = next
-      cents = next
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      // empty clusters keep their previous centroid (and its norm)
+      cLocal = cLocal.map { case (cid, prev, prevNorm) =>
+        fitted.get(cid) match {
+          case Some(cv) =>
+            (cid, cv, math.sqrt(
+              cv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)))
+          case None => (cid, prev, prevNorm)
+        }
+      }
       i += 1
     }
-    // the final snapshot no longer references the corpus checkpoint
     org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint(v)
-    cents
+    import spark.implicits._
+    cLocal.map { case (cid, cv, _) => (cid, cv) }.toDF("cid", "cv")
   }
 
   /** Centroid table (cid, cv, cn) for the IVF pair: a fitted set from
@@ -256,29 +264,28 @@ object SimilarityOps {
               queryPred: Column, nprobe: Int, topN: Int,
               centroids: Option[DataFrame] = None): DataFrame = {
     val v = withNorm(vecs, vecCol)
-    val cents = centroidTable(v, idCol, vecCol, k, centroids)
-    val cellScore = (vec: Column, nrm: Column) =>
-      round(cosine(vec, col("cv"), nrm, col("cn")) * 1000000, 0)
-        .cast("long") * 100 - col("cid")
     // index build: nearest cell per corpus vector as a shuffle-free
     // projection — no crossJoin rows, no per-id aggregation exchange
-    val cLocal = collectCentroids(cents)
+    val cLocal = collectCentroids(centroidTable(v, idCol, vecCol, k, centroids))
     val assigned = v.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("nv"), col("nrm").as("nn"),
       nearestCellExpr(col(vecCol), col("nrm"), cLocal).as("cid"))
-    // probe lists: nprobe best cells per query (same score encoding, so
-    // the ranking is portable to the oracle); queries are few by
-    // construction — the bounded aggregator keeps this a tiny exchange
-    val topCells = udaf(Aggregators.topK(nprobe), Encoders.product[ScoredHit])
+    // probe lists: nprobe best cells per query, also map-side over the
+    // collected centroids — score all k cells into an array of (score,
+    // cid) structs, sort, keep the top nprobe. Same score encoding as
+    // the assignment (scores are distinct by the −cid term), so the
+    // probed SET matches the aggregator formulation the oracle replays.
     val q = v.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
-    val probes = q.join(broadcast(cents), lit(true))
-      .select(col("query_id"),
-        cellScore(col("qv"), col("qn")).cast("double").as("score"), col("cid"))
-      .groupBy("query_id")
-      .agg(topCells(col("score"), col("cid")).as("tc"))
-      .select(col("query_id"), explode(col("tc.hits")).as("h"))
-      .select(col("query_id"), col("h.neighbor_id").as("cid"))
+    val cellStructs = cLocal.map { case (cid, cv, cn) =>
+      struct(
+        (round(cosine(col("qv"), typedLit(cv), col("qn"), lit(cn)) * 1000000, 0)
+          .cast("long") * 100 - lit(cid)).as("s"),
+        lit(cid).as("cid"))
+    }
+    val probes = q.select(col("query_id"),
+        explode(slice(reverse(array_sort(array(cellStructs: _*))), 1, nprobe)).as("h"))
+      .select(col("query_id"), col("h.cid").as("cid"))
     // candidates stream map-side past the broadcast probe/query tables
     val topk = udaf(Aggregators.topK(topN), Encoders.product[ScoredHit])
     assigned.join(broadcast(probes), "cid")
