@@ -729,6 +729,36 @@ object SparkEntry {
         docs.filter(col("doc_id") % 41 =!= 0),
         docs.filter(col("doc_id") % 41 === 0),
         "doc_id", "text", shingleN = 5)
+    }),
+
+    // CCNet-style LM quality scoring: per-doc mean log-probability under
+    // an add-one-smoothed corpus bigram model — fluent (corpus-typical)
+    // text scores high, gibberish low. Shapes: bigram instances explode
+    // from ONE materialized token column; the model (bigram + context
+    // counts) aggregates with map-side partials; context counts derive
+    // from the already-aggregated bigram counts (no second corpus pass);
+    // the vocabulary size rides a broadcast scalar; scoring joins are
+    // keyed hash joins on (w1, w2) / w1 — AQE splits hot-word skew
+    "t8_bigram_logprob" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      val bi = toks.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cbi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cbi"))
+      val cw = cbi.groupBy("w1").agg(sum(col("cbi")).as("cw"))
+      val vocab = toks.select(explode(col("t")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      bi.join(cbi, Seq("w1", "w2")).join(cw, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          log((col("cbi") + 1).cast("double") / (col("cw") + col("v")).cast("double"))
+            .as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("avg_logp"))
     })
   )
 
@@ -1333,6 +1363,27 @@ object SparkEntry {
         |  round((len(g3) - len(list_distinct(g3)))::DOUBLE
         |        / greatest(len(g3), 1)::DOUBLE, 4) AS dup_trigram_frac
         |FROM g""".stripMargin,
+
+    "t8_bigram_logprob" ->
+      s"""WITH $toksSql,
+        |bi AS (
+        |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t)),
+        |            i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS u
+        |        FROM toks WHERE len(t) >= 2)),
+        |cbi AS (SELECT w1, w2, count(*) AS cbi FROM bi GROUP BY 1, 2),
+        |cw AS (SELECT w1, sum(cbi) AS cw FROM cbi GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT tok) AS v
+        |          FROM (SELECT unnest(t) AS tok FROM toks))
+        |SELECT b.doc_id,
+        |  count(*)::BIGINT AS n_bigrams,
+        |  round(avg(ln((cbi + 1)::DOUBLE / (cw + v)::DOUBLE)), 4) AS avg_logp
+        |FROM bi b
+        |JOIN cbi ON cbi.w1 = b.w1 AND cbi.w2 = b.w2
+        |JOIN cw ON cw.w1 = b.w1
+        |CROSS JOIN vocab
+        |GROUP BY 1""".stripMargin,
 
     "d9_decontaminate" ->
       s"""WITH $toksSql,

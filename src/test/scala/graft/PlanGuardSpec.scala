@@ -61,6 +61,12 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p)
   }
 
+  test("s3 IVF assignment is a shuffle-free projection — no exchange, no join") {
+    val p = planOf("s3_ivf_assign")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("d5 simhash pairs join on the (band, bits) key — no cartesian") {
     val p = planOf("d5_simhash_neardup")
     assert(!p.contains("CartesianProduct"), p)
