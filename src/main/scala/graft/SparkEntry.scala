@@ -731,6 +731,29 @@ object SparkEntry {
         "doc_id", "text", shingleN = 5)
     }),
 
+    // context-window chunking: split documents into fixed-token-budget
+    // chunks (32 tokens, stride 24 → 8-token overlap) — the step that
+    // turns a curated corpus into training sequences. Pure map-side array
+    // arithmetic over ONE materialized token column: start offsets are a
+    // computed sequence, each chunk a slice; zero shuffles at any scale
+    "x18_chunk" -> ((s, dir) => {
+      val C = 32
+      val S = 24
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+      val nChunks = when(size(col("t")) <= C, lit(1))
+        .otherwise(expr(s"1 + ((size(t) - $C + ${S - 1}) div $S)"))
+      d.select(col("doc_id"), col("t"),
+          posexplode(transform(sequence(lit(0), nChunks - 1), i => i * S + 1))
+            .as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          slice(col("t"), col("start"), lit(C)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("fp"))
+    }),
+
     // CCNet-style LM quality scoring: per-doc mean log-probability under
     // an add-one-smoothed corpus bigram model — fluent (corpus-typical)
     // text scores high, gibberish low. Shapes: bigram instances explode
@@ -1363,6 +1386,19 @@ object SparkEntry {
         |  round((len(g3) - len(list_distinct(g3)))::DOUBLE
         |        / greatest(len(g3), 1)::DOUBLE, 4) AS dup_trigram_frac
         |FROM g""".stripMargin,
+
+    "x18_chunk" ->
+      s"""WITH $toksSql,
+        |c AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    CASE WHEN len(t) <= 32 THEN 1
+        |         ELSE 1 + ((len(t) - 32 + 23) // 24) END AS nchunks
+        |  FROM toks WHERE len(t) > 0),
+        |u AS (SELECT doc_id, t, n, unnest(range(0, nchunks)) AS i FROM c)
+        |SELECT doc_id, i::BIGINT AS chunk_idx,
+        |  len(t[i * 24 + 1 : least(i * 24 + 32, n)])::BIGINT AS n_tokens,
+        |  md5(array_to_string(t[i * 24 + 1 : least(i * 24 + 32, n)], ' ')) AS fp
+        |FROM u""".stripMargin,
 
     "t8_bigram_logprob" ->
       s"""WITH $toksSql,
