@@ -12,8 +12,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen paths and the shared file-status cache once so
     // per-query timings measure the engine, not first-use classloading or
-    // parquet footer listing.
+    // parquet footer listing. entry() warms the join/agg path; a smoke-SF
+    // wordcount warms the tokenizer + explode/agg codegen that the
+    // alphabetically-first timed query (a2) was otherwise first to pay.
     SparkEntry.entry(spark).count()
+    try SparkEntry.queries("a2_wordcount")(spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => () }
     Tables.names.foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
