@@ -421,53 +421,109 @@ object WavFeatureDecoder extends FeatureDecoder {
   * Non-MJPEG video (e.g. H.264 in MP4 — no JDK codec) falls back to
   * [[StubFeatureDecoder]]. */
 object MjpegAviFrameDecoder extends FeatureDecoder {
-  val Dim = 8
-  val MaxFrames = 8
+  val Dim = FramePool.Dim
+  val MaxFrames = FramePool.MaxFrames
 
   override def decodeBatch(batch: Seq[(MediaMeta, Array[Byte])]): Seq[Array[Float]] =
     batch.map { case (meta, bytes) =>
       val frames = Multimodal.aviVideoChunks(bytes)
-      val n = frames.length
-      val idx =
-        if (n <= MaxFrames) 0 until n
-        else (0 until MaxFrames).map(i => i * (n - 1) / (MaxFrames - 1))
-      // (meanR, meanG, meanB, meanLuma) per decoded sampled frame
-      val stats = idx.flatMap { i =>
+      val imgs = FramePool.sampleIndices(frames.length).flatMap { i =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames(i)))
           // NonFatal only — same rationale as ImageIoFeatureDecoder
           catch { case scala.util.control.NonFatal(_) => null }
-        if (img == null) None
-        else {
-          val w = img.getWidth; val h = img.getHeight
-          var sr, sg, sb, sl = 0.0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
-              sr += r; sg += g; sb += b; sl += 0.299 * r + 0.587 * g + 0.114 * b
-              x += 1
-            }
-            y += 1
-          }
-          val np = w.toDouble * h
-          Some((w, h, sr / np / 255, sg / np / 255, sb / np / 255, sl / np / 255))
+        Option(img)
+      }
+      FramePool.features(frames.length, imgs)
+        .getOrElse(StubFeatureDecoder.decodeBatch(Seq((meta, bytes))).head)
+    }
+}
+
+/** Shared frame-sampling + stat-pooling for the video-ish decoders
+  * ([[MjpegAviFrameDecoder]], [[GifFrameDecoder]]): up to [[MaxFrames]]
+  * frames sampled evenly across the stream, per-frame color/luma means,
+  * pooled into the 8-feature layout documented on
+  * [[MjpegAviFrameDecoder]]. */
+private[multimodal] object FramePool {
+  val Dim = 8
+  val MaxFrames = 8
+
+  /** Indices of up to [[MaxFrames]] frames, evenly spread over n. */
+  def sampleIndices(n: Int): Seq[Int] =
+    if (n <= MaxFrames) 0 until n
+    else (0 until MaxFrames).map(i => i * (n - 1) / (MaxFrames - 1))
+
+  /** Pool decoded frames into the feature vector; None when no frame
+    * decoded (callers fall back to the stub). `nTotal` is the full frame
+    * count of the stream (pre-sampling). */
+  def features(nTotal: Int,
+               imgs: Seq[java.awt.image.BufferedImage]): Option[Array[Float]] = {
+    // (w, h, meanR, meanG, meanB, meanLuma) per decoded sampled frame
+    val stats = imgs.map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      var sr, sg, sb, sl = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+          sr += r; sg += g; sb += b; sl += 0.299 * r + 0.587 * g + 0.114 * b
+          x += 1
         }
+        y += 1
       }
-      if (stats.isEmpty) StubFeatureDecoder.decodeBatch(Seq((meta, bytes))).head
-      else {
-        val k = stats.length.toDouble
-        val motion =
-          if (stats.length < 2) 0.0
-          else stats.sliding(2).map { case Seq(a, b) => math.abs(b._6 - a._6) }
-            .sum / (stats.length - 1)
-        Array(n / 1000f, stats.head._1 / 4096f, stats.head._2 / 4096f,
-          (stats.map(_._3).sum / k).toFloat, (stats.map(_._4).sum / k).toFloat,
-          (stats.map(_._5).sum / k).toFloat, (stats.map(_._6).sum / k).toFloat,
-          motion.toFloat)
-      }
+      val np = w.toDouble * h
+      (w, h, sr / np / 255, sg / np / 255, sb / np / 255, sl / np / 255)
+    }
+    if (stats.isEmpty) None
+    else {
+      val k = stats.length.toDouble
+      val motion =
+        if (stats.length < 2) 0.0
+        else stats.sliding(2).map { case Seq(a, b) => math.abs(b._6 - a._6) }
+          .sum / (stats.length - 1)
+      Some(Array(nTotal / 1000f, stats.head._1 / 4096f, stats.head._2 / 4096f,
+        (stats.map(_._3).sum / k).toFloat, (stats.map(_._4).sum / k).toFloat,
+        (stats.map(_._5).sum / k).toFloat, (stats.map(_._6).sum / k).toFloat,
+        motion.toFloat))
+    }
+  }
+}
+
+/** REAL animated-GIF frame decoder: the JDK's GIF reader iterates frames
+  * (`getNumImages`/`read(i)`), so frame sampling needs no codec library —
+  * only the sampled indices are decoded, like a real video pipeline.
+  * Same feature layout and pooling as [[MjpegAviFrameDecoder]]; a
+  * still (1-frame) GIF degenerates to frame stats with zero motion.
+  * Undecodable payloads fall back to [[StubFeatureDecoder]]. */
+object GifFrameDecoder extends FeatureDecoder {
+  val Dim = FramePool.Dim
+
+  override def decodeBatch(batch: Seq[(MediaMeta, Array[Byte])]): Seq[Array[Float]] =
+    batch.map { case (meta, bytes) =>
+      val pooled =
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) None
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                val imgs = FramePool.sampleIndices(n).flatMap { i =>
+                  try Option(reader.read(i))
+                  catch { case scala.util.control.NonFatal(_) => None }
+                }
+                FramePool.features(n, imgs)
+              } finally reader.dispose()
+            }
+          } finally if (iis != null) iis.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      pooled.getOrElse(StubFeatureDecoder.decodeBatch(Seq((meta, bytes))).head)
     }
 }
 
@@ -481,10 +537,13 @@ object JdkFeatureDecoder extends FeatureDecoder {
   override def decodeBatch(batch: Seq[(MediaMeta, Array[Byte])]): Seq[Array[Float]] =
     batch.map { rec =>
       rec._1.mediaType match {
-        case "image/png" | "image/jpeg" | "image/gif" | "image/bmp" =>
+        case "image/png" | "image/jpeg" | "image/bmp" =>
           ImageIoFeatureDecoder.decodeBatch(Seq(rec)).head
         case "audio/wav" => WavFeatureDecoder.decodeBatch(Seq(rec)).head
         case "video/avi" => MjpegAviFrameDecoder.decodeBatch(Seq(rec)).head
+        // GIFs can animate: the frame-sampling decoder covers both (a
+        // still GIF is the 1-frame, zero-motion case)
+        case "image/gif" => GifFrameDecoder.decodeBatch(Seq(rec)).head
         case _ => StubFeatureDecoder.decodeBatch(Seq(rec)).head
       }
     }

@@ -181,12 +181,44 @@ class MultimodalSpec extends SparkSpec {
     val gif = encoded("gif"); val bmp = encoded("bmp")
     assert(Multimodal.parseMeta(gif) == MediaMeta("image/gif", 6, 4, 0L, 0, 0))
     assert(Multimodal.parseMeta(bmp) == MediaMeta("image/bmp", 6, 4, 0L, 0, 0))
-    for (bytes <- Seq(gif, bmp)) {
-      val rec = (Multimodal.parseMeta(bytes), bytes)
-      val feats = JdkFeatureDecoder.decodeBatch(Seq(rec)).head
-      assert(feats.toList == ImageIoFeatureDecoder.decodeBatch(Seq(rec)).head.toList)
-      assert(feats(3) > 0.8f) // an all-red image decoded for real, not hashed
+    val bmpRec = (Multimodal.parseMeta(bmp), bmp)
+    val bmpFeats = JdkFeatureDecoder.decodeBatch(Seq(bmpRec)).head
+    assert(bmpFeats.toList == ImageIoFeatureDecoder.decodeBatch(Seq(bmpRec)).head.toList)
+    assert(bmpFeats(3) > 0.8f) // an all-red image decoded for real, not hashed
+    // a still GIF goes through the frame decoder: 1 frame, real red, no motion
+    val gifRec = (Multimodal.parseMeta(gif), gif)
+    val gifFeats = JdkFeatureDecoder.decodeBatch(Seq(gifRec)).head
+    assert(gifFeats.toList == GifFrameDecoder.decodeBatch(Seq(gifRec)).head.toList)
+    assert(math.abs(gifFeats(0) - 1f / 1000f) < 1e-6)
+    assert(gifFeats(3) > 0.8f)
+    assert(gifFeats(7) == 0f)
+  }
+
+  /** Animated GIF via the JDK's own sequence writer. */
+  private def animatedGif(colors: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, c)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
     }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  test("animated GIF: frames sampled and decoded for real, motion detected") {
+    val gif = animatedGif(Seq(0x000000, 0xffffff, 0x000000))
+    val meta = Multimodal.parseMeta(gif)
+    assert(meta.mediaType == "image/gif" && meta.width == 8 && meta.height == 8)
+    val feats = GifFrameDecoder.decodeBatch(Seq((meta, gif))).head
+    assert(math.abs(feats(0) - 3f / 1000f) < 1e-6) // all 3 frames seen
+    assert(feats(7) > 0.5f)                        // black↔white flicker = max motion
+    assert(feats.toList != StubFeatureDecoder.decodeBatch(Seq((meta, gif))).head.toList)
   }
 
   test("AVI with no decodable frames falls back to the stub") {
