@@ -37,6 +37,37 @@ class StreamDecontaminateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed verdicts equal the batch decontaminate flags on the corpus (sf0.001)") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    import org.apache.spark.sql.functions.col
+
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    val bench = docs.filter(col("doc_id") % 41 === 0)
+    val corpusRows = docs.filter(col("doc_id") % 41 =!= 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+
+    val in = MemoryStream[Doc]
+    val q = StreamDecontaminate.contaminatedIds(
+        in.toDF().toDF("doc_id", "text", "ts"), bench,
+        "doc_id", "text", "ts", "10 minutes", shingleN = 5)
+      .writeStream.format("memory").queryName("sdecon3").outputMode("append").start()
+    try {
+      corpusRows.grouped(corpusRows.length / 3 + 1).zipWithIndex.foreach {
+        case (chunk, i) =>
+          in.addData(chunk.map { case (id, text) => Doc(id, text, ts(i * 60)) }.toSeq)
+          q.processAllAvailable()
+      }
+      val streamed = s.table("sdecon3").select("doc_id").as[Long].collect().toSet
+      val batch = graft.functions.DedupOps.decontaminate(
+          docs.filter(col("doc_id") % 41 =!= 0), bench, "doc_id", "text", shingleN = 5)
+        .filter(col("contaminated"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("clean stream emits nothing; token-less docs do not crash the probe") {
     val s = spark
     import s.implicits._
