@@ -731,6 +731,18 @@ object SparkEntry {
         "doc_id", "text", shingleN = 5)
     }),
 
+    // data mixing: resample the multi-source corpus toward target mixture
+    // proportions (weight w_s = (source number mod 3) + 1, target 200
+    // rows); exact integer-ppm rates so both engines truncate identically
+    "x19_source_mixture" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.Sampling.mixtureSample(docs,
+          key = col("doc_id"), source = col("source"),
+          weight = substring(col("source"), 4, 8).cast("int") % 3 + 1,
+          targetRows = 200)
+        .select("doc_id", "source")
+    }),
+
     // context-window chunking: split documents into fixed-token-budget
     // chunks (32 tokens, stride 24 → 8-token overlap) — the step that
     // turns a curated corpus into training sequences. Pure map-side array
@@ -1386,6 +1398,19 @@ object SparkEntry {
         |  round((len(g3) - len(list_distinct(g3)))::DOUBLE
         |        / greatest(len(g3), 1)::DOUBLE, 4) AS dup_trigram_frac
         |FROM g""".stripMargin,
+
+    "x19_source_mixture" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n,
+        |    ((substr(source, 4)::INT % 3) + 1)::BIGINT AS w
+        |  FROM documents GROUP BY 1),
+        |tw AS (SELECT sum(w) AS sw FROM c),
+        |r AS (
+        |  SELECT source, least(1000000, (w * 200 * 1000000) // (sw * n)) AS p
+        |  FROM c, tw)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r ON r.source = d.source
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < p""".stripMargin,
 
     "x18_chunk" ->
       s"""WITH $toksSql,

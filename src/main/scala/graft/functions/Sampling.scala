@@ -75,6 +75,37 @@ object Sampling {
         col("col.id").as("id"))
   }
 
+  /** Weighted source mixing — resample a multi-source corpus toward
+    * target mixture proportions (the data-mixing step of training-corpus
+    * assembly: upweight rare-but-valuable sources, cap dominant ones).
+    *
+    * Each source s with mixture weight w_s gets keep-rate
+    * `min(1, (w_s / ΣW) · targetRows / n_s)`, computed in EXACT integer
+    * parts-per-million so the SQL oracle reproduces it bit-for-bit
+    * (float rates would disagree at truncation boundaries); a row's fate
+    * is then the usual content-hash filter, stable under repartition and
+    * engine.
+    *
+    * `weight` must be a deterministic function of the source column.
+    * Scale: one tiny per-source count aggregation (map-side partials),
+    * the rate table broadcasts back, and the sample itself is a pure
+    * map-side filter — 100 TB in, the target mixture out, one exchange
+    * of |sources| rows total. */
+  def mixtureSample(df: DataFrame, key: Column, source: Column, weight: Column,
+                    targetRows: Long, ppm: Long = 1000000L): DataFrame = {
+    require(targetRows > 0 && ppm > 0, s"need targetRows/ppm > 0")
+    val counts = df.groupBy(source.as("__src"))
+      .agg(count(lit(1)).as("__n"), first(weight).cast("long").as("__w"))
+    val totalW = counts.agg(sum(col("__w")).as("__sw"))
+    val rates = counts.crossJoin(broadcast(totalW))
+      .select(col("__src"),
+        least(lit(ppm), expr(s"(__w * ${targetRows}L * ${ppm}L) div (__sw * __n)"))
+          .as("__ppm"))
+    df.join(broadcast(rates), source === col("__src"))
+      .filter(pmod(rawHash(key), lit(ppm)) < col("__ppm"))
+      .drop("__src", "__ppm")
+  }
+
   /** Disjoint train/validation/test split by key hash: returns a bucket
     * label column, e.g. 0..79 → "train", 80..89 → "val", 90..99 → "test"
     * for the default 80/10/10. Splits are disjoint and exhaustive by
