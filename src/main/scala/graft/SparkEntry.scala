@@ -63,12 +63,18 @@ object SparkEntry {
     * constants as `DedupOps.minhashSignatures`) → 4 LSH bands → candidate
     * pairs. Generated programmatically so the constants cannot drift from
     * the Scala side. Expects `toks` in scope. */
-  private val minhashCandSql: String = {
-    val mins = (0 until 12).map(s =>
+  private val minhashCandSql: String = minhashCandSqlFor(12, 3)
+
+  /** [[minhashCandSql]] generalized over the LSH shape (numHashes,
+    * rowsPerBand) — d10 uses wider 2-row bands for cross-set recall. */
+  private def minhashCandSqlFor(numHashes: Int, rowsPerBand: Int): String = {
+    val numBands = numHashes / rowsPerBand
+    val mins = (0 until numHashes).map(s =>
       s"    min((v * ${2 * s + 1} + ${7919 * s + 13}) % ${DedupOps.HashMod}) AS mh$s")
       .mkString(",\n")
-    val bandSelects = (0 until 4).map { b =>
-      val sig = (0 until 3).map(r => s"mh${b * 3 + r}::VARCHAR").mkString(" || '|' || ")
+    val bandSelects = (0 until numBands).map { b =>
+      val sig = (0 until rowsPerBand)
+        .map(r => s"mh${b * rowsPerBand + r}::VARCHAR").mkString(" || '|' || ")
       s"  SELECT doc_id, $b AS band, $sig AS sig FROM mh"
     }.mkString("\n  UNION ALL\n")
     s"""sh AS (
@@ -766,6 +772,20 @@ object SparkEntry {
           md5(concat_ws(" ", col("chunk"))).as("fp"))
     }),
 
+    // fuzzy decontamination: MinHash-LSH candidates that CROSS the
+    // corpus/benchmark boundary, Jaccard-verified — the paraphrased
+    // eval-leakage probe d9's exact n-gram overlap misses. Wider 2-row
+    // bands buy cross-set recall; on this corpus the verify stage then
+    // (correctly) rejects the surfaced candidate as an LSH false
+    // positive — the two-stage contract end-to-end
+    "d10_fuzzy_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.fuzzyDecontaminate(
+        docs.filter(col("doc_id") % 41 =!= 0),
+        docs.filter(col("doc_id") % 41 === 0),
+        "doc_id", "text", offset = 1000000L, rowsPerBand = 2)
+    }),
+
     // CCNet-style LM quality scoring: per-doc mean log-probability under
     // an add-one-smoothed corpus bigram model — fluent (corpus-typical)
     // text scores high, gibberish low. Shapes: bigram instances explode
@@ -1424,6 +1444,38 @@ object SparkEntry {
         |  len(t[i * 24 + 1 : least(i * 24 + 32, n)])::BIGINT AS n_tokens,
         |  md5(array_to_string(t[i * 24 + 1 : least(i * 24 + 32, n)], ' ')) AS fp
         |FROM u""".stripMargin,
+
+    "d10_fuzzy_decontaminate" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 41 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 41 = 0),
+        |${minhashCandSqlFor(12, 2)},
+        |xc AS (SELECT a, b FROM cand WHERE (a < 1000000) <> (b < 1000000)),
+        |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |inter AS (
+        |  SELECT p.a, p.b, count(*) AS i
+        |  FROM xc p
+        |  JOIN shd sa ON sa.doc_id = p.a
+        |  JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT p.a,
+        |    round(coalesce(i, 0)::DOUBLE / (na.n + nb.n - coalesce(i, 0))::DOUBLE, 6) AS jaccard
+        |  FROM xc p
+        |  JOIN sizes na ON na.doc_id = p.a
+        |  JOIN sizes nb ON nb.doc_id = p.b
+        |  LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b),
+        |best AS (SELECT a AS doc_id, max(jaccard) AS best_jaccard FROM jac GROUP BY 1)
+        |SELECT d.doc_id, coalesce(b.best_jaccard, 0.0) AS best_jaccard,
+        |  coalesce(b.best_jaccard, 0.0) >= 0.35 AS contaminated
+        |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+        |WHERE d.doc_id % 41 <> 0""".stripMargin,
 
     "t8_bigram_logprob" ->
       s"""WITH $toksSql,

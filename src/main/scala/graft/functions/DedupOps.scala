@@ -119,9 +119,11 @@ object DedupOps {
 
   /** End-to-end MinHash-LSH candidate pairs. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame =
+                 numHashes: Int = 12, rowsPerBand: Int = 3,
+                 shingleN: Int = 3): DataFrame =
     lshCandidatePairs(lshBands(
-      minhashSignatures(docs, idCol, textCol, numHashes), numHashes, rowsPerBand))
+      minhashSignatures(docs, idCol, textCol, numHashes, shingleN),
+      numHashes, rowsPerBand))
 
   /** 16-bit SimHash signature per document: per token-hash bit, majority
     * vote of ±1 contributions. Two shuffle-free explodes + one aggregation
@@ -344,6 +346,45 @@ object DedupOps {
       .select(col("doc_id"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** FUZZY benchmark decontamination: near-duplicate (not just exact
+    * n-gram-overlap) matches between corpus and benchmark, for the
+    * paraphrased-leakage case [[decontaminate]]'s exact probe misses.
+    *
+    * Composition of the dedup family across two datasets: benchmark ids
+    * are shifted into a disjoint id space (`offset` — corpus ids must be
+    * below it), both sides union into one MinHash-LSH pass, candidate
+    * pairs are kept only when they CROSS the corpus/benchmark boundary,
+    * and n-gram Jaccard verifies them exactly. Output: one row per
+    * corpus doc with its best Jaccard against any benchmark doc (0.0
+    * when LSH surfaced no candidate) and `contaminated` = best ≥
+    * `minJaccard`.
+    *
+    * 100 TB shape: identical to d2+d3 — map-side signatures, band-bucket
+    * join (bucket-local, never corpus × benchmark), semi-join-pruned
+    * verification that scales with the candidate set. */
+  def fuzzyDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, offset: Long,
+                         numHashes: Int = 12, rowsPerBand: Int = 3,
+                         shingleN: Int = 3,
+                         minJaccard: Double = 0.35): DataFrame = {
+    val u = corpus.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("__text"))
+      .unionByName(benchmark.select(
+        (col(idCol).cast("long") + offset).as("doc_id"), col(textCol).as("__text")))
+    // a < b and benchmark ids sit above `offset`, so a cross-boundary
+    // pair always has a = corpus doc, b = benchmark doc
+    val pairs = minhashLsh(u, "doc_id", "__text", numHashes, rowsPerBand, shingleN)
+      .filter((col("a") < offset) =!= (col("b") < offset))
+    val best = ngramJaccard(u, "doc_id", "__text", pairs, shingleN)
+      .groupBy(col("a").as("doc_id"))
+      .agg(max("jaccard").as("best_jaccard"))
+    corpus.select(col(idCol).cast("long").as("doc_id"))
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+        (coalesce(col("best_jaccard"), lit(0.0)) >= minJaccard).as("contaminated"))
   }
 
   /** Connected components over a near-dup pair graph → dedup clusters:

@@ -47,6 +47,34 @@ class DecontaminateSpec extends SparkSpec {
     assert(out === Array((2L, 1L, true), (3L, 0L, false)))
   }
 
+  test("fuzzy decontamination: near-dup flagged, unrelated not, threshold honored") {
+    import spark.implicits._
+    val words = (1 to 40).map(i => s"word$i")
+    val bench = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    // one substitution mid-doc → ~0.85 shingle Jaccard near-dup
+    val nearDup = words.updated(19, "SWAPPED").mkString(" ")
+    val corpus = Seq(
+      (10L, nearDup),
+      (11L, "completely different words about spark physical plans here")
+    ).toDF("doc_id", "text")
+
+    val out = DedupOps.fuzzyDecontaminate(corpus, bench, "doc_id", "text",
+        offset = 1000L, rowsPerBand = 2, minJaccard = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(out.map(_._1).toList == List(10L, 11L))
+    assert(out(0)._3, s"near-dup must be flagged (best_jaccard=${out(0)._2})")
+    assert(out(0)._2 > 0.8)
+    assert(!out(1)._3 && out(1)._2 == 0.0, "unrelated doc must not be flagged")
+
+    // raising the threshold above the pair's Jaccard clears the flag but
+    // keeps the evidence column
+    val strict = DedupOps.fuzzyDecontaminate(corpus, bench, "doc_id", "text",
+        offset = 1000L, rowsPerBand = 2, minJaccard = 0.99)
+      .filter($"doc_id" === 10L).head()
+    assert(!strict.getBoolean(2) && strict.getDouble(1) > 0.8)
+  }
+
   test("benchmark side is broadcast: no shuffle of the corpus probe") {
     import spark.implicits._
     val bench  = Seq((1L, "a b c d e")).toDF("doc_id", "text")
