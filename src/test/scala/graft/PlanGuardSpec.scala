@@ -80,6 +80,12 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d10 fuzzy decontamination stays band-bucket-local — no cartesian") {
+    val p = planOf("d10_fuzzy_decontaminate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t6 TF-IDF aggregates with partials — no window, no cartesian corpus join") {
     val p = planOf("t6_tfidf")
     assert(!p.contains("WindowExec"), p)
