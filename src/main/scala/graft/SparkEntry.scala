@@ -737,6 +737,18 @@ object SparkEntry {
         "doc_id", "text", shingleN = 5)
     }),
 
+    // quality-weighted data selection: keep each doc with probability =
+    // its quality score — no hard threshold cliff; deterministic by
+    // content hash, rate floored to integer ppm so engines agree
+    "x20_quality_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.Sampling.weightedSampleByHash(
+          docs.select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("quality")),
+          key = col("doc_id"), rate = col("quality"))
+        .select("doc_id", "quality")
+    }),
+
     // data mixing: resample the multi-source corpus toward target mixture
     // proportions (weight w_s = (source number mod 3) + 1, target 200
     // rows); exact integer-ppm rates so both engines truncate identically
@@ -1418,6 +1430,27 @@ object SparkEntry {
         |  round((len(g3) - len(list_distinct(g3)))::DOUBLE
         |        / greatest(len(g3), 1)::DOUBLE, 4) AS dup_trigram_frac
         |FROM g""".stripMargin,
+
+    "x20_quality_sample" ->
+      s"""WITH $toksSql,
+        |feat AS (
+        |  SELECT doc_id,
+        |    len(t)::BIGINT AS n_tokens,
+        |    round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))::DOUBLE
+        |          / greatest(len(t)::DOUBLE, 1.0), 4) AS stopword_ratio,
+        |    round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+        |          / greatest(length(text)::DOUBLE, 1.0), 4) AS punct_ratio
+        |  FROM toks),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(greatest(least(
+        |      least(n_tokens::DOUBLE / 20.0, 1.0) * 0.5
+        |      + least(stopword_ratio * 4, 1.0) * 0.5
+        |      - punct_ratio, 1.0), 0.0), 4) AS quality
+        |  FROM feat)
+        |SELECT doc_id, quality FROM q
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+        |      < floor(quality * 1000000)::BIGINT""".stripMargin,
 
     "x19_source_mixture" ->
       """WITH c AS (

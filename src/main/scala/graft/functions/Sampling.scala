@@ -75,6 +75,19 @@ object Sampling {
         col("col.id").as("id"))
   }
 
+  /** Per-row weighted sampling: keep each row with probability `rate`
+    * (a column in [0, 1] — e.g. a quality score), decided by the content
+    * hash of its key, so the sample is deterministic across runs,
+    * engines, and partitionings. The rate is floored to integer ppm so
+    * the SQL oracle truncates identically (double→long casts ROUND in
+    * some engines and TRUNCATE in others — floor first sidesteps the
+    * disagreement). Pure map-side filter; the quality-weighted
+    * data-selection shape (keep good documents with high probability,
+    * bad ones rarely, without a hard threshold cliff). */
+  def weightedSampleByHash(df: DataFrame, key: Column, rate: Column,
+                           ppm: Long = 1000000L): DataFrame =
+    df.filter(pmod(rawHash(key), lit(ppm)) < floor(rate * ppm).cast("long"))
+
   /** Weighted source mixing — resample a multi-source corpus toward
     * target mixture proportions (the data-mixing step of training-corpus
     * assembly: upweight rare-but-valuable sources, cap dominant ones).
