@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Bucket-partitioned changelog materializer — the O(touched work)
+  * refinement of [[ChangelogSink]] on a bare filesystem.
+  *
+  * [[ChangelogSink.applyBatch]] rewrites the WHOLE table per merge; fine
+  * as a semantics contract, wrong at scale when each batch touches a few
+  * keys of a huge table. Here the table is laid out as `numBuckets` hash
+  * buckets of the key (`b=NNNN/` dirs), a batch's rows route to their
+  * buckets, and ONLY the touched buckets are read, merged
+  * (same seq/upsert-wins/value total order), and atomically swapped —
+  * per-batch work is O(Σ touched-bucket size + batch), not O(table).
+  * With buckets sized to row-group-friendly chunks this is the plain-
+  * parquet approximation of a row-level MERGE INTO; a transactional
+  * table format still improves on it (file-level instead of
+  * bucket-level rewrite, snapshot isolation across buckets), but the
+  * work bound is now the same shape.
+  *
+  * Crash safety: [[ChangelogSink]]'s rename-swap protocol applied per
+  * bucket (`b=N` ↔ `b=N.old` + unique tmp). A crash mid-batch leaves
+  * every bucket individually complete — some merged, some not; the
+  * streaming checkpoint replays the batch and the seq comparison makes
+  * the re-merge idempotent, so the table converges. Readers resolve each
+  * bucket independently (target, else `.old`).
+  */
+object BucketedChangelogSink {
+
+  private def bucketOf(key: org.apache.spark.sql.Column, numBuckets: Int) =
+    pmod(hash(key), lit(numBuckets))
+
+  /** Start materializing `changes` into `tablePath` with `numBuckets`
+    * hash buckets. Same contract as [[ChangelogSink.start]]. */
+  def start(changes: Dataset[Change], tablePath: String, checkpoint: String,
+            numBuckets: Int, outputMode: String = "append"): StreamingQuery =
+    changes.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Change], _: Long) =>
+        applyBatch(batch, tablePath, numBuckets)
+      }
+      .start()
+
+  /** One merge step over ONLY the buckets the batch touches. */
+  def applyBatch(batch: Dataset[Change], tablePath: String,
+                 numBuckets: Int): Unit = {
+    require(numBuckets > 0, s"need numBuckets > 0, got $numBuckets")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tablePath).getFileSystem(conf)
+
+    val routed = batch.select(col("key"), col("value"), col("seq"))
+      .withColumn("__b", bucketOf(col("key"), numBuckets))
+      .localCheckpoint(true) // referenced once per touched bucket below
+    // the touched-bucket list is ≤ numBuckets ids — driver-small by
+    // construction, the same bound a MERGE planner's touched-file list has
+    val touched = routed.select("__b").distinct()
+      .collect().map(_.getInt(0)).sorted
+    touched.foreach { b =>
+      val target = new Path(s"$tablePath/b=$b")
+      val backup = new Path(s"$tablePath/b=$b.old")
+      fs.globStatus(new Path(s"$tablePath/b=$b.tmp-*")) match {
+        case null => ()
+        case stale => stale.foreach(st => fs.delete(st.getPath, true))
+      }
+      val current =
+        if (fs.exists(target)) spark.read.parquet(target.toString)
+        else if (fs.exists(backup)) spark.read.parquet(backup.toString)
+        else Seq.empty[(String, String, Long)].toDF("key", "value", "seq")
+      val merged = graft.operators.Changelog.latestByKey(
+        current.unionByName(routed.filter(col("__b") === b).drop("__b")),
+        Seq("key"), Seq(col("seq"), col("value").isNotNull, col("value")))
+      val tmp = new Path(s"$tablePath/b=$b.tmp-" + java.util.UUID.randomUUID())
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      if (fs.exists(target)) {
+        if (fs.exists(backup)) fs.delete(backup, true)
+        if (!fs.rename(target, backup))
+          throw new IllegalStateException(s"backup rename failed for $target")
+      }
+      if (!fs.rename(tmp, target))
+        throw new IllegalStateException(s"swap rename failed for $target")
+      fs.delete(backup, true)
+    }
+    org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint(routed)
+  }
+
+  /** Live rows across all buckets (tombstones filtered), each bucket
+    * resolved to its surviving side of the swap independently. */
+  def view(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(tablePath)))
+      return Seq.empty[(String, String, Long)].toDF("key", "value", "seq")
+        .filter(col("value").isNotNull)
+    val dirs = fs.listStatus(new Path(tablePath)).map(_.getPath.getName)
+    val live = dirs.filter(d => d.startsWith("b=") && !d.contains(".")).toSet
+    val fallback = dirs.filter(_.endsWith(".old"))
+      .map(_.stripSuffix(".old")).filterNot(live).toSet
+    val paths = (live ++ fallback.map(_ + ".old")).toSeq.sorted
+      .map(d => s"$tablePath/$d")
+    if (paths.isEmpty)
+      Seq.empty[(String, String, Long)].toDF("key", "value", "seq")
+        .filter(col("value").isNotNull)
+    else spark.read.parquet(paths: _*).filter(col("value").isNotNull)
+  }
+}
