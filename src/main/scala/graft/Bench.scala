@@ -15,9 +15,13 @@ object Bench {
     // parquet footer listing. entry() warms the join/agg path; a smoke-SF
     // wordcount warms the tokenizer + explode/agg codegen that the
     // alphabetically-first timed query (a2) was otherwise first to pay.
+    // The smoke dir falls back to the bench dir so the warmup never
+    // silently no-ops on a host without the default layout.
     SparkEntry.entry(spark).count()
-    try SparkEntry.queries("a2_wordcount")(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
+    val smokeDefault = "/root/testdata/sf0.001"
+    val smokeDir = sys.env.getOrElse("SPARK_GRAFT_SMOKE_DIR",
+      if (new java.io.File(smokeDefault).isDirectory) smokeDefault else sfDir)
+    SparkEntry.queries("a2_wordcount")(spark, smokeDir).count()
     Tables.names.foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }

@@ -369,10 +369,21 @@ object DedupOps {
                          numHashes: Int = 12, rowsPerBand: Int = 3,
                          shingleN: Int = 3,
                          minJaccard: Double = 0.35): DataFrame = {
-    val u = corpus.select(col(idCol).cast("long").as("doc_id"),
+    // the boundary test below is only sound if corpus ids sit strictly
+    // below `offset` (and shifted benchmark ids above it) — a violation
+    // would silently misclassify, so every row asserts its side at
+    // execution time (map-side, no extra job)
+    val u = corpus.select(
+        when(assert_true(col(idCol).cast("long") >= 0 &&
+            col(idCol).cast("long") < offset,
+          lit(s"fuzzyDecontaminate: corpus ids must be in [0, $offset)")).isNull,
+          col(idCol).cast("long")).as("doc_id"),
         col(textCol).as("__text"))
       .unionByName(benchmark.select(
-        (col(idCol).cast("long") + offset).as("doc_id"), col(textCol).as("__text")))
+        when(assert_true(col(idCol).cast("long") >= 0,
+          lit("fuzzyDecontaminate: benchmark ids must be non-negative")).isNull,
+          col(idCol).cast("long") + offset).as("doc_id"),
+        col(textCol).as("__text")))
     // a < b and benchmark ids sit above `offset`, so a cross-boundary
     // pair always has a = corpus doc, b = benchmark doc
     val pairs = minhashLsh(u, "doc_id", "__text", numHashes, rowsPerBand, shingleN)

@@ -99,7 +99,12 @@ object Sampling {
     * is then the usual content-hash filter, stable under repartition and
     * engine.
     *
-    * `weight` must be a deterministic function of the source column.
+    * `weight` must be a deterministic function of the source column and
+    * must be a POSITIVE INTEGER (relative proportions — scale fractional
+    * weights up yourself, e.g. 0.7/0.3 → 7/3): the exact-ppm arithmetic
+    * is integer by design, and a silent `cast long` of 0.7 would drop
+    * the source entirely, so non-integral or non-positive weights FAIL
+    * the job (`assert_true` inside the tiny rate aggregation) instead.
     * Scale: one tiny per-source count aggregation (map-side partials),
     * the rate table broadcasts back, and the sample itself is a pure
     * map-side filter — 100 TB in, the target mixture out, one exchange
@@ -107,8 +112,16 @@ object Sampling {
   def mixtureSample(df: DataFrame, key: Column, source: Column, weight: Column,
                     targetRows: Long, ppm: Long = 1000000L): DataFrame = {
     require(targetRows > 0 && ppm > 0, s"need targetRows/ppm > 0")
+    // overflow headroom for __w · targetRows · ppm in a Long
+    require(targetRows <= 1000000000L && ppm <= 1000000L,
+      s"targetRows ≤ 1e9 and ppm ≤ 1e6 keep the rate arithmetic in a Long")
+    val wChecked = when(assert_true(
+        weight.cast("double") === floor(weight) && weight.cast("double") > 0,
+        lit("mixtureSample weights must be positive integers " +
+          "(scale fractional proportions up, e.g. 0.7/0.3 -> 7/3)")).isNull,
+      weight.cast("long"))
     val counts = df.groupBy(source.as("__src"))
-      .agg(count(lit(1)).as("__n"), first(weight).cast("long").as("__w"))
+      .agg(count(lit(1)).as("__n"), first(wChecked).as("__w"))
     val totalW = counts.agg(sum(col("__w")).as("__sw"))
     val rates = counts.crossJoin(broadcast(totalW))
       .select(col("__src"),

@@ -138,6 +138,10 @@ object SimilarityOps {
   def kmeansFit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
                 iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0 and iters >= 0, got k=$k iters=$iters")
+    require(k <= 100,
+      s"k=$k exceeds the similarity×100−cid score encoding's id budget " +
+        "(shared with the SQL oracles); for k > 100 widen the encoding slot " +
+        "in scoredCellStructs AND the oracle SQL together")
     val spark = vecs.sparkSession
     // the corpus projection (with norms) is re-read every round: one scan
     val v = withNorm(vecs, vecCol)
@@ -209,20 +213,33 @@ object SimilarityOps {
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
 
-  /** Nearest-centroid id as a codegen'd map-side expression: one
-    * [[cosine]] per literal centroid vector, the established
+  /** One (score, cid) struct per centroid: the established
     * rounded-similarity × 100 − cid score encoding (highest similarity
-    * wins, lowest cid breaks ties — portable to the SQL oracles), argmax
-    * as `greatest` over (score, cid) structs. Zero shuffles, zero joins. */
-  private def nearestCellExpr(vec: Column, nrm: Column,
-                              cents: Seq[(Long, Array[Float], Double)]): Column = {
-    require(cents.nonEmpty, "nearest-cell argmax needs at least one centroid")
-    val scored = cents.map { case (cid, cv, cn) =>
+    * wins, lowest cid breaks ties — portable to the SQL oracles), shared
+    * by the assignment argmax and the probe ranking so they can never
+    * desynchronize. The ×100 slot bounds cid to ≤ 100 — a larger cid
+    * would cross similarity buckets and let a less-similar centroid win
+    * — enforced here for every caller. */
+  private def scoredCellStructs(vec: Column, nrm: Column,
+                                cents: Seq[(Long, Array[Float], Double)]): Seq[Column] = {
+    require(cents.nonEmpty, "cell scoring needs at least one centroid")
+    require(cents.forall(c => c._1 >= 0 && c._1 <= 100),
+      s"the similarity×100−cid score encoding (shared with the SQL oracles) " +
+        s"holds only for centroid ids in [0, 100]; got ids " +
+        s"${cents.map(_._1).filterNot(id => id >= 0 && id <= 100).take(3).mkString(", ")}…")
+    cents.map { case (cid, cv, cn) =>
       struct(
         (round(cosine(vec, typedLit(cv), nrm, lit(cn)) * 1000000, 0)
           .cast("long") * 100 - lit(cid)).as("s"),
         lit(cid).as("cid"))
     }
+  }
+
+  /** Nearest-centroid id as a codegen'd map-side expression: argmax as
+    * `greatest` over [[scoredCellStructs]]. Zero shuffles, zero joins. */
+  private def nearestCellExpr(vec: Column, nrm: Column,
+                              cents: Seq[(Long, Array[Float], Double)]): Column = {
+    val scored = scoredCellStructs(vec, nrm, cents)
     val best = if (scored.size == 1) scored.head else greatest(scored: _*)
     best.getField("cid")
   }
@@ -277,12 +294,7 @@ object SimilarityOps {
     // probed SET matches the aggregator formulation the oracle replays.
     val q = v.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
-    val cellStructs = cLocal.map { case (cid, cv, cn) =>
-      struct(
-        (round(cosine(col("qv"), typedLit(cv), col("qn"), lit(cn)) * 1000000, 0)
-          .cast("long") * 100 - lit(cid)).as("s"),
-        lit(cid).as("cid"))
-    }
+    val cellStructs = scoredCellStructs(col("qv"), col("qn"), cLocal)
     val probes = q.select(col("query_id"),
         explode(slice(reverse(array_sort(array(cellStructs: _*))), 1, nprobe)).as("h"))
       .select(col("query_id"), col("h.cid").as("cid"))

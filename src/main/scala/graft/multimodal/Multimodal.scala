@@ -154,25 +154,36 @@ object Multimodal {
 
   /** MJPEG frame payloads of an AVI: walk `RIFF/AVI ` → `LIST movi` →
     * `##dc`/`##db` chunks (compressed/uncompressed video frames for any
-    * stream number). Plain byte arithmetic — no codec involved; the
-    * returned slices are complete JPEG files for an MJPEG stream. */
+    * stream number), descending into nested `LIST` groupings — standard
+    * interleaved AVIs wrap each frame group in `LIST rec `, and skipping
+    * those as opaque would silently drop every frame. Plain byte
+    * arithmetic — no codec involved; the returned slices are complete
+    * JPEG files for an MJPEG stream. */
   def aviVideoChunks(bytes: Array[Byte]): Seq[Array[Byte]] = {
     if (mediaType(bytes) != "video/avi") return Nil
     findRiffChunk(bytes, 12, bytes.length, null, "movi").toSeq.flatMap {
       case (ms, me) =>
         val frames = Seq.newBuilder[Array[Byte]]
-        var off = ms
-        while (off + 8 <= me) {
-          val size = leInt(bytes, off + 4) & 0xffffffffL
-          if (off + 8 + size > me) { off = me }
-          else {
-            val isVideo = bytes(off + 2) == 'd' &&
-              (bytes(off + 3) == 'c' || bytes(off + 3) == 'b')
-            if (isVideo)
-              frames += java.util.Arrays.copyOfRange(bytes, off + 8, (off + 8 + size).toInt)
-            off = (off + 8 + size + (size & 1)).toInt
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          while (off + 8 <= end) {
+            val size = leInt(bytes, off + 4) & 0xffffffffL
+            if (off + 8 + size > end) { off = end }
+            else {
+              val isList = bytes(off) == 'L' && bytes(off + 1) == 'I' &&
+                bytes(off + 2) == 'S' && bytes(off + 3) == 'T'
+              val isVideo = bytes(off + 2) == 'd' &&
+                (bytes(off + 3) == 'c' || bytes(off + 3) == 'b')
+              if (isList && size >= 4)
+                walk(off + 12, (off + 8 + size).toInt) // skip the list type
+              else if (isVideo)
+                frames += java.util.Arrays.copyOfRange(
+                  bytes, off + 8, (off + 8 + size).toInt)
+              off = (off + 8 + size + (size & 1)).toInt
+            }
           }
         }
+        walk(ms, me)
         frames.result()
     }
   }

@@ -45,7 +45,14 @@ object BucketedChangelogSink {
       }
       .start()
 
-  /** One merge step over ONLY the buckets the batch touches. */
+  /** One merge step over ONLY the buckets the batch touches.
+    *
+    * The bucket count is part of the table LAYOUT: it is recorded in a
+    * `_buckets` marker on first write and every later batch must pass
+    * the same value — merging with a different count would route keys to
+    * different buckets than their existing rows and leave duplicate live
+    * versions per key (re-bucketing is a full rewrite, not a parameter
+    * change). */
   def applyBatch(batch: Dataset[Change], tablePath: String,
                  numBuckets: Int): Unit = {
     require(numBuckets > 0, s"need numBuckets > 0, got $numBuckets")
@@ -53,6 +60,20 @@ object BucketedChangelogSink {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
+
+    val marker = new Path(s"$tablePath/_buckets")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val recorded = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt finally in.close()
+      require(recorded == numBuckets,
+        s"table $tablePath was laid out with $recorded buckets; " +
+          s"got numBuckets=$numBuckets — re-bucketing requires a full rewrite")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(numBuckets.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    }
 
     val routed = batch.select(col("key"), col("value"), col("seq"))
       .withColumn("__b", bucketOf(col("key"), numBuckets))
@@ -62,29 +83,17 @@ object BucketedChangelogSink {
     val touched = routed.select("__b").distinct()
       .collect().map(_.getInt(0)).sorted
     touched.foreach { b =>
-      val target = new Path(s"$tablePath/b=$b")
-      val backup = new Path(s"$tablePath/b=$b.old")
-      fs.globStatus(new Path(s"$tablePath/b=$b.tmp-*")) match {
-        case null => ()
-        case stale => stale.foreach(st => fs.delete(st.getPath, true))
-      }
-      val current =
-        if (fs.exists(target)) spark.read.parquet(target.toString)
-        else if (fs.exists(backup)) spark.read.parquet(backup.toString)
-        else Seq.empty[(String, String, Long)].toDF("key", "value", "seq")
+      val bucketPath = s"$tablePath/b=$b"
+      SwapDir.cleanStaleTmp(fs, bucketPath)
+      val current = SwapDir.resolveCurrent(fs, bucketPath)
+        .map(spark.read.parquet(_))
+        .getOrElse(Seq.empty[(String, String, Long)].toDF("key", "value", "seq"))
       val merged = graft.operators.Changelog.latestByKey(
         current.unionByName(routed.filter(col("__b") === b).drop("__b")),
         Seq("key"), Seq(col("seq"), col("value").isNotNull, col("value")))
-      val tmp = new Path(s"$tablePath/b=$b.tmp-" + java.util.UUID.randomUUID())
+      val tmp = SwapDir.tmpPath(bucketPath)
       merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      if (fs.exists(target)) {
-        if (fs.exists(backup)) fs.delete(backup, true)
-        if (!fs.rename(target, backup))
-          throw new IllegalStateException(s"backup rename failed for $target")
-      }
-      if (!fs.rename(tmp, target))
-        throw new IllegalStateException(s"swap rename failed for $target")
-      fs.delete(backup, true)
+      SwapDir.commit(fs, bucketPath, tmp)
     }
     org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint(routed)
   }

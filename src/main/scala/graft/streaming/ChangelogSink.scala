@@ -80,22 +80,13 @@ object ChangelogSink {
   def applyBatch(batch: Dataset[Change], tablePath: String): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
-    val target = new Path(tablePath)
-    val backup = new Path(tablePath + ".old")
-    val fs = target.getFileSystem(conf)
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SwapDir.cleanStaleTmp(fs, tablePath)
 
-    // temp dirs orphaned by an earlier crash/failed write are never read
-    // by recovery — reclaim them before writing a fresh one
-    fs.globStatus(new Path(tablePath + ".tmp-*")) match {
-      case null => ()
-      case stale => stale.foreach(st => fs.delete(st.getPath, true))
-    }
-
-    val current =
-      if (fs.exists(target)) spark.read.parquet(target.toString)
-      else if (fs.exists(backup)) spark.read.parquet(backup.toString)
-      else Seq.empty[(String, String, Long)].toDF("key", "value", "seq")
+    val current = SwapDir.resolveCurrent(fs, tablePath)
+      .map(spark.read.parquet(_))
+      .getOrElse(Seq.empty[(String, String, Long)].toDF("key", "value", "seq"))
 
     // one hash aggregation over (current ∪ batch): last change per key by
     // (seq, upsert-wins, value) — the value itself is the final tie-break
@@ -105,19 +96,10 @@ object ChangelogSink {
       current.unionByName(batch.select(col("key"), col("value"), col("seq"))),
       Seq("key"), Seq(col("seq"), col("value").isNotNull, col("value")))
 
-    val tmp = new Path(tablePath + ".tmp-" + java.util.UUID.randomUUID())
+    val tmp = SwapDir.tmpPath(tablePath)
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // swap: at EVERY point target or backup holds the full previous
-    // table. The backup is rotated only while target exists; when
-    // recovering (target missing), the surviving backup stays untouched
-    // until the new target is in place.
-    if (fs.exists(target)) {
-      if (fs.exists(backup)) fs.delete(backup, true)
-      if (!fs.rename(target, backup))
-        throw new IllegalStateException(s"backup rename failed for $tablePath")
-    }
-    if (!fs.rename(tmp, target))
-      throw new IllegalStateException(s"swap rename failed for $tablePath")
-    fs.delete(backup, true)
+    // swap protocol: see SwapDir — target or backup holds the complete
+    // previous table at every instant
+    SwapDir.commit(fs, tablePath, tmp)
   }
 }

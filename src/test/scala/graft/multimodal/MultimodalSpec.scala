@@ -138,6 +138,19 @@ class MultimodalSpec extends SparkSpec {
     assert(chunks.zip(frames).forall { case (c, f) => c.toList == f.toList })
     // headerless / truncated RIFF bails to empty, not a crash
     assert(Multimodal.aviVideoChunks("RIFFxxxxAVI ".getBytes) == Nil)
+
+    // interleaved layout: frames wrapped in 'LIST rec ' groups inside
+    // movi (the standard AVI interleave) must still be found
+    val avih = new Array[Byte](56)
+    val recBody = "AVI ".getBytes ++
+      riffList("hdrl", riffChunk("avih", avih)) ++
+      riffList("movi",
+        riffList("rec ", riffChunk("00dc", frames(0))),
+        riffList("rec ", riffChunk("00dc", frames(1))))
+    val recAvi = "RIFF".getBytes ++ le(recBody.length, 4) ++ recBody
+    val recChunks = Multimodal.aviVideoChunks(recAvi)
+    assert(recChunks.length == 2)
+    assert(recChunks.zip(frames).forall { case (c, f) => c.toList == f.toList })
   }
 
   test("real MJPEG video-frame decode: sampled frames → color/motion features") {
