@@ -69,6 +69,38 @@ class BucketedChangelogSinkSpec extends SparkSpec {
     assert(live == List(("k0", "v0b", 1000L)))
   }
 
+  test("streaming entry: changes stream materializes through the bucketed sink") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val table = Files.createTempDirectory("graft_bsink_stream").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_bsink_stream_ckpt").toString
+    val in = MemoryStream[Rec]
+    val q = BucketedChangelogSink.start(
+      KTableStream.changes(in.toDS()), table, ckpt, numBuckets = 4)
+    try {
+      in.addData(Rec("a", "a1", 0, 1), Rec("b", "b1", 0, 2)); q.processAllAvailable()
+      in.addData(Rec("a", "a2", 0, 3), Rec("b", null, 0, 4)); q.processAllAvailable()
+      val live = BucketedChangelogSink.view(s, table)
+        .as[(String, String, Long)].collect().sortBy(_._1).toList
+      assert(live == List(("a", "a2", 3L)))
+    } finally q.stop()
+  }
+
+  test("reopening with a different bucket count is rejected") {
+    val s = spark
+    import s.implicits._
+    val table = Files.createTempDirectory("graft_bsink_marker").toString + "/t"
+    BucketedChangelogSink.applyBatch(
+      Seq(Change("a", "a1", null, 1)).toDS(), table, numBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      BucketedChangelogSink.applyBatch(
+        Seq(Change("a", "a2", "a1", 2)).toDS(), table, numBuckets = 8)
+    }
+    assert(e.getMessage.contains("4 buckets"))
+  }
+
   test("per-bucket half-done swap: view falls back to that bucket's backup") {
     val s = spark
     import s.implicits._
