@@ -806,28 +806,56 @@ object SparkEntry {
     // from the already-aggregated bigram counts (no second corpus pass);
     // the vocabulary size rides a broadcast scalar; scoring joins are
     // keyed hash joins on (w1, w2) / w1 — AQE splits hot-word skew
-    "t8_bigram_logprob" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
-      val bi = toks.filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(zip_with(
-          slice(col("t"), lit(1), size(col("t")) - 1),
-          slice(col("t"), lit(2), size(col("t")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val cbi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cbi"))
-      val cw = cbi.groupBy("w1").agg(sum(col("cbi")).as("cw"))
-      val vocab = toks.select(explode(col("t")).as("tok"))
-        .agg(countDistinct(col("tok")).as("v"))
-      bi.join(cbi, Seq("w1", "w2")).join(cw, Seq("w1"))
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
-          log((col("cbi") + 1).cast("double") / (col("cw") + col("v")).cast("double"))
-            .as("lp"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("avg_logp"))
+    "t8_bigram_logprob" -> ((s, dir) => bigramLogProb(Tables.documents(s, dir))),
+
+    // flagship composition #2: the round-6 operators chained into one
+    // curation pipeline — repetition gate (t7 signal) ∧ decontamination
+    // (d9, broadcast probe) ∧ LM-fluency gate (t8 model over the same
+    // corpus) → weighted source mixing (x19) to a 100-row target
+    "c2_curation_v2" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 41 =!= 0)
+      val bench = docs.filter(col("doc_id") % 41 === 0)
+      val rep = corpus
+        .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("__t"))
+        .filter(TextAnalysis.dupTokenFrac(col("__t")) <= 0.6)
+        .select("doc_id", "source")
+      val clean = DedupOps.decontaminate(corpus, bench, "doc_id", "text", shingleN = 5)
+        .filter(!col("contaminated")).select("doc_id")
+      val fluent = bigramLogProb(corpus)
+        .filter(col("avg_logp") >= -3.42).select("doc_id")
+      val kept = rep.join(clean, "doc_id").join(fluent, "doc_id")
+      graft.functions.Sampling.mixtureSample(kept,
+          key = col("doc_id"), source = col("source"),
+          weight = substring(col("source"), 4, 8).cast("int") % 3 + 1,
+          targetRows = 100)
+        .select("doc_id", "source")
     })
   )
+
+  /** The t8 chain over an arbitrary document set (t8 scores the whole
+    * table; c2 scores only the decontamination corpus — the bigram model
+    * must be fit on the same scope it scores). */
+  private def bigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cbi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cbi"))
+    val cw = cbi.groupBy("w1").agg(sum(col("cbi")).as("cw"))
+    val vocab = toks.select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bi.join(cbi, Seq("w1", "w2")).join(cw, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((col("cbi") + 1).cast("double") / (col("cw") + col("v")).cast("double"))
+          .as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("avg_logp"))
+  }
 
   // ---- DuckDB oracles ----------------------------------------------------
 
@@ -1477,6 +1505,68 @@ object SparkEntry {
         |  len(t[i * 24 + 1 : least(i * 24 + 32, n)])::BIGINT AS n_tokens,
         |  md5(array_to_string(t[i * 24 + 1 : least(i * 24 + 32, n)], ' ')) AS fp
         |FROM u""".stripMargin,
+
+    "c2_curation_v2" ->
+      """WITH tokc AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 41 <> 0),
+        |rep AS (
+        |  SELECT doc_id FROM tokc
+        |  WHERE round((len(t) - len(list_distinct(t)))::DOUBLE
+        |              / greatest(len(t), 1)::DOUBLE, 4) <= 0.6),
+        |sh5c AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS sh
+        |  FROM tokc),
+        |tokb AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 41 = 0),
+        |benchsh AS (
+        |  SELECT DISTINCT md5(sh) AS shh FROM (
+        |    SELECT unnest(CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+        |      ELSE [array_to_string(t, ' ')] END) AS sh
+        |    FROM tokb)),
+        |contam AS (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM (SELECT DISTINCT doc_id, md5(sh) AS shh FROM sh5c) c
+        |  JOIN benchsh b ON b.shh = c.shh),
+        |bi AS (
+        |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t)),
+        |            i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS u
+        |        FROM tokc WHERE len(t) >= 2)),
+        |cbi AS (SELECT w1, w2, count(*) AS cbi FROM bi GROUP BY 1, 2),
+        |cw AS (SELECT w1, sum(cbi) AS cw FROM cbi GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT tok) AS v
+        |          FROM (SELECT unnest(t) AS tok FROM tokc)),
+        |fluent AS (
+        |  SELECT b.doc_id
+        |  FROM bi b
+        |  JOIN cbi ON cbi.w1 = b.w1 AND cbi.w2 = b.w2
+        |  JOIN cw ON cw.w1 = b.w1
+        |  CROSS JOIN vocab
+        |  GROUP BY 1
+        |  HAVING round(avg(ln((cbi + 1)::DOUBLE / (cw + v)::DOUBLE)), 4) >= -3.42),
+        |kept AS (
+        |  SELECT r.doc_id, d.source FROM rep r
+        |  JOIN fluent f ON f.doc_id = r.doc_id
+        |  JOIN documents d ON d.doc_id = r.doc_id
+        |  LEFT JOIN contam x ON x.doc_id = r.doc_id
+        |  WHERE x.doc_id IS NULL),
+        |c AS (SELECT source, count(*) AS n,
+        |        ((substr(source, 4)::INT % 3) + 1)::BIGINT AS w
+        |      FROM kept GROUP BY 1),
+        |tw AS (SELECT sum(w) AS sw FROM c),
+        |r2 AS (SELECT source, least(1000000, (w * 100 * 1000000) // (sw * n)) AS p
+        |       FROM c, tw)
+        |SELECT k.doc_id, k.source
+        |FROM kept k JOIN r2 ON r2.source = k.source
+        |WHERE ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < p""".stripMargin,
 
     "d10_fuzzy_decontaminate" ->
       s"""WITH toks AS (
