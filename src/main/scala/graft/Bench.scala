@@ -12,28 +12,47 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen paths and the shared file-status cache once so
     // per-query timings measure the engine, not first-use classloading or
-    // parquet footer listing. entry() warms the join/agg path; a smoke-SF
-    // wordcount warms the tokenizer + explode/agg codegen that the
-    // alphabetically-first timed query (a2) was otherwise first to pay.
-    // The smoke dir falls back to the bench dir so the warmup never
-    // silently no-ops on a host without the default layout.
+    // parquet footer listing. entry() warms the join/agg path; a synthetic
+    // one-row frame through the same tokenizer + explode/agg expressions
+    // warms the codegen that the alphabetically-first timed query (a2) was
+    // otherwise first to pay — WITHOUT executing a timed query on the timed
+    // data, which would warm a2's plan/input caches more than its peers'.
     SparkEntry.entry(spark).count()
-    val smokeDefault = "/root/testdata/sf0.001"
-    val smokeDir = sys.env.getOrElse("SPARK_GRAFT_SMOKE_DIR",
-      if (new java.io.File(smokeDefault).isDirectory) smokeDefault else sfDir)
-    SparkEntry.queries("a2_wordcount")(spark, smokeDir).count()
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(1).select(lit("warm up the token explode agg path").as("text"))
+        .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt")).count()
+    }
     Tables.names.foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
+    // Environment steal (CI neighbors, page-cache churn) showed up in past
+    // rounds as ±15-26% swings on identical binaries. Min-of-N across
+    // interleaved rounds is the standard fix: each query's reps are spread
+    // across the suite's wall-clock, so one noisy window can't tag a query
+    // as regressed. The reported time per query is the min over rounds.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt.max(1)
+    val names = SparkEntry.queries.keys.toSeq.sorted
     // A crashed query must not masquerade as a fast one: its slot is null
-    // and the error message is reported separately.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // and the error message is reported separately (first failure wins;
+    // later rounds skip a query that has already failed).
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    for (round <- 1 to repeat; name <- names if !errors.contains(name)) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      try {
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (!best.get(name).exists(_ <= sec)) best(name) = sec
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          best.remove(name)
+      }
     }
+    val results = names.map { n => (n, best.getOrElse(n, 0.0), errors.get(n)) }
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\]", " ").replaceAll("[\\u0000-\\u001f\\u007f]", " ") + "\""
     val qs = results.map { case (k, sec, err) =>
       jstr(k) + ":" + (if (err.isEmpty) sec.toString else "null")
@@ -42,7 +61,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, sec, None) => sec }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // stdout gets buried in sbt [info] noise — the file is the reliable channel.
     val p = Paths.get(outPath)
     if (p.getParent != null) Files.createDirectories(p.getParent)

@@ -279,20 +279,18 @@ object DedupOps {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame = {
     // The candidate list is referenced four times below (membership, the
-    // two size joins, the intersection); materialize it ONCE with an
-    // eager localCheckpoint — A/B-measured 3× faster on the dedup family
-    // than persist() (lazy or eager), whose InMemoryRelation scans pay
-    // columnar cache build + conversions on every reference. The pair
-    // list is tiny by LSH construction, so the checkpoint is cheap.
-    // Tradeoffs, honestly: construction runs the candidate chain eagerly
-    // (callers that only want the PLAN should pass a pre-materialized
-    // pair list), and localCheckpoint blocks live in executor storage —
-    // losing an executor FAILS the query (lineage is truncated, Spark
-    // does not recompute); the batch then reruns from source via the
-    // caller's retry, deterministically. On long-lived clusters with
-    // dynamic allocation, prefer reliable `checkpoint()` to a durable
-    // checkpoint dir — same shape, durable blocks.
-    val p = pairs.localCheckpoint(true)
+    // two size joins, the intersection) — left as a PLAN, like `sh`: the
+    // pair chain tops out in a shuffle (minhashLsh's distinct / the band
+    // joins' exchanges), and all four references canonicalize to the same
+    // subtree, so exchange reuse (and AQE stage reuse) computes it once
+    // and reads the shuffle output four times. An earlier revision
+    // eagerly localCheckpoint'ed here instead; that was faster than
+    // persist() but leaked the snapshot's executor-storage blocks for the
+    // session's lifetime — a plan is recomputation-safe, leak-free, and
+    // keeps this function lazy (ReuseReferencesSpec pins the reuse and
+    // the zero-storage-growth behavior). Callers with a pre-materialized
+    // pair list can still pass it and own its lifecycle.
+    val p = pairs
     val members = p.select(col("a").as(idCol))
       .union(p.select(col("b").as(idCol))).distinct()
     val pruned = docs.join(members, Seq(idCol), "left_semi")
