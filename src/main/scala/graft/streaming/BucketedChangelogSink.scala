@@ -52,7 +52,23 @@ object BucketedChangelogSink {
     * the same value — merging with a different count would route keys to
     * different buckets than their existing rows and leave duplicate live
     * versions per key (re-bucketing is a full rewrite, not a parameter
-    * change). */
+    * change).
+    *
+    * Work bound AND job bound: per-batch data work is O(Σ touched-bucket
+    * size + batch) as before, and the merge is ONE Spark write — current
+    * rows of every touched bucket union the batch, merge in a single
+    * aggregation, and land in a staging dir partitioned by bucket id;
+    * the driver then commits each bucket's staged dir with the same
+    * per-bucket rename swap. An earlier revision ran one merge job PER
+    * touched bucket, so a batch touching hundreds of buckets paid
+    * hundreds of driver-scheduled jobs of latency for the same work.
+    *
+    * Crash safety is unchanged: nothing under `b=N` moves until the
+    * staged write has fully succeeded, each bucket's swap is individually
+    * atomic, and a crash anywhere (during staging, or between swaps)
+    * leaves every bucket complete on one side of its swap; checkpoint
+    * replay re-merges idempotently via the seq order. Orphaned staging
+    * dirs from crashed batches are reclaimed on the next batch. */
   def applyBatch(batch: Dataset[Change], tablePath: String,
                  numBuckets: Int): Unit = {
     require(numBuckets > 0, s"need numBuckets > 0, got $numBuckets")
@@ -61,41 +77,93 @@ object BucketedChangelogSink {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
 
-    val marker = new Path(s"$tablePath/_buckets")
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val recorded = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt finally in.close()
-      require(recorded == numBuckets,
-        s"table $tablePath was laid out with $recorded buckets; " +
-          s"got numBuckets=$numBuckets — re-bucketing requires a full rewrite")
-    } else {
-      val out = fs.create(marker, true)
-      try out.write(numBuckets.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
-    }
+    checkOrRecordLayout(fs, tablePath, numBuckets)
 
     val routed = batch.select(col("key"), col("value"), col("seq"))
       .withColumn("__b", bucketOf(col("key"), numBuckets))
-      .localCheckpoint(true) // referenced once per touched bucket below
     // the touched-bucket list is ≤ numBuckets ids — driver-small by
     // construction, the same bound a MERGE planner's touched-file list has
     val touched = routed.select("__b").distinct()
       .collect().map(_.getInt(0)).sorted
-    touched.foreach { b =>
-      val bucketPath = s"$tablePath/b=$b"
-      SwapDir.cleanStaleTmp(fs, bucketPath)
-      val current = SwapDir.resolveCurrent(fs, bucketPath)
-        .map(spark.read.parquet(_))
-        .getOrElse(Seq.empty[(String, String, Long)].toDF("key", "value", "seq"))
-      val merged = graft.operators.Changelog.latestByKey(
-        current.unionByName(routed.filter(col("__b") === b).drop("__b")),
-        Seq("key"), Seq(col("seq"), col("value").isNotNull, col("value")))
-      val tmp = SwapDir.tmpPath(bucketPath)
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      SwapDir.commit(fs, bucketPath, tmp)
+    if (touched.isEmpty) return
+
+    // reclaim debris from crashed predecessors: per-bucket swap temps and
+    // whole staging dirs (recovery never reads either)
+    touched.foreach(b => SwapDir.cleanStaleTmp(fs, s"$tablePath/b=$b"))
+    fs.globStatus(new Path(s"$tablePath/.staging-*")) match {
+      case null => ()
+      case stale => stale.foreach(st => fs.delete(st.getPath, true))
     }
-    org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint(routed)
+
+    // current rows of ALL touched buckets in one scan; the bucket id is
+    // recomputed from the key (same layout function, so identical to the
+    // directory each row was read from)
+    val currentPaths = touched.flatMap(b =>
+      SwapDir.resolveCurrent(fs, s"$tablePath/b=$b"))
+    val current =
+      if (currentPaths.isEmpty)
+        Seq.empty[(String, String, Long)].toDF("key", "value", "seq")
+          .withColumn("__b", lit(0))
+      else spark.read.parquet(currentPaths.toIndexedSeq: _*)
+        .withColumn("__b", bucketOf(col("key"), numBuckets))
+    // one merge for every touched bucket: keys are unique to a bucket, so
+    // grouping by key alone is correct and __b rides through latestByKey
+    val merged = graft.operators.Changelog.latestByKey(
+      current.unionByName(routed),
+      Seq("key"), Seq(col("seq"), col("value").isNotNull, col("value")))
+
+    // ONE staged write, partitioned by bucket — `__b=N` dirs hold exactly
+    // the post-merge content of bucket N (partitionBy keeps __b out of
+    // the data files, matching the b=N layout: key, value, seq)
+    val staging = s"$tablePath/.staging-" + java.util.UUID.randomUUID()
+    merged.write.mode(SaveMode.Overwrite).partitionBy("__b").parquet(staging)
+
+    // commit each touched bucket's staged dir via the rename swap; a
+    // touched bucket always has ≥1 merged row (latestByKey keeps
+    // tombstone rows), so a missing staged dir means lost rows — fail
+    // loudly rather than silently dropping the bucket's batch
+    touched.foreach { b =>
+      val src = new Path(s"$staging/__b=$b")
+      if (!fs.exists(src))
+        throw new IllegalStateException(
+          s"staged output missing for touched bucket $b under $staging")
+      SwapDir.commit(fs, s"$tablePath/b=$b", src)
+    }
+    fs.delete(new Path(staging), true)
+  }
+
+  /** Validate the `_buckets` layout marker, recording it on first write.
+    * The marker is written to a temp file and renamed into place so a
+    * crash can never leave a half-written (empty) marker that poisons
+    * every later batch; an unparseable marker fails with a repair hint
+    * instead of a bare NumberFormatException. */
+  private def checkOrRecordLayout(fs: org.apache.hadoop.fs.FileSystem,
+                                  tablePath: String, numBuckets: Int): Unit = {
+    val marker = new Path(s"$tablePath/_buckets")
+    def validate(): Unit = {
+      val in = fs.open(marker)
+      val raw = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+      val recorded = raw.toIntOption.getOrElse(throw new IllegalStateException(
+        s"unreadable _buckets marker at $marker (content: '$raw') — " +
+          "restore it to the table's original bucket count"))
+      require(recorded == numBuckets,
+        s"table $tablePath was laid out with $recorded buckets; " +
+          s"got numBuckets=$numBuckets — re-bucketing requires a full rewrite")
+    }
+    if (fs.exists(marker)) validate()
+    else {
+      val tmp = new Path(s"$tablePath/_buckets.tmp-" + java.util.UUID.randomUUID())
+      val out = fs.create(tmp, true)
+      try out.write(numBuckets.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+      if (!fs.rename(tmp, marker)) {
+        fs.delete(tmp, true)
+        // lost a race with (or found debris from) another writer: the
+        // marker must exist now — hold it to the same validation
+        validate()
+      }
+    }
   }
 
   /** Live rows across all buckets (tombstones filtered), each bucket

@@ -88,6 +88,48 @@ class BucketedChangelogSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("merge schedules O(1) jobs no matter how many buckets a batch touches") {
+    val s = spark
+    import s.implicits._
+    val table = Files.createTempDirectory("graft_bsink_jobs").toString + "/t"
+    val n = 32
+    val seed = (0 until 256).map(i => Change(s"k$i", s"v$i", null, i.toLong))
+    BucketedChangelogSink.applyBatch(seed.toDS(), table, n)
+
+    // a batch touching every bucket: the earlier per-bucket merge loop
+    // scheduled ≥ one write job per touched bucket (≥ 32 here); the
+    // single-job merge stays at a handful (touched-list collect + the
+    // staged write's AQE stages), independent of the touched count
+    val batch = (0 until 256).map(i => Change(s"k$i", s"w$i", s"v$i", 1000L + i))
+    s.sparkContext.setJobGroup("bsink-merge-jobs", "bucketed sink merge")
+    try BucketedChangelogSink.applyBatch(batch.toDS(), table, n)
+    finally s.sparkContext.clearJobGroup()
+    val jobs = s.sparkContext.statusTracker.getJobIdsForGroup("bsink-merge-jobs").length
+    assert(jobs > 0, "job-group tracking captured nothing")
+    assert(jobs <= 10, s"expected O(1) jobs for the merge, got $jobs")
+
+    val live = BucketedChangelogSink.view(s, table)
+      .as[(String, String, Long)].collect()
+    assert(live.length == 256)
+    assert(live.forall(r => r._2 == "w" + r._1.drop(1)), "merge lost updates")
+  }
+
+  test("an empty _buckets marker fails with a repair hint, not a parse error") {
+    val s = spark
+    import s.implicits._
+    val table = Files.createTempDirectory("graft_bsink_badmarker").toString + "/t"
+    BucketedChangelogSink.applyBatch(
+      Seq(Change("a", "a1", null, 1)).toDS(), table, numBuckets = 4)
+    val fs = new Path(table).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(s"$table/_buckets"), true)
+    out.close() // simulate a crash between create and write: empty marker
+    val e = intercept[IllegalStateException] {
+      BucketedChangelogSink.applyBatch(
+        Seq(Change("a", "a2", "a1", 2)).toDS(), table, numBuckets = 4)
+    }
+    assert(e.getMessage.contains("unreadable _buckets marker"), e.getMessage)
+  }
+
   test("reopening with a different bucket count is rejected") {
     val s = spark
     import s.implicits._
