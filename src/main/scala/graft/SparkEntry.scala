@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.operators.{Changelog, EventTime, Joins}
 import graft.functions.{DedupOps, SimilarityOps, TextAnalysis}
+import graft.sources.Bucketing
 
 /** Driver contract — the full operator inventory of SURVEY.md §2 plus the
   * training-data-pipeline extensions, each as a batch query over the
@@ -105,7 +106,11 @@ object SparkEntry {
     * empty-cluster carry-forward. Generated programmatically so the
     * iteration count and score constants cannot drift from the Scala
     * side. Output: final centroids exploded to (cid, dim, val). */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
+  /** The Lloyd-iteration CTE chain shared by the s7 fit oracle and the
+    * s4 fit+search oracle: `v` (vid, vv, vn), `dims`, and `c0 … c$iters`
+    * centroid tables. NOT margin-stripped — embed in a larger
+    * `stripMargin`'d query. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val iterBlocks = (1 to iters).map { j =>
       val p = j - 1
       s"""c${p}n AS (
@@ -132,7 +137,7 @@ object SparkEntry {
          |    SELECT cid, list(m ORDER BY pos) AS cv FROM m$j GROUP BY 1) f
          |    ON f.cid = p.cid)"""
     }.mkString(",\n")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id AS vid, embedding AS vv,
        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
        |         (a, b) -> a + b)) AS vn
@@ -140,10 +145,58 @@ object SparkEntry {
        |dims AS (SELECT unnest(range(1,
        |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
        |c0 AS (SELECT vid AS cid, vv AS cv FROM v WHERE vid < $k),
-       |$iterBlocks
+       |$iterBlocks"""
+  }
+
+  private def kmeansOracleSql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(k, iters)}
        |SELECT cid, (d.i - 1)::INT AS dim, cv[d.i]::DOUBLE AS val
        |FROM c$iters, dims d""".stripMargin
-  }
+
+  /** DuckDB replay of the PRODUCTION IVF composition — [[SimilarityOps
+    * .kmeansFit]] centroids feeding [[SimilarityOps.ivfTopK]]: the Lloyd
+    * CTE chain, then assign / probe / exact-top-k over the fitted
+    * centroid table, same rounded-cosine score encoding throughout. */
+  private def kmeansIvfOracleSql(k: Int, iters: Int, queryMax: Int,
+                                 nprobe: Int, topN: Int): String =
+    s"""WITH ${kmeansCtes(k, iters)},
+       |c AS (
+       |  SELECT cid, cv,
+       |    sqrt(list_reduce(list_transform(cv, x -> x::DOUBLE * x::DOUBLE),
+       |         (a, b) -> a + b)) AS cn
+       |  FROM c$iters),
+       |assign AS (
+       |  SELECT vid, arg_max(cid, score) AS cid FROM (
+       |    SELECT v.vid, cid,
+       |      round(round(list_reduce(list_transform(range(1, len(v.vv) + 1),
+       |              i -> v.vv[i]::DOUBLE * cv[i]::DOUBLE),
+       |            (x, y) -> x + y) / (v.vn * cn), 6) * 1000000)::BIGINT * 100 - cid AS score
+       |    FROM v, c) GROUP BY 1),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.vid AS query_id, cid,
+       |      row_number() OVER (PARTITION BY q.vid ORDER BY
+       |        round(round(list_reduce(list_transform(range(1, len(q.vv) + 1),
+       |                i -> q.vv[i]::DOUBLE * cv[i]::DOUBLE),
+       |              (x, y) -> x + y) / (q.vn * cn), 6) * 1000000)::BIGINT * 100 - cid DESC) AS rn
+       |    FROM v q, c WHERE q.vid < $queryMax)
+       |  WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT p.query_id, a.vid AS neighbor_id,
+       |    round(list_reduce(list_transform(range(1, len(q.vv) + 1),
+       |            i -> q.vv[i]::DOUBLE * n.vv[i]::DOUBLE),
+       |          (x, y) -> x + y) / (q.vn * n.vn), 6) AS sim
+       |  FROM probes p
+       |  JOIN assign a ON a.cid = p.cid
+       |  JOIN v n ON n.vid = a.vid
+       |  JOIN v q ON q.vid = p.query_id
+       |  WHERE a.vid <> p.query_id)
+       |SELECT query_id, rank, neighbor_id, sim FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $topN""".stripMargin
 
   // ---- flagship ----------------------------------------------------------
 
@@ -414,11 +467,18 @@ object SparkEntry {
     "s3_ivf_assign" -> ((s, dir) =>
       SimilarityOps.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding", 16)),
 
-    // the IVF *search* half: probe nprobe nearest cells, exact top-k
-    // within probed cells only — one corpus shuffle total
-    "s4_ivf_topk" -> ((s, dir) =>
-      SimilarityOps.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        k = 16, queryPred = col("vec_id") < 20, nprobe = 4, topN = 5)),
+    // the IVF *search* half over FITTED centroids — the production
+    // composition: kmeansFit's Lloyd output feeds ivfTopK's `centroids`
+    // param; probe nprobe nearest cells, exact top-k within probed cells
+    // only — one corpus shuffle total (the fit's k·dims means aside)
+    "s4_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val fitted = SimilarityOps.kmeansFit(emb, "vec_id", "embedding",
+        k = 8, iters = 3)
+      SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+        k = 8, queryPred = col("vec_id") < 20, nprobe = 4, topN = 5,
+        centroids = Some(fitted))
+    }),
 
     // int8 embedding quantization — map-side, zero shuffles; outputs are
     // scalar summaries so the quantized vectors stay hash-checkable
@@ -669,6 +729,44 @@ object SparkEntry {
         .groupBy("n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("revenue"))
+    }),
+
+    // the j7 FK join over WRITE-SIDE BUCKETED tables: lineitem and part
+    // are co-bucketed on the part key, so the fact-side join plans with
+    // ZERO shuffle exchanges (the merge hint forces the sort-merge path —
+    // without it a small `part` would broadcast and never showcase the
+    // co-location; supplier stays an explicit broadcast like j7). Same
+    // rows as j7, hash-checked by the same oracle SQL; the no-shuffle
+    // plan is guarded in PlanGuardSpec. Bucketed tables are written once
+    // per (session, sf dir) and reused — the write is the one-time
+    // shuffle that every later join on the key skips.
+    "j12_bucketed_join" -> ((s, dir) => {
+      val suffix = (dir.hashCode & 0x7fffffff).toString
+      val liT = s"graft_j12_lineitem_$suffix"
+      val ptT = s"graft_j12_part_$suffix"
+      // write once per (session, sf dir); the catalog is in-memory per
+      // session but the warehouse DIR persists across JVMs, so a stale
+      // location from an earlier run must be cleared or CTAS refuses
+      def writeFresh(name: String)(write: => Unit): Unit =
+        if (!s.catalog.tableExists(name)) {
+          val wh = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), name)
+          val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(wh)) fs.delete(wh, true)
+          write
+        }
+      writeFresh(liT)(Bucketing.writeBucketed(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        liT, "l_partkey", 8, sortBy = Seq("l_partkey")))
+      writeFresh(ptT)(Bucketing.writeBucketed(
+        Tables.part(s, dir).select("p_partkey", "p_name"),
+        ptT, "p_partkey", 8, sortBy = Seq("p_partkey")))
+      s.table(liT)
+        .join(s.table(ptT).hint("merge"), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("l_orderkey", "l_linenumber", "p_name", "s_name")
     }),
 
     // sequence packing: documents → fixed-token-budget bins (next-fit in
@@ -1220,44 +1318,7 @@ object SparkEntry {
         |FROM scored GROUP BY 1""".stripMargin,
 
     "s4_ivf_topk" ->
-      """WITH v AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
-        |         (a, b) -> a + b)) AS nrm
-        |  FROM embeddings),
-        |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cn FROM v WHERE vec_id < 16),
-        |assign AS (
-        |  SELECT vec_id, arg_max(cid, score) AS cid FROM (
-        |    SELECT v.vec_id, cid,
-        |      round(round(list_reduce(list_transform(range(1, len(v.embedding) + 1),
-        |              i -> v.embedding[i]::DOUBLE * cv[i]::DOUBLE),
-        |            (x, y) -> x + y) / (v.nrm * cn), 6) * 1000000)::BIGINT * 100 - cid AS score
-        |    FROM v, c) GROUP BY 1),
-        |probes AS (
-        |  SELECT query_id, cid FROM (
-        |    SELECT q.vec_id AS query_id, cid,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        round(round(list_reduce(list_transform(range(1, len(q.embedding) + 1),
-        |                i -> q.embedding[i]::DOUBLE * cv[i]::DOUBLE),
-        |              (x, y) -> x + y) / (q.nrm * cn), 6) * 1000000)::BIGINT * 100 - cid DESC) AS rn
-        |    FROM v q, c WHERE q.vec_id < 20)
-        |  WHERE rn <= 4),
-        |scored AS (
-        |  SELECT p.query_id, a.vec_id AS neighbor_id,
-        |    round(list_reduce(list_transform(range(1, len(q.embedding) + 1),
-        |            i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE),
-        |          (x, y) -> x + y) / (q.nrm * n.nrm), 6) AS sim
-        |  FROM probes p
-        |  JOIN assign a ON a.cid = p.cid
-        |  JOIN v n ON n.vec_id = a.vec_id
-        |  JOIN v q ON q.vec_id = p.query_id
-        |  WHERE a.vec_id <> p.query_id)
-        |SELECT query_id, rank, neighbor_id, sim FROM (
-        |  SELECT query_id, neighbor_id, sim,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5""".stripMargin,
+      kmeansIvfOracleSql(k = 8, iters = 3, queryMax = 20, nprobe = 4, topN = 5),
 
     "d8_semantic_dedup" ->
       """WITH v AS (
@@ -1655,6 +1716,13 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1""".stripMargin,
+
+    // identical result contract to j7 — the bucketed layout must not
+    // change the answer, only the plan
+    "j12_bucketed_join" ->
+      """SELECT l_orderkey, l_linenumber, p_name, s_name
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
 
     "x17_bigram_stats" ->
       s"""WITH $toksSql

@@ -217,16 +217,19 @@ object SimilarityOps {
     * rounded-similarity × 100 − cid score encoding (highest similarity
     * wins, lowest cid breaks ties — portable to the SQL oracles), shared
     * by the assignment argmax and the probe ranking so they can never
-    * desynchronize. The ×100 slot bounds cid to ≤ 100 — a larger cid
-    * would cross similarity buckets and let a less-similar centroid win
-    * — enforced here for every caller. */
+    * desynchronize. The ×100 slot bounds cid to [0, 100) — cid=100 would
+    * alias cid=0 one rounded-similarity step lower (s·100−100 ==
+    * (s−1)·100−0), making the SQL oracle's bare-score arg_max
+    * nondeterministic there, and any larger cid crosses similarity
+    * buckets outright — enforced here for every caller, matching
+    * [[kmeansFit]]'s k ≤ 100 contract (ids 0..k−1). */
   private def scoredCellStructs(vec: Column, nrm: Column,
                                 cents: Seq[(Long, Array[Float], Double)]): Seq[Column] = {
     require(cents.nonEmpty, "cell scoring needs at least one centroid")
-    require(cents.forall(c => c._1 >= 0 && c._1 <= 100),
+    require(cents.forall(c => c._1 >= 0 && c._1 < 100),
       s"the similarity×100−cid score encoding (shared with the SQL oracles) " +
-        s"holds only for centroid ids in [0, 100]; got ids " +
-        s"${cents.map(_._1).filterNot(id => id >= 0 && id <= 100).take(3).mkString(", ")}…")
+        s"holds only for centroid ids in [0, 100); got ids " +
+        s"${cents.map(_._1).filterNot(id => id >= 0 && id < 100).take(3).mkString(", ")}…")
     cents.map { case (cid, cv, cn) =>
       struct(
         (round(cosine(vec, typedLit(cv), nrm, lit(cn)) * 1000000, 0)
