@@ -112,13 +112,21 @@ object Sampling {
   def mixtureSample(df: DataFrame, key: Column, source: Column, weight: Column,
                     targetRows: Long, ppm: Long = 1000000L): DataFrame = {
     require(targetRows > 0 && ppm > 0, s"need targetRows/ppm > 0")
-    // overflow headroom for __w · targetRows · ppm in a Long
+    // overflow headroom for __w · targetRows · ppm in a Long: the bounds
+    // below cap targetRows · ppm at 1e15, and the weight check caps __w
+    // at Long.MaxValue / (targetRows · ppm) — without the weight half, a
+    // large weight overflows the product (ANSI mode fails the job;
+    // non-ANSI silently yields a negative rate that DROPS the source)
     require(targetRows <= 1000000000L && ppm <= 1000000L,
       s"targetRows ≤ 1e9 and ppm ≤ 1e6 keep the rate arithmetic in a Long")
+    val maxW = Long.MaxValue / (targetRows * ppm)
     val wChecked = when(assert_true(
-        weight.cast("double") === floor(weight) && weight.cast("double") > 0,
+        weight.cast("double") === floor(weight) && weight.cast("double") > 0 &&
+          weight.cast("long") <= maxW,
         lit("mixtureSample weights must be positive integers " +
-          "(scale fractional proportions up, e.g. 0.7/0.3 -> 7/3)")).isNull,
+          "(scale fractional proportions up, e.g. 0.7/0.3 -> 7/3) " +
+          s"no larger than $maxW (Long.MaxValue / (targetRows * ppm)) — " +
+          "larger weights overflow the exact-ppm rate arithmetic")).isNull,
       weight.cast("long"))
     val counts = df.groupBy(source.as("__src"))
       .agg(count(lit(1)).as("__n"), first(wChecked).as("__w"))

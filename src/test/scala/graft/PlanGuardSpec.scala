@@ -53,6 +53,15 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("j12 bucketed join: zero shuffle exchanges — co-location replaces the shuffle") {
+    val p = planOf("j12_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"fact-side join lost the merge path:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$p")
+    // the only Exchange anywhere is the supplier broadcast (as in j7)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("s4 IVF search: broadcast probes/queries, bounded top-k, no window") {
     val p = planOf("s4_ivf_topk")
     assert(!p.contains("WindowExec"), p)
