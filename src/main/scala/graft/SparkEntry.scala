@@ -896,6 +896,30 @@ object SparkEntry {
         "doc_id", "text", offset = 1000000L, rowsPerBand = 2)
     }),
 
+    // inter-document repetition: per-doc fraction of distinct 5-gram
+    // shingles with corpus doc-frequency ≥ 2 — catches boilerplate pasted
+    // across docs that document-level near-dup misses; digest-keyed
+    // exchanges only, df≥2 filter prunes the join back
+    "d11_span_dup" -> ((s, dir) =>
+      DedupOps.spanDupStats(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 5)),
+
+    // the dedup DECISION: near-dup pairs → clusters → keep exactly the
+    // minimum doc id per cluster (cluster_id IS the min reachable id, so
+    // survivors are the doc_id == cluster_id rows) — the surviving corpus
+    // a training run would actually read
+    "d12_dedup_keep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = DedupOps.ngramJaccard(docs, "doc_id", "text",
+          DedupOps.minhashLsh(docs, "doc_id", "text"))
+        .filter(col("jaccard") >= 0.4)
+        .select("a", "b")
+      DedupOps.connectedComponents(docs.select("doc_id"), pairs)
+        .filter(col("doc_id") === col("cluster_id"))
+        .join(docs.select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+        .select("doc_id", "source", "n_chars")
+    }),
+
     // CCNet-style LM quality scoring: per-doc mean log-probability under
     // an add-one-smoothed corpus bigram model — fluent (corpus-typical)
     // text scores high, gibberish low. Shapes: bigram instances explode
@@ -905,6 +929,55 @@ object SparkEntry {
     // the vocabulary size rides a broadcast scalar; scoring joins are
     // keyed hash joins on (w1, w2) / w1 — AQE splits hot-word skew
     "t8_bigram_logprob" -> ((s, dir) => bigramLogProb(Tables.documents(s, dir))),
+
+    // per-doc unigram-distribution stats: token/type counts, type-token
+    // ratio, Shannon entropy (nats) of the word histogram — the lexical-
+    // diversity quality signals (templated/spammy text scores low).
+    // entropy = ln(n) − Σ c·ln(c) / n: the rearrangement sums one term
+    // per DISTINCT word with no per-term division, so the (doc, word)
+    // count aggregation is the only data-sized exchange
+    "t9_unigram_entropy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val wc = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val stats = wc.groupBy("doc_id").agg(
+        sum("c").as("n"),
+        count(lit(1)).as("types"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      docs.select(col("doc_id"))
+        .join(stats, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).as("n_tokens"),
+          coalesce(col("types"), lit(0L)).as("n_types"),
+          round(coalesce(col("types").cast("double") / col("n"), lit(0.0)), 6)
+            .as("ttr"),
+          round(coalesce(log(col("n").cast("double")) - col("clogc") / col("n"),
+            lit(0.0)), 6).as("entropy"))
+    }),
+
+    // training-mix QA: KL divergence of each source's unigram word
+    // distribution from the corpus-wide distribution — how far every
+    // source drifts from the mix it contributes to. Word-keyed
+    // aggregations with map-side partials; the per-source and corpus
+    // totals ride broadcasts (|sources| rows and one scalar)
+    "t10_source_kl" -> ((s, dir) => {
+      val sw = Tables.documents(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("cs"))
+      val srcTot = sw.groupBy("source").agg(sum("cs").as("ns"))
+      val wTot = sw.groupBy("w").agg(sum("cs").as("cw"))
+      val tot = wTot.agg(sum("cw").as("n"))
+      sw.join(broadcast(srcTot), "source")
+        .join(wTot, "w")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("ns"),
+          (col("cs").cast("double") / col("ns") *
+            (log(col("cs").cast("double") / col("ns")) -
+             log(col("cw").cast("double") / col("n")))).as("term"))
+        .groupBy(col("source"))
+        .agg(first(col("ns")).as("n_tokens"), round(sum("term"), 6).as("kl"))
+    }),
 
     // flagship composition #2: the round-6 operators chained into one
     // curation pipeline — repetition gate (t7 signal) ∧ decontamination
@@ -1660,6 +1733,89 @@ object SparkEntry {
         |  coalesce(b.best_jaccard, 0.0) >= 0.35 AS contaminated
         |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
         |WHERE d.doc_id % 41 <> 0""".stripMargin,
+
+    "d11_span_dup" ->
+      s"""WITH $toksSql,
+        |sh5 AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+        |      ELSE [array_to_string(t, ' ')] END) AS sh
+        |  FROM toks),
+        |shd AS (SELECT DISTINCT doc_id, md5(sh) AS shh FROM sh5),
+        |totals AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |dupd AS (SELECT shh FROM shd GROUP BY shh HAVING count(*) >= 2),
+        |dups AS (SELECT doc_id, count(*) AS dn FROM shd JOIN dupd USING (shh) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(t.n, 0)::BIGINT AS n_shingles,
+        |  coalesce(u.dn, 0)::BIGINT AS dup_shingles,
+        |  round(coalesce(u.dn, 0)::DOUBLE /
+        |        greatest(coalesce(t.n, 0), 1)::DOUBLE, 6) AS dup_frac
+        |FROM documents d
+        |LEFT JOIN totals t ON t.doc_id = d.doc_id
+        |LEFT JOIN dups u ON u.doc_id = d.doc_id""".stripMargin,
+
+    "d12_dedup_keep" ->
+      s"""WITH RECURSIVE $toksSql,
+        |$minhashCandSql,
+        |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |inter AS (
+        |  SELECT p.a, p.b, count(*) AS i
+        |  FROM cand p
+        |  JOIN shd sa ON sa.doc_id = p.a
+        |  JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+        |  GROUP BY 1, 2),
+        |pj AS (
+        |  SELECT p.a, p.b
+        |  FROM cand p
+        |  JOIN sizes na ON na.doc_id = p.a
+        |  JOIN sizes nb ON nb.doc_id = p.b
+        |  LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b
+        |  WHERE round(coalesce(i, 0)::DOUBLE / (na.n + nb.n - coalesce(i, 0))::DOUBLE, 6) >= 0.4),
+        |edges AS (SELECT a AS s, b AS d FROM pj UNION SELECT b, a FROM pj),
+        |reach AS (
+        |  SELECT doc_id AS node, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.node = e.d),
+        |clusters AS (
+        |  SELECT node AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY 1)
+        |SELECT c.doc_id, d.source, d.n_chars
+        |FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+        |WHERE c.doc_id = c.cluster_id""".stripMargin,
+
+    "t9_unigram_entropy" ->
+      s"""WITH $toksSql,
+        |wc AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+        |  GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n, count(*) AS types,
+        |    sum(c::DOUBLE * ln(c::DOUBLE)) AS clogc
+        |  FROM wc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(s.n, 0)::BIGINT AS n_tokens,
+        |  coalesce(s.types, 0)::BIGINT AS n_types,
+        |  round(coalesce(s.types::DOUBLE / s.n, 0), 6) AS ttr,
+        |  round(coalesce(ln(s.n::DOUBLE) - s.clogc / s.n, 0), 6) AS entropy
+        |FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id""".stripMargin,
+
+    "t10_source_kl" ->
+      """WITH sw AS (
+        |  SELECT source,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT source, w, count(*) AS cs FROM sw GROUP BY 1, 2),
+        |st AS (SELECT source, sum(cs)::BIGINT AS ns FROM c GROUP BY 1),
+        |wt AS (SELECT w, sum(cs)::BIGINT AS cw FROM c GROUP BY 1),
+        |tot AS (SELECT sum(cw)::BIGINT AS n FROM wt)
+        |SELECT c.source, st.ns::BIGINT AS n_tokens,
+        |  round(sum(c.cs::DOUBLE / st.ns *
+        |        (ln(c.cs::DOUBLE / st.ns) - ln(wt.cw::DOUBLE / tot.n))), 6) AS kl
+        |FROM c JOIN st ON st.source = c.source
+        |JOIN wt ON wt.w = c.w CROSS JOIN tot
+        |GROUP BY 1, 2""".stripMargin,
 
     "t8_bigram_logprob" ->
       s"""WITH $toksSql,

@@ -315,6 +315,43 @@ object DedupOps {
           (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
   }
 
+  /** Inter-document repetition: for each document, the fraction of its
+    * DISTINCT word n-gram shingles that also occur in at least one OTHER
+    * document — the corpus-level duplicated-span measure (the
+    * RefinedWeb/Gopher-style signal that catches boilerplate and licence
+    * blocks pasted across many documents, which document-level near-dup
+    * misses because no whole document pair is similar).
+    *
+    * Output: one row per doc — `doc_id`, `n_shingles` (distinct),
+    * `dup_shingles` (those with corpus doc-frequency ≥ 2), `dup_frac`.
+    *
+    * 100 TB shape: shingles go through md5 digests, so both exchanges
+    * (the per-doc distinct and the doc-frequency count) move narrow
+    * fixed-width keys; the join back to per-doc shingles is INNER against
+    * only the df ≥ 2 digests — typically a small fraction of the shingle
+    * space — and every stage aggregates map-side first. No broadcast of
+    * anything data-sized, no driver state. */
+  def spanDupStats(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 5): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleN)
+      .select(col("doc_id"), md5(col("sh")).as("shh")).distinct()
+    val totals = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // after the per-doc distinct, count(*) per digest IS doc frequency
+    val dupDigests = sh.groupBy("shh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("shh")
+    val dups = sh.join(dupDigests, "shh")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_shingles"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left_outer")
+      .join(dups, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("dup_shingles"), lit(0L)).as("dup_shingles"),
+        round(coalesce(col("dup_shingles"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_shingles"), lit(0L)).cast("double"), lit(1.0)),
+          6).as("dup_frac"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with a held-out benchmark/eval set (the standard
     * test-set-leakage filter for LLM training data — GPT-3 appendix C /
