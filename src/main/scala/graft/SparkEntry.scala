@@ -847,6 +847,55 @@ object SparkEntry {
         .select("doc_id", "quality")
     }),
 
+    // vocabulary build + id encoding — the last step before training:
+    // rank words by (count desc, word) into ids, then encode each doc as
+    // its id sequence (reported as a digest so the row stays scalar).
+    // The global rank is a single-partition sort of the VOCAB ONLY —
+    // bounded by the model's vocab budget, not the corpus — and the
+    // vocab table broadcasts to the encode join; the (doc, pos) explode
+    // aggregates straight back per doc
+    "x22_vocab_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("w"),
+          row_number().over(Window.orderBy(col("cnt").desc, col("w"))).as("id"))
+      val toks = docs.select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col").as("w"))
+      toks.join(broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(concat_ws(",",
+            transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+              p => p.getField("id").cast("string")))).as("ids_digest"))
+    }),
+
+    // content-defined chunking (CDC): chunk boundaries where the token's
+    // hash ≡ 0 (mod 8), so chunk edges survive insertions/deletions —
+    // the chunk-level dedup splitter fixed-size windows (x18) can't be.
+    // One (doc, pos) explode; the prefix-sum of boundary flags is a
+    // PER-DOC window (partitioned by doc_id — parallelism |docs|, never
+    // a global sort); chunks aggregate back with map-side partials
+    "x23_cdc_chunk" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col").as("w"))
+      val flagged = toks.withColumn("b",
+        (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % 8 === 0)
+          .cast("int"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      flagged
+        .withColumn("chunk", coalesce(sum(col("b")).over(w), lit(0)).cast("int"))
+        .groupBy("doc_id", "chunk")
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+              p => p.getField("w")))).as("chunk_digest"))
+    }),
+
     // data mixing: resample the multi-source corpus toward target mixture
     // proportions (weight w_s = (source number mod 3) + 1, target 200
     // rows); exact integer-ppm rates so both engines truncate identically
@@ -1800,6 +1849,45 @@ object SparkEntry {
         |  round(coalesce(s.types::DOUBLE / s.n, 0), 6) AS ttr,
         |  round(coalesce(ln(s.n::DOUBLE) - s.clogc / s.n, 0), 6) AS entropy
         |FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id""".stripMargin,
+
+    "x22_vocab_encode" ->
+      s"""WITH $toksSql,
+        |vocab AS (
+        |  SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS id FROM (
+        |    SELECT w, count(*) AS cnt
+        |    FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1)),
+        |tk AS (
+        |  SELECT doc_id, u.pos AS pos, u.w AS w
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t) + 1),
+        |            i -> struct_pack(pos := i, w := t[i]))) AS u
+        |        FROM toks))
+        |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+        |  md5(string_agg(v.id::VARCHAR, ',' ORDER BY t.pos)) AS ids_digest
+        |FROM tk t JOIN vocab v ON v.w = t.w
+        |GROUP BY 1""".stripMargin,
+
+    "x23_cdc_chunk" ->
+      s"""WITH $toksSql,
+        |tk AS (
+        |  SELECT doc_id, u.pos AS pos, u.w AS w
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t) + 1),
+        |            i -> struct_pack(pos := i, w := t[i]))) AS u
+        |        FROM toks)),
+        |f AS (
+        |  SELECT doc_id, pos, w,
+        |    CASE WHEN ('0x' || substr(md5(w), 1, 15))::BIGINT % 8 = 0
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM tk),
+        |c AS (
+        |  SELECT doc_id, pos, w,
+        |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS chunk
+        |  FROM f)
+        |SELECT doc_id, chunk, count(*)::BIGINT AS n_tokens,
+        |  md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_digest
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     "t10_source_kl" ->
       """WITH sw AS (

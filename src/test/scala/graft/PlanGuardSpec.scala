@@ -62,6 +62,25 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("d11/t9/t10: equi hash joins only — no cartesian in the stats family") {
+    Seq("d11_span_dup", "t9_unigram_entropy").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+    }
+    // t10's one nested-loop join is the INTENDED 1-row totals cross join;
+    // everything data-sized must still join hashed
+    val p10 = planOf("t10_source_kl")
+    assert(!p10.contains("CartesianProduct"), p10)
+    assert(p10.contains("BroadcastHashJoin"), p10)
+  }
+
+  test("x23 CDC chunking windows per doc, never a single global partition") {
+    val p = planOf("x23_cdc_chunk")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"),
+      s"x23's prefix-sum window collapsed to one partition:\n$p")
+  }
+
   test("s4 IVF search: broadcast probes/queries, bounded top-k, no window") {
     val p = planOf("s4_ivf_topk")
     assert(!p.contains("WindowExec"), p)
