@@ -896,6 +896,40 @@ object SparkEntry {
               p => p.getField("w")))).as("chunk_digest"))
     }),
 
+    // corpus-health report — the dashboard query a curation run is
+    // monitored by: per-source (plus rollup total) doc/token counts,
+    // exact-duplicate docs, and mean quality. One fingerprint-keyed
+    // aggregation + one rollup; dup flags join back on the md5 digest
+    "c3_corpus_report" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      // dup flag via an fp-partitioned window — same digest-keyed shuffle
+      // as a groupBy + join back, without the ambiguous self-join
+      base
+        .withColumn("fc", count(lit(1)).over(Window.partitionBy("fp")))
+        .withColumn("dup", (col("fc") > 1).cast("long"))
+        .rollup("source")
+        .agg(count(lit(1)).as("docs"),
+          sum("n_toks").as("tokens"),
+          sum("dup").as("dup_docs"),
+          round(avg("q"), 4).as("mean_quality"))
+    }),
+
+    // contiguous global sample ids over a deterministic order — the
+    // final indexing step before sharded training reads. zipWithIndex is
+    // the documented RDD exception: ids assign per partition with a
+    // counts-then-offsets pass over the RANGE-partitioned sort output,
+    // so no stage ever collapses to a single partition (a row_number
+    // window over the whole corpus would)
+    "x24_global_ids" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).orderBy("doc_id")
+        .as[Long].rdd.zipWithIndex.toDF("doc_id", "sample_id")
+    }),
+
     // data mixing: resample the multi-source corpus toward target mixture
     // proportions (weight w_s = (source number mod 3) + 1, target 200
     // rows); exact integer-ppm rates so both engines truncate identically
@@ -1849,6 +1883,32 @@ object SparkEntry {
         |  round(coalesce(s.types::DOUBLE / s.n, 0), 6) AS ttr,
         |  round(coalesce(ln(s.n::DOUBLE) - s.clogc / s.n, 0), 6) AS entropy
         |FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id""".stripMargin,
+
+    "c3_corpus_report" ->
+      s"""WITH $toksSql,
+        |base AS (
+        |  SELECT d.doc_id, d.source, len(t.t)::BIGINT AS n_toks,
+        |    round(greatest(least(
+        |      least(len(t.t)::DOUBLE / 20.0, 1.0) * 0.5
+        |      + least(round(len(list_filter(t.t,
+        |            x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))::DOUBLE
+        |          / greatest(len(t.t)::DOUBLE, 1.0), 4) * 4, 1.0) * 0.5
+        |      - round((length(t.text) - length(regexp_replace(t.text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+        |          / greatest(length(t.text)::DOUBLE, 1.0), 4),
+        |      1.0), 0.0), 4) AS q,
+        |    md5(regexp_replace(trim(lower(t.text)), '\\s+', ' ', 'g')) AS fp
+        |  FROM documents d JOIN toks t ON t.doc_id = d.doc_id),
+        |fc AS (SELECT fp, count(*) AS fc FROM base GROUP BY 1)
+        |SELECT b.source, count(*)::BIGINT AS docs, sum(b.n_toks)::BIGINT AS tokens,
+        |  sum(CASE WHEN fc.fc > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_docs,
+        |  round(avg(b.q), 4) AS mean_quality
+        |FROM base b JOIN fc ON fc.fp = b.fp
+        |GROUP BY ROLLUP (b.source)""".stripMargin,
+
+    "x24_global_ids" ->
+      """SELECT doc_id,
+        |  (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS sample_id
+        |FROM documents""".stripMargin,
 
     "x22_vocab_encode" ->
       s"""WITH $toksSql,
