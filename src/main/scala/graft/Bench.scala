@@ -32,7 +32,8 @@ object Bench {
     // interleaved rounds is the standard fix: each query's reps are spread
     // across the suite's wall-clock, so one noisy window can't tag a query
     // as regressed. The reported time per query is the min over rounds.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt.max(1)
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+      .flatMap(_.trim.toIntOption).getOrElse(3).max(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
     // A crashed query must not masquerade as a fast one: its slot is null
     // and the error message is reported separately (first failure wins;

@@ -741,7 +741,11 @@ object SparkEntry {
     // per (session, sf dir) and reused — the write is the one-time
     // shuffle that every later join on the key skips.
     "j12_bucketed_join" -> ((s, dir) => {
-      val suffix = (dir.hashCode & 0x7fffffff).toString
+      // md5-derived suffix: String.hashCode collisions between two sf
+      // dirs in one session would silently reuse the WRONG bucketed table
+      val suffix = new java.math.BigInteger(1,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8"))).toString(16).take(12)
       val liT = s"graft_j12_lineitem_$suffix"
       val ptT = s"graft_j12_part_$suffix"
       // write once per (session, sf dir); the catalog is in-memory per
@@ -848,23 +852,29 @@ object SparkEntry {
     }),
 
     // vocabulary build + id encoding — the last step before training:
-    // rank words by (count desc, word) into ids, then encode each doc as
-    // its id sequence (reported as a digest so the row stays scalar).
-    // The global rank is a single-partition sort of the VOCAB ONLY —
-    // bounded by the model's vocab budget, not the corpus — and the
-    // vocab table broadcasts to the encode join; the (doc, pos) explode
-    // aggregates straight back per doc
+    // the top-V words by (count desc, word) become ids 1..V, every other
+    // token maps to the UNK id 0, and each doc is encoded as its id
+    // sequence (reported as a digest so the row stays scalar). The
+    // vocab-budget cut is an orderBy+limit — planned as
+    // TakeOrderedAndProject (per-partition heaps), so the CORPUS-sized
+    // distinct-word set is never sorted in one partition; only the ≤V
+    // surviving rows see the single-partition rank, and that V is the
+    // model's budget by construction. Vocab broadcasts to the encode
+    // join; the (doc, pos) explode aggregates straight back per doc
     "x22_vocab_encode" -> ((s, dir) => {
+      val V = 65536
       val docs = Tables.documents(s, dir)
       val vocab = docs
         .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(V)
         .select(col("w"),
           row_number().over(Window.orderBy(col("cnt").desc, col("w"))).as("id"))
       val toks = docs.select(col("doc_id"),
           posexplode(TextAnalysis.tokens(col("text"))))
         .select(col("doc_id"), col("pos"), col("col").as("w"))
-      toks.join(broadcast(vocab), "w")
+      toks.join(broadcast(vocab), Seq("w"), "left_outer")
+        .withColumn("id", coalesce(col("id"), lit(0)))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           md5(concat_ws(",",
@@ -1915,7 +1925,8 @@ object SparkEntry {
         |vocab AS (
         |  SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS id FROM (
         |    SELECT w, count(*) AS cnt
-        |    FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1)),
+        |    FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+        |    ORDER BY cnt DESC, w LIMIT 65536)),
         |tk AS (
         |  SELECT doc_id, u.pos AS pos, u.w AS w
         |  FROM (SELECT doc_id,
@@ -1923,8 +1934,8 @@ object SparkEntry {
         |            i -> struct_pack(pos := i, w := t[i]))) AS u
         |        FROM toks))
         |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
-        |  md5(string_agg(v.id::VARCHAR, ',' ORDER BY t.pos)) AS ids_digest
-        |FROM tk t JOIN vocab v ON v.w = t.w
+        |  md5(string_agg(coalesce(v.id, 0)::VARCHAR, ',' ORDER BY t.pos)) AS ids_digest
+        |FROM tk t LEFT JOIN vocab v ON v.w = t.w
         |GROUP BY 1""".stripMargin,
 
     "x23_cdc_chunk" ->

@@ -131,7 +131,17 @@ object Sampling {
     val counts = df.groupBy(source.as("__src"))
       .agg(count(lit(1)).as("__n"), first(wChecked).as("__w"))
     val totalW = counts.agg(sum(col("__w")).as("__sw"))
+    // the DENOMINATOR can overflow too: __sw sums per-source weights (each
+    // ≤ maxW but |sources| of them) and multiplies by a row count — checked
+    // at execution time like the weight, so a too-big corpus fails loudly
+    // instead of wrapping negative and silently dropping the source
+    val swChecked = when(assert_true(
+        col("__sw") <= lit(Long.MaxValue) / greatest(col("__n"), lit(1L)),
+        lit("mixtureSample: sum(weights) * source row count overflows the " +
+          "exact-ppm rate arithmetic — scale the weights down")).isNull,
+      col("__sw"))
     val rates = counts.crossJoin(broadcast(totalW))
+      .withColumn("__sw", swChecked)
       .select(col("__src"),
         least(lit(ppm), expr(s"(__w * ${targetRows}L * ${ppm}L) div (__sw * __n)"))
           .as("__ppm"))
