@@ -153,6 +153,44 @@ object SparkEntry {
        |SELECT cid, (d.i - 1)::INT AS dim, cv[d.i]::DOUBLE AS val
        |FROM c$iters, dims d""".stripMargin
 
+  /** DuckDB replay of [[SimilarityOps.pcaPowerProject]]: same rounded
+    * means/covariance, `iters` unrolled power steps (e₁ init, max-abs
+    * rescale, round 6 — no sign convention needed), same left-to-right
+    * projection fold. Generated programmatically so the iteration count
+    * and rounding discipline cannot drift from the Scala side. */
+  private def pcaOracleSql(iters: Int): String = {
+    val iterBlocks = (1 to iters).map { t =>
+      val p = t - 1
+      s"""w$t AS (
+         |  SELECT c.i, sum(c.v * v$p.x) AS w
+         |  FROM cov c JOIN v$p ON v$p.i = c.j GROUP BY 1),
+         |v$t AS (
+         |  SELECT i, round(w / (SELECT max(abs(w)) FROM w$t), 6) AS x FROM w$t)"""
+    }.mkString(",\n")
+    s"""WITH dims AS (SELECT unnest(range(1,
+       |    (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+       |mu AS (
+       |  SELECT d.i AS i, round(avg(e.embedding[d.i]::DOUBLE), 6) AS m
+       |  FROM embeddings e CROSS JOIN dims d GROUP BY 1),
+       |ce AS (
+       |  SELECT e.vec_id, d.i, e.embedding[d.i]::DOUBLE - mu.m AS c
+       |  FROM embeddings e CROSS JOIN dims d JOIN mu ON mu.i = d.i),
+       |cov AS (
+       |  SELECT a.i AS i, b.i AS j,
+       |    round(sum(a.c * b.c) / (SELECT count(*) FROM embeddings), 6) AS v
+       |  FROM ce a JOIN ce b ON b.vec_id = a.vec_id GROUP BY 1, 2),
+       |v0 AS (SELECT i, CASE WHEN i = 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS x
+       |       FROM dims),
+       |$iterBlocks,
+       |muL AS (SELECT list(m ORDER BY i) AS m FROM mu),
+       |vL AS (SELECT list(x ORDER BY i) AS v FROM v$iters)
+       |SELECT e.vec_id,
+       |  round(list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(range(1, len(e.embedding) + 1),
+       |      k -> (e.embedding[k]::DOUBLE - muL.m[k]) * vL.v[k])), (a, b) -> a + b), 6) AS proj
+       |FROM embeddings e CROSS JOIN muL CROSS JOIN vL""".stripMargin
+  }
+
   /** DuckDB replay of the PRODUCTION IVF composition — [[SimilarityOps
     * .kmeansFit]] centroids feeding [[SimilarityOps.ivfTopK]]: the Lloyd
     * CTE chain, then assign / probe / exact-top-k over the fitted
@@ -479,6 +517,13 @@ object SparkEntry {
         k = 8, queryPred = col("vec_id") < 20, nprobe = 4, topN = 5,
         centroids = Some(fitted))
     }),
+
+    // first-PC projection via power iteration — dimensionality reduction
+    // before ANN/visualization; covariance is bounded driver state (d²),
+    // the corpus pass is a zero-shuffle projection over literal arrays
+    "x25_pca_project" -> ((s, dir) =>
+      SimilarityOps.pcaPowerProject(Tables.embeddings(s, dir), "vec_id",
+        "embedding", iters = 4)),
 
     // int8 embedding quantization — map-side, zero shuffles; outputs are
     // scalar summaries so the quantized vectors stay hash-checkable
@@ -1545,6 +1590,8 @@ object SparkEntry {
         |FROM e""".stripMargin,
 
     "s7_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
+
+    "x25_pca_project" -> pcaOracleSql(iters = 4),
 
     "t1_langid" ->
       """SELECT doc_id,

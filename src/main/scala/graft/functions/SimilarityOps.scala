@@ -187,6 +187,74 @@ object SimilarityOps {
     cLocal.map { case (cid, cv, _) => (cid, cv) }.toDF("cid", "cv")
   }
 
+  /** First-principal-component projection of an embedding column — the
+    * dimensionality-reduction step an embedding pipeline runs before
+    * ANN indexing or visualization. Power iteration on the covariance
+    * matrix, engine-portable by the same discipline as [[kmeansFit]] so
+    * a SQL oracle can replay the exact iterations:
+    *
+    *  - per-dim means are `round(avg, 6)`;
+    *  - covariance entries are `round(Σ cᵢcⱼ / n, 6)` — the d×d matrix
+    *    is DRIVER state (d ≤ 256 by contract below: the same small-side
+    *    reasoning as broadcast/centroid collection);
+    *  - iteration state starts at e₁ and each step rescales by the max
+    *    absolute component and rounds at 6 — deterministic in both
+    *    engines with NO sign/normalization convention needed, because
+    *    rounding absorbs summation-order float noise exactly as in the
+    *    kmeans oracle;
+    *  - the projection is a left-to-right fold over (x−μ)·v, map-side
+    *    over literal arrays — zero shuffles for the corpus pass.
+    *
+    * Shuffle audit: one d-row mean aggregation + one d²-row covariance
+    * aggregation (both map-side partial), then a pure projection scan.
+    * The (i, j) explode behind the covariance is d² terms per row —
+    * fine for embedding-sized d; for very wide vectors swap in a
+    * per-partition outer-product accumulator before raising the d cap. */
+  def pcaPowerProject(vecs: DataFrame, idCol: String, vecCol: String,
+                      iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val stats = vecs.agg(
+      max(size(col(vecCol))).cast("int").as("d"),
+      count(lit(1)).as("n")).head()
+    val d = stats.getInt(0)
+    val n = stats.getLong(1)
+    require(d >= 1 && d <= 256,
+      s"pcaPowerProject holds the d×d covariance on the driver; d=$d " +
+        "exceeds the documented cap of 256 — use a distributed factorizer")
+    require(n > 0, "pcaPowerProject needs a non-empty corpus")
+    val mu = vecs
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("i").agg(round(avg(col("x").cast("double")), 6).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val muArr = Array.tabulate(d)(i => mu.getOrElse(i, 0.0))
+    val muLit = typedLit(muArr.toSeq)
+    val centered = vecs.select(
+      transform(col(vecCol),
+        (x, k) => x.cast("double") - element_at(muLit, k + 1)).as("c"))
+    val cov = centered
+      .select(col("c"), posexplode(col("c")).as(Seq("i", "ci")))
+      .select(col("i"), col("ci"), posexplode(col("c")).as(Seq("j", "cj")))
+      .groupBy("i", "j")
+      .agg(round(sum(col("ci") * col("cj")) / lit(n.toDouble), 6).as("v"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(0.0)((acc, j) => acc + cov.getOrElse((i, j), 0.0) * v(j)))
+      val m = w.map(math.abs).max
+      require(m > 0, "power iteration collapsed to zero — degenerate covariance")
+      v = w.map(x => round6(x / m))
+    }
+    val vLit = typedLit(v.toSeq)
+    vecs.select(col(idCol).as("vec_id"),
+      round(aggregate(
+        transform(col(vecCol), (x, k) =>
+          (x.cast("double") - element_at(muLit, k + 1)) * element_at(vLit, k + 1)),
+        lit(0.0), (acc, t) => acc + t), 6).as("proj"))
+  }
+
   /** Centroid table (cid, cv, cn) for the IVF pair: a fitted set from
     * [[kmeansFit]] when given, else the deterministic id < k convention
     * shared with the SQL oracles. */
