@@ -951,6 +951,52 @@ object SparkEntry {
               p => p.getField("w")))).as("chunk_digest"))
     }),
 
+    // flagship composition #3 — training-example ASSEMBLY from this
+    // round's operators: span-repetition gate (d11 signal) ∧ lexical-
+    // entropy gate (t9 signal) → token sizing → fixed-budget sequence
+    // packing (x16 shape). The output is the bin layout a training job
+    // would read: which curated docs share a 512-token sequence
+    "c4_training_assembly" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val span = DedupOps.spanDupStats(docs, "doc_id", "text", shingleN = 5)
+        .filter(col("dup_frac") <= 0.1).select("doc_id")
+      val ent = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg((log(sum("c").cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum("c")).as("e"))
+        .filter(round(col("e"), 6) >= 2.8).select("doc_id")
+      val sized = docs
+        .join(span, Seq("doc_id"), "left_semi")
+        .join(ent, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      graft.functions.Packing.packByBudget(sized, col("doc_id"), col("nt"),
+          budget = 512, buckets = 16)
+        .select(col("id").as("doc_id"), col("bucket"), col("bin"), col("n_tokens"))
+    }),
+
+    // corpus-wide heavy hitters via a bounded SpaceSaving sketch: ONE
+    // ≤256-entry summary per partition crosses the wire — no word-keyed
+    // corpus shuffle (contrast a2's groupBy(word)). Capacity exceeds the
+    // harness vocabulary, so the sketch is exact and the oracle replays
+    // it as plain counts; at real scale the same query returns bounded-
+    // error (cnt − err ≤ true ≤ cnt) heavy hitters under any skew
+    "x26_heavy_hitters" -> ((s, dir) => {
+      val hh = udaf(graft.functions.Aggregators.spaceSaving(256),
+        org.apache.spark.sql.Encoders.STRING)
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .agg(hh(col("w")).as("sk"))
+        .select(explode(col("sk.hits")).as("h"))
+        .select(col("h.item").as("word"), col("h.cnt").as("cnt"),
+          col("h.err").as("err"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(15)
+    }),
+
     // corpus-health report — the dashboard query a curation run is
     // monitored by: per-source (plus rollup total) doc/token counts,
     // exact-duplicate docs, and mean quality. One fingerprint-keyed
@@ -1966,6 +2012,54 @@ object SparkEntry {
       """SELECT doc_id,
         |  (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS sample_id
         |FROM documents""".stripMargin,
+
+    "c4_training_assembly" ->
+      s"""WITH $toksSql,
+        |sh5 AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+        |      ELSE [array_to_string(t, ' ')] END) AS sh
+        |  FROM toks),
+        |shd AS (SELECT DISTINCT doc_id, md5(sh) AS shh FROM sh5),
+        |dupd AS (SELECT shh FROM shd GROUP BY shh HAVING count(*) >= 2),
+        |frac AS (
+        |  SELECT s.doc_id,
+        |    round(count(*) FILTER (WHERE d.shh IS NOT NULL)::DOUBLE /
+        |          greatest(count(*), 1)::DOUBLE, 6) AS f
+        |  FROM shd s LEFT JOIN dupd d ON d.shh = s.shh GROUP BY 1),
+        |wc AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT doc_id,
+        |    round(ln(sum(c)::DOUBLE) - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c), 6) AS e
+        |  FROM wc GROUP BY 1),
+        |kept AS (
+        |  SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens
+        |  FROM toks t
+        |  JOIN frac f ON f.doc_id = t.doc_id AND f.f <= 0.1
+        |  JOIN ent e ON e.doc_id = t.doc_id AND e.e >= 2.8),
+        |b AS (SELECT doc_id, n_tokens,
+        |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS bucket,
+        |        md5(doc_id::VARCHAR) AS h
+        |      FROM kept),
+        |c AS (SELECT doc_id, bucket, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM b)
+        |SELECT doc_id, bucket::INT AS bucket,
+        |  ((cum - n_tokens) // 512)::BIGINT AS bin, n_tokens
+        |FROM c""".stripMargin,
+
+    // exact regime: sketch capacity (256) exceeds the corpus vocabulary,
+    // so SpaceSaving counts equal true counts and err is 0
+    "x26_heavy_hitters" ->
+      """SELECT w AS word, count(*) AS cnt, 0::BIGINT AS err FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |           x -> x <> '')) AS w
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 15""".stripMargin,
 
     "x22_vocab_encode" ->
       s"""WITH $toksSql,

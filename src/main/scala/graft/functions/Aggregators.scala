@@ -17,6 +17,13 @@ case class KeyedHit(key: String, id: Long)
 /** Bounded k-smallest buffer ordered (key asc, id asc). */
 case class TopKKeyed(hits: Seq[KeyedHit])
 
+/** One SpaceSaving counter: estimated count and its error bound
+  * (`cnt − err ≤ true count ≤ cnt`). */
+case class HeavyHit(item: String, cnt: Long, err: Long)
+
+/** Bounded heavy-hitter sketch — never more than `capacity` entries. */
+case class HeavySketch(hits: Seq[HeavyHit])
+
 /** Typed custom aggregates — the general form of the reference's
   * `Reducer` hook (`IntegerAdd`, reference `TopologiesTest.scala:355-357`;
   * SURVEY.md §2.8). A Spark `Aggregator[IN, BUF, OUT]` gets map-side
@@ -99,6 +106,62 @@ object Aggregators {
       override def finish(r: TopKKeyed): TopKKeyed = r
       override def bufferEncoder: Encoder[TopKKeyed] = Encoders.product[TopKKeyed]
       override def outputEncoder: Encoder[TopKKeyed] = Encoders.product[TopKKeyed]
+    }
+  }
+
+  /** SpaceSaving heavy hitters (Metwally et al. 2005) with the mergeable-
+    * summaries merge (Agarwal et al. 2012): track at most `capacity`
+    * (item, count, err) entries; when full, the incoming item evicts the
+    * minimum-count entry and inherits its count as error bound. The
+    * guarantee `cnt − err ≤ true ≤ cnt` survives arbitrary merges, and
+    * when the distinct-item count never exceeds `capacity` the sketch is
+    * EXACT and order-independent (the regime the SQL oracle checks).
+    *
+    * Scale contract: a corpus-wide heavy-hitter query moves ONE ≤
+    * capacity-entry sketch per partition across the wire — no word-keyed
+    * shuffle of the corpus, unlike groupBy(word).count + top-k. That is
+    * the difference between a full-vocabulary exchange and O(partitions ·
+    * capacity) at 100 TB. */
+  def spaceSaving(capacity: Int): Aggregator[String, HeavySketch, HeavySketch] = {
+    require(capacity > 0, s"spaceSaving needs capacity > 0, got $capacity")
+    new Aggregator[String, HeavySketch, HeavySketch] {
+      override def zero: HeavySketch = HeavySketch(Vector.empty)
+      override def reduce(b: HeavySketch, item: String): HeavySketch = {
+        if (item == null) return b
+        val at = b.hits.indexWhere(_.item == item)
+        if (at >= 0) {
+          val h = b.hits(at)
+          HeavySketch(b.hits.updated(at, h.copy(cnt = h.cnt + 1)))
+        } else if (b.hits.size < capacity)
+          HeavySketch(b.hits :+ HeavyHit(item, 1L, 0L))
+        else {
+          // evict the minimum count (item asc tie-break keeps single-stream
+          // behavior deterministic); the newcomer inherits its count as err
+          val mi = b.hits.zipWithIndex.minBy { case (h, _) => (h.cnt, h.item) }._2
+          val m = b.hits(mi)
+          HeavySketch(b.hits.updated(mi, HeavyHit(item, m.cnt + 1, m.cnt)))
+        }
+      }
+      override def merge(a: HeavySketch, b: HeavySketch): HeavySketch = {
+        // a FULL sketch bounds any unseen item's count by its min count;
+        // a non-full sketch has seen everything (missing ⇒ exactly 0)
+        def floor(s: HeavySketch): Long =
+          if (s.hits.size < capacity || s.hits.isEmpty) 0L else s.hits.map(_.cnt).min
+        val fa = floor(a); val fb = floor(b)
+        val am = a.hits.map(h => h.item -> h).toMap
+        val bm = b.hits.map(h => h.item -> h).toMap
+        val merged = (am.keySet ++ bm.keySet).toSeq.map { it =>
+          val ha = am.get(it); val hb = bm.get(it)
+          HeavyHit(it,
+            ha.map(_.cnt).getOrElse(fa) + hb.map(_.cnt).getOrElse(fb),
+            ha.map(_.err).getOrElse(fa) + hb.map(_.err).getOrElse(fb))
+        }
+        HeavySketch(merged.sortBy(h => (-h.cnt, h.item)).take(capacity))
+      }
+      override def finish(r: HeavySketch): HeavySketch =
+        HeavySketch(r.hits.sortBy(h => (-h.cnt, h.item)))
+      override def bufferEncoder: Encoder[HeavySketch] = Encoders.product[HeavySketch]
+      override def outputEncoder: Encoder[HeavySketch] = Encoders.product[HeavySketch]
     }
   }
 
