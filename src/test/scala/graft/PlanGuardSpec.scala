@@ -74,6 +74,14 @@ class PlanGuardSpec extends SparkSpec {
     assert(p10.contains("BroadcastHashJoin"), p10)
   }
 
+  test("x26 heavy hitters never shuffles the corpus word-keyed") {
+    val p = planOf("x26_heavy_hitters")
+    // the whole point of the sketch: partial sketches merge — there is no
+    // hash-partitioned exchange of words (only the 1-row final merge)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"heavy-hitter sketch reintroduced a word-keyed shuffle:\n$p")
+  }
+
   test("x23 CDC chunking windows per doc, never a single global partition") {
     val p = planOf("x23_cdc_chunk")
     assert(p.contains("Window"), p)
