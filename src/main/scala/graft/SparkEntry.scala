@@ -27,6 +27,34 @@ object SparkEntry {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
+  /** Per-doc unigram-distribution stats shared by t9 and the c4 fluency
+    * gate (one definition, no drift): (doc_id, n, types, clogc, e) where
+    * e = ln(n) − Σc·ln(c)/n, UNROUNDED — callers round at their use
+    * site. The (doc, word) count aggregation is the only data-sized
+    * exchange. */
+  private def unigramStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n"),
+        count(lit(1)).as("types"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      .withColumn("e", log(col("n").cast("double")) - col("clogc") / col("n"))
+
+  /** DuckDB twin of [[unigramStats]] — `wc`/`ent` CTEs (expects `toks`
+    * in scope; NOT margin-stripped). Shared by the t9 and c4 oracles so
+    * the entropy definition cannot drift between them. */
+  private val entropyCteSql =
+    """wc AS (
+      |  SELECT doc_id, w, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+      |  GROUP BY 1, 2),
+      |ent AS (
+      |  SELECT doc_id, sum(c)::BIGINT AS n, count(*) AS types,
+      |    sum(c::DOUBLE * ln(c::DOUBLE)) AS clogc
+      |  FROM wc GROUP BY 1)"""
+
   /** x2's distributed top-k core, exposed for the plan-guard spec: must
     * plan as `TakeOrderedAndProject` (per-partition heaps + tiny merge),
     * never a global-sort or single-partition window. */
@@ -960,19 +988,12 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val span = DedupOps.spanDupStats(docs, "doc_id", "text", shingleN = 5)
         .filter(col("dup_frac") <= 0.1).select("doc_id")
-      val ent = docs
-        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg((log(sum("c").cast("double")) -
-          sum(col("c").cast("double") * log(col("c").cast("double"))) /
-            sum("c")).as("e"))
-        .filter(round(col("e"), 6) >= 2.8).select("doc_id")
-      val sized = docs
+      // the entropy gate's aggregation already counted the tokens (n =
+      // Σc), so the packer's sizing costs no third tokenization pass
+      val sized = unigramStats(docs)
+        .filter(round(col("e"), 6) >= 2.8)
+        .select(col("doc_id"), col("n").as("nt"))
         .join(span, Seq("doc_id"), "left_semi")
-        .join(ent, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"),
-          size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
       graft.functions.Packing.packByBudget(sized, col("doc_id"), col("nt"),
           budget = 512, buckets = 16)
         .select(col("id").as("doc_id"), col("bucket"), col("bin"), col("n_tokens"))
@@ -1122,22 +1143,14 @@ object SparkEntry {
     // count aggregation is the only data-sized exchange
     "t9_unigram_entropy" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val wc = docs
-        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      val stats = wc.groupBy("doc_id").agg(
-        sum("c").as("n"),
-        count(lit(1)).as("types"),
-        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
       docs.select(col("doc_id"))
-        .join(stats, Seq("doc_id"), "left_outer")
+        .join(unigramStats(docs), Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           coalesce(col("n"), lit(0L)).as("n_tokens"),
           coalesce(col("types"), lit(0L)).as("n_types"),
           round(coalesce(col("types").cast("double") / col("n"), lit(0.0)), 6)
             .as("ttr"),
-          round(coalesce(log(col("n").cast("double")) - col("clogc") / col("n"),
-            lit(0.0)), 6).as("entropy"))
+          round(coalesce(col("e"), lit(0.0)), 6).as("entropy"))
     }),
 
     // training-mix QA: KL divergence of each source's unigram word
@@ -1972,20 +1985,13 @@ object SparkEntry {
 
     "t9_unigram_entropy" ->
       s"""WITH $toksSql,
-        |wc AS (
-        |  SELECT doc_id, w, count(*) AS c
-        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
-        |  GROUP BY 1, 2),
-        |stats AS (
-        |  SELECT doc_id, sum(c)::BIGINT AS n, count(*) AS types,
-        |    sum(c::DOUBLE * ln(c::DOUBLE)) AS clogc
-        |  FROM wc GROUP BY 1)
+        |$entropyCteSql
         |SELECT d.doc_id,
         |  coalesce(s.n, 0)::BIGINT AS n_tokens,
         |  coalesce(s.types, 0)::BIGINT AS n_types,
         |  round(coalesce(s.types::DOUBLE / s.n, 0), 6) AS ttr,
         |  round(coalesce(ln(s.n::DOUBLE) - s.clogc / s.n, 0), 6) AS entropy
-        |FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id""".stripMargin,
+        |FROM documents d LEFT JOIN ent s ON s.doc_id = d.doc_id""".stripMargin,
 
     "c3_corpus_report" ->
       s"""WITH $toksSql,
@@ -2028,18 +2034,12 @@ object SparkEntry {
         |    round(count(*) FILTER (WHERE d.shh IS NOT NULL)::DOUBLE /
         |          greatest(count(*), 1)::DOUBLE, 6) AS f
         |  FROM shd s LEFT JOIN dupd d ON d.shh = s.shh GROUP BY 1),
-        |wc AS (
-        |  SELECT doc_id, w, count(*) AS c
-        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),
-        |ent AS (
-        |  SELECT doc_id,
-        |    round(ln(sum(c)::DOUBLE) - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c), 6) AS e
-        |  FROM wc GROUP BY 1),
+        |$entropyCteSql,
         |kept AS (
-        |  SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens
-        |  FROM toks t
-        |  JOIN frac f ON f.doc_id = t.doc_id AND f.f <= 0.1
-        |  JOIN ent e ON e.doc_id = t.doc_id AND e.e >= 2.8),
+        |  SELECT e.doc_id, e.n AS n_tokens
+        |  FROM ent e
+        |  JOIN frac f ON f.doc_id = e.doc_id AND f.f <= 0.1
+        |  WHERE round(ln(e.n::DOUBLE) - e.clogc / e.n, 6) >= 2.8),
         |b AS (SELECT doc_id, n_tokens,
         |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS bucket,
         |        md5(doc_id::VARCHAR) AS h
@@ -2055,10 +2055,9 @@ object SparkEntry {
     // exact regime: sketch capacity (256) exceeds the corpus vocabulary,
     // so SpaceSaving counts equal true counts and err is 0
     "x26_heavy_hitters" ->
-      """SELECT w AS word, count(*) AS cnt, 0::BIGINT AS err FROM (
-        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
-        |           x -> x <> '')) AS w
-        |  FROM documents)
+      s"""WITH $toksSql
+        |SELECT w AS word, count(*) AS cnt, 0::BIGINT AS err
+        |FROM (SELECT unnest(t) AS w FROM toks)
         |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 15""".stripMargin,
 
     "x22_vocab_encode" ->

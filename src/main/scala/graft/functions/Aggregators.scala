@@ -24,6 +24,11 @@ case class HeavyHit(item: String, cnt: Long, err: Long)
 /** Bounded heavy-hitter sketch — never more than `capacity` entries. */
 case class HeavySketch(hits: Seq[HeavyHit])
 
+/** Mutable SpaceSaving buffer: item → [cnt, err]. Kryo-encoded (only
+  * serialized at shuffle boundaries); mutated in place per input row. */
+class HeavyBuf(val counts: java.util.HashMap[String, Array[Long]])
+  extends Serializable
+
 /** Typed custom aggregates — the general form of the reference's
   * `Reducer` hook (`IntegerAdd`, reference `TopologiesTest.scala:355-357`;
   * SURVEY.md §2.8). A Spark `Aggregator[IN, BUF, OUT]` gets map-side
@@ -122,45 +127,70 @@ object Aggregators {
     * shuffle of the corpus, unlike groupBy(word).count + top-k. That is
     * the difference between a full-vocabulary exchange and O(partitions ·
     * capacity) at 100 TB. */
-  def spaceSaving(capacity: Int): Aggregator[String, HeavySketch, HeavySketch] = {
+  def spaceSaving(capacity: Int): Aggregator[String, HeavyBuf, HeavySketch] = {
     require(capacity > 0, s"spaceSaving needs capacity > 0, got $capacity")
-    new Aggregator[String, HeavySketch, HeavySketch] {
-      override def zero: HeavySketch = HeavySketch(Vector.empty)
-      override def reduce(b: HeavySketch, item: String): HeavySketch = {
+    new Aggregator[String, HeavyBuf, HeavySketch] {
+      override def zero: HeavyBuf = new HeavyBuf(new java.util.HashMap())
+      // The buffer is MUTATED in place — the sanctioned pattern for typed
+      // Aggregator buffers (Spark keeps the object between reduce calls
+      // and only runs the encoder at shuffle boundaries), which makes the
+      // hot path (an already-tracked item) an O(1) HashMap bump instead
+      // of an O(capacity) scan + full-buffer copy per input row. Eviction
+      // still scans for the min — it only fires when the sketch is full
+      // AND the item is untracked, which skew makes rare by construction.
+      override def reduce(b: HeavyBuf, item: String): HeavyBuf = {
         if (item == null) return b
-        val at = b.hits.indexWhere(_.item == item)
-        if (at >= 0) {
-          val h = b.hits(at)
-          HeavySketch(b.hits.updated(at, h.copy(cnt = h.cnt + 1)))
-        } else if (b.hits.size < capacity)
-          HeavySketch(b.hits :+ HeavyHit(item, 1L, 0L))
+        val cur = b.counts.get(item)
+        if (cur != null) cur(0) += 1
+        else if (b.counts.size < capacity) b.counts.put(item, Array(1L, 0L))
         else {
           // evict the minimum count (item asc tie-break keeps single-stream
           // behavior deterministic); the newcomer inherits its count as err
-          val mi = b.hits.zipWithIndex.minBy { case (h, _) => (h.cnt, h.item) }._2
-          val m = b.hits(mi)
-          HeavySketch(b.hits.updated(mi, HeavyHit(item, m.cnt + 1, m.cnt)))
+          var minItem: String = null
+          var minCnt = Long.MaxValue
+          val it = b.counts.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val c = e.getValue()(0)
+            if (c < minCnt || (c == minCnt && e.getKey < minItem)) {
+              minItem = e.getKey; minCnt = c
+            }
+          }
+          b.counts.remove(minItem)
+          b.counts.put(item, Array(minCnt + 1, minCnt))
         }
+        b
       }
-      override def merge(a: HeavySketch, b: HeavySketch): HeavySketch = {
+      override def merge(a: HeavyBuf, b: HeavyBuf): HeavyBuf = {
         // a FULL sketch bounds any unseen item's count by its min count;
         // a non-full sketch has seen everything (missing ⇒ exactly 0)
-        def floor(s: HeavySketch): Long =
-          if (s.hits.size < capacity || s.hits.isEmpty) 0L else s.hits.map(_.cnt).min
+        def floor(s: HeavyBuf): Long =
+          if (s.counts.size < capacity || s.counts.isEmpty) 0L
+          else {
+            var m = Long.MaxValue
+            s.counts.values().forEach(v => if (v(0) < m) m = v(0))
+            m
+          }
         val fa = floor(a); val fb = floor(b)
-        val am = a.hits.map(h => h.item -> h).toMap
-        val bm = b.hits.map(h => h.item -> h).toMap
-        val merged = (am.keySet ++ bm.keySet).toSeq.map { it =>
-          val ha = am.get(it); val hb = bm.get(it)
+        import scala.jdk.CollectionConverters._
+        val keys = a.counts.keySet().asScala ++ b.counts.keySet().asScala
+        val merged = keys.toSeq.map { it =>
+          val ha = Option(a.counts.get(it)); val hb = Option(b.counts.get(it))
           HeavyHit(it,
-            ha.map(_.cnt).getOrElse(fa) + hb.map(_.cnt).getOrElse(fb),
-            ha.map(_.err).getOrElse(fa) + hb.map(_.err).getOrElse(fb))
-        }
-        HeavySketch(merged.sortBy(h => (-h.cnt, h.item)).take(capacity))
+            ha.map(_(0)).getOrElse(fa) + hb.map(_(0)).getOrElse(fb),
+            ha.map(_(1)).getOrElse(fa) + hb.map(_(1)).getOrElse(fb))
+        }.sortBy(h => (-h.cnt, h.item)).take(capacity)
+        val out = new HeavyBuf(new java.util.HashMap())
+        merged.foreach(h => out.counts.put(h.item, Array(h.cnt, h.err)))
+        out
       }
-      override def finish(r: HeavySketch): HeavySketch =
-        HeavySketch(r.hits.sortBy(h => (-h.cnt, h.item)))
-      override def bufferEncoder: Encoder[HeavySketch] = Encoders.product[HeavySketch]
+      override def finish(r: HeavyBuf): HeavySketch = {
+        import scala.jdk.CollectionConverters._
+        HeavySketch(r.counts.entrySet().asScala.toSeq
+          .map(e => HeavyHit(e.getKey, e.getValue()(0), e.getValue()(1)))
+          .sortBy(h => (-h.cnt, h.item)))
+      }
+      override def bufferEncoder: Encoder[HeavyBuf] = Encoders.kryo[HeavyBuf]
       override def outputEncoder: Encoder[HeavySketch] = Encoders.product[HeavySketch]
     }
   }

@@ -216,12 +216,14 @@ object SimilarityOps {
     val stats = vecs.agg(
       max(size(col(vecCol))).cast("int").as("d"),
       count(lit(1)).as("n")).head()
-    val d = stats.getInt(0)
+    // read n FIRST: on an empty corpus the max(...) slot is null and
+    // getInt would NPE before the intended diagnostic fires
     val n = stats.getLong(1)
+    require(n > 0, "pcaPowerProject needs a non-empty corpus")
+    val d = stats.getInt(0)
     require(d >= 1 && d <= 256,
       s"pcaPowerProject holds the d×d covariance on the driver; d=$d " +
         "exceeds the documented cap of 256 — use a distributed factorizer")
-    require(n > 0, "pcaPowerProject needs a non-empty corpus")
     val mu = vecs
       .select(posexplode(col(vecCol)).as(Seq("i", "x")))
       .groupBy("i").agg(round(avg(col("x").cast("double")), 6).as("m"))

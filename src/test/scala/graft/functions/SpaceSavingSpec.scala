@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class SpaceSavingSpec extends AnyFunSuite {
 
   private def drain(agg: org.apache.spark.sql.expressions.Aggregator[
-      String, HeavySketch, HeavySketch], items: Seq[String]): HeavySketch =
+      String, HeavyBuf, HeavySketch], items: Seq[String]): HeavySketch =
     agg.finish(items.foldLeft(agg.zero)(agg.reduce))
 
   private val rnd = new scala.util.Random(11)

@@ -27,18 +27,26 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     val q = hot.writeStream.format("memory").queryName("hot")
       .outputMode("update").start()
     try {
-      in.addData(Seq("a", "a", "a", "b", "b", "c").map("web" -> _): _*)
+      // 8 distinct words against capacity 4: the batch-1 emission IS the
+      // sketch content, so its row count is the falsifiable state bound
+      in.addData(Seq("a", "a", "a", "a", "b", "b", "c", "d", "e", "f", "g", "h")
+        .map("web" -> _): _*)
       q.processAllAvailable()
-      in.addData(Seq("a", "d", "d", "d", "e", "f").map("web" -> _): _*)
+      val batch1 = s.table("hot").collect()
+      assert(batch1.length <= 4 && batch1.nonEmpty,
+        s"sketch state exceeded capacity: ${batch1.length} rows emitted")
+
+      in.addData(Seq("a", "d", "d", "d", "d").map("web" -> _): _*)
       q.processAllAvailable()
       val rows = s.table("hot").collect()
         .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
-      // capacity bound holds in every emitted snapshot
+      // ≤ capacity rows per batch emission, two batches
+      assert(rows.length <= 8, s"emissions exceed per-batch capacity: $rows")
+      // the true heavies (a=5, d=5) survive with valid SpaceSaving bounds
+      val truth = Map("a" -> 5L, "d" -> 5L)
       val latest = rows.groupBy(_._1).map { case (w, v) => w -> v.maxBy(_._2) }
-      assert(latest.size <= 6 && rows.nonEmpty)
-      // the true heavies (a=4, d=3) survive with valid bounds
-      val truth = Map("a" -> 4L, "b" -> 2L, "c" -> 1L, "d" -> 3L, "e" -> 1L, "f" -> 1L)
       Seq("a", "d").foreach { w =>
+        assert(latest.contains(w), s"heavy item $w evicted: $latest")
         val (_, cnt, err) = latest(w)
         assert(truth(w) <= cnt && cnt - err <= truth(w),
           s"$w: true ${truth(w)} outside [${cnt - err}, $cnt]")
