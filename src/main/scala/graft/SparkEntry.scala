@@ -1176,6 +1176,50 @@ object SparkEntry {
         .agg(first(col("ns")).as("n_tokens"), round(sum("term"), 6).as("kl"))
     }),
 
+    // retrieval-style term salience: TF-IDF top-3 terms per document.
+    // Two word-keyed aggregations (map-side partials) + one word-keyed
+    // join; the doc count rides a one-row broadcast. The per-doc top-k
+    // window sorts one document's vocabulary, never the corpus — and it
+    // ranks by the ROUNDED score (id tie-break) so the engine and the
+    // oracle order identically at double precision
+    "t11_tfidf_terms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val wc = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = wc.groupBy("w").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("nd"))
+      val scored = wc.join(dfreq, "w").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("w").as("term"), col("tf"),
+          round(col("tf").cast("double") *
+            log(col("nd").cast("double") / col("df")), 6).as("tfidf"))
+      val win = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(win).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "tfidf")
+    }),
+
+    // exact length quantiles per source WITHOUT sorting the data: the
+    // rows collapse to a (source, n_chars) histogram first — the only
+    // data-sized exchange, output bounded by distinct lengths — then a
+    // cumulative window over that tiny histogram reads off the type-1
+    // (lower) quantile. At 100 TB the raw rows never shuffle; an exact
+    // per-group percentile over raw values would buffer whole groups
+    "t12_length_quantiles" -> ((s, dir) => {
+      val hist = Tables.documents(s, dir)
+        .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+      val tot = hist.groupBy("source").agg(sum("c").as("n"))
+      val cum = hist
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("source").orderBy("n_chars")))
+        .join(broadcast(tot), "source")
+      cum.select(col("source"), col("n_chars"), col("cum"), col("n"),
+          explode(array(Seq(0.25, 0.5, 0.75, 0.9).map(lit): _*)).as("q"))
+        .filter(col("cum") >= ceil(col("n") * col("q")))
+        .groupBy("source", "q").agg(min("n_chars").as("value"))
+    }),
+
     // flagship composition #2: the round-6 operators chained into one
     // curation pipeline — repetition gate (t7 signal) ∧ decontamination
     // (d9, broadcast probe) ∧ LM-fluency gate (t8 model over the same
@@ -2115,6 +2159,38 @@ object SparkEntry {
         |FROM c JOIN st ON st.source = c.source
         |JOIN wt ON wt.w = c.w CROSS JOIN tot
         |GROUP BY 1, 2""".stripMargin,
+
+    "t11_tfidf_terms" ->
+      s"""WITH $toksSql,
+        |wc AS (
+        |  SELECT doc_id, w, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+        |dfreq AS (SELECT w, count(*) AS df FROM wc GROUP BY 1),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |scored AS (
+        |  SELECT doc_id, wc.w AS term, tf,
+        |    round(tf::DOUBLE * ln(nd.nd::DOUBLE / dfreq.df), 6) AS tfidf
+        |  FROM wc JOIN dfreq ON dfreq.w = wc.w CROSS JOIN nd)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank,
+        |  term, tf, tfidf
+        |FROM scored
+        |QUALIFY rank <= 3""".stripMargin,
+
+    // the quantile rank uses the same IEEE-double ceil(n*q) on both
+    // sides (q=0.9 is not exact binary; DECIMAL literals would diverge)
+    "t12_length_quantiles" ->
+      """WITH hist AS (
+        |  SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(c)::BIGINT AS n FROM hist GROUP BY 1),
+        |cum AS (
+        |  SELECT h.source, h.n_chars,
+        |    sum(c) OVER (PARTITION BY h.source ORDER BY h.n_chars) AS cum, t.n
+        |  FROM hist h JOIN tot t ON t.source = h.source),
+        |qx AS (SELECT *, unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE,
+        |                         0.9::DOUBLE]) AS q FROM cum)
+        |SELECT source, q, min(n_chars)::BIGINT AS value
+        |FROM qx WHERE cum >= ceil(n * q) GROUP BY 1, 2""".stripMargin,
 
     "t8_bigram_logprob" ->
       s"""WITH $toksSql,

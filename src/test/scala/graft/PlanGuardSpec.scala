@@ -129,6 +129,26 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("t11 ranked TF-IDF windows per doc; the doc count rides a broadcast") {
+    val p = planOf("t11_tfidf_terms")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"t11's top-k window lost its per-doc partitioning:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("t12 quantiles window over the histogram, never the raw rows") {
+    val p = planOf("t12_length_quantiles")
+    // the window's child must be the (source, n_chars) aggregate — i.e.
+    // a HashAggregate appears below the Window in the plan tree, so the
+    // sort ranks distinct lengths, not documents
+    val winAt = p.indexOf("Window")
+    assert(winAt >= 0, p)
+    assert(p.indexOf("HashAggregate", winAt) >= 0,
+      s"t12's cumulative window no longer sits on the histogram aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x14/x15 use the bounded aggregate — no per-class row_number window") {
     Seq("x14_balanced_sample", "x15_kmv_distinct").foreach { q =>
       val p = planOf(q)
