@@ -24,6 +24,26 @@ class PropertySpec extends SparkSpec {
       v <- Gen.option(Gen.choose(0, 100))
     } yield (k, v))
 
+  test("t12 histogram quantile law: equals the type-1 quantile of the sorted raw values") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("t12_length_quantiles")(s, dir)
+      .as[(String, Double, Long)].collect()
+      .map { case (src, q, v) => (src, q) -> v }.toMap
+    val raw = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars")).as[(String, Long)].collect()
+      .groupBy(_._1).map { case (src, rows) => src -> rows.map(_._2).sorted }
+    for ((src, xs) <- raw; q <- Seq(0.25, 0.5, 0.75, 0.9)) {
+      // type-1 (lower) quantile with the operator's IEEE ceil(n*q) rank
+      val rank = math.ceil(xs.length * q).toLong.max(1)
+      val want = xs(rank.toInt - 1)
+      assert(got((src, q)) == want,
+        s"$src q=$q: histogram said ${got((src, q))}, sorted values say $want")
+    }
+    assert(got.size == raw.size * 4)
+  }
+
   test("changelog law: latestByKey equals the sequential fold of upserts/tombstones") {
     val s = spark
     import s.implicits._
