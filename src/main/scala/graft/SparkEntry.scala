@@ -1018,6 +1018,28 @@ object SparkEntry {
         .limit(15)
     }),
 
+    // grouped heavy hitters: one SpaceSaving sketch PER SOURCE — the
+    // composition that matters at 100 TB, where per-group vocabularies
+    // are unbounded but the state per group stays ≤ capacity. The only
+    // exchanges carry one partial sketch per (source, partition) and the
+    // tiny exploded sketch rows into the per-source ranking window.
+    // Exact regime at this capacity (≥ per-source vocabulary), so the
+    // ranked counts equal true counts and the oracle is plain SQL
+    "x27_grouped_hitters" -> ((s, dir) => {
+      val hh = udaf(graft.functions.Aggregators.spaceSaving(256),
+        org.apache.spark.sql.Encoders.STRING)
+      val sk = Tables.documents(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("source").agg(hh(col("w")).as("sk"))
+        .select(col("source"), explode(col("sk.hits")).as("h"))
+        .select(col("source"), col("h.item").as("word"),
+          col("h.cnt").as("cnt"), col("h.err").as("err"))
+      val win = Window.partitionBy("source").orderBy(col("cnt").desc, col("word"))
+      sk.withColumn("rank", row_number().over(win).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("source", "rank", "word", "cnt", "err")
+    }),
+
     // corpus-health report — the dashboard query a curation run is
     // monitored by: per-source (plus rollup total) doc/token counts,
     // exact-duplicate docs, and mean quality. One fingerprint-keyed
@@ -2176,6 +2198,18 @@ object SparkEntry {
         |  term, tf, tfidf
         |FROM scored
         |QUALIFY rank <= 3""".stripMargin,
+
+    "x27_grouped_hitters" ->
+      """WITH sw AS (
+        |  SELECT source,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT source, w AS word, count(*) AS cnt, 0::BIGINT AS err
+        |      FROM sw GROUP BY 1, 2)
+        |SELECT source,
+        |  row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rank,
+        |  word, cnt, err
+        |FROM c QUALIFY rank <= 5""".stripMargin,
 
     // the quantile rank uses the same IEEE-double ceil(n*q) on both
     // sides (q=0.9 is not exact binary; DECIMAL literals would diverge)

@@ -82,6 +82,14 @@ class PlanGuardSpec extends SparkSpec {
       s"heavy-hitter sketch reintroduced a word-keyed shuffle:\n$p")
   }
 
+  test("x27 grouped hitters shuffle source-keyed sketches, never words") {
+    val p = planOf("x27_grouped_hitters")
+    assert(!p.contains("hashpartitioning(w"),
+      s"grouped heavy hitters reintroduced a word-keyed shuffle:\n$p")
+    assert(p.contains("windowspecdefinition(source"),
+      s"per-source ranking window lost its partitioning:\n$p")
+  }
+
   test("x23 CDC chunking windows per doc, never a single global partition") {
     val p = planOf("x23_cdc_chunk")
     assert(p.contains("Window"), p)
