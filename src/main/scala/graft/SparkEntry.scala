@@ -55,6 +55,22 @@ object SparkEntry {
       |    sum(c::DOUBLE * ln(c::DOUBLE)) AS clogc
       |  FROM wc GROUP BY 1)"""
 
+  /** TF-IDF-scored (doc, term) rows shared by t6 (argmax) and t11
+    * (ranked top-k) — ONE smoothed-IDF definition, tf·ln((N+1)/(df+1)),
+    * so the two surfaces cannot drift. tf/df both aggregate with
+    * map-side partials; the doc count rides a one-row broadcast. */
+  private def tfidfScoredTerms(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfc, "term").crossJoin(broadcast(total))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * log((col("n_docs") + 1).cast("double") /
+          (col("df") + 1).cast("double")), 6).as("tfidf"))
+  }
+
   /** x2's distributed top-k core, exposed for the plan-guard spec: must
     * plan as `TakeOrderedAndProject` (per-partition heaps + tiny merge),
     * never a global-sort or single-partition window. */
@@ -82,8 +98,11 @@ object SparkEntry {
 
   private val evSql = "ev AS (SELECT *, floor(epoch(ts))::BIGINT AS ts_sec FROM events)"
 
+  /** The ONE DuckDB mirror of `TextAnalysis.tokens` (equivalence to the
+    * codegen'd tokenizer is spec-asserted) — every token-consuming oracle
+    * goes through this CTE so the tokenization cannot fork per query. */
   private val toksSql =
-    """toks AS (SELECT doc_id, text,
+    """toks AS (SELECT doc_id, source, text,
       |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS t
       |  FROM documents)""".stripMargin
 
@@ -745,17 +764,8 @@ object SparkEntry {
     // sizes instead of a hand-picked salt. If AQE is off, route this hop
     // through Skew.saltedJoin(tf, dfc, "term", shards).
     "t6_tfidf" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val tf = docs
-        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val total = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dfc, "term").crossJoin(broadcast(total))
-        .select(col("doc_id"), col("term"),
-          round(col("tf") * log((col("n_docs") + 1).cast("double") /
-            (col("df") + 1).cast("double")), 6).as("tfidf"))
       // portable argmax: max score per doc, then min term among the ties
+      val scored = tfidfScoredTerms(Tables.documents(s, dir))
       val best = scored.groupBy("doc_id").agg(max("tfidf").as("tfidf"))
       scored.join(best, Seq("doc_id", "tfidf"))
         .groupBy("doc_id")
@@ -1198,26 +1208,17 @@ object SparkEntry {
         .agg(first(col("ns")).as("n_tokens"), round(sum("term"), 6).as("kl"))
     }),
 
-    // retrieval-style term salience: TF-IDF top-3 terms per document.
-    // Two word-keyed aggregations (map-side partials) + one word-keyed
-    // join; the doc count rides a one-row broadcast. The per-doc top-k
-    // window sorts one document's vocabulary, never the corpus — and it
-    // ranks by the ROUNDED score (id tie-break) so the engine and the
-    // oracle order identically at double precision
+    // retrieval-style term salience: TF-IDF top-3 terms per document —
+    // t6's scoring (same tfidfScoredTerms helper, same smoothed IDF)
+    // extended from argmax to a ranked list. The per-doc top-k window
+    // sorts one document's vocabulary, never the corpus, and ranks by
+    // the ROUNDED score (term tie-break) so the engine and the oracle
+    // order identically at double precision
     "t11_tfidf_terms" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val wc = docs
-        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val dfreq = wc.groupBy("w").agg(count(lit(1)).as("df"))
-      val nDocs = docs.agg(count(lit(1)).as("nd"))
-      val scored = wc.join(dfreq, "w").crossJoin(broadcast(nDocs))
-        .select(col("doc_id"), col("w").as("term"), col("tf"),
-          round(col("tf").cast("double") *
-            log(col("nd").cast("double") / col("df")), 6).as("tfidf"))
       val win = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("term"))
-      scored.withColumn("rank", row_number().over(win).cast("long"))
+      tfidfScoredTerms(Tables.documents(s, dir))
+        .withColumn("rank", row_number().over(win).cast("long"))
         .filter(col("rank") <= 3)
         .select("doc_id", "rank", "term", "tf", "tfidf")
     }),
@@ -1231,11 +1232,13 @@ object SparkEntry {
     "t12_length_quantiles" -> ((s, dir) => {
       val hist = Tables.documents(s, dir)
         .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
-      val tot = hist.groupBy("source").agg(sum("c").as("n"))
+      // both the running count and the per-source total come out of the
+      // SAME windowed pass over the histogram (unbounded frame for the
+      // total) — no second aggregation of hist, no join
       val cum = hist
         .withColumn("cum", sum("c").over(
           Window.partitionBy("source").orderBy("n_chars")))
-        .join(broadcast(tot), "source")
+        .withColumn("n", sum("c").over(Window.partitionBy("source")))
       cum.select(col("source"), col("n_chars"), col("cum"), col("n"),
           explode(array(Seq(0.25, 0.5, 0.75, 0.9).map(lit): _*)).as("q"))
         .filter(col("cum") >= ceil(col("n") * col("q")))
@@ -2167,10 +2170,8 @@ object SparkEntry {
         |FROM c GROUP BY 1, 2""".stripMargin,
 
     "t10_source_kl" ->
-      """WITH sw AS (
-        |  SELECT source,
-        |    unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS w
-        |  FROM documents),
+      s"""WITH $toksSql,
+        |sw AS (SELECT source, unnest(t) AS w FROM toks),
         |c AS (SELECT source, w, count(*) AS cs FROM sw GROUP BY 1, 2),
         |st AS (SELECT source, sum(cs)::BIGINT AS ns FROM c GROUP BY 1),
         |wt AS (SELECT w, sum(cs)::BIGINT AS cw FROM c GROUP BY 1),
@@ -2182,6 +2183,7 @@ object SparkEntry {
         |JOIN wt ON wt.w = c.w CROSS JOIN tot
         |GROUP BY 1, 2""".stripMargin,
 
+    // same smoothed IDF as the t6 oracle — one formula, two surfaces
     "t11_tfidf_terms" ->
       s"""WITH $toksSql,
         |wc AS (
@@ -2191,7 +2193,7 @@ object SparkEntry {
         |nd AS (SELECT count(*) AS nd FROM documents),
         |scored AS (
         |  SELECT doc_id, wc.w AS term, tf,
-        |    round(tf::DOUBLE * ln(nd.nd::DOUBLE / dfreq.df), 6) AS tfidf
+        |    round(tf * ln((nd.nd + 1)::DOUBLE / (dfreq.df + 1)), 6) AS tfidf
         |  FROM wc JOIN dfreq ON dfreq.w = wc.w CROSS JOIN nd)
         |SELECT doc_id,
         |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank,
@@ -2200,10 +2202,8 @@ object SparkEntry {
         |QUALIFY rank <= 3""".stripMargin,
 
     "x27_grouped_hitters" ->
-      """WITH sw AS (
-        |  SELECT source,
-        |    unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS w
-        |  FROM documents),
+      s"""WITH $toksSql,
+        |sw AS (SELECT source, unnest(t) AS w FROM toks),
         |c AS (SELECT source, w AS word, count(*) AS cnt, 0::BIGINT AS err
         |      FROM sw GROUP BY 1, 2)
         |SELECT source,

@@ -147,14 +147,19 @@ class PlanGuardSpec extends SparkSpec {
 
   test("t12 quantiles window over the histogram, never the raw rows") {
     val p = planOf("t12_length_quantiles")
-    // the window's child must be the (source, n_chars) aggregate — i.e.
-    // a HashAggregate appears below the Window in the plan tree, so the
-    // sort ranks distinct lengths, not documents
+    // single-chain plan (total and running count share one windowed
+    // pass): no join may reappear — a join would both re-scan the
+    // documents for the total AND give the subtree check below a
+    // second subtree to falsely match against
+    assert(!p.contains("Join"), s"t12 grew a join for the total:\n$p")
+    // the window's child must be the (source, n_chars) aggregate — in a
+    // join-free chain everything printed after the Window line IS its
+    // child subtree, so a HashAggregate there means the sort ranks
+    // distinct lengths, not documents
     val winAt = p.indexOf("Window")
     assert(winAt >= 0, p)
     assert(p.indexOf("HashAggregate", winAt) >= 0,
       s"t12's cumulative window no longer sits on the histogram aggregate:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("x14/x15 use the bounded aggregate — no per-class row_number window") {

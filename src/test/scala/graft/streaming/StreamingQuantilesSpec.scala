@@ -45,25 +45,16 @@ class StreamingQuantilesSpec extends SparkSpec {
         val n = sorted.map(_._3).sum
         Seq(0.25, 0.5, 0.75, 0.9).map { q =>
           val rank = math.ceil(n * q)
-          var cum = 0L
-          (src, q) -> sorted.collectFirst {
-            case (_, len, c) if { cum += c; cum >= rank } => len
-          }.get
+          val cums = sorted.scanLeft(0L)(_ + _._3).tail
+          (src, q) -> sorted(cums.indexWhere(_ >= rank))._2
         }
       }.toMap
 
-      val batch = SparkEntryAccess.t12(s, dir)
+      val batch = graft.SparkEntry.queries("t12_length_quantiles")(s, dir)
         .as[(String, Double, Long)].collect()
         .map { case (src, qq, v) => (src, qq) -> v }.toMap
       assert(streamedQ == batch,
         s"stream/batch divergence: stream=$streamedQ batch=$batch")
     } finally q.stop()
   }
-}
-
-/** The queries map is package-private-friendly already; a tiny accessor
-  * keeps the spec readable. */
-private object SparkEntryAccess {
-  def t12(s: org.apache.spark.sql.SparkSession, dir: String) =
-    graft.SparkEntry.queries("t12_length_quantiles")(s, dir)
 }
