@@ -1028,6 +1028,27 @@ object SparkEntry {
         .limit(15)
     }),
 
+    // training-mix drift monitor: Pearson chi-square statistic for
+    // lang × source independence over the contingency table. The only
+    // data-sized exchange is the (lang, source) count aggregation
+    // (map-side partials); marginals and the grand total are re-aggs
+    // of the tiny cell table riding broadcasts, same shape as t10
+    "x28_mix_chi2" -> ((s, dir) => {
+      val obs = Tables.documents(s, dir)
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rowT = obs.groupBy("lang").agg(sum("o").as("rl"))
+      val colT = obs.groupBy("source").agg(sum("o").as("cs"))
+      val tot = obs.agg(sum("o").as("n"))
+      obs.join(broadcast(rowT), "lang").join(broadcast(colT), "source")
+        .crossJoin(broadcast(tot))
+        .select(col("o"),
+          (col("rl").cast("double") * col("cs") / col("n")).as("e"),
+          col("n"))
+        .agg(round(sum(pow(col("o") - col("e"), lit(2)) / col("e")), 6)
+            .as("chi2"),
+          count(lit(1)).as("cells"), max("n").as("n_docs"))
+    }),
+
     // grouped heavy hitters: one SpaceSaving sketch PER SOURCE — the
     // composition that matters at 100 TB, where per-group vocabularies
     // are unbounded but the state per group stays ≤ capacity. The only
@@ -2200,6 +2221,18 @@ object SparkEntry {
         |  term, tf, tfidf
         |FROM scored
         |QUALIFY rank <= 3""".stripMargin,
+
+    "x28_mix_chi2" ->
+      """WITH obs AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, sum(o)::BIGINT AS rl FROM obs GROUP BY 1),
+        |ct AS (SELECT source, sum(o)::BIGINT AS cs FROM obs GROUP BY 1),
+        |tot AS (SELECT sum(o)::BIGINT AS n FROM obs)
+        |SELECT round(sum(pow(o - e, 2) / e), 6) AS chi2,
+        |  count(*)::BIGINT AS cells, max(n)::BIGINT AS n_docs
+        |FROM (SELECT o, rl::DOUBLE * cs / n AS e, n
+        |      FROM obs JOIN rt USING (lang) JOIN ct USING (source)
+        |      CROSS JOIN tot)""".stripMargin,
 
     "x27_grouped_hitters" ->
       s"""WITH $toksSql,
