@@ -72,6 +72,10 @@ class PlanGuardSpec extends SparkSpec {
     val p10 = planOf("t10_source_kl")
     assert(!p10.contains("CartesianProduct"), p10)
     assert(p10.contains("BroadcastHashJoin"), p10)
+    // x28 is t10-shaped: marginal joins hashed, totals on a 1-row broadcast
+    val p28 = planOf("x28_mix_chi2")
+    assert(!p28.contains("CartesianProduct"), p28)
+    assert(p28.contains("BroadcastHashJoin"), p28)
   }
 
   test("x26 heavy hitters never shuffles the corpus word-keyed") {

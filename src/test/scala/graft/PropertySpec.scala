@@ -44,6 +44,28 @@ class PropertySpec extends SparkSpec {
     assert(got.size == raw.size * 4)
   }
 
+  test("x28 chi-square law: matches the plain-Scala statistic from raw cell counts") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val Array((chi2, cells, nDocs)) = SparkEntry.queries("x28_mix_chi2")(s, dir)
+      .as[(Double, Long, Long)].collect()
+
+    val cellCounts = Tables.documents(s, dir)
+      .groupBy("lang", "source").count()
+      .as[(String, String, Long)].collect()
+    val rl = cellCounts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val cs = cellCounts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val n = cellCounts.map(_._3).sum
+    val want = cellCounts.map { case (l, src, o) =>
+      val e = rl(l).toDouble * cs(src) / n
+      (o - e) * (o - e) / e
+    }.sum
+    assert(chi2 >= 0.0 && cells == cellCounts.length && nDocs == n)
+    assert(math.abs(chi2 - want) < 1e-5,
+      s"operator chi2 $chi2 vs independent replication $want")
+  }
+
   test("changelog law: latestByKey equals the sequential fold of upserts/tombstones") {
     val s = spark
     import s.implicits._
