@@ -512,6 +512,27 @@ object SparkEntry {
         DedupOps.minhashLsh(docs, "doc_id", "text"))
     }),
 
+    // dedup provenance: WHERE the near-duplication comes from — verified
+    // near-dup pairs (d3's chain, d7's threshold) rolled up into a
+    // source × source overlap matrix, the diagnostic that tells a
+    // curation run which feeds overlap. The pair list is LSH-pruned and
+    // threshold-filtered before the two doc_id-keyed source lookups, so
+    // everything after d3's audited shape is candidate-set-sized
+    "d13_overlap_matrix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = DedupOps.ngramJaccard(docs, "doc_id", "text",
+          DedupOps.minhashLsh(docs, "doc_id", "text"))
+        .filter(col("jaccard") >= 0.4)
+        .select("a", "b")
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.toDF("a", "sa"), "a")
+        .join(src.toDF("b", "sb"), "b")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("pairs"))
+    }),
+
     "d4_simhash" -> ((s, dir) =>
       DedupOps.simhash64(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -1534,6 +1555,33 @@ object SparkEntry {
         |JOIN sizes na ON na.doc_id = p.a
         |JOIN sizes nb ON nb.doc_id = p.b
         |LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b""".stripMargin,
+
+    // d3's chain + d7's threshold, rolled up to source pairs
+    "d13_overlap_matrix" ->
+      s"""WITH $toksSql,
+        |$minhashCandSql,
+        |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |inter AS (
+        |  SELECT p.a, p.b, count(*) AS i
+        |  FROM cand p
+        |  JOIN shd sa ON sa.doc_id = p.a
+        |  JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+        |  GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT p.a, p.b
+        |  FROM cand p
+        |  JOIN sizes na ON na.doc_id = p.a
+        |  JOIN sizes nb ON nb.doc_id = p.b
+        |  LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b
+        |  WHERE round(coalesce(i, 0)::DOUBLE
+        |              / (na.n + nb.n - coalesce(i, 0))::DOUBLE, 6) >= 0.4)
+        |SELECT least(da.source, db.source) AS src_a,
+        |  greatest(da.source, db.source) AS src_b, count(*) AS pairs
+        |FROM dup
+        |JOIN documents da ON da.doc_id = dup.a
+        |JOIN documents db ON db.doc_id = dup.b
+        |GROUP BY 1, 2""".stripMargin,
 
     // same candidate+Jaccard chain as d3, thresholded, then transitive
     // closure to the minimum reachable id (DuckDB recursive CTE = the
