@@ -106,6 +106,15 @@ object SparkEntry {
       |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS t
       |  FROM documents)""".stripMargin
 
+  /** The ONE DuckDB mirror of `TextAnalysis.langId` — shared by the t1
+    * and t13 oracles so the heuristic cannot fork between them. */
+  private val langGuessSql =
+    """CASE WHEN regexp_matches(text, '[^\x00-\x7F]') THEN 'other'
+      |     WHEN len(list_filter(
+      |            list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> ''),
+      |            x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) > 0 THEN 'en'
+      |     ELSE 'und' END""".stripMargin
+
   /** Shared DuckDB CTE chain mirroring [[DedupOps.minhashLsh]]: 3-word
     * shingles → one md5 per shingle → 12 universal hashes (same integer
     * constants as `DedupOps.minhashSignatures`) → 4 LSH bands → candidate
@@ -618,6 +627,20 @@ object SparkEntry {
     "t1_langid" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_guess"))),
+
+    // label QA: does the shipped lang column agree with the content
+    // heuristic? Binarized to is-English (the heuristic's only positive
+    // class). Pure map-side signals into one source-keyed aggregation —
+    // the audit that catches a feed shipping mislabeled documents
+    "t13_label_agreement" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), (col("lang") === "en").as("l"),
+          (TextAnalysis.langId(col("text")) === "en").as("gg"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("l").cast("long")).as("labeled_en"),
+          sum(col("gg").cast("long")).as("guessed_en"),
+          round(avg((col("l") === col("gg")).cast("double")), 6).as("agree"))),
 
     "t2_quality" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -1791,13 +1814,21 @@ object SparkEntry {
     "x25_pca_project" -> pcaOracleSql(iters = 4),
 
     "t1_langid" ->
-      """SELECT doc_id,
-        |  CASE WHEN regexp_matches(text, '[^\x00-\x7F]') THEN 'other'
-        |       WHEN len(list_filter(
-        |              list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> ''),
-        |              x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) > 0 THEN 'en'
-        |       ELSE 'und' END AS lang_guess
+      s"""SELECT doc_id,
+        |  $langGuessSql AS lang_guess
         |FROM documents""".stripMargin,
+
+    // label QA: per-source agreement between the shipped lang label and
+    // the t1 heuristic on the binarized is-English task
+    "t13_label_agreement" ->
+      s"""WITH g AS (
+        |  SELECT source, (lang = 'en') AS l,
+        |    ($langGuessSql = 'en') AS gg
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(l::INT)::BIGINT AS labeled_en, sum(gg::INT)::BIGINT AS guessed_en,
+        |  round(avg((l = gg)::INT::DOUBLE), 6) AS agree
+        |FROM g GROUP BY 1""".stripMargin,
 
     "t2_quality" ->
       s"""WITH $toksSql,
