@@ -1288,6 +1288,43 @@ object SparkEntry {
         .select("doc_id", "rank", "term", "tf", "tfidf")
     }),
 
+    // Okapi BM25 top-20 for a fixed query bag — the retrieval scorer a
+    // decontamination audit / hard-negative miner runs over the corpus.
+    // Query-term filter is map-side BEFORE the tf shuffle, corpus scalars
+    // (N, avgdl) ride a one-row broadcast, and the ranking is a bounded
+    // TakeOrderedAndProject — no global sort at any scale
+    "t14_bm25" -> ((s, dir) =>
+      graft.functions.Retrieval.bm25Rank(Tables.documents(s, dir),
+        "doc_id", "text", Seq("hash", "join", "merge"), topN = 20)),
+
+    // sharded inverted index: (term, shard) → posting CSV. Sharding by
+    // hash(doc_id) bounds every output row by df/shards — a stop-word's
+    // postings never concentrate in one row/executor at 100 TB
+    "x29_inverted_index" -> ((s, dir) =>
+      graft.functions.Retrieval.invertedIndex(Tables.documents(s, dir),
+        "doc_id", "text", shards = 4)),
+
+    // batch sessionization (gap > 300 s) — the batch replay twin of w3's
+    // streaming session windows, as gaps-and-islands window functions.
+    // ONE exchange total: the window's hash(user_id) partitioning also
+    // satisfies the (user_id, session_idx) groupBy's clustering (subset
+    // rule), so the session aggregate reuses the window's shuffle+sort
+    "x31_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
+      val marked = ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_sec"), col("value"))
+        .withColumn("new_s",
+          when(col("ts_sec") - lag("ts_sec", 1).over(w) > 300, 1).otherwise(0))
+      marked
+        .withColumn("session_idx",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1)
+        .groupBy("user_id", "session_idx").agg(
+          count(lit(1)).as("n_events"),
+          min("ts_sec").as("start_sec"),
+          max("ts_sec").as("end_sec"),
+          round(sum("value"), 2).as("total"))
+    }),
+
     // exact length quantiles per source WITHOUT sorting the data: the
     // rows collapse to a (source, n_chars) histogram first — the only
     // data-sized exchange, output bounded by distinct lengths — then a
@@ -2300,6 +2337,55 @@ object SparkEntry {
         |  term, tf, tfidf
         |FROM scored
         |QUALIFY rank <= 3""".stripMargin,
+
+    // constants mirror Retrieval.bm25Rank: k1=1.2 (k1+1 → 2.2), b=0.75
+    // (1−b → 0.25); both engines evaluate the same double expressions and
+    // round at 6, nine orders above double-sum noise
+    "t14_bm25" ->
+      s"""WITH $toksSql,
+        |terms AS (SELECT doc_id, unnest(t) AS term, len(t)::BIGINT AS dl FROM toks),
+        |tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl
+        |  FROM terms WHERE term IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT AS n_docs, avg(len(t)::DOUBLE) AS avgdl FROM toks),
+        |contrib AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+        |  FROM tf JOIN dfc USING (term) CROSS JOIN st),
+        |scored AS (SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY 1)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score
+        |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "x29_inverted_index" ->
+      s"""WITH $toksSql,
+        |tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2)
+        |SELECT term, (doc_id % 4)::INT AS shard, count(*)::BIGINT AS df,
+        |  sum(tf)::BIGINT AS total_tf,
+        |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY 1, 2""".stripMargin,
+
+    "x31_sessionize" ->
+      s"""WITH $evSql,
+        |marked AS (
+        |  SELECT user_id, event_id, ts_sec, value,
+        |    CASE WHEN ts_sec - lag(ts_sec) OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id) > 300 THEN 1 ELSE 0 END AS new_s
+        |  FROM ev),
+        |sess AS (
+        |  SELECT user_id, ts_sec, value,
+        |    (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT + 1
+        |      AS session_idx
+        |  FROM marked)
+        |SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+        |  min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+        |  round(sum(value), 2) AS total
+        |FROM sess GROUP BY 1, 2""".stripMargin,
 
     "x28_mix_chi2" ->
       """WITH obs AS (

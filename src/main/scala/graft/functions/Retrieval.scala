@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Retrieval-side operators over the documents table: BM25 ranking and a
+  * sharded inverted index. These are the search/indexing half of a
+  * training-data pipeline (nearest-neighbor text retrieval for
+  * decontamination audits, corpus exploration, hard-negative mining).
+  *
+  * Scale shape (100 TB):
+  *  - BM25: the only data-sized exchange carries (doc, term) rows for
+  *    the QUERY terms only — the term filter is applied map-side before
+  *    the aggregation, so the shuffle is |query terms| × |matching docs|,
+  *    not the corpus token count. Document lengths are computed map-side
+  *    in the same pass; corpus-level scalars (N, avgdl) ride a one-row
+  *    broadcast. The final ranking is a bounded top-k
+  *    (TakeOrderedAndProject), never a global sort.
+  *  - Inverted index: postings are SHARDED by hash(doc_id) so no single
+  *    output row grows with corpus size — a hot term's posting list is
+  *    split over `shards` rows, each bounded by df/shards. This is the
+  *    layout a distributed index actually stores (term, shard) → postings;
+  *    un-sharded list_agg postings would concentrate a stop-word's entire
+  *    document set into one executor's row.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-`topN` documents for a bag of query `terms`.
+    *
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (Robertson/Lucene form,
+    * non-negative), score(d) = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+    *
+    * Output (doc_id, rank, score) ordered by the ROUNDED score with a
+    * doc_id tie-break — the cross-engine determinism contract: rounding
+    * at 6 digits is 9 orders above double-sum noise, and ties resolve
+    * identically in both engines.
+    */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], topN: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 64, "query term set must be small (bounded broadcast)")
+    // per-doc token counts: dl map-side, query-term tf the only exchange
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"),
+      size(TextAnalysis.tokens(col(textCol))).as("dl"))
+    val qtoks = toks.filter(col("term").isin(terms: _*)) // map-side prune BEFORE the shuffle
+    val tf = qtoks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // one-row corpus scalars: N and avgdl (avg over ALL docs, not just hits)
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(TextAnalysis.tokens(col(textCol))).cast("double")).as("avgdl"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    val contrib = tf.join(broadcast(dfc), "term").crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * (col("tf") * lit(k1 + 1.0)) / denom).as("c"))
+    contrib.groupBy("doc_id").agg(round(sum("c"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(topN)
+      .select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)).as("rank"),
+        col("score"))
+  }
+
+  /** Sharded inverted index: one row per (term, shard) with the posting
+    * list for that shard's documents as a `doc:tf` CSV string sorted by
+    * doc_id. `df`/`total_tf` are the shard-local counts; summing them
+    * over shards recovers the term totals. Two exchanges total: the
+    * (doc, term) tf aggregation and the (term, shard) posting build.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    shards: Int = 4): DataFrame = {
+    require(shards > 0)
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
+    tf.groupBy("term", "shard").agg(
+        count(lit(1)).as("df"),
+        sum("tf").as("total_tf"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            s => concat_ws(":", s.getField("doc_id"), s.getField("tf"))),
+          ",").as("postings"))
+  }
+}
