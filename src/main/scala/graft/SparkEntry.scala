@@ -1206,6 +1206,23 @@ object SparkEntry {
       DedupOps.spanDupStats(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 5)),
 
+    // exact-substring dedup output (Lee et al. 2022): the MAXIMAL
+    // duplicated spans themselves, in token coordinates — what d11's
+    // per-doc fraction summarizes, and what a span-cutting dedup pass
+    // actually removes
+    "d14_dup_spans" -> ((s, dir) =>
+      DedupOps.dupSpans(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 8)),
+
+    // containment verify over d2's candidates: inter/min(|A|,|B|) —
+    // catches a short doc pasted whole into a long one, which symmetric
+    // Jaccard dilutes toward 0 (union dominated by the long doc)
+    "d15_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.ngramContainment(docs, "doc_id", "text",
+        DedupOps.minhashLsh(docs, "doc_id", "text"))
+    }),
+
     // the dedup DECISION: near-dup pairs → clusters → keep exactly the
     // minimum doc id per cluster (cluster_id IS the min reachable id, so
     // survivors are the doc_id == cluster_id rows) — the surviving corpus
@@ -2159,6 +2176,52 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN totals t ON t.doc_id = d.doc_id
         |LEFT JOIN dups u ON u.doc_id = d.doc_id""".stripMargin,
+
+    // n=8 grams WITH positions (no short-doc fallback — ngrams, not
+    // shingles); islands merge starts with gap ≤ 8; first row's NULL lag
+    // comparison falls to ELSE 1 in both engines (new island)
+    "d14_dup_spans" ->
+      s"""WITH $toksSql,
+        |pos0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+        |    i -> struct_pack(pos := i - 1,
+        |                     shh := md5(array_to_string(t[i:i+7], ' '))))) AS s
+        |  FROM toks WHERE len(t) >= 8),
+        |posf AS (SELECT doc_id, s.pos AS pos, s.shh AS shh FROM pos0),
+        |dupd AS (SELECT shh FROM posf GROUP BY shh HAVING count(*) >= 2),
+        |cov AS (SELECT doc_id, pos FROM posf JOIN dupd USING (shh)),
+        |mark AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM cov),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    (sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS span_idx
+        |  FROM mark)
+        |SELECT doc_id, span_idx, min(pos)::BIGINT AS span_start,
+        |  count(*)::BIGINT AS n_starts,
+        |  (max(pos) - min(pos) + 8)::BIGINT AS span_len
+        |FROM isl GROUP BY 1, 2""".stripMargin,
+
+    "d15_containment" ->
+      s"""WITH $toksSql,
+        |$minhashCandSql,
+        |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |inter AS (
+        |  SELECT p.a, p.b, count(*) AS i
+        |  FROM cand p
+        |  JOIN shd sa ON sa.doc_id = p.a
+        |  JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+        |  GROUP BY 1, 2)
+        |SELECT p.a AS a, p.b AS b,
+        |  round(coalesce(i, 0)::DOUBLE / least(na.n, nb.n)::DOUBLE, 6) AS containment
+        |FROM cand p
+        |JOIN sizes na ON na.doc_id = p.a
+        |JOIN sizes nb ON nb.doc_id = p.b
+        |LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b""".stripMargin,
 
     "d12_dedup_keep" ->
       s"""WITH RECURSIVE $toksSql,

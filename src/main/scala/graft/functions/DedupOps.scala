@@ -277,7 +277,29 @@ object DedupOps {
     * exploding shingles for documents no pair references would dominate
     * the stage for nothing. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   pairs: DataFrame, shingleN: Int = 3): DataFrame = {
+                   pairs: DataFrame, shingleN: Int = 3): DataFrame =
+    pairShingleOverlap(docs, idCol, textCol, pairs, shingleN)
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+
+  /** Jaccard *containment* verify over the same candidate chain:
+    * inter/min(|A|,|B|) instead of inter/|A∪B|. Containment catches the
+    * doc-subset duplication symmetric Jaccard misses — a short document
+    * pasted whole into a much longer one scores near 1.0 here while its
+    * Jaccard stays small (the union is dominated by the long doc). Same
+    * plan shape and lifecycle as [[ngramJaccard]]. */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+                       pairs: DataFrame, shingleN: Int = 3): DataFrame =
+    pairShingleOverlap(docs, idCol, textCol, pairs, shingleN)
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") /
+          least(col("na"), col("nb")).cast("double"), 6).as("containment"))
+
+  /** Shared verify core for [[ngramJaccard]]/[[ngramContainment]]:
+    * per-pair distinct-shingle overlap counts (a, b, na, nb, inter). */
+  private def pairShingleOverlap(docs: DataFrame, idCol: String, textCol: String,
+                                 pairs: DataFrame, shingleN: Int): DataFrame = {
     // The candidate list is referenced four times below (membership, the
     // two size joins, the intersection) — left as a PLAN, like `sh`: the
     // pair chain tops out in a shuffle (minhashLsh's distinct / the band
@@ -310,9 +332,7 @@ object DedupOps {
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
       .join(inter, Seq("a", "b"), "left_outer")
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
-      .select(col("a"), col("b"),
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+      .select("a", "b", "na", "nb", "inter")
   }
 
   /** Inter-document repetition: for each document, the fraction of its
@@ -350,6 +370,48 @@ object DedupOps {
         round(coalesce(col("dup_shingles"), lit(0L)).cast("double") /
           greatest(coalesce(col("n_shingles"), lit(0L)).cast("double"), lit(1.0)),
           6).as("dup_frac"))
+  }
+
+  /** Maximal duplicated SPANS per document — the exact-substring-dedup
+    * output (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better" shape): WHERE the duplicated text sits, not just how
+    * much of it there is ([[spanDupStats]]' fraction). A position is
+    * covered when its n-gram occurs at least twice anywhere in the corpus
+    * (cross- OR within-doc — a licence block pasted twice into one
+    * document is duplicated text all the same); covered start positions
+    * whose n-gram windows overlap or touch (gap ≤ n) merge into one
+    * maximal span via gaps-and-islands.
+    *
+    * Output: (doc_id, span_idx, span_start, n_starts, span_len) — token
+    * coordinates, span_len counts covered tokens from first to last
+    * window. Only docs containing duplicated spans appear.
+    *
+    * 100 TB shape: positions carry md5 digests, so the occurrence count
+    * and the covered-position join shuffle narrow fixed-width keys; the
+    * join is INNER against only the occ ≥ 2 digests. The island window
+    * partitions by doc_id, and the final span aggregate's
+    * (doc_id, span_idx) clustering is satisfied by the window's
+    * hash(doc_id) partitioning (subset rule) — no extra exchange. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               shingleN: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val pos = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.ngrams(TextAnalysis.tokens(col(textCol)), shingleN)))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("shh"))
+    val dupDigests = pos.groupBy("shh").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("shh")
+    val covered = pos.join(dupDigests, "shh").select("doc_id", "pos")
+    covered
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(win) <= shingleN, 0).otherwise(1))
+      .withColumn("span_idx",
+        sum("brk").over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_idx").agg(
+        min("pos").cast("long").as("span_start"),
+        count(lit(1)).as("n_starts"),
+        (max("pos") - min("pos") + shingleN).cast("long").as("span_len"))
   }
 
   /** Benchmark decontamination: flag corpus documents sharing any word
