@@ -115,6 +115,29 @@ object SparkEntry {
       |            x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) > 0 THEN 'en'
       |     ELSE 'und' END""".stripMargin
 
+  /** Exact-decontamination oracle, shared by d9 and x30: the Bloom prune
+    * is an optimization with zero false negatives, so the two queries'
+    * outputs are identical by construction — one SQL string keeps that
+    * claim honest (same pattern as t9/c4's shared entropy CTE). */
+  private lazy val decontOracleSql =
+    s"""WITH $toksSql,
+      |sh5 AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(t) >= 5
+      |      THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |      ELSE [array_to_string(t, ' ')] END) AS sh
+      |  FROM toks),
+      |bench AS (SELECT DISTINCT md5(sh) AS shh FROM sh5 WHERE doc_id % 41 = 0),
+      |corp AS (SELECT DISTINCT doc_id, md5(sh) AS shh FROM sh5 WHERE doc_id % 41 <> 0),
+      |hits AS (
+      |  SELECT c.doc_id, count(*) AS h
+      |  FROM corp c JOIN bench b ON b.shh = c.shh
+      |  GROUP BY 1)
+      |SELECT d.doc_id, coalesce(h.h, 0)::BIGINT AS hits,
+      |  coalesce(h.h, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      |WHERE d.doc_id % 41 <> 0""".stripMargin
+
   /** Shared DuckDB CTE chain mirroring [[DedupOps.minhashLsh]]: 3-word
     * shingles → one md5 per shingle → 12 universal hashes (same integer
     * constants as `DedupOps.minhashSignatures`) → 4 LSH bands → candidate
@@ -420,6 +443,23 @@ object SparkEntry {
           col("ts1"), col("ts2"), 0L, 86400L)
         .filter(col("left_id") =!= col("right_id"))
         .select("left_id", "right_id")
+    }),
+
+    // full-outer windowed attribution: clicks ⋈ purchases within ±1 h
+    // KEEPING both unmatched sides — which clicks never converted AND
+    // which purchases arrived with no click nearby. Same shuffled
+    // equi-join shape as j1/j2 (key equality carries the join, the band
+    // is a residual filter); completes the join family's outer forms
+    "j13_full_band_join" -> ((s, dir) => {
+      val clicks = ev(s, dir).filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_sec").as("ts1"))
+      val buys = ev(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("user_id2"), col("event_id").as("buy_id"),
+          col("ts_sec").as("ts2"))
+      Joins.bandJoin(clicks, buys, col("user_id") === col("user_id2"),
+          col("ts1"), col("ts2"), -3600L, 3600L, "full_outer")
+        .select(col("click_id"), col("buy_id"))
     }),
 
     "j2_left_band_count" -> ((s, dir) => {
@@ -966,6 +1006,19 @@ object SparkEntry {
         "doc_id", "text", shingleN = 5)
     }),
 
+    // d9's semantics through the Bloom-pruned path — the shape for a
+    // benchmark too large to broadcast as a hash relation: the bitset
+    // ships (array<long> literal), corpus shingles are pruned map-side,
+    // and only bloom-positives reach the exact digest join. Zero false
+    // negatives ⇒ byte-identical output; both share ONE oracle string
+    "x30_bloom_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.bloomDecontaminate(
+        docs.filter(col("doc_id") % 41 =!= 0),
+        docs.filter(col("doc_id") % 41 === 0),
+        "doc_id", "text", shingleN = 5)
+    }),
+
     // quality-weighted data selection: keep each doc with probability =
     // its quality score — no hard threshold cliff; deterministic by
     // content hash, rate floored to integer ppm so engines agree
@@ -1313,6 +1366,17 @@ object SparkEntry {
     "t14_bm25" -> ((s, dir) =>
       graft.functions.Retrieval.bm25Rank(Tables.documents(s, dir),
         "doc_id", "text", Seq("hash", "join", "merge"), topN = 20)),
+
+    // text normalization: the canonical form a strict exact-dedup pass
+    // fingerprints — casing/whitespace/punctuation variants collapse to
+    // one digest. Pure map-side projection, zero shuffles
+    "t15_normalize" -> ((s, dir) => {
+      val clean = TextAnalysis.asciiClean(TextAnalysis.normalizeWs(col("text")))
+      Tables.documents(s, dir).select(col("doc_id"),
+        md5(clean).as("norm_digest"),
+        length(col("text")).cast("long").as("n_raw"),
+        length(clean).cast("long").as("n_clean"))
+    }),
 
     // sharded inverted index: (term, shard) → posting CSV. Sharding by
     // hash(doc_id) bounds every output row by df/shards — a stop-word's
@@ -2508,24 +2572,31 @@ object SparkEntry {
         |CROSS JOIN vocab
         |GROUP BY 1""".stripMargin,
 
-    "d9_decontaminate" ->
-      s"""WITH $toksSql,
-        |sh5 AS (
-        |  SELECT doc_id,
-        |    unnest(CASE WHEN len(t) >= 5
-        |      THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
-        |      ELSE [array_to_string(t, ' ')] END) AS sh
-        |  FROM toks),
-        |bench AS (SELECT DISTINCT md5(sh) AS shh FROM sh5 WHERE doc_id % 41 = 0),
-        |corp AS (SELECT DISTINCT doc_id, md5(sh) AS shh FROM sh5 WHERE doc_id % 41 <> 0),
-        |hits AS (
-        |  SELECT c.doc_id, count(*) AS h
-        |  FROM corp c JOIN bench b ON b.shh = c.shh
-        |  GROUP BY 1)
-        |SELECT d.doc_id, coalesce(h.h, 0)::BIGINT AS hits,
-        |  coalesce(h.h, 0) > 0 AS contaminated
-        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
-        |WHERE d.doc_id % 41 <> 0""".stripMargin,
+    "d9_decontaminate" -> decontOracleSql,
+
+    // the Bloom prune has zero false negatives, so x30's output is
+    // d9's by construction — ONE oracle string keeps that claim honest
+    "x30_bloom_decontaminate" -> decontOracleSql,
+
+    "j13_full_band_join" ->
+      s"""WITH $evSql,
+        |c AS (SELECT user_id, event_id AS click_id, ts_sec AS ts1
+        |      FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS buy_id, ts_sec AS ts2
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT click_id, buy_id
+        |FROM c FULL JOIN p ON c.user_id = p.user_id
+        |  AND ts2 BETWEEN ts1 - 3600 AND ts1 + 3600""".stripMargin,
+
+    "t15_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, length(text)::BIGINT AS n_raw,
+        |    regexp_replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |                   '[^a-z0-9 ]', '', 'g') AS clean
+        |  FROM documents)
+        |SELECT doc_id, md5(clean) AS norm_digest, n_raw,
+        |  length(clean)::BIGINT AS n_clean
+        |FROM n""".stripMargin,
 
     "x9_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users

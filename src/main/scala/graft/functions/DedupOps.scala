@@ -445,6 +445,56 @@ object DedupOps {
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-pruned decontamination — [[decontaminate]] for the regime
+    * where the benchmark digest set is too large to broadcast as a hash
+    * relation but fits as Bloom BITS (~2 bits/key at these parameters vs
+    * ~50+ bytes/key for a broadcast hash map). The bitset is built by ONE
+    * tiny Spark job over the benchmark digests using the SAME
+    * xxhash64-family expressions the probe evaluates (no hand-rolled
+    * driver hashing that could drift), then ships as an array<long>
+    * literal. Corpus shingles are pruned MAP-SIDE by the bit test — a
+    * Bloom filter has zero false negatives, so the final output is
+    * EXACTLY [[decontaminate]]'s — and only bloom-positive rows (true
+    * hits + the ~(1−e^(−kn/m))^k false-positive sliver) reach the exact
+    * digest join, which at this size the optimizer is free to plan as a
+    * shuffled join: the corpus side arriving there is already tiny.
+    *
+    * 100 TB shape: the corpus-sized work is all map-side (shingle → md5 →
+    * k bit probes against a literal); the exchanges carry only the per-doc
+    * distinct and the bloom survivors. Driver state is `bits/8` bytes +
+    * the ≤ k·|bench| set-bit indices, bounded by the eval-set contract. */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 5, bits: Int = 1 << 16,
+                         numHashes: Int = 5): DataFrame = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0, "bits must be a power of two >= 64")
+    val bench = shingleRows(benchmark, idCol, textCol, shingleN)
+      .select(md5(col("sh")).as("shh")).distinct()
+    def idxs(c: Column): Seq[Column] =
+      (0 until numHashes).map(i => pmod(xxhash64(c, lit(i)), lit(bits.toLong)))
+    val setBits = bench
+      .select(explode(array(idxs(col("shh")): _*)).as("i")).distinct()
+      .collect().map(_.getLong(0))
+    val words = new Array[Long](bits / 64)
+    setBits.foreach(i => words(i.toInt >> 6) |= 1L << (i & 63))
+    val wlit = typedlit(words.toIndexedSeq)
+    def probe(c: Column): Column = idxs(c).map { i =>
+      call_function("shiftrightunsigned",
+          element_at(wlit, (i / 64).cast("int") + 1), i % 64)
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    val corp = shingleRows(corpus, idCol, textCol, shingleN)
+      .select(col("doc_id"), md5(col("sh")).as("shh")).distinct()
+    val hits = corp.filter(probe(col("shh")))
+      .join(bench, Seq("shh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** FUZZY benchmark decontamination: near-duplicate (not just exact
     * n-gram-overlap) matches between corpus and benchmark, for the
     * paraphrased-leakage case [[decontaminate]]'s exact probe misses.

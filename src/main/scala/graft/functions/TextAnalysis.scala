@@ -120,4 +120,16 @@ object TextAnalysis {
 
   /** Duplicate word-n-gram fraction (Gopher's dup_ngram_frac signal). */
   def dupNgramFrac(toks: Column, n: Int): Column = dupFrac(ngrams(toks, n))
+
+  /** Whitespace normalization: lowercase, collapse runs to single
+    * spaces, trim. Regex classes kept to ASCII ground shared by Java
+    * and RE2 regex engines (the DuckDB oracle). Pure map-side. */
+  def normalizeWs(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** ASCII cleanup on a [[normalizeWs]]-normalized string: drop every
+    * char outside [a-z0-9 ]. The canonical form exact-dedup fingerprints
+    * should hash — punctuation/casing variants collapse to one digest. */
+  def asciiClean(norm: Column): Column =
+    regexp_replace(norm, "[^a-z0-9 ]", "")
 }

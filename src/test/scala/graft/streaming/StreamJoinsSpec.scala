@@ -59,6 +59,32 @@ class StreamJoinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer band join: both unmatched sides null-pad after expiry") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val l = MemoryStream[KV]
+    val r = MemoryStream[KV]
+    val q = StreamJoins.bandJoin(l.toDF(), r.toDF(), 10L, "0 seconds", "fullOuter")
+      .selectExpr("l_value", "r_value")
+      .writeStream.format("memory").queryName("band_full").outputMode("append").start()
+    try {
+      l.addData(KV("key1", "matched-l", ts(0)), KV("key3", "lonely-l", ts(0)))
+      r.addData(KV("key1", "matched-r", ts(1)), KV("key4", "lonely-r", ts(0)))
+      q.processAllAvailable()
+      l.addData(KV("zzz", "wm", ts(100)))
+      r.addData(KV("zzz2", "wm", ts(100)))
+      q.processAllAvailable()
+      l.addData(KV("zzz", "wm2", ts(200)))
+      r.addData(KV("zzz2", "wm2", ts(200)))
+      q.processAllAvailable()
+      val got = s.table("band_full").as[(String, String)].collect().toSet
+      assert(got.contains(("matched-l", "matched-r")))
+      assert(got.contains(("lonely-l", null)), "unmatched left must null-pad")
+      assert(got.contains((null, "lonely-r")), "unmatched right must null-pad")
+    } finally q.stop()
+  }
+
   test("null-key records are dropped before joining (reference TopologiesTest.scala:288)") {
     val s = spark
     import s.implicits._
