@@ -115,6 +115,28 @@ object SparkEntry {
       |            x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) > 0 THEN 'en'
       |     ELSE 'und' END""".stripMargin
 
+  /** The ONE DuckDB mirror of [[TextAnalysis.qualityScore]] and its
+    * feature inputs, as a CTE pair `feat`,`q` over `toks` — `q` carries
+    * every feat column plus `quality`, so all quality-consuming oracles
+    * (t2, x20, c1, x33) read one definition that cannot drift. */
+  private val qualitySql =
+    """feat AS (
+      |  SELECT doc_id, text, t,
+      |    len(t)::BIGINT AS n_tokens,
+      |    round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(t, x -> len(x)::DOUBLE)),
+      |          (a, b) -> a + b) / greatest(len(t)::DOUBLE, 1.0), 4) AS avg_token_len,
+      |    round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))::DOUBLE
+      |          / greatest(len(t)::DOUBLE, 1.0), 4) AS stopword_ratio,
+      |    round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+      |          / greatest(length(text)::DOUBLE, 1.0), 4) AS punct_ratio
+      |  FROM toks),
+      |q AS (
+      |  SELECT *, round(greatest(least(
+      |      least(n_tokens::DOUBLE / 20.0, 1.0) * 0.5
+      |      + least(stopword_ratio * 4, 1.0) * 0.5
+      |      - punct_ratio, 1.0), 0.0), 4) AS quality
+      |  FROM feat)""".stripMargin
+
   /** Exact-decontamination oracle, shared by d9 and x30: the Bloom prune
     * is an optimization with zero false negatives, so the two queries'
     * outputs are identical by construction — one SQL string keeps that
@@ -1031,6 +1053,28 @@ object SparkEntry {
         .select("doc_id", "quality")
     }),
 
+    // VALUE-based quality quartiles for curriculum/tiered sampling, via
+    // the t12 histogram trick: rows collapse to a quality-value histogram
+    // (4-dec rounding bounds it at ≤10⁴+1 rows however big the corpus),
+    // one bounded global window reads off cumulative counts, docs pick up
+    // their tier through a broadcast join on the rounded value — the raw
+    // corpus never sorts globally and never shuffles for the window.
+    // Equal scores always land in the same tier (no row-ntile tie split)
+    "x33_quality_tiers" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      val hist = docs.groupBy("quality").agg(count(lit(1)).as("c"))
+      val winOrd = Window.orderBy("quality")
+      val tiers = hist
+        .withColumn("cum", sum("c").over(
+          winOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("c").over(
+          winOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("quality"),
+          ceil(col("cum") * lit(4.0) / col("n")).cast("long").as("tier"))
+      docs.join(broadcast(tiers), "quality").select("doc_id", "quality", "tier")
+    }),
+
     // vocabulary build + id encoding — the last step before training:
     // the top-V words by (count desc, word) become ids 1..V, every other
     // token maps to the UNK id 0, and each doc is encoded as its id
@@ -1276,6 +1320,30 @@ object SparkEntry {
         DedupOps.minhashLsh(docs, "doc_id", "text"))
     }),
 
+    // LSH calibration QA: per candidate pair, the signature-ESTIMATED
+    // Jaccard (agreeing-hash fraction) vs the exact distinct-shingle
+    // Jaccard — the check that says whether 12 hashes / 4 bands can be
+    // trusted before scaling d2's recall claims. Estimation is pure
+    // arithmetic on d2's existing signature rows (two doc_id-keyed
+    // joins); exact reuses d3's audited verify core
+    "d16_minhash_calibration" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", 12)
+      val pairs = DedupOps.lshCandidatePairs(DedupOps.lshBands(sigs, 12, 3))
+      val la = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "a" else s"a_$c"): _*)
+      val lb = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "b" else s"b_$c"): _*)
+      val agree = (0 until 12)
+        .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = pairs.join(la, "a").join(lb, "b")
+        .select(col("a"), col("b"),
+          round(agree.cast("double") / lit(12.0), 6).as("est_jaccard"))
+      est.join(DedupOps.ngramJaccard(docs, "doc_id", "text", pairs), Seq("a", "b"))
+        .select(col("a"), col("b"), col("est_jaccard"),
+          col("jaccard").as("exact_jaccard"),
+          round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
+    }),
+
     // the dedup DECISION: near-dup pairs → clusters → keep exactly the
     // minimum doc id per cluster (cluster_id IS the min reachable id, so
     // survivors are the doc_id == cluster_id rows) — the surviving corpus
@@ -1376,6 +1444,30 @@ object SparkEntry {
         md5(clean).as("norm_digest"),
         length(col("text")).cast("long").as("n_raw"),
         length(clean).cast("long").as("n_clean"))
+    }),
+
+    // Zipf rank-frequency fit over the top-1000 vocabulary: OLS slope of
+    // ln(count) on ln(rank) — the corpus-health statistic that flags
+    // synthetic/templated text (natural corpora sit near slope −1). The
+    // vocabulary is budget-bounded by the same TakeOrdered top-k as x22
+    // (never a global sort); ranking sorts ≤1000 rows; the OLS is one
+    // scalar aggregation over them
+    "t16_zipf" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(1000)
+      val ranked = counts.withColumn("r",
+        row_number().over(Window.orderBy(col("c").desc, col("w").asc)))
+      val pts = ranked.select(log(col("r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+      val sums = pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      sums.select(col("n").as("n_terms"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
     }),
 
     // sharded inverted index: (term, shard) → posting CSV. Sharding by
@@ -1950,22 +2042,9 @@ object SparkEntry {
 
     "t2_quality" ->
       s"""WITH $toksSql,
-        |feat AS (
-        |  SELECT doc_id, text, t,
-        |    len(t)::BIGINT AS n_tokens,
-        |    round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(t, x -> len(x)::DOUBLE)),
-        |          (a, b) -> a + b) / greatest(len(t)::DOUBLE, 1.0), 4) AS avg_token_len,
-        |    round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))::DOUBLE
-        |          / greatest(len(t)::DOUBLE, 1.0), 4) AS stopword_ratio,
-        |    round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
-        |          / greatest(length(text)::DOUBLE, 1.0), 4) AS punct_ratio
-        |  FROM toks)
-        |SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, punct_ratio,
-        |  round(greatest(least(
-        |    least(n_tokens::DOUBLE / 20.0, 1.0) * 0.5
-        |    + least(stopword_ratio * 4, 1.0) * 0.5
-        |    - punct_ratio, 1.0), 0.0), 4) AS quality
-        |FROM feat""".stripMargin,
+        |$qualitySql
+        |SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, punct_ratio, quality
+        |FROM q""".stripMargin,
 
     "t3_token_count" ->
       """SELECT doc_id,
@@ -2081,24 +2160,23 @@ object SparkEntry {
 
     "x20_quality_sample" ->
       s"""WITH $toksSql,
-        |feat AS (
-        |  SELECT doc_id,
-        |    len(t)::BIGINT AS n_tokens,
-        |    round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))::DOUBLE
-        |          / greatest(len(t)::DOUBLE, 1.0), 4) AS stopword_ratio,
-        |    round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
-        |          / greatest(length(text)::DOUBLE, 1.0), 4) AS punct_ratio
-        |  FROM toks),
-        |q AS (
-        |  SELECT doc_id,
-        |    round(greatest(least(
-        |      least(n_tokens::DOUBLE / 20.0, 1.0) * 0.5
-        |      + least(stopword_ratio * 4, 1.0) * 0.5
-        |      - punct_ratio, 1.0), 0.0), 4) AS quality
-        |  FROM feat)
+        |$qualitySql
         |SELECT doc_id, quality FROM q
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
         |      < floor(quality * 1000000)::BIGINT""".stripMargin,
+
+    "x33_quality_tiers" ->
+      s"""WITH $toksSql,
+        |$qualitySql,
+        |hist AS (SELECT quality, count(*) AS c FROM q GROUP BY 1),
+        |cumt AS (
+        |  SELECT quality,
+        |    sum(c) OVER (ORDER BY quality
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS n
+        |  FROM hist)
+        |SELECT q.doc_id, q.quality, ceil(cumt.cum * 4.0 / cumt.n)::BIGINT AS tier
+        |FROM q JOIN cumt USING (quality)""".stripMargin,
 
     "x19_source_mixture" ->
       """WITH c AS (
@@ -2286,6 +2364,38 @@ object SparkEntry {
         |JOIN sizes na ON na.doc_id = p.a
         |JOIN sizes nb ON nb.doc_id = p.b
         |LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b""".stripMargin,
+
+    // the agreement sum is generated from the same 0..11 index range as
+    // the Scala side, over minhashCandSql's mh CTE — constants can't fork
+    "d16_minhash_calibration" -> {
+      val agreeSql = (0 until 12)
+        .map(i => s"(CASE WHEN ma.mh$i = mb.mh$i THEN 1 ELSE 0 END)")
+        .mkString("\n        + ")
+      s"""WITH $toksSql,
+        |$minhashCandSql,
+        |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |inter AS (
+        |  SELECT p.a, p.b, count(*) AS i
+        |  FROM cand p
+        |  JOIN shd sa ON sa.doc_id = p.a
+        |  JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT p.a AS a, p.b AS b,
+        |    round(($agreeSql)::DOUBLE / 12.0, 6) AS est_jaccard,
+        |    round(coalesce(i, 0)::DOUBLE /
+        |          (na.n + nb.n - coalesce(i, 0))::DOUBLE, 6) AS exact_jaccard
+        |  FROM cand p
+        |  JOIN mh ma ON ma.doc_id = p.a
+        |  JOIN mh mb ON mb.doc_id = p.b
+        |  JOIN sizes na ON na.doc_id = p.a
+        |  JOIN sizes nb ON nb.doc_id = p.b
+        |  LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b)
+        |SELECT a, b, est_jaccard, exact_jaccard,
+        |  round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+        |FROM scored""".stripMargin
+    },
 
     "d12_dedup_keep" ->
       s"""WITH RECURSIVE $toksSql,
@@ -2598,6 +2708,23 @@ object SparkEntry {
         |  length(clean)::BIGINT AS n_clean
         |FROM n""".stripMargin,
 
+    // explicit OLS sums (not regr_slope) so both engines evaluate the
+    // same closed form; sums of ≤1000 doubles round safely at 6
+    "t16_zipf" ->
+      s"""WITH $toksSql,
+        |wc AS (SELECT w, count(*) AS c
+        |       FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |top AS (SELECT c, w FROM wc ORDER BY c DESC, w LIMIT 1000),
+        |ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM top),
+        |pts AS (SELECT ln(r::DOUBLE) AS x, ln(c::DOUBLE) AS y FROM ranked),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
+        |SELECT n AS n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+        |    AS intercept
+        |FROM s""".stripMargin,
+
     "x9_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1""".stripMargin,
@@ -2701,21 +2828,7 @@ object SparkEntry {
 
     "c1_curation" ->
       s"""WITH $toksSql,
-        |feat AS (
-        |  SELECT doc_id, text, t,
-        |    len(t)::BIGINT AS n_tokens,
-        |    round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))::DOUBLE
-        |          / greatest(len(t)::DOUBLE, 1.0), 4) AS stopword_ratio,
-        |    round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
-        |          / greatest(length(text)::DOUBLE, 1.0), 4) AS punct_ratio
-        |  FROM toks),
-        |q AS (
-        |  SELECT doc_id, text, t, stopword_ratio,
-        |    round(greatest(least(
-        |      least(n_tokens::DOUBLE / 20.0, 1.0) * 0.5
-        |      + least(stopword_ratio * 4, 1.0) * 0.5
-        |      - punct_ratio, 1.0), 0.0), 4) AS quality
-        |  FROM feat),
+        |$qualitySql,
         |en AS (
         |  SELECT doc_id, text, quality FROM q
         |  WHERE quality >= 0.5
