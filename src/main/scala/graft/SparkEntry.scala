@@ -657,6 +657,15 @@ object SparkEntry {
         centroids = Some(fitted))
     }),
 
+    // silhouette-style cell QA over the FITTED index: per-cell cohesion
+    // (avg sim to own centroid) and margin (avg own-vs-best-other gap) —
+    // the check that says whether (k, nprobe) can be trusted before an
+    // IVF rollout. Per-vector top-2 sorts a k-element literal array
+    // inside the row; the only exchange is the ≤k-row cell aggregation
+    "s8_cluster_quality" -> ((s, dir) =>
+      SimilarityOps.clusterQuality(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 8, iters = 3)),
+
     // first-PC projection via power iteration — dimensionality reduction
     // before ANN/visualization; covariance is bounded driver state (d²),
     // the corpus pass is a zero-shuffle projection over literal arrays
@@ -1960,6 +1969,37 @@ object SparkEntry {
 
     "s4_ivf_topk" ->
       kmeansIvfOracleSql(k = 8, iters = 3, queryMax = 20, nprobe = 4, topN = 5),
+
+    // same Lloyd replay as s7/s4, then per-vector assigned-vs-best-other
+    // rounded sims; the encoded argmax is the one s3/s4 already prove
+    "s8_cluster_quality" ->
+      s"""WITH ${kmeansCtes(8, 3)},
+        |cf AS (
+        |  SELECT cid, cv,
+        |    sqrt(list_reduce(list_transform(cv, x -> x::DOUBLE * x::DOUBLE),
+        |         (a, b) -> a + b)) AS cn
+        |  FROM c3),
+        |scoredv AS (
+        |  SELECT v.vid, cid,
+        |    round(list_reduce(list_transform(range(1, len(v.vv) + 1),
+        |            i -> v.vv[i]::DOUBLE * cv[i]::DOUBLE),
+        |          (x, y) -> x + y) / (v.vn * cn), 6) AS sim,
+        |    round(round(list_reduce(list_transform(range(1, len(v.vv) + 1),
+        |            i -> v.vv[i]::DOUBLE * cv[i]::DOUBLE),
+        |          (x, y) -> x + y) / (v.vn * cn), 6) * 1000000)::BIGINT * 100
+        |      - cid AS s
+        |  FROM v, cf),
+        |assign AS (SELECT vid, arg_max(cid, s) AS cid FROM scoredv GROUP BY 1),
+        |ab AS (
+        |  SELECT sv.vid, a.cid,
+        |    max(CASE WHEN sv.cid = a.cid THEN sv.sim END) AS asim,
+        |    max(CASE WHEN sv.cid <> a.cid THEN sv.sim END) AS bsim
+        |  FROM scoredv sv JOIN assign a ON a.vid = sv.vid
+        |  GROUP BY 1, 2)
+        |SELECT cid AS centroid_id, count(*)::BIGINT AS n_vecs,
+        |  round(avg(asim), 6) AS cohesion,
+        |  round(avg(asim - bsim), 6) AS margin
+        |FROM ab GROUP BY 1""".stripMargin,
 
     "d8_semantic_dedup" ->
       """WITH v AS (

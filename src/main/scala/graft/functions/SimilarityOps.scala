@@ -187,6 +187,43 @@ object SimilarityOps {
     cLocal.map { case (cid, cv, _) => (cid, cv) }.toDF("cid", "cv")
   }
 
+  /** Per-cell cluster-quality QA over a fitted k-means index: for every
+    * vector, `asim` = rounded cosine to its ASSIGNED centroid and `bsim`
+    * = best rounded cosine to any OTHER centroid, aggregated per cell as
+    * cohesion (avg asim) and margin (avg asim − bsim) — the
+    * silhouette-style check that says whether (k, nprobe) can be trusted
+    * before an IVF rollout, and which cells are too weak to prune by.
+    *
+    * Assignment reuses the encoded argmax ([[scoredCellStructs]]'
+    * similarity×100−cid bigint) so it can never disagree with
+    * [[ivfAssign]]/the SQL oracle; the per-vector top-2 is a sort of the
+    * k-element literal-scored array INSIDE one row — pure map-side. The
+    * only exchange is the final ≤k-row cell aggregation (map-side
+    * partials). */
+  def clusterQuality(vecs: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int): DataFrame = {
+    require(k >= 2, "margin needs at least two centroids")
+    val v = withNorm(vecs, vecCol)
+    val fitted = kmeansFit(vecs, idCol, vecCol, k, iters)
+    val cLocal = collectCentroids(centroidTable(v, idCol, vecCol, k, Some(fitted)))
+    val scored = cLocal.map { case (cid, cv, cn) =>
+      struct(
+        (round(cosine(col(vecCol), typedLit(cv), col("nrm"), lit(cn)) * 1000000, 0)
+          .cast("long") * 100 - lit(cid)).as("s"),
+        lit(cid).as("cid"),
+        round(cosine(col(vecCol), typedLit(cv), col("nrm"), lit(cn)), 6).as("sim"))
+    }
+    val arr = sort_array(array(scored: _*), asc = false)
+    v.select(
+        element_at(arr, 1).getField("cid").as("centroid_id"),
+        element_at(arr, 1).getField("sim").as("asim"),
+        element_at(arr, 2).getField("sim").as("bsim"))
+      .groupBy("centroid_id").agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg("asim"), 6).as("cohesion"),
+        round(avg(col("asim") - col("bsim")), 6).as("margin"))
+  }
+
   /** First-principal-component projection of an embedding column — the
     * dimensionality-reduction step an embedding pipeline runs before
     * ANN indexing or visualization. Power iteration on the covariance

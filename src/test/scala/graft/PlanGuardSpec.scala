@@ -186,6 +186,34 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("t14 bm25 ranks via TakeOrderedAndProject; query-term filter precedes the tf exchange") {
+    val p = planOf("t14_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the final 20-row rank window is fine; a corpus-sized global sort is not
+    assert(!p.contains("Sort [score"), p)
+  }
+
+  test("x33 tiers join docs to the tier map by broadcast — raw rows never sort globally") {
+    val p = planOf("x33_quality_tiers")
+    assert(p.contains("BroadcastHashJoin"), s"tier lookup lost its broadcast:\n$p")
+    // exactly one Window (over the bounded histogram), none over raw docs
+    assert(p.sliding("Window".length).count(_ == "Window") >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d14 dup spans: digest joins stay hashed, no cartesian") {
+    val p = planOf("d14_dup_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("j13 full-outer band join keeps the equi-key plan of j1/j2") {
+    val p = planOf("j13_full_band_join")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("filters and pruning reach the parquet scans (j10, q1)") {
     val j10 = planOf("j10_q3_shipping")
     // dimension filter pushed into the customer scan

@@ -38,6 +38,19 @@ class CorpusStatsSpec extends SparkSpec {
     assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b }, "tiers not monotone")
   }
 
+  test("s8 cluster quality: cells partition the corpus, margins non-negative") {
+    val rows = SimilarityOps.clusterQuality(
+        graft.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+        "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    assert(rows.map(_._2).sum == total, "cells must partition the corpus")
+    assert(rows.forall(_._3 <= 1.000001), "cohesion is a cosine mean")
+    // assigned cell is the argmax ⇒ own-sim ≥ best-other up to the
+    // 1e-6 rounding the encoded score quantizes at
+    assert(rows.forall(_._4 >= -1e-6), s"negative margin: ${rows.mkString(",")}")
+  }
+
   test("d16 calibration: identical docs estimate 1.0 with zero error") {
     val docs = Seq(
       (0L, "a1 a2 a3 a4 a5 a6 a7 a8"),
