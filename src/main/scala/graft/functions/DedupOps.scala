@@ -396,13 +396,29 @@ object DedupOps {
                shingleN: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy("doc_id").orderBy("pos")
+    // tokens MUST be a materialized column before entering ngrams' HOF
+    // lambda — a captured tokens(text) expression re-evaluates per
+    // position (~|doc| tokenizer runs per row; measured 3× the whole
+    // query's cost at sf0.1), the exact trap shingleRows documents
     val pos = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(TextAnalysis.ngrams(TextAnalysis.tokens(col(textCol)), shingleN)))
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), posexplode(TextAnalysis.ngrams(col("__t"), shingleN)))
       .select(col("doc_id"), col("pos"), md5(col("col")).as("shh"))
-    val dupDigests = pos.groupBy("shh").agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= 2).select("shh")
-    val covered = pos.join(dupDigests, "shh").select("doc_id", "pos")
+    // occurrence counts via a digest-keyed window rather than
+    // groupBy + join-back: the join form plans the explode+md5 subtree
+    // TWICE (once under the digest aggregate, once as the probe side —
+    // no exchange to reuse when the dup side broadcasts), and the
+    // tokenize/ngram/md5 pass is the dominant cost (measured ~2× query
+    // time at sf0.1). The window shuffles the same position rows the
+    // aggregate's partial-agg barely shrinks (positions are mostly
+    // unique), sorts within digest groups that are occurrence-sized, and
+    // reads the corpus ONCE. Caveat at 100 TB: a pathologically hot
+    // digest (boilerplate duplicated millions of times) buffers its
+    // group in one window partition — WindowExec spills, but if that
+    // regime is expected, pre-collapse to (shh, doc_id) first.
+    val covered = pos
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("shh")))
+      .filter(col("occ") >= 2).select("doc_id", "pos")
     covered
       .withColumn("brk",
         when(col("pos") - lag("pos", 1).over(win) <= shingleN, 0).otherwise(1))
