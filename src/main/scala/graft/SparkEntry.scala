@@ -298,7 +298,17 @@ object SparkEntry {
     * centroid table, same rounded-cosine score encoding throughout. */
   private def kmeansIvfOracleSql(k: Int, iters: Int, queryMax: Int,
                                  nprobe: Int, topN: Int): String =
-    s"""WITH ${kmeansCtes(k, iters)},
+    s"""WITH ${kmeansIvfRankedCtes(k, iters, queryMax, nprobe)}
+       |SELECT query_id, rank, neighbor_id, sim FROM ivfr
+       |WHERE rank <= $topN""".stripMargin
+
+  /** The fit + assign + probe + rank chain of [[kmeansIvfOracleSql]] as
+    * composable CTEs ending in `ivfr` (query_id, neighbor_id, sim, rank)
+    * — shared by s4 (top-k projection) and s9 (recall vs brute force) so
+    * the replayed IVF search cannot fork between them. */
+  private def kmeansIvfRankedCtes(k: Int, iters: Int, queryMax: Int,
+                                  nprobe: Int): String =
+    s"""${kmeansCtes(k, iters)},
        |c AS (
        |  SELECT cid, cv,
        |    sqrt(list_reduce(list_transform(cv, x -> x::DOUBLE * x::DOUBLE),
@@ -329,13 +339,12 @@ object SparkEntry {
        |  JOIN assign a ON a.cid = p.cid
        |  JOIN v n ON n.vid = a.vid
        |  JOIN v q ON q.vid = p.query_id
-       |  WHERE a.vid <> p.query_id)
-       |SELECT query_id, rank, neighbor_id, sim FROM (
+       |  WHERE a.vid <> p.query_id),
+       |ivfr AS (
        |  SELECT query_id, neighbor_id, sim,
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
-       |  FROM scored)
-       |WHERE rank <= $topN""".stripMargin
+       |  FROM scored)""".stripMargin
 
   // ---- flagship ----------------------------------------------------------
 
@@ -666,6 +675,31 @@ object SparkEntry {
       SimilarityOps.clusterQuality(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = 8, iters = 3)),
 
+    // recall@k — ANN QA as a first-class operator: the fitted-IVF top-5
+    // (s4's exact composition) against brute-force truth (s1's shape) per
+    // query. Both sides are audited shapes; the comparison is a
+    // query-keyed semi join over ≤ k·|queries| ranked rows
+    "s9_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val fitted = SimilarityOps.kmeansFit(emb, "vec_id", "embedding",
+        k = 8, iters = 3)
+      val ivf = SimilarityOps.ivfTopK(emb, "vec_id", "embedding", k = 8,
+        queryPred = col("vec_id") < 20, nprobe = 4, topN = 5,
+        centroids = Some(fitted))
+      val brute = SimilarityOps.bruteTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 20, 5)
+      val hits = brute.select("query_id", "neighbor_id")
+        .join(ivf.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      brute.groupBy("query_id").agg(count(lit(1)).as("k"))
+        .join(hits, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") / col("k"), 6)
+            .as("recall"))
+    }),
+
     // first-PC projection via power iteration — dimensionality reduction
     // before ANN/visualization; covariance is bounded driver state (d²),
     // the corpus pass is a zero-shuffle projection over literal arrays
@@ -824,6 +858,26 @@ object SparkEntry {
         round(expr("percentile(value, 0.5)"), 4).as("p50"),
         round(expr("percentile(value, 0.9)"), 4).as("p90"),
         round(expr("percentile(value, 0.99)"), 4).as("p99"))),
+
+    // robust outlier audit per event type: median + MAD (the
+    // quantile-based dispersion that one corrupt feed can't drag the way
+    // it drags stddev), then the count of values beyond med ± 3·MAD.
+    // Two group-bounded percentile aggregations + one conditional count —
+    // the med/MAD table is |event types| rows and broadcasts back
+    "x34_mad_outliers" -> ((s, dir) => {
+      val med = ev(s, dir).groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+      val mad = ev(s, dir).join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(round(expr("percentile(abs(round(value - med, 4)), 0.5)"), 4).as("mad"),
+          first("med").as("med"))
+      ev(s, dir).join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(first("med").as("med"), first("mad").as("mad"),
+          count(lit(1)).as("n"),
+          count(when(abs(round(col("value") - col("med"), 4)) >
+            col("mad") * 3, 1)).as("n_outliers"))
+    }),
 
     // end-to-end curation pipeline: language filter → quality gate →
     // exact-dedup to the min-id representative → deterministic 50%
@@ -1970,6 +2024,33 @@ object SparkEntry {
     "s4_ivf_topk" ->
       kmeansIvfOracleSql(k = 8, iters = 3, queryMax = 20, nprobe = 4, topN = 5),
 
+    // the shared ivfr CTE chain (s4's replay) joined against a brute
+    // ranking built from the same v CTE — one fit, two rankings, recall
+    "s9_ann_recall" ->
+      s"""WITH ${kmeansIvfRankedCtes(8, 3, 20, 4)},
+        |bscored AS (
+        |  SELECT q.vid AS query_id, n.vid AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1, len(q.vv) + 1),
+        |            i -> q.vv[i]::DOUBLE * n.vv[i]::DOUBLE),
+        |          (x, y) -> x + y) / (q.vn * n.vn), 6) AS sim
+        |  FROM v q JOIN v n ON q.vid < 20 AND q.vid <> n.vid),
+        |bruter AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM bscored),
+        |bk AS (SELECT query_id, count(*)::BIGINT AS k
+        |       FROM bruter WHERE rank <= 5 GROUP BY 1),
+        |hits AS (
+        |  SELECT b.query_id, count(*)::BIGINT AS hits
+        |  FROM (SELECT query_id, neighbor_id FROM bruter WHERE rank <= 5) b
+        |  JOIN (SELECT query_id, neighbor_id FROM ivfr WHERE rank <= 5) i
+        |    USING (query_id, neighbor_id)
+        |  GROUP BY 1)
+        |SELECT bk.query_id, coalesce(hits, 0)::BIGINT AS hits,
+        |  round(coalesce(hits, 0)::DOUBLE / bk.k, 6) AS recall
+        |FROM bk LEFT JOIN hits USING (query_id)""".stripMargin,
+
     // same Lloyd replay as s7/s4, then per-vector assigned-vs-best-other
     // rounded sims; the encoded argmax is the one s3/s4 already prove
     "s8_cluster_quality" ->
@@ -2843,6 +2924,22 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type FROM h
         |WHERE b < CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 5
         |          WHEN 'error' THEN 0 WHEN 'purchase' THEN 100 ELSE 25 END""".stripMargin,
+
+    "x34_mad_outliers" ->
+      s"""WITH $evSql,
+        |med AS (SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        |        FROM ev GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type,
+        |    round(quantile_cont(abs(round(value - med, 4)), 0.5), 4) AS mad,
+        |    max(med) AS med
+        |  FROM ev e JOIN med USING (event_type) GROUP BY 1)
+        |SELECT e.event_type, max(m.med) AS med, max(m.mad) AS mad,
+        |  count(*)::BIGINT AS n,
+        |  count(CASE WHEN abs(round(value - m.med, 4)) > m.mad * 3 THEN 1 END)::BIGINT
+        |    AS n_outliers
+        |FROM ev e JOIN mad m USING (event_type)
+        |GROUP BY 1""".stripMargin,
 
     "t5_quantiles" ->
       """SELECT event_type,

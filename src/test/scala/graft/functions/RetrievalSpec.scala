@@ -88,6 +88,24 @@ class RetrievalSpec extends SparkSpec {
     assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1, p)
   }
 
+  test("x31 gaps-and-islands sessionizer ≡ Spark's built-in session_window") {
+    // boundary alignment: session_window(gap) merges on STRICT overlap
+    // (new session when diff ≥ gap), x31 splits on diff > 300 — so the
+    // equivalent built-in gap is 301 s
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val builtin = ev
+      .groupBy(session_window(timestamp_seconds(col("ts_sec")), "301 seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min("ts_sec").as("start_sec"),
+        max("ts_sec").as("end_sec"))
+      .select("user_id", "start_sec", "end_sec", "n_events")
+    val ours = graft.SparkEntry.queries("x31_sessionize")(spark, "/root/testdata/sf0.001")
+      .select("user_id", "start_sec", "end_sec", "n_events")
+    assert(ours.exceptAll(builtin).isEmpty && builtin.exceptAll(ours).isEmpty,
+      "gaps-and-islands sessions disagree with session_window")
+    assert(builtin.count() > 0)
+  }
+
   test("x31 sessionize splits on gap > 300 and aggregates per session") {
     val ev = Seq(
       ("u1", 1L, 100L, 1.0), ("u1", 2L, 350L, 2.0),  // gap 250 ≤ 300: same session
