@@ -879,6 +879,38 @@ object SparkEntry {
             col("mad") * 3, 1)).as("n_outliers"))
     }),
 
+    // grouped bivariate stats: Pearson corr + sample covariance of the
+    // event value against its JSON payload field, per event type — the
+    // feature-drift / feature-leakage audit over a wide fact table. One
+    // partial-aggregated exchange of |event types| co-moment rows
+    "x35_group_stats" -> ((s, dir) =>
+      ev(s, dir).select(col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("double").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(corr("value", "k"), 6).as("corr_vk"),
+          round(covar_samp("value", "k"), 6).as("covar_vk"),
+          round(stddev_samp("value"), 6).as("sd_value"),
+          round(avg("k"), 6).as("avg_k"))),
+
+    // per-user exponentially-decayed engagement: Σ value·α^(age) with
+    // age in events-from-latest — the recency-weighted activity score
+    // ranking/freshness systems keep per entity. Two window functions
+    // and the final aggregate all share ONE hash(user_id) exchange
+    "x36_ewma_decay" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+      val ordered = byUser.orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("value"),
+          row_number().over(ordered).as("rn"),
+          count(lit(1)).over(byUser).as("cnt"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value") * pow(lit(0.9), col("cnt") - col("rn"))), 4)
+            .as("decayed_sum"),
+          max(when(col("rn") === col("cnt"), col("value"))).as("last_value"))
+    }),
+
     // end-to-end curation pipeline: language filter → quality gate →
     // exact-dedup to the min-id representative → deterministic 50%
     // downsample. One pass of map-side scoring, one digest-keyed shuffle
@@ -1531,6 +1563,20 @@ object SparkEntry {
       sums.select(col("n").as("n_terms"),
         round(slope, 6).as("slope"),
         round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+    }),
+
+    // PII / identifier scrub — the redaction pass before text ships to
+    // training. The line under test is a contact-card shape assembled
+    // from customer fields: the name carries a 9-digit id (always
+    // masked) while the cents-scaled balance is a 1..7-digit run, so the
+    // ≥5-digit rule acts selectively, not as a constant rewrite. A chain
+    // of codegen'd regexp_replaces: pure map-side, zero shuffles
+    "t17_pii_scrub" -> ((s, dir) => {
+      val line = concat_ws(" ", col("c_name"), col("c_mktsegment"),
+        abs(floor(col("c_acctbal") * 100)).cast("string"))
+      Tables.customer(s, dir).select(col("c_custkey"),
+        TextAnalysis.scrubPii(line).as("clean"),
+        TextAnalysis.piiHits(line, "[0-9]{5,}").as("n_ids"))
     }),
 
     // sharded inverted index: (term, shard) → posting CSV. Sharding by
@@ -2940,6 +2986,39 @@ object SparkEntry {
         |    AS n_outliers
         |FROM ev e JOIN mad m USING (event_type)
         |GROUP BY 1""".stripMargin,
+
+    "x35_group_stats" ->
+      """WITH e AS (SELECT event_type, value,
+        |    json_extract_string(props, '$.k')::DOUBLE AS k FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  round(corr(value, k), 6) AS corr_vk,
+        |  round(covar_samp(value, k), 6) AS covar_vk,
+        |  round(stddev_samp(value), 6) AS sd_value,
+        |  round(avg(k), 6) AS avg_k
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "x36_ewma_decay" ->
+      s"""WITH $evSql,
+        |r AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM ev)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  round(sum(value * pow(0.9, cnt - rn)), 4) AS decayed_sum,
+        |  max(CASE WHEN rn = cnt THEN value END) AS last_value
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "t17_pii_scrub" ->
+      """WITH c AS (SELECT c_custkey,
+        |    concat_ws(' ', c_name, c_mktsegment,
+        |      abs(floor(c_acctbal * 100))::BIGINT::VARCHAR) AS line
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(line,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{5,}', '<ID>', 'g') AS clean,
+        |  len(regexp_extract_all(line, '[0-9]{5,}'))::INT AS n_ids
+        |FROM c""".stripMargin,
 
     "t5_quantiles" ->
       """SELECT event_type,

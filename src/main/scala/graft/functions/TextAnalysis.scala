@@ -132,4 +132,26 @@ object TextAnalysis {
     * should hash — punctuation/casing variants collapse to one digest. */
   def asciiClean(norm: Column): Column =
     regexp_replace(norm, "[^a-z0-9 ]", "")
+
+  /** Default redaction rules for [[scrubPii]], applied in order: email-
+    * shaped tokens first (so their digit parts aren't half-eaten by the
+    * id rule), then digit runs of ≥5 (account/phone-like identifiers;
+    * 4-digit years survive). Patterns stay on the Java∩RE2 regex common
+    * ground so the DuckDB oracle replays them identically. */
+  val piiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{5,}" -> "<ID>")
+
+  /** PII / identifier scrub — the redaction pass a corpus takes before
+    * text ships to training. Each (pattern → replacement) rule rewrites
+    * every match (global), rules compose left to right. A chain of
+    * codegen'd `regexp_replace`s: pure map-side, zero shuffles, and at
+    * 100 TB the cost is one streaming pass over the text column. */
+  def scrubPii(text: Column, rules: Seq[(String, String)] = piiRules): Column =
+    rules.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Count of matches a single [[scrubPii]] rule would redact — the
+    * audit signal (how much PII per source/segment) next to the rewrite. */
+  def piiHits(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
 }
