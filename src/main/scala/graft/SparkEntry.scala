@@ -879,6 +879,27 @@ object SparkEntry {
             col("mad") * 3, 1)).as("n_outliers"))
     }),
 
+    // declarative data-quality gate (Deequ-shaped): completeness,
+    // uniqueness, domain, and bound constraints evaluated in ONE
+    // aggregation pass — the audit a 100 TB ingest runs before a corpus
+    // is admitted. Output: one (check_name, metric, passed) row per check
+    "x37_dq_report" -> ((s, dir) => {
+      import graft.functions.DataQuality.{Check, report}
+      report(ev(s, dir), Seq(
+        Check("value_complete",
+          avg(when(col("value").isNotNull, 1.0d).otherwise(0.0d)),
+          _ === 1.0d),
+        Check("event_id_unique",
+          count(lit(1)) - countDistinct(col("event_id")),
+          _ === 0.0d),
+        Check("type_in_domain",
+          sum(when(!col("event_type")
+            .isin("click", "view", "error", "purchase"), 1L).otherwise(0L)),
+          _ === 0.0d),
+        Check("value_nonnegative", min(col("value")), _ >= 0.0d),
+        Check("user_id_lower_bound", min(col("user_id")), _ >= 0.0d)))
+    }),
+
     // grouped bivariate stats: Pearson corr + sample covariance of the
     // event value against its JSON payload field, per event type — the
     // feature-drift / feature-leakage audit over a wide fact table. One
@@ -2986,6 +3007,22 @@ object SparkEntry {
         |    AS n_outliers
         |FROM ev e JOIN mad m USING (event_type)
         |GROUP BY 1""".stripMargin,
+
+    "x37_dq_report" ->
+      """WITH m AS (SELECT
+        |    avg(CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END)::DOUBLE AS m0,
+        |    (count(*) - count(DISTINCT event_id))::DOUBLE AS m1,
+        |    sum(CASE WHEN event_type NOT IN ('click','view','error','purchase')
+        |        THEN 1 ELSE 0 END)::DOUBLE AS m2,
+        |    min(value)::DOUBLE AS m3,
+        |    min(user_id)::DOUBLE AS m4
+        |  FROM events)
+        |SELECT 'value_complete' AS check_name, round(m0, 6) AS metric,
+        |       m0 = 1.0 AS passed FROM m
+        |UNION ALL SELECT 'event_id_unique', round(m1, 6), m1 = 0.0 FROM m
+        |UNION ALL SELECT 'type_in_domain', round(m2, 6), m2 = 0.0 FROM m
+        |UNION ALL SELECT 'value_nonnegative', round(m3, 6), m3 >= 0.0 FROM m
+        |UNION ALL SELECT 'user_id_lower_bound', round(m4, 6), m4 >= 0.0 FROM m""".stripMargin,
 
     "x35_group_stats" ->
       """WITH e AS (SELECT event_type, value,
