@@ -211,41 +211,50 @@ object SparkEntry {
     * s4 fit+search oracle: `v` (vid, vv, vn), `dims`, and `c0 … c$iters`
     * centroid tables. NOT margin-stripped — embed in a larger
     * `stripMargin`'d query. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int): String =
+    kmeansCtesFor("", "embedding", k, iters)
+
+  /** [[kmeansCtes]] generalized to a NAME PREFIX and a vector
+    * expression, so several independent Lloyd chains can coexist in one
+    * query — the product-quantization oracle instantiates one chain per
+    * contiguous subspace slice. Prefix "" reproduces the original CTE
+    * names (`v`, `dims`, `c0…c$iters`) byte-for-byte. */
+  private def kmeansCtesFor(pfx: String, vecExpr: String, k: Int,
+                            iters: Int): String = {
     val iterBlocks = (1 to iters).map { j =>
       val p = j - 1
-      s"""c${p}n AS (
+      s"""${pfx}c${p}n AS (
          |  SELECT cid, cv,
          |    sqrt(list_reduce(list_transform(cv, x -> x::DOUBLE * x::DOUBLE),
          |         (a, b) -> a + b)) AS cn
-         |  FROM c$p),
-         |a$j AS (
+         |  FROM ${pfx}c$p),
+         |${pfx}a$j AS (
          |  SELECT vid, arg_max(cid, score) AS cid FROM (
          |    SELECT v.vid, cid,
          |      round(round(list_reduce(list_transform(range(1, len(v.vv) + 1),
          |              i -> v.vv[i]::DOUBLE * cv[i]::DOUBLE),
          |            (x, y) -> x + y) / (v.vn * cn), 6) * 1000000)::BIGINT * 100 - cid AS score
-         |    FROM v, c${p}n) GROUP BY 1),
-         |m$j AS (
+         |    FROM ${pfx}v v, ${pfx}c${p}n) GROUP BY 1),
+         |${pfx}m$j AS (
          |  SELECT cid, i AS pos, round(avg(x), 6)::FLOAT AS m FROM (
          |    SELECT a.cid, d.i, v.vv[d.i]::DOUBLE AS x
-         |    FROM a$j a JOIN v ON v.vid = a.vid
-         |    CROSS JOIN dims d)
+         |    FROM ${pfx}a$j a JOIN ${pfx}v v ON v.vid = a.vid
+         |    CROSS JOIN ${pfx}dims d)
          |  GROUP BY 1, 2),
-         |c$j AS (
+         |${pfx}c$j AS (
          |  SELECT p.cid, coalesce(f.cv, p.cv) AS cv
-         |  FROM c$p p LEFT JOIN (
-         |    SELECT cid, list(m ORDER BY pos) AS cv FROM m$j GROUP BY 1) f
+         |  FROM ${pfx}c$p p LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY pos) AS cv FROM ${pfx}m$j GROUP BY 1) f
          |    ON f.cid = p.cid)"""
     }.mkString(",\n")
-    s"""v AS (
-       |  SELECT vec_id AS vid, embedding AS vv,
-       |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+    s"""${pfx}v AS (
+       |  SELECT vec_id AS vid, $vecExpr AS vv,
+       |    sqrt(list_reduce(list_transform($vecExpr, x -> x::DOUBLE * x::DOUBLE),
        |         (a, b) -> a + b)) AS vn
        |  FROM embeddings),
-       |dims AS (SELECT unnest(range(1,
-       |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
-       |c0 AS (SELECT vid AS cid, vv AS cv FROM v WHERE vid < $k),
+       |${pfx}dims AS (SELECT unnest(range(1,
+       |  (SELECT max(len($vecExpr)) FROM embeddings) + 1)) AS i),
+       |${pfx}c0 AS (SELECT vid AS cid, vv AS cv FROM ${pfx}v WHERE vid < $k),
        |$iterBlocks"""
   }
 
@@ -345,6 +354,61 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
        |  FROM scored)""".stripMargin
+
+  /** DuckDB replay of the product-quantization family
+    * ([[SimilarityOps.pqEncode]]/[[SimilarityOps.pqTopK]]): one prefixed
+    * Lloyd chain per contiguous subspace slice (via [[kmeansCtesFor]]),
+    * final codebooks with sums-of-squares, per-subspace assignment with
+    * the same encoded argmax, and an `enc` table (vid, per-subspace
+    * codes + centroid vectors, reconstruction norm √Σ‖c_sub‖²). Shared
+    * by the s10 encode oracle and the s11 ADC-search oracle so the
+    * replayed codebooks cannot fork between them. */
+  private def pqCtes(m: Int, ksub: Int, iters: Int): String = {
+    def sliceExpr(s: Int) =
+      s"embedding[($s * (len(embedding) // $m) + 1):(($s + 1) * (len(embedding) // $m))]"
+    val chains = (0 until m)
+      .map(s => kmeansCtesFor(s"p${s}_", sliceExpr(s), ksub, iters))
+      .mkString(",\n")
+    val finals = (0 until m).map { s =>
+      s"""p${s}_cf AS (
+         |  SELECT cid, cv,
+         |    list_reduce(list_transform(cv, x -> x::DOUBLE * x::DOUBLE),
+         |      (a, b) -> a + b) AS ss,
+         |    sqrt(list_reduce(list_transform(cv, x -> x::DOUBLE * x::DOUBLE),
+         |      (a, b) -> a + b)) AS cn
+         |  FROM p${s}_c$iters),
+         |p${s}_asg AS (
+         |  SELECT vid, arg_max(cid, score) AS cid FROM (
+         |    SELECT v.vid, cid,
+         |      round(round(list_reduce(list_transform(range(1, len(v.vv) + 1),
+         |              i -> v.vv[i]::DOUBLE * cv[i]::DOUBLE),
+         |            (x, y) -> x + y) / (v.vn * cn), 6) * 1000000)::BIGINT * 100 - cid AS score
+         |    FROM p${s}_v v, p${s}_cf) GROUP BY 1)"""
+    }.mkString(",\n")
+    val cidCols = (0 until m).map(s => s"a$s.cid AS cid$s").mkString(", ")
+    val cvCols = (0 until m).map(s => s"c$s.cv AS cv$s").mkString(", ")
+    val ssSum = (0 until m).map(s => s"c$s.ss").mkString(" + ")
+    val asgJoins = (1 until m)
+      .map(s => s"|  JOIN p${s}_asg a$s ON a$s.vid = a0.vid").mkString("\n")
+    val cfJoins = (0 until m)
+      .map(s => s"|  JOIN p${s}_cf c$s ON c$s.cid = a$s.cid").mkString("\n")
+    s"""$chains,
+       |$finals,
+       |enc AS (
+       |  SELECT a0.vid, $cidCols, $cvCols, sqrt($ssSum) AS rn
+       |  FROM p0_asg a0
+       $asgJoins
+       $cfJoins)"""
+  }
+
+  /** The per-subspace ⟨q_sub, c_sub⟩ terms of the ADC score, as SQL over
+    * `q.vv` (full query vector) and `enc`'s centroid columns. */
+  private def pqDotSum(m: Int): String =
+    (0 until m).map { s =>
+      s"""list_reduce(list_transform(range(1, len(e.cv$s) + 1),
+         |      i -> q.vv[$s * (len(q.vv) // $m) + i]::DOUBLE * e.cv$s[i]::DOUBLE),
+         |    (x, y) -> x + y)""".stripMargin.replace("\n", "\n|    ")
+    }.mkString(" + ")
 
   // ---- flagship ----------------------------------------------------------
 
@@ -699,6 +763,24 @@ object SparkEntry {
           round(coalesce(col("hits"), lit(0L)).cast("double") / col("k"), 6)
             .as("recall"))
     }),
+
+    // product-quantization encode — the vector-compression step a 100 TB
+    // embedding corpus takes before ANN serving: 64 floats → 2 codebook
+    // ids + one reconstruction norm, assignment a map-side codegen'd
+    // argmax per subspace over the collected (m·ksub-row) codebooks —
+    // ZERO corpus shuffles
+    "s10_pq_codes" -> ((s, dir) =>
+      SimilarityOps.pqEncode(Tables.embeddings(s, dir), "vec_id", "embedding",
+        m = 2, ksub = 4, iters = 2)),
+
+    // PQ-ADC top-k search: exact query vector against quantized corpus
+    // reconstructions; cos decomposes per contiguous subspace, so every
+    // factor is a broadcast-literal codebook lookup — the corpus streams
+    // past the broadcast query table carrying only codes + one norm, and
+    // the only exchange is the bounded top-k aggregator
+    "s11_pq_topk" -> ((s, dir) =>
+      SimilarityOps.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        m = 2, ksub = 4, iters = 2, queryPred = col("vec_id") < 10, topN = 5)),
 
     // first-PC projection via power iteration — dimensionality reduction
     // before ANN/visualization; covariance is bounded driver state (d²),
@@ -2117,6 +2199,36 @@ object SparkEntry {
         |SELECT bk.query_id, coalesce(hits, 0)::BIGINT AS hits,
         |  round(coalesce(hits, 0)::DOUBLE / bk.k, 6) AS recall
         |FROM bk LEFT JOIN hits USING (query_id)""".stripMargin,
+
+    // per-subspace Lloyd replays + assignment + reconstruction norm,
+    // shared with s11 via the enc CTE so the codebooks cannot fork
+    "s10_pq_codes" ->
+      s"""WITH ${pqCtes(2, 4, 2)}
+        |SELECT vid AS vec_id, concat_ws(',', cid0, cid1) AS codes,
+        |  round(rn, 6) AS recon_norm
+        |FROM enc""".stripMargin,
+
+    // ADC scoring: Σ_s ⟨q_s, c_s(code)⟩ / (‖q‖·rn) over the same enc
+    // table, ranked per query with the s1/s4 tie-break convention
+    "s11_pq_topk" ->
+      s"""WITH ${pqCtes(2, 4, 2)},
+        |fv AS (
+        |  SELECT vec_id AS vid, embedding AS vv,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+        |         (a, b) -> a + b)) AS vn
+        |  FROM embeddings),
+        |q AS (SELECT vid AS query_id, vv, vn FROM fv WHERE vid < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vid AS neighbor_id,
+        |    round((${pqDotSum(2)}) / (q.vn * e.rn), 6) AS sim
+        |  FROM q JOIN enc e ON e.vid <> q.query_id),
+        |pqr AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, sim FROM pqr
+        |WHERE rank <= 5""".stripMargin,
 
     // same Lloyd replay as s7/s4, then per-vector assigned-vs-best-other
     // rounded sims; the encoded argmax is the one s3/s4 already prove

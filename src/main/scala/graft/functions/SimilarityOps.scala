@@ -483,4 +483,135 @@ object SimilarityOps {
     (0 until bits).map { i =>
       when(element_at(col(vecCol), i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  // ---- product quantization (Jégou et al., PAMI 2011 — public) ---------
+
+  /** One subspace codebook: (cid, vector, norm) triples ordered by cid
+    * plus each centroid's sum-of-squares (for reconstruction norms). */
+  private final case class PqBook(cents: Seq[(Long, Array[Float], Double)],
+                                  ss: Seq[Double])
+
+  /** Uniform embedding dimensionality, enforced (ragged vectors would
+    * silently mis-slice subspaces). */
+  private def uniformDim(vecs: DataFrame, vecCol: String): Int = {
+    val r = vecs.agg(min(size(col(vecCol))).as("mn"),
+      max(size(col(vecCol))).as("mx")).head()
+    require(!r.isNullAt(0) && r.getInt(0) == r.getInt(1),
+      s"product quantization needs a uniform dimension, got " +
+        s"[${if (r.isNullAt(0)) "∅" else r.getInt(0)}, " +
+        s"${if (r.isNullAt(1)) "∅" else r.getInt(1)}]")
+    r.getInt(0)
+  }
+
+  /** Per-subspace Lloyd fits for product quantization: subspace `s` is
+    * the contiguous slice `[s·(d/m)+1, (s+1)·(d/m)]` and its codebook is
+    * a [[kmeansFit]] over those subvectors (same init / rounded-cosine
+    * assignment / rounded-mean update conventions, so a SQL oracle can
+    * replay every chain). Returns one (cid, cv) centroid table per
+    * subspace. Fit cost is m small k-means runs — on a 100 TB corpus,
+    * fit on a sample and encode the full corpus once with [[pqEncode]]. */
+  def pqFit(vecs: DataFrame, idCol: String, vecCol: String, m: Int,
+            ksub: Int, iters: Int): Seq[DataFrame] = {
+    val d = uniformDim(vecs, vecCol)
+    require(m >= 1 && m <= 64 && d % m == 0,
+      s"need 1 <= m <= 64 dividing dim, got m=$m d=$d")
+    val w = d / m
+    (0 until m).map { s =>
+      kmeansFit(vecs.select(col(idCol),
+        slice(col(vecCol), s * w + 1, w).as("__sub")), idCol, "__sub", ksub, iters)
+    }
+  }
+
+  /** Collected (driver-side, m·ksub rows by contract) codebooks; norms
+    * and sums-of-squares come from the column expressions so the doubles
+    * match the SQL oracle's fold bit-for-bit. */
+  private def collectPqBooks(vecs: DataFrame, idCol: String, vecCol: String,
+                             m: Int, ksub: Int, iters: Int): (Int, Seq[PqBook]) = {
+    val d = uniformDim(vecs, vecCol)
+    require(m >= 1 && m <= 64 && d % m == 0,
+      s"need 1 <= m <= 64 dividing dim, got m=$m d=$d")
+    val w = d / m
+    val books = pqFit(vecs, idCol, vecCol, m, ksub, iters).map { fitted =>
+      val rows = fitted
+        .select(col("cid").cast("long"), col("cv"),
+          norm(col("cv")).cast("double"), dot(col("cv"), col("cv")).cast("double"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2),
+          r.getDouble(3)))
+        .sortBy(_._1)
+      require(rows.map(_._1).toSeq == (0L until ksub.toLong),
+        s"codebook ids must be exactly 0..${ksub - 1}")
+      PqBook(rows.toSeq.map(r => (r._1, r._2, r._3)), rows.toSeq.map(_._4))
+    }
+    (w, books)
+  }
+
+  /** Corpus rows with per-subspace code columns `__c0..` and the
+    * reconstruction norm `__rn` = √Σ‖c_sub‖² — all map-side expressions
+    * over the collected codebooks (assignment is [[nearestCellExpr]] per
+    * subspace): ZERO corpus shuffles to encode. */
+  private def pqEncoded(vecs: DataFrame, idCol: String, vecCol: String,
+                        w: Int, books: Seq[PqBook]): DataFrame = {
+    val m = books.size
+    val base = (0 until m).foldLeft(vecs.select(col(idCol), col(vecCol))) {
+      (df, s) =>
+        df.withColumn(s"__s$s", slice(col(vecCol), s * w + 1, w))
+          .withColumn(s"__n$s", norm(col(s"__s$s")))
+    }
+    val coded = (0 until m).foldLeft(base) { (df, s) =>
+      df.withColumn(s"__c$s",
+        nearestCellExpr(col(s"__s$s"), col(s"__n$s"), books(s).cents))
+    }
+    val rn = sqrt((0 until m).map { s =>
+      element_at(typedLit(books(s).ss), (col(s"__c$s") + 1).cast("int"))
+    }.reduce(_ + _))
+    coded.withColumn("__rn", rn)
+  }
+
+  /** Product-quantization encode — the vector-compression step a 100 TB
+    * embedding corpus takes before ANN serving: d floats reduce to m
+    * codebook ids (reported as a CSV string: engine-portable, no
+    * array-typed output) plus one reconstruction norm. Map-side only. */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String, m: Int,
+               ksub: Int, iters: Int): DataFrame = {
+    val (w, books) = collectPqBooks(vecs, idCol, vecCol, m, ksub, iters)
+    pqEncoded(vecs, idCol, vecCol, w, books)
+      .select(col(idCol).as("vec_id"),
+        concat_ws(",", (0 until m).map(s => col(s"__c$s").cast("string")): _*)
+          .as("codes"),
+        round(col("__rn"), 6).as("recon_norm"))
+  }
+
+  /** PQ-ADC top-k search: asymmetric distance — the EXACT query vector
+    * scored against quantized corpus reconstructions. Because subspaces
+    * are contiguous slices, cos(q, recon(x)) decomposes exactly:
+    * Σ_s ⟨q_s, c_s(code)⟩ / (‖q‖ · √Σ_s ‖c_s(code)‖²) — every factor is
+    * a lookup into the broadcast-literal codebooks, so the corpus streams
+    * past the broadcast query table carrying only its m codes + one norm
+    * (the PQ memory contract), and the only exchange is the bounded
+    * [[Aggregators.topK]]. Recall is governed by (m, ksub) exactly as in
+    * a production PQ index. */
+  def pqTopK(vecs: DataFrame, idCol: String, vecCol: String, m: Int,
+             ksub: Int, iters: Int, queryPred: Column, topN: Int): DataFrame = {
+    val (w, books) = collectPqBooks(vecs, idCol, vecCol, m, ksub, iters)
+    val enc = pqEncoded(vecs, idCol, vecCol, w, books)
+      .select(col(idCol).as("neighbor_id") +:
+        (0 until m).map(s => col(s"__c$s")) :+ col("__rn"): _*)
+    val q = withNorm(vecs, vecCol).filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
+    val dotSum = (0 until m).map { s =>
+      dot(slice(col("qv"), s * w + 1, w),
+        element_at(typedLit(books(s).cents.map(_._2.toSeq)),
+          (col(s"__c$s") + 1).cast("int")))
+    }.reduce(_ + _)
+    val topk = udaf(Aggregators.topK(topN), Encoders.product[ScoredHit])
+    enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotSum / (col("qn") * col("__rn")), 6).as("sim"))
+      .groupBy("query_id")
+      .agg(topk(col("sim"), col("neighbor_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.hits")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("sim"))
+  }
 }

@@ -214,6 +214,24 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s10 PQ encode is shuffle-free; s11 ADC search exchanges only the top-k") {
+    // encode: assignment + recon norm are map-side codebook lookups —
+    // the corpus must NOT be exchanged
+    val enc = plan(functions.SimilarityOps.pqEncode(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", 2, 4, 1))
+    assert(!enc.contains("Exchange"), enc)
+    // search: corpus streams past the BROADCAST query table (the scoring
+    // join is deliberately non-equi — query_id ≠ neighbor_id over a tiny
+    // query set — so it plans as BNLJ BuildRight, s1's established
+    // shape); the only exchanges are that broadcast and the bounded
+    // top-k aggregation (partial → final)
+    val p = planOf("s11_pq_topk")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2, p)
+  }
+
   test("filters and pruning reach the parquet scans (j10, q1)") {
     val j10 = planOf("j10_q3_shipping")
     // dimension filter pushed into the customer scan
