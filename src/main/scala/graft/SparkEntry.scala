@@ -961,6 +961,16 @@ object SparkEntry {
             col("mad") * 3, 1)).as("n_outliers"))
     }),
 
+    // Z-order (Morton) key — the multi-dimensional clustering key behind
+    // writeZOrdered's data-skipping layout: bit-interleave of two bounded
+    // dimensions, pure map-side integer arithmetic, zero shuffles
+    "x38_zorder_key" -> ((s, dir) => {
+      val du = pmod(col("user_id"), lit(1024L))
+      val dv = pmod(floor(col("value") * lit(100.0)).cast("long"), lit(1024L))
+      ev(s, dir).select(col("event_id"), du.as("du"), dv.as("dv"),
+        graft.sources.ZOrder.zValue(Seq(du, dv), 10).as("zkey"))
+    }),
+
     // declarative data-quality gate (Deequ-shaped): completeness,
     // uniqueness, domain, and bound constraints evaluated in ONE
     // aggregation pass — the audit a 100 TB ingest runs before a corpus
@@ -1541,6 +1551,18 @@ object SparkEntry {
           col("jaccard").as("exact_jaccard"),
           round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
     }),
+
+    // exact-threshold set-similarity join (AllPairs prefix filtering):
+    // perfect-recall candidates from rarest-token prefixes, exact
+    // token-set Jaccard verify, threshold filter — the deterministic
+    // complement to d2's MinHash blocking. Bounded slice by design: the
+    // synthetic 31-word vocabulary is prefix filtering's adversarial
+    // worst case (see DedupOps.prefixCandidates), so the oracle checks
+    // mechanics on a constant-size slice; PrefixJoinSpec proves recall
+    // ≡ brute force
+    "d17_prefix_join" -> ((s, dir) =>
+      DedupOps.prefixJoin(Tables.documents(s, dir).filter(col("doc_id") < 250),
+        "doc_id", "text", threshold = 0.5)),
 
     // the dedup DECISION: near-dup pairs → clusters → keep exactly the
     // minimum doc id per cluster (cluster_id IS the min reachable id, so
@@ -2697,6 +2719,40 @@ object SparkEntry {
         |FROM scored""".stripMargin
     },
 
+    // prefix lengths replay the n − ⌈t·n⌉ + 1 rule over the same (df,
+    // tok) global order; verify is the d15/d16 distinct-overlap shape
+    // at token (1-gram) granularity
+    "d17_prefix_join" ->
+      s"""WITH $toksSql,
+        |base AS (SELECT doc_id, t FROM toks WHERE doc_id < 250),
+        |tk AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM base),
+        |dft AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1),
+        |sized AS (
+        |  SELECT tk.doc_id, tk.tok,
+        |    row_number() OVER (PARTITION BY tk.doc_id ORDER BY df, tk.tok) AS rnk,
+        |    count(*) OVER (PARTITION BY tk.doc_id) AS n
+        |  FROM tk JOIN dft USING (tok)),
+        |pfx AS (SELECT doc_id, tok FROM sized WHERE rnk <= n - ceil(n * 0.5) + 1),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM pfx l JOIN pfx r ON r.tok = l.tok AND l.doc_id < r.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+        |inter AS (
+        |  SELECT c.a, c.b, count(*) AS i
+        |  FROM cand c
+        |  JOIN tk x ON x.doc_id = c.a
+        |  JOIN tk y ON y.doc_id = c.b AND y.tok = x.tok
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT c.a AS a, c.b AS b,
+        |    round(coalesce(i, 0)::DOUBLE /
+        |          (na.n + nb.n - coalesce(i, 0))::DOUBLE, 6) AS jaccard
+        |  FROM cand c
+        |  JOIN sizes na ON na.doc_id = c.a
+        |  JOIN sizes nb ON nb.doc_id = c.b
+        |  LEFT JOIN inter ON inter.a = c.a AND inter.b = c.b)
+        |SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
     "d12_dedup_keep" ->
       s"""WITH RECURSIVE $toksSql,
         |$minhashCandSql,
@@ -3119,6 +3175,20 @@ object SparkEntry {
         |    AS n_outliers
         |FROM ev e JOIN mad m USING (event_type)
         |GROUP BY 1""".stripMargin,
+
+    // the interleave is generated from the same (i, j) index ranges as
+    // ZOrder.zValue so bit positions cannot fork between engines
+    "x38_zorder_key" -> {
+      val zTerms = (for {
+        (d, i) <- Seq("du", "dv").zipWithIndex
+        j <- 0 until 10
+      } yield s"((($d >> $j) & 1) << ${j * 2 + i})").mkString(" + ")
+      s"""WITH e AS (SELECT event_id,
+        |    ((user_id % 1024) + 1024) % 1024 AS du,
+        |    ((floor(value * 100)::BIGINT % 1024) + 1024) % 1024 AS dv
+        |  FROM events)
+        |SELECT event_id, du, dv, ($zTerms) AS zkey FROM e""".stripMargin
+    },
 
     "x37_dq_report" ->
       """WITH m AS (SELECT

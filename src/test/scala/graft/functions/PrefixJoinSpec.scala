@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** AllPairs prefix filtering: exact recall vs brute force, candidate
+  * pruning on rare-token data, and threshold monotonicity. */
+class PrefixJoinSpec extends SparkSpec {
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("prefixJoin ≡ brute-force token-set Jaccard at t = 0.5") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 150)
+    val got = DedupOps.prefixJoin(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent brute force: collect token sets, all-pairs Jaccard
+    // with the same rounded-6 threshold convention
+    val sets = docs
+      .select(col("doc_id"), graft.functions.TextAnalysis.tokens(col("text")))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size
+      j = round6(inter.toDouble / (sa.size + sb.size - inter))
+      if j >= 0.5
+    } yield (ia, ib)).toSet
+    assert(got === want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty, "fixture produced no true pairs — test is vacuous")
+  }
+
+  test("rare-token prefixes prune candidates below all-pairs") {
+    import spark.implicits._
+    // two near-dup pairs sharing rare tokens + four unrelated docs built
+    // from a disjoint common pool: the common pool words are frequent
+    // (high df) so they never enter a prefix
+    val docs = Seq(
+      (1L, "alpha beta gamma delta zeta unique1 unique2"),
+      (2L, "alpha beta gamma delta zeta unique1 unique3"),
+      (3L, "omega psi chi phi shared1"),
+      (4L, "omega psi chi phi shared2"),
+      (5L, "alpha beta omega psi mixone"),
+      (6L, "gamma delta chi phi mixtwo")
+    ).toDF("doc_id", "text")
+    val nCand = DedupOps.prefixCandidates(docs, "doc_id", "text", 0.5).count()
+    assert(nCand < 15, s"no pruning: $nCand of 15 possible pairs survived")
+    val pairs = DedupOps.prefixJoin(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (3L, 4L)), pairs)
+  }
+
+  test("raising the threshold only removes pairs") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 100)
+    val loose = DedupOps.prefixJoin(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tight = DedupOps.prefixJoin(docs, "doc_id", "text", 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(loose), s"tight=$tight loose=$loose")
+  }
+}
