@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.operators.{Changelog, EventTime, Joins}
-import graft.functions.{DedupOps, SimilarityOps, TextAnalysis}
+import graft.functions.{DedupOps, GraphOps, SimilarityOps, TextAnalysis}
 import graft.sources.Bucketing
 
 /** Driver contract — the full operator inventory of SURVEY.md §2 plus the
@@ -829,6 +829,27 @@ object SparkEntry {
           sum(col("gg").cast("long")).as("guessed_en"),
           round(avg((col("l") === col("gg")).cast("double")), 6).as("agree"))),
 
+    // TextRank keyword scores: weighted PageRank over the corpus
+    // word-adjacency (bigram) graph. Rank state is a distributed
+    // (node, score) table — the iterative-graph pattern where per-entity
+    // state is corpus-sized (contrast s7's k-row driver state); each
+    // round is one equi-join + one node-keyed aggregation, rounded to 6
+    // places so the unrolled oracle replays the exact trajectory
+    "t18_textrank" -> ((s, dir) =>
+      GraphOps.pageRank(GraphOps.bigramEdges(Tables.documents(s, dir)),
+        iters = 5)),
+
+    // per-source triangle census of the word co-occurrence graph —
+    // degree-ordered orientation enumerates every wedge from its
+    // lowest-degree corner, so a hub never fans out its full
+    // neighborhood (the "last reducer" fix); a connectivity-shape
+    // monitor per corpus slice
+    "g1_triangles" -> ((s, dir) =>
+      GraphOps.trianglesPerGroup(
+        GraphOps.bigramEdges(Tables.documents(s, dir), keyCols = Seq("source"))
+          .withColumnRenamed("source", "g"))
+        .select(col("g").as("source"), col("n_triangles"))),
+
     "t2_quality" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .withColumn("t", TextAnalysis.tokens(col("text")))
@@ -1202,6 +1223,15 @@ object SparkEntry {
     "x15_kmv_distinct" -> ((s, dir) =>
       graft.functions.Sketches.kmvDistinct(
         ev(s, dir), Seq("event_type"), "user_id", k = 64, outCol = "est_users")),
+
+    // HyperLogLog distinct users per event type with a PORTABLE register
+    // layout (bucket/rho from the sampling family's md5 hash; integer
+    // register sum) so even this classically-opaque sketch is
+    // hash-gated; map-side state is ≤1024 one-byte registers per group —
+    // the mergeable-summary complement to x15's KMV digests
+    "x39_hll_distinct" -> ((s, dir) =>
+      graft.functions.Sketches.hllDistinct(
+        ev(s, dir), Seq("event_type"), "user_id", outCol = "est_users")),
 
     // the reference's custom Reducer (IntegerAdd) as a typed Aggregator
     // registered through functions.udaf: exact per-user cents total
@@ -2362,6 +2392,60 @@ object SparkEntry {
         |  round(avg((l = gg)::INT::DOUBLE), 6) AS agree
         |FROM g GROUP BY 1""".stripMargin,
 
+    // unrolled PageRank rounds (the s7 pattern: per-iteration rounding
+    // pins the trajectory); literal/op ORDER mirrors GraphOps.pageRank
+    // so IEEE evaluation cannot fork
+    "t18_textrank" -> {
+      val iterBlocks = (1 to 5).map { j =>
+        s"""r$j AS (
+           |  SELECT c.a AS node,
+           |    round((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+           |          + 0.85::DOUBLE * sum(c.share * r.r), 6) AS r
+           |  FROM ctr c JOIN r${j - 1} r ON r.node = c.b GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""WITH $toksSql,
+        |bg AS (SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+        |       FROM toks WHERE len(t) >= 2),
+        |bgf AS (SELECT a, b FROM bg WHERE a <> b),
+        |ew AS (SELECT a, b, count(*)::DOUBLE AS w FROM
+        |    (SELECT a, b FROM bgf UNION ALL SELECT b AS a, a AS b FROM bgf)
+        |  GROUP BY 1, 2),
+        |wdeg AS (SELECT a, sum(w) AS wd FROM ew GROUP BY 1),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM wdeg),
+        |ctr AS (SELECT e.a, e.b, e.w / d.wd AS share
+        |        FROM ew e JOIN wdeg d ON d.a = e.b),
+        |r0 AS (SELECT a AS node, round(1.0::DOUBLE / (SELECT n FROM nn), 6) AS r
+        |       FROM wdeg),
+        |$iterBlocks
+        |SELECT node AS token, r AS score FROM r5""".stripMargin
+    },
+
+    // degree-ordered orientation replayed relationally: the (d, node)
+    // total order picks one direction per edge, wedges pair oriented
+    // out-edges, the closer matches in canonical (t1 < t2) order
+    "g1_triangles" ->
+      s"""WITH $toksSql,
+        |bgs AS (SELECT source, unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+        |        FROM toks WHERE len(t) >= 2),
+        |und AS (SELECT DISTINCT source AS g, least(a, b) AS u, greatest(a, b) AS v
+        |        FROM bgs WHERE a <> b),
+        |deg AS (SELECT g, x, count(*) AS d FROM
+        |    (SELECT g, u AS x FROM und UNION ALL SELECT g, v AS x FROM und)
+        |  GROUP BY 1, 2),
+        |ori AS (SELECT und.g,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t
+        |  FROM und
+        |  JOIN deg du ON du.g = und.g AND du.x = und.u
+        |  JOIN deg dv ON dv.g = und.g AND dv.x = und.v),
+        |wedge AS (SELECT e1.g, e1.t AS t1, e2.t AS t2
+        |          FROM ori e1 JOIN ori e2 ON e2.g = e1.g AND e2.s = e1.s
+        |          WHERE e1.t < e2.t),
+        |clo AS (SELECT g, least(s, t) AS t1, greatest(s, t) AS t2 FROM ori)
+        |SELECT w.g AS source, count(*) AS n_triangles
+        |FROM wedge w JOIN clo ON clo.g = w.g AND clo.t1 = w.t1 AND clo.t2 = w.t2
+        |GROUP BY 1""".stripMargin,
+
     "t2_quality" ->
       s"""WITH $toksSql,
         |$qualitySql
@@ -3142,6 +3226,32 @@ object SparkEntry {
         |    ELSE 63.0 / (('0x' || substr(kth, 1, 15))::BIGINT::DOUBLE / 1152921504606846976.0)
         |  END, 4) AS est_users
         |FROM agg""".stripMargin,
+
+    // HLL registers replayed bit-for-bit: rho via length(bin(rest)) and
+    // the register sum as the exact BIGINT Σ 2^(51−M); every float
+    // literal is ::DOUBLE (DuckDB parses bare decimals as DECIMAL, whose
+    // arithmetic would fork from IEEE), op order mirrors hllDistinct
+    "x39_hll_distinct" ->
+      """WITH h AS (SELECT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, h % 1024 AS b,
+        |    CASE WHEN (h >> 10) = 0 THEN 51
+        |         ELSE 51 - length(bin(h >> 10)) END AS rho
+        |  FROM h),
+        |m AS (SELECT event_type, b, max(rho) AS mx FROM r GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*)::BIGINT AS c,
+        |    sum(1::BIGINT << (51 - mx))::BIGINT AS sl FROM m GROUP BY 1),
+        |e AS (SELECT event_type, c,
+        |    0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
+        |      * 1024.0::DOUBLE * 1024.0::DOUBLE * 2251799813685248.0::DOUBLE
+        |      / (sl + (1024 - c) * (1::BIGINT << 51))::DOUBLE AS raw
+        |  FROM s)
+        |SELECT event_type, c AS n_regs,
+        |  round(CASE WHEN raw <= 2560.0::DOUBLE AND c < 1024
+        |    THEN 1024.0::DOUBLE * ln(1024.0::DOUBLE / (1024 - c)::DOUBLE)
+        |    ELSE raw END, 4) AS est_users
+        |FROM e""".stripMargin,
 
     "x14_balanced_sample" ->
       """SELECT event_type, rank, event_id FROM (

@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-graph analytics: weighted PageRank (TextRank keyword scoring
+  * when run over the bigram graph — Mihalcea & Tarau 2004; public
+  * literature) and degree-ordered triangle counting (Suri &
+  * Vassilvitskii, WWW 2011). Everything is join/aggregate relational
+  * algebra over a distributed edge table — rank state is a (node, r)
+  * DataFrame, NEVER collected to the driver (unlike k-means, whose
+  * state is k rows by contract; a graph's node set is corpus-sized).
+  *
+  * Determinism contract: per-iteration ranks are rounded to 6 places
+  * (the s7 Lloyd convention), so the unrolled DuckDB oracle replays the
+  * exact fixpoint trajectory and the float-sum ordering across engines
+  * cannot surface in the compared output. */
+object GraphOps {
+
+  /** Undirected weighted word-adjacency edges from a document corpus:
+    * one edge (a, b, w) per unordered adjacent-token pair, w = total
+    * occurrence count over the corpus, self-loops dropped. Symmetrized
+    * (both directions present) so every node has in-edges and the
+    * PageRank contribution join is a plain equi-join on the source.
+    *
+    * Shape: one tokenize pass, explode to 2·(n−1) pair rows, ONE
+    * exchange on (a, b) for the count — vocabulary-sized output, never
+    * corpus-sized. */
+  def bigramEdges(docs: DataFrame, textCol: String = "text",
+                  keyCols: Seq[String] = Nil): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    val ks = keyCols.map(col)
+    val pairs = docs
+      .select(ks :+ t.as("t"): _*).filter(size(col("t")) >= 2)
+      .select(ks :+ explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"): _*)
+      .select(ks :+ col("p.a").as("a") :+ col("p.b").as("b"): _*)
+      .filter(col("a") =!= col("b"))
+    pairs.unionAll(pairs.select(ks :+ col("b").as("a") :+ col("a").as("b"): _*))
+      .groupBy(keyCols :+ "a" :+ "b" map col: _*)
+      .agg(count(lit(1)).cast("double").as("w"))
+  }
+
+  /** Weighted PageRank over a symmetrized edge table (a, b, w):
+    * r₀ = 1/N, then `iters` rounds of
+    * rᵢ₊₁(a) = (1−d)/N + d · Σ_{(a,b)∈E} w/wdeg(b) · rᵢ(b),
+    * each rounded to 6 places. Returns (token, rank) for every node.
+    *
+    * Scale shape: wdeg and N are one aggregation each over the edge
+    * table; every iteration is one equi-join (edges ⋈ ranks on the
+    * contributing endpoint) + one groupBy — both shuffle on node id, so
+    * a rank-partitioned edge table reuses the exchange across rounds.
+    * No driver state, no collect: this is the iterative pattern for
+    * billion-node corpus graphs (contrast s7, which may hold k rows).
+    * For deep iteration counts, checkpoint every few rounds (the d7 CC
+    * loop's pattern); the default 5 keeps the plan shallow enough not
+    * to need it. */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters in [1,20], got $iters")
+    val wdeg = edges.groupBy("a").agg(sum("w").as("wd"))
+    val n = wdeg.select(count(lit(1)).cast("double").as("n"))
+    // out-weight share of each contribution edge b→a, fixed across rounds
+    val contrib = edges.join(wdeg.withColumnRenamed("a", "b"), "b")
+      .select(col("a"), col("b"), (col("w") / col("wd")).as("share"))
+    var ranks = wdeg.crossJoin(broadcast(n))
+      .select(col("a").as("node"), round(lit(1.0) / col("n"), 6).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = contrib.join(ranks.withColumnRenamed("node", "b"), "b")
+        .groupBy("a").agg(sum(col("share") * col("r")).as("mass"))
+        .crossJoin(broadcast(n))
+        .select(col("a").as("node"),
+          round(lit(1.0 - damping) / col("n") + lit(damping) * col("mass"),
+            6).as("r"))
+    }
+    ranks.select(col("node").as("token"), col("r").as("score"))
+  }
+
+  /** Per-group triangle count over undirected edges (g, a, b), input
+    * symmetrized or not (dedup'd internally). Degree-ordered
+    * orientation: keep each edge only from its lower-(deg, node)
+    * endpoint, so every wedge is enumerated exactly once from its
+    * lowest-degree corner — the total wedge work is bounded by
+    * Σ min(deg)² ≤ O(m^1.5) instead of Σ deg² (the "curse of the last
+    * reducer" fix: a celebrity node never fans out its full
+    * neighborhood). Returns (g, n_triangles). */
+  def trianglesPerGroup(edges: DataFrame, groupCol: String = "g"): DataFrame = {
+    val g = col(groupCol)
+    // canonical undirected edge set (one row per unordered pair)
+    val und = edges
+      .select(g.as("g"), least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("g"), col("u").as("x"))
+      .unionAll(und.select(col("g"), col("v").as("x")))
+      .groupBy("g", "x").agg(count(lit(1)).as("d"))
+    // orient low-(deg, node) → high; (d, node) is a total order so
+    // exactly one direction survives per edge
+    val dU = deg.select(col("g"), col("x").as("u"), col("d").as("du"))
+    val dV = deg.select(col("g"), col("x").as("v"), col("d").as("dv"))
+    val ori = und.join(dU, Seq("g", "u")).join(dV, Seq("g", "v"))
+      .select(col("g"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+    // wedges from the low corner, closed by an oriented edge (either
+    // direction between the two high endpoints appears exactly once in
+    // the oriented set)
+    val e1 = ori.select(col("g"), col("s"), col("t").as("t1"))
+    val e2 = ori.select(col("g"), col("s"), col("t").as("t2"))
+    val wedge = e1.join(e2, Seq("g", "s")).filter(col("t1") < col("t2"))
+    // wedge emits t1 < t2, so match the closing edge in canonical order
+    val closer = ori.select(col("g"),
+      least(col("s"), col("t")).as("t1"), greatest(col("s"), col("t")).as("t2"))
+    wedge.join(closer, Seq("g", "t1", "t2"))
+      .groupBy("g").agg(count(lit(1)).as("n_triangles"))
+  }
+}

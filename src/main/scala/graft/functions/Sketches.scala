@@ -49,4 +49,54 @@ object Sketches {
       round(when(n < k, n.cast("double"))
         .otherwise(lit((k - 1).toDouble) / u), 4).as(outCol): _*)
   }
+
+  /** Per-group HyperLogLog distinct estimate (Flajolet et al. 2007) —
+    * with OUR OWN register layout so it IS oracle-checkable, unlike the
+    * opaque built-in `approx_count_distinct` (see the object scaladoc):
+    * bucket = low `b` bits of the 60-bit md5 hash, rho = leading-zero
+    * count of the remaining w = 60−b bits + 1, registers = max rho per
+    * bucket, harmonic-mean estimate with the standard small-range
+    * linear-counting correction.
+    *
+    * Engine-exact determinism: the register sum Σ 2^−Mⱼ is accumulated
+    * as the INTEGER Σ 2^(w+1−Mⱼ) in a BIGINT (max 2^b · 2^w < 2^63 —
+    * exact, order-independent), divided back in one float op at the
+    * end; the leading-zero count is `length(bin(rest))`, identical in
+    * Spark and DuckDB. Only the final `ln`/rounding touch floats.
+    *
+    * Scale vs [[kmvDistinct]]: the map-side combine is max-per-bucket,
+    * so a 100 TB group crosses the shuffle as ≤ 2^b single-byte
+    * registers per partition (vs k 32-char digests for KMV), and union
+    * of sketches is register-wise max — the mergeable-summary shape.
+    * Standard error ≈ 1.04/√m (~3.2% at b = 10). */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  b: Int = 10, outCol: String = "est_distinct"): DataFrame = {
+    require(b >= 4 && b <= 16, s"bucket bits in [4,16], got $b")
+    val m = 1 << b
+    val w = 60 - b // hash bits left after the bucket index
+    val keys = groupCols.map(col)
+    val h = Sampling.rawHash(col(valueCol))
+    val rest = shiftright(h, b)
+    val rho = when(rest === 0, lit(w + 1))
+      .otherwise(lit(w + 1) - length(bin(rest)))
+    val regs = df.filter(col(valueCol).isNotNull)
+      .select(keys :+ (h % m).as("__b") :+ rho.as("__rho"): _*)
+      .groupBy(keys :+ col("__b"): _*).agg(max("__rho").as("__m"))
+    // Σ 2^(w+1−M) exactly, as a BIGINT; M ∈ [1, w+1] so shifts ∈ [0, w]
+    val sums = regs.groupBy(keys: _*).agg(
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${w + 1} - __m AS INT))"))
+        .as("__sl"),
+      count(lit(1)).as("n_regs"))
+    // identical literal/op ORDER as the SQL oracle: IEEE evaluation is
+    // deterministic per-expression, so matching shapes match bits
+    val mD = m.toDouble
+    val two = math.pow(2.0, (w + 1).toDouble) // exact power of two
+    val alphaNum = 0.7213 / (1.0 + 1.079 / mD) * mD * mD * two
+    val denom = col("__sl") + (lit(m.toLong) - col("n_regs")) * lit(1L << (w + 1))
+    val raw = lit(alphaNum) / denom.cast("double")
+    val est = when(raw <= lit(2.5 * mD) && col("n_regs") < m,
+      lit(mD) * log(lit(mD) / (lit(m.toLong) - col("n_regs")).cast("double")))
+      .otherwise(raw)
+    sums.select(keys :+ col("n_regs") :+ round(est, 4).as(outCol): _*)
+  }
 }

@@ -1,0 +1,81 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Graph analytics: PageRank invariants (mass conservation, symmetry,
+  * hub dominance) and triangle counting vs an independent brute force. */
+class GraphOpsSpec extends SparkSpec {
+
+  private def edgesOf(pairs: Seq[(String, String)]) = {
+    import spark.implicits._
+    val df = pairs.toDF("a", "b")
+    df.unionAll(df.select(col("b").as("a"), col("a").as("b")))
+      .groupBy("a", "b").agg(count(lit(1)).cast("double").as("w"))
+  }
+
+  test("pageRank conserves mass and is uniform on a symmetric cycle") {
+    val ranks = GraphOps.pageRank(
+      edgesOf(Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")), iters = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks.size === 4)
+    // every node of a vertex-transitive graph gets the same rank = 1/N
+    ranks.values.foreach(r => assert(math.abs(r - 0.25) < 1e-5, ranks))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-4)
+  }
+
+  test("pageRank ranks a hub above leaves and conserves mass on a star") {
+    val ranks = GraphOps.pageRank(
+      edgesOf(Seq("hub" -> "l1", "hub" -> "l2", "hub" -> "l3", "hub" -> "l4")),
+      iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks("hub") > ranks("l1") * 2, ranks)
+    Seq("l1", "l2", "l3", "l4").foreach(l => assert(ranks(l) === ranks("l1")))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-4)
+  }
+
+  test("bigramEdges builds the symmetric weighted adjacency") {
+    import spark.implicits._
+    val docs = Seq("the cat sat", "the cat", "cat the").toDF("text")
+    val e = GraphOps.bigramEdges(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // "the cat" bigram occurs 2x, "cat the" 1x -> undirected weight 3 both ways
+    assert(e(("the", "cat")) === 3.0 && e(("cat", "the")) === 3.0)
+    assert(e(("cat", "sat")) === 1.0 && e(("sat", "cat")) === 1.0)
+    assert(e.size === 4)
+  }
+
+  test("triangle count matches brute force on known graphs") {
+    import spark.implicits._
+    // K4 has 4 triangles; a square + one diagonal has 2; a path has 0
+    val k4 = for (x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+                  if x < y) yield ("k4", x, y)
+    val sq = Seq(("sq", "a", "b"), ("sq", "b", "c"), ("sq", "c", "d"),
+      ("sq", "d", "a"), ("sq", "a", "c"))
+    val path = Seq(("p", "a", "b"), ("p", "b", "c"), ("p", "c", "d"))
+    val got = GraphOps.trianglesPerGroup(
+      (k4 ++ sq ++ path).toDF("g", "a", "b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("k4") === 4L)
+    assert(got("sq") === 2L)
+    assert(!got.contains("p")) // no triangles -> no row (count over joins)
+  }
+
+  test("triangle count is orientation-invariant and dedups parallel edges") {
+    import spark.implicits._
+    // same triangle given with mixed directions and duplicates
+    val e = Seq(("t", "x", "y"), ("t", "y", "x"), ("t", "y", "z"),
+      ("t", "z", "x"), ("t", "x", "z")).toDF("g", "a", "b")
+    val got = GraphOps.trianglesPerGroup(e).collect()
+    assert(got.length === 1 && got.head.getLong(1) === 1L)
+  }
+
+  test("corpus bigram graph: ranks are positive and stopword-like connectors rank high") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val ranks = GraphOps.pageRank(GraphOps.bigramEdges(docs), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks.nonEmpty)
+    ranks.values.foreach(r => assert(r > 0))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-3, s"mass=${ranks.values.sum}")
+  }
+}
