@@ -782,6 +782,14 @@ object SparkEntry {
       SimilarityOps.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         m = 2, ksub = 4, iters = 2, queryPred = col("vec_id") < 10, topN = 5)),
 
+    // leave-one-out kNN classification accuracy per label — the
+    // embedding-quality eval (does neighborhood structure respect
+    // labels?); the |q|·k neighbor list broadcasts into the label join,
+    // so the corpus-side label table never shuffles
+    "s12_knn_eval" -> ((s, dir) =>
+      SimilarityOps.knnEval(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", col("vec_id") < 100, k = 5)),
+
     // first-PC projection via power iteration — dimensionality reduction
     // before ANN/visualization; covariance is bounded driver state (d²),
     // the corpus pass is a zero-shuffle projection over literal arrays
@@ -2281,6 +2289,41 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, sim FROM pqr
         |WHERE rank <= 5""".stripMargin,
+
+    // the s1 top-k chain (rounded sim, id tie-break) → majority vote
+    // with smallest-label ties → per-true-label accuracy
+    "s12_knn_eval" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+        |         (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1, len(q.embedding) + 1),
+        |            i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE),
+        |          (x, y) -> x + y) / (q.nrm * c.nrm), 6) AS sim
+        |  FROM v q JOIN v c ON q.vec_id < 100 AND q.vec_id <> c.vec_id),
+        |nn AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 5),
+        |votes AS (SELECT n.query_id, e.label AS nlabel, count(*) AS cnt
+        |  FROM nn n JOIN embeddings e ON e.vec_id = n.neighbor_id
+        |  GROUP BY 1, 2),
+        |pred AS (SELECT query_id, nlabel AS pred FROM (
+        |    SELECT query_id, nlabel,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cnt DESC, nlabel ASC) AS rn
+        |    FROM votes)
+        |  WHERE rn = 1)
+        |SELECT e.label AS label, count(*) AS n_queries,
+        |  sum((p.pred = e.label)::INT)::BIGINT AS n_correct,
+        |  round(avg((p.pred = e.label)::INT::DOUBLE), 4) AS acc
+        |FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+        |GROUP BY 1""".stripMargin,
 
     // same Lloyd replay as s7/s4, then per-vector assigned-vs-best-other
     // rounded sims; the encoded argmax is the one s3/s4 already prove

@@ -614,4 +614,39 @@ object SimilarityOps {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("sim"))
   }
+
+  /** Leave-one-out kNN classification accuracy per label — the
+    * embedding-quality eval: each query's label is predicted by majority
+    * vote of its k nearest neighbors (self excluded by [[bruteTopK]]),
+    * ties broken toward the smallest label; output is per-true-label
+    * (n_queries, n_correct, acc). A representation whose neighborhoods
+    * respect labels is one worth curating with (SemDeDup/ANN both lean
+    * on that structure).
+    *
+    * Scale shape: the neighbor search is [[bruteTopK]]'s broadcast-query
+    * scan (query set small by contract); the |q|·k neighbor list is then
+    * the BROADCAST side of the label join, so the corpus-sized label
+    * table never shuffles; votes and accuracy are two tiny aggregations.
+    * At full scale swap bruteTopK for [[ivfTopK]] — the eval logic is
+    * unchanged. */
+  def knnEval(vecs: DataFrame, idCol: String, vecCol: String,
+              labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    val nn = bruteTopK(vecs, idCol, vecCol, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val lab = vecs.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nlabel"))
+    val votes = lab.join(broadcast(nn), "neighbor_id")
+      .groupBy("query_id", "nlabel").agg(count(lit(1)).as("cnt"))
+    // lexicographic struct max = (most votes, then smallest label)
+    val pred = votes.groupBy("query_id").agg(
+      max(struct(col("cnt").as("c"), (lit(0L) - col("nlabel")).as("neg"),
+        col("nlabel").as("l"))).getField("l").as("pred"))
+    val truth = vecs.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(labelCol).as("label"))
+    truth.join(broadcast(pred), "query_id")
+      .groupBy("label").agg(
+        count(lit(1)).as("n_queries"),
+        sum((col("pred") === col("label")).cast("long")).as("n_correct"),
+        round(avg((col("pred") === col("label")).cast("double")), 4).as("acc"))
+  }
 }
