@@ -70,7 +70,16 @@ object Sketches {
     * of sketches is register-wise max — the mergeable-summary shape.
     * Standard error ≈ 1.04/√m (~3.2% at b = 10). */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                  b: Int = 10, outCol: String = "est_distinct"): DataFrame = {
+                  b: Int = 10, outCol: String = "est_distinct"): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol, b), groupCols, b, outCol)
+
+  /** The sketch state alone: per-group register rows (`__b`, `__m` =
+    * max rho). This IS the streaming state shape — `groupBy(keys, __b).
+    * max(__rho)` runs as an update-mode streaming aggregation with
+    * bounded per-group state (≤ 2^b rows), and [[hllEstimate]] finalizes
+    * the latest emission — so batch and stream share one definition. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   b: Int = 10): DataFrame = {
     require(b >= 4 && b <= 16, s"bucket bits in [4,16], got $b")
     val m = 1 << b
     val w = 60 - b // hash bits left after the bucket index
@@ -79,9 +88,19 @@ object Sketches {
     val rest = shiftright(h, b)
     val rho = when(rest === 0, lit(w + 1))
       .otherwise(lit(w + 1) - length(bin(rest)))
-    val regs = df.filter(col(valueCol).isNotNull)
+    df.filter(col(valueCol).isNotNull)
       .select(keys :+ (h % m).as("__b") :+ rho.as("__rho"): _*)
       .groupBy(keys :+ col("__b"): _*).agg(max("__rho").as("__m"))
+  }
+
+  /** Harmonic-mean estimate from register rows (the [[hllRegisters]]
+    * schema), with the linear-counting small-range correction. */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String], b: Int = 10,
+                  outCol: String = "est_distinct"): DataFrame = {
+    require(b >= 4 && b <= 16, s"bucket bits in [4,16], got $b")
+    val m = 1 << b
+    val w = 60 - b
+    val keys = groupCols.map(col)
     // Σ 2^(w+1−M) exactly, as a BIGINT; M ∈ [1, w+1] so shifts ∈ [0, w]
     val sums = regs.groupBy(keys: _*).agg(
       sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${w + 1} - __m AS INT))"))
