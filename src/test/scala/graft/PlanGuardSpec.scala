@@ -232,6 +232,50 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2, p)
   }
 
+  test("t18 textrank: contributions join hash-keyed — no cartesian, no window") {
+    val p = planOf("t18_textrank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("WindowExec"), p)
+    // contrib ⋈ ranks each round must be a hash equi-join; the only
+    // nested-loop allowed is the 1-row node-count scalar broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.replace("BroadcastNestedLoopJoin BuildRight, Cross", "")
+      .contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("g1 triangles: wedge and closer joins stay equi-keyed") {
+    val p = planOf("g1_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x39 HLL: two hash aggregations, no window, no join") {
+    val p = planOf("x39_hll_distinct")
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+  }
+
+  test("s12 kNN eval: neighbor list and predictions broadcast; no window") {
+    val p = planOf("s12_knn_eval")
+    assert(!p.contains("WindowExec"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d17 prefix join: candidates join on the prefix token, windows per doc") {
+    val p = planOf("d17_prefix_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // rarity ranking partitions by doc_id — never a global window
+    assert(!p.contains("Window [") || p.contains("windowspecdefinition(doc_id"), p)
+  }
+
+  test("x38 z-order key is a pure projection — no exchange, no join") {
+    val p = planOf("x38_zorder_key")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+  }
+
   test("filters and pruning reach the parquet scans (j10, q1)") {
     val j10 = planOf("j10_q3_shipping")
     // dimension filter pushed into the customer scan
