@@ -1241,6 +1241,14 @@ object SparkEntry {
       graft.functions.Sketches.hllDistinct(
         ev(s, dir), Seq("event_type"), "user_id", outCol = "est_users")),
 
+    // EXACT-k weighted sample (A-ES exponential keys): inclusion ∝
+    // event value, size exactly 100 — the fixed-budget cut the Bernoulli
+    // samplers (x10/x20) can't promise; top-k plans as
+    // TakeOrderedAndProject, the corpus never shuffles
+    "x40_weighted_reservoir" -> ((s, dir) =>
+      graft.functions.Sampling.weightedReservoir(
+        ev(s, dir), col("event_id"), col("value"), k = 100)),
+
     // the reference's custom Reducer (IntegerAdd) as a typed Aggregator
     // registered through functions.udaf: exact per-user cents total
     "a6_custom_udaf" -> ((s, dir) => {
@@ -3295,6 +3303,21 @@ object SparkEntry {
         |    THEN 1024.0::DOUBLE * ln(1024.0::DOUBLE / (1024 - c)::DOUBLE)
         |    ELSE raw END, 4) AS est_users
         |FROM e""".stripMargin,
+
+    // same (hash+1)/2^60 uniform, same pow/round shape; the rounded-key
+    // order with id tie-break is the t11 ranking convention
+    "x40_weighted_reservoir" ->
+      """WITH h AS (SELECT event_id, value,
+        |    (('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE
+        |      / 1152921504606846976.0::DOUBLE AS u
+        |  FROM events WHERE value > 0),
+        |k AS (SELECT event_id,
+        |    round(pow(u, 1.0::DOUBLE / value), 9) AS skey FROM h)
+        |SELECT event_id AS id FROM (
+        |  SELECT event_id,
+        |    row_number() OVER (ORDER BY skey DESC, event_id ASC) AS rn
+        |  FROM k)
+        |WHERE rn <= 100""".stripMargin,
 
     "x14_balanced_sample" ->
       """SELECT event_type, rank, event_id FROM (

@@ -166,4 +166,31 @@ object Sampling {
       .when(b < trainPct + valPct, lit("val"))
       .otherwise(lit("test"))
   }
+
+  /** EXACT-SIZE weighted sample without replacement (A-ES exponential
+    * keys — Efraimidis & Spirakis 2006): each row draws key = u^(1/w)
+    * with u ∈ (0, 1] from the content hash, and the k largest keys are
+    * the sample; inclusion probability is proportional to weight, and
+    * the sample size is exactly k (unlike [[weightedSampleByHash]]'s
+    * Bernoulli draw, whose size is only k in expectation) — the
+    * fixed-budget training-set cut. Rows with weight ≤ 0 are ineligible,
+    * per the algorithm's domain.
+    *
+    * Determinism: u = (hash+1)/2^60 is exact; ordering uses the key
+    * ROUNDED to 9 places with an id tie-break (the t11 rounded-score
+    * convention) so `pow`'s last-ulp engine variance cannot flip ranks.
+    *
+    * Scale shape: key assignment is map-side; the global top-k plans as
+    * TakeOrderedAndProject (per-partition top-k, then one k-row merge) —
+    * no global sort, no window, no shuffle of the corpus. */
+  def weightedReservoir(df: DataFrame, idCol: Column, weight: Column,
+                        k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val u = (rawHash(idCol) + 1).cast("double") / lit(1152921504606846976.0)
+    df.filter(weight > 0)
+      .select(idCol.as("id"), round(pow(u, lit(1.0) / weight), 9).as("skey"))
+      .orderBy(col("skey").desc, col("id").asc)
+      .limit(k)
+      .select(col("id"))
+  }
 }

@@ -270,6 +270,12 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Window [") || p.contains("windowspecdefinition(doc_id"), p)
   }
 
+  test("x40 weighted reservoir plans TakeOrderedAndProject — no global sort/window") {
+    val p = planOf("x40_weighted_reservoir")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
   test("x38 z-order key is a pure projection — no exchange, no join") {
     val p = planOf("x38_zorder_key")
     assert(!p.contains("Exchange"), p)

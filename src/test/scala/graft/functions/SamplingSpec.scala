@@ -27,6 +27,37 @@ class SamplingSpec extends SparkSpec {
       s"expected the overflow guard's message, got: ${e.getMessage}")
   }
 
+  test("weighted reservoir: exact size, weight-biased, deterministic, w<=0 excluded") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 100 heavy rows (w=200) among 900 light (w=1), plus ineligible rows
+    val df = ((0L until 100L).map(i => (i, 200.0)) ++
+      (100L until 1000L).map(i => (i, 1.0)) ++
+      Seq((2000L, 0.0), (2001L, -5.0))).toDF("id", "w")
+    val pick = Sampling.weightedReservoir(df, col("id"), col("w"), k = 50)
+      .as[Long].collect().toSet
+    assert(pick.size === 50)
+    assert(!pick.contains(2000L) && !pick.contains(2001L))
+    // inclusion ∝ weight: the 10% heavy rows must dominate the sample
+    val heavy = pick.count(_ < 100L)
+    assert(heavy > 35, s"only $heavy/50 heavy rows sampled")
+    // content-hash keys: a second run is identical
+    val again = Sampling.weightedReservoir(df.repartition(7), col("id"),
+      col("w"), k = 50).as[Long].collect().toSet
+    assert(again === pick)
+  }
+
+  test("weighted reservoir with k beyond the eligible rows returns them all") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 2.0), (2L, 3.0), (3L, 0.0)).toDF("id", "w")
+    val got = Sampling.weightedReservoir(df, col("id"), col("w"), k = 10)
+      .as[Long].collect().toSet
+    assert(got === Set(1L, 2L))
+  }
+
   test("the largest admissible weight still yields non-negative exact rates") {
     val maxW = Long.MaxValue / (1000000L * 1000000L) // 9223372
     val out = Sampling.mixtureSample(corpus, col("id"), col("src"),
