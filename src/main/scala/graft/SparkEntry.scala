@@ -1249,6 +1249,19 @@ object SparkEntry {
       graft.functions.Sampling.weightedReservoir(
         ev(s, dir), col("event_id"), col("value"), k = 100)),
 
+    // corpus snapshot CDC: added/removed/changed keys between two
+    // versions by content digest — the audit an incremental ingest
+    // publishes instead of the full table. Synthetic snapshots are
+    // deterministic doc_id-residue slices of the same corpus
+    "x41_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val old = d.filter(col("doc_id") % 7 =!= 0)
+      val neu = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Changelog.snapshotDiff(old, neu, "doc_id", Seq("text", "lang", "source"))
+    }),
+
     // the reference's custom Reducer (IntegerAdd) as a typed Aggregator
     // registered through functions.udaf: exact per-user cents total
     "a6_custom_udaf" -> ((s, dir) => {
@@ -3318,6 +3331,28 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY skey DESC, event_id ASC) AS rn
         |  FROM k)
         |WHERE rn <= 100""".stripMargin,
+
+    // digest cells joined on chr(1) with chr(0) NULL markers — matches
+    // the Spark side's U+0001 separator / U+0000 marker byte-for-byte
+    "x41_snapshot_diff" ->
+      """WITH oldt AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1),
+        |      coalesce(text, chr(0)), coalesce(lang, chr(0)),
+        |      coalesce(source, chr(0)))) AS d
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |newt AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1),
+        |      coalesce(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+        |               ELSE text END, chr(0)),
+        |      coalesce(lang, chr(0)), coalesce(source, chr(0)))) AS d
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |j AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.d <> n.d THEN 'changed' END AS change
+        |  FROM oldt o FULL OUTER JOIN newt n ON n.doc_id = o.doc_id)
+        |SELECT doc_id, change FROM j WHERE change IS NOT NULL""".stripMargin,
 
     "x14_balanced_sample" ->
       """SELECT event_type, rank, event_id FROM (

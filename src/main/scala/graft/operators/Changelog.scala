@@ -48,4 +48,37 @@ object Changelog {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderDesc.map(_.desc): _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Corpus snapshot diff — the CDC audit between two corpus versions:
+    * one row per key that was `added`, `removed`, or `changed` (content
+    * digest over `payloadCols` differs); unchanged keys produce nothing.
+    * This is what an incremental ingest publishes instead of the full
+    * table, and what a rebuild is validated against.
+    *
+    * NULL payload cells are digested as an out-of-band marker (\\u0000,
+    * cells joined on \\u0001) so NULL ≠ '' and cell boundaries can't
+    * alias (plain `concat_ws` would silently skip NULLs).
+    *
+    * Scale shape: digests are map-side; the single shuffle is the
+    * full-outer hash join on the key. Snapshots written by
+    * [[graft.sources.Bucketing]] on the key co-locate that join into a
+    * zero-exchange merge (the j12 layout contract). */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, keyCol: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "need at least one payload column")
+    def digest(df: DataFrame) = df.select(
+      col(keyCol).as("k"),
+      md5(concat_ws("\u0001",
+        payloadCols.map(c => coalesce(col(c).cast("string"),
+          lit("\u0000"))): _*)).as("d"))
+    digest(old).withColumnRenamed("d", "da")
+      .join(digest(neu).withColumnRenamed("d", "db")
+        .withColumnRenamed("k", "kb"),
+        col("k") === col("kb"), "full_outer")
+      .select(coalesce(col("k"), col("kb")).as(keyCol),
+        when(col("da").isNull, lit("added"))
+          .when(col("db").isNull, lit("removed"))
+          .when(col("da") =!= col("db"), lit("changed")).as("change"))
+      .filter(col("change").isNotNull)
+  }
 }
