@@ -1763,6 +1763,15 @@ object SparkEntry {
         TextAnalysis.piiHits(line, "[0-9]{5,}").as("n_ids"))
     }),
 
+    // DEFLATE compression-ratio quality signal — model-free redundancy
+    // gate (template spam compresses to almost nothing). ROWS-ONLY
+    // driver check by design: DuckDB has no zlib scalar (see
+    // expressions.DeflateRatio); behavior is spec-asserted instead
+    "t19_compress_ratio" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.expressions.DeflateRatio.ratio(col("text"))
+          .as("compress_ratio"))),
+
     // sharded inverted index: (term, shard) → posting CSV. Sharding by
     // hash(doc_id) bounds every output row by df/shards — a stop-word's
     // postings never concentrate in one row/executor at 100 TB
