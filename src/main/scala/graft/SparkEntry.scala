@@ -1253,6 +1253,13 @@ object SparkEntry {
     // versions by content digest — the audit an incremental ingest
     // publishes instead of the full table. Synthetic snapshots are
     // deterministic doc_id-residue slices of the same corpus
+    // per-group exact-k weighted sample: per-source/per-domain budgets
+    // in one pass; the bounded topK aggregate keeps map-side state at k
+    // rows per group — the grouped sibling of x40
+    "x42_grouped_reservoir" -> ((s, dir) =>
+      graft.functions.Sampling.weightedReservoirByGroup(
+        ev(s, dir), Seq("event_type"), col("event_id"), col("value"), k = 20)),
+
     "x41_snapshot_diff" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val old = d.filter(col("doc_id") % 7 =!= 0)
@@ -3343,6 +3350,20 @@ object SparkEntry {
 
     // digest cells joined on chr(1) with chr(0) NULL markers — matches
     // the Spark side's U+0001 separator / U+0000 marker byte-for-byte
+    "x42_grouped_reservoir" ->
+      """WITH h AS (SELECT event_type, event_id, value,
+        |    (('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE
+        |      / 1152921504606846976.0::DOUBLE AS u
+        |  FROM events WHERE value > 0),
+        |k AS (SELECT event_type, event_id,
+        |    round(pow(u, 1.0::DOUBLE / value), 9) AS skey FROM h)
+        |SELECT event_type, rank, event_id AS id FROM (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY skey DESC, event_id ASC) AS rank
+        |  FROM k)
+        |WHERE rank <= 20""".stripMargin,
+
     "x41_snapshot_diff" ->
       """WITH oldt AS (
         |  SELECT doc_id, md5(concat_ws(chr(1),

@@ -186,11 +186,42 @@ object Sampling {
   def weightedReservoir(df: DataFrame, idCol: Column, weight: Column,
                         k: Int): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")
-    val u = (rawHash(idCol) + 1).cast("double") / lit(1152921504606846976.0)
     df.filter(weight > 0)
-      .select(idCol.as("id"), round(pow(u, lit(1.0) / weight), 9).as("skey"))
+      .select(idCol.as("id"), aesKey(idCol, weight).as("skey"))
       .orderBy(col("skey").desc, col("id").asc)
       .limit(k)
       .select(col("id"))
+  }
+
+  /** Per-group [[weightedReservoir]]: exactly k ids per group (fewer if
+    * the group is smaller) — per-source/per-domain budgets in one pass.
+    * The top-k is the bounded [[Aggregators.topK]] aggregate, so every
+    * partition reduces to ≤ k rows per group map-side; the shuffle
+    * carries k·partitions rows per group, never the group. Output
+    * (group…, rank, id) with rank following the (key desc, id asc)
+    * selection order. */
+  def weightedReservoirByGroup(df: DataFrame, groupCols: Seq[String],
+                               idCol: Column, weight: Column,
+                               k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val pick = udaf(Aggregators.topK(k), Encoders.product[ScoredHit])
+    val keys = groupCols.map(col)
+    df.filter(weight > 0)
+      .select(keys :+ idCol.cast("long").as("id")
+        :+ aesKey(idCol, weight).as("skey"): _*)
+      .groupBy(keys: _*)
+      .agg(pick(col("skey"), col("id")).as("__tk"))
+      .select(keys :+ posexplode(col("__tk.hits")): _*)
+      .select(keys :+ (col("pos") + 1).cast("int").as("rank")
+        :+ col("col.neighbor_id").as("id"): _*)
+  }
+
+  /** The A-ES exponential key u^(1/w), u = (hash+1)/2^60 ∈ (0, 1],
+    * rounded to 9 places (rank on the ROUNDED key + id tie-break — the
+    * t11 convention — so `pow`'s last-ulp engine variance can't flip
+    * selections). */
+  private def aesKey(idCol: Column, weight: Column): Column = {
+    val u = (rawHash(idCol) + 1).cast("double") / lit(1152921504606846976.0)
+    round(pow(u, lit(1.0) / weight), 9)
   }
 }

@@ -48,6 +48,30 @@ class SamplingSpec extends SparkSpec {
     assert(again === pick)
   }
 
+  test("grouped reservoir: exact k per group, consistent with the global order") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = ((0L until 200L).map(i => ("a", i, 1.0 + (i % 3))) ++
+      (200L until 230L).map(i => ("b", i, 5.0)) ++
+      Seq(("c", 300L, 2.0))).toDF("g", "id", "w")
+    val got = Sampling.weightedReservoirByGroup(df, Seq("g"), col("id"),
+        col("w"), k = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val byG = got.groupBy(_._1)
+    assert(byG("a").length === 10 && byG("b").length === 10)
+    assert(byG("c").map(_._3).toSeq === Seq(300L)) // undersized group: all rows
+    // within each group, ranks are 1..n and ids are distinct
+    byG.foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length).toSeq)
+      assert(rows.map(_._3).distinct.length === rows.length)
+    }
+    // group-local selection equals a global reservoir over that group alone
+    val aOnly = Sampling.weightedReservoir(df.filter(col("g") === "a"),
+      col("id"), col("w"), k = 10).as[Long].collect().toSet
+    assert(byG("a").map(_._3).toSet === aOnly)
+  }
+
   test("weighted reservoir with k beyond the eligible rows returns them all") {
     val s = spark
     import s.implicits._
