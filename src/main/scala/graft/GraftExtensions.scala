@@ -83,7 +83,9 @@ object GraftExtensions {
           s"graft_minhash(tokens, k): k must be a positive integer literal, got $other")
       }
       graft.expressions.MinHashSignature(cs.head, k, 3)
-    }))
+    }),
+    exprFn("graft_deflate_ratio", 1)(cs =>
+      graft.expressions.DeflateRatio(cs.head)))
 
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -59,6 +59,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sqlSide.exceptAll(colSide).count() == 0)
   }
 
+  test("deflate ratio is callable from SQL and matches the Column API") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("docs_sql3")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_deflate_ratio(text) AS r FROM docs_sql3")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaCol = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.expressions.DeflateRatio.ratio(
+          org.apache.spark.sql.functions.col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql === viaCol && viaSql.nonEmpty)
+  }
+
   test("SQL arity errors are caught at registration boundary") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
