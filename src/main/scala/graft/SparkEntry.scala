@@ -1791,6 +1791,55 @@ object SparkEntry {
     // ONE exchange total: the window's hash(user_id) partitioning also
     // satisfies the (user_id, session_idx) groupBy's clustering (subset
     // rule), so the session aggregate reuses the window's shuffle+sort
+    // per-brand 2-D skyline (Pareto frontier, minimize price AND size):
+    // a part survives iff no same-brand part is ≤ on both axes and < on
+    // one. NOT all-pairs: rows collapse to a distinct-(brand, price)
+    // min-size spine first (one keyed aggregation, output bounded by
+    // distinct prices), the strict-cheaper prefix min is a lag-window
+    // over that spine partitioned by brand (parallel across brands),
+    // and survivors come from ONE keyed join back. The oracle is the
+    // independent O(n²) NOT EXISTS dominance definition, so the
+    // window rewrite is verified against the textbook semantics
+    "x44_pareto" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+        .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+      val spine = parts.groupBy("p_brand", "p_retailprice")
+        .agg(min("p_size").as("msz"))
+      val w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+      val withPrev = spine.withColumn("prev_min",
+        min("msz").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      parts.join(withPrev, Seq("p_brand", "p_retailprice"))
+        .filter(col("p_size") === col("msz") &&
+          (col("prev_min").isNull || col("prev_min") > col("p_size")))
+        .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+    }),
+
+    // staged conversion funnel: first view → first click STRICTLY after
+    // it → first purchase strictly after that, per user; output = users
+    // surviving each stage + conversion vs the previous stage. Each
+    // stage is ONE user-keyed aggregation over a type-filtered slice
+    // (filter pushed to the scan); the stage-to-stage joins are keyed on
+    // user_id and the left side shrinks monotonically, so AQE broadcasts
+    // the survivor sets as the funnel narrows. The 3-row stage summary
+    // window is constant-size by construction
+    "x43_funnel" -> ((s, dir) => {
+      val e = ev(s, dir).select("user_id", "event_type", "ts_sec")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_sec").as("t0"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts_sec") > col("t0"))
+        .groupBy("user_id").agg(min("ts_sec").as("t1"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts_sec") > col("t1"))
+        .groupBy("user_id").agg(min("ts_sec").as("t2"))
+      val stages = v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .unionByName(c.agg(count(lit(1)).as("n_users")).select(lit("2_click").as("stage"), col("n_users")))
+        .unionByName(p.agg(count(lit(1)).as("n_users")).select(lit("3_purchase").as("stage"), col("n_users")))
+      stages.withColumn("conv_prev",
+        coalesce(round(col("n_users").cast("double") /
+          lag("n_users", 1).over(Window.orderBy("stage")), 6), lit(1.0)))
+    }),
+
     "x31_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
       val marked = ev(s, dir)
@@ -1805,6 +1854,24 @@ object SparkEntry {
           min("ts_sec").as("start_sec"),
           max("ts_sec").as("end_sec"),
           round(sum("value"), 2).as("total"))
+    }),
+
+    // Flesch reading-ease quality signal with deterministic proxies:
+    // syllables = vowel-group ([aeiouy]+) count, sentences = [.!?]+ run
+    // count clamped to ≥1 (the synthetic corpus has no punctuation, so
+    // it exercises the single-sentence degenerate path; ReadabilitySpec
+    // covers punctuated text). Pure map-side — three regexp counters +
+    // the shared tokenizer per row, zero shuffles at any scale
+    "t20_readability" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id"),
+        greatest(size(TextAnalysis.tokens(col("text"))), lit(1)).cast("long").as("n_words"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("long").as("n_sentences"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("n_syllables"))
+      base.select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * col("n_words").cast("double") / col("n_sentences")
+          - lit(84.6) * col("n_syllables").cast("double") / col("n_words"), 4).as("flesch"))
     }),
 
     // exact length quantiles per source WITHOUT sorting the data: the
@@ -3126,6 +3193,39 @@ object SparkEntry {
         |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
         |FROM tf GROUP BY 1, 2""".stripMargin,
 
+    // deliberately the textbook dominance formulation, NOT the window
+    // rewrite — the oracle must not share the query's shape
+    "x44_pareto" ->
+      """SELECT p_partkey, p_brand, p_retailprice, p_size
+        |FROM part x
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part y
+        |  WHERE y.p_brand = x.p_brand
+        |    AND y.p_retailprice <= x.p_retailprice
+        |    AND y.p_size <= x.p_size
+        |    AND (y.p_retailprice < x.p_retailprice OR y.p_size < x.p_size))""".stripMargin,
+
+    "x43_funnel" ->
+      s"""WITH $evSql,
+        |v AS (SELECT user_id, min(ts_sec) AS t0 FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts_sec) AS t1 FROM ev e
+        |      JOIN v ON v.user_id = e.user_id AND e.ts_sec > v.t0
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts_sec) AS t2 FROM ev e
+        |      JOIN c ON c.user_id = e.user_id AND e.ts_sec > c.t1
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |stages AS (
+        |  SELECT '1_view' AS stage, count(*)::BIGINT AS n_users FROM v
+        |  UNION ALL
+        |  SELECT '2_click', count(*)::BIGINT FROM c
+        |  UNION ALL
+        |  SELECT '3_purchase', count(*)::BIGINT FROM p)
+        |SELECT stage, n_users,
+        |  coalesce(round(n_users::DOUBLE / lag(n_users) OVER (ORDER BY stage), 6),
+        |           1.0::DOUBLE) AS conv_prev
+        |FROM stages""".stripMargin,
+
     "x31_sessionize" ->
       s"""WITH $evSql,
         |marked AS (
@@ -3165,6 +3265,20 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rank,
         |  word, cnt, err
         |FROM c QUALIFY rank <= 5""".stripMargin,
+
+    "t20_readability" ->
+      s"""WITH $toksSql,
+        |base AS (
+        |  SELECT doc_id,
+        |    greatest(len(t), 1)::BIGINT AS n_words,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syllables
+        |  FROM toks)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(206.835::DOUBLE
+        |    - 1.015::DOUBLE * n_words::DOUBLE / n_sentences
+        |    - 84.6::DOUBLE * n_syllables::DOUBLE / n_words, 4) AS flesch
+        |FROM base""".stripMargin,
 
     // the quantile rank uses the same IEEE-double ceil(n*q) on both
     // sides (q=0.9 is not exact binary; DECIMAL literals would diverge)
