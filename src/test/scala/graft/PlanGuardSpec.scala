@@ -282,6 +282,28 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("join"), p)
   }
 
+  test("t20 readability is a pure projection — no exchange, no window") {
+    val p = planOf("t20_readability")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("x44 pareto: brand-partitioned window + keyed join back — no cartesian") {
+    val p = planOf("x44_pareto")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the lag-min window must be partitioned (by brand), never global
+    assert(p.contains("Window") && p.contains("windowspecdefinition(p_brand"), p)
+  }
+
+  test("x43 funnel: survivor joins stay equi-keyed; only the 3-row stage window is global") {
+    val p = planOf("x43_funnel")
+    assert(!p.contains("CartesianProduct"), p)
+    // stage-to-stage joins on user_id are hash joins (broadcast under AQE
+    // as the survivor set shrinks, sort-merge acceptable pre-AQE)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("filters and pruning reach the parquet scans (j10, q1)") {
     val j10 = planOf("j10_q3_shipping")
     // dimension filter pushed into the customer scan
