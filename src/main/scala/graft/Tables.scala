@@ -30,20 +30,32 @@ object Tables {
 
   /** `events` with usable event-time columns.
     *
-    * The raw file stores `ts` as parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a long of
-    * epoch **nanoseconds**. We expose:
-    *  - `ts`     — TimestampType, truncated to microseconds (Spark's native
-    *               precision). Used for `window()` / `session_window()`.
-    *  - `ts_sec` — epoch seconds (long). All cross-engine outputs use this:
+    * The harness has shipped `ts` in two physical shapes across rounds —
+    * parquet TIMESTAMP(NANOS), which `nanosAsLong=true` surfaces as epoch
+    * **nanoseconds** in a long, and plain timestamp[us], which Spark reads
+    * as TIMESTAMP_NTZ — so the loader dispatches on the arriving type
+    * instead of assuming one. Either way we expose:
+    *  - `ts`     — TimestampType (session-TZ = UTC, so NTZ wall time IS the
+    *               instant, matching DuckDB's naive-timestamp `epoch()`).
+    *               Used for `window()` / `session_window()`.
+    *  - `ts_sec` — epoch seconds (long), FLOORED (long cast of a timestamp
+    *               floor-divides micros; `div 1e9` truncates identically for
+    *               the positive epochs here; DuckDB side is
+    *               `floor(epoch(ts))`). All cross-engine outputs use this:
     *               second-granularity integers are representation-exact in
-    *               both Spark and DuckDB, where raw ns-vs-us timestamps are
-    *               not.
+    *               both engines, where raw ns-vs-us timestamps are not.
     * Truncation (not rounding) never moves an event across a whole-second
     * or whole-window boundary, so window assignment is unaffected.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events")
-      .withColumn("ts_sec", expr("ts div 1000000000"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_sec", expr("ts div 1000000000"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_sec", col("ts").cast("long"))
+    }
+  }
 }
