@@ -557,6 +557,35 @@ object SparkEntry {
         .select(col("click_id"), col("buy_id"))
     }),
 
+    // point-in-interval join with NO equi-key: urgent orders (points, by
+    // order date) counted into each returned lineitem's synthetic
+    // in-transit window [shipdate, shipdate + (qty mod 14 + 1) days].
+    // Naively this BETWEEN theta join is a nested-loop over every
+    // (order, lineitem) pair; Joins.intervalJoin bucketizes time
+    // (16-day buckets ≥ the 14-day max interval ⇒ fan-out ≤ 2) so it
+    // runs as a bucket-keyed HASH join + residual filter. Zero-match
+    // intervals are restored by the left join from the distinct key set
+    // — same group-then-count shape as the oracle's LEFT JOIN
+    "j15_interval_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          unix_timestamp(col("l_shipdate")).as("start_sec"),
+          (unix_timestamp(col("l_shipdate")) +
+            (pmod(col("l_quantity").cast("long"), lit(14L)) + 1L) * 86400L)
+            .as("end_sec"))
+      val pts = Tables.orders(s, dir)
+        .filter(col("o_orderpriority").startsWith("1"))
+        .select(unix_timestamp(col("o_orderdate")).as("p_sec"))
+      val matched = graft.operators.Joins
+        .intervalJoin(pts, li, "p_sec", "start_sec", "end_sec", 16L * 86400L)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("n_orders"))
+      li.select("l_orderkey", "l_linenumber").distinct()
+        .join(matched, Seq("l_orderkey", "l_linenumber"), "left_outer")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    }),
+
     "j2_left_band_count" -> ((s, dir) => {
       val e1 = ev(s, dir).select(col("user_id"), col("event_id").as("left_id"),
         col("ts_sec").as("ts1"))
@@ -857,6 +886,40 @@ object SparkEntry {
         GraphOps.bigramEdges(Tables.documents(s, dir), keyCols = Seq("source"))
           .withColumnRenamed("source", "g"))
         .select(col("g").as("source"), col("n_triangles"))),
+
+    // HITS hubs/authorities over the customer→part purchase bipartite
+    // graph: which parts anchor demand (authorities) and which buyers
+    // span it (hubs). Integer micro-unit scores — BIGINT sums are
+    // order-independent, so the 2-iteration trajectory is engine-EXACT,
+    // not rounding-pinned. Same join+agg iteration shape as t18
+    "g2_hits" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
+      GraphOps.hitsL1(edges, iters = 2)
+    }),
+
+    // item-item co-occurrence (market-basket): parts bought together in
+    // one order, scored by cosine co/√(nₐ·n_b) over basket counts. The
+    // pair generator self-joins on l_orderkey, so fan-out is bounded by
+    // the per-order basket size squared (≤ ~7² in TPC-H shapes), never
+    // |parts|²; the co ≥ 2 floor prunes the long noise tail before the
+    // size joins
+    "x46_item_cooccur" -> ((s, dir) => {
+      val b = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey").distinct()
+      val sizes = b.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val co = b.select(col("l_orderkey"), col("l_partkey").as("pk1"))
+        .join(b.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pk2")),
+          col("l_orderkey") === col("ok2") && col("pk1") < col("pk2"))
+        .groupBy("pk1", "pk2").agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2)
+      co.join(sizes.select(col("l_partkey").as("pk1"), col("n").as("na")), "pk1")
+        .join(sizes.select(col("l_partkey").as("pk2"), col("n").as("nb")), "pk2")
+        .select(col("pk1"), col("pk2"), col("co"),
+          round(col("co") / sqrt(col("na") * col("nb")), 6).as("cosine"))
+    }),
 
     "t2_quality" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -1856,6 +1919,44 @@ object SparkEntry {
           round(sum("value"), 2).as("total"))
     }),
 
+    // zero-filled weekly series: (event_type × every week in range),
+    // including silent weeks — the gap-filled shape monitoring needs
+    // (a missing week must read 0, not vanish). The data-sized work is
+    // ONE (type, week) count; the dense spine is |types| × |weeks| rows
+    // built from a broadcast 1-row bounds agg + explode, so the grid
+    // join is dimension-sized however large the fact side grows
+    "x47_time_grid" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .select(col("event_type"), expr("ts_sec div 604800").as("week"))
+      val counts = e.groupBy("event_type", "week").agg(count(lit(1)).as("n"))
+      val bounds = e.agg(min("week").as("w0"), max("week").as("w1"))
+      val grid = e.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(sequence(col("w0"), col("w1"))).as("week"))
+      grid.join(counts, Seq("event_type", "week"), "left_outer")
+        .select(col("event_type"), col("week"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
+    // weekly retention cohorts: users bucketed by first-active week,
+    // counted once per (cohort, weeks-since-cohort) cell — the
+    // activation/retention triangle. ONE data-sized exchange: the
+    // explicit hash(user_id) repartition satisfies BOTH the
+    // (user, week) dedup aggregate (clustering on a key subset is
+    // clustering) and the per-user min window, so neither re-shuffles;
+    // the final cell aggregate moves only |users × active weeks| rows
+    "x45_retention_cohorts" -> ((s, dir) => {
+      val uw = ev(s, dir)
+        .select(col("user_id"), expr("ts_sec div 604800").as("week"))
+        .repartition(col("user_id"))
+        .dropDuplicates("user_id", "week")
+      uw.withColumn("cohort_week",
+          min("week").over(Window.partitionBy("user_id")))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Flesch reading-ease quality signal with deterministic proxies:
     // syllables = vowel-group ([aeiouy]+) count, sentences = [.!?]+ run
     // count clamped to ≥1 (the synthetic corpus has no punctuation, so
@@ -2592,6 +2693,45 @@ object SparkEntry {
         |SELECT w.g AS source, count(*) AS n_triangles
         |FROM wedge w JOIN clo ON clo.g = w.g AND clo.t1 = w.t1 AND clo.t2 = w.t2
         |GROUP BY 1""".stripMargin,
+
+    // exact unrolled replay (the t18 pattern) — but in integer
+    // micro-units, so no per-round rounding convention is even needed:
+    // every Σ is a BIGINT add, every normalize a correctly-rounded
+    // divide on < 2^53 integers
+    "g2_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS u, l_partkey AS p
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |a1r AS (SELECT p, 1000000::BIGINT * count(*) AS raw FROM e GROUP BY 1),
+        |a1s AS (SELECT sum(raw) AS s FROM a1r),
+        |a1 AS (SELECT p, round(raw::DOUBLE * 1000000 / s)::BIGINT AS a
+        |       FROM a1r, a1s),
+        |h1r AS (SELECT u, sum(a) AS raw FROM e JOIN a1 USING (p) GROUP BY u),
+        |h1s AS (SELECT sum(raw) AS s FROM h1r),
+        |h1 AS (SELECT u, round(raw::DOUBLE * 1000000 / s)::BIGINT AS h
+        |       FROM h1r, h1s),
+        |a2r AS (SELECT p, sum(h) AS raw FROM e JOIN h1 USING (u) GROUP BY p),
+        |a2s AS (SELECT sum(raw) AS s FROM a2r),
+        |a2 AS (SELECT p, round(raw::DOUBLE * 1000000 / s)::BIGINT AS a
+        |       FROM a2r, a2s),
+        |h2r AS (SELECT u, sum(a) AS raw FROM e JOIN a2 USING (p) GROUP BY u),
+        |h2s AS (SELECT sum(raw) AS s FROM h2r),
+        |h2 AS (SELECT u, round(raw::DOUBLE * 1000000 / s)::BIGINT AS h
+        |       FROM h2r, h2s)
+        |SELECT 'auth' AS role, p AS node, a AS score FROM a2
+        |UNION ALL
+        |SELECT 'hub' AS role, u AS node, h AS score FROM h2""".stripMargin,
+
+    "x46_item_cooccur" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |sz AS (SELECT l_partkey, count(*) AS n FROM b GROUP BY 1),
+        |p AS (SELECT x.l_partkey AS pk1, y.l_partkey AS pk2, count(*) AS co
+        |      FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+        |        AND x.l_partkey < y.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pk1, pk2, co, round(co / sqrt(sa.n * sb.n), 6) AS cosine
+        |FROM p
+        |JOIN sz sa ON pk1 = sa.l_partkey
+        |JOIN sz sb ON pk2 = sb.l_partkey""".stripMargin,
 
     "t2_quality" ->
       s"""WITH $toksSql,
@@ -3331,6 +3471,42 @@ object SparkEntry {
         |SELECT click_id, buy_id
         |FROM c FULL JOIN p ON c.user_id = p.user_id
         |  AND ts2 BETWEEN ts1 - 3600 AND ts1 + 3600""".stripMargin,
+
+    // the theta join is declared directly — DuckDB's IEJoin handles it;
+    // the Spark side must reproduce it through the bucketized equi-join
+    "j15_interval_join" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         epoch(l_shipdate)::BIGINT AS start_sec,
+        |         epoch(l_shipdate)::BIGINT
+        |           + ((l_quantity::BIGINT % 14) + 1) * 86400 AS end_sec
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |o AS (SELECT epoch(o_orderdate)::BIGINT AS p_sec
+        |      FROM orders WHERE o_orderpriority LIKE '1%')
+        |SELECT l_orderkey, l_linenumber, count(o.p_sec) AS n_orders
+        |FROM li LEFT JOIN o ON o.p_sec BETWEEN li.start_sec AND li.end_sec
+        |GROUP BY 1, 2""".stripMargin,
+
+    "x47_time_grid" ->
+      s"""WITH $evSql,
+        |w AS (SELECT event_type, ts_sec // 604800 AS week FROM ev),
+        |c AS (SELECT event_type, week, count(*) AS n FROM w GROUP BY 1, 2),
+        |b AS (SELECT min(week) AS w0, max(week) AS w1 FROM w),
+        |g AS (SELECT et.event_type, u.week
+        |      FROM (SELECT DISTINCT event_type FROM w) et, b,
+        |        unnest(generate_series(b.w0, b.w1)) AS u(week))
+        |SELECT g.event_type, g.week, coalesce(c.n, 0) AS n
+        |FROM g LEFT JOIN c USING (event_type, week)""".stripMargin,
+
+    "x45_retention_cohorts" ->
+      s"""WITH $evSql,
+        |uw AS (SELECT DISTINCT user_id, ts_sec // 604800 AS week FROM ev),
+        |cw AS (SELECT week,
+        |         min(week) OVER (PARTITION BY user_id) AS cohort_week
+        |       FROM uw)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  count(*) AS n_users
+        |FROM cw GROUP BY 1, 2""".stripMargin,
 
     "t15_normalize" ->
       """WITH n AS (

@@ -78,6 +78,48 @@ object GraphOps {
     ranks.select(col("node").as("token"), col("r").as("score"))
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999; public literature)
+    * over a directed bipartite edge table (u, p), L1-normalized in
+    * integer MICRO-UNITS: every score is a long number of millionths,
+    * so the per-step sums are BIGINT additions — order-independent and
+    * therefore engine-exact, a strictly stronger determinism contract
+    * than pageRank's round-to-6 pinning (no float-sum ordering exists
+    * to pin). The only float ops are each step's normalization
+    * `round(raw · 10⁶ / Σraw)` — one correctly-rounded IEEE divide per
+    * node on exactly-representable inputs (raw ≤ 10⁶·deg keeps
+    * raw·10⁶ < 2⁵³), identical in any engine.
+    *
+    * h₀ = 10⁶ per hub; each iteration: a(p) = normalize(Σ h over
+    * in-edges), then h(u) = normalize(Σ a over out-edges). Returns
+    * (role ∈ {auth, hub}, node, score).
+    *
+    * Scale shape: score state is a DISTRIBUTED (node, score) table
+    * (node sets are corpus-sized — never collected); each half-step is
+    * one equi-join on the contributing endpoint + one groupBy, and the
+    * Σraw normalizer rides a 1-row broadcast, exactly pageRank's
+    * iteration shape. */
+  def hitsL1(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters in [1,10], got $iters")
+    val e = edges.select(col("u"), col("p")).distinct()
+    def norm(grouped: DataFrame, node: String): DataFrame = {
+      val s = grouped.agg(sum(col("raw")).as("s"))
+      grouped.crossJoin(broadcast(s))
+        .select(col(node),
+          round(col("raw").cast("double") * lit(1e6) / col("s"))
+            .cast("long").as("score"))
+    }
+    var hub = e.select(col("u")).distinct()
+      .select(col("u"), lit(1000000L).as("score"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = norm(e.join(hub, "u").groupBy("p").agg(sum("score").as("raw")), "p")
+      hub = norm(e.join(auth, "p").groupBy("u").agg(sum("score").as("raw")), "u")
+    }
+    auth.select(lit("auth").as("role"), col("p").as("node"), col("score"))
+      .unionByName(
+        hub.select(lit("hub").as("role"), col("u").as("node"), col("score")))
+  }
+
   /** Per-group triangle count over undirected edges (g, a, b), input
     * symmetrized or not (dedup'd internally). Degree-ordered
     * orientation: keep each edge only from its lower-(deg, node)

@@ -52,6 +52,40 @@ object Joins {
              how: String = "left_outer"): DataFrame =
     left.join(right, fk === pk, how)
 
+  /** Point-in-interval (range) join with NO equi-key — the shape Spark
+    * otherwise plans as a BroadcastNestedLoopJoin, i.e. every point
+    * against every interval. Bucketization restores an equi-key: time is
+    * cut into fixed `bucketSec` buckets, a point lands in exactly ONE
+    * bucket, an interval is exploded to every bucket it overlaps, and
+    * the bucket equi-join + residual `start ≤ p ≤ end` filter is exactly
+    * the theta join — each matching pair meets once (in the point's
+    * single bucket), so no post-join dedup is needed.
+    *
+    * 100 TB shape: per-bucket work is |points_b| · |intervals_b|,
+    * bounded by temporal density instead of |points| · |intervals|; the
+    * interval fan-out is len/bucketSec + 1 ≤ 2 once bucketSec ≥ the
+    * longest interval (pick it so). Both sides shuffle once on the
+    * bucket key and AQE's skew split covers hot instants. Rows with
+    * `end < start` denote empty intervals and are dropped (BETWEEN over
+    * them matches nothing). Columns are named (not Column objects) so
+    * they resolve unambiguously on their own side; all three are
+    * epoch-second longs. Integer `div` keeps bucket ids exact where a
+    * double `floor(x / b)` would round past 2^53. */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   pointCol: String, startCol: String, endCol: String,
+                   bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    val pb = points.withColumn("__graft_bkt", expr(s"$pointCol div $bucketSec"))
+    val ib = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("__graft_bkt",
+        explode(sequence(expr(s"$startCol div $bucketSec"),
+          expr(s"$endCol div $bucketSec"))))
+    pb.join(ib, "__graft_bkt")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__graft_bkt")
+  }
+
   /** EXISTS — rows of `left` having a match. Spark's left-semi never
     * duplicates or widens rows, and the right side is reduced before the
     * probe. */

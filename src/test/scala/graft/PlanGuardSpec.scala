@@ -249,6 +249,41 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("j15 interval join: bucketization keeps the theta join off the nested-loop path") {
+    val p = planOf("j15_interval_join")
+    // the raw BETWEEN predicate with no equi-key would plan as a
+    // BroadcastNestedLoopJoin — the whole point of the bucket rewrite
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("x45 retention cohorts: one data-sized exchange feeds dedup AND window") {
+    val p = planOf("x45_retention_cohorts")
+    // hash(user_id) repartition satisfies the (user, week) dedup and the
+    // per-user min window; only the tiny cohort-cell agg re-exchanges
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("g2 HITS: every half-step an equi join; normalizers ride 1-row broadcasts") {
+    val p = planOf("g2_hits")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("WindowExec"), p)
+    // the only nested-loops allowed are the 1-row Σraw normalizer
+    // broadcasts (pageRank's node-count pattern)
+    assert(!p.replace("BroadcastNestedLoopJoin BuildRight, Cross", "")
+      .contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x46 co-occurrence: basket self-join stays keyed on the order id") {
+    val p = planOf("x46_item_cooccur")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
   test("x39 HLL: two hash aggregations, no window, no join") {
     val p = planOf("x39_hll_distinct")
     assert(!p.contains("WindowExec"), p)

@@ -34,6 +34,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(ranks.values.sum - 1.0) < 1e-4)
   }
 
+  test("hitsL1: authority concentrates on the universally-bought item") {
+    import spark.implicits._
+    // users 1..4 all buy item 100; each also buys a private item — the
+    // shared item must take the dominant authority, private items split
+    // the rest. (u and p share a type: the role union must not coerce.)
+    val e = Seq(1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 100L,
+      1L -> 11L, 2L -> 12L, 3L -> 13L, 4L -> 14L).toDF("u", "p")
+    val out = GraphOps.hitsL1(e, iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(("auth", 100L)) > 3 * out(("auth", 11L)), out)
+    Seq(12L, 13L, 14L).foreach(p =>
+      assert(out(("auth", p)) == out(("auth", 11L)), out))
+    // symmetric hubs score identically
+    Seq(2L, 3L, 4L).foreach(u =>
+      assert(out(("hub", u)) == out(("hub", 1L)), out))
+  }
+
+  test("hitsL1 conserves micro-unit mass per side (±1 rounding per node)") {
+    import spark.implicits._
+    val e = Seq(1L -> 10L, 1L -> 20L, 2L -> 20L, 2L -> 30L, 3L -> 30L).toDF("u", "p")
+    val out = GraphOps.hitsL1(e, iters = 3).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val auths = out.collect { case ("auth", s) => s }
+    val hubs = out.collect { case ("hub", s) => s }
+    assert(math.abs(auths.sum - 1000000L) <= auths.size, auths.toSeq)
+    assert(math.abs(hubs.sum - 1000000L) <= hubs.size, hubs.toSeq)
+  }
+
   test("bigramEdges builds the symmetric weighted adjacency") {
     import spark.implicits._
     val docs = Seq("the cat sat", "the cat", "cat the").toDF("text")
