@@ -35,6 +35,43 @@ class SkewSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("AQE splits a genuinely skewed sort-merge join at runtime") {
+    // The t6/x9 scale notes lean on AQE's skew-join split as the
+    // runtime backstop for hot keys; this pins that the mechanism
+    // actually FIRES (OptimizeSkewedJoin marks the join skew=true /
+    // AQEShuffleRead reports skewed splits) rather than existing only
+    // in comments. Thresholds are shrunk so a ~99%-one-key join
+    // qualifies at spec scale; configs are restored afterwards.
+    val conf = spark.conf
+    val wanted = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = wanted.keys.map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    wanted.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val pad = "x" * 64
+      val left = spark.range(0, 100000).select(
+        when(col("id") % 100 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+        concat(lit(pad), col("id")).as("payload"))
+      val right = spark.range(0, 1000).select(col("id").as("k2"),
+        concat(lit(pad), col("id")).as("rpay"))
+      val j = left.join(right, col("k") === col("k2"))
+      // collect() (not count()) — count() wraps j in a NEW aggregate
+      // QueryExecution, leaving j's own adaptive plan unfinalized
+      // 99,000 hot-key rows + the 10 sub-1000 multiples of 100
+      assert(j.collect().length === 99010)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"), plan)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("saltedJoin equals plain join (inner, with a genuinely hot key)") {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey", "l_quantity")
     val part = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
