@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.operators.{Changelog, EventTime, Joins}
-import graft.functions.{DedupOps, GraphOps, SimilarityOps, TextAnalysis}
+import graft.functions.{DedupOps, GraphOps, Sampling, SimilarityOps, TextAnalysis}
 import graft.sources.Bucketing
 
 /** Driver contract — the full operator inventory of SURVEY.md §2 plus the
@@ -166,6 +166,35 @@ object SparkEntry {
     * pairs. Generated programmatically so the constants cannot drift from
     * the Scala side. Expects `toks` in scope. */
   private val minhashCandSql: String = minhashCandSqlFor(12, 3)
+
+  /** The d7 clustering replay as a reusable CTE chain (caller prepends
+    * `WITH RECURSIVE` and appends its own final SELECT over `reach`):
+    * LSH candidates → exact Jaccard ≥ 0.4 verify → symmetric edges →
+    * min-reachable-id closure. Shared by d7 and d18 so a profile query
+    * can never describe a different clustering than the one checked. */
+  private lazy val ccReachSql: String =
+    s"""$toksSql,
+      |$minhashCandSql,
+      |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+      |inter AS (
+      |  SELECT p.a, p.b, count(*) AS i
+      |  FROM cand p
+      |  JOIN shd sa ON sa.doc_id = p.a
+      |  JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+      |  GROUP BY 1, 2),
+      |pj AS (
+      |  SELECT p.a, p.b
+      |  FROM cand p
+      |  JOIN sizes na ON na.doc_id = p.a
+      |  JOIN sizes nb ON nb.doc_id = p.b
+      |  LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b
+      |  WHERE round(coalesce(i, 0)::DOUBLE / (na.n + nb.n - coalesce(i, 0))::DOUBLE, 6) >= 0.4),
+      |edges AS (SELECT a AS s, b AS d FROM pj UNION SELECT b, a FROM pj),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.node = e.d)""".stripMargin
 
   /** [[minhashCandSql]] generalized over the LSH shape (numHashes,
     * rowsPerBand) — d10 uses wider 2-row bands for cross-set recall. */
@@ -725,6 +754,21 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.4)
         .select("a", "b")
       DedupOps.connectedComponents(docs.select("doc_id"), pairs)
+    }),
+
+    // dedup health readout: the d7 cluster assignment rolled up to a
+    // cluster-size histogram (how much of the corpus sits in dup groups
+    // of 2, 3, …). Adds two tiny aggregations on top of the d7 chain;
+    // output is ≤ max-cluster-size rows
+    "d18_cluster_profile" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = DedupOps.ngramJaccard(docs, "doc_id", "text",
+          DedupOps.minhashLsh(docs, "doc_id", "text"))
+        .filter(col("jaccard") >= 0.4)
+        .select("a", "b")
+      DedupOps.connectedComponents(docs.select("doc_id"), pairs)
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     }),
 
     // label-blocked near-dup pairs, salted: identical output to a plain
@@ -1919,6 +1963,36 @@ object SparkEntry {
           round(sum("value"), 2).as("total"))
     }),
 
+    // deterministic A/B readout: users hash-split 50/50 (the unit of
+    // randomization is the USER, so one user's events never straddle
+    // arms — x10's md5 bridge with a dedicated ':ab' salt), then per
+    // event_type the arm means, relative lift, and Welch z from explicit
+    // (n, Σv, Σv²) sums (the t16 convention: both engines evaluate the
+    // same closed form). One (type, arm) aggregation over the events —
+    // 10-row downstream algebra, broadcast joins
+    "x48_ab_lift" -> ((s, dir) => {
+      val armed = ev(s, dir).select(col("event_type"), col("value"),
+        when(Sampling.hashBucket(
+          concat(col("user_id").cast("string"), lit(":ab")), 2) === 0, "A")
+          .otherwise("B").as("arm"))
+      val sums = armed.groupBy("event_type", "arm").agg(
+        count(lit(1)).as("n"), sum("value").as("sv"),
+        sum(col("value") * col("value")).as("sv2"))
+      val a = sums.filter(col("arm") === "A").select(col("event_type"),
+        col("n").as("na"), col("sv").as("sva"), col("sv2").as("sv2a"))
+      val b = sums.filter(col("arm") === "B").select(col("event_type").as("et2"),
+        col("n").as("nb"), col("sv").as("svb"), col("sv2").as("sv2b"))
+      val ma = col("sva") / col("na")
+      val mb = col("svb") / col("nb")
+      a.join(b, col("event_type") === col("et2"))
+        .select(col("event_type"), col("na"), col("nb"),
+          round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+          round((mb - ma) / ma, 6).as("lift"),
+          round((mb - ma) /
+            sqrt((col("sv2a") / col("na") - pow(ma, 2)) / col("na") +
+              (col("sv2b") / col("nb") - pow(mb, 2)) / col("nb")), 4).as("z"))
+    }),
+
     // zero-filled weekly series: (event_type × every week in range),
     // including silent weeks — the gap-filled shape monitoring needs
     // (a missing week must read 0, not vanish). The data-sized work is
@@ -2297,29 +2371,18 @@ object SparkEntry {
     // closure to the minimum reachable id (DuckDB recursive CTE = the
     // oracle for the Spark side's iterative label propagation)
     "d7_dedup_clusters" ->
-      s"""WITH RECURSIVE $toksSql,
-        |$minhashCandSql,
-        |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
-        |inter AS (
-        |  SELECT p.a, p.b, count(*) AS i
-        |  FROM cand p
-        |  JOIN shd sa ON sa.doc_id = p.a
-        |  JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
-        |  GROUP BY 1, 2),
-        |pj AS (
-        |  SELECT p.a, p.b
-        |  FROM cand p
-        |  JOIN sizes na ON na.doc_id = p.a
-        |  JOIN sizes nb ON nb.doc_id = p.b
-        |  LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b
-        |  WHERE round(coalesce(i, 0)::DOUBLE / (na.n + nb.n - coalesce(i, 0))::DOUBLE, 6) >= 0.4),
-        |edges AS (SELECT a AS s, b AS d FROM pj UNION SELECT b, a FROM pj),
-        |reach AS (
-        |  SELECT doc_id AS node, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.node = e.d)
+      s"""WITH RECURSIVE $ccReachSql
         |SELECT node AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY 1""".stripMargin,
+
+    // d7's cluster replay rolled up twice: cluster → size → size
+    // histogram. Shares the ccReachSql chain so the clustering the
+    // profile describes can never fork from the clustering d7 checks
+    "d18_cluster_profile" ->
+      s"""WITH RECURSIVE $ccReachSql,
+        |cl AS (SELECT node, min(r)::BIGINT AS cid FROM reach GROUP BY 1),
+        |cs AS (SELECT cid, count(*) AS cluster_size FROM cl GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters
+        |FROM cs GROUP BY 1""".stripMargin,
 
     // 64-bit signature: assemble in HUGEINT (BIGINT << 63 overflows in
     // DuckDB), then two's-complement fold to signed BIGINT to match
@@ -3486,6 +3549,26 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, count(o.p_sec) AS n_orders
         |FROM li LEFT JOIN o ON o.p_sec BETWEEN li.start_sec AND li.end_sec
         |GROUP BY 1, 2""".stripMargin,
+
+    "x48_ab_lift" ->
+      s"""WITH $evSql,
+        |armed AS (SELECT event_type, value,
+        |  CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || ':ab'), 1, 15))::BIGINT
+        |            % 2 = 0
+        |       THEN 'A' ELSE 'B' END AS arm FROM ev),
+        |s AS (SELECT event_type, arm, count(*) AS n, sum(value) AS sv,
+        |        sum(value * value) AS sv2
+        |      FROM armed GROUP BY 1, 2),
+        |a AS (SELECT event_type, n AS na, sv AS sva, sv2 AS sv2a FROM s WHERE arm = 'A'),
+        |b AS (SELECT event_type, n AS nb, sv AS svb, sv2 AS sv2b FROM s WHERE arm = 'B')
+        |SELECT event_type, na, nb,
+        |  round(sva / na, 6) AS mean_a,
+        |  round(svb / nb, 6) AS mean_b,
+        |  round((svb / nb - sva / na) / (sva / na), 6) AS lift,
+        |  round((svb / nb - sva / na) /
+        |    sqrt((sv2a / na - pow(sva / na, 2)) / na
+        |       + (sv2b / nb - pow(svb / nb, 2)) / nb), 4) AS z
+        |FROM a JOIN b USING (event_type)""".stripMargin,
 
     "x47_time_grid" ->
       s"""WITH $evSql,
