@@ -17,12 +17,12 @@ class TestdataContractSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private val expected: Map[String, Map[String, DataType]] = Map(
-    "region" -> Map("r_regionkey" -> LongType, "r_name" -> StringType),
-    "nation" -> Map("n_nationkey" -> LongType, "n_regionkey" -> LongType,
+    "region" -> Map("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Map("n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType,
       "n_name" -> StringType),
-    "customer" -> Map("c_custkey" -> LongType, "c_nationkey" -> LongType,
+    "customer" -> Map("c_custkey" -> LongType, "c_nationkey" -> IntegerType,
       "c_name" -> StringType, "c_mktsegment" -> StringType),
-    "supplier" -> Map("s_suppkey" -> LongType, "s_nationkey" -> LongType,
+    "supplier" -> Map("s_suppkey" -> LongType, "s_nationkey" -> IntegerType,
       "s_name" -> StringType),
     "part" -> Map("p_partkey" -> LongType, "p_name" -> StringType,
       "p_brand" -> StringType, "p_retailprice" -> DoubleType,
