@@ -81,6 +81,19 @@ object SparkEntry {
 
   private val tsFmt = "yyyy-MM-dd"
 
+  /** The d7 dedup clustering chain (LSH candidates → Jaccard ≥ 0.4
+    * verify → connected components), shared by d7 and d18 so the
+    * profile can never describe a different clustering than the one d7
+    * checks — the Spark twin of the oracle-side `ccReachSql`. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = DedupOps.ngramJaccard(docs, "doc_id", "text",
+        DedupOps.minhashLsh(docs, "doc_id", "text"))
+      .filter(col("jaccard") >= 0.4)
+      .select("a", "b")
+    DedupOps.connectedComponents(docs.select("doc_id"), pairs)
+  }
+
   /** Latest event per user, ordered by (ts_sec, event_id) — the KTable
     * materialization used by several queries. */
   private def latestEvents(s: SparkSession, dir: String): DataFrame =
@@ -599,8 +612,12 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_linenumber"),
           unix_timestamp(col("l_shipdate")).as("start_sec"),
+          // floor() on BOTH sides: a bare double→long cast truncates in
+          // Spark but ROUNDS in DuckDB — a latent fork on any
+          // non-integral quantity (benign on TPC-H's whole numbers,
+          // pinned anyway)
           (unix_timestamp(col("l_shipdate")) +
-            (pmod(col("l_quantity").cast("long"), lit(14L)) + 1L) * 86400L)
+            (pmod(floor(col("l_quantity")).cast("long"), lit(14L)) + 1L) * 86400L)
             .as("end_sec"))
       val pts = Tables.orders(s, dir)
         .filter(col("o_orderpriority").startsWith("1"))
@@ -747,29 +764,19 @@ object SparkEntry {
     // near-dup pairs → dedup clusters: connected components over the
     // verified-Jaccard graph; cluster_id = min reachable doc_id, so
     // keep-one-per-cluster is a groupBy away
-    "d7_dedup_clusters" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val pairs = DedupOps.ngramJaccard(docs, "doc_id", "text",
-          DedupOps.minhashLsh(docs, "doc_id", "text"))
-        .filter(col("jaccard") >= 0.4)
-        .select("a", "b")
-      DedupOps.connectedComponents(docs.select("doc_id"), pairs)
-    }),
+    "d7_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
 
     // dedup health readout: the d7 cluster assignment rolled up to a
     // cluster-size histogram (how much of the corpus sits in dup groups
-    // of 2, 3, …). Adds two tiny aggregations on top of the d7 chain;
-    // output is ≤ max-cluster-size rows
-    "d18_cluster_profile" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val pairs = DedupOps.ngramJaccard(docs, "doc_id", "text",
-          DedupOps.minhashLsh(docs, "doc_id", "text"))
-        .filter(col("jaccard") >= 0.4)
-        .select("a", "b")
-      DedupOps.connectedComponents(docs.select("doc_id"), pairs)
+    // of 2, 3, …). Adds two tiny aggregations on top of the SHARED
+    // dedupClusters chain (one definition on each side: dedupClusters
+    // here, ccReachSql in the oracle — the profile cannot describe a
+    // different clustering than d7 checks); output is ≤ max-cluster-size
+    // rows
+    "d18_cluster_profile" -> ((s, dir) =>
+      dedupClusters(s, dir)
         .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-    }),
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))),
 
     // label-blocked near-dup pairs, salted: identical output to a plain
     // label self-join, but a dominant label can't serialize the stage
@@ -1996,15 +2003,17 @@ object SparkEntry {
     // zero-filled weekly series: (event_type × every week in range),
     // including silent weeks — the gap-filled shape monitoring needs
     // (a missing week must read 0, not vanish). The data-sized work is
-    // ONE (type, week) count; the dense spine is |types| × |weeks| rows
-    // built from a broadcast 1-row bounds agg + explode, so the grid
-    // join is dimension-sized however large the fact side grows
+    // ONE (type, week) count: bounds AND the type set both derive from
+    // that |types × weeks|-row result (never a second fact scan; the
+    // three `counts` references canonicalize to one subtree, so exchange
+    // reuse computes the aggregation once), and the dense spine rides a
+    // broadcast 1-row bounds agg + explode
     "x47_time_grid" -> ((s, dir) => {
-      val e = ev(s, dir)
+      val counts = ev(s, dir)
         .select(col("event_type"), expr("ts_sec div 604800").as("week"))
-      val counts = e.groupBy("event_type", "week").agg(count(lit(1)).as("n"))
-      val bounds = e.agg(min("week").as("w0"), max("week").as("w1"))
-      val grid = e.select("event_type").distinct()
+        .groupBy("event_type", "week").agg(count(lit(1)).as("n"))
+      val bounds = counts.agg(min("week").as("w0"), max("week").as("w1"))
+      val grid = counts.select("event_type").distinct()
         .crossJoin(broadcast(bounds))
         .select(col("event_type"), explode(sequence(col("w0"), col("w1"))).as("week"))
       grid.join(counts, Seq("event_type", "week"), "left_outer")
@@ -3542,7 +3551,7 @@ object SparkEntry {
         |  SELECT l_orderkey, l_linenumber,
         |         epoch(l_shipdate)::BIGINT AS start_sec,
         |         epoch(l_shipdate)::BIGINT
-        |           + ((l_quantity::BIGINT % 14) + 1) * 86400 AS end_sec
+        |           + ((floor(l_quantity)::BIGINT % 14) + 1) * 86400 AS end_sec
         |  FROM lineitem WHERE l_returnflag = 'R'),
         |o AS (SELECT epoch(o_orderdate)::BIGINT AS p_sec
         |      FROM orders WHERE o_orderpriority LIKE '1%')

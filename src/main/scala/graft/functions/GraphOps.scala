@@ -95,18 +95,29 @@ object GraphOps {
     *
     * Scale shape: score state is a DISTRIBUTED (node, score) table
     * (node sets are corpus-sized — never collected); each half-step is
-    * one equi-join on the contributing endpoint + one groupBy, and the
-    * Σraw normalizer rides a 1-row broadcast, exactly pageRank's
-    * iteration shape. */
+    * one equi-join on the contributing endpoint + one groupBy. The only
+    * driver state is the Σraw normalizer — one Long per half-step,
+    * collected and inlined as a literal (see `norm`), which keeps the
+    * composed plan linear in iters. */
   def hitsL1(edges: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 10, s"iters in [1,10], got $iters")
     val e = edges.select(col("u"), col("p")).distinct()
     def norm(grouped: DataFrame, node: String): DataFrame = {
-      val s = grouped.agg(sum(col("raw")).as("s"))
-      grouped.crossJoin(broadcast(s))
-        .select(col(node),
-          round(col("raw").cast("double") * lit(1e6) / col("s"))
-            .cast("long").as("score"))
+      // The Σraw normalizer is ONE scalar — collected at fit time
+      // (kmeans' bounded-driver-state contract, at k = 1) and inlined
+      // as a literal, so each half-step references its predecessor
+      // exactly ONCE and plan size stays linear in iters. The earlier
+      // lazy 1-row-broadcast form embedded the predecessor twice per
+      // half-step — 4^iters subtree copies by the iters=10 bound, an
+      // analysis-time blowup. The collect actions recompute the lazy
+      // chain (O(iters²) edge-scans, leak-free); deep iteration counts
+      // should pass a pre-persisted edge table and own its lifecycle
+      // (the d3 candidate-list doctrine).
+      val row = grouped.agg(sum(col("raw"))).first()
+      val s = if (row.isNullAt(0)) 1L else row.getLong(0)
+      grouped.select(col(node),
+        round(col("raw").cast("double") * lit(1e6) / lit(s.toDouble))
+          .cast("long").as("score"))
     }
     var hub = e.select(col("u")).distinct()
       .select(col("u"), lit(1000000L).as("score"))
