@@ -1970,6 +1970,29 @@ object SparkEntry {
           round(sum("value"), 2).as("total"))
     }),
 
+    // conversion latency: x43's staged funnel carried to the converting
+    // users' end-to-end time (first view → the strictly-ordered first
+    // purchase), summarized as count/mean/p50/p90. Same narrowing
+    // user-keyed stage joins as x43; the latency distribution is
+    // |converted users| rows into one exact-percentile aggregate (the
+    // t5 percentile ≡ quantile_cont bridge)
+    "x49_conversion_latency" -> ((s, dir) => {
+      val e = ev(s, dir).select("user_id", "event_type", "ts_sec")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_sec").as("t0"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts_sec") > col("t0"))
+        .groupBy("user_id").agg(min("ts_sec").as("t1"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts_sec") > col("t1"))
+        .groupBy("user_id").agg(min("ts_sec").as("t2"))
+      p.join(v, "user_id").select((col("t2") - col("t0")).as("sec"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(avg("sec"), 4).as("mean_sec"),
+          round(expr("percentile(sec, 0.5)"), 4).as("p50_sec"),
+          round(expr("percentile(sec, 0.9)"), 4).as("p90_sec"))
+    }),
+
     // deterministic A/B readout: users hash-split 50/50 (the unit of
     // randomization is the USER, so one user's events never straddle
     // arms — x10's md5 bridge with a dedicated ':ab' salt), then per
@@ -3558,6 +3581,20 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, count(o.p_sec) AS n_orders
         |FROM li LEFT JOIN o ON o.p_sec BETWEEN li.start_sec AND li.end_sec
         |GROUP BY 1, 2""".stripMargin,
+
+    "x49_conversion_latency" ->
+      s"""WITH $evSql,
+        |v AS (SELECT user_id, min(ts_sec) AS t0 FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts_sec) AS t1 FROM ev e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_sec > t0 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts_sec) AS t2 FROM ev e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_sec > t1 GROUP BY 1),
+        |lat AS (SELECT p.user_id, t2 - t0 AS sec FROM p JOIN v USING (user_id))
+        |SELECT count(*) AS n_converted, round(avg(sec), 4) AS mean_sec,
+        |  round(quantile_cont(sec, 0.5), 4) AS p50_sec,
+        |  round(quantile_cont(sec, 0.9), 4) AS p90_sec
+        |FROM lat""".stripMargin,
 
     "x48_ab_lift" ->
       s"""WITH $evSql,
