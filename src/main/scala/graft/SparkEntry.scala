@@ -1970,6 +1970,34 @@ object SparkEntry {
           round(sum("value"), 2).as("total"))
     }),
 
+    // incremental aggregate maintenance — the 100 TB ETL pattern: keep
+    // the historical per-user aggregate, fold in ONLY the delta's
+    // partial aggregate (algebraic merge: counts/sums add, min/max
+    // combine, mean derives from merged sums), never rescan history.
+    // The ORACLE recomputes everything from scratch, so merged ≡ full
+    // recompute is the checked contract, not an assumption
+    "x50_incremental_agg" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("value"), col("ts_sec"))
+      val cutoff = 1706140800L
+      def part(df: DataFrame) = df.groupBy("user_id").agg(
+        count(lit(1)).as("n"), sum("value").as("sv"),
+        min("value").as("mn"), max("value").as("mx"))
+      val base = part(e.filter(col("ts_sec") < cutoff))
+      val delta = part(e.filter(col("ts_sec") >= cutoff))
+      base.unionByName(delta)
+        .groupBy("user_id").agg(
+          sum("n").as("n"), sum("sv").as("sv"),
+          min("mn").as("mn"), max("mx").as("mx"))
+        .select(col("user_id"), col("n"),
+          round(col("sv"), 4).as("total"),
+          // mean derives from the ROUNDED total: the raw two-phase sum
+          // differs from the oracle's single-pass sum by an ulp, which
+          // round-6 can surface; the rounded totals are bit-identical
+          // across engines, so everything derived from them is too
+          round(round(col("sv"), 4) / col("n"), 6).as("mean"),
+          round(col("mn"), 4).as("vmin"), round(col("mx"), 4).as("vmax"))
+    }),
+
     // conversion latency: x43's staged funnel carried to the converting
     // users' end-to-end time (first view → the strictly-ordered first
     // purchase), summarized as count/mean/p50/p90. Same narrowing
@@ -3581,6 +3609,16 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, count(o.p_sec) AS n_orders
         |FROM li LEFT JOIN o ON o.p_sec BETWEEN li.start_sec AND li.end_sec
         |GROUP BY 1, 2""".stripMargin,
+
+    // deliberately a FULL recompute (no split): checks that the Spark
+    // side's base+delta algebraic merge reproduces the from-scratch
+    // aggregate
+    "x50_incremental_agg" ->
+      s"""WITH $evSql
+        |SELECT user_id, count(*) AS n, round(sum(value), 4) AS total,
+        |  round(round(sum(value), 4) / count(*), 6) AS mean,
+        |  round(min(value), 4) AS vmin, round(max(value), 4) AS vmax
+        |FROM ev GROUP BY 1""".stripMargin,
 
     "x49_conversion_latency" ->
       s"""WITH $evSql,
