@@ -62,6 +62,45 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(hubs.sum - 1000000L) <= hubs.size, hubs.toSeq)
   }
 
+  test("hitsL1 equals an independent in-memory replay on random bipartite graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // the KMeansSpec discipline: a plain-Scala reimplementation with the
+    // same integer micro-unit arithmetic must agree EXACTLY (the whole
+    // point of the order-independent BIGINT formulation)
+    def replay(edges: Set[(Long, Long)], iters: Int)
+        : (Map[Long, Long], Map[Long, Long]) = {
+      var hub = edges.map(_._1).map(_ -> 1000000L).toMap
+      var auth = Map.empty[Long, Long]
+      for (_ <- 1 to iters) {
+        val araw = edges.groupBy(_._2).map { case (p, es) =>
+          p -> es.toSeq.map(e => hub(e._1)).sum }
+        val as = araw.values.sum.toDouble
+        auth = araw.map { case (p, r) => p -> math.round(r.toDouble * 1e6 / as) }
+        val hraw = edges.groupBy(_._1).map { case (u, es) =>
+          u -> es.toSeq.map(e => auth(e._2)).sum }
+        val hs = hraw.values.sum.toDouble
+        hub = hraw.map { case (u, r) => u -> math.round(r.toDouble * 1e6 / hs) }
+      }
+      (auth, hub)
+    }
+    val gen = Gen.listOfN(60, for {
+      u <- Gen.choose(1L, 12L); p <- Gen.choose(100L, 115L)
+    } yield (u, p))
+    (1 to 6).foreach { seed =>
+      val es = gen(Gen.Parameters.default, Seed(seed.toLong))
+        .getOrElse(fail(s"generator failed for seed $seed")).distinct
+      val (authE, hubE) = replay(es.toSet, 3)
+      val out = GraphOps.hitsL1(es.toDF("u", "p"), iters = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      val auths = out.collect { case (("auth", n), v) => n -> v }.toMap
+      val hubs = out.collect { case (("hub", n), v) => n -> v }.toMap
+      assert(auths == authE, s"seed=$seed auth")
+      assert(hubs == hubE, s"seed=$seed hub")
+    }
+  }
+
   test("bigramEdges builds the symmetric weighted adjacency") {
     import spark.implicits._
     val docs = Seq("the cat sat", "the cat", "cat the").toDF("text")

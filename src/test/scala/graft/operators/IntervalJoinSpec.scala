@@ -48,6 +48,30 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == Set((0L, 1L)))
   }
 
+  test("randomized: equals the theta join on arbitrary point/interval sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      nP <- Gen.choose(0, 40)
+      nI <- Gen.choose(0, 25)
+      ps <- Gen.listOfN(nP, Gen.choose(-100L, 100L))
+      is <- Gen.listOfN(nI, for {
+        st <- Gen.choose(-100L, 100L)
+        len <- Gen.choose(-10L, 60L) // negative → empty intervals included
+      } yield (st, st + len))
+      b <- Gen.oneOf(1L, 3L, 16L, 64L, 1000L)
+    } yield (ps, is, b)
+    (1 to 12).foreach { seed =>
+      val (ps, is, b) = gen(Gen.Parameters.default, Seed(seed.toLong))
+        .getOrElse(fail(s"generator failed for seed $seed"))
+      val p = pts(ps: _*)
+      val iv = ivs(is: _*)
+      val got = bucketized(p, iv, b)
+      assert(got.toSet == naive(p, iv), s"seed=$seed bucket=$b")
+      assert(got.size == got.toSet.size, s"seed=$seed bucket=$b dup pairs")
+    }
+  }
+
   test("plans a hash join on the bucket key, not a nested loop") {
     val plan = Joins.intervalJoin(pts(1L, 2L), ivs((0L, 3L)), "p", "s", "e", 2L)
       .queryExecution.executedPlan.toString
