@@ -53,8 +53,11 @@ class StreamingCurationSpec extends SparkSpec {
       .select(col("source"), EventTime.startSec(col("window")).as("w"), col("n"))
 
     val docs = Seq(
+      // the dup pair shares source AND window: dropDuplicatesWithinWatermark
+      // guarantees ONE survivor, not WHICH, so the windowed counts must be
+      // survivor-independent for the equivalence to be a guaranteed law
       CDoc(1, "alpha beta gamma delta", "a", ts(0)),
-      CDoc(2, "alpha beta gamma delta", "b", ts(5)),   // exact dup → dropped
+      CDoc(2, "alpha beta gamma delta", "a", ts(5)),   // exact dup → one survives
       CDoc(3, "epsilon zeta eta theta", "a", ts(10)),
       CDoc(4, "leaked benchmark question about cheese wheels", "a", ts(20)), // contaminated
       CDoc(5, "xx yy", "b", ts(30)),                   // fails the ≥3-token gate
