@@ -1748,16 +1748,34 @@ object SparkEntry {
     // minimum doc id per cluster (cluster_id IS the min reachable id, so
     // survivors are the doc_id == cluster_id rows) — the surviving corpus
     // a training run would actually read
-    "d12_dedup_keep" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val pairs = DedupOps.ngramJaccard(docs, "doc_id", "text",
-          DedupOps.minhashLsh(docs, "doc_id", "text"))
-        .filter(col("jaccard") >= 0.4)
-        .select("a", "b")
-      DedupOps.connectedComponents(docs.select("doc_id"), pairs)
+    "d12_dedup_keep" -> ((s, dir) =>
+      dedupClusters(s, dir)
         .filter(col("doc_id") === col("cluster_id"))
-        .join(docs.select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
-        .select("doc_id", "source", "n_chars")
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+        .select("doc_id", "source", "n_chars")),
+
+    // dedup savings readout: per source, corpus size before vs after the
+    // d12 keep decision (docs and chars) and the fractional savings —
+    // the number a curation run actually reports. Two source-keyed
+    // aggregations on top of the SHARED dedupClusters chain; sums are
+    // exact BIGINT so the readout is engine-exact
+    "d19_dedup_savings" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val kept = dedupClusters(s, dir)
+        .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+      val before = docs.groupBy("source").agg(
+        count(lit(1)).as("docs_before"), sum("n_chars").as("chars_before"))
+      val after = docs.join(kept, "doc_id").groupBy("source").agg(
+        count(lit(1)).as("docs_after"), sum("n_chars").as("chars_after"))
+      before.join(after, Seq("source"), "left_outer")
+        .select(col("source"), col("docs_before"),
+          coalesce(col("docs_after"), lit(0L)).as("docs_after"),
+          col("chars_before"),
+          coalesce(col("chars_after"), lit(0L)).as("chars_after"),
+          round(lit(1.0) - coalesce(col("chars_after"), lit(0L)).cast("double")
+            / col("chars_before"), 6).as("savings"))
     }),
 
     // CCNet-style LM quality scoring: per-doc mean log-probability under
@@ -3248,33 +3266,32 @@ object SparkEntry {
         |SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
 
     "d12_dedup_keep" ->
-      s"""WITH RECURSIVE $toksSql,
-        |$minhashCandSql,
-        |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
-        |inter AS (
-        |  SELECT p.a, p.b, count(*) AS i
-        |  FROM cand p
-        |  JOIN shd sa ON sa.doc_id = p.a
-        |  JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
-        |  GROUP BY 1, 2),
-        |pj AS (
-        |  SELECT p.a, p.b
-        |  FROM cand p
-        |  JOIN sizes na ON na.doc_id = p.a
-        |  JOIN sizes nb ON nb.doc_id = p.b
-        |  LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b
-        |  WHERE round(coalesce(i, 0)::DOUBLE / (na.n + nb.n - coalesce(i, 0))::DOUBLE, 6) >= 0.4),
-        |edges AS (SELECT a AS s, b AS d FROM pj UNION SELECT b, a FROM pj),
-        |reach AS (
-        |  SELECT doc_id AS node, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.node = e.d),
+      s"""WITH RECURSIVE $ccReachSql,
         |clusters AS (
         |  SELECT node AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY 1)
         |SELECT c.doc_id, d.source, d.n_chars
         |FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
         |WHERE c.doc_id = c.cluster_id""".stripMargin,
+
+    // the d12 keep decision rolled up to the per-source before/after
+    // report; shares ccReachSql so the savings cannot describe a
+    // different dedup than d12 ships
+    "d19_dedup_savings" ->
+      s"""WITH RECURSIVE $ccReachSql,
+        |clusters AS (
+        |  SELECT node AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY 1),
+        |kept AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
+        |bef AS (SELECT source, count(*) AS docs_before,
+        |          sum(n_chars)::BIGINT AS chars_before
+        |        FROM documents GROUP BY 1),
+        |aft AS (SELECT source, count(*) AS docs_after,
+        |          sum(n_chars)::BIGINT AS chars_after
+        |        FROM documents JOIN kept USING (doc_id) GROUP BY 1)
+        |SELECT source, docs_before,
+        |  coalesce(docs_after, 0) AS docs_after,
+        |  chars_before, coalesce(chars_after, 0) AS chars_after,
+        |  round(1.0 - coalesce(chars_after, 0)::DOUBLE / chars_before, 6) AS savings
+        |FROM bef LEFT JOIN aft USING (source)""".stripMargin,
 
     "t9_unigram_entropy" ->
       s"""WITH $toksSql,
