@@ -1988,6 +1988,26 @@ object SparkEntry {
           round(sum("value"), 2).as("total"))
     }),
 
+    // char-weighted median quality per source: the threshold-tuning
+    // readout should weight documents by their SIZE (a 1M-char doc
+    // matters 1000× a 1k-char one), which plain percentile can't say.
+    // Same histogram trick as t12: rows collapse to a (source, rounded
+    // score) weight histogram — the only data-sized exchange — and the
+    // cumulative window reads the type-1 weighted median off the tiny
+    // histogram; raw rows never sort
+    "x51_weighted_median" -> ((s, dir) => {
+      val hist = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"),
+          round(TextAnalysis.qualityScore(col("text")), 4).as("qv"))
+        .groupBy("source", "qv").agg(sum("n_chars").as("w"))
+      val cum = hist
+        .withColumn("cw", sum("w").over(
+          Window.partitionBy("source").orderBy("qv")))
+        .withColumn("tw", sum("w").over(Window.partitionBy("source")))
+      cum.filter(col("cw") * 2 >= col("tw"))
+        .groupBy("source").agg(min("qv").as("weighted_median_q"))
+    }),
+
     // incremental aggregate maintenance — the 100 TB ETL pattern: keep
     // the historical per-user aggregate, fold in ONLY the delta's
     // partial aggregate (algebraic merge: counts/sums add, min/max
@@ -3626,6 +3646,20 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, count(o.p_sec) AS n_orders
         |FROM li LEFT JOIN o ON o.p_sec BETWEEN li.start_sec AND li.end_sec
         |GROUP BY 1, 2""".stripMargin,
+
+    "x51_weighted_median" ->
+      s"""WITH $toksSql,
+        |$qualitySql,
+        |hist AS (
+        |  SELECT d.source, round(q.quality, 4) AS qv, sum(d.n_chars)::BIGINT AS w
+        |  FROM q JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, qv,
+        |    sum(w) OVER (PARTITION BY source ORDER BY qv) AS cw,
+        |    sum(w) OVER (PARTITION BY source) AS tw
+        |  FROM hist)
+        |SELECT source, min(qv) AS weighted_median_q
+        |FROM cum WHERE cw * 2 >= tw GROUP BY 1""".stripMargin,
 
     // deliberately a FULL recompute (no split): checks that the Spark
     // side's base+delta algebraic merge reproduces the from-scratch
