@@ -1988,6 +1988,61 @@ object SparkEntry {
           round(sum("value"), 2).as("total"))
     }),
 
+    // hapax legomena per doc: the fraction of a document's distinct
+    // words used exactly once — templated/spammy text reuses its
+    // vocabulary (low hapax), natural prose keeps minting new words.
+    // One (doc, word) exchange (t9's shape) + the doc spine join for
+    // token-less docs
+    "t21_hapax" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stats = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      docs.select("doc_id").join(stats, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_types"), lit(0L)).as("n_types"),
+          coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+          round(coalesce(col("n_hapax"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_types"), lit(0L)), lit(1L)).cast("double"),
+            6).as("hapax_frac"))
+    }),
+
+    // population stability index per event type: value distribution
+    // drift between the reference window (before the x50 cutoff) and
+    // the current one, over 10 fixed-width bins with +0.5 smoothing —
+    // the standard go/no-go feature-drift monitor. ONE (type, bin,
+    // half) count over the events is the only data-sized exchange;
+    // the 10-bin spine and PSI algebra are dimension-sized
+    "x52_psi_drift" -> ((s, dir) => {
+      val cutoff = 1706140800L
+      val cnt = ev(s, dir)
+        .select(col("event_type"),
+          least(greatest(floor(col("value") / 20).cast("long"), lit(0L)),
+            lit(9L)).as("bin"),
+          (col("ts_sec") < cutoff).as("ref"))
+        .groupBy("event_type", "bin", "ref").agg(count(lit(1)).as("c"))
+      val spine = cnt.select("event_type").distinct()
+        .select(col("event_type"), explode(sequence(lit(0L), lit(9L))).as("bin"))
+      val ref = cnt.filter(col("ref")).select(col("event_type"), col("bin"), col("c").as("rc"))
+      val cur = cnt.filter(!col("ref")).select(col("event_type"), col("bin"), col("c").as("cc"))
+      val j = spine
+        .join(ref, Seq("event_type", "bin"), "left_outer")
+        .join(cur, Seq("event_type", "bin"), "left_outer")
+        .select(col("event_type"),
+          coalesce(col("rc"), lit(0L)).as("rc"), coalesce(col("cc"), lit(0L)).as("cc"))
+      val tot = j.groupBy("event_type").agg(sum("rc").as("rt"), sum("cc").as("ct"))
+      j.join(tot, "event_type")
+        .select(col("event_type"),
+          ((col("rc") + lit(0.5)) / (col("rt") + lit(5.0))).as("p"),
+          ((col("cc") + lit(0.5)) / (col("ct") + lit(5.0))).as("q"))
+        .groupBy("event_type")
+        .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+    }),
+
     // char-weighted median quality per source: the threshold-tuning
     // readout should weight documents by their SIZE (a 1M-char doc
     // matters 1000× a 1k-char one), which plain percentile can't say.
@@ -3646,6 +3701,49 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, count(o.p_sec) AS n_orders
         |FROM li LEFT JOIN o ON o.p_sec BETWEEN li.start_sec AND li.end_sec
         |GROUP BY 1, 2""".stripMargin,
+
+    "t21_hapax" ->
+      s"""WITH $toksSql,
+        |wc AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+        |  GROUP BY 1, 2),
+        |h AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_types,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+        |  FROM wc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(n_types, 0) AS n_types,
+        |  coalesce(n_hapax, 0) AS n_hapax,
+        |  round(coalesce(n_hapax, 0)::DOUBLE
+        |    / greatest(coalesce(n_types, 0), 1)::DOUBLE, 6) AS hapax_frac
+        |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id""".stripMargin,
+
+    "x52_psi_drift" ->
+      s"""WITH $evSql,
+        |b AS (SELECT event_type,
+        |        least(greatest(floor(value / 20)::BIGINT, 0), 9) AS bin,
+        |        ts_sec < 1706140800 AS ref
+        |      FROM ev),
+        |cnt AS (SELECT event_type, bin, ref, count(*) AS c FROM b GROUP BY 1, 2, 3),
+        |spine AS (SELECT et.event_type, u.bin
+        |          FROM (SELECT DISTINCT event_type FROM cnt) et,
+        |            unnest(generate_series(0, 9)) AS u(bin)),
+        |j AS (
+        |  SELECT s.event_type, s.bin,
+        |    coalesce(r.c, 0) AS rc, coalesce(cu.c, 0) AS cc
+        |  FROM spine s
+        |  LEFT JOIN cnt r ON r.event_type = s.event_type AND r.bin = s.bin AND r.ref
+        |  LEFT JOIN cnt cu ON cu.event_type = s.event_type AND cu.bin = s.bin AND NOT cu.ref),
+        |tot AS (SELECT event_type, sum(rc)::BIGINT AS rt, sum(cc)::BIGINT AS ct
+        |        FROM j GROUP BY 1),
+        |pq AS (
+        |  SELECT j.event_type,
+        |    (rc + 0.5) / (rt + 5.0) AS p, (cc + 0.5) / (ct + 5.0) AS q
+        |  FROM j JOIN tot ON tot.event_type = j.event_type)
+        |SELECT event_type, round(sum((p - q) * ln(p / q)), 6) AS psi
+        |FROM pq GROUP BY 1""".stripMargin,
 
     "x51_weighted_median" ->
       s"""WITH $toksSql,
