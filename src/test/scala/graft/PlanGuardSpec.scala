@@ -284,6 +284,21 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), p)
   }
 
+  test("round-7 analytics batch stays keyed — no cartesian, no stray nested loop") {
+    Seq("x48_ab_lift", "x49_conversion_latency", "x50_incremental_agg",
+        "x51_weighted_median", "x52_psi_drift", "d19_dedup_savings",
+        "t21_hapax", "x47_time_grid").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // only 1-row bounds/normalizer broadcasts may ride the nested-loop path
+      assert(!p.replace("BroadcastNestedLoopJoin BuildRight, Cross", "")
+        .contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+    // x51's cumulative window must partition by source, never globally
+    val p51 = planOf("x51_weighted_median")
+    assert(!p51.contains("Window [") || p51.contains("windowspecdefinition(source"), p51)
+  }
+
   test("x39 HLL: two hash aggregations, no window, no join") {
     val p = planOf("x39_hll_distinct")
     assert(!p.contains("WindowExec"), p)
