@@ -39,6 +39,7 @@ object SparkEntry {
       .groupBy("doc_id").agg(
         sum("c").as("n"),
         count(lit(1)).as("types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
         sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
       .withColumn("e", log(col("n").cast("double")) - col("clogc") / col("n"))
 
@@ -80,6 +81,12 @@ object SparkEntry {
       .orderBy(col("total").desc, col("user_id").asc).limit(10)
 
   private val tsFmt = "yyyy-MM-dd"
+
+  /** The reference/current window boundary shared by x50 (incremental
+    * agg) and x52 (PSI drift) — one constant interpolated into BOTH the
+    * Spark and oracle sides of both queries, so "x52's reference window
+    * is x50's history" can't silently fork. ≈ p80 of the events span. */
+  private val refCutoffSec = 1706140800L
 
   /** The d7 dedup clustering chain (LSH candidates → Jaccard ≥ 0.4
     * verify → connected components), shared by d7 and d18 so the
@@ -1991,56 +1998,55 @@ object SparkEntry {
     // hapax legomena per doc: the fraction of a document's distinct
     // words used exactly once — templated/spammy text reuses its
     // vocabulary (low hapax), natural prose keeps minting new words.
-    // One (doc, word) exchange (t9's shape) + the doc spine join for
+    // Consumes the SHARED unigramStats aggregation (t9/c4's (doc, word)
+    // exchange — one definition, no drift) + the doc spine join for
     // token-less docs
     "t21_hapax" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val stats = docs
-        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(
-          sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
-          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
-      docs.select("doc_id").join(stats, Seq("doc_id"), "left_outer")
+      docs.select("doc_id").join(unigramStats(docs), Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-          coalesce(col("n_types"), lit(0L)).as("n_types"),
-          coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
-          round(coalesce(col("n_hapax"), lit(0L)).cast("double") /
-            greatest(coalesce(col("n_types"), lit(0L)), lit(1L)).cast("double"),
+          coalesce(col("n"), lit(0L)).as("n_tokens"),
+          coalesce(col("types"), lit(0L)).as("n_types"),
+          coalesce(col("hapax"), lit(0L)).as("n_hapax"),
+          round(coalesce(col("hapax"), lit(0L)).cast("double") /
+            greatest(coalesce(col("types"), lit(0L)), lit(1L)).cast("double"),
             6).as("hapax_frac"))
     }),
 
     // population stability index per event type: value distribution
-    // drift between the reference window (before the x50 cutoff) and
-    // the current one, over 10 fixed-width bins with +0.5 smoothing —
-    // the standard go/no-go feature-drift monitor. ONE (type, bin,
-    // half) count over the events is the only data-sized exchange;
-    // the 10-bin spine and PSI algebra are dimension-sized
+    // drift between the reference window (x50's history half, the
+    // shared refCutoffSec) and the current one, over 10 fixed-width
+    // bins with +0.5 smoothing — the standard go/no-go feature-drift
+    // monitor. TRUE single pass: one (type, bin) aggregation with
+    // conditional half counts reads the events once; totals ride a
+    // window over the ≤ |types|·10-row histogram (t12's no-join
+    // pattern) and absent bins fold in closed form — never a spine
+    // join or a second fact scan
     "x52_psi_drift" -> ((s, dir) => {
-      val cutoff = 1706140800L
-      val cnt = ev(s, dir)
+      val hist = ev(s, dir)
         .select(col("event_type"),
           least(greatest(floor(col("value") / 20).cast("long"), lit(0L)),
             lit(9L)).as("bin"),
-          (col("ts_sec") < cutoff).as("ref"))
-        .groupBy("event_type", "bin", "ref").agg(count(lit(1)).as("c"))
-      val spine = cnt.select("event_type").distinct()
-        .select(col("event_type"), explode(sequence(lit(0L), lit(9L))).as("bin"))
-      val ref = cnt.filter(col("ref")).select(col("event_type"), col("bin"), col("c").as("rc"))
-      val cur = cnt.filter(!col("ref")).select(col("event_type"), col("bin"), col("c").as("cc"))
-      val j = spine
-        .join(ref, Seq("event_type", "bin"), "left_outer")
-        .join(cur, Seq("event_type", "bin"), "left_outer")
-        .select(col("event_type"),
-          coalesce(col("rc"), lit(0L)).as("rc"), coalesce(col("cc"), lit(0L)).as("cc"))
-      val tot = j.groupBy("event_type").agg(sum("rc").as("rt"), sum("cc").as("ct"))
-      j.join(tot, "event_type")
-        .select(col("event_type"),
-          ((col("rc") + lit(0.5)) / (col("rt") + lit(5.0))).as("p"),
-          ((col("cc") + lit(0.5)) / (col("ct") + lit(5.0))).as("q"))
+          (col("ts_sec") < refCutoffSec).as("ref"))
+        .groupBy("event_type", "bin").agg(
+          sum(when(col("ref"), 1L).otherwise(0L)).as("rc"),
+          sum(when(!col("ref"), 1L).otherwise(0L)).as("cc"))
+      val w = Window.partitionBy("event_type")
+      val p = (col("rc") + lit(0.5)) / (col("rt") + lit(5.0))
+      val q = (col("cc") + lit(0.5)) / (col("ct") + lit(5.0))
+      val p0 = lit(0.5) / (max("rt") + lit(5.0))
+      val q0 = lit(0.5) / (max("ct") + lit(5.0))
+      hist
+        .withColumn("rt", sum("rc").over(w))
+        .withColumn("ct", sum("cc").over(w))
+        .withColumn("nb", count(lit(1)).over(w))
+        .select(col("event_type"), col("nb"), col("rt"), col("ct"),
+          ((p - q) * log(p / q)).as("term"))
         .groupBy("event_type")
-        .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+        .agg(round(
+          sum(col("term")) +
+            (lit(10L) - max("nb")).cast("double") * ((p0 - q0) * log(p0 / q0)),
+          6).as("psi"))
     }),
 
     // char-weighted median quality per source: the threshold-tuning
@@ -2052,8 +2058,10 @@ object SparkEntry {
     // histogram; raw rows never sort
     "x51_weighted_median" -> ((s, dir) => {
       val hist = Tables.documents(s, dir)
+        // qualityScore is already rounded to 4 places by its shared
+        // definition — no re-round, same digits t2/x33 consume
         .select(col("source"), col("n_chars"),
-          round(TextAnalysis.qualityScore(col("text")), 4).as("qv"))
+          TextAnalysis.qualityScore(col("text")).as("qv"))
         .groupBy("source", "qv").agg(sum("n_chars").as("w"))
       val cum = hist
         .withColumn("cw", sum("w").over(
@@ -2071,12 +2079,11 @@ object SparkEntry {
     // recompute is the checked contract, not an assumption
     "x50_incremental_agg" -> ((s, dir) => {
       val e = ev(s, dir).select(col("user_id"), col("value"), col("ts_sec"))
-      val cutoff = 1706140800L
       def part(df: DataFrame) = df.groupBy("user_id").agg(
         count(lit(1)).as("n"), sum("value").as("sv"),
         min("value").as("mn"), max("value").as("mx"))
-      val base = part(e.filter(col("ts_sec") < cutoff))
-      val delta = part(e.filter(col("ts_sec") >= cutoff))
+      val base = part(e.filter(col("ts_sec") < refCutoffSec))
+      val delta = part(e.filter(col("ts_sec") >= refCutoffSec))
       base.unionByName(delta)
         .groupBy("user_id").agg(
           sum("n").as("n"), sum("sv").as("sv"),
@@ -3702,12 +3709,12 @@ object SparkEntry {
         |FROM li LEFT JOIN o ON o.p_sec BETWEEN li.start_sec AND li.end_sec
         |GROUP BY 1, 2""".stripMargin,
 
+    // reuses entropyCteSql's shared `wc` (doc, word) counts — the same
+    // definition t9/c4 read, so the hapax base cannot drift (`ent` is
+    // simply unused here)
     "t21_hapax" ->
       s"""WITH $toksSql,
-        |wc AS (
-        |  SELECT doc_id, w, count(*) AS c
-        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
-        |  GROUP BY 1, 2),
+        |$entropyCteSql,
         |h AS (
         |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_types,
         |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
@@ -3720,36 +3727,36 @@ object SparkEntry {
         |    / greatest(coalesce(n_types, 0), 1)::DOUBLE, 6) AS hapax_frac
         |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id""".stripMargin,
 
+    // mirrors the single-pass shape: one conditional-count histogram,
+    // window totals over it, absent bins folded in closed form
     "x52_psi_drift" ->
       s"""WITH $evSql,
-        |b AS (SELECT event_type,
-        |        least(greatest(floor(value / 20)::BIGINT, 0), 9) AS bin,
-        |        ts_sec < 1706140800 AS ref
-        |      FROM ev),
-        |cnt AS (SELECT event_type, bin, ref, count(*) AS c FROM b GROUP BY 1, 2, 3),
-        |spine AS (SELECT et.event_type, u.bin
-        |          FROM (SELECT DISTINCT event_type FROM cnt) et,
-        |            unnest(generate_series(0, 9)) AS u(bin)),
-        |j AS (
-        |  SELECT s.event_type, s.bin,
-        |    coalesce(r.c, 0) AS rc, coalesce(cu.c, 0) AS cc
-        |  FROM spine s
-        |  LEFT JOIN cnt r ON r.event_type = s.event_type AND r.bin = s.bin AND r.ref
-        |  LEFT JOIN cnt cu ON cu.event_type = s.event_type AND cu.bin = s.bin AND NOT cu.ref),
-        |tot AS (SELECT event_type, sum(rc)::BIGINT AS rt, sum(cc)::BIGINT AS ct
-        |        FROM j GROUP BY 1),
-        |pq AS (
-        |  SELECT j.event_type,
-        |    (rc + 0.5) / (rt + 5.0) AS p, (cc + 0.5) / (ct + 5.0) AS q
-        |  FROM j JOIN tot ON tot.event_type = j.event_type)
-        |SELECT event_type, round(sum((p - q) * ln(p / q)), 6) AS psi
-        |FROM pq GROUP BY 1""".stripMargin,
+        |hist AS (
+        |  SELECT event_type,
+        |    least(greatest(floor(value / 20)::BIGINT, 0), 9) AS bin,
+        |    sum(CASE WHEN ts_sec < $refCutoffSec THEN 1 ELSE 0 END)::BIGINT AS rc,
+        |    sum(CASE WHEN ts_sec < $refCutoffSec THEN 0 ELSE 1 END)::BIGINT AS cc
+        |  FROM ev GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, rc, cc,
+        |    sum(rc) OVER (PARTITION BY event_type)::BIGINT AS rt,
+        |    sum(cc) OVER (PARTITION BY event_type)::BIGINT AS ct,
+        |    count(*) OVER (PARTITION BY event_type)::BIGINT AS nb
+        |  FROM hist)
+        |SELECT event_type, round(
+        |  sum(((rc + 0.5) / (rt + 5.0) - (cc + 0.5) / (ct + 5.0))
+        |      * ln(((rc + 0.5) / (rt + 5.0)) / ((cc + 0.5) / (ct + 5.0))))
+        |  + (10 - max(nb))::DOUBLE
+        |    * ((0.5 / (max(rt) + 5.0) - 0.5 / (max(ct) + 5.0))
+        |       * ln((0.5 / (max(rt) + 5.0)) / (0.5 / (max(ct) + 5.0)))),
+        |  6) AS psi
+        |FROM tot GROUP BY 1""".stripMargin,
 
     "x51_weighted_median" ->
       s"""WITH $toksSql,
         |$qualitySql,
         |hist AS (
-        |  SELECT d.source, round(q.quality, 4) AS qv, sum(d.n_chars)::BIGINT AS w
+        |  SELECT d.source, q.quality AS qv, sum(d.n_chars)::BIGINT AS w
         |  FROM q JOIN documents d USING (doc_id) GROUP BY 1, 2),
         |cum AS (
         |  SELECT source, qv,

@@ -294,9 +294,14 @@ class PlanGuardSpec extends SparkSpec {
       assert(!p.replace("BroadcastNestedLoopJoin BuildRight, Cross", "")
         .contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
     }
-    // x51's cumulative window must partition by source, never globally
+    // EVERY window in x51 must partition by source — a global cumulative
+    // window would single-partition the histogram sort
     val p51 = planOf("x51_weighted_median")
-    assert(!p51.contains("Window [") || p51.contains("windowspecdefinition(source"), p51)
+    val specs = p51.sliding("windowspecdefinition(".length)
+      .count(_ == "windowspecdefinition(")
+    val bySource = p51.sliding("windowspecdefinition(source".length)
+      .count(_ == "windowspecdefinition(source")
+    assert(specs > 0 && specs == bySource, s"specs=$specs bySource=$bySource\n$p51")
   }
 
   test("x39 HLL: two hash aggregations, no window, no join") {
