@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.operators.{Changelog, EventTime, Joins}
-import graft.functions.{DedupOps, GraphOps, Sampling, SimilarityOps, TextAnalysis}
+import graft.functions.{Classifier, DedupOps, GraphOps, Sampling, SimilarityOps, TextAnalysis}
 import graft.sources.Bucketing
 
 /** Driver contract — the full operator inventory of SURVEY.md §2 plus the
@@ -348,6 +348,57 @@ object SparkEntry {
        |    list_transform(range(1, len(e.embedding) + 1),
        |      k -> (e.embedding[k]::DOUBLE - muL.m[k]) * vL.v[k])), (a, b) -> a + b), 6) AS proj
        |FROM embeddings e CROSS JOIN muL CROSS JOIN vL""".stripMargin
+  }
+
+  /** Fit constants of the s13 logistic quality scorer — named once so
+    * the Spark query and the unrolled oracle can never drift. */
+  private val LrIters = 6
+  private val LrStep = 1.0
+  private val LrThreshold = 0.5
+
+  /** DuckDB replay of [[graft.functions.Classifier]]'s logistic fit +
+    * frozen-weight scoring: `iters` unrolled full-batch gradient rounds
+    * from the zero init — same prepended-intercept features, same
+    * float-cast weights entering the left-to-right margin fold, same
+    * round-6 margin/sigmoid/gradient/step discipline — then the scoring
+    * pass with the final weights. Generated programmatically so the
+    * iteration count, step size, and rounding cannot drift from the
+    * Scala side. */
+  private def lrOracleSql(iters: Int, lr: Double, threshold: Double): String = {
+    // rounded sigmoid of the rounded margin of v.vv against weight list
+    // `w` (FLOAT elements, cast back to DOUBLE per term — exactly
+    // DotProductFloat's arithmetic)
+    def scoreExpr(w: String): String =
+      s"""round(1.0 / (1.0 + exp(-round(list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(range(1, len(v.vv) + 1),
+         |          k -> v.vv[k]::DOUBLE * $w[k]::DOUBLE)),
+         |        (a, b) -> a + b), 6))), 6)"""
+    val iterBlocks = (1 to iters).map { j =>
+      val p = j - 1
+      s"""wf$p AS (SELECT list(w::FLOAT ORDER BY i) AS w FROM w$p),
+         |p$j AS (
+         |  SELECT v.vid, v.y, v.vv,
+         |    ${scoreExpr("wf.w")} AS p
+         |  FROM v CROSS JOIN wf$p wf),
+         |g$j AS (
+         |  SELECT d.i, round(avg((p.p - p.y) * p.vv[d.i]::DOUBLE), 6) AS g
+         |  FROM p$j p CROSS JOIN dims d GROUP BY 1),
+         |w$j AS (
+         |  SELECT w.i, round(w.w - $lr * g.g, 6) AS w
+         |  FROM w$p w JOIN g$j g ON g.i = w.i)"""
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id AS vid, list_prepend(1.0::FLOAT, embedding) AS vv,
+       |    (label < 5)::INT::DOUBLE AS y
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(range(1,
+       |  (SELECT max(len(vv)) FROM v) + 1)) AS i),
+       |w0 AS (SELECT i, 0.0::DOUBLE AS w FROM dims),
+       |$iterBlocks,
+       |wfF AS (SELECT list(w::FLOAT ORDER BY i) AS w FROM w$iters)
+       |SELECT vec_id, score, score >= $threshold AS keep FROM (
+       |  SELECT v.vid AS vec_id, ${scoreExpr("wf.w")} AS score
+       |  FROM v CROSS JOIN wfF wf)""".stripMargin
   }
 
   /** DuckDB replay of the PRODUCTION IVF composition — [[SimilarityOps
@@ -903,6 +954,17 @@ object SparkEntry {
         .select(col("cid"), posexplode(col("cv")))
         .select(col("cid"), col("pos").cast("int").as("dim"),
           col("col").cast("double").as("val"))),
+
+    // classifier-based quality filtering (the FineWeb-Edu/DCLM curation
+    // shape): full-batch logistic fit over embeddings vs a binary label
+    // — driver-held d+1 weights, ONE flat-plan job per round (weights
+    // enter as literals, the kmeansFit small-state contract) — then a
+    // ZERO-SHUFFLE frozen-weight scoring projection gating the corpus;
+    // the unrolled-CTE oracle replays the exact fit trajectory
+    "s13_lr_quality" -> ((s, dir) =>
+      Classifier.fitScore(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("label") < 5, iters = LrIters, lr = LrStep,
+        threshold = LrThreshold)),
 
     // text analysis --------------------------------------------------------
 
@@ -1742,13 +1804,13 @@ object SparkEntry {
     // exact-threshold set-similarity join (AllPairs prefix filtering):
     // perfect-recall candidates from rarest-token prefixes, exact
     // token-set Jaccard verify, threshold filter — the deterministic
-    // complement to d2's MinHash blocking. Bounded slice by design: the
-    // synthetic 31-word vocabulary is prefix filtering's adversarial
-    // worst case (see DedupOps.prefixCandidates), so the oracle checks
-    // mechanics on a constant-size slice; PrefixJoinSpec proves recall
-    // ≡ brute force
+    // complement to d2's MinHash blocking. Full corpus (the synthetic
+    // 31-word vocabulary is prefix filtering's adversarial worst case —
+    // see DedupOps.prefixCandidates — so this is the technique under
+    // maximal candidate pressure); PrefixJoinSpec proves recall ≡ brute
+    // force
     "d17_prefix_join" -> ((s, dir) =>
-      DedupOps.prefixJoin(Tables.documents(s, dir).filter(col("doc_id") < 250),
+      DedupOps.prefixJoin(Tables.documents(s, dir),
         "doc_id", "text", threshold = 0.5)),
 
     // the dedup DECISION: near-dup pairs → clusters → keep exactly the
@@ -2145,10 +2207,13 @@ object SparkEntry {
       a.join(b, col("event_type") === col("et2"))
         .select(col("event_type"), col("na"), col("nb"),
           round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
-          round((mb - ma) / ma, 6).as("lift"),
+          // nullif guards: a zero-mean or zero-variance arm reads as a
+          // NULL lift/z on BOTH engines, never an engine-specific Inf/NaN
+          round((mb - ma) / nullif(ma, lit(0.0)), 6).as("lift"),
           round((mb - ma) /
-            sqrt((col("sv2a") / col("na") - pow(ma, 2)) / col("na") +
-              (col("sv2b") / col("nb") - pow(mb, 2)) / col("nb")), 4).as("z"))
+            nullif(sqrt((col("sv2a") / col("na") - pow(ma, 2)) / col("na") +
+              (col("sv2b") / col("nb") - pow(mb, 2)) / col("nb")), lit(0.0)),
+            4).as("z"))
     }),
 
     // zero-filled weekly series: (event_type × every week in range),
@@ -2846,6 +2911,8 @@ object SparkEntry {
 
     "x25_pca_project" -> pcaOracleSql(iters = 4),
 
+    "s13_lr_quality" -> lrOracleSql(LrIters, LrStep, LrThreshold),
+
     "t1_langid" ->
       s"""SELECT doc_id,
         |  $langGuessSql AS lang_guess
@@ -3318,8 +3385,7 @@ object SparkEntry {
     // at token (1-gram) granularity
     "d17_prefix_join" ->
       s"""WITH $toksSql,
-        |base AS (SELECT doc_id, t FROM toks WHERE doc_id < 250),
-        |tk AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM base),
+        |tk AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
         |dft AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1),
         |sized AS (
         |  SELECT tk.doc_id, tk.tok,
@@ -3804,10 +3870,10 @@ object SparkEntry {
         |SELECT event_type, na, nb,
         |  round(sva / na, 6) AS mean_a,
         |  round(svb / nb, 6) AS mean_b,
-        |  round((svb / nb - sva / na) / (sva / na), 6) AS lift,
+        |  round((svb / nb - sva / na) / nullif(sva / na, 0), 6) AS lift,
         |  round((svb / nb - sva / na) /
-        |    sqrt((sv2a / na - pow(sva / na, 2)) / na
-        |       + (sv2b / nb - pow(svb / nb, 2)) / nb), 4) AS z
+        |    nullif(sqrt((sv2a / na - pow(sva / na, 2)) / na
+        |       + (sv2b / nb - pow(svb / nb, 2)) / nb), 0), 4) AS z
         |FROM a JOIN b USING (event_type)""".stripMargin,
 
     "x47_time_grid" ->

@@ -70,11 +70,25 @@ object Joins {
     * them matches nothing). Columns are named (not Column objects) so
     * they resolve unambiguously on their own side; all three are
     * epoch-second longs. Integer `div` keeps bucket ids exact where a
-    * double `floor(x / b)` would round past 2^53. */
+    * double `floor(x / b)` would round past 2^53.
+    *
+    * The two sides must have DISJOINT column names (enforced): the
+    * residual filter resolves `pointCol`/`startCol`/`endCol` across the
+    * joined frame, so a shared name would be ambiguous — alias one side
+    * before calling. The internal bucket column name is likewise
+    * collision-checked. */
   def intervalJoin(points: DataFrame, intervals: DataFrame,
                    pointCol: String, startCol: String, endCol: String,
                    bucketSec: Long): DataFrame = {
     require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"intervalJoin needs disjoint column names between points and " +
+        s"intervals (residual filter would be ambiguous); shared: " +
+        s"${shared.mkString(", ")} — alias one side first")
+    require(!points.columns.contains("__graft_bkt") &&
+        !intervals.columns.contains("__graft_bkt"),
+      "column __graft_bkt is reserved by intervalJoin")
     val pb = points.withColumn("__graft_bkt", expr(s"$pointCol div $bucketSec"))
     val ib = intervals
       .filter(col(endCol) >= col(startCol))

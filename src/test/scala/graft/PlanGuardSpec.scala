@@ -115,6 +115,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("s13 frozen-weight scoring is a shuffle-free projection — no exchange, no join") {
+    // the scoring stage alone (frozen weights, no fit jobs) — the pass
+    // that must stay embarrassingly parallel on a 100 TB corpus
+    val w = Array.fill(65)(0.01)
+    val p = plan(graft.functions.Classifier.logisticScore(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", w, threshold = 0.5))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("d5 simhash pairs join on the (band, bits) key — no cartesian") {
     val p = planOf("d5_simhash_neardup")
     assert(!p.contains("CartesianProduct"), p)
