@@ -38,7 +38,7 @@ object Bench {
     // A crashed query must not masquerade as a fast one: its slot is null
     // and the error message is reported separately (first failure wins;
     // later rounds skip a query that has already failed).
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
     val errors = scala.collection.mutable.Map.empty[String, String]
     for (round <- 1 to repeat; name <- names if !errors.contains(name)) {
       val fn = SparkEntry.queries(name)
@@ -46,23 +46,34 @@ object Bench {
       try {
         fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
-        if (!best.get(name).exists(_ <= sec)) best(name) = sec
+        times(name) = sec :: times.getOrElse(name, Nil)
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          best.remove(name)
+          times.remove(name)
       }
     }
+    // min is the headline (environment steal only ADDS time); p50 sits
+    // alongside so the per-query noise band is visible in the artifact
+    // itself rather than inferred from round-over-round deltas.
+    val best = times.view.mapValues(_.min).toMap
+    val p50 = times.view.mapValues { ts =>
+      val s = ts.sorted
+      s((s.length - 1) / 2)
+    }.toMap
     val results = names.map { n => (n, best.getOrElse(n, 0.0), errors.get(n)) }
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\]", " ").replaceAll("[\\u0000-\\u001f\\u007f]", " ") + "\""
     val qs = results.map { case (k, sec, err) =>
       jstr(k) + ":" + (if (err.isEmpty) sec.toString else "null")
     }.mkString("{", ",", "}")
+    val p50s = results.map { case (k, _, err) =>
+      jstr(k) + ":" + (if (err.isEmpty) p50(k).toString else "null")
+    }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m.take(200)) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, sec, None) => sec }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"queries":$qs,"p50":$p50s,"errors":$errs,"sf":"$sfDir"}"""
     // stdout gets buried in sbt [info] noise — the file is the reliable channel.
     val p = Paths.get(outPath)
     if (p.getParent != null) Files.createDirectories(p.getParent)

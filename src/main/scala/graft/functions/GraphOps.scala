@@ -96,40 +96,97 @@ object GraphOps {
     * Scale shape: score state is a DISTRIBUTED (node, score) table
     * (node sets are corpus-sized — never collected); each half-step is
     * one equi-join on the contributing endpoint + one groupBy, and the
-    * Σraw normalizer rides a 1-row broadcast so the whole fixpoint
-    * stays one lazy, action-free plan (see the iters bound note in the
-    * body for the plan-size/runtime trade). */
+    * Σraw normalizer rides a 1-row broadcast. Two embodiments, chosen
+    * by depth: iters ≤ 4 stays one lazy action-free plan
+    * ([[hitsLazy]]); deeper fixpoints checkpoint per round
+    * ([[hitsCheckpointed]], the d7 CC-loop pattern) so neither the plan
+    * nor the recompute grows with iteration count. Both compute the
+    * identical integer trajectory. */
   def hitsL1(edges: DataFrame, iters: Int = 2): DataFrame = {
-    // iters ≤ 4 is a PLAN-SIZE bound, not a semantics one: the lazy
-    // Σraw normalizer below references its input twice, so the logical
-    // plan holds ~4^iters copies of the edge-aggregate subtree — 256 at
-    // the cap (fine), unbounded growth beyond it. Staying lazy is the
-    // deliberate trade: within one execution all copies canonicalize to
-    // the same subtree and exchange reuse computes each stage once
-    // (A/B-measured 2.3× faster than eagerly collecting the scalar per
-    // half-step, which re-executes the chain at fit time), the function
-    // stays action-free and leak-free, and deeper fixpoints should
-    // checkpoint per round (the d7 CC-loop pattern) rather than grow
-    // either the plan or the recompute quadratically.
-    require(iters >= 1 && iters <= 4, s"iters in [1,4], got $iters")
-    val e = edges.select(col("u"), col("p")).distinct()
-    def norm(grouped: DataFrame, node: String): DataFrame = {
-      val s = grouped.agg(sum(col("raw")).as("s"))
-      grouped.crossJoin(broadcast(s))
-        .select(col(node),
-          round(col("raw").cast("double") * lit(1e6) / col("s"))
-            .cast("long").as("score"))
-    }
+    require(iters >= 1, s"iters >= 1, got $iters")
+    if (iters <= 4) hitsLazy(edges, iters) else hitsCheckpointed(edges, iters)
+  }
+
+  /** One normalization half-step shared by both HITS embodiments: raw
+    * integer scores → micro-unit scores summing to ~10⁶, the Σraw
+    * normalizer riding a 1-row broadcast. */
+  private def hitsNorm(grouped: DataFrame, node: String): DataFrame = {
+    val s = grouped.agg(sum(col("raw")).as("s"))
+    grouped.crossJoin(broadcast(s))
+      .select(col(node),
+        round(col("raw").cast("double") * lit(1e6) / col("s"))
+          .cast("long").as("score"))
+  }
+
+  private def hitsInit(edges: DataFrame): DataFrame =
+    edges.select(col("u"), col("p")).distinct()
+
+  private def hitsResult(auth: DataFrame, hub: DataFrame): DataFrame =
+    auth.select(lit("auth").as("role"), col("p").as("node"), col("score"))
+      .unionByName(
+        hub.select(lit("hub").as("role"), col("u").as("node"), col("score")))
+
+  /** Shallow fixpoints (iters ≤ 4): one lazy, action-free plan. The
+    * bound is PLAN-SIZE, not semantics: the Σraw normalizer references
+    * its input twice, so the logical plan holds ~4^iters copies of the
+    * edge-aggregate subtree — 256 at the cap (fine), unbounded growth
+    * beyond it. Staying lazy is the deliberate trade: within one
+    * execution all copies canonicalize to the same subtree and exchange
+    * reuse computes each stage once (A/B-measured 2.3× faster than
+    * eagerly collecting the scalar per half-step, which re-executes the
+    * chain at fit time). */
+  private def hitsLazy(edges: DataFrame, iters: Int): DataFrame = {
+    val e = hitsInit(edges)
     var hub = e.select(col("u")).distinct()
       .select(col("u"), lit(1000000L).as("score"))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      auth = norm(e.join(hub, "u").groupBy("p").agg(sum("score").as("raw")), "p")
-      hub = norm(e.join(auth, "p").groupBy("u").agg(sum("score").as("raw")), "u")
+      auth = hitsNorm(e.join(hub, "u").groupBy("p").agg(sum("score").as("raw")), "p")
+      hub = hitsNorm(e.join(auth, "p").groupBy("u").agg(sum("score").as("raw")), "u")
     }
-    auth.select(lit("auth").as("role"), col("p").as("node"), col("score"))
-      .unionByName(
-        hub.select(lit("hub").as("role"), col("u").as("node"), col("score")))
+    hitsResult(auth, hub)
+  }
+
+  /** Deep fixpoints (iters > 4): the d7 CC-loop discipline — each
+    * round's auth/hub snapshots are LAZILY localCheckpoint'ed and one
+    * count() per round materializes them (cutting lineage, so the plan
+    * and the recompute stay constant-size per round), then the previous
+    * round's snapshots are freed immediately — executor storage holds
+    * at most two rounds of bounded (node, score) tables, never
+    * O(rounds). The FINAL round's snapshots intentionally stay
+    * persisted: the returned plan reads them and their lineage is
+    * truncated (the d7 contract — the leak is two node-sized integer
+    * tables, freed with the session or an explicit unpersist by the
+    * caller).
+    *
+    * Integer micro-unit arithmetic is round-for-round EXACT, so this
+    * path is spec-pinned equal to [[hitsLazy]] at equal iters. */
+  private[functions] def hitsCheckpointed(edges: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    val e = hitsInit(edges).localCheckpoint(false) // round 1's action materializes it
+    var hub = e.select(col("u")).distinct()
+      .select(col("u"), lit(1000000L).as("score"))
+    var auth: DataFrame = null
+    var prevA: DataFrame = null
+    var prevH: DataFrame = null
+    for (_ <- 1 to iters) {
+      // lazy (no-arg localCheckpoint is EAGER): the count below is the
+      // round's single materializing action for BOTH half-steps
+      val a = hitsNorm(
+        e.join(hub, "u").groupBy("p").agg(sum("score").as("raw")), "p")
+        .localCheckpoint(false)
+      val h = hitsNorm(
+        e.join(a, "p").groupBy("u").agg(sum("score").as("raw")), "u")
+        .localCheckpoint(false)
+      h.count()
+      if (prevA != null) GraftShims.unpersistLocalCheckpoint(prevA)
+      if (prevH != null) GraftShims.unpersistLocalCheckpoint(prevH)
+      prevA = a
+      prevH = h
+      auth = a
+      hub = h
+    }
+    hitsResult(auth, hub)
   }
 
   /** Per-group triangle count over undirected edges (g, a, b), input

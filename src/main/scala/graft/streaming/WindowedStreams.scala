@@ -60,6 +60,26 @@ object WindowedStreams {
       .groupBy(session_window(col(tsCol), gap) +: keyCols: _*)
       .count()
 
+  /** Session windows with a PER-EVENT inactivity gap — the streaming
+    * twin of the batch `w5_session_dynamic` query (beyond the
+    * reference's fixed gap: each record proposes its own expiry).
+    *
+    * Spark-first: `session_window` accepts a gap COLUMN
+    * (CalendarInterval, evaluated per event) in Structured Streaming
+    * too, merging overlapping [ts, ts+gap) intervals in the session
+    * state store — so no custom TWS state or timers are needed; append
+    * mode emits a merged session once the watermark passes its end
+    * (max over members of ts+gap), update mode emits the continuous
+    * changelog. Merge is gap-inclusive, as in [[sessionCounts]].
+    *
+    * Scale: state per key is the OPEN sessions only (closed ones are
+    * evicted by the watermark), hash-spread on the grouping key. */
+  def dynamicSessionCounts(input: DataFrame, tsCol: String, gap: Column,
+                           grace: String, keyCols: Column*): DataFrame =
+    input.withWatermark(tsCol, grace)
+      .groupBy(session_window(col(tsCol), gap) +: keyCols: _*)
+      .count()
+
   /** Flatten the window struct to the reference's `"$key-$windowStart"`
     * output key (`apps/WindowedGrouping.scala:47`). */
   def flattenWindowKey(df: DataFrame, keyCol: String): DataFrame =

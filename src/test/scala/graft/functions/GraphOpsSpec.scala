@@ -101,6 +101,52 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("checkpointed HITS equals the lazy plan at equal iters (exact)") {
+    import spark.implicits._
+    val e = Seq(1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 100L,
+      1L -> 11L, 2L -> 12L, 3L -> 13L, 4L -> 14L, 2L -> 11L).toDF("u", "p")
+    // same integer trajectory, different execution discipline — must be
+    // EXACT, not approximately equal
+    val lazyOut = GraphOps.hitsL1(e, iters = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ckptOut = GraphOps.hitsCheckpointed(e, iters = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ckptOut == lazyOut)
+  }
+
+  test("deep HITS (iters > 4) converges and stays exact vs the in-memory replay") {
+    import spark.implicits._
+    val pairs = Seq(1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 100L,
+      1L -> 11L, 2L -> 12L, 3L -> 13L, 4L -> 14L, 2L -> 11L, 3L -> 12L)
+    val e = pairs.toDF("u", "p")
+    def run(iters: Int) = GraphOps.hitsL1(e, iters)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the plain-Scala replay from the randomized test, inlined for depth 12
+    def replay(edges: Set[(Long, Long)], iters: Int): Map[(String, Long), Long] = {
+      var hub = edges.map(_._1).map(_ -> 1000000L).toMap
+      var auth = Map.empty[Long, Long]
+      for (_ <- 1 to iters) {
+        val araw = edges.groupBy(_._2).map { case (p, es) =>
+          p -> es.toSeq.map(x => hub(x._1)).sum }
+        val as = araw.values.sum.toDouble
+        auth = araw.map { case (p, r) => p -> math.round(r.toDouble * 1e6 / as) }
+        val hraw = edges.groupBy(_._1).map { case (u, es) =>
+          u -> es.toSeq.map(x => auth(x._2)).sum }
+        val hs = hraw.values.sum.toDouble
+        hub = hraw.map { case (u, r) => u -> math.round(r.toDouble * 1e6 / hs) }
+      }
+      auth.map { case (n, s) => ("auth", n) -> s } ++
+        hub.map { case (n, s) => ("hub", n) -> s }
+    }
+    val deep = run(12)
+    assert(deep == replay(pairs.toSet, 12))
+    // fixpoint: one more round no longer moves any score by > 1 micro-unit
+    val deeper = run(13)
+    deep.foreach { case (k, v) =>
+      assert(math.abs(deeper(k) - v) <= 1L, s"$k moved ${deeper(k) - v}")
+    }
+  }
+
   test("bigramEdges builds the symmetric weighted adjacency") {
     import spark.implicits._
     val docs = Seq("the cat sat", "the cat", "cat the").toDF("text")

@@ -145,4 +145,58 @@ class WindowedStreamsSpec extends SparkSpec {
         (base, "foo", 2L), (base + 4, "foo", 1L), (base, "bar", 5L)))
     } finally q.stop()
   }
+
+  test("dynamic-gap sessions: closed stream windows ≡ batch replay (w5 twin)") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    // per-event gap: clicks expire in 5 s, views in 20 s (the w5 rule
+    // scaled down); a long-gap event can bridge past a short-gap one
+    def gapCol = when(col("typ") === "click",
+        expr("make_interval(0,0,0,0,0,0,5)"))
+      .otherwise(expr("make_interval(0,0,0,0,0,0,20)"))
+    val events = Seq(
+      TEv("u", "click", ts(0)),   // [0, 5)
+      TEv("u", "view", ts(3)),    // bridges: end -> 23
+      TEv("u", "click", ts(10)),  // 10 <= 23 -> merges, end stays 23
+      TEv("u", "click", ts(30)),  // past 23 -> new session [30, 35)
+      TEv("u", "view", ts(60)))   // new session [60, 80)
+    val in = MemoryStream[TEv]
+    val agg = WindowedStreams.dynamicSessionCounts(in.toDF(), "ts", gapCol,
+      "0 seconds", col("key"))
+    val q = agg.select(col("session_window.start").cast("long").as("start"),
+        col("session_window.end").cast("long").as("end"),
+        col("key"), col("count"))
+      .writeStream.format("memory").queryName("dynsess").outputMode("append").start()
+    try {
+      in.addData(events.take(3): _*)
+      q.processAllAvailable()
+      in.addData(events.drop(3): _*)
+      q.processAllAvailable()
+      // close everything: watermark far past the last u-session's end
+      in.addData(TEv("zzz", "view", ts(1000)))
+      q.processAllAvailable()
+      in.addData(TEv("zzz", "view", ts(2000)))
+      q.processAllAvailable()
+      val stream = s.table("dynsess").filter(col("key") =!= "zzz")
+        .as[(Long, Long, String, Long)].collect().toSet
+      // hand-computed (merge is end-inclusive, end = max member ts+gap)
+      assert(stream == Set(
+        (base, base + 23, "u", 3L),
+        (base + 30, base + 35, "u", 1L),
+        (base + 60, base + 80, "u", 1L)))
+      // batch replay of the SAME dynamic-gap operator over the same rows
+      val batch = events.toDF()
+        .groupBy(session_window(col("ts"), gapCol), col("key"))
+        .count()
+        .select(col("session_window.start").cast("long"),
+          col("session_window.end").cast("long"), col("key"), col("count"))
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(stream == batch, "closed streaming sessions must equal the batch replay")
+    } finally q.stop()
+  }
 }
+
+/** Top-level (not nested in the spec) so Spark can build its encoder
+  * without an outer-scope instance. */
+case class TEv(key: String, typ: String, ts: Timestamp)
