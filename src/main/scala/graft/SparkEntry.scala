@@ -118,6 +118,37 @@ object SparkEntry {
 
   private val evSql = "ev AS (SELECT *, floor(epoch(ts))::BIGINT AS ts_sec FROM events)"
 
+  /** The x31 gaps-and-islands sessionizer (gap > 300 s), shared with
+    * x55 so the two queries can never disagree on what a session is:
+    * events + their (user_id, session_idx) assignment. Both window
+    * passes share the hash(user_id) clustering — one exchange. */
+  private def sessionized(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_sec"),
+        col("event_type"), col("value"))
+      .withColumn("new_s",
+        when(col("ts_sec") - lag("ts_sec", 1).over(w) > 300, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1)
+  }
+
+  /** DuckDB twin of [[sessionized]] — `ev`/`marked`/`sess` CTEs (NOT
+    * margin-stripped), shared by the x31 and x55 oracles. */
+  private val sessSql =
+    s"""$evSql,
+       |marked AS (
+       |  SELECT user_id, event_id, ts_sec, event_type, value,
+       |    CASE WHEN ts_sec - lag(ts_sec) OVER (PARTITION BY user_id
+       |      ORDER BY ts_sec, event_id) > 300 THEN 1 ELSE 0 END AS new_s
+       |  FROM ev),
+       |sess AS (
+       |  SELECT user_id, event_id, ts_sec, event_type, value,
+       |    (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT + 1
+       |      AS session_idx
+       |  FROM marked)"""
+
   /** The ONE DuckDB mirror of `TextAnalysis.tokens` (equivalence to the
     * codegen'd tokenizer is spec-asserted) — every token-consuming oracle
     * goes through this CTE so the tokenization cannot fork per query. */
@@ -357,14 +388,16 @@ object SparkEntry {
   private val LrThreshold = 0.5
 
   /** DuckDB replay of [[graft.functions.Classifier]]'s logistic fit +
-    * frozen-weight scoring: `iters` unrolled full-batch gradient rounds
-    * from the zero init — same prepended-intercept features, same
+    * frozen-weight scoring, as a CTE chain ending in
+    * `scored (vec_id, score)`: `iters` unrolled full-batch gradient
+    * rounds from the zero init — same prepended-intercept features, same
     * float-cast weights entering the left-to-right margin fold, same
     * round-6 margin/sigmoid/gradient/step discipline — then the scoring
     * pass with the final weights. Generated programmatically so the
     * iteration count, step size, and rounding cannot drift from the
-    * Scala side. */
-  private def lrOracleSql(iters: Int, lr: Double, threshold: Double): String = {
+    * Scala side; shared by the s13 gate oracle and the c5 curation
+    * composition so the replayed fit cannot fork between them. */
+  private def lrCtes(iters: Int, lr: Double): String = {
     // rounded sigmoid of the rounded margin of v.vv against weight list
     // `w` (FLOAT elements, cast back to DOUBLE per term — exactly
     // DotProductFloat's arithmetic)
@@ -387,7 +420,7 @@ object SparkEntry {
          |  SELECT w.i, round(w.w - $lr * g.g, 6) AS w
          |  FROM w$p w JOIN g$j g ON g.i = w.i)"""
     }.mkString(",\n")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id AS vid, list_prepend(1.0::FLOAT, embedding) AS vv,
        |    (label < 5)::INT::DOUBLE AS y
        |  FROM embeddings),
@@ -395,11 +428,15 @@ object SparkEntry {
        |  (SELECT max(len(vv)) FROM v) + 1)) AS i),
        |w0 AS (SELECT i, 0.0::DOUBLE AS w FROM dims),
        |$iterBlocks,
-       |wfF AS (SELECT list(w::FLOAT ORDER BY i) AS w FROM w$iters)
-       |SELECT vec_id, score, score >= $threshold AS keep FROM (
+       |wfF AS (SELECT list(w::FLOAT ORDER BY i) AS w FROM w$iters),
+       |scored AS (
        |  SELECT v.vid AS vec_id, ${scoreExpr("wf.w")} AS score
-       |  FROM v CROSS JOIN wfF wf)""".stripMargin
+       |  FROM v CROSS JOIN wfF wf)"""
   }
+
+  private def lrOracleSql(iters: Int, lr: Double, threshold: Double): String =
+    s"""WITH ${lrCtes(iters, lr)}
+       |SELECT vec_id, score, score >= $threshold AS keep FROM scored""".stripMargin
 
   /** DuckDB replay of the PRODUCTION IVF composition — [[SimilarityOps
     * .kmeansFit]] centroids feeding [[SimilarityOps.ivfTopK]]: the Lloyd
@@ -965,6 +1002,22 @@ object SparkEntry {
       Classifier.fitScore(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("label") < 5, iters = LrIters, lr = LrStep,
         threshold = LrThreshold)),
+
+    // the classifier GATE in its curation seat (FineWeb-Edu's actual
+    // deployment shape): s13's frozen-weight keep decision joined back
+    // to the document table it curates — one doc_id-keyed equi-join of
+    // the map-side-scored embedding table against the corpus, no other
+    // exchange; the oracle replays the identical fit via the shared
+    // lrCtes chain, so gate and score can never fork from s13
+    "c5_lr_gate" -> ((s, dir) => {
+      val scored = Classifier.fitScore(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("label") < 5, iters = LrIters, lr = LrStep,
+        threshold = LrThreshold)
+      Tables.documents(s, dir)
+        .join(scored.filter(col("keep")).select(col("vec_id"), col("score")),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("score"))
+    }),
 
     // text analysis --------------------------------------------------------
 
@@ -2041,20 +2094,69 @@ object SparkEntry {
           lag("n_users", 1).over(Window.orderBy("stage")), 6), lit(1.0)))
     }),
 
-    "x31_sessionize" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
-      val marked = ev(s, dir)
-        .select(col("user_id"), col("event_id"), col("ts_sec"), col("value"))
-        .withColumn("new_s",
-          when(col("ts_sec") - lag("ts_sec", 1).over(w) > 300, 1).otherwise(0))
-      marked
-        .withColumn("session_idx",
-          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1)
+    "x31_sessionize" -> ((s, dir) =>
+      sessionized(s, dir)
         .groupBy("user_id", "session_idx").agg(
           count(lit(1)).as("n_events"),
           min("ts_sec").as("start_sec"),
           max("ts_sec").as("end_sec"),
-          round(sum("value"), 2).as("total"))
+          round(sum("value"), 2).as("total"))),
+
+    // top within-session event-type paths: the session-keyed event list
+    // ordered inside ONE row (array_sort of (ts, id, type) structs — the
+    // s7 pattern; no second window pass), concatenated and counted. The
+    // n ≥ 2 floor prunes the singleton-path tail before output. Shares
+    // the x31 sessionizer — one gap definition, no drift
+    "x55_session_paths" -> ((s, dir) =>
+      sessionized(s, dir)
+        .groupBy("user_id", "session_idx")
+        .agg(array_sort(collect_list(
+          struct(col("ts_sec"), col("event_id"), col("event_type")))).as("evs"))
+        .select(concat_ws(">",
+          transform(col("evs"), e => e.getField("event_type"))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .filter(col("n_sessions") >= 2)),
+
+    // rolling z-score anomaly monitor: each event scored against the
+    // mean/std of its 20 PRECEDING same-type events (frame excludes the
+    // current row — the monitored value must not shift its own
+    // baseline). Variance from explicit (Σv, Σv²) frame sums (the x48
+    // closed form), rounded at 6 BEFORE the sqrt/divide so the
+    // cross-engine frame-sum ulp cannot leak into the anomaly set; z
+    // rounded at 4, |z| > 3 flags. One type-partitioned ordered window
+    // — type cardinality bounds partitions, never a global sort
+    "x53_rolling_zscore" -> ((s, dir) => {
+      val f = Window.partitionBy("event_type")
+        .orderBy(col("ts_sec").asc, col("event_id").asc)
+        .rowsBetween(-20, -1)
+      ev(s, dir).select(col("event_type"), col("event_id"), col("ts_sec"), col("value"))
+        .withColumn("n", count(lit(1)).over(f))
+        .withColumn("sv", sum("value").over(f))
+        .withColumn("sv2", sum(col("value") * col("value")).over(f))
+        .filter(col("n") === 20)
+        .withColumn("mean", col("sv") / 20)
+        .withColumn("varr", round(col("sv2") / 20 - pow(col("mean"), 2), 6))
+        .filter(col("varr") > 0)
+        .withColumn("z", round((col("value") - col("mean")) / sqrt(col("varr")), 4))
+        .filter(abs(col("z")) > 3)
+        .select("event_type", "event_id", "ts_sec", "value", "z")
+    }),
+
+    // first-order Markov transition matrix of user behavior: per-user
+    // event streams → (from, to) adjacent-type pairs (one lead() over
+    // the user-ordered window) → global counts and per-from-state
+    // probabilities. The |types|²-row transition table is the
+    // behavioral fingerprint drift monitors diff against x52-style
+    "x54_markov_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
+      val pairs = ev(s, dir)
+        .select(col("user_id"), col("ts_sec"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+      pairs.groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("from_type")), 6))
     }),
 
     // hapax legomena per doc: the fraction of a document's distinct
@@ -2913,6 +3015,13 @@ object SparkEntry {
 
     "s13_lr_quality" -> lrOracleSql(LrIters, LrStep, LrThreshold),
 
+    // the same lrCtes fit chain, gating documents (keep = score ≥ thr)
+    "c5_lr_gate" ->
+      s"""WITH ${lrCtes(LrIters, LrStep)}
+        |SELECT d.doc_id, d.source, d.n_chars, s.score
+        |FROM scored s JOIN documents d ON d.doc_id = s.vec_id
+        |WHERE s.score >= $LrThreshold""".stripMargin,
+
     "t1_langid" ->
       s"""SELECT doc_id,
         |  $langGuessSql AS lang_guess
@@ -3655,22 +3764,55 @@ object SparkEntry {
         |FROM stages""".stripMargin,
 
     "x31_sessionize" ->
-      s"""WITH $evSql,
-        |marked AS (
-        |  SELECT user_id, event_id, ts_sec, value,
-        |    CASE WHEN ts_sec - lag(ts_sec) OVER (PARTITION BY user_id
-        |      ORDER BY ts_sec, event_id) > 300 THEN 1 ELSE 0 END AS new_s
-        |  FROM ev),
-        |sess AS (
-        |  SELECT user_id, ts_sec, value,
-        |    (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT + 1
-        |      AS session_idx
-        |  FROM marked)
+      s"""WITH $sessSql
         |SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
         |  min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
         |  round(sum(value), 2) AS total
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // x31's sessions (shared sessSql CTE) → ordered type paths → counts
+    "x55_session_paths" ->
+      s"""WITH $sessSql,
+        |paths AS (
+        |  SELECT user_id, session_idx,
+        |    string_agg(event_type, '>' ORDER BY ts_sec, event_id) AS path
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT path, count(*)::BIGINT AS n_sessions
+        |FROM paths GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    // variance from the rounded closed form BEFORE sqrt/divide — the
+    // frame-sum ulp is absorbed where it is smallest (see the query
+    // comment); z compared at its rounded 4 digits
+    "x53_rolling_zscore" ->
+      s"""WITH $evSql,
+        |f AS (
+        |  SELECT event_type, event_id, ts_sec, value,
+        |    count(*) OVER w AS n, sum(value) OVER w AS sv,
+        |    sum(value * value) OVER w AS sv2
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_sec, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |s AS (
+        |  SELECT event_type, event_id, ts_sec, value, sv / 20 AS mean,
+        |    round(sv2 / 20 - pow(sv / 20, 2), 6) AS varr
+        |  FROM f WHERE n = 20)
+        |SELECT event_type, event_id, ts_sec, value,
+        |  round((value - mean) / sqrt(varr), 4) AS z
+        |FROM s WHERE varr > 0
+        |  AND abs(round((value - mean) / sqrt(varr), 4)) > 3""".stripMargin,
+
+    "x54_markov_transitions" ->
+      s"""WITH $evSql,
+        |nx AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id) AS to_type
+        |  FROM ev),
+        |c AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+        |      FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c""".stripMargin,
 
     "x28_mix_chi2" ->
       """WITH obs AS (

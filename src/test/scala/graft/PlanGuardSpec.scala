@@ -125,6 +125,17 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("round-8 analytics batch stays keyed — no cartesian, no single-partition window") {
+    Seq("c5_lr_gate", "x53_rolling_zscore", "x54_markov_transitions",
+        "x55_session_paths")
+      .foreach { q =>
+        val p = planOf(q)
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+        assert(!p.contains("SinglePartition"), s"$q grew a global window:\n$p")
+      }
+  }
+
   test("d5 simhash pairs join on the (band, bits) key — no cartesian") {
     val p = planOf("d5_simhash_neardup")
     assert(!p.contains("CartesianProduct"), p)
