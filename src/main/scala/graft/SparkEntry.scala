@@ -1094,6 +1094,28 @@ object SparkEntry {
           round(col("co") / sqrt(col("na") * col("nb")), 6).as("cosine"))
     }),
 
+    // query-biased TextRank: personalized PageRank over the word
+    // co-occurrence graph with ALL teleport mass pinned to the query
+    // tokens {hash, join} — keywords ranked by graph proximity to the
+    // query instead of t18's global centrality. Rank state is a SPARSE
+    // frontier (only nodes reached from the seeds hold rows), so early
+    // rounds touch a neighborhood, not the vocabulary
+    "g3_ppr" -> ((s, dir) => {
+      import s.implicits._
+      GraphOps.personalizedPageRank(
+        GraphOps.bigramEdges(Tables.documents(s, dir)),
+        Seq("hash", "join").toDF("node"), iters = 4)
+    }),
+
+    // 10-core of the word co-occurrence graph: 6 peel rounds of
+    // "drop nodes with < 10 surviving neighbors" expose the densely
+    // interlinked vocabulary nucleus (topic-core extraction; boilerplate
+    // and rare terms peel away). Exact bounded-trajectory semantics —
+    // the spec asserts the fixpoint is reached at test scale
+    "g4_kcore" -> ((s, dir) =>
+      GraphOps.kCore(
+        GraphOps.bigramEdges(Tables.documents(s, dir)), k = 10, rounds = 6)),
+
     "t2_quality" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .withColumn("t", TextAnalysis.tokens(col("text")))
@@ -2159,6 +2181,79 @@ object SparkEntry {
           sum("n").over(Window.partitionBy("from_type")), 6))
     }),
 
+    // autocorrelation of each event type's hourly volume at lags 1–3 —
+    // the seasonality probe run before picking a forecast model or an
+    // anomaly baseline (x53's window length, x47's grid). Per-cell sums
+    // are rounded once then moved to integer MILLI-UNITS, so every
+    // centered product and both Σ are exact integer arithmetic (the g2
+    // discipline — DECIMAL(38,0) on the Spark side, HUGEINT-summed
+    // BIGINT in DuckDB); the only float op is the final num/den divide,
+    // on identical correctly-rounded doubles in either engine. Shape:
+    // one (type, hour) aggregation, a broadcast-bounds dense grid
+    // (zero-filled gaps keep the lag meaningful), one type-partitioned
+    // ordered window, one final ≤|types|-row aggregation
+    "x56_acf" -> ((s, dir) => {
+      val cells = ev(s, dir)
+        .select(col("event_type"), expr("ts_sec div 3600").as("hr"), col("value"))
+        .groupBy("event_type", "hr").agg(round(sum("value"), 3).as("v3"))
+      val bounds = cells.agg(min("hr").as("h0"), max("hr").as("h1"))
+      val dense = cells.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+        .join(cells, Seq("event_type", "hr"), "left_outer")
+        .select(col("event_type"), col("hr"),
+          round(coalesce(col("v3"), lit(0.0)) * 1000).cast("long").as("m"))
+      val mu = dense.groupBy("event_type")
+        .agg(round(avg("m")).cast("long").as("mu"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("hr").asc)
+      val c = dense.join(mu, "event_type")
+        .select(col("event_type"), col("hr"),
+          (col("m") - col("mu")).cast("decimal(38,0)").as("c"))
+        .withColumn("c1", lag("c", 1).over(w))
+        .withColumn("c2", lag("c", 2).over(w))
+        .withColumn("c3", lag("c", 3).over(w))
+      c.groupBy("event_type").agg(
+          count(lit(1)).as("n_hours"),
+          sum(col("c") * col("c")).as("den"),
+          sum(col("c") * col("c1")).as("n1"),
+          sum(col("c") * col("c2")).as("n2"),
+          sum(col("c") * col("c3")).as("n3"))
+        .filter(col("den") > 0)
+        .select(col("event_type"), col("n_hours"),
+          round(col("n1").cast("double") / col("den").cast("double"), 6).as("acf1"),
+          round(col("n2").cast("double") / col("den").cast("double"), 6).as("acf2"),
+          round(col("n3").cast("double") / col("den").cast("double"), 6).as("acf3"))
+    }),
+
+    // last-touch attribution: each purchase's value is credited to the
+    // most recent PRECEDING non-purchase event by the same user within
+    // a 7-day lookback — the classic marketing-attribution readout.
+    // One user-partitioned ordered window carries the candidate source
+    // forward (last(…, ignoreNulls) over an unbounded-to-−1 frame, so a
+    // purchase can never attribute to itself or a later event); value
+    // moves to integer micro-units before the channel sum (exact BIGINT
+    // adds, the g2 discipline). No joins at all: window + one ≤|types|-
+    // row aggregation
+    "x57_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_sec").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val nonPurchase = col("event_type") =!= "purchase"
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          col("event_type"), col("value"))
+        .withColumn("channel",
+          last(when(nonPurchase, col("event_type")), ignoreNulls = true).over(w))
+        .withColumn("src_ts",
+          last(when(nonPurchase, col("ts_sec")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("src_ts").isNotNull &&
+          col("ts_sec") - col("src_ts") <= 604800L)
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(round(col("value") * 10000).cast("long")).as("attributed_micros"))
+    }),
+
     // hapax legomena per doc: the fraction of a document's distinct
     // words used exactly once — templated/spammy text reuses its
     // vocabulary (low hapax), natural prose keeps minting new words.
@@ -3132,6 +3227,61 @@ object SparkEntry {
         |JOIN sz sa ON pk1 = sa.l_partkey
         |JOIN sz sb ON pk2 = sb.l_partkey""".stripMargin,
 
+    // t18's unrolled-trajectory pattern with the teleport rewired to
+    // the seed table: each round is the damped contribution sum UNION'd
+    // with the per-seed teleport rows, re-aggregated and rounded at 6
+    // (the sum collapses ≤ 2 doubles per node — commutative, engine-
+    // exact given identical inputs); rounded-to-zero rows are pruned on
+    // both sides so the sparse-frontier contract replays exactly
+    "g3_ppr" -> {
+      val iterBlocks = (1 to 4).map { j =>
+        s"""r$j AS (
+           |  SELECT node, round(sum(m), 6) AS r FROM (
+           |    SELECT c.a AS node, 0.85::DOUBLE * sum(c.share * r.r) AS m
+           |    FROM ctr c JOIN r${j - 1} r ON r.node = c.b GROUP BY 1
+           |    UNION ALL SELECT node, m FROM tp) u
+           |  GROUP BY 1 HAVING round(sum(m), 6) > 0)"""
+      }.mkString(",\n")
+      s"""WITH $toksSql,
+        |bg AS (SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+        |       FROM toks WHERE len(t) >= 2),
+        |bgf AS (SELECT a, b FROM bg WHERE a <> b),
+        |ew AS (SELECT a, b, count(*)::DOUBLE AS w FROM
+        |    (SELECT a, b FROM bgf UNION ALL SELECT b AS a, a AS b FROM bgf)
+        |  GROUP BY 1, 2),
+        |wdeg AS (SELECT a, sum(w) AS wd FROM ew GROUP BY 1),
+        |ctr AS (SELECT e.a, e.b, e.w / d.wd AS share
+        |        FROM ew e JOIN wdeg d ON d.a = e.b),
+        |sd AS (SELECT * FROM (VALUES ('hash'), ('join')) s(node)),
+        |ns AS (SELECT count(*)::DOUBLE AS ns FROM sd),
+        |tp AS (SELECT node, 0.15::DOUBLE / (SELECT ns FROM ns) AS m FROM sd),
+        |r0 AS (SELECT node, round(1.0::DOUBLE / (SELECT ns FROM ns), 6) AS r
+        |       FROM sd),
+        |$iterBlocks
+        |SELECT node AS token, r AS score FROM r4""".stripMargin
+    },
+
+    // bounded k-core peel replayed round for round: d_j = degrees on
+    // the (j−1)-survivor edge set with the >= k floor, e_j = edges with
+    // both endpoints surviving; the output is round 6's qualifying
+    // degree table — pure integer counting, engine-exact
+    "g4_kcore" -> {
+      val peelBlocks = (1 to 6).map { j =>
+        s"""d$j AS (SELECT u, count(*)::BIGINT AS d FROM e${j - 1}
+           |  GROUP BY 1 HAVING count(*) >= 10),
+           |e$j AS (SELECT e.u, e.v FROM e${j - 1} e
+           |  JOIN d$j a ON a.u = e.u JOIN d$j b ON b.u = e.v)"""
+      }.mkString(",\n")
+      s"""WITH $toksSql,
+        |bg AS (SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+        |       FROM toks WHERE len(t) >= 2),
+        |bgf AS (SELECT a, b FROM bg WHERE a <> b),
+        |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM bgf),
+        |e0 AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+        |$peelBlocks
+        |SELECT u AS node, d AS degree FROM d6""".stripMargin
+    },
+
     "t2_quality" ->
       s"""WITH $toksSql,
         |$qualitySql
@@ -3813,6 +3963,61 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
         |FROM c""".stripMargin,
+
+    // integer milli-unit replay: per-cell sums rounded once (the only
+    // float agg), the dense grid zero-filled, then every centered
+    // product and both Σ are exact integer arithmetic (DuckDB sums
+    // BIGINT into HUGEINT; Spark mirrors with DECIMAL(38,0)) — the
+    // final divide sees bit-identical doubles in either engine
+    "x56_acf" ->
+      s"""WITH $evSql,
+        |cells AS (SELECT event_type, ts_sec // 3600 AS hr,
+        |    round(sum(value), 3) AS v3
+        |  FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM cells),
+        |g AS (SELECT et.event_type, u.hr
+        |      FROM (SELECT DISTINCT event_type FROM cells) et, b,
+        |        unnest(generate_series(b.h0, b.h1)) AS u(hr)),
+        |dense AS (SELECT g.event_type, g.hr,
+        |    round(coalesce(c.v3, 0.0) * 1000)::BIGINT AS m
+        |  FROM g LEFT JOIN cells c USING (event_type, hr)),
+        |mu AS (SELECT event_type, round(avg(m))::BIGINT AS mu
+        |       FROM dense GROUP BY 1),
+        |cent AS (SELECT d.event_type, d.hr, d.m - mu.mu AS c
+        |         FROM dense d JOIN mu USING (event_type)),
+        |lg AS (SELECT event_type, c,
+        |    lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2,
+        |    lag(c, 3) OVER w AS c3
+        |  FROM cent WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n_hours,
+        |    sum(c * c) AS den, sum(c * c1) AS n1,
+        |    sum(c * c2) AS n2, sum(c * c3) AS n3
+        |  FROM lg GROUP BY 1 HAVING sum(c * c) > 0)
+        |SELECT event_type, n_hours,
+        |  round(n1::DOUBLE / den::DOUBLE, 6) AS acf1,
+        |  round(n2::DOUBLE / den::DOUBLE, 6) AS acf2,
+        |  round(n3::DOUBLE / den::DOUBLE, 6) AS acf3
+        |FROM a""".stripMargin,
+
+    // same one-window shape: the IGNORE NULLS last_value over the
+    // unbounded-to-−1 frame carries the latest preceding non-purchase
+    // (type, ts) forward; micro-unit value sums are exact BIGINT adds
+    "x57_attribution" ->
+      s"""WITH $evSql,
+        |pa AS (SELECT user_id, event_id, ts_sec, event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER w AS channel,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN ts_sec END
+        |      IGNORE NULLS) OVER w AS src_ts
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT channel, count(*)::BIGINT AS n_purchases,
+        |  sum(round(value * 10000)::BIGINT)::BIGINT AS attributed_micros
+        |FROM pa
+        |WHERE event_type = 'purchase' AND src_ts IS NOT NULL
+        |  AND ts_sec - src_ts <= 604800
+        |GROUP BY 1""".stripMargin,
 
     "x28_mix_chi2" ->
       """WITH obs AS (

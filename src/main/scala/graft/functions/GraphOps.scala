@@ -78,6 +78,49 @@ object GraphOps {
     ranks.select(col("node").as("token"), col("r").as("score"))
   }
 
+  /** Personalized PageRank (Jeh & Widom, WWW 2003; public literature)
+    * over the same symmetrized weighted edge table as [[pageRank]], but
+    * with ALL teleport mass concentrated on a seed set S:
+    * r₀ = 1/|S| on S, absent elsewhere; then `iters` rounds of
+    * rᵢ₊₁(a) = d · Σ share(b→a) · rᵢ(b)  +  (1−d)/|S| · 1[a ∈ S],
+    * each rounded to 6 places (the t18 trajectory-pinning convention)
+    * and pruned to r > 0. Run over the word-adjacency graph with query
+    * tokens as seeds this is query-biased TextRank — keywords ranked by
+    * proximity to the query, not global centrality.
+    *
+    * Scale shape: the rank state is a SPARSE frontier — only nodes
+    * reachable from S within i hops (and above rounding resolution)
+    * ever hold a row, so early rounds touch a neighborhood, not the
+    * graph. Each round is one equi-join on the contributing endpoint +
+    * one node-keyed aggregation (same exchange key every round), plus a
+    * seed-table union whose side is |S| rows. No driver state; seeds
+    * stay a DataFrame. Deep fixpoints would checkpoint per round (the
+    * d7/hitsCheckpointed discipline); the ≤ 6 cap keeps the plan a
+    * shallow linear chain. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 4,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 6, s"iters in [1,6], got $iters")
+    val wdeg = edges.groupBy("a").agg(sum("w").as("wd"))
+    val contrib = edges.join(wdeg.withColumnRenamed("a", "b"), "b")
+      .select(col("a"), col("b"), (col("w") / col("wd")).as("share"))
+    val nSeeds = seeds.agg(count(lit(1)).cast("double").as("ns"))
+    // per-round teleport rows: (node, (1−d)/|S|) on seeds only
+    val teleport = seeds.crossJoin(broadcast(nSeeds))
+      .select(col("node"), (lit(1.0 - damping) / col("ns")).as("m"))
+    var ranks = seeds.crossJoin(broadcast(nSeeds))
+      .select(col("node"), round(lit(1.0) / col("ns"), 6).as("r"))
+    for (_ <- 1 to iters) {
+      val mass = contrib.join(ranks.withColumnRenamed("node", "b"), "b")
+        .groupBy("a")
+        .agg((lit(damping) * sum(col("share") * col("r"))).as("m"))
+        .select(col("a").as("node"), col("m"))
+      ranks = mass.unionByName(teleport)
+        .groupBy("node").agg(round(sum("m"), 6).as("r"))
+        .filter(col("r") > 0)
+    }
+    ranks.select(col("node").as("token"), col("r").as("score"))
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999; public literature)
     * over a directed bipartite edge table (u, p), L1-normalized in
     * integer MICRO-UNITS: every score is a long number of millionths,
@@ -187,6 +230,40 @@ object GraphOps {
       hub = h
     }
     hitsResult(auth, hub)
+  }
+
+  /** Bounded k-core peeling (Seidman 1983; public literature) over an
+    * undirected edge table (a, b): `rounds` rounds of "drop every node
+    * whose degree in the surviving subgraph is < k", returning the
+    * survivors with their post-peel degree. The result is the exact
+    * `rounds`-round peel trajectory — deterministic whether or not the
+    * fixpoint has been reached (the spec asserts fixpoint at test
+    * scale; production depths would loop with the d7 checkpoint
+    * discipline instead of unrolling).
+    *
+    * Scale shape: each round is one degree aggregation (vocabulary-
+    * sized, node-keyed) + two semi-joins filtering the edge set, all
+    * hashing on node id; the surviving edge set shrinks monotonically,
+    * so later rounds are cheaper, never bigger. No driver state. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 12,
+      s"k >= 1, rounds in [1,12], got k=$k rounds=$rounds")
+    // canonical undirected edge set, then symmetrize so degree is one
+    // groupBy on the first endpoint
+    val und = edges
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var e = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    var deg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      deg = e.groupBy("u").agg(count(lit(1)).as("d")).filter(col("d") >= k)
+      val keep = deg.select(col("u"))
+      e = e.join(keep, "u")
+        .join(keep.withColumnRenamed("u", "v"), "v")
+        .select("u", "v")
+    }
+    deg.select(col("u").as("node"), col("d").as("degree"))
   }
 
   /** Per-group triangle count over undirected edges (g, a, b), input

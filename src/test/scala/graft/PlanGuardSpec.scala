@@ -380,6 +380,42 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("g3 PPR: every round is equi-join + node agg; only the 1-row seed-count broadcasts") {
+    val p = planOf("g3_ppr")
+    assert(!p.contains("CartesianProduct"), p)
+    // the |S|-count scalar is the only nested-loop rider (the g2 idiom)
+    assert(!p.replace("BroadcastNestedLoopJoin BuildRight, Cross", "")
+      .contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("g4 k-core: peel rounds are degree aggs + equi semi-filters — no cartesian/window") {
+    val p = planOf("g4_kcore")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("x56 ACF: one type-partitioned window; only the 1-row grid bounds broadcast") {
+    val p = planOf("x56_acf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.replace("BroadcastNestedLoopJoin BuildRight, Cross", "")
+      .contains("BroadcastNestedLoopJoin"), p)
+    // the lag window must partition by event_type, never run global
+    assert(p.contains("windowspecdefinition(event_type"), p)
+    val specs = p.sliding("windowspecdefinition(".length)
+      .count(_ == "windowspecdefinition(")
+    val byType = p.sliding("windowspecdefinition(event_type".length)
+      .count(_ == "windowspecdefinition(event_type")
+    assert(specs == byType, s"specs=$specs byType=$byType\n$p")
+  }
+
+  test("x57 attribution: join-free — one user-partitioned window + one agg") {
+    val p = planOf("x57_attribution")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(p.contains("windowspecdefinition(user_id"), p)
+  }
+
   test("filters and pruning reach the parquet scans (j10, q1)") {
     val j10 = planOf("j10_q3_shipping")
     // dimension filter pushed into the customer scan

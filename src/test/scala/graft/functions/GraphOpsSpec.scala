@@ -183,6 +183,88 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.length === 1 && got.head.getLong(1) === 1L)
   }
 
+  test("personalizedPageRank: seeds dominate, far components get nothing") {
+    import spark.implicits._
+    // two disconnected squares; seed in the first one only
+    val ranks = GraphOps.personalizedPageRank(
+      edgesOf(Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a",
+        "p" -> "q", "q" -> "r", "r" -> "s", "s" -> "p")),
+      Seq("a").toDF("node"), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the un-seeded component never receives teleport or contribution mass
+    Seq("p", "q", "r", "s").foreach(n => assert(!ranks.contains(n), ranks))
+    // the seed keeps the largest rank; its direct neighbors tie by symmetry
+    assert(ranks("a") > ranks("b") && ranks("b") === ranks("d"), ranks)
+    // mass stays ≈ 1 (rounding-only leakage)
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-3, ranks)
+  }
+
+  test("personalizedPageRank equals an independent in-memory replay") {
+    import spark.implicits._
+    // plain-Scala replay of the exact rounded trajectory (incl. the
+    // r > 0 frontier pruning) on a small weighted graph
+    val pairs = Seq("a" -> "b", "a" -> "b", "b" -> "c", "c" -> "d",
+      "d" -> "a", "b" -> "d", "e" -> "a")
+    val seeds = Set("a", "c")
+    def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val sym = pairs ++ pairs.map(_.swap)
+    val w = sym.groupBy(identity).map { case (e, xs) => e -> xs.size.toDouble }
+    val wdeg = w.groupBy(_._1._1).map { case (n, es) => n -> es.values.sum }
+    var r = seeds.map(_ -> round6(1.0 / seeds.size)).toMap
+    for (_ <- 1 to 4) {
+      val mass = w.toSeq
+        .collect { case ((b, a), wt) if r.contains(b) => a -> wt / wdeg(b) * r(b) }
+        .groupBy(_._1).map { case (a, xs) => a -> 0.85 * xs.map(_._2).sum }
+      val nodes = mass.keySet ++ seeds
+      r = nodes.map { n =>
+        n -> round6(mass.getOrElse(n, 0.0) +
+          (if (seeds(n)) 0.15 / seeds.size else 0.0))
+      }.filter(_._2 > 0).toMap
+    }
+    val got = GraphOps.personalizedPageRank(
+      edgesOf(pairs), Seq("a", "c").toDF("node"), iters = 4)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(got.keySet == r.keySet, s"frontier: got ${got.keySet}, want ${r.keySet}")
+    r.foreach { case (n, v) =>
+      assert(math.abs(got(n) - v) <= 2e-6, s"$n: got ${got(n)}, want $v")
+    }
+  }
+
+  test("kCore peels cascades and keeps the dense core with exact degrees") {
+    import spark.implicits._
+    // K5 (4-regular) with a tail: t1 starts at degree 3 and only drops
+    // below k once t2 peels — the peel MUST cascade across rounds, a
+    // single degree-filter pass would wrongly keep t1
+    val k5 = for (x <- Seq("a", "b", "c", "d", "e"); y <- Seq("a", "b", "c", "d", "e")
+                  if x < y) yield (x, y)
+    val tail = Seq(("e", "t1"), ("d", "t1"), ("t1", "t2"), ("t2", "t3"))
+    val got = GraphOps.kCore((k5 ++ tail).toDF("a", "b"), k = 3, rounds = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("a", "b", "c", "d", "e"), got)
+    // every K5 corner ends at its clean in-core degree of 4
+    Seq("a", "b", "c", "d", "e").foreach(n => assert(got(n) === 4L, got))
+  }
+
+  test("kCore dedups parallel/reversed edges and ignores self-loops") {
+    import spark.implicits._
+    val e = Seq(("x", "y"), ("y", "x"), ("x", "y"), ("x", "x"),
+      ("y", "z"), ("z", "x")).toDF("a", "b")
+    val got = GraphOps.kCore(e, k = 2, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("x" -> 2L, "y" -> 2L, "z" -> 2L), got)
+  }
+
+  test("kCore reaches its fixpoint within the unrolled rounds on the corpus graph") {
+    val edges = GraphOps.bigramEdges(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+    def run(rounds: Int) = GraphOps.kCore(edges, k = 10, rounds = rounds)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val atCap = run(6)
+    assert(atCap.nonEmpty)
+    // one more peel changes nothing — the g4 result is the true 10-core
+    assert(run(7) == atCap)
+  }
+
   test("corpus bigram graph: ranks are positive and stopword-like connectors rank high") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val ranks = GraphOps.pageRank(GraphOps.bigramEdges(docs), iters = 5)
