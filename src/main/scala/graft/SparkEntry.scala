@@ -1877,16 +1877,18 @@ object SparkEntry {
     }),
 
     // exact-threshold set-similarity join (AllPairs prefix filtering):
-    // perfect-recall candidates from rarest-token prefixes, exact
-    // token-set Jaccard verify, threshold filter — the deterministic
-    // complement to d2's MinHash blocking. Full corpus (the synthetic
-    // 31-word vocabulary is prefix filtering's adversarial worst case —
-    // see DedupOps.prefixCandidates — so this is the technique under
-    // maximal candidate pressure); PrefixJoinSpec proves recall ≡ brute
-    // force
+    // perfect-recall candidates from rarest-element prefixes, exact
+    // shingle-set Jaccard verify, threshold filter — the deterministic
+    // complement to d2's MinHash blocking. Full corpus at 3-GRAM
+    // granularity: the synthetic 31-word unigram vocabulary is prefix
+    // filtering's adversarial worst case (every df huge → candidates
+    // degrade toward all-pairs; measured 184 s vs ~2 s at bench scale —
+    // see DedupOps.prefixCandidates), while the ~31³ shingle space has
+    // the rare-element distribution the algorithm targets.
+    // PrefixJoinSpec proves recall ≡ brute force at both granularities
     "d17_prefix_join" -> ((s, dir) =>
       DedupOps.prefixJoin(Tables.documents(s, dir),
-        "doc_id", "text", threshold = 0.5)),
+        "doc_id", "text", threshold = 0.5, shingleN = 3)),
 
     // the dedup DECISION: near-dup pairs → clusters → keep exactly the
     // minimum doc id per cluster (cluster_id IS the min reachable id, so
@@ -2252,6 +2254,51 @@ object SparkEntry {
         .groupBy("channel")
         .agg(count(lit(1)).as("n_purchases"),
           sum(round(col("value") * 10000).cast("long")).as("attributed_micros"))
+    }),
+
+    // RAKE keyword phrases, top-3 per doc — the document-local degree
+    // heuristic next to t18's global centrality and t11's corpus
+    // tf-idf; algorithm + scale notes in Retrieval.rake
+    "t22_rake" -> ((s, dir) =>
+      graft.functions.Retrieval.rake(Tables.documents(s, dir), topK = 3)),
+
+    // 5-gram novelty: the fraction of a doc's distinct 5-gram shingles
+    // that occur in NO other document — the self-information signal
+    // boilerplate/template detection thresholds on (novel ≈ 1 is fresh
+    // prose; novel ≈ 0 is assembled from corpus-common fragments). The
+    // d9 decontamination shingle definition (one definition, no drift);
+    // one (shingle → doc-count) aggregation + a shingle-keyed join back
+    // — d14's digest-keyed shape, never all-pairs
+    "t23_ngram_novelty" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(DedupOps.shingles(TextAnalysis.tokens(col("text")), 5)).as("sh"))
+        .distinct()
+      val cnt = sh.groupBy("sh").agg(count(lit(1)).as("docs"))
+      sh.join(cnt, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("docs") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel").cast("double") /
+            col("n_shingles").cast("double"), 6).as("novelty"))
+    }),
+
+    // equi-depth (frequency-balanced) 10-bin histogram per event type:
+    // NTILE over the (value, event_id) total order, then per-bin
+    // boundaries/counts — the feature-binning table a training pipeline
+    // derives before bucketizing a skewed numeric column (equal-width
+    // x52 bins starve the tail; equi-depth adapts). One type-partitioned
+    // window + one ≤ |types|·10-row aggregation
+    "x58_equidepth_bins" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").asc, col("event_id").asc)
+      ev(s, dir).select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("bin", ntile(10).over(w))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"),
+          round(min("value"), 4).as("lo"),
+          round(max("value"), 4).as("hi"))
     }),
 
     // hapax legomena per doc: the fraction of a document's distinct
@@ -3640,11 +3687,18 @@ object SparkEntry {
     },
 
     // prefix lengths replay the n − ⌈t·n⌉ + 1 rule over the same (df,
-    // tok) global order; verify is the d15/d16 distinct-overlap shape
-    // at token (1-gram) granularity
+    // element) global order; verify is the d15/d16 distinct-overlap
+    // shape at 3-gram shingle granularity (the decontOracleSql shingle
+    // CASE, width 3)
     "d17_prefix_join" ->
       s"""WITH $toksSql,
-        |tk AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
+        |sh3 AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |      ELSE [array_to_string(t, ' ')] END) AS tok
+        |  FROM toks),
+        |tk AS (SELECT DISTINCT doc_id, tok FROM sh3),
         |dft AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1),
         |sized AS (
         |  SELECT tk.doc_id, tk.tok,
@@ -4139,6 +4193,66 @@ object SparkEntry {
         |  round(coalesce(n_hapax, 0)::DOUBLE
         |    / greatest(coalesce(n_types, 0), 1)::DOUBLE, 6) AS hapax_frac
         |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id""".stripMargin,
+
+    // same gaps-and-islands construction (1-based positions — the base
+    // offset cancels inside the pos − row_number group key, so the
+    // engines need not agree on indexing); phrase strings rebuilt with
+    // an ORDER BY inside string_agg, scores rounded at 4 before the
+    // deterministic (score, phrase) ranking
+    "t22_rake" ->
+      s"""WITH $toksSql,
+        |pw AS (SELECT doc_id, u.pos::BIGINT AS pos, t[u.pos] AS w
+        |       FROM toks, unnest(range(1, len(t) + 1)) AS u(pos)),
+        |ns AS (SELECT doc_id, w, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM pw WHERE w NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')),
+        |pl AS (SELECT doc_id, grp, count(*)::BIGINT AS plen,
+        |    string_agg(w, ' ' ORDER BY pos) AS phrase
+        |  FROM ns GROUP BY 1, 2),
+        |wsc AS (SELECT ns.doc_id, ns.w,
+        |    sum(pl.plen)::DOUBLE / count(*)::DOUBLE AS ws
+        |  FROM ns JOIN pl USING (doc_id, grp) GROUP BY 1, 2),
+        |psc AS (SELECT ns.doc_id, ns.grp, round(sum(wsc.ws), 4) AS score
+        |  FROM ns JOIN wsc ON wsc.doc_id = ns.doc_id AND wsc.w = ns.w
+        |  GROUP BY 1, 2),
+        |ph AS (SELECT DISTINCT pl.doc_id, pl.phrase, psc.score
+        |       FROM pl JOIN psc USING (doc_id, grp)),
+        |rk AS (SELECT doc_id, phrase, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, phrase) AS rk
+        |  FROM ph)
+        |SELECT doc_id, rk, phrase, score FROM rk WHERE rk <= 3""".stripMargin,
+
+    // the decont 5-gram CASE (width 5), distinct per doc, then pure
+    // integer counting — engine-exact up to the one rounded ratio
+    "t23_ngram_novelty" ->
+      s"""WITH $toksSql,
+        |sh5 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+        |      ELSE [array_to_string(t, ' ')] END) AS sh
+        |  FROM toks),
+        |cnt AS (SELECT sh, count(*) AS docs FROM sh5 GROUP BY 1)
+        |SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN c.docs = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  round(sum(CASE WHEN c.docs = 1 THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*)::DOUBLE, 6) AS novelty
+        |FROM sh5 s JOIN cnt c USING (sh)
+        |GROUP BY 1""".stripMargin,
+
+    // NTILE is SQL-standard (identical split rule both engines) and the
+    // (value, event_id) order is total, so bins are engine-exact;
+    // value bounds round at 4 (2-decimal source data — exact)
+    "x58_equidepth_bins" ->
+      s"""WITH $evSql,
+        |b AS (SELECT event_type, event_id, value,
+        |    ntile(10) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS bin
+        |  FROM ev)
+        |SELECT event_type, bin, count(*)::BIGINT AS n,
+        |  round(min(value), 4) AS lo, round(max(value), 4) AS hi
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     // mirrors the single-pass shape: one conditional-count histogram,
     // window totals over it, absent bins folded in closed form

