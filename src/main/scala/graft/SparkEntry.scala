@@ -2284,6 +2284,45 @@ object SparkEntry {
             col("n_shingles").cast("double"), 6).as("novelty"))
     }),
 
+    // behavioral entropy per user: Shannon entropy of the event-type
+    // distribution (t9's exact ln(n) − Σc·ln(c)/n closed form — one
+    // definition, no drift) + concentration (top-type share) — the two
+    // behavioral features churn/bot models start from (bots are
+    // low-entropy, engaged users high). Two keyed aggregations, the
+    // second over ≤ |types| rows per user
+    "x59_behavior_entropy" -> ((s, dir) => {
+      val c = ev(s, dir).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+      c.groupBy("user_id").agg(
+        sum("c").as("n_events"),
+        count(lit(1)).as("n_types"),
+        round(log(sum("c").cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum("c"), 6).as("entropy"),
+        round(max("c").cast("double") / sum("c"), 6).as("top_share"))
+    }),
+
+    // lifetime value by activation cohort: users grouped by their FIRST
+    // active week (x45's cohort key), credited with all their purchase
+    // value ever — the LTV readout next to x45's retention triangle.
+    // Purchase value moves to micro-units before the sums (exact BIGINT
+    // adds); one user-keyed left join of two user-level aggregates
+    "x60_cohort_ltv" -> ((s, dir) => {
+      val firstWeek = ev(s, dir)
+        .groupBy("user_id")
+        .agg(expr("min(ts_sec div 604800)").as("cohort_week"))
+      val purchases = ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("np"),
+          sum(round(col("value") * 10000).cast("long")).as("micros"))
+      firstWeek.join(purchases, Seq("user_id"), "left_outer")
+        .groupBy("cohort_week")
+        .agg(count(lit(1)).as("n_users"),
+          sum(coalesce(col("np"), lit(0L))).as("n_purchases"),
+          sum(coalesce(col("micros"), lit(0L))).as("ltv_micros"))
+    }),
+
     // equi-depth (frequency-balanced) 10-bin histogram per event type:
     // NTILE over the (value, event_id) total order, then per-bin
     // boundaries/counts — the feature-binning table a training pipeline
@@ -4239,6 +4278,33 @@ object SparkEntry {
         |  round(sum(CASE WHEN c.docs = 1 THEN 1 ELSE 0 END)::DOUBLE
         |        / count(*)::DOUBLE, 6) AS novelty
         |FROM sh5 s JOIN cnt c USING (sh)
+        |GROUP BY 1""".stripMargin,
+
+    // the t9 entropy closed form on the (user, type) count table;
+    // Σ c·ln(c) is the only float sum, round-6 pinned
+    "x59_behavior_entropy" ->
+      s"""WITH $evSql,
+        |c AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+        |      FROM ev GROUP BY 1, 2)
+        |SELECT user_id, sum(c)::BIGINT AS n_events,
+        |  count(*)::BIGINT AS n_types,
+        |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+        |  round(max(c)::DOUBLE / sum(c), 6) AS top_share
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // x45's cohort key + exact micro-unit purchase sums; engine-exact
+    // integer arithmetic end to end
+    "x60_cohort_ltv" ->
+      s"""WITH $evSql,
+        |fw AS (SELECT user_id, min(ts_sec // 604800) AS cohort_week
+        |       FROM ev GROUP BY 1),
+        |p AS (SELECT user_id, count(*)::BIGINT AS np,
+        |    sum(round(value * 10000)::BIGINT)::BIGINT AS micros
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT cohort_week, count(*)::BIGINT AS n_users,
+        |  sum(coalesce(np, 0))::BIGINT AS n_purchases,
+        |  sum(coalesce(micros, 0))::BIGINT AS ltv_micros
+        |FROM fw LEFT JOIN p USING (user_id)
         |GROUP BY 1""".stripMargin,
 
     // NTILE is SQL-standard (identical split rule both engines) and the
