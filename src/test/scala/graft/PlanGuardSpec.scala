@@ -426,6 +426,43 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(user_id"), p)
   }
 
+  test("t22 RAKE: every join/window keys on doc_id — no cartesian, no global window") {
+    val p = planOf("t22_rake")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val specs = p.sliding("windowspecdefinition(".length)
+      .count(_ == "windowspecdefinition(")
+    val byDoc = p.sliding("windowspecdefinition(doc_id".length)
+      .count(_ == "windowspecdefinition(doc_id")
+    assert(specs > 0 && specs == byDoc, s"specs=$specs byDoc=$byDoc\n$p")
+  }
+
+  test("t23 novelty: shingle-keyed join back, no cartesian, no window") {
+    val p = planOf("t23_ngram_novelty")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("x58 equi-depth bins: one type-partitioned NTILE window, no join") {
+    val p = planOf("x58_equidepth_bins")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(p.contains("windowspecdefinition(event_type"), p)
+  }
+
+  test("x59 behavior entropy: two aggregations, no join, no window") {
+    val p = planOf("x59_behavior_entropy")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("x60 cohort LTV: one user-keyed equi join, no cartesian, no window") {
+    val p = planOf("x60_cohort_ltv")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
   test("filters and pruning reach the parquet scans (j10, q1)") {
     val j10 = planOf("j10_q3_shipping")
     // dimension filter pushed into the customer scan

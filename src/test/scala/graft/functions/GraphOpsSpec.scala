@@ -254,6 +254,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map("x" -> 2L, "y" -> 2L, "z" -> 2L), got)
   }
 
+  test("kCore equals an independent in-memory peel on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def replay(edges: Set[(String, String)], k: Int, rounds: Int)
+        : Map[String, Long] = {
+      var und = edges.collect { case (a, b) if a != b =>
+        if (a < b) (a, b) else (b, a) }
+      var deg = Map.empty[String, Long]
+      for (_ <- 1 to rounds) {
+        val d = (und.toSeq.map(_._1) ++ und.toSeq.map(_._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+        deg = d.filter(_._2 >= k)
+        und = und.filter(e => deg.contains(e._1) && deg.contains(e._2))
+      }
+      deg
+    }
+    val nodes = Gen.choose('a', 'j').map(_.toString)
+    val gen = Gen.listOfN(40, Gen.zip(nodes, nodes))
+    (1 to 5).foreach { seed =>
+      val es = gen(Gen.Parameters.default, Seed(seed.toLong))
+        .getOrElse(fail(s"gen failed for seed $seed"))
+      val got = GraphOps.kCore(es.toDF("a", "b"), k = 3, rounds = 4)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == replay(es.toSet, 3, 4), s"seed=$seed")
+    }
+  }
+
   test("kCore reaches its fixpoint within the unrolled rounds on the corpus graph") {
     val edges = GraphOps.bigramEdges(
       graft.Tables.documents(spark, "/root/testdata/sf0.001"))
