@@ -2185,48 +2185,13 @@ object SparkEntry {
 
     // autocorrelation of each event type's hourly volume at lags 1–3 —
     // the seasonality probe run before picking a forecast model or an
-    // anomaly baseline (x53's window length, x47's grid). Per-cell sums
-    // are rounded once then moved to integer MILLI-UNITS, so every
-    // centered product and both Σ are exact integer arithmetic (the g2
-    // discipline — DECIMAL(38,0) on the Spark side, HUGEINT-summed
-    // BIGINT in DuckDB); the only float op is the final num/den divide,
-    // on identical correctly-rounded doubles in either engine. Shape:
-    // one (type, hour) aggregation, a broadcast-bounds dense grid
-    // (zero-filled gaps keep the lag meaningful), one type-partitioned
-    // ordered window, one final ≤|types|-row aggregation
-    "x56_acf" -> ((s, dir) => {
-      val cells = ev(s, dir)
-        .select(col("event_type"), expr("ts_sec div 3600").as("hr"), col("value"))
-        .groupBy("event_type", "hr").agg(round(sum("value"), 3).as("v3"))
-      val bounds = cells.agg(min("hr").as("h0"), max("hr").as("h1"))
-      val dense = cells.select("event_type").distinct()
-        .crossJoin(broadcast(bounds))
-        .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
-        .join(cells, Seq("event_type", "hr"), "left_outer")
-        .select(col("event_type"), col("hr"),
-          round(coalesce(col("v3"), lit(0.0)) * 1000).cast("long").as("m"))
-      val mu = dense.groupBy("event_type")
-        .agg(round(avg("m")).cast("long").as("mu"))
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("hr").asc)
-      val c = dense.join(mu, "event_type")
-        .select(col("event_type"), col("hr"),
-          (col("m") - col("mu")).cast("decimal(38,0)").as("c"))
-        .withColumn("c1", lag("c", 1).over(w))
-        .withColumn("c2", lag("c", 2).over(w))
-        .withColumn("c3", lag("c", 3).over(w))
-      c.groupBy("event_type").agg(
-          count(lit(1)).as("n_hours"),
-          sum(col("c") * col("c")).as("den"),
-          sum(col("c") * col("c1")).as("n1"),
-          sum(col("c") * col("c2")).as("n2"),
-          sum(col("c") * col("c3")).as("n3"))
-        .filter(col("den") > 0)
-        .select(col("event_type"), col("n_hours"),
-          round(col("n1").cast("double") / col("den").cast("double"), 6).as("acf1"),
-          round(col("n2").cast("double") / col("den").cast("double"), 6).as("acf2"),
-          round(col("n3").cast("double") / col("den").cast("double"), 6).as("acf3"))
-    }),
+    // anomaly baseline (x53's window length, x47's grid). Exact
+    // milli-unit arithmetic + scale notes in TimeSeries.bucketAcf;
+    // spec-pinned to known physics on synthetic periodic series
+    "x56_acf" -> ((s, dir) =>
+      graft.functions.TimeSeries.bucketAcf(
+        ev(s, dir).select(col("event_type"), col("ts_sec"), col("value")),
+        "event_type", "ts_sec", "value")),
 
     // last-touch attribution: each purchase's value is credited to the
     // most recent PRECEDING non-purchase event by the same user within

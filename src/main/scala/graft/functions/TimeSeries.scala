@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series diagnostics over event streams. Shared by the x56 oracle
+  * query and unit-testable on synthetic frames.
+  *
+  * Determinism contract (the g2 integer discipline): per-cell sums are
+  * rounded ONCE (3 decimals) then moved to integer milli-units, so every
+  * centered product and both Σ of the ACF estimator are exact integer
+  * arithmetic — DECIMAL(38,0) sums on the Spark side, HUGEINT-summed
+  * BIGINT in the DuckDB twin; the final num/den divide is the only
+  * float operation, on identical correctly-rounded doubles in either
+  * engine. */
+object TimeSeries {
+
+  /** Autocorrelation of each group's bucketed-volume series at lags
+    * 1..3: r_k = Σ c_t·c_{t−k} / Σ c_t² with c = milli-unit value sum
+    * minus the series' rounded mean, over the ZERO-FILLED dense grid
+    * (gaps are real zeros — a sparse series would misalign the lag).
+    *
+    * Input needs (groupCol, tsSecCol, valueCol). Output: (groupCol,
+    * n_hours, acf1, acf2, acf3); groups with zero variance are dropped
+    * (their ACF is undefined).
+    *
+    * Scale shape: one (group, bucket) aggregation (the only data-sized
+    * exchange), a broadcast 1-row bounds spine for the dense grid, one
+    * group-partitioned lag window over grid-sized rows, one ≤|groups|-
+    * row final aggregation. Grid length scales with the TIME SPAN, not
+    * the event count. */
+  def bucketAcf(events: DataFrame, groupCol: String, tsSecCol: String,
+                valueCol: String, bucketSec: Long = 3600L): DataFrame = {
+    val cells = events
+      .select(col(groupCol), expr(s"$tsSecCol div $bucketSec").as("hr"),
+        col(valueCol).as("__v"))
+      .groupBy(groupCol, "hr").agg(round(sum("__v"), 3).as("v3"))
+    val bounds = cells.agg(min("hr").as("h0"), max("hr").as("h1"))
+    val dense = cells.select(groupCol).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(groupCol), explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .join(cells, Seq(groupCol, "hr"), "left_outer")
+      .select(col(groupCol), col("hr"),
+        round(coalesce(col("v3"), lit(0.0)) * 1000).cast("long").as("m"))
+    val mu = dense.groupBy(groupCol)
+      .agg(round(avg("m")).cast("long").as("mu"))
+    val w = Window.partitionBy(groupCol).orderBy(col("hr").asc)
+    val c = dense.join(mu, groupCol)
+      .select(col(groupCol), col("hr"),
+        (col("m") - col("mu")).cast("decimal(38,0)").as("c"))
+      .withColumn("c1", lag("c", 1).over(w))
+      .withColumn("c2", lag("c", 2).over(w))
+      .withColumn("c3", lag("c", 3).over(w))
+    c.groupBy(groupCol).agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("c") * col("c")).as("den"),
+        sum(col("c") * col("c1")).as("n1"),
+        sum(col("c") * col("c2")).as("n2"),
+        sum(col("c") * col("c3")).as("n3"))
+      .filter(col("den") > 0)
+      .select(col(groupCol), col("n_hours"),
+        round(col("n1").cast("double") / col("den").cast("double"), 6).as("acf1"),
+        round(col("n2").cast("double") / col("den").cast("double"), 6).as("acf2"),
+        round(col("n3").cast("double") / col("den").cast("double"), 6).as("acf3"))
+  }
+}

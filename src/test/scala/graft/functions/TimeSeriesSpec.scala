@@ -1,0 +1,84 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** ACF against known physics: a period-2 alternating series has
+  * acf1 ≈ −1 / acf2 ≈ +1, a period-3 cycle peaks at lag 3, constant
+  * series (zero variance) drop out, gaps in the grid are real zeros,
+  * and the estimator equals a plain-Scala replay in exact milli-unit
+  * arithmetic. */
+class TimeSeriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Long, Double)]) =
+    TimeSeries.bucketAcf(rows.toDF("g", "ts", "v"), "g", "ts", "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+
+  test("alternating and period-3 series produce their textbook ACF signs") {
+    // all groups span hours 0..19 (the grid uses GLOBAL bounds — the
+    // x47 convention — so unequal spans would zero-pad the short ones)
+    // g=alt: alternate 10, 0, 10, 0 ... (period 2): acf1 = −19/20,
+    // acf2 = +18/20, acf3 = −17/20 EXACTLY (mean 5000 is exact)
+    val alt = (0 until 20).map(h => ("alt", h * 3600L, if (h % 2 == 0) 10.0 else 0.0))
+    // g=p3: value 9 every 3rd hour (period 3) — lag-3 pairs all match
+    // residue class, lags 1/2 are cross-residue and negative-dominated
+    val p3 = (0 until 20).map(h => ("p3", h * 3600L, if (h % 3 == 0) 9.0 else 0.0))
+    // g=flat: constant over the whole span -> zero variance -> dropped
+    val flat = (0 until 20).map(h => ("flat", h * 3600L, 5.0))
+    val got = run(alt ++ p3 ++ flat)
+    val (nA, a1, a2, a3) = got("alt")
+    assert(nA == 20L)
+    assert(a1 == -0.95 && a2 == 0.9 && a3 == -0.85, got("alt"))
+    val (_, b1, b2, b3) = got("p3")
+    assert(b3 > 0.8 && b1 < 0 && b2 < 0, got("p3"))
+    assert(!got.contains("flat"), got)
+  }
+
+  test("grid gaps are zeros, not skipped rows") {
+    // events only at even hours; odd hours must read as 0 for the lag
+    // structure to see period 2 (a sparse series would pair hour 0 with
+    // hour 2 at lag 1 and report positive correlation instead)
+    val g = (0 until 10).map(h => ("s", 2 * h * 3600L, 8.0))
+    val got = run(g)
+    val (n, a1, a2, _) = got("s")
+    assert(n == 19L, got) // hours 0..18 inclusive
+    assert(a1 < -0.9 && a2 > 0.85, got)
+  }
+
+  test("equals a plain-Scala replay in exact milli-unit arithmetic") {
+    // deterministic pseudo-random series over two groups
+    var s = 7L
+    def next(): Double = { s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % 1000L).toDouble / 10.0 }
+    val rows = for (g <- Seq("u", "w"); h <- 0 until 30; _ <- 0 until 2)
+      yield (g, h * 3600L + (if (g == "u") 7L else 13L), next())
+    def replay(vals: Seq[(Long, Double)]): (Double, Double, Double) = {
+      val byHr = vals.groupBy(_._1 / 3600L).view
+        .mapValues(xs => BigDecimal(xs.map(_._2).sum)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+      val hrs = byHr.keys.min to byHr.keys.max
+      val m = hrs.map(h => math.round(byHr.getOrElse(h, 0.0) * 1000))
+      val mu = math.round(m.sum.toDouble / m.size)
+      val c = m.map(_ - mu)
+      def acf(k: Int) = {
+        val num = (k until c.size).map(i => BigInt(c(i)) * BigInt(c(i - k))).sum
+        val den = c.map(x => BigInt(x) * BigInt(x)).sum
+        BigDecimal(num.toDouble / den.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      (acf(1), acf(2), acf(3))
+    }
+    val got = run(rows)
+    Seq("u", "w").foreach { g =>
+      val vals = rows.collect { case (`g`, ts, v) => (ts, v) }
+      val (e1, e2, e3) = replay(vals)
+      val (_, a1, a2, a3) = got(g)
+      assert(a1 == e1 && a2 == e2 && a3 == e3,
+        s"$g: got ($a1,$a2,$a3) want ($e1,$e2,$e3)")
+    }
+  }
+}
