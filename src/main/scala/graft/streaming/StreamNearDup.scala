@@ -32,16 +32,23 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
 object StreamNearDup {
 
   /** One banded row of an arriving document (`ets` carries the
-    * watermarked event-time column through to the processor). */
+    * watermarked event-time column through to the processor; `full` is
+    * the complete MinHash signature, kept so matches can be SCORED from
+    * state without a second pass). */
   private[streaming] case class BandRow(doc_id: Long, band: Int, sig: String,
+                                        full: Seq[Long],
                                         ets: java.sql.Timestamp) {
     def tsMs: Long = ets.getTime
   }
 
-  /** A same-bucket candidate pair (a < b), tagged with the band. */
-  case class CandidatePair(a: Long, b: Long, band: Int)
+  /** A same-bucket candidate pair (a < b), tagged with the band and
+    * scored by the MinHash Jaccard estimator (matching signature
+    * components / numHashes — the d16-calibrated estimate; exact verify
+    * would need document text in state, which a stream cannot afford). */
+  case class CandidatePair(a: Long, b: Long, band: Int, est_jaccard: Double)
 
-  private[streaming] case class Stored(doc_id: Long, ts_ms: Long)
+  private[streaming] case class Stored(doc_id: Long, ts_ms: Long,
+                                       full: Seq[Long])
 
   private[streaming] class BucketMatcher
       extends StatefulProcessor[(Int, String), BandRow, CandidatePair] {
@@ -61,12 +68,16 @@ object StreamNearDup {
       val out = Seq.newBuilder[CandidatePair]
       rows.toSeq.sortBy(r => (r.tsMs, r.doc_id)).foreach { r =>
         stored.foreach { s =>
-          if (s.doc_id != r.doc_id)
+          if (s.doc_id != r.doc_id) {
+            val matches = s.full.iterator.zip(r.full.iterator)
+              .count { case (x, y) => x == y }
             out += CandidatePair(math.min(s.doc_id, r.doc_id),
-              math.max(s.doc_id, r.doc_id), key._1)
+              math.max(s.doc_id, r.doc_id), key._1,
+              matches.toDouble / r.full.size)
+          }
         }
         if (!stored.exists(_.doc_id == r.doc_id)) {
-          stored = stored :+ Stored(r.doc_id, r.tsMs)
+          stored = stored :+ Stored(r.doc_id, r.tsMs, r.full)
           // GC point: fires once the watermark passes this entry
           getHandle.registerTimer(r.tsMs)
         }
@@ -110,10 +121,10 @@ object StreamNearDup {
     docs
       .select(col(idCol).as("doc_id"), col(tsCol).as("ets"), sig.as("__mh"))
       .withWatermark("ets", horizon)
-      .select(col("doc_id"), col("ets"),
+      .select(col("doc_id"), col("ets"), col("__mh"),
         explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"),
-        col("ets"))
+        col("__mh").as("full"), col("ets"))
       .as[BandRow]
       .groupByKey(r => (r.band, r.sig))
       .transformWithState(new BucketMatcher,

@@ -59,6 +59,42 @@ class StreamNearDupSpec extends SparkSpec {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("est_jaccard equals the batch signature estimator for every emitted pair") {
+    val s = spark
+    import s.implicits._
+    val docs = corpus.map { case (id, t) => Doc(id, t, ts(id)) }
+    // batch signatures → per-doc component vector (the d16 estimator)
+    val sigs = DedupOps.minhashSignatures(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", numHashes = 12)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 12).map(i => r.getLong(i)).toVector).toMap
+    // re-run the stream keeping scores this time
+    implicit val sql = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.get(key, "")
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Doc]
+    val q = StreamNearDup.candidatePairs(in.toDF(), "doc_id", "text", "ets", "10 minutes")
+      .writeStream.format("memory").queryName("sndscore").outputMode("append").start()
+    try {
+      in.addData(docs); q.processAllAvailable()
+      val got = s.table("sndscore").as[CandidatePair].collect()
+      assert(got.nonEmpty)
+      got.foreach { p =>
+        val want = sigs(p.a).zip(sigs(p.b)).count { case (x, y) => x == y } / 12.0
+        assert(p.est_jaccard == want, s"(${p.a},${p.b}): ${p.est_jaccard} vs $want")
+      }
+      // the true near-dup family scores high; it must beat any
+      // incidental low-overlap pair
+      val fam = got.filter(p => Set(p.a, p.b).subsetOf(Set(1L, 2L, 3L)))
+      assert(fam.nonEmpty && fam.forall(_.est_jaccard >= 0.5), got.toSeq)
+    } finally {
+      q.stop()
+      if (prev.nonEmpty) s.conf.set(key, prev) else s.conf.unset(key)
+    }
+  }
+
   test("pairs only form within the watermark horizon; stale entries evict") {
     val a = Doc(1L, corpus.head._2, ts(0))
     // advance the watermark far past doc 1 with an unrelated doc...
