@@ -1882,7 +1882,7 @@ object SparkEntry {
     // complement to d2's MinHash blocking. Full corpus at 3-GRAM
     // granularity: the synthetic 31-word unigram vocabulary is prefix
     // filtering's adversarial worst case (every df huge → candidates
-    // degrade toward all-pairs; measured 184 s vs ~2 s at bench scale —
+    // degrade toward all-pairs; measured 184 s vs ~9 s at bench scale —
     // see DedupOps.prefixCandidates), while the ~31³ shingle space has
     // the rare-element distribution the algorithm targets.
     // PrefixJoinSpec proves recall ≡ brute force at both granularities
@@ -2235,9 +2235,8 @@ object SparkEntry {
     // one (shingle → doc-count) aggregation + a shingle-keyed join back
     // — d14's digest-keyed shape, never all-pairs
     "t23_ngram_novelty" -> ((s, dir) => {
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(DedupOps.shingles(TextAnalysis.tokens(col("text")), 5)).as("sh"))
+      val sh = DedupOps.shingleRows(Tables.documents(s, dir),
+          "doc_id", "text", shingleN = 5)
         .distinct()
       val cnt = sh.groupBy("sh").agg(count(lit(1)).as("docs"))
       sh.join(cnt, "sh")

@@ -300,7 +300,7 @@ object DedupOps {
     * are `shingleN`-gram shingles: a tiny closed UNIGRAM vocabulary
     * (this repo's synthetic documents: 31 words per source) is prefix
     * filtering's adversarial worst case — every token's df is huge and
-    * candidates degrade toward all-pairs (measured: 184 s vs ~2 s at
+    * candidates degrade toward all-pairs (measured: 184 s vs ~9 s at
     * bench scale) — while the 3-gram shingle space (~vocab³) restores
     * the rare-element distribution the algorithm is designed for. The
     * spec proves exact recall against brute force at BOTH granularities.

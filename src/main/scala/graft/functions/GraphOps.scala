@@ -270,14 +270,11 @@ object GraphOps {
       .localCheckpoint(false)
     var deg: DataFrame = null
     for (i <- 1 to rounds) {
-      val d = e.groupBy("u").agg(count(lit(1)).as("d")).filter(col("d") >= k)
-        .localCheckpoint(false)
+      val d = kCoreDegrees(e, k).localCheckpoint(false)
       d.count() // the round's materializing action; cuts lineage
       if (i < rounds) {
-        val keep = d.select(col("u"))
-        val e2 = e.join(keep, "u")
-          .join(keep.withColumnRenamed("u", "v"), "v")
-          .select("u", "v").localCheckpoint(false)
+        // built from the d SNAPSHOT, so the degree agg runs once per round
+        val e2 = kCoreSurvivors(e, d).localCheckpoint(false)
         e2.count()
         GraftShims.unpersistLocalCheckpoint(e)
         e = e2
@@ -286,6 +283,22 @@ object GraphOps {
       deg = d
     }
     deg.select(col("u").as("node"), col("d").as("degree"))
+  }
+
+  /** The two halves of one k-core peel round over a symmetrized edge
+    * table (u, v), factored out so the plan-shape guard inspects the
+    * SHIPPED round construction (kCore checkpoints between rounds, so
+    * its returned plan is just a snapshot scan). */
+  private[graft] def kCoreDegrees(e: DataFrame, k: Int): DataFrame =
+    e.groupBy("u").agg(count(lit(1)).as("d")).filter(col("d") >= k)
+
+  /** Edges whose BOTH endpoints survive in `deg` — two node-keyed
+    * semi-filters. */
+  private[graft] def kCoreSurvivors(e: DataFrame, deg: DataFrame): DataFrame = {
+    val keep = deg.select(col("u"))
+    e.join(keep, "u")
+      .join(keep.withColumnRenamed("u", "v"), "v")
+      .select("u", "v")
   }
 
   /** Per-group triangle count over undirected edges (g, a, b), input

@@ -48,16 +48,25 @@ object StreamAttribution {
 
     override def handleInputRows(key: Long, rows: Iterator[ActivityEvent],
                                  timers: TimerValues): Iterator[Attribution] = {
+      // read-once / write-once (the StreamZScore discipline): fold the
+      // latest source in a local, one state put per key per batch
+      var src: Option[LastSrc] = if (last.exists()) Some(last.get()) else None
+      val entry = src
       val out = Seq.newBuilder[Attribution]
       rows.toSeq.sortBy(r => (r.ts_sec, r.event_id)).foreach { r =>
-        if (r.event_type != "purchase") last.update(LastSrc(r.event_type, r.ts_sec))
-        else if (last.exists()) {
-          val src = last.get()
-          if (r.ts_sec - src.ts_sec <= lookbackSec)
-            out += Attribution(key, r.event_id, src.channel, src.ts_sec,
+        if (r.event_type != "purchase") src = Some(LastSrc(r.event_type, r.ts_sec))
+        else src.foreach { s =>
+          // gap >= 0 guards cross-batch disorder: a late purchase must
+          // not credit a source that FOLLOWS it in event time (the batch
+          // frame's unbounded-to-−1 shape makes src_ts <= ts_sec a
+          // structural guarantee; the stream asserts it explicitly)
+          val gap = r.ts_sec - s.ts_sec
+          if (gap >= 0 && gap <= lookbackSec)
+            out += Attribution(key, r.event_id, s.channel, s.ts_sec,
               r.ts_sec, r.value)
         }
       }
+      if (src != entry) src.foreach(last.update)
       out.result().iterator
     }
 

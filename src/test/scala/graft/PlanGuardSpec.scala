@@ -391,15 +391,13 @@ class PlanGuardSpec extends SparkSpec {
 
   test("g4 k-core: peel rounds are degree aggs + equi semi-filters — no cartesian/window") {
     // kCore checkpoints per round (the d7 discipline), so the returned
-    // plan is a scan of the final snapshot; guard the ROUND plan instead:
-    // one peel round built from an un-checkpointed edge table
+    // plan is a scan of the final snapshot; guard the SHIPPED round
+    // construction (GraphOps.kCoreDegrees/kCoreSurvivors) instead
     import org.apache.spark.sql.functions._
-    val e = graft.functions.GraphOps.bigramEdges(
-      graft.Tables.documents(spark, dir))
-    val deg = e.groupBy("a").agg(count(lit(1)).as("d")).filter(col("d") >= 10)
-    val keep = deg.select(col("a"))
-    val round = e.join(keep, "a")
-      .join(keep.withColumnRenamed("a", "b"), "b").select("a", "b")
+    import graft.functions.GraphOps
+    val e = GraphOps.bigramEdges(graft.Tables.documents(spark, dir))
+      .select(col("a").as("u"), col("b").as("v"))
+    val round = GraphOps.kCoreSurvivors(e, GraphOps.kCoreDegrees(e, 10))
     val p = plan(round)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

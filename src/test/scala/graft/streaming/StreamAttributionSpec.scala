@@ -62,6 +62,18 @@ class StreamAttributionSpec extends SparkSpec {
     assert(out.map(a => (a.event_id, a.channel)) == Seq((12L, "view")))
   }
 
+  test("a late purchase never credits a source that follows it in event time") {
+    // cross-batch disorder: the click (ts 1000) is in state when a
+    // LATE purchase (ts 100) arrives — crediting it would emit a
+    // self-contradictory row (src_ts > ts_sec) the batch frame can
+    // never produce
+    val out = run(Seq(
+      Seq(ActivityEvent(1, 1, 1000, "click", 0.0)),
+      Seq(ActivityEvent(1, 2, 100, "purchase", 5.0)),
+      Seq(ActivityEvent(1, 3, 1100, "purchase", 7.0)))) // in-order: credited
+    assert(out.map(_.event_id) == Seq(3L), out)
+  }
+
   test("agrees exactly with an in-memory replay on randomized per-user streams") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
