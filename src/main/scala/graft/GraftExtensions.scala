@@ -85,7 +85,9 @@ object GraftExtensions {
       graft.expressions.MinHashSignature(cs.head, k, 3)
     }),
     exprFn("graft_deflate_ratio", 1)(cs =>
-      graft.expressions.DeflateRatio(cs.head)))
+      graft.expressions.DeflateRatio(cs.head)),
+    exprFn("damerau_levenshtein", 2)(cs =>
+      graft.expressions.DamerauLevenshtein(cs.head, cs(1))))
 
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

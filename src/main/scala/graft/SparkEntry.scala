@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.operators.{Changelog, EventTime, Joins}
-import graft.functions.{Classifier, DedupOps, GraphOps, Sampling, SimilarityOps, TextAnalysis}
+import graft.functions.{Classifier, DedupOps, FuzzyMatch, GraphOps, Sampling, SimilarityOps, TextAnalysis}
 import graft.sources.Bucketing
 
 /** Driver contract — the full operator inventory of SURVEY.md §2 plus the
@@ -2565,6 +2565,168 @@ object SparkEntry {
           weight = substring(col("source"), 4, 8).cast("int") % 3 + 1,
           targetRows = 100)
         .select("doc_id", "source")
+    }),
+
+    // ---- round-8 batch 2: entity resolution + customer analytics ------
+
+    // fuzzy entity resolution over the part-name dictionary: distinct
+    // names (with multiplicity) blocked on their first token, verified
+    // with the codegen'd UNRESTRICTED Damerau-Levenshtein ≤ 3 (the
+    // custom expression Spark lacks; DuckDB's damerau_levenshtein is
+    // the same full variant — fuzz-verified). Dictionary-first is the
+    // 100 TB shape: the corpus is touched once (distinct agg, map-side
+    // partials); the O(|a|·|b|) verifier only ever runs inside blocks
+    // of the tiny name dictionary
+    "x61_fuzzy_match" -> ((s, dir) =>
+      FuzzyMatch.dictionaryMatch(Tables.part(s, dir), "p_name",
+        n => element_at(split(n, " "), 1), maxDist = 3)),
+
+    // node similarity on the order-basket graph: Jaccard of the order
+    // sets of two parts, from the same basket-bounded self-join as x46
+    // (fan-out ≤ basket², never |parts|²) plus two degree lookups —
+    // the "customers who bought X also bought Y" similarity readout
+    // with exact integer co/degree counts and one final division
+    "g5_part_jaccard" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+      val deg = e.groupBy("l_partkey").agg(count(lit(1)).as("deg"))
+      val co = e.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        .join(e.select(col("l_orderkey").as("ok2"), col("l_partkey").as("part_b")),
+          col("l_orderkey") === col("ok2") && col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 3)
+      co.join(deg.select(col("l_partkey").as("part_a"), col("deg").as("deg_a")), "part_a")
+        .join(deg.select(col("l_partkey").as("part_b"), col("deg").as("deg_b")), "part_b")
+        .select(col("part_a"), col("part_b"), col("co"), col("deg_a"), col("deg_b"),
+          round(col("co").cast("double") /
+            (col("deg_a") + col("deg_b") - col("co")), 6).as("jaccard"))
+    }),
+
+    // RFM segmentation: recency / frequency / monetary per purchasing
+    // user, quintile-scored with NTILE over total orders (value +
+    // user_id tie-break — engine-exact), monetary in exact micro-units.
+    // The scored table is one row per purchasing user — already the
+    // reduced readout; at population scale the three exact global
+    // NTILEs swap for x58's bucketed equi-depth boundaries (broadcast
+    // the 4 cut points, score map-side) without changing the contract
+    "x62_rfm" -> ((s, dir) => {
+      val p = ev(s, dir).filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(
+          max("ts_sec").as("last_ts"),
+          count(lit(1)).as("freq"),
+          sum(round(col("value") * 10000).cast("long")).as("micros"))
+      val now = ev(s, dir).agg(max("ts_sec").as("now_ts"))
+      p.crossJoin(broadcast(now))
+        .withColumn("recency_days", expr("(now_ts - last_ts) div 86400"))
+        .withColumn("r_score",
+          ntile(5).over(Window.orderBy(col("last_ts").asc, col("user_id").asc)))
+        .withColumn("f_score",
+          ntile(5).over(Window.orderBy(col("freq").asc, col("user_id").asc)))
+        .withColumn("m_score",
+          ntile(5).over(Window.orderBy(col("micros").asc, col("user_id").asc)))
+        .select(col("user_id"), col("recency_days"), col("freq"), col("micros"),
+          col("r_score"), col("f_score"), col("m_score"),
+          concat_ws("", col("r_score"), col("f_score"), col("m_score")).as("segment"))
+    }),
+
+    // revenue concentration: per-nation Gini coefficient over customer
+    // order totals via the sorted-rank identity
+    // G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) — cents-exact integers end
+    // to end (rank from a per-nation total-order window), ONE double
+    // division at the very end, so both engines divide identical
+    // integers. One join + one nation-partitioned window + one agg
+    "x63_gini" -> ((s, dir) => {
+      val ct = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nationkey"), col("c_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy("nationkey")
+        .orderBy(col("cents").asc, col("c_custkey").asc)
+      ct.withColumn("rk", row_number().over(w))
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          sum("cents").as("total_cents"),
+          round((lit(2L) * sum(col("rk") * col("cents")) -
+              (count(lit(1)) + 1) * sum(col("cents"))).cast("double") /
+            (count(lit(1)) * sum(col("cents"))).cast("double"), 6).as("gini"))
+    }),
+
+    // Benford first-digit monitor on order totals: digit taken from the
+    // STRING form of exact integer cents (never float log10 near a
+    // power-of-ten boundary), expected share log10(1+1/d), and the
+    // per-digit χ² contribution n·(obs−exp)²/exp — the standard
+    // anomalous-amounts screen. One tiny 9-row aggregation; the total
+    // rides a 1-row broadcast
+    "x64_benford" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("d", substring(col("cents").cast("string"), 1, 1).cast("int"))
+      val tot = o.agg(count(lit(1)).as("n_tot"))
+      // log10 (not log(10, x) = ln/ln — a different libm path than the
+      // oracle's log10) and an explicit square (not pow) keep the double
+      // sequence identical across engines
+      val expP = log10(lit(1.0) + lit(1.0) / col("d"))
+      val obsP = col("n").cast("double") / col("n_tot")
+      o.groupBy("d").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("d"), col("n"),
+          round(obsP, 6).as("obs_p"),
+          round(expP, 6).as("exp_p"),
+          round((obsP - expP) * (obsP - expP) / expP * col("n_tot"), 6)
+            .as("chi2_part"))
+    }),
+
+    // CUSUM changepoint series on daily purchase revenue: standardized
+    // cumulative deviation S_i = Σ_{j≤i}(x_j − μ)/σ — the mean-shift
+    // detector whose |S| peak marks the changepoint. Daily totals are
+    // exact micro-unit longs (order-free sums); μ and σ come from
+    // exact Σx (long) and Σx² (decimal/hugeint — x² overflows int64),
+    // so both engines standardize IDENTICAL integers; the one ordered
+    // double accumulation is the day-ordered cumulative window —
+    // deterministic sequence, both engines. Days are a bounded readout
+    // (span/86400), stats ride a 1-row broadcast
+    "x65_cusum" -> ((s, dir) => {
+      val daily = ev(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(expr("ts_sec div 86400").as("day"))
+        .agg(sum(round(col("value") * 10000).cast("long")).as("micros"))
+      val st = daily.agg(
+        count(lit(1)).as("nd"),
+        sum("micros").as("tot"),
+        sum(col("micros").cast("decimal(38,0)") * col("micros")).as("sq"))
+      val mu = col("tot").cast("double") / col("nd")
+      val sigma = sqrt((col("sq").cast("double") -
+        col("tot").cast("double") * col("tot") / col("nd")) / col("nd"))
+      val cw = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(st))
+        .withColumn("dev", col("micros") - mu)
+        .withColumn("s", round(sum(col("dev")).over(cw) / sigma, 6))
+        .select(col("day"), col("micros"), col("s"))
+    }),
+
+    // code-vs-prose detector: symbol-density and keyword-hit signals a
+    // curation pipeline uses to route documents to a code or text
+    // corpus. Every count is length-difference integer arithmetic
+    // (replace/translate — no regex, whose dialects diverge between
+    // engines); the only double is the final density ratio of two
+    // exact integers. Pure map-side projection, zero exchanges
+    "t24_code_detect" -> ((s, dir) => {
+      def chCount(ch: String) =
+        length(col("text")) - length(translate(col("text"), ch, ""))
+      def kwCount(kw: String) =
+        expr(s"(length(text) - length(replace(text, '$kw', ''))) div ${kw.length}")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        (chCount("\n") + 1).as("n_lines"),
+        chCount(";").as("n_semi"),
+        chCount("{}").as("n_braces"),
+        (kwCount("def ") + kwCount("return") + kwCount("import") +
+          kwCount("void ") + kwCount("function")).as("kw_hits"),
+        round((chCount(";") + chCount("{}") + chCount("=") + chCount("()"))
+            .cast("double") /
+          greatest(length(col("text")), lit(1)).cast("double"), 6)
+          .as("symbol_density"))
+        .withColumn("is_code",
+          col("symbol_density") > 0.015 || col("kw_hits") >= 3)
     })
   )
 
@@ -4697,6 +4859,143 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_id, user_id, event_type,
         |  CASE WHEN sb < 80 THEN 'train' WHEN sb < 90 THEN 'val' ELSE 'test' END AS split
-        |FROM h WHERE b < 10""".stripMargin
+        |FROM h WHERE b < 10""".stripMargin,
+
+    // ---- round-8 batch 2 ------------------------------------------------
+
+    // DuckDB's damerau_levenshtein is the same UNRESTRICTED variant as
+    // the graft expression (both fuzz-verified against a BFS ground
+    // truth); blocking is part of the match semantics on both sides
+    "x61_fuzzy_match" ->
+      """WITH dict AS (
+        |  SELECT p_name AS name, count(*)::BIGINT AS n,
+        |    split_part(p_name, ' ', 1) AS blk
+        |  FROM part GROUP BY p_name)
+        |SELECT a.name AS name_a, b.name AS name_b, a.n AS n_a, b.n AS n_b,
+        |  levenshtein(a.name, b.name)::INT AS lev,
+        |  damerau_levenshtein(a.name, b.name)::INT AS dl
+        |FROM dict a JOIN dict b ON a.blk = b.blk AND a.name < b.name
+        |WHERE damerau_levenshtein(a.name, b.name) <= 3""".stripMargin,
+
+    // integer co/degree counts; one final division per pair
+    "g5_part_jaccard" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |deg AS (SELECT l_partkey, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+        |co AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*)::BIGINT AS co
+        |  FROM e a JOIN e b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b, co, da.deg AS deg_a, db.deg AS deg_b,
+        |  round(co::DOUBLE / (da.deg + db.deg - co), 6) AS jaccard
+        |FROM co
+        |JOIN deg da ON part_a = da.l_partkey
+        |JOIN deg db ON part_b = db.l_partkey""".stripMargin,
+
+    // NTILE over a (value, user_id) total order is SQL-standard and
+    // engine-exact; micro-unit monetary sums are exact BIGINTs
+    "x62_rfm" ->
+      s"""WITH $evSql,
+        |p AS (
+        |  SELECT user_id, max(ts_sec) AS last_ts, count(*)::BIGINT AS freq,
+        |    sum(round(value * 10000)::BIGINT)::BIGINT AS micros
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+        |nw AS (SELECT max(ts_sec) AS now_ts FROM ev),
+        |sc AS (
+        |  SELECT user_id, (now_ts - last_ts) // 86400 AS recency_days,
+        |    freq, micros,
+        |    CAST(ntile(5) OVER (ORDER BY last_ts, user_id) AS INT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY freq, user_id) AS INT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY micros, user_id) AS INT) AS m_score
+        |  FROM p CROSS JOIN nw)
+        |SELECT user_id, recency_days, freq, micros, r_score, f_score, m_score,
+        |  r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+        |FROM sc""".stripMargin,
+
+    // exact integer numerator/denominator (DuckDB sums in HUGEINT, the
+    // Spark side in int64 — identical values at harness scale), ONE
+    // double division at the end
+    "x63_gini" ->
+      """WITH ct AS (
+        |  SELECT c_nationkey AS nationkey, c_custkey,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT nationkey, cents,
+        |    row_number() OVER (PARTITION BY nationkey
+        |      ORDER BY cents, c_custkey) AS rk
+        |  FROM ct)
+        |SELECT nationkey, count(*)::BIGINT AS n_cust,
+        |  sum(cents)::BIGINT AS total_cents,
+        |  round((2 * sum(rk * cents) - (count(*) + 1) * sum(cents))::DOUBLE /
+        |    (count(*) * sum(cents))::DOUBLE, 6) AS gini
+        |FROM rk GROUP BY 1""".stripMargin,
+
+    // first digit from the STRING form of exact integer cents; log10 and
+    // an explicit square mirror the Spark expression's double sequence
+    "x64_benford" ->
+      """WITH o AS (
+        |  SELECT round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |dg AS (SELECT substr(cents::VARCHAR, 1, 1)::INT AS d FROM o),
+        |g AS (SELECT d, count(*)::BIGINT AS n FROM dg GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS n_tot FROM o)
+        |SELECT d, n,
+        |  round(n::DOUBLE / n_tot, 6) AS obs_p,
+        |  round(log10(1.0::DOUBLE + 1.0::DOUBLE / d), 6) AS exp_p,
+        |  round((n::DOUBLE / n_tot - log10(1.0::DOUBLE + 1.0::DOUBLE / d)) *
+        |      (n::DOUBLE / n_tot - log10(1.0::DOUBLE + 1.0::DOUBLE / d)) /
+        |      log10(1.0::DOUBLE + 1.0::DOUBLE / d) * n_tot, 6) AS chi2_part
+        |FROM g CROSS JOIN t""".stripMargin,
+
+    // daily totals are exact BIGINT micro-units; Σx² in HUGEINT (the
+    // Spark side uses decimal(38,0) — both exact); both engines
+    // standardize identical integers, and the one ordered double
+    // accumulation is the day-ordered cumulative window
+    "x65_cusum" ->
+      s"""WITH $evSql,
+        |daily AS (
+        |  SELECT ts_sec // 86400 AS day,
+        |    sum(round(value * 10000)::BIGINT)::BIGINT AS micros
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS nd, sum(micros) AS tot,
+        |    sum(micros::HUGEINT * micros) AS sq
+        |  FROM daily),
+        |dv AS (
+        |  SELECT day, micros,
+        |    micros - tot::DOUBLE / nd AS dev,
+        |    sqrt((sq::DOUBLE - tot::DOUBLE * tot / nd) / nd) AS sigma
+        |  FROM daily CROSS JOIN st)
+        |SELECT day, micros,
+        |  round(sum(dev) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / sigma, 6) AS s
+        |FROM dv""".stripMargin,
+
+    // every count is length-difference integer arithmetic (replace /
+    // translate — no regex, whose dialects diverge between engines);
+    // is_code compares the ROUNDED density on both sides
+    "t24_code_detect" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    (length(text) - length(replace(text, chr(10), '')) + 1)::INT AS n_lines,
+        |    (length(text) - length(replace(text, ';', '')))::INT AS n_semi,
+        |    (length(text) - length(translate(text, '{}', '')))::INT AS n_braces,
+        |    ((length(text) - length(replace(text, 'def ', ''))) // 4
+        |     + (length(text) - length(replace(text, 'return', ''))) // 6
+        |     + (length(text) - length(replace(text, 'import', ''))) // 6
+        |     + (length(text) - length(replace(text, 'void ', ''))) // 5
+        |     + (length(text) - length(replace(text, 'function', ''))) // 8
+        |    )::BIGINT AS kw_hits,
+        |    round(((length(text) - length(replace(text, ';', '')))
+        |      + (length(text) - length(translate(text, '{}', '')))
+        |      + (length(text) - length(replace(text, '=', '')))
+        |      + (length(text) - length(translate(text, '()', ''))))::DOUBLE
+        |      / greatest(length(text), 1), 6) AS symbol_density
+        |  FROM documents)
+        |SELECT doc_id, n_lines, n_semi, n_braces, kw_hits, symbol_density,
+        |  (symbol_density > 0.015 OR kw_hits >= 3) AS is_code
+        |FROM c""".stripMargin
   )
 }

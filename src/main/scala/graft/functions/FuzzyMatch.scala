@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.DamerauLevenshtein
+
+/** Entity-resolution fuzzy matching over string keys.
+  *
+  * The shape that survives scale is DICTIONARY-FIRST: aggregate the
+  * corpus down to its distinct names (with multiplicity), block the
+  * tiny dictionary on a cheap deterministic key, and run the O(|a|·|b|)
+  * edit-distance verifier only inside blocks. The corpus itself is
+  * touched exactly once (the distinct aggregation, map-side partials);
+  * every all-pairs-flavored step runs on the dictionary, which is
+  * orders of magnitude smaller than the rows it describes.
+  */
+object FuzzyMatch {
+
+  /** Unrestricted Damerau-Levenshtein distance (codegen'd custom
+    * expression — Spark ships only plain `levenshtein`). */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    GraftShims.column(DamerauLevenshtein(
+      GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Blocked fuzzy self-match of the distinct values of `nameCol`:
+    * returns (name_a, name_b, n_a, n_b, lev, dl) for distinct name
+    * pairs in the same block with unrestricted Damerau-Levenshtein
+    * ≤ `maxDist` (name_a < name_b).
+    *
+    * `blockKey` is part of the match SEMANTICS (pairs in different
+    * blocks are non-candidates by definition), which is what makes the
+    * operator exact rather than approximate: recall within a block is
+    * total because every in-block pair is verified.
+    */
+  def dictionaryMatch(rows: DataFrame, nameCol: String,
+                      blockKey: Column => Column, maxDist: Int): DataFrame = {
+    val dict = rows.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("blk", blockKey(col("name")))
+    val a = dict.select(col("blk"), col("name").as("name_a"), col("n").as("n_a"))
+    val b = dict.select(col("blk"), col("name").as("name_b"), col("n").as("n_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dl", damerauLevenshtein(col("name_a"), col("name_b")))
+      .filter(col("dl") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
+        levenshtein(col("name_a"), col("name_b")).as("lev"), col("dl"))
+  }
+}

@@ -470,4 +470,57 @@ class PlanGuardSpec extends SparkSpec {
     val q1 = planOf("q1_agg")
     assert(q1.contains("PushedFilters: [IsNotNull(l_shipdate)"), q1)
   }
+
+  test("x61 fuzzy match: block-keyed equi join on the dictionary, no cartesian") {
+    val p = planOf("x61_fuzzy_match")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the edit-distance verifier must run AFTER blocking (join filter),
+    // never as a join condition that degenerates to nested-loop
+    assert(p.contains("damerau_levenshtein"), p)
+  }
+
+  test("g5 part jaccard: basket-keyed equi joins only, no window") {
+    val p = planOf("g5_part_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("x62 RFM: three NTILE windows over the reduced per-user table, scalar broadcast") {
+    val p = planOf("x62_rfm")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.sliding("windowspecdefinition(".length)
+      .count(_ == "windowspecdefinition(")
+    assert(specs == 3, s"expected 3 ntile specs, got $specs\n$p")
+  }
+
+  test("x63 gini: nation-partitioned rank window, no cartesian") {
+    val p = planOf("x63_gini")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("windowspecdefinition(nationkey"), p)
+  }
+
+  test("x64 benford: one 9-row aggregation + scalar broadcast, no window") {
+    val p = planOf("x64_benford")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("x65 cusum: day-level series only — the window runs on the daily aggregate") {
+    val p = planOf("x65_cusum")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one running-sum window, ordered by day
+    val specs = p.sliding("windowspecdefinition(".length)
+      .count(_ == "windowspecdefinition(")
+    assert(specs == 1, s"expected 1 cumulative spec, got $specs\n$p")
+  }
+
+  test("t24 code detect: pure map-side projection — ZERO exchanges") {
+    val p = planOf("t24_code_detect")
+    assert(!p.contains("Exchange"), s"map-side query gained a shuffle:\n$p")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
 }
