@@ -2703,6 +2703,48 @@ object SparkEntry {
         .select(col("day"), col("micros"), col("s"))
     }),
 
+    // association rules over order baskets: confidence in both
+    // directions and lift for co-purchased part pairs — the x46/g5
+    // candidate generator (basket-bounded self-join) promoted to the
+    // market-basket readout. Exact integer co/degree/basket counts;
+    // three rounded divisions at the end; the basket total rides a
+    // 1-row broadcast
+    "x66_assoc_rules" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+      val n = e.agg(countDistinct("l_orderkey").as("n_orders"))
+      val deg = e.groupBy("l_partkey").agg(count(lit(1)).as("deg"))
+      val co = e.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        .join(e.select(col("l_orderkey").as("ok2"), col("l_partkey").as("part_b")),
+          col("l_orderkey") === col("ok2") && col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 3)
+      co.join(deg.select(col("l_partkey").as("part_a"), col("deg").as("deg_a")), "part_a")
+        .join(deg.select(col("l_partkey").as("part_b"), col("deg").as("deg_b")), "part_b")
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("co"),
+          round(col("co").cast("double") / col("deg_a"), 6).as("conf_ab"),
+          round(col("co").cast("double") / col("deg_b"), 6).as("conf_ba"),
+          round((col("co") * col("n_orders")).cast("double") /
+            (col("deg_a") * col("deg_b")), 6).as("lift"))
+    }),
+
+    // purchase cadence per user: inter-purchase gaps from one
+    // user-partitioned lag window over purchase times (integer-second
+    // gaps — engine-exact), then min/avg/max per user — the
+    // re-engagement readout next to x62's RFM scores
+    "x67_purchase_cadence" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_sec").asc, col("event_id").asc)
+      ev(s, dir).filter(col("event_type") === "purchase")
+        .withColumn("gap", col("ts_sec") - lag("ts_sec", 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          min("gap").as("min_gap"),
+          max("gap").as("max_gap"),
+          round(sum("gap").cast("double") / count(lit(1)), 6).as("avg_gap"))
+    }),
+
     // code-vs-prose detector: symbol-density and keyword-hit signals a
     // curation pipeline uses to route documents to a code or text
     // corpus. Every count is length-difference integer arithmetic
@@ -4972,6 +5014,40 @@ object SparkEntry {
         |  round(sum(dev) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / sigma, 6) AS s
         |FROM dv""".stripMargin,
+
+    // the x46/g5 candidate core with the basket total as a scalar CTE
+    "x66_assoc_rules" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM e),
+        |deg AS (SELECT l_partkey, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+        |co AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*)::BIGINT AS co
+        |  FROM e a JOIN e b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b, co,
+        |  round(co::DOUBLE / da.deg, 6) AS conf_ab,
+        |  round(co::DOUBLE / db.deg, 6) AS conf_ba,
+        |  round((co * n_orders)::DOUBLE / (da.deg * db.deg), 6) AS lift
+        |FROM co
+        |JOIN deg da ON part_a = da.l_partkey
+        |JOIN deg db ON part_b = db.l_partkey
+        |CROSS JOIN n""".stripMargin,
+
+    // integer-second gaps from a user-partitioned lag; one rounded avg
+    "x67_purchase_cadence" ->
+      s"""WITH $evSql,
+        |g AS (
+        |  SELECT user_id,
+        |    ts_sec - lag(ts_sec, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id) AS gap
+        |  FROM ev WHERE event_type = 'purchase')
+        |SELECT user_id, count(*)::BIGINT AS n_gaps,
+        |  min(gap) AS min_gap, max(gap) AS max_gap,
+        |  round(sum(gap)::DOUBLE / count(*), 6) AS avg_gap
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     // every count is length-difference integer arithmetic (replace /
     // translate — no regex, whose dialects diverge between engines);

@@ -517,6 +517,18 @@ class PlanGuardSpec extends SparkSpec {
     assert(specs == 1, s"expected 1 cumulative spec, got $specs\n$p")
   }
 
+  test("x66 assoc rules: basket-keyed equi joins + scalar broadcast, no window") {
+    val p = planOf("x66_assoc_rules")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("x67 purchase cadence: join-free — one user-partitioned lag window + agg") {
+    val p = planOf("x67_purchase_cadence")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(p.contains("windowspecdefinition(user_id"), p)
+  }
+
   test("t24 code detect: pure map-side projection — ZERO exchanges") {
     val p = planOf("t24_code_detect")
     assert(!p.contains("Exchange"), s"map-side query gained a shuffle:\n$p")
