@@ -885,6 +885,15 @@ object SparkEntry {
       SimilarityOps.bruteTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("vec_id") < 20, 5)),
 
+    // maximum-inner-product retrieval (the recommender/two-tower score:
+    // magnitude carries popularity, so it is NOT divided away) — s1's
+    // broadcast-queries/streamed-corpus/bounded-topK shape with the raw
+    // dot; the norm-augmentation reduction to cosine (for IVF at scale)
+    // is spec-pinned in MipsSpec
+    "s14_mips_topk" -> ((s, dir) =>
+      SimilarityOps.mipsTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") < 20, 5)),
+
     "s2_lsh_ann" -> ((s, dir) =>
       SimilarityOps.bucketedPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         4, 0.2)),
@@ -3137,6 +3146,22 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, sim,
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    // s1's ranking CTE without the norm division
+    "s14_mips_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(range(1, len(q.embedding) + 1),
+        |            i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE),
+        |          (x, y) -> x + y), 6) AS score
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, rank, neighbor_id, score FROM (
+        |  SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
 

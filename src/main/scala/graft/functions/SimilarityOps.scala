@@ -71,6 +71,35 @@ object SimilarityOps {
         col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("sim"))
   }
 
+  /** Exact maximum-inner-product top-k (MIPS) — [[bruteTopK]]'s shape
+    * with the UNNORMALIZED dot product as the score: the retrieval mode
+    * of recommender/two-tower models, where vector magnitude carries
+    * item popularity and must NOT be divided away.
+    *
+    * Same scale contract as bruteTopK: queries broadcast, corpus
+    * streams, bounded per-partition top-k partials are the only
+    * exchange. For sub-linear search at corpus scale, MIPS reduces to
+    * cosine search over norm-augmented vectors (append
+    * sqrt(M² − |x|²) to each corpus vector and 0 to queries, M = max
+    * corpus norm — Bachrach et al., RecSys 2014), after which the IVF
+    * machinery ([[ivfTopK]]) applies unchanged; the reduction's
+    * rank-equivalence is spec-pinned in `MipsSpec`. */
+  def mipsTopK(vecs: DataFrame, idCol: String, vecCol: String,
+               queryPred: Column, k: Int): DataFrame = {
+    val q = vecs.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")), 6).as("score"))
+    val topk = udaf(Aggregators.topK(k), Encoders.product[ScoredHit])
+    scored.groupBy("query_id")
+      .agg(topk(col("score"), col("neighbor_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.hits")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("score"))
+  }
+
   /** All intra-block scored pairs via a salt grid — exact (same pair set
     * as a plain block self-join) but with parallelism |blocks|·shards
     * instead of |blocks|, so one dominant block no longer serializes the

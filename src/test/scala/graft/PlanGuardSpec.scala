@@ -41,6 +41,12 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("s14 MIPS top-k is a bounded partial aggregate, not a per-query window") {
+    val p = planOf("s14_mips_topk")
+    assert(!p.contains("WindowExec"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("d6 salted pairs stay an equi hash join — no cartesian/nested-loop") {
     val p = planOf("d6_embedding_neardup")
     assert(!p.contains("CartesianProduct"), p)
