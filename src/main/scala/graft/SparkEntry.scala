@@ -1899,6 +1899,20 @@ object SparkEntry {
       DedupOps.prefixJoin(Tables.documents(s, dir),
         "doc_id", "text", threshold = 0.5, shingleN = 3)),
 
+    // incremental-ingest dedup gate: the doc_id % 10 == 0 slice plays
+    // the NEW crawl batch, the rest the existing corpus — each new doc
+    // routes exact (fingerprint already present) / near (≥ 3 shared
+    // distinct 5-gram digests, d9's evidence rule) / new. The batch's
+    // digests broadcast; the base corpus streams past them and never
+    // shuffles (decontaminate's asymmetry, mirrored)
+    "d20_ingest_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.ingestGate(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", shingleN = 5, minShared = 3)
+    }),
+
     // the dedup DECISION: near-dup pairs → clusters → keep exactly the
     // minimum doc id per cluster (cluster_id IS the min reachable id, so
     // survivors are the doc_id == cluster_id rows) — the surviving corpus
@@ -4378,6 +4392,33 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "d9_decontaminate" -> decontOracleSql,
+
+    // d9's sh5/digest conventions + the c1 fingerprint mirror, split
+    // base/incoming on doc_id % 10
+    "d20_ingest_gate" ->
+      s"""WITH $toksSql,
+        |sh5 AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+        |      ELSE [array_to_string(t, ' ')] END) AS sh
+        |  FROM toks),
+        |incfp AS (
+        |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |basefp AS (
+        |  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |incsh AS (SELECT DISTINCT doc_id, md5(sh) AS shh FROM sh5 WHERE doc_id % 10 = 0),
+        |basesh AS (SELECT DISTINCT md5(sh) AS shh FROM sh5 WHERE doc_id % 10 <> 0),
+        |hits AS (
+        |  SELECT i.doc_id, count(*)::BIGINT AS n
+        |  FROM incsh i JOIN basesh b USING (shh) GROUP BY 1)
+        |SELECT f.doc_id, coalesce(h.n, 0)::BIGINT AS n_shared,
+        |  CASE WHEN f.fp IN (SELECT fp FROM basefp) THEN 'exact'
+        |       WHEN coalesce(h.n, 0) >= 3 THEN 'near'
+        |       ELSE 'new' END AS verdict
+        |FROM incfp f LEFT JOIN hits h ON h.doc_id = f.doc_id""".stripMargin,
 
     // the Bloom prune has zero false negatives, so x30's output is
     // d9's by construction — ONE oracle string keeps that claim honest

@@ -587,6 +587,47 @@ object DedupOps {
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Incremental-ingest dedup gate — the continuous-crawl stage: each
+    * NEW batch of documents is checked against the existing corpus and
+    * routed `exact` (normalized fingerprint already present), `near`
+    * (≥ `minShared` distinct `shingleN`-gram digests shared with the
+    * corpus — the d9 evidence rule), or `new`.
+    *
+    * 100 TB shape — the MIRROR of [[decontaminate]]'s asymmetry: there
+    * the probe set (benchmark) was small and the corpus streamed; here
+    * the new batch is the small side, so ITS fingerprint and shingle
+    * digests broadcast and the BASE CORPUS streams past them without
+    * ever shuffling. Matched digests (bounded by the batch's own digest
+    * count) come back as a second broadcast for the per-doc evidence
+    * count. Nothing corpus-sized crosses an exchange. */
+  def ingestGate(incoming: DataFrame, base: DataFrame,
+                 idCol: String, textCol: String,
+                 shingleN: Int = 5, minShared: Long = 3): DataFrame = {
+    val incFp = incoming.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val matchedFp = base
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .join(broadcast(incFp.select("fp").distinct()), Seq("fp"), "left_semi")
+      .distinct()
+    val incSh = shingleRows(incoming, idCol, textCol, shingleN)
+      .select(col("doc_id"), md5(col("sh")).as("shh")).distinct()
+    val sharedSh = shingleRows(base, idCol, textCol, shingleN)
+      .select(md5(col("sh")).as("shh"))
+      .join(broadcast(incSh.select("shh").distinct()), Seq("shh"), "left_semi")
+      .distinct()
+    val nShared = incSh.join(broadcast(sharedSh), Seq("shh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    incFp
+      .join(broadcast(matchedFp.withColumn("is_exact", lit(true))),
+        Seq("fp"), "left_outer")
+      .join(nShared, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("is_exact"), "exact")
+          .when(coalesce(col("n_shared"), lit(0L)) >= minShared, "near")
+          .otherwise("new").as("verdict"))
+  }
+
   /** Bloom-pruned decontamination — [[decontaminate]] for the regime
     * where the benchmark digest set is too large to broadcast as a hash
     * relation but fits as Bloom BITS (~2 bits/key at these parameters vs

@@ -523,6 +523,15 @@ class PlanGuardSpec extends SparkSpec {
     assert(specs == 1, s"expected 1 cumulative spec, got $specs\n$p")
   }
 
+  test("d20 ingest gate: base corpus streams past BROADCAST batch digests — no shuffled base join") {
+    val p = planOf("d20_ingest_gate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // every base-side probe must be a broadcast hash join build
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"base corpus shuffled for the probe:\n$p")
+  }
+
   test("x66 assoc rules: basket-keyed equi joins + scalar broadcast, no window") {
     val p = planOf("x66_assoc_rules")
     assert(!p.contains("CartesianProduct"), p)
