@@ -1028,6 +1028,21 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"), col("score"))
     }),
 
+    // reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009): merge the
+    // BM25 (t14) and TF-IDF rankings for the same query WITHOUT score
+    // calibration — rrf(d) = Σ 1/(60 + rank_s(d)). The hybrid-retrieval
+    // combiner every RAG/hard-negative-mining stack runs over its
+    // lexical + semantic rankers. Each input ranking is already a
+    // bounded top-k, so the fusion itself is arithmetic over ≤ 40 rows
+    // — broadcast scale regardless of corpus size
+    "s15_rrf_fusion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val terms = Seq("hash", "join", "merge")
+      graft.functions.Retrieval.rrfFuse(Seq(
+        graft.functions.Retrieval.bm25Rank(docs, "doc_id", "text", terms, topN = 20),
+        graft.functions.Retrieval.tfidfRank(docs, "doc_id", "text", terms, topN = 20)))
+    }),
+
     // text analysis --------------------------------------------------------
 
     "t1_langid" -> ((s, dir) =>
@@ -2271,6 +2286,32 @@ object SparkEntry {
             col("n_shingles").cast("double"), 6).as("novelty"))
     }),
 
+    // Gopher rule-based quality gate (Rae et al. 2021 §A.1.1; public
+    // literature) — the standard rule pre-filter an LLM curation pipeline
+    // runs BEFORE model-based scoring (c5's classifier gate): word count
+    // in [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    // < 0.1 ('#' and '...'), ≥ 80% of words contain a letter, ≥ 2
+    // distinct stopwords present. Every signal is a map-side column
+    // expression over the shared tokenizer — zero shuffles, one corpus
+    // scan at any scale, and each rule is emitted alongside the verdict
+    // so rejected docs are auditable (which rule fired)
+    "t25_gopher_rules" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("t", TextAnalysis.tokens(col("text")))
+      d.select(col("doc_id"),
+          size(col("t")).cast("long").as("n_words"),
+          TextAnalysis.avgTokenLen(col("t")).as("mean_word_len"),
+          TextAnalysis.symbolRatio(col("text"), col("t")).as("symbol_ratio"),
+          TextAnalysis.alphaWordFrac(col("t")).as("alpha_frac"),
+          TextAnalysis.stopwordKinds(col("t")).as("stop_kinds"))
+        .withColumn("pass",
+          col("n_words").between(50L, 100000L) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("symbol_ratio") < 0.1 &&
+            col("alpha_frac") > 0.8 &&
+            col("stop_kinds") >= 2L)
+    }),
+
     // behavioral entropy per user: Shannon entropy of the event-type
     // distribution (t9's exact ln(n) − Σc·ln(c)/n closed form — one
     // definition, no drift) + concentration (top-type share) — the two
@@ -2309,6 +2350,17 @@ object SparkEntry {
           sum(coalesce(col("np"), lit(0L))).as("n_purchases"),
           sum(coalesce(col("micros"), lit(0L))).as("ltv_micros"))
     }),
+
+    // distributed BPE merge learning (Sennrich 2016) — tokenizer
+    // TRAINING as a pipeline stage: 4 rounds of most-frequent adjacent
+    // symbol-pair fusion over the corpus word distribution. The corpus
+    // is scanned exactly once (the a2-shaped word-frequency agg); every
+    // round after that runs on the cached VOCABULARY table, so the loop
+    // cost is independent of corpus row count, and driver state is one
+    // (pair, count) row per round. The oracle replays the identical
+    // trajectory through unrolled CTEs (the s7 kmeans discipline)
+    "x68_bpe_merges" -> ((s, dir) =>
+      graft.functions.Bpe.learnMerges(Tables.documents(s, dir), "text", rounds = 4)),
 
     // equi-depth (frequency-balanced) 10-bin histogram per event type:
     // NTILE over the (value, event_id) total order, then per-bin
@@ -3409,6 +3461,40 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, d.n_chars, s.score
         |FROM scored s JOIN documents d ON d.doc_id = s.vec_id
         |WHERE s.score >= $LrThreshold""".stripMargin,
+
+    // BM25 chain verbatim from the t14 oracle + the log-tf/idf scorer on
+    // the same tf/df/N tables; both per-system scores round at 6 BEFORE
+    // ranking (doc_id tie-break), so the integer ranks are engine-exact
+    // and the rrf reciprocal sums are exact small-rational arithmetic
+    "s15_rrf_fusion" ->
+      s"""WITH $toksSql,
+        |terms AS (SELECT doc_id, unnest(t) AS term, len(t)::BIGINT AS dl FROM toks),
+        |tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl
+        |  FROM terms WHERE term IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT AS n_docs, avg(len(t)::DOUBLE) AS avgdl FROM toks),
+        |bc AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+        |  FROM tf JOIN dfc USING (term) CROSS JOIN st),
+        |bs AS (SELECT doc_id, round(sum(c), 6) AS score FROM bc GROUP BY 1),
+        |br AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |       FROM (SELECT * FROM bs ORDER BY score DESC, doc_id LIMIT 20)),
+        |tc AS (
+        |  SELECT doc_id, (1.0 + ln(tf::DOUBLE)) * ln(n_docs::DOUBLE / df) AS c
+        |  FROM tf JOIN dfc USING (term) CROSS JOIN st),
+        |ts2 AS (SELECT doc_id, round(sum(c), 6) AS score FROM tc GROUP BY 1),
+        |tr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |       FROM (SELECT * FROM ts2 ORDER BY score DESC, doc_id LIMIT 20)),
+        |u AS (SELECT doc_id, rank FROM br UNION ALL SELECT doc_id, rank FROM tr),
+        |f AS (SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf,
+        |             count(*)::BIGINT AS systems
+        |      FROM u GROUP BY 1)
+        |SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank,
+        |  rrf, systems
+        |FROM (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT 20)""".stripMargin,
 
     "t1_langid" ->
       s"""SELECT doc_id,
@@ -4514,6 +4600,30 @@ object SparkEntry {
         |FROM sh5 s JOIN cnt c USING (sh)
         |GROUP BY 1""".stripMargin,
 
+    // every ratio rounds at 4 over exact integer counts; the '...'
+    // length-difference is a multiple of 3 so its double division is
+    // exact; rule thresholds compare ALREADY-ROUNDED values, so the
+    // boolean verdict cannot fork on an ulp
+    "t25_gopher_rules" ->
+      s"""WITH $toksSql,
+        |g AS (
+        |  SELECT doc_id, len(t)::BIGINT AS n_words,
+        |    round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(t, x -> len(x)::DOUBLE)),
+        |          (a, b) -> a + b) / greatest(len(t)::DOUBLE, 1.0), 4) AS mean_word_len,
+        |    round(((length(text) - length(replace(text, '#', ''))) +
+        |           (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+        |          / greatest(len(t)::DOUBLE, 1.0), 4) AS symbol_ratio,
+        |    round(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+        |          / greatest(len(t)::DOUBLE, 1.0), 4) AS alpha_frac,
+        |    len(list_distinct(list_filter(t,
+        |        x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))))::BIGINT AS stop_kinds
+        |  FROM toks)
+        |SELECT *, (n_words BETWEEN 50 AND 100000
+        |  AND mean_word_len BETWEEN 3 AND 10
+        |  AND symbol_ratio < 0.1 AND alpha_frac > 0.8
+        |  AND stop_kinds >= 2) AS pass
+        |FROM g""".stripMargin,
+
     // the t9 entropy closed form on the (user, type) count table;
     // Σ c·ln(c) is the only float sum, round-6 pinned
     "x59_behavior_entropy" ->
@@ -4540,6 +4650,45 @@ object SparkEntry {
         |  sum(coalesce(micros, 0))::BIGINT AS ltv_micros
         |FROM fw LEFT JOIN p USING (user_id)
         |GROUP BY 1""".stripMargin,
+
+    // unrolled replay of the exact 4-round BPE trajectory (the s7 kmeans
+    // discipline): symbols as chr(31)-joined strings, textbook get_stats
+    // pair counts (every adjacent position, word-frequency weighted),
+    // argmax on (cnt DESC, a, b), and the same left-to-right
+    // non-overlapping `replace` merge contract as the Spark side
+    "x68_bpe_merges" -> {
+      def pairs(src: String, out: String) =
+        s"""$out AS (
+           |  SELECT p[1] AS a, p[2] AS b, sum(wf)::BIGINT AS cnt
+           |  FROM (SELECT unnest(list_zip(string_split(syms, chr(31)),
+           |                               string_split(syms, chr(31))[2:])) AS p, wf
+           |        FROM $src)
+           |  WHERE p[2] IS NOT NULL GROUP BY 1, 2)"""
+      def best(src: String, out: String) =
+        s"$out AS (SELECT a, b, cnt FROM $src ORDER BY cnt DESC, a, b LIMIT 1)"
+      def merge(src: String, m: String, out: String) =
+        s"""$out AS (SELECT replace(syms, a || chr(31) || b, a || b) AS syms, wf
+           |         FROM $src CROSS JOIN $m)"""
+      s"""WITH $toksSql,
+        |wf AS (SELECT term AS w, count(*)::BIGINT AS wf
+        |       FROM (SELECT unnest(t) AS term FROM toks) GROUP BY 1),
+        |s0 AS (SELECT array_to_string(string_split(w, ''), chr(31)) AS syms, wf FROM wf),
+        |${pairs("s0", "p1")},
+        |${best("p1", "m1")},
+        |${merge("s0", "m1", "s1")},
+        |${pairs("s1", "p2")},
+        |${best("p2", "m2")},
+        |${merge("s1", "m2", "s2")},
+        |${pairs("s2", "p3")},
+        |${best("p3", "m3")},
+        |${merge("s2", "m3", "s3")},
+        |${pairs("s3", "p4")},
+        |${best("p4", "m4")}
+        |SELECT 1 AS step, a AS lhs, b AS rhs, a || b AS merged, cnt FROM m1
+        |UNION ALL SELECT 2, a, b, a || b, cnt FROM m2
+        |UNION ALL SELECT 3, a, b, a || b, cnt FROM m3
+        |UNION ALL SELECT 4, a, b, a || b, cnt FROM m4""".stripMargin
+    },
 
     // NTILE is SQL-standard (identical split rule both engines) and the
     // (value, event_id) order is total, so bins are engine-exact;

@@ -62,6 +62,64 @@ object Retrieval {
         col("score"))
   }
 
+  /** TF-IDF top-`topN` documents for a bag of query `terms` — the second,
+    * deliberately different retrieval scorer the fusion stage combines
+    * with BM25: w(t,d) = (1 + ln tf) · ln(N / df) (log-tf, plain idf — no
+    * length normalization, no tf saturation), score(d) = Σ_t w(t,d).
+    *
+    * Same scale shape as [[bm25Rank]]: query-term filter map-side BEFORE
+    * the tf shuffle, df from the reduced tf table, N a one-row broadcast,
+    * bounded top-k instead of a global sort. Same determinism contract:
+    * ranking on the 6-digit-ROUNDED score with a doc_id tie-break.
+    * Output (doc_id, rank, score). */
+  def tfidfRank(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], topN: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 64, "query term set must be small (bounded broadcast)")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = toks.filter(col("term").isin(terms: _*)) // map-side prune
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val w = (lit(1.0) + log(col("tf").cast("double"))) *
+      log(col("n_docs").cast("double") / col("df"))
+    val contrib = tf.join(broadcast(dfc), "term").crossJoin(broadcast(stats))
+      .select(col("doc_id"), w.as("c"))
+    contrib.groupBy("doc_id").agg(round(sum("c"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(topN)
+      .select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)).as("rank"),
+        col("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009; public
+    * literature): combine N retrieval rankings by
+    * rrf(d) = Σ_systems 1 / (k + rank_s(d)), documents missing from a
+    * system contribute nothing. The standard way to merge lexical and
+    * semantic rankings without score calibration.
+    *
+    * Scale shape: each input ranking is already a bounded top-k (≤ topN
+    * rows), so the fusion is arithmetic over ≤ N·topN rows — broadcast
+    * scale regardless of corpus size; the heavy lifting stays inside the
+    * per-system rankers. rrf is ROUNDED at 6 (exact small-integer
+    * reciprocal sums — identical cross-engine) and the final order ties
+    * break on doc_id. Output (doc_id, rank, rrf, systems). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60, topN: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    val scored = rankings
+      .map(_.select(col("doc_id"), col("rank")))
+      .reduce(_ unionAll _)
+      .groupBy("doc_id")
+      .agg(round(sum(lit(1.0) / (lit(k) + col("rank"))), 6).as("rrf"),
+        count(lit(1)).as("systems"))
+    scored.orderBy(col("rrf").desc, col("doc_id").asc).limit(topN)
+      .select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf").desc, col("doc_id").asc)).as("rank"),
+        col("rrf"), col("systems"))
+  }
+
   /** Sharded inverted index: one row per (term, shard) with the posting
     * list for that shard's documents as a `doc:tf` CSV string sorted by
     * doc_id. `df`/`total_tf` are the shard-local counts; summing them

@@ -70,6 +70,30 @@ object TextAnalysis {
     round((length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
       .cast("double") / greatest(length(text).cast("double"), lit(1.0)), 4)
 
+  // --- Gopher rule-filter signals (Rae et al. 2021, §A.1.1) --------------
+  // The rule-based pre-filter stage of an LLM curation pipeline; each
+  // signal is a pure map-side column expression (zero shuffles).
+
+  /** Symbol-to-word ratio: occurrences of '#' plus occurrences of the
+    * three-dot ellipsis, per token. The '...' count is a left-to-right
+    * non-overlapping length-difference (exactly divisible by 3, so the
+    * double division is exact cross-engine). */
+  def symbolRatio(text: Column, toks: Column): Column =
+    round(((length(text) - length(translate(text, "#", ""))) +
+        (length(text) - length(regexp_replace(text, "\\Q...\\E", ""))) / lit(3))
+      .cast("double") / greatest(size(toks).cast("double"), lit(1.0)), 4)
+
+  /** Fraction of tokens containing at least one letter (non-word tokens
+    * are bare numbers under this tokenizer). */
+  def alphaWordFrac(toks: Column): Column =
+    round(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0)), 4)
+
+  /** Number of DISTINCT stopwords present (Gopher's "contains at least
+    * two of a small stop set" rule wants kinds, not occurrences). */
+  def stopwordKinds(toks: Column): Column =
+    size(array_distinct(filter(toks, t => t.isin(Stopwords: _*)))).cast("long")
+
   /** Composite document-quality score in [0,1]: favors mid-length docs with
     * some (but not all) stopwords and little punctuation. Weights are
     * arbitrary but fixed; the point is a deterministic, columnar scoring
