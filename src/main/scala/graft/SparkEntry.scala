@@ -2301,13 +2301,16 @@ object SparkEntry {
       d.select(col("doc_id"),
           size(col("t")).cast("long").as("n_words"),
           TextAnalysis.avgTokenLen(col("t")).as("mean_word_len"),
-          TextAnalysis.symbolRatio(col("text"), col("t")).as("symbol_ratio"),
+          TextAnalysis.hashRatio(col("text"), col("t")).as("hash_ratio"),
+          TextAnalysis.ellipsisRatio(col("text"), col("t")).as("ellipsis_ratio"),
           TextAnalysis.alphaWordFrac(col("t")).as("alpha_frac"),
           TextAnalysis.stopwordKinds(col("t")).as("stop_kinds"))
         .withColumn("pass",
           col("n_words").between(50L, 100000L) &&
             col("mean_word_len").between(3.0, 10.0) &&
-            col("symbol_ratio") < 0.1 &&
+            // §A.1.1 thresholds each symbol's ratio separately
+            col("hash_ratio") < 0.1 &&
+            col("ellipsis_ratio") < 0.1 &&
             col("alpha_frac") > 0.8 &&
             col("stop_kinds") >= 2L)
     }),
@@ -2517,25 +2520,7 @@ object SparkEntry {
         when(Sampling.hashBucket(
           concat(col("user_id").cast("string"), lit(":ab")), 2) === 0, "A")
           .otherwise("B").as("arm"))
-      val sums = armed.groupBy("event_type", "arm").agg(
-        count(lit(1)).as("n"), sum("value").as("sv"),
-        sum(col("value") * col("value")).as("sv2"))
-      val a = sums.filter(col("arm") === "A").select(col("event_type"),
-        col("n").as("na"), col("sv").as("sva"), col("sv2").as("sv2a"))
-      val b = sums.filter(col("arm") === "B").select(col("event_type").as("et2"),
-        col("n").as("nb"), col("sv").as("svb"), col("sv2").as("sv2b"))
-      val ma = col("sva") / col("na")
-      val mb = col("svb") / col("nb")
-      a.join(b, col("event_type") === col("et2"))
-        .select(col("event_type"), col("na"), col("nb"),
-          round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
-          // nullif guards: a zero-mean or zero-variance arm reads as a
-          // NULL lift/z on BOTH engines, never an engine-specific Inf/NaN
-          round((mb - ma) / nullif(ma, lit(0.0)), 6).as("lift"),
-          round((mb - ma) /
-            nullif(sqrt((col("sv2a") / col("na") - pow(ma, 2)) / col("na") +
-              (col("sv2b") / col("nb") - pow(mb, 2)) / col("nb")), lit(0.0)),
-            4).as("z"))
+      graft.functions.AbTest.lift(armed, "event_type", "value", "arm")
     }),
 
     // zero-filled weekly series: (event_type × every week in range),
@@ -4610,9 +4595,11 @@ object SparkEntry {
         |  SELECT doc_id, len(t)::BIGINT AS n_words,
         |    round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(t, x -> len(x)::DOUBLE)),
         |          (a, b) -> a + b) / greatest(len(t)::DOUBLE, 1.0), 4) AS mean_word_len,
-        |    round(((length(text) - length(replace(text, '#', ''))) +
-        |           (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
-        |          / greatest(len(t)::DOUBLE, 1.0), 4) AS symbol_ratio,
+        |    round((length(text) - length(replace(text, '#', '')))::DOUBLE
+        |          / greatest(len(t)::DOUBLE, 1.0), 4) AS hash_ratio,
+        |    round(((length(text) - length(replace(text, '...', ''))) / 3 +
+        |           (length(text) - length(replace(text, '…', ''))))::DOUBLE
+        |          / greatest(len(t)::DOUBLE, 1.0), 4) AS ellipsis_ratio,
         |    round(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE
         |          / greatest(len(t)::DOUBLE, 1.0), 4) AS alpha_frac,
         |    len(list_distinct(list_filter(t,
@@ -4620,7 +4607,8 @@ object SparkEntry {
         |  FROM toks)
         |SELECT *, (n_words BETWEEN 50 AND 100000
         |  AND mean_word_len BETWEEN 3 AND 10
-        |  AND symbol_ratio < 0.1 AND alpha_frac > 0.8
+        |  AND hash_ratio < 0.1 AND ellipsis_ratio < 0.1
+        |  AND alpha_frac > 0.8
         |  AND stop_kinds >= 2) AS pass
         |FROM g""".stripMargin,
 

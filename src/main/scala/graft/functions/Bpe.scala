@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Unit separator (U+001F, literal control char; chr(31) oracle-side): symbols are alnum-only tokens, so it can never
-    * occur inside a symbol and merged symbols never re-introduce it. */
-  val Sep = ""
+  /** Unit separator (chr(31) oracle-side). The tokenizer alphabet is
+    * [a-zA-Z0-9_] (see [[TextAnalysis.tokens]]), so U+001F can never occur
+    * inside a symbol and merged symbols never re-introduce it. Written as
+    * an escape, not a literal control byte, so the value survives diffs,
+    * editors, and copy-paste. */
+  val Sep = "\u001f"
 
   private val MaxRounds = 64 // driver holds one row per round — keep it a budget
 
@@ -53,8 +56,14 @@ object Bpe {
 
     var cur = wf
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    // while + flag, not a `return` inside the for-closure: in Scala 2.13 a
+    // closure return is a thrown NonLocalReturnControl, which a broad
+    // catch would intercept. NonFatal also keeps the cleanup handler away
+    // from control-flow throwables by construction.
+    var step = 1
+    var exhausted = false
     try {
-      for (step <- 1 to rounds) {
+      while (step <= rounds && !exhausted) {
         val arr = split(col("syms"), Sep)
         // adjacent pairs: one struct per symbol position (empty for 1-symbol words)
         val pairs = cur
@@ -69,19 +78,23 @@ object Bpe {
           .limit(1).collect()
         if (top.isEmpty) {
           // vocabulary fully fused — nothing left to merge
-          return finish(spark, wf, merges.result())
+          exhausted = true
+        } else {
+          val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((step, a, b, a + b, cnt))
+          // fuse the winning pair; symbols stay in [A-Za-z0-9_]* so quoting
+          // is belt-and-braces
+          val pat = java.util.regex.Pattern.quote(a + Sep + b)
+          val rep = java.util.regex.Matcher.quoteReplacement(a + b)
+          cur = cur.select(regexp_replace(col("syms"), lit(pat), lit(rep)).as("syms"),
+            col("wf"))
+          step += 1
         }
-        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((step, a, b, a + b, cnt))
-        // fuse the winning pair; symbols are alnum so quoting is belt-and-braces
-        val pat = java.util.regex.Pattern.quote(a + Sep + b)
-        val rep = java.util.regex.Matcher.quoteReplacement(a + b)
-        cur = cur.select(regexp_replace(col("syms"), lit(pat), lit(rep)).as("syms"),
-          col("wf"))
       }
       finish(spark, wf, merges.result())
     } catch {
-      case e: Throwable => wf.unpersist(blocking = false); throw e
+      case scala.util.control.NonFatal(e) =>
+        wf.unpersist(blocking = false); throw e
     }
   }
 

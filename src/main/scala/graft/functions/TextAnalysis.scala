@@ -74,13 +74,20 @@ object TextAnalysis {
   // The rule-based pre-filter stage of an LLM curation pipeline; each
   // signal is a pure map-side column expression (zero shuffles).
 
-  /** Symbol-to-word ratio: occurrences of '#' plus occurrences of the
-    * three-dot ellipsis, per token. The '...' count is a left-to-right
-    * non-overlapping length-difference (exactly divisible by 3, so the
-    * double division is exact cross-engine). */
-  def symbolRatio(text: Column, toks: Column): Column =
-    round(((length(text) - length(translate(text, "#", ""))) +
-        (length(text) - length(regexp_replace(text, "\\Q...\\E", ""))) / lit(3))
+  /** Hash-symbol-to-word ratio ('#' occurrences per token). Gopher
+    * (Rae et al. 2021 §A.1.1) thresholds each symbol's ratio SEPARATELY,
+    * so '#' and ellipsis get their own columns rather than one sum. */
+  def hashRatio(text: Column, toks: Column): Column =
+    round((length(text) - length(translate(text, "#", "")))
+      .cast("double") / greatest(size(toks).cast("double"), lit(1.0)), 4)
+
+  /** Ellipsis-to-word ratio: three-dot '...' occurrences (left-to-right
+    * non-overlapping length-difference, exactly divisible by 3 so the
+    * double division is exact cross-engine) plus the single-char Unicode
+    * ellipsis '…' (U+2026), which §A.1.1 also counts, per token. */
+  def ellipsisRatio(text: Column, toks: Column): Column =
+    round(((length(text) - length(regexp_replace(text, "\\Q...\\E", ""))) / lit(3) +
+        (length(text) - length(translate(text, "…", ""))))
       .cast("double") / greatest(size(toks).cast("double"), lit(1.0)), 4)
 
   /** Fraction of tokens containing at least one letter (non-word tokens

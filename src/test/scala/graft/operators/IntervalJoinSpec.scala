@@ -72,6 +72,23 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("shared column names are rejected up front, not silently ambiguous") {
+    val p = pts(1L)                                   // (pid, p)
+    val iv = ivs((0L, 2L)).withColumnRenamed("iid", "pid") // shares "pid"
+    val e = intercept[IllegalArgumentException] {
+      Joins.intervalJoin(p, iv, "p", "s", "e", 4L)
+    }
+    assert(e.getMessage.contains("pid"))
+  }
+
+  test("a pre-existing __graft_bkt column is rejected, not clobbered") {
+    val p = pts(1L).withColumn("__graft_bkt", lit(99))
+    val e = intercept[IllegalArgumentException] {
+      Joins.intervalJoin(p, ivs((0L, 2L)), "p", "s", "e", 4L)
+    }
+    assert(e.getMessage.contains("__graft_bkt"))
+  }
+
   test("plans a hash join on the bucket key, not a nested loop") {
     val plan = Joins.intervalJoin(pts(1L, 2L), ivs((0L, 3L)), "p", "s", "e", 2L)
       .queryExecution.executedPlan.toString
