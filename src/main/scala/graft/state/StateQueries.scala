@@ -25,6 +25,23 @@ object StateQueries {
   def store(spark: SparkSession, checkpointDir: String): DataFrame =
     spark.read.format("statestore").load(checkpointDir)
 
+  /** State of ONE named variable of a `transformWithState` operator
+    * (the round-8 streaming family — StreamZScore's ring buffer,
+    * StreamFunnel's stage marks, …). Classic stateful operators keep one
+    * anonymous store the plain [[store]] read covers; TWS operators keep
+    * N NAMED variables per key, so the variable is part of the address.
+    * With `flattenCollections` (default), ListState/MapState rows come
+    * back one element per row (`key` struct + `list_element`/
+    * `map_key`+`map_value`) — the shape [[point]]/[[all]]/[[range]]
+    * filter directly; ValueState always reads as `key` + `value`. */
+  def twsStore(spark: SparkSession, checkpointDir: String,
+               stateVarName: String,
+               flattenCollections: Boolean = true): DataFrame =
+    spark.read.format("statestore")
+      .option("stateVarName", stateVarName)
+      .option("flattenCollectionTypes", flattenCollections.toString)
+      .load(checkpointDir)
+
   /** Flattened view: key.* and value.* side by side (names prefixed to
     * avoid collisions). */
   def flattened(spark: SparkSession, checkpointDir: String): DataFrame = {

@@ -64,4 +64,57 @@ class StateQueriesSpec extends SparkSpec {
       .select("rendered_key", "cnt").as[(String, Long)].collect().toSet
     assert(wf == Set((s"hmida@$base", 3L)))
   }
+
+  test("point/all/range reads over a transformWithState checkpoint") {
+    import graft.streaming.StreamZScore
+    import graft.streaming.StreamZScore.TypedValue
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val ckpt = Files.createTempDirectory("graft_tws_state").toString
+    // TWS keeps each state variable in its own column family — RocksDB
+    // provider only (HDFSBacked rejects multiple column families)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.get(provKey, "")
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[TypedValue]
+    val q = StreamZScore.anomalies(in.toDS(), windowSize = 3)
+      .writeStream.format("memory").queryName("tws_state_src")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      in.addData(
+        TypedValue("a", 1L, base, 1.0), TypedValue("a", 2L, base + 1, 2.0),
+        TypedValue("a", 3L, base + 2, 3.0), TypedValue("a", 4L, base + 3, 4.0),
+        TypedValue("b", 5L, base + 4, 10.0))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      if (prevProv.isEmpty) s.conf.unset(provKey) else s.conf.set(provKey, prevProv)
+    }
+
+    // the named ListState variable "buf" (StreamZScore's ring buffer),
+    // flattened to one row per element — exactly the shape point/all/
+    // range filter. The size-3 ring must have evicted a's first value.
+    val raw = StateQueries.twsStore(s, ckpt, "buf")
+    // single-field structs: the grouping key and the primitive list
+    // element both arrive encoder-wrapped ({value: string}/{value: double})
+    val keyField = raw.select("key.*").columns.head
+    val elemField = raw.select("list_element.*").columns.head
+    val st = raw.select(col("key").getField(keyField).as("key"),
+      col("list_element").getField(elemField).as("v"))
+
+    val allRows = StateQueries.all(st).as[(String, Double)].collect()
+    assert(allRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap ==
+      Map("a" -> Set(2.0, 3.0, 4.0), "b" -> Set(10.0)))
+
+    val pt = StateQueries.point(st, col("key") === "b")
+      .as[(String, Double)].collect().toSet
+    assert(pt == Set(("b", 10.0)))
+
+    val rg = StateQueries.range(st, col("key"), "a", "a")
+      .as[(String, Double)].collect().map(_._2).toSet
+    assert(rg == Set(2.0, 3.0, 4.0))
+  }
 }
