@@ -34,7 +34,14 @@ object Bench {
     // as regressed. The reported time per query is the min over rounds.
     val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
       .flatMap(_.trim.toIntOption).getOrElse(3).max(1)
+    // optional comma-separated filter (same contract as Verify's
+    // SPARK_GRAFT_ONLY) — for A/B runs that need a fixed query subset in
+    // an otherwise identical JVM (e.g. replaying an old round's key set
+    // to separate suite-growth pressure from per-query regressions)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // A crashed query must not masquerade as a fast one: its slot is null
     // and the error message is reported separately (first failure wins;
     // later rounds skip a query that has already failed).

@@ -1,0 +1,271 @@
+package graft.kafka
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import Wire.WireRecord
+
+/** `format("graft-kafka")` — a DataSource V2 streaming source/sink over
+  * the [[MiniKafkaClient]] wire transport, schema- and option-compatible
+  * with Spark's stock Kafka connector (`kafka.bootstrap.servers`,
+  * `subscribe`/`topic`, `startingOffsets`; the 7-column read schema), so
+  * [[graft.streaming.KafkaEdges]] runs the SAME topology code against
+  * either format string.
+  *
+  * Scale shape is the standard Kafka-source contract: one Spark input
+  * partition per Kafka partition per micro-batch, addressed as an
+  * `[from, until)` offset range — executors fetch their slice directly
+  * from the broker (no driver relay), progress is the per-partition
+  * offset map checkpointed by Structured Streaming, and replay of a
+  * committed batch re-fetches the identical offset range (offsets are
+  * log positions, so recovery is deterministic). The write path buffers
+  * rows per task and produces once per commit with Kafka's murmur2
+  * default-partitioner placement — at-least-once, exactly like the
+  * stock sink.
+  */
+class GraftKafkaSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kafka"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftKafka.ReadSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftKafkaTable(new CaseInsensitiveStringMap(properties))
+}
+
+object GraftKafka {
+  /** The stock Kafka source's read schema, column for column. */
+  val ReadSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  private[kafka] def hostPort(options: CaseInsensitiveStringMap): (String, Int) = {
+    val bs = Option(options.get("kafka.bootstrap.servers"))
+      .orElse(Option(options.get("bootstrap.servers")))
+      .getOrElse(throw new IllegalArgumentException(
+        "option kafka.bootstrap.servers is required"))
+    val Array(h, p) = bs.split(',').head.trim.split(':')
+    (h, p.toInt)
+  }
+
+  /** `{"0":12,"3":4}` — per-partition offsets, partition-sorted so the
+    * rendering is canonical (checkpoint files diff cleanly). */
+  private[kafka] def renderOffsets(m: Map[Int, Long]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+
+  private[kafka] def parseOffsets(json: String): Map[Int, Long] = {
+    val Entry = """"(\d+)"\s*:\s*(\d+)""".r
+    Entry.findAllMatchIn(json).map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+  }
+}
+
+private[kafka] case class GraftKafkaOffset(partitionOffsets: Map[Int, Long])
+    extends Offset {
+  override def json(): String = GraftKafka.renderOffsets(partitionOffsets)
+}
+
+private[kafka] class GraftKafkaTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = "graft-kafka"
+  override def schema(): StructType = GraftKafka.ReadSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = GraftKafka.ReadSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftKafkaMicroBatchStream(opts)
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    // SupportsStreamingUpdateAsAppend: update-mode rows are just appended
+    // records on the topic (last-write-wins per key) — the exact marker
+    // the stock Kafka sink declares for its changelog contract
+    new WriteBuilder
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new GraftKafkaStreamingWrite(options, info.schema())
+      }
+    }
+}
+
+/** Micro-batch read: each planning round asks the broker for log-end
+  * offsets; a batch is the `[start, end)` range per partition. */
+private[kafka] class GraftKafkaMicroBatchStream(options: CaseInsensitiveStringMap)
+    extends MicroBatchStream {
+
+  private val (host, port) = GraftKafka.hostPort(options)
+  private val topic = Option(options.get("subscribe")).getOrElse(
+    throw new IllegalArgumentException("option subscribe is required"))
+  private val startLatest =
+    Option(options.get("startingOffsets")).exists(_.equalsIgnoreCase("latest"))
+
+  private def withClient[A](f: MiniKafkaClient => A): A = {
+    val c = new MiniKafkaClient(host, port)
+    try f(c) finally c.close()
+  }
+
+  // partition count is discovered once per stream (static, like the
+  // stock source without subscribePattern repartition handling)
+  private lazy val numPartitions: Int = withClient(_.partitionsFor(topic))
+
+  override def initialOffset(): Offset = withClient { c =>
+    GraftKafkaOffset((0 until numPartitions).map { p =>
+      p -> (if (startLatest) c.offsetFor(topic, p, latest = true) else 0L)
+    }.toMap)
+  }
+
+  override def latestOffset(): Offset = withClient { c =>
+    GraftKafkaOffset((0 until numPartitions).map { p =>
+      p -> c.offsetFor(topic, p, latest = true)
+    }.toMap)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    GraftKafkaOffset(GraftKafka.parseOffsets(json))
+
+  override def commit(end: Offset): Unit = () // offsets live in the checkpoint
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftKafkaOffset].partitionOffsets
+    val e = end.asInstanceOf[GraftKafkaOffset].partitionOffsets
+    e.toSeq.sortBy(_._1).flatMap { case (p, until) =>
+      val from = s.getOrElse(p, 0L)
+      if (until > from) Some(GraftKafkaInputPartition(host, port, topic, p, from, until))
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new GraftKafkaPartitionReader(partition.asInstanceOf[GraftKafkaInputPartition])
+    }
+}
+
+private[kafka] case class GraftKafkaInputPartition(host: String, port: Int,
+    topic: String, partition: Int, from: Long, until: Long) extends InputPartition
+
+/** Executor-side reader: fetches its `[from, until)` slice directly from
+  * the broker over the wire client. */
+private[kafka] class GraftKafkaPartitionReader(p: GraftKafkaInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val client = new MiniKafkaClient(p.host, p.port)
+  private var buffer: Iterator[WireRecord] = Iterator.empty
+  private var nextOffset = p.from
+  private var current: WireRecord = _
+
+  override def next(): Boolean = {
+    if (nextOffset >= p.until) return false
+    while (!buffer.hasNext) {
+      val batch = client.fetch(p.topic, p.partition, nextOffset)
+      if (batch.isEmpty) return false // range truncated under us — stop clean
+      buffer = batch.iterator
+    }
+    current = buffer.next()
+    nextOffset = current.offset + 1
+    current.offset < p.until
+  }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(Array[Any](
+      current.key, current.value, UTF8String.fromString(p.topic),
+      p.partition, current.offset, current.timestamp * 1000L /* ms → µs */,
+      0 /* CreateTime, like the producer wrote it */))
+
+  override def close(): Unit = client.close()
+}
+
+/** Streaming write: rows buffer per task, one produce call per partition
+  * at task commit (at-least-once, the stock Kafka sink's contract). */
+private[kafka] class GraftKafkaStreamingWrite(options: CaseInsensitiveStringMap,
+    schema: StructType) extends StreamingWrite {
+
+  private val (host, port) = GraftKafka.hostPort(options)
+  private val topic = Option(options.get("topic")).getOrElse(
+    throw new IllegalArgumentException("option topic is required for the sink"))
+
+  private def fieldIdx(name: String): Int = schema.fieldNames.indexOf(name)
+  private val keyIdx = fieldIdx("key")
+  private val valueIdx = fieldIdx("value")
+  require(valueIdx >= 0, s"sink schema needs a value column, got $schema")
+  private val keyIsString = keyIdx >= 0 &&
+    schema(keyIdx).dataType == StringType
+  private val valueIsString = schema(valueIdx).dataType == StringType
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val (h, pt, tp, ki, vi, ks, vs) =
+      (host, port, topic, keyIdx, valueIdx, keyIsString, valueIsString)
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+                                epochId: Long): DataWriter[InternalRow] =
+        new GraftKafkaDataWriter(h, pt, tp, ki, vi, ks, vs)
+    }
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[kafka] case class GraftKafkaCommit() extends WriterCommitMessage
+
+private[kafka] class GraftKafkaDataWriter(host: String, port: Int, topic: String,
+    keyIdx: Int, valueIdx: Int, keyIsString: Boolean, valueIsString: Boolean)
+    extends DataWriter[InternalRow] {
+
+  private val rows = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte])]
+
+  private def bytesAt(row: InternalRow, idx: Int, isString: Boolean): Array[Byte] =
+    if (idx < 0 || row.isNullAt(idx)) null
+    else if (isString) row.getUTF8String(idx).getBytes
+    else row.getBinary(idx)
+
+  override def write(row: InternalRow): Unit =
+    rows += ((bytesAt(row, keyIdx, keyIsString), bytesAt(row, valueIdx, valueIsString)))
+
+  override def commit(): WriterCommitMessage = {
+    if (rows.nonEmpty) {
+      val client = new MiniKafkaClient(host, port)
+      try {
+        val n = client.partitionsFor(topic)
+        val now = System.currentTimeMillis()
+        rows.groupBy { case (k, _) =>
+          if (k == null) 0 else Wire.partitionFor(k, n)
+        }.toSeq.sortBy(_._1).foreach { case (p, rs) =>
+          client.produce(topic, p,
+            rs.toSeq.map { case (k, v) => WireRecord(0L, now, k, v) })
+        }
+      } finally client.close()
+    }
+    GraftKafkaCommit()
+  }
+
+  override def abort(): Unit = rows.clear()
+  override def close(): Unit = ()
+}

@@ -1,0 +1,235 @@
+package graft.kafka
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.nio.ByteBuffer
+import java.util.concurrent.atomic.AtomicBoolean
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+import Wire._
+
+/** Single-node in-JVM Kafka-wire-protocol broker: a real TCP listener
+  * speaking Metadata/Produce/Fetch/ListOffsets v0 with v1 message sets
+  * ([[Wire]]), backed by in-memory per-(topic, partition) logs.
+  *
+  * Purpose: give the Kafka edge (S1/S3) a REAL socket to cross in an
+  * environment with no broker install and no connector jar — produce and
+  * fetch are exercised over genuine framed, CRC-checked protocol bytes,
+  * not an in-process shortcut. The broker is deliberately minimal (one
+  * node, no replication, no consumer groups — the DSv2 source tracks its
+  * own offsets the way Structured Streaming always does) but is honest
+  * where it counts: offsets are log positions, fetches honor maxBytes
+  * with Kafka's at-least-one-message rule, topics auto-create with a
+  * fixed partition count, and every response round-trips through the
+  * same codec a remote client would parse.
+  *
+  * Threading: one accept loop, one thread per connection (connection
+  * counts here are Spark task counts — tiny). Log appends synchronize on
+  * the per-partition buffer; fetches copy under the same lock.
+  */
+final class MiniBroker(val numPartitions: Int = 2) extends AutoCloseable {
+
+  private val server = new ServerSocket(0) // ephemeral port
+  private val running = new AtomicBoolean(true)
+  private val logs = TrieMap.empty[(String, Int), ArrayBuffer[WireRecord]]
+  private val topics = TrieMap.empty[String, Int] // topic -> partitions
+
+  def port: Int = server.getLocalPort
+  def bootstrapServers: String = s"localhost:$port"
+
+  private val acceptor = new Thread(() => {
+    while (running.get()) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), s"mini-broker-conn-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: SocketException => // closed
+      }
+    }
+  }, "mini-broker-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = {
+    running.set(false)
+    server.close()
+  }
+
+  /** Log-end offset (next offset to be assigned). */
+  def logEnd(topic: String, partition: Int): Long =
+    logs.get((topic, partition)).map(b => b.synchronized(b.length.toLong))
+      .getOrElse(0L)
+
+  private def log(topic: String, partition: Int): ArrayBuffer[WireRecord] = {
+    topics.putIfAbsent(topic, numPartitions)
+    logs.getOrElseUpdate((topic, partition), ArrayBuffer.empty)
+  }
+
+  private def serve(sock: Socket): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    try {
+      var live = true
+      while (live && running.get()) {
+        readFrame(in) match {
+          case None => live = false
+          case Some(frame) =>
+            val r = new Reader(ByteBuffer.wrap(frame))
+            val apiKey = r.int16()
+            val apiVersion = r.int16()
+            val correlation = r.int32()
+            r.string() // client_id
+            require(apiVersion == 0,
+              s"mini-broker speaks api version 0 only (got $apiVersion for key $apiKey)")
+            val body = apiKey match {
+              case ApiMetadata => metadata(r)
+              case ApiProduce => produce(r)
+              case ApiFetch => fetch(r)
+              case ApiListOffsets => listOffsets(r)
+              case other => throw new IllegalArgumentException(s"api key $other unsupported")
+            }
+            val resp = new Buf
+            resp.int32(correlation)
+            resp.raw(body.toArray)
+            writeFrame(out, resp.toArray)
+        }
+      }
+    } catch {
+      case _: SocketException | _: java.io.EOFException => // peer went away
+    } finally sock.close()
+  }
+
+  /** Metadata v0: request [topics]; empty array = all known topics.
+    * Requesting an unknown topic auto-creates it (the classic
+    * auto.create.topics.enable=true broker default the reference app
+    * relies on when it starts against a fresh cluster). */
+  private def metadata(r: Reader): Buf = {
+    val n = r.int32()
+    val asked = (0 until n).map(_ => r.string())
+    asked.foreach(t => topics.putIfAbsent(t, numPartitions))
+    val list = if (asked.isEmpty) topics.keys.toSeq.sorted else asked
+    val b = new Buf
+    b.int32(1) // brokers
+    b.int32(0).string("localhost").int32(port)
+    b.int32(list.size)
+    list.foreach { t =>
+      val parts = topics(t)
+      b.int16(ErrNone).string(t).int32(parts)
+      (0 until parts).foreach { p =>
+        b.int16(ErrNone).int32(p).int32(0) // leader = broker 0
+        b.int32(1).int32(0) // replicas
+        b.int32(1).int32(0) // isr
+      }
+    }
+    b
+  }
+
+  /** Produce v0: assign offsets at append, return the base offset. */
+  private def produce(r: Reader): Buf = {
+    r.int16() // acks — single node, every ack level degenerates to "written"
+    r.int32() // timeout
+    val nt = r.int32()
+    val b = new Buf
+    b.int32(nt)
+    (0 until nt).foreach { _ =>
+      val topic = r.string()
+      val np = r.int32()
+      b.string(topic)
+      b.int32(np)
+      (0 until np).foreach { _ =>
+        val partition = r.int32()
+        val setBytes = r.bytes()
+        val (err, base) =
+          if (partition < 0 || partition >= numPartitions)
+            (ErrUnknownTopicOrPartition, -1L)
+          else
+            try {
+              val records = decodeMessageSet(setBytes)
+              val buf = log(topic, partition)
+              val b0 = buf.synchronized {
+                val b0 = buf.length.toLong
+                records.zipWithIndex.foreach { case (rec, i) =>
+                  buf += rec.copy(offset = b0 + i)
+                }
+                b0
+              }
+              (ErrNone, b0)
+            } catch { case _: IllegalArgumentException => (ErrCorruptMessage, -1L) }
+        b.int32(partition).int16(err).int64(base)
+      }
+    }
+    b
+  }
+
+  /** Fetch v0: records from fetch_offset, bounded by max_bytes but always
+    * at least one message when any exists (Kafka's no-starvation rule). */
+  private def fetch(r: Reader): Buf = {
+    r.int32() // replica_id
+    r.int32() // max_wait — immediate response; the source polls
+    r.int32() // min_bytes
+    val nt = r.int32()
+    val b = new Buf
+    b.int32(nt)
+    (0 until nt).foreach { _ =>
+      val topic = r.string()
+      val np = r.int32()
+      b.string(topic)
+      b.int32(np)
+      (0 until np).foreach { _ =>
+        val partition = r.int32()
+        val from = r.int64()
+        val maxBytes = r.int32()
+        val buf = log(topic, partition)
+        val (records, hw) = buf.synchronized {
+          (buf.drop(from.toInt).toVector, buf.length.toLong)
+        }
+        if (from > hw) {
+          b.int32(partition).int16(ErrOffsetOutOfRange).int64(hw)
+          b.bytes(Array.emptyByteArray)
+        } else {
+          // size-bounded prefix, ≥ 1 message if any are pending
+          var taken = Vector.empty[WireRecord]
+          var bytes = 0
+          records.foreach { rec =>
+            val sz = 26 + 8 +
+              (if (rec.key == null) 0 else rec.key.length) +
+              (if (rec.value == null) 0 else rec.value.length)
+            if (taken.isEmpty || bytes + sz <= maxBytes) {
+              taken :+= rec; bytes += sz
+            }
+          }
+          b.int32(partition).int16(ErrNone).int64(hw)
+          b.bytes(encodeMessageSet(taken))
+        }
+      }
+    }
+    b
+  }
+
+  /** ListOffsets v0: timestamp −1 = latest (log end), −2 = earliest. */
+  private def listOffsets(r: Reader): Buf = {
+    r.int32() // replica_id
+    val nt = r.int32()
+    val b = new Buf
+    b.int32(nt)
+    (0 until nt).foreach { _ =>
+      val topic = r.string()
+      val np = r.int32()
+      b.string(topic)
+      b.int32(np)
+      (0 until np).foreach { _ =>
+        val partition = r.int32()
+        val ts = r.int64()
+        r.int32() // max_num_offsets
+        val end = logEnd(topic, partition)
+        val off = if (ts == -2L) 0L else end
+        b.int32(partition).int16(ErrNone)
+        b.int32(1).int64(off)
+      }
+    }
+    b
+  }
+}

@@ -1,0 +1,214 @@
+package graft.kafka
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32
+
+/** Kafka wire-protocol codec — the byte-level subset both [[MiniBroker]]
+  * and [[MiniKafkaClient]] speak, implemented from the PUBLIC protocol
+  * guide (kafka.apache.org/protocol): big-endian primitives, INT16-length
+  * STRING / INT32-length BYTES (−1 = null), INT32-count arrays; request
+  * envelope = INT32 size ++ (api_key INT16, api_version INT16,
+  * correlation_id INT32, client_id STRING) ++ body; response envelope =
+  * INT32 size ++ correlation_id INT32 ++ body.
+  *
+  * Messages travel as MessageSet v1 entries (offset INT64, size INT32,
+  * then CRC32 INT32 over the remainder, magic=1, attributes=0,
+  * timestamp INT64, key BYTES, value BYTES) — magic 1 because it is the
+  * oldest format carrying a producer-assigned timestamp, which is the
+  * engine's event-time contract at the edge (reference
+  * `utils/Producer.scala:41-45` assigns event time at produce).
+  *
+  * Nothing here is Spark-specific; the DSv2 edge
+  * ([[GraftKafkaSourceProvider]]) rides on [[MiniKafkaClient]].
+  */
+object Wire {
+
+  val ApiProduce: Short = 0
+  val ApiFetch: Short = 1
+  val ApiListOffsets: Short = 2
+  val ApiMetadata: Short = 3
+
+  val ErrNone: Short = 0
+  val ErrUnknownTopicOrPartition: Short = 3
+  val ErrOffsetOutOfRange: Short = 1
+  val ErrCorruptMessage: Short = 2
+
+  /** One record as it crosses the wire (and sits in a broker log). */
+  final case class WireRecord(offset: Long, timestamp: Long,
+                              key: Array[Byte], value: Array[Byte])
+
+  /** Growable big-endian writer for one frame body. */
+  final class Buf {
+    private var arr = new Array[Byte](256)
+    private var len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > arr.length) {
+        var cap = arr.length * 2
+        while (cap < len + n) cap *= 2
+        arr = java.util.Arrays.copyOf(arr, cap)
+      }
+    def int8(v: Byte): Buf = { ensure(1); arr(len) = v; len += 1; this }
+    def int16(v: Short): Buf = {
+      ensure(2); arr(len) = (v >> 8).toByte; arr(len + 1) = v.toByte
+      len += 2; this
+    }
+    def int32(v: Int): Buf = {
+      ensure(4)
+      arr(len) = (v >>> 24).toByte; arr(len + 1) = (v >>> 16).toByte
+      arr(len + 2) = (v >>> 8).toByte; arr(len + 3) = v.toByte
+      len += 4; this
+    }
+    def int64(v: Long): Buf = { int32((v >>> 32).toInt); int32(v.toInt) }
+    def raw(bytes: Array[Byte]): Buf = {
+      ensure(bytes.length)
+      System.arraycopy(bytes, 0, arr, len, bytes.length)
+      len += bytes.length; this
+    }
+    /** Protocol STRING: INT16 length, −1 = null. */
+    def string(s: String): Buf =
+      if (s == null) int16(-1)
+      else {
+        val b = s.getBytes(StandardCharsets.UTF_8)
+        int16(b.length.toShort); raw(b)
+      }
+    /** Protocol BYTES: INT32 length, −1 = null. */
+    def bytes(b: Array[Byte]): Buf =
+      if (b == null) int32(-1) else { int32(b.length); raw(b) }
+    def size: Int = len
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(arr, len)
+  }
+
+  /** Big-endian reader over one frame body. */
+  final class Reader(bb: ByteBuffer) {
+    def int8(): Byte = bb.get()
+    def int16(): Short = bb.getShort()
+    def int32(): Int = bb.getInt()
+    def int64(): Long = bb.getLong()
+    def string(): String = {
+      val n = bb.getShort()
+      if (n < 0) null
+      else {
+        val b = new Array[Byte](n); bb.get(b)
+        new String(b, StandardCharsets.UTF_8)
+      }
+    }
+    def bytes(): Array[Byte] = {
+      val n = bb.getInt()
+      if (n < 0) null else { val b = new Array[Byte](n); bb.get(b); b }
+    }
+    def remaining: Int = bb.remaining()
+    def slice(n: Int): Reader = {
+      val s = bb.slice(); s.limit(n); bb.position(bb.position() + n)
+      new Reader(s)
+    }
+  }
+
+  // ---- message set v1 --------------------------------------------------
+
+  /** Encode records as a v1 MessageSet. `assignedBase` < 0 means the
+    * producer side (offsets written as 0 — the broker assigns); ≥ 0
+    * renders broker log offsets for a fetch response. */
+  def encodeMessageSet(records: Seq[WireRecord]): Array[Byte] = {
+    val out = new Buf
+    records.foreach { r =>
+      val msg = new Buf
+      msg.int8(1) // magic
+      msg.int8(0) // attributes: no codec, CreateTime
+      msg.int64(r.timestamp)
+      msg.bytes(r.key)
+      msg.bytes(r.value)
+      val body = msg.toArray
+      val crc = new CRC32
+      crc.update(body)
+      out.int64(r.offset)
+      out.int32(4 + body.length) // crc + message body
+      out.int32(crc.getValue.toInt)
+      out.raw(body)
+    }
+    out.toArray
+  }
+
+  /** Decode a v1 MessageSet, CRC-checking every entry; a trailing
+    * truncated entry (Kafka allows one at fetch-response cut points) is
+    * dropped silently. */
+  def decodeMessageSet(data: Array[Byte]): Seq[WireRecord] = {
+    val bb = ByteBuffer.wrap(data)
+    val out = Seq.newBuilder[WireRecord]
+    while (bb.remaining() >= 12) {
+      val offset = bb.getLong()
+      val size = bb.getInt()
+      if (bb.remaining() < size) { bb.position(bb.limit()) } // truncated tail
+      else {
+        val stored = bb.getInt()
+        val body = new Array[Byte](size - 4)
+        bb.get(body)
+        val crc = new CRC32
+        crc.update(body)
+        require(crc.getValue.toInt == stored,
+          s"CRC mismatch at offset $offset: wire ${stored}, computed ${crc.getValue.toInt}")
+        val r = new Reader(ByteBuffer.wrap(body))
+        val magic = r.int8()
+        require(magic == 1, s"unsupported message magic $magic (codec speaks v1)")
+        r.int8() // attributes
+        val ts = r.int64()
+        out += WireRecord(offset, ts, r.bytes(), r.bytes())
+      }
+    }
+    out.result()
+  }
+
+  // ---- framing ---------------------------------------------------------
+
+  /** Write one size-prefixed frame. */
+  def writeFrame(out: DataOutputStream, payload: Array[Byte]): Unit = {
+    out.writeInt(payload.length)
+    out.write(payload)
+    out.flush()
+  }
+
+  /** Read one size-prefixed frame (blocking); None on clean EOF. */
+  def readFrame(in: DataInputStream): Option[Array[Byte]] = {
+    val size =
+      try in.readInt()
+      catch { case _: java.io.EOFException => return None }
+    require(size >= 0 && size <= MaxFrame, s"bad frame size $size")
+    val buf = new Array[Byte](size)
+    in.readFully(buf)
+    Some(buf)
+  }
+
+  /** 64 MiB — far above any test frame, far below anything that could
+    * mask a framing bug as an OOM. */
+  val MaxFrame: Int = 64 << 20
+
+  /** Kafka's default-partitioner hash (murmur2, seed 0x9747b28c, public
+    * in the Kafka client sources) — used by the DSv2 sink so keyed
+    * records land on the same partition a stock producer would pick. */
+  def murmur2(data: Array[Byte]): Int = {
+    val seed = 0x9747b28c
+    val m = 0x5bd1e995
+    val r = 24
+    var h = seed ^ data.length
+    val n4 = data.length / 4 * 4
+    var i = 0
+    while (i < n4) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= m; k ^= k >>> r; k *= m
+      h *= m; h ^= k
+      i += 4
+    }
+    val rem = data.length - n4
+    if (rem == 3) h ^= (data(n4 + 2) & 0xff) << 16
+    if (rem >= 2) h ^= (data(n4 + 1) & 0xff) << 8
+    if (rem >= 1) { h ^= data(n4) & 0xff; h *= m }
+    h ^= h >>> 13; h *= m; h ^= h >>> 15
+    h
+  }
+
+  /** Kafka's DefaultPartitioner placement: positive murmur2 mod count. */
+  def partitionFor(key: Array[Byte], numPartitions: Int): Int =
+    (murmur2(key) & 0x7fffffff) % numPartitions
+}

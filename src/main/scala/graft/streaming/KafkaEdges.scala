@@ -55,11 +55,16 @@ object KafkaEdges {
       col("value").cast("string").as("value"))
 
   /** Subscribe `topic` as an append stream of [[Rec]]
-    * (reference S1: `builder.stream(topic, ...)`). */
+    * (reference S1: `builder.stream(topic, ...)`). `format` picks the
+    * transport: `"kafka"` (stock connector, when its jar ships) or
+    * `"graft-kafka"` ([[graft.kafka.GraftKafkaSourceProvider]], the
+    * wire-protocol DSv2 edge this repo carries) — both expose the same
+    * options and read schema, so topology code is transport-agnostic. */
   def source(spark: SparkSession, bootstrapServers: String, topic: String,
-             startingOffsets: String = "earliest"): Dataset[Rec] =
+             startingOffsets: String = "earliest",
+             format: String = "kafka"): Dataset[Rec] =
     project(
-      spark.readStream.format("kafka")
+      spark.readStream.format(format)
         .option("kafka.bootstrap.servers", bootstrapServers)
         .option("subscribe", topic)
         .option("startingOffsets", startingOffsets)
@@ -69,9 +74,10 @@ object KafkaEdges {
     * (reference S3: `.to(topic, Produced.with(...))`). Caller starts the
     * returned writer with its own trigger/output-mode choices. */
   def sink(recs: Dataset[Rec], bootstrapServers: String, topic: String,
-           checkpointLocation: String): DataStreamWriter[Row] =
+           checkpointLocation: String,
+           format: String = "kafka"): DataStreamWriter[Row] =
     toKafkaColumns(recs).writeStream
-      .format("kafka")
+      .format(format)
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
       .option("checkpointLocation", checkpointLocation)

@@ -1,0 +1,145 @@
+package graft.kafka
+
+import graft.SparkSpec
+import graft.streaming.{KafkaEdges, Rec}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The reference WordCount topology END TO END over a real broker socket
+  * (`WordCount.java:53-58`: lines → lowercase `\\W+` split → groupBy word
+  * → continuous count → output topic): bytes are produced over the Kafka
+  * wire protocol into [[MiniBroker]], Spark reads them through
+  * `format("graft-kafka")` via [[KafkaEdges.source]], and the updated
+  * histogram is written back to a second topic through
+  * [[KafkaEdges.sink]] — then fetched and asserted over the same wire.
+  * A second leg restarts the query from its checkpoint and proves the
+  * offset map resumes (no reprocessing, counts keep accumulating). */
+class KafkaEndToEndSpec extends SparkSpec {
+
+  private def latestPerKey(recs: Seq[Wire.WireRecord]): Map[String, Long] =
+    recs.filter(_.key != null)
+      .map(r => new String(r.key, "UTF-8") -> new String(r.value, "UTF-8").toLong)
+      .foldLeft(Map.empty[String, Long])(_ + _)
+
+  test("WordCount: produce → graft-kafka source → count → sink → fetch, with checkpoint resume") {
+    val s = spark
+    import s.implicits._
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    val ckpt = Files.createTempDirectory("graft_kafka_e2e").toString
+    try {
+      val in = "streams-plaintext-input"
+      val outTopic = "streams-wordcount-output"
+      producer.produceStrings(in, Seq(
+        ("l1", "all streams lead to kafka", 1000L),
+        ("l2", "hello kafka streams", 2000L),
+        ("l3", "join kafka summit", 3000L)))
+
+      def runOnce(): Unit = {
+        val lines: org.apache.spark.sql.Dataset[Rec] =
+          KafkaEdges.source(s, broker.bootstrapServers, in, format = "graft-kafka")
+        val counts = lines.toDF()
+          .select(explode(split(lower(col("value")), "\\W+")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .select(col("word").as("key"), col("cnt").cast("string").as("value"),
+            lit(0L).as("ts"), lit(0L).as("seq"))
+          .as[Rec]
+        val q = KafkaEdges.sink(counts, broker.bootstrapServers, outTopic,
+            ckpt, format = "graft-kafka")
+          .outputMode("update")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+
+      runOnce()
+      val round1 = latestPerKey(
+        (0 until 2).flatMap(p => producer.fetchAll(outTopic, p)))
+      assert(round1 == Map(
+        "all" -> 1L, "streams" -> 2L, "lead" -> 1L, "to" -> 1L,
+        "kafka" -> 3L, "hello" -> 1L, "join" -> 1L, "summit" -> 1L))
+
+      // leg 2: more input, RESTART from the same checkpoint — the offset
+      // map must resume past the three consumed records (counts
+      // accumulate; a re-read from zero would double them)
+      producer.produceStrings(in, Seq(("l4", "kafka streams again", 4000L)))
+      runOnce()
+      val round2 = latestPerKey(
+        (0 until 2).flatMap(p => producer.fetchAll(outTopic, p)))
+      assert(round2 == round1 ++ Map(
+        "kafka" -> 4L, "streams" -> 3L, "again" -> 1L))
+    } finally {
+      producer.close()
+      broker.close()
+    }
+  }
+
+  test("WindowedGrouping: event-time tumbling counts over the wire") {
+    // the second reference app (`apps/WindowedGrouping.scala:39-48`):
+    // keyed stream → 10 s tumbling window count → selectKey
+    // "$key-$windowStart" → output topic. Event time is the
+    // producer-assigned record timestamp riding the v1 message format.
+    val s = spark
+    import s.implicits._
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    val ckpt = Files.createTempDirectory("graft_kafka_wg").toString
+    val base = 1700000000000L // epoch ms, window-aligned
+    try {
+      producer.produceStrings("input", Seq(
+        ("hmida", "1", base), ("hmida", "1", base + 1000),
+        ("hmida", "1", base + 12000), ("lambda", "1", base + 3000)))
+      val src = KafkaEdges.source(s, broker.bootstrapServers, "input",
+        format = "graft-kafka")
+      val counts = graft.streaming.WindowedStreams.tumblingCounts(
+          src.toDF().withColumn("ets", timestamp_millis(col("ts"))),
+          "ets", "10 seconds", "1 hour", col("key"))
+        .select(
+          concat(col("key"), lit("-"),
+            col("window.start").cast("long")).as("key"),
+          col("count").cast("string").as("value"),
+          lit(0L).as("ts"), lit(0L).as("seq"))
+        .as[Rec]
+      val q = KafkaEdges.sink(counts, broker.bootstrapServers, "output",
+          ckpt, format = "graft-kafka")
+        .outputMode("update")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+
+      val got = latestPerKey((0 until 2).flatMap(p => producer.fetchAll("output", p)))
+      val w0 = base / 1000
+      assert(got == Map(
+        s"hmida-$w0" -> 2L, s"hmida-${w0 + 10}" -> 1L, s"lambda-$w0" -> 1L))
+    } finally {
+      producer.close()
+      broker.close()
+    }
+  }
+
+  test("record timestamps and offsets survive the wire into the source schema") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    try {
+      // fixed partitions so per-partition offset order is deterministic
+      producer.produce("meta", 1, Seq(
+        Wire.WireRecord(0L, 1111L, "a".getBytes, "va".getBytes),
+        Wire.WireRecord(0L, 2222L, "b".getBytes, "vb".getBytes)))
+      val recs = KafkaEdges.source(s, broker.bootstrapServers, "meta",
+        format = "graft-kafka")
+      val q = recs.writeStream.format("memory").queryName("meta_out")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = s.table("meta_out").as[Rec].collect().sortBy(_.seq)
+      // Rec projection: ts = producer-assigned epoch millis, seq = offset
+      assert(got.toSeq == Seq(
+        Rec("a", "va", 1111L, 0L), Rec("b", "vb", 2222L, 1L)))
+    } finally {
+      producer.close()
+      broker.close()
+    }
+  }
+}

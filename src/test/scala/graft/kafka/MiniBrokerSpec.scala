@@ -1,0 +1,113 @@
+package graft.kafka
+
+import org.scalatest.funsuite.AnyFunSuite
+import Wire._
+
+/** [[MiniBroker]] ⇄ [[MiniKafkaClient]] over a real TCP socket: framing,
+  * CRC-checked v1 message sets, offset assignment, metadata auto-create,
+  * maxBytes-bounded fetch, and Kafka's murmur2 partitioner placement. */
+class MiniBrokerSpec extends AnyFunSuite {
+
+  private def withBroker(f: (MiniBroker, MiniKafkaClient) => Unit): Unit = {
+    val broker = new MiniBroker(numPartitions = 2)
+    val client = new MiniKafkaClient("localhost", broker.port)
+    try f(broker, client)
+    finally { client.close(); broker.close() }
+  }
+
+  test("message set codec round-trips with CRC validation") {
+    val recs = Seq(
+      WireRecord(0L, 1700000000123L, "k1".getBytes, "v1".getBytes),
+      WireRecord(1L, 1700000000456L, null, "tombstone-key-null".getBytes),
+      WireRecord(2L, 1700000000789L, "k3".getBytes, null))
+    val decoded = decodeMessageSet(encodeMessageSet(recs))
+    assert(decoded.map(_.offset) == Seq(0L, 1L, 2L))
+    assert(decoded.map(_.timestamp) == recs.map(_.timestamp))
+    assert(new String(decoded.head.key) == "k1")
+    assert(decoded(1).key == null && decoded(2).value == null)
+  }
+
+  test("corrupted bytes fail the CRC check instead of decoding garbage") {
+    val set = encodeMessageSet(Seq(WireRecord(0L, 1L, "k".getBytes, "v".getBytes)))
+    set(set.length - 1) = (set(set.length - 1) ^ 0x5a).toByte
+    val e = intercept[IllegalArgumentException](decodeMessageSet(set))
+    assert(e.getMessage.contains("CRC"))
+  }
+
+  test("produce assigns sequential offsets; fetch returns the same bytes") {
+    withBroker { (broker, client) =>
+      val base1 = client.produce("t", 0, Seq(
+        WireRecord(0L, 100L, "a".getBytes, "x".getBytes),
+        WireRecord(0L, 101L, "b".getBytes, "y".getBytes)))
+      val base2 = client.produce("t", 0, Seq(
+        WireRecord(0L, 102L, "c".getBytes, "z".getBytes)))
+      assert(base1 == 0L && base2 == 2L)
+      assert(broker.logEnd("t", 0) == 3L)
+
+      val got = client.fetchAll("t", 0)
+      assert(got.map(_.offset) == Seq(0L, 1L, 2L))
+      assert(got.map(r => new String(r.value)) == Seq("x", "y", "z"))
+      assert(got.map(_.timestamp) == Seq(100L, 101L, 102L))
+      // offset-addressed re-read (replay from the middle)
+      assert(client.fetchAll("t", 0, from = 2L).map(r => new String(r.value)) == Seq("z"))
+    }
+  }
+
+  test("metadata auto-creates topics and reports partitions; list offsets") {
+    withBroker { (_, client) =>
+      assert(client.partitionsFor("fresh_topic") == 2)
+      assert(client.offsetFor("fresh_topic", 0, latest = true) == 0L)
+      client.produce("fresh_topic", 1, Seq(WireRecord(0L, 1L, null, "v".getBytes)))
+      assert(client.offsetFor("fresh_topic", 1, latest = true) == 1L)
+      assert(client.offsetFor("fresh_topic", 1, latest = false) == 0L)
+    }
+  }
+
+  test("fetch honors maxBytes but never starves (at least one message)") {
+    withBroker { (_, client) =>
+      val big = Array.fill[Byte](1000)('a')
+      client.produce("big", 0, (1 to 5).map(i => WireRecord(0L, i.toLong, null, big)))
+      val one = client.fetch("big", 0, 0L, maxBytes = 10) // smaller than any message
+      assert(one.size == 1 && one.head.offset == 0L)
+      val two = client.fetch("big", 0, 0L, maxBytes = 2100)
+      assert(two.map(_.offset) == Seq(0L, 1L))
+    }
+  }
+
+  test("murmur2 matches Kafka's published test vectors") {
+    // vectors from the public Apache Kafka client test suite
+    // (org.apache.kafka.common.utils.UtilsTest#testMurmur2)
+    assert(murmur2("21".getBytes) == -973932308)
+    assert(murmur2("foobar".getBytes) == -790332482)
+    assert(murmur2("a-little-bit-long-string".getBytes) == -985981536)
+    assert(murmur2("a-little-bit-longer-string".getBytes) == -1486304829)
+    assert(murmur2("lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8".getBytes) == -58897971)
+    assert(murmur2(Array[Byte]('a', 'b', 'c')) == 479470107)
+  }
+
+  test("concurrent producers on separate connections interleave safely") {
+    withBroker { (broker, _) =>
+      val threads = (0 until 4).map { t =>
+        new Thread(() => {
+          val c = new MiniKafkaClient("localhost", broker.port)
+          try (0 until 50).foreach { i =>
+            c.produce("conc", 0, Seq(WireRecord(0L, i.toLong, null, s"$t:$i".getBytes)))
+          } finally c.close()
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val c = new MiniKafkaClient("localhost", broker.port)
+      try {
+        val all = c.fetchAll("conc", 0)
+        assert(all.size == 200)
+        assert(all.map(_.offset) == (0L until 200L))
+        // per-producer order is preserved (single connection each)
+        (0 until 4).foreach { t =>
+          val mine = all.map(r => new String(r.value))
+            .filter(_.startsWith(s"$t:")).map(_.split(':')(1).toInt)
+          assert(mine == (0 until 50))
+        }
+      } finally c.close()
+    }
+  }
+}
