@@ -2365,6 +2365,72 @@ object SparkEntry {
     "x68_bpe_merges" -> ((s, dir) =>
       graft.functions.Bpe.learnMerges(Tables.documents(s, dir), "text", rounds = 4)),
 
+    // per-source document cap (RefinedWeb's host-level cap, Penedo et
+    // al. 2023 §3.3: no single origin may dominate the corpus): keep
+    // each source's top-10 documents by quality score (ties broken by
+    // doc_id so the cut is deterministic). ONE exchange — the window's
+    // hash(source) partitioning is the only shuffle, survivors are a
+    // filter over the ranked rows. At 100 TB the per-source rank is the
+    // same row_number window as x5; a pathologically hot source skews
+    // ONE partition, which AQE's skew split (or pre-aggregating to a
+    // per-source top-K heap via the x2 TakeOrdered shape) absorbs
+    "x69_source_cap" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      d.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+    }),
+
+    // temperature-scaled mixture weights (the multilingual-LM sampling
+    // rule, Lample & Conneau 2019 §3.1: p_s ∝ n_s^α with α = 0.5 —
+    // upsamples the tail, downsamples the head): per-source weight,
+    // expected docs for a 1000-doc budget, and the implied epochs over
+    // each source (budget share / source size — >1 means the source
+    // repeats). Micro-unit discipline: weights are exact integer
+    // parts-per-million of sqrt(count) over the summed sqrt, so both
+    // engines truncate identically and the shares sum to ≤ 1e6. The
+    // fact table is touched once (one count-by-source agg); everything
+    // downstream is |sources| rows wide at any scale
+    "x70_temperature_mix" -> ((s, dir) => {
+      val c = Tables.documents(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n"))
+      // sqrt(n) in micro-units, floored — exact for n ≤ 4e12
+      val sq = c.select(col("source"), col("n"),
+        floor(sqrt(col("n").cast("double")) * lit(1000000.0)).cast("long").as("sq"))
+      val tot = sq.agg(sum("sq").as("tsq"))
+      sq.crossJoin(broadcast(tot))
+        // `div`, not `/`: integer division on both engines (Spark's `/`
+        // on longs is double division and would fork on truncation)
+        .select(col("source"), col("n"),
+          expr("sq * 1000000 div tsq").as("w_ppm"))
+        .withColumn("expect_docs", expr("w_ppm * 1000 div 1000000"))
+        .withColumn("epochs",
+          round(col("expect_docs").cast("double") / col("n"), 6))
+    }),
+
+    // deterministic epoch sharding: the global training-order shuffle
+    // realized the scalable way — shard = hash(doc, epoch) mod 8 and a
+    // total order WITHIN the shard by a second independent hash, so an
+    // epoch's order is reproducible from (seed, doc_id) alone, no
+    // global sort ever runs (the only exchange is the shard-partitioned
+    // window; at cluster scale each shard is one writer task, and the
+    // epoch salt reshuffles membership AND order every epoch)
+    "x71_epoch_shards" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("shard",
+          Sampling.hashBucket(concat(col("doc_id").cast("string"), lit(":e1")), 8)
+            .cast("int"))
+        .withColumn("ord",
+          Sampling.hashBucket(concat(col("doc_id").cast("string"), lit(":o1")), 1000000))
+      d.withColumn("pos", row_number()
+          .over(Window.partitionBy("shard")
+            .orderBy(col("ord").asc, col("doc_id").asc)).cast("long"))
+        .select("doc_id", "shard", "pos")
+    }),
+
     // equi-depth (frequency-balanced) 10-bin histogram per event type:
     // NTILE over the (value, event_id) total order, then per-bin
     // boundaries/counts — the feature-binning table a training pipeline
@@ -4677,6 +4743,42 @@ object SparkEntry {
         |UNION ALL SELECT 3, a, b, a || b, cnt FROM m3
         |UNION ALL SELECT 4, a, b, a || b, cnt FROM m4""".stripMargin
     },
+
+    // the shared quality formula (t2's qualitySql) feeds the same
+    // deterministic (quality DESC, doc_id) rank both engines cut at 10
+    "x69_source_cap" ->
+      s"""WITH $toksSql,
+        |$qualitySql,
+        |r AS (
+        |  SELECT d.doc_id, d.source, q.quality,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY q.quality DESC, d.doc_id) AS rk
+        |  FROM documents d JOIN q USING (doc_id))
+        |SELECT doc_id, source, quality, rk::BIGINT AS rk
+        |FROM r WHERE rk <= 10""".stripMargin,
+
+    // integer-ppm sqrt weights: floor(sqrt(n)*1e6) then integer share —
+    // both engines truncate identically, no float-division fork
+    "x70_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n
+        |           FROM documents GROUP BY 1),
+        |s AS (SELECT source, n, floor(sqrt(n::DOUBLE) * 1000000)::BIGINT AS sq FROM c),
+        |t AS (SELECT sum(sq)::BIGINT AS tsq FROM s)
+        |SELECT source, n, (sq * 1000000) // tsq AS w_ppm,
+        |  ((sq * 1000000) // tsq) * 1000 // 1000000 AS expect_docs,
+        |  round((((sq * 1000000) // tsq) * 1000 // 1000000)::DOUBLE / n, 6) AS epochs
+        |FROM s, t""".stripMargin,
+
+    // same md5-60-bit hash as x10's oracle, two independent salts
+    "x71_epoch_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(doc_id::VARCHAR || ':e1'), 1, 15))::BIGINT % 8)::INT AS shard,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':o1'), 1, 15))::BIGINT % 1000000 AS ord
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)::BIGINT AS pos
+        |FROM h""".stripMargin,
 
     // NTILE is SQL-standard (identical split rule both engines) and the
     // (value, event_id) order is total, so bins are engine-exact;
