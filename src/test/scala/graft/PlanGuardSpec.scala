@@ -550,4 +550,29 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("join"), p)
     assert(!p.contains("WindowExec"), p)
   }
+
+  test("x69 source cap: ONE source-partitioned window, no join") {
+    val p = planOf("x69_source_cap")
+    assert(p.contains("windowspecdefinition(source"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"cap should pay exactly one hash exchange:\n$p")
+  }
+
+  test("x70 temperature mix: one count agg, scalar total broadcast") {
+    val p = planOf("x70_temperature_mix")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n$p")
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("x71 epoch shards: map-side hashes + one shard-partitioned window") {
+    val p = planOf("x71_epoch_shards")
+    assert(p.contains("windowspecdefinition(shard"), p)
+    assert(!p.toLowerCase.contains("hashjoin"), p)
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"sharding should pay exactly one hash exchange:\n$p")
+  }
 }
