@@ -66,6 +66,16 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0,
     this
   }
 
+  /** Register one named state VARIABLE of a `transformWithState`
+    * operator (the streaming-twin family keeps N named variables per
+    * key; classic operators use [[register]]). The flattened view keys
+    * on the grouping key (`key` for single-field keys, `key_<field>`
+    * otherwise — see [[StateQueries.flattenedTws]]). */
+  def registerTws(name: String, checkpoint: String, stateVarName: String,
+                  keyCol: String = "key"): this.type =
+    registerView(name,
+      () => StateQueries.flattenedTws(spark, checkpoint, stateVarName), keyCol)
+
   /** Start listening; returns the bound port (pass 0 for ephemeral). */
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)

@@ -53,6 +53,29 @@ object StateQueries {
     df.select(keyCols ++ valCols: _*)
   }
 
+  /** Flattened view of one TWS state variable: the `key` struct's fields
+    * become `key_*`; every other column (ValueState's `value`,
+    * ListState's `list_element`, MapState's `map_key`/`map_value` —
+    * struct or primitive) becomes `value_*`; `partition_id` is dropped.
+    * Encoder-wrapped primitives (a bare String key reads as
+    * `{value: string}`) unwrap to their single field, so the view's
+    * column names don't depend on how the processor declared its
+    * encoders. */
+  def flattenedTws(spark: SparkSession, checkpointDir: String,
+                   stateVarName: String): DataFrame = {
+    val df = twsStore(spark, checkpointDir, stateVarName)
+    def expand(c: String, prefix: String) = df.schema(c).dataType match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fieldNames.toSeq.map(f => col(s"$c.$f").as(
+          if (s.fieldNames.length == 1) prefix else s"${prefix}_$f"))
+      case _ => Seq(col(c).as(prefix))
+    }
+    val keyCols = expand("key", "key")
+    val valCols = df.columns.toSeq.filter(c => c != "key" && c != "partition_id")
+      .flatMap(c => expand(c, if (c.startsWith("map_")) c else "value"))
+    df.select(keyCols ++ valCols: _*)
+  }
+
   /** Point lookup: rows whose key matches `pred`
     * (reference `GET /state/keyvalue/{store}/{key}`). */
   def point(state: DataFrame, pred: Column): DataFrame = state.filter(pred)

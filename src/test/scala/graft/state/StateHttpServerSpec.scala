@@ -132,4 +132,48 @@ class StateHttpServerSpec extends SparkSpec {
       assert(h5.get("X-Graft-Truncated").contains("true"))
     } finally small.stop()
   }
+
+  test("TWS state variable served over the same endpoints") {
+    import graft.streaming.StreamZScore
+    import graft.streaming.StreamZScore.TypedValue
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val ckpt = Files.createTempDirectory("graft_http_tws").toString
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.get(provKey, "")
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[TypedValue]
+    val q = StreamZScore.anomalies(in.toDS(), windowSize = 3)
+      .writeStream.format("memory").queryName("http_tws_src")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      in.addData(
+        TypedValue("a", 1L, base, 1.5), TypedValue("a", 2L, base + 1, 2.5),
+        TypedValue("b", 3L, base + 2, 10.0))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      if (prevProv.isEmpty) s.conf.unset(provKey) else s.conf.set(provKey, prevProv)
+    }
+
+    val srv = new StateHttpServer(s)
+      .registerTws("zscore_buf", ckpt, stateVarName = "buf")
+    val port = srv.start()
+    try {
+      // point: key b's ring buffer holds its single value
+      val (c1, b1) = get(port, "/state/keyvalue/zscore_buf/b")
+      assert(c1 == 200 && b1 == """[{"key":"b","value":10.0}]""", b1)
+      // all: every (key, element) row, list state flattened
+      val (c2, b2) = get(port, "/state/keyvalues/zscore_buf/all")
+      assert(c2 == 200 && b2 ==
+        """[{"key":"a","value":1.5},{"key":"a","value":2.5},{"key":"b","value":10.0}]""", b2)
+      // range over the string key space
+      val (c3, b3) = get(port, "/state/keyvalues/zscore_buf/range/a/a")
+      assert(c3 == 200 && b3 ==
+        """[{"key":"a","value":1.5},{"key":"a","value":2.5}]""", b3)
+    } finally srv.stop()
+  }
 }
