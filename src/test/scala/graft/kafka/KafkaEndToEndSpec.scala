@@ -117,6 +117,32 @@ class KafkaEndToEndSpec extends SparkSpec {
     }
   }
 
+  test("startingOffsets=latest skips records produced before the stream started") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    try {
+      producer.produceStrings("late_topic", Seq(("old", "pre-existing", 1L)))
+      val recs = KafkaEdges.source(s, broker.bootstrapServers, "late_topic",
+        startingOffsets = "latest", format = "graft-kafka")
+      val q = recs.writeStream.format("memory").queryName("latest_out")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(s.table("latest_out").count() == 0) // old record skipped
+        producer.produceStrings("late_topic", Seq(("new", "fresh", 2L)))
+        q.processAllAvailable()
+        val got = s.table("latest_out").as[Rec].collect().toSeq
+        assert(got.map(r => (r.key, r.value)) == Seq(("new", "fresh")))
+      } finally q.stop()
+    } finally {
+      producer.close()
+      broker.close()
+    }
+  }
+
   test("record timestamps and offsets survive the wire into the source schema") {
     val s = spark
     import s.implicits._
