@@ -340,16 +340,34 @@ object DedupOps {
     // binary-representable thresholds this contract requires, with no
     // ceil-of-float edge to round a true pair away. Bench sf0.1:
     // candidates drop 409k → 125k before the verify fan-out.
-    val l = pfx.select(col("tok"), col("doc_id").as("a"),
-      col("rnk").as("ra"), col("n").as("na"))
-    val r = pfx.select(col("tok").as("tok2"), col("doc_id").as("b"),
-      col("rnk").as("rb"), col("n").as("nb"))
-    l.join(r, col("tok") === col("tok2") && col("a") < col("b"))
-      .groupBy("a", "b")
-      .agg(max(least(col("na") - col("ra"), col("nb") - col("rb")) + 1).as("ub"),
-        max("na").as("cna"), max("nb").as("cnb"))
-      .filter(col("ub") * lit(1.0 + threshold) >=
-        lit(threshold) * (col("cna") + col("cnb")))
+    // PPJoin's ASYMMETRIC prefixes (Xiao et al. 2008 §3.2): order the
+    // pair by size (ties by id) — the larger record y probes with the
+    // full AllPairs prefix (n − ⌈t·n⌉ + 1, already what `pfx` kept),
+    // but the smaller record x only needs its INDEX prefix
+    // n − ⌈2t/(1+t)·n⌉ + 1. Soundness is the smallest-common-token
+    // lemma: a true pair shares ≥ α = ⌈t/(1+t)(nx+ny)⌉ tokens, and
+    // α ≥ ⌈2t/(1+t)·nx⌉ (since ny ≥ nx) and α ≥ ⌈t·ny⌉ (since
+    // nx ≥ t·ny), so the first common token sits inside BOTH prefixes.
+    // The index side shrinks ~(1−t)/(1+t) of its rows, and the token
+    // self-join's output shrinks with it. The 1e-9 nudge before ceil
+    // only ever LENGTHENS the index prefix (an exact-integer bound that
+    // double division rounds up a ulp would otherwise shorten it —
+    // extra candidates are safe, a lost one is not).
+    val idxKeep = col("n") -
+      ceil(lit(2.0 * threshold) * col("n") / lit(1.0 + threshold) - lit(1e-9)) + 1
+    val probe = pfx.select(col("tok"), col("doc_id").as("py"),
+      col("rnk").as("ry"), col("n").as("ny"))
+    val index = pfx.filter(col("rnk") <= idxKeep)
+      .select(col("tok").as("tok2"), col("doc_id").as("px"),
+        col("rnk").as("rx"), col("n").as("nx"))
+    probe.join(index, col("tok") === col("tok2") &&
+        (col("nx") < col("ny") ||
+          (col("nx") === col("ny") && col("px") < col("py"))))
+      .groupBy(least(col("px"), col("py")).as("a"),
+        greatest(col("px"), col("py")).as("b"))
+      .agg(max(least(col("nx") - col("rx"), col("ny") - col("ry")) + 1).as("ub"),
+        max(col("nx") + col("ny")).as("nsum"))
+      .filter(col("ub") * lit(1.0 + threshold) >= lit(threshold) * col("nsum"))
       .select("a", "b")
   }
 

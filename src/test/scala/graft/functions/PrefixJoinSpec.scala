@@ -77,6 +77,42 @@ class PrefixJoinSpec extends SparkSpec {
     assert(got === want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("randomized: ≡ brute force on synthetic corpora at t ∈ {0.5, 0.75}") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 30).map(i => s"w$i")
+    (1 to 4).foreach { trial =>
+      // clustered docs: a few seeds, each spawning noisy variants, plus
+      // singletons — sizes 1..14 exercise every prefix-length edge
+      // (index prefix = 1 for tiny docs, ties in n, exact-integer ⌈⌉
+      // boundaries at n divisible by 3)
+      val seeds = (1 to 4).map(_ => (1 + rnd.nextInt(13), rnd.shuffle(vocab).toList))
+      val docs = (0 until 24).map { i =>
+        val (sz, base) = seeds(rnd.nextInt(seeds.length))
+        val words = base.take(sz).map(w =>
+          if (rnd.nextInt(5) == 0) vocab(rnd.nextInt(vocab.length)) else w)
+        (i.toLong, rnd.shuffle(words).mkString(" "))
+      }.toDF("doc_id", "text")
+      val sets = docs
+        .select(col("doc_id"), graft.functions.TextAnalysis.tokens(col("text")))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+        .filter(_._2.nonEmpty)
+      Seq(0.5, 0.75).foreach { t =>
+        val got = DedupOps.prefixJoin(docs, "doc_id", "text", t)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = (for {
+          (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+          inter = (sa & sb).size
+          j = round6(inter.toDouble / (sa.size + sb.size - inter))
+          if j >= t
+        } yield (ia, ib)).toSet
+        assert(got === want,
+          s"trial=$trial t=$t missing=${want -- got} extra=${got -- want}")
+      }
+    }
+  }
+
   test("raising the threshold only removes pairs") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") < 100)
