@@ -2418,6 +2418,53 @@ object SparkEntry {
     // global sort ever runs (the only exchange is the shard-partitioned
     // window; at cluster scale each shard is one writer task, and the
     // epoch salt reshuffles membership AND order every epoch)
+    // split-leakage audit: near-duplicate pairs (the d3 LSH + exact
+    // Jaccard chain, d7's 0.4 threshold) whose members landed in
+    // DIFFERENT train/val/test splits under the x10 hash-split rule —
+    // the train/test contamination a random split silently creates when
+    // the corpus has near-dups (exact-dup leakage is the degenerate
+    // case; the near-dup form is what actually bites). Costs one
+    // |pairs|-row join pass over the already-audited dedup chain
+    "x72_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.functions.DedupOps.ngramJaccard(docs, "doc_id", "text",
+          graft.functions.DedupOps.minhashLsh(docs, "doc_id", "text"))
+        .filter(col("jaccard") >= 0.4)
+      val splits = docs.select(col("doc_id"),
+        Sampling.split(col("doc_id")).as("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
+        .join(splits.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select("a", "b", "jaccard", "split_a", "split_b")
+    }),
+
+    // token-budget curation: the best documents (quality desc, doc_id
+    // tie-break) until a 6k-token budget is spent — the "fill the
+    // training budget with the best data first" cut. NOT a global sort:
+    // quality is round-4 so the level table is ≤ 10^4 rows — the only
+    // unpartitioned window runs there (the x33 discipline); docs join
+    // their level's running base via broadcast and the per-doc
+    // cumulative window partitions by quality level. Equal to the naive
+    // global ORDER BY (quality DESC, doc_id) prefix by construction
+    "x73_token_budget" -> ((s, dir) => {
+      val budget = 6000L
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      val lvl = d.groupBy("quality").agg(sum("n_tokens").as("lt"))
+      val lvlBase = lvl
+        .withColumn("lcum", sum("lt").over(Window.orderBy(col("quality").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("quality"), (col("lcum") - col("lt")).as("lprev"))
+      d.join(broadcast(lvlBase), "quality")
+        .withColumn("cum_tokens", col("lprev") +
+          sum("n_tokens").over(Window.partitionBy("quality").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum_tokens") <= budget)
+        .select("doc_id", "quality", "n_tokens", "cum_tokens")
+    }),
+
     "x71_epoch_shards" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"))
         .withColumn("shard",
@@ -4768,6 +4815,52 @@ object SparkEntry {
         |  ((sq * 1000000) // tsq) * 1000 // 1000000 AS expect_docs,
         |  round((((sq * 1000000) // tsq) * 1000 // 1000000)::DOUBLE / n, 6) AS epochs
         |FROM s, t""".stripMargin,
+
+    // d3's verified-pair chain + the x10 split rule; leakage = pairs
+    // crossing split boundaries at jaccard >= 0.4
+    "x72_split_leakage" ->
+      s"""WITH $toksSql,
+        |$minhashCandSql,
+        |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |inter AS (
+        |  SELECT p.a, p.b, count(*) AS i
+        |  FROM cand p
+        |  JOIN shd sa ON sa.doc_id = p.a
+        |  JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT p.a, p.b,
+        |    round(coalesce(i, 0)::DOUBLE / (na.n + nb.n - coalesce(i, 0))::DOUBLE, 6) AS jaccard
+        |  FROM cand p
+        |  JOIN sizes na ON na.doc_id = p.a
+        |  JOIN sizes nb ON nb.doc_id = p.b
+        |  LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 15))::BIGINT % 100 < 80
+        |         THEN 'train'
+        |         WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 15))::BIGINT % 100 < 90
+        |         THEN 'val' ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT j.a, j.b, j.jaccard, sa.split AS split_a, sb.split AS split_b
+        |FROM jac j
+        |JOIN sp sa ON sa.doc_id = j.a
+        |JOIN sp sb ON sb.doc_id = j.b
+        |WHERE j.jaccard >= 0.4 AND sa.split <> sb.split""".stripMargin,
+
+    // the naive statement of the rule: global (quality DESC, doc_id)
+    // running token total, cut at the budget — the two-phase Spark plan
+    // must equal it exactly
+    "x73_token_budget" ->
+      s"""WITH $toksSql,
+        |$qualitySql
+        |SELECT doc_id, quality, n_tokens, cum_tokens FROM (
+        |  SELECT doc_id, quality, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM q)
+        |WHERE cum_tokens <= 6000""".stripMargin,
 
     // same md5-60-bit hash as x10's oracle, two independent salts
     "x71_epoch_shards" ->
