@@ -88,7 +88,8 @@ private[kafka] class GraftKafkaTable(options: CaseInsensitiveStringMap)
   override def name(): String = "graft-kafka"
   override def schema(): StructType = GraftKafka.ReadSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -96,6 +97,29 @@ private[kafka] class GraftKafkaTable(options: CaseInsensitiveStringMap)
         override def readSchema(): StructType = GraftKafka.ReadSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftKafkaMicroBatchStream(opts)
+        // the stock connector's bounded mode (`spark.read` backfills):
+        // the topic's [earliest, latest] range at planning time, one
+        // input partition per Kafka partition
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          new org.apache.spark.sql.connector.read.Batch {
+            private val (host, port) = GraftKafka.hostPort(opts)
+            private val topic = Option(opts.get("subscribe")).getOrElse(
+              throw new IllegalArgumentException("option subscribe is required"))
+            override def planInputPartitions(): Array[InputPartition] = {
+              val c = new MiniKafkaClient(host, port)
+              try (0 until c.partitionsFor(topic)).map { p =>
+                GraftKafkaInputPartition(host, port, topic, p,
+                  c.offsetFor(topic, p, latest = false),
+                  c.offsetFor(topic, p, latest = true))
+              }.filter(ip => ip.until > ip.from).toArray[InputPartition]
+              finally c.close()
+            }
+            override def createReaderFactory(): PartitionReaderFactory =
+              new PartitionReaderFactory {
+                override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+                  new GraftKafkaPartitionReader(partition.asInstanceOf[GraftKafkaInputPartition])
+              }
+          }
       }
     }
 

@@ -117,6 +117,29 @@ class KafkaEndToEndSpec extends SparkSpec {
     }
   }
 
+  test("batch read: spark.read over the topic returns the full log with pushed projection") {
+    val s = spark
+    import s.implicits._
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    try {
+      producer.produceStrings("backfill", Seq(
+        ("k1", "v1", 10L), ("k2", "v2", 20L), ("k3", "v3", 30L)))
+      val df = s.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "backfill")
+        .load()
+      val got = df.selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)")
+        .as[(String, String)].collect().sortBy(_._1).toSeq
+      assert(got == Seq(("k1", "v1"), ("k2", "v2"), ("k3", "v3")))
+      // the read parallelism is the topic's partitioning
+      assert(df.select("partition").distinct().count() >= 1)
+    } finally {
+      producer.close()
+      broker.close()
+    }
+  }
+
   test("startingOffsets=latest skips records produced before the stream started") {
     val s = spark
     import s.implicits._
