@@ -2418,6 +2418,24 @@ object SparkEntry {
     // global sort ever runs (the only exchange is the shard-partitioned
     // window; at cluster scale each shard is one writer task, and the
     // epoch salt reshuffles membership AND order every epoch)
+    // community detection over the co-purchase graph: deterministic
+    // synchronous label propagation (Raghavan 2007; fixed 3-round
+    // budget, most-frequent-neighbor label, min-label ties) on g5's
+    // basket-bounded co≥3 edge set — product communities from purchase
+    // behavior. Each round is one node-keyed join + two aggs (the
+    // pageRank iteration shape); the oracle replays the identical
+    // trajectory through unrolled CTEs (the x68 discipline)
+    "g6_lpa_communities" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+      val co = e.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(e.select(col("l_orderkey").as("ok2"), col("l_partkey").as("b")),
+          col("l_orderkey") === col("ok2") && col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 3)
+      graft.functions.GraphOps.labelPropagation(co.select("a", "b"), rounds = 3)
+        .select(col("node").as("part"), col("label").as("community"))
+    }),
+
     // split-leakage audit: near-duplicate pairs (the d3 LSH + exact
     // Jaccard chain, d7's 0.4 threshold) whose members landed in
     // DIFFERENT train/val/test splits under the x10 hash-split rule —
@@ -4815,6 +4833,31 @@ object SparkEntry {
         |  ((sq * 1000000) // tsq) * 1000 // 1000000 AS expect_docs,
         |  round((((sq * 1000000) // tsq) * 1000 // 1000000)::DOUBLE / n, 6) AS epochs
         |FROM s, t""".stripMargin,
+
+    // unrolled 3-round sync-LPA replay: per-round neighbor vote counts,
+    // argmax by (c DESC, label) — the same deterministic tie rule
+    "g6_lpa_communities" -> {
+      def round(lbl: String, v: String, out: String) =
+        s"""$v AS (SELECT s.u AS node, l.label, count(*) AS c
+           |       FROM sym s JOIN $lbl l ON l.node = s.v GROUP BY 1, 2),
+           |$out AS (SELECT node, label FROM (
+           |  SELECT node, label,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+           |  FROM $v) WHERE rn = 1)"""
+      s"""WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |co AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM e a JOIN e b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sym AS (SELECT a AS u, b AS v FROM co
+        |        UNION ALL SELECT b AS u, a AS v FROM co),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+        |${round("l0", "v1", "l1")},
+        |${round("l1", "v2", "l2")},
+        |${round("l2", "v3", "l3")}
+        |SELECT node AS part, label AS community FROM l3""".stripMargin
+    },
 
     // d3's verified-pair chain + the x10 split rule; leakage = pairs
     // crossing split boundaries at jaccard >= 0.4

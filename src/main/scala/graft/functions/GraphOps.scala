@@ -285,6 +285,44 @@ object GraphOps {
     deg.select(col("u").as("node"), col("d").as("degree"))
   }
 
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007) for
+    * community detection, made DETERMINISTIC so a second engine can
+    * replay it exactly: every node starts as its own label; each round,
+    * a node adopts the most frequent label among its neighbors, ties
+    * broken by the smallest label; the round count is fixed (sync LPA
+    * can oscillate on bipartite structure — a fixed budget with a fixed
+    * tie rule makes the trajectory a pure function of the edge set, the
+    * same determinism discipline as s7's k-means and x68's BPE).
+    *
+    * Scale shape: one node-keyed equi-join (edges ⋈ labels on the
+    * neighbor endpoint) + two aggregations per round, all shuffling on
+    * node id — the pageRank iteration pattern; the argmax is the
+    * portable max(struct(count, −label)) single-agg, never a per-node
+    * window over the vote table. Keep `rounds` small (communities
+    * stabilize in a few sync rounds); deep budgets would want the d7
+    * checkpoint discipline. Input edges (a, b) are symmetrized and
+    * self-loop-pruned internally; returns (node, label). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 6, s"rounds in [1,6], got $rounds")
+    val und = edges
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(labels.select(col("node").as("v"), col("label")), "v")
+        .groupBy(col("u").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      labels = votes.groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("best"))
+        .select(col("node"), (-col("best.nl")).as("label"))
+    }
+    labels
+  }
+
   /** The two halves of one k-core peel round over a symmetrized edge
     * table (u, v), factored out so the plan-shape guard inspects the
     * SHIPPED round construction (kCore checkpoints between rounds, so

@@ -301,4 +301,29 @@ class GraphOpsSpec extends SparkSpec {
     ranks.values.foreach(r => assert(r > 0))
     assert(math.abs(ranks.values.sum - 1.0) < 1e-3, s"mass=${ranks.values.sum}")
   }
+
+  test("labelPropagation matches the hand-traced 3-round trajectory") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge 3–4.
+    // Hand trace (most-frequent neighbor label, ties → min):
+    //   l1: 1→2, 2→1, 3→1, 4→3, 5→4, 6→4
+    //   l2: 1→1, 2→1, 3→1, 4→4, 5→3, 6→3
+    //   l3: {1,2,3}→1, {4,5,6}→3 — the two communities emerge
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    def labels(r: Int): Map[Long, Long] =
+      GraphOps.labelPropagation(edges, rounds = r)
+        .as[(Long, Long)].collect().toMap
+    assert(labels(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
+    assert(labels(3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation is orientation- and duplicate-invariant") {
+    import spark.implicits._
+    val e1 = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val e2 = Seq((2L, 1L), (3L, 2L), (1L, 2L), (1L, 1L)).toDF("a", "b")
+    val r1 = GraphOps.labelPropagation(e1, 2).as[(Long, Long)].collect().toMap
+    val r2 = GraphOps.labelPropagation(e2, 2).as[(Long, Long)].collect().toMap
+    assert(r1 == r2)
+  }
 }
