@@ -20,12 +20,30 @@ class ReuseReferencesSpec extends SparkSpec {
 
   private def persistentRddCount: Int = spark.sparkContext.getPersistentRDDs.size
 
+  /** The session is shared across suites, and several operators release
+    * caches with `unpersist(blocking = false)` — a pending async release
+    * from a PRIOR suite can land mid-test and read as a count change this
+    * spec didn't cause (observed as an order-dependent full-suite flake).
+    * Reads therefore wait for the count to hold still first. */
+  private def stableRddCount: Int = {
+    var prev = -1
+    var cur = persistentRddCount
+    var tries = 0
+    while (cur != prev && tries < 50) {
+      prev = cur
+      Thread.sleep(100)
+      cur = persistentRddCount
+      tries += 1
+    }
+    cur
+  }
+
   test("two consecutive d3 runs leave executor storage flat") {
-    val before = persistentRddCount
+    val before = stableRddCount
     SparkEntry.queries("d3_ngram_jaccard")(spark, dir).count()
-    val afterFirst = persistentRddCount
+    val afterFirst = stableRddCount
     SparkEntry.queries("d3_ngram_jaccard")(spark, dir).count()
-    val afterSecond = persistentRddCount
+    val afterSecond = stableRddCount
     assert(afterFirst == before,
       s"first d3 run grew persistent-RDD count $before -> $afterFirst")
     assert(afterSecond == before,
@@ -33,10 +51,11 @@ class ReuseReferencesSpec extends SparkSpec {
   }
 
   test("d10 fuzzy decontamination leaves executor storage flat") {
-    val before = persistentRddCount
+    val before = stableRddCount
     SparkEntry.queries("d10_fuzzy_decontaminate")(spark, dir).count()
-    assert(persistentRddCount == before,
-      s"d10 run grew persistent-RDD count $before -> $persistentRddCount")
+    val after = stableRddCount
+    assert(after == before,
+      s"d10 run grew persistent-RDD count $before -> $after")
   }
 
   test("d3's executed plan reuses the candidate exchange across references") {
