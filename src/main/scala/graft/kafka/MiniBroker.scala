@@ -69,6 +69,10 @@ final class MiniBroker(val numPartitions: Int = 2) extends AutoCloseable {
   }
 
   private def serve(sock: Socket): Unit = {
+    // request/response protocol: without TCP_NODELAY each response waits
+    // out Nagle vs delayed-ACK (~40 ms/round-trip — measured 22k rec/s
+    // producing in 1k batches; 10× that with the flag)
+    sock.setTcpNoDelay(true)
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
     try {
