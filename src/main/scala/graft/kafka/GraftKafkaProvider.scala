@@ -66,19 +66,39 @@ object GraftKafka {
     (h, p.toInt)
   }
 
-  /** `{"0":12,"3":4}` — per-partition offsets, partition-sorted so the
+  /** `{"topicA":{"0":12,"3":4},"topicB":{"0":7}}` — the stock Kafka
+    * source's offset-JSON shape, topic- and partition-sorted so the
     * rendering is canonical (checkpoint files diff cleanly). */
-  private[kafka] def renderOffsets(m: Map[Int, Long]): String =
-    m.toSeq.sortBy(_._1)
-      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+  private[kafka] def renderOffsets(m: Map[(String, Int), Long]): String =
+    m.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (t, ps) =>
+      val inner = ps.toSeq.map { case ((_, p), o) => p -> o }.sortBy(_._1)
+        .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+      s""""${t.replace("\"", "\\\"")}":$inner"""
+    }.mkString("{", ",", "}")
 
-  private[kafka] def parseOffsets(json: String): Map[Int, Long] = {
+  private[kafka] def parseOffsets(json: String): Map[(String, Int), Long] = {
+    // topics on this broker are test-named ([^"]); a full JSON parser
+    // would be overkill for the canonical rendering above
+    val Topic = """"((?:[^"\\]|\\.)+)"\s*:\s*\{([^}]*)\}""".r
     val Entry = """"(\d+)"\s*:\s*(\d+)""".r
-    Entry.findAllMatchIn(json).map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+    Topic.findAllMatchIn(json).flatMap { tm =>
+      val t = tm.group(1).replace("\\\"", "\"")
+      Entry.findAllMatchIn(tm.group(2)).map(m =>
+        (t, m.group(1).toInt) -> m.group(2).toLong)
+    }.toMap
+  }
+
+  /** The stock connector's comma-list `subscribe`. */
+  private[kafka] def topicsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+    val raw = Option(options.get("subscribe")).getOrElse(
+      throw new IllegalArgumentException("option subscribe is required"))
+    val ts = raw.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(ts.nonEmpty, "subscribe needs at least one topic")
+    ts
   }
 }
 
-private[kafka] case class GraftKafkaOffset(partitionOffsets: Map[Int, Long])
+private[kafka] case class GraftKafkaOffset(partitionOffsets: Map[(String, Int), Long])
     extends Offset {
   override def json(): String = GraftKafka.renderOffsets(partitionOffsets)
 }
@@ -103,14 +123,15 @@ private[kafka] class GraftKafkaTable(options: CaseInsensitiveStringMap)
         override def toBatch: org.apache.spark.sql.connector.read.Batch =
           new org.apache.spark.sql.connector.read.Batch {
             private val (host, port) = GraftKafka.hostPort(opts)
-            private val topic = Option(opts.get("subscribe")).getOrElse(
-              throw new IllegalArgumentException("option subscribe is required"))
+            private val topics = GraftKafka.topicsOf(opts)
             override def planInputPartitions(): Array[InputPartition] = {
               val c = new MiniKafkaClient(host, port)
-              try (0 until c.partitionsFor(topic)).map { p =>
-                GraftKafkaInputPartition(host, port, topic, p,
-                  c.offsetFor(topic, p, latest = false),
-                  c.offsetFor(topic, p, latest = true))
+              try topics.flatMap { t =>
+                (0 until c.partitionsFor(t)).map { p =>
+                  GraftKafkaInputPartition(host, port, t, p,
+                    c.offsetFor(t, p, latest = false),
+                    c.offsetFor(t, p, latest = true))
+                }
               }.filter(ip => ip.until > ip.from).toArray[InputPartition]
               finally c.close()
             }
@@ -142,8 +163,7 @@ private[kafka] class GraftKafkaMicroBatchStream(options: CaseInsensitiveStringMa
     extends MicroBatchStream {
 
   private val (host, port) = GraftKafka.hostPort(options)
-  private val topic = Option(options.get("subscribe")).getOrElse(
-    throw new IllegalArgumentException("option subscribe is required"))
+  private val topics = GraftKafka.topicsOf(options)
   private val startLatest =
     Option(options.get("startingOffsets")).exists(_.equalsIgnoreCase("latest"))
 
@@ -152,19 +172,21 @@ private[kafka] class GraftKafkaMicroBatchStream(options: CaseInsensitiveStringMa
     try f(c) finally c.close()
   }
 
-  // partition count is discovered once per stream (static, like the
+  // topic-partition set is discovered once per stream (static, like the
   // stock source without subscribePattern repartition handling)
-  private lazy val numPartitions: Int = withClient(_.partitionsFor(topic))
+  private lazy val topicPartitions: Seq[(String, Int)] = withClient { c =>
+    topics.flatMap(t => (0 until c.partitionsFor(t)).map(p => (t, p)))
+  }
 
   override def initialOffset(): Offset = withClient { c =>
-    GraftKafkaOffset((0 until numPartitions).map { p =>
-      p -> (if (startLatest) c.offsetFor(topic, p, latest = true) else 0L)
+    GraftKafkaOffset(topicPartitions.map { case (t, p) =>
+      (t, p) -> (if (startLatest) c.offsetFor(t, p, latest = true) else 0L)
     }.toMap)
   }
 
   override def latestOffset(): Offset = withClient { c =>
-    GraftKafkaOffset((0 until numPartitions).map { p =>
-      p -> c.offsetFor(topic, p, latest = true)
+    GraftKafkaOffset(topicPartitions.map { case (t, p) =>
+      (t, p) -> c.offsetFor(t, p, latest = true)
     }.toMap)
   }
 
@@ -178,9 +200,9 @@ private[kafka] class GraftKafkaMicroBatchStream(options: CaseInsensitiveStringMa
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftKafkaOffset].partitionOffsets
     val e = end.asInstanceOf[GraftKafkaOffset].partitionOffsets
-    e.toSeq.sortBy(_._1).flatMap { case (p, until) =>
-      val from = s.getOrElse(p, 0L)
-      if (until > from) Some(GraftKafkaInputPartition(host, port, topic, p, from, until))
+    e.toSeq.sortBy(_._1).flatMap { case ((t, p), until) =>
+      val from = s.getOrElse((t, p), 0L)
+      if (until > from) Some(GraftKafkaInputPartition(host, port, t, p, from, until))
       else None
     }.toArray
   }

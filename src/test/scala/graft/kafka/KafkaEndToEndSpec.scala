@@ -117,6 +117,38 @@ class KafkaEndToEndSpec extends SparkSpec {
     }
   }
 
+  test("multi-topic subscribe: one stream over a comma list, topic column intact") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    try {
+      producer.produceStrings("clicks", Seq(("u1", "c1", 10L)))
+      producer.produceStrings("views", Seq(("u1", "v1", 20L), ("u2", "v2", 30L)))
+      val df = s.readStream.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "clicks, views")
+        .option("startingOffsets", "earliest")
+        .load()
+        .selectExpr("topic", "CAST(value AS STRING) AS v")
+      val q = df.writeStream.format("memory").queryName("multi_out")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // resume semantics hold across topics: add to one topic only
+        producer.produceStrings("clicks", Seq(("u3", "c2", 40L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = s.table("multi_out").as[(String, String)].collect().toSet
+      assert(got == Set(("clicks", "c1"), ("clicks", "c2"),
+        ("views", "v1"), ("views", "v2")))
+    } finally {
+      producer.close()
+      broker.close()
+    }
+  }
+
   test("batch read: spark.read over the topic returns the full log with pushed projection") {
     val s = spark
     import s.implicits._
