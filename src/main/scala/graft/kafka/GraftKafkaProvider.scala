@@ -167,10 +167,12 @@ private[kafka] class GraftKafkaMicroBatchStream(options: CaseInsensitiveStringMa
   private val startLatest =
     Option(options.get("startingOffsets")).exists(_.equalsIgnoreCase("latest"))
 
-  private def withClient[A](f: MiniKafkaClient => A): A = {
-    val c = new MiniKafkaClient(host, port)
-    try f(c) finally c.close()
-  }
+  // ONE driver-side connection for the stream's lifetime (offset polls
+  // happen once per micro-batch; a socket per poll is pure overhead) —
+  // lazily opened, closed by stop(). MiniKafkaClient.call synchronizes,
+  // so concurrent planner threads serialize safely.
+  @transient private lazy val driverClient = new MiniKafkaClient(host, port)
+  private def withClient[A](f: MiniKafkaClient => A): A = f(driverClient)
 
   // topic-partition set is discovered once per stream (static, like the
   // stock source without subscribePattern repartition handling)
@@ -195,7 +197,8 @@ private[kafka] class GraftKafkaMicroBatchStream(options: CaseInsensitiveStringMa
 
   override def commit(end: Offset): Unit = () // offsets live in the checkpoint
 
-  override def stop(): Unit = ()
+  override def stop(): Unit =
+    try driverClient.close() catch { case _: java.io.IOException => () }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftKafkaOffset].partitionOffsets
