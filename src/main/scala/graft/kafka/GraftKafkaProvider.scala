@@ -158,9 +158,54 @@ private[kafka] class GraftKafkaTable(options: CaseInsensitiveStringMap)
 }
 
 /** Micro-batch read: each planning round asks the broker for log-end
-  * offsets; a batch is the `[start, end)` range per partition. */
+  * offsets; a batch is the `[start, end)` range per partition. With
+  * `maxOffsetsPerTrigger` set, batches are admission-controlled — the
+  * per-trigger budget splits across topic-partitions proportionally to
+  * their lag (the stock source's backpressure contract), so a restart
+  * against a deep backlog drains in bounded, checkpointable steps
+  * instead of one giant batch. */
 private[kafka] class GraftKafkaMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+
+  private val maxPerTrigger: Option[Long] =
+    Option(options.get("maxOffsetsPerTrigger")).map(_.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val ends = latestOffset().asInstanceOf[GraftKafkaOffset].partitionOffsets
+    limit match {
+      case rl: ReadMaxRows =>
+        val s = start.asInstanceOf[GraftKafkaOffset].partitionOffsets
+        val lags = ends.toSeq.sortBy(_._1).map { case (tp, end) =>
+          (tp, s.getOrElse(tp, 0L), end, math.max(0L, end - s.getOrElse(tp, 0L)))
+        }
+        val total = lags.map(_._4).sum
+        val budget = rl.maxRows()
+        if (total <= budget) GraftKafkaOffset(ends)
+        else {
+          // proportional floor, then leftover one-by-one in tp order so
+          // tiny budgets still make progress on SOME partition
+          var used = 0L
+          val base = lags.map { case (tp, from, _, lag) =>
+            val take = budget * lag / total
+            used += take
+            (tp, from, lag, take)
+          }
+          var leftover = budget - used
+          GraftKafkaOffset(base.map { case (tp, from, lag, take) =>
+            val extra = if (leftover > 0 && take < lag) { leftover -= 1; 1L } else 0L
+            tp -> (from + math.min(lag, take + extra))
+          }.toMap)
+        }
+      case _ => GraftKafkaOffset(ends)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   private val (host, port) = GraftKafka.hostPort(options)
   private val topics = GraftKafka.topicsOf(options)

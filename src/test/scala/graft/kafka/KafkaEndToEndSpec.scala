@@ -149,6 +149,38 @@ class KafkaEndToEndSpec extends SparkSpec {
     }
   }
 
+  test("maxOffsetsPerTrigger bounds every micro-batch and still drains the log") {
+    val s = spark
+    implicit val sql = s.sqlContext
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    try {
+      // 7 records on p0, 3 on p1 — uneven lag exercises the
+      // proportional split and the leftover distribution
+      producer.produce("throttled", 0, (1 to 7).map(i =>
+        Wire.WireRecord(0L, i.toLong, null, s"a$i".getBytes)))
+      producer.produce("throttled", 1, (1 to 3).map(i =>
+        Wire.WireRecord(0L, i.toLong, null, s"b$i".getBytes)))
+      val df = s.readStream.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "throttled")
+        .option("maxOffsetsPerTrigger", "4")
+        .load()
+      val q = df.writeStream.format("memory").queryName("throttled_out")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(s.table("throttled_out").count() == 10) // fully drained
+        val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+        assert(sizes.forall(_ <= 4), s"a batch exceeded the budget: $sizes")
+        assert(sizes.length >= 3, s"backlog drained in too few batches: $sizes")
+      } finally q.stop()
+    } finally {
+      producer.close()
+      broker.close()
+    }
+  }
+
   test("batch read: spark.read over the topic returns the full log with pushed projection") {
     val s = spark
     import s.implicits._
