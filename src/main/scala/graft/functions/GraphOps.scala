@@ -308,7 +308,12 @@ object GraphOps {
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+    // every round joins the SAME edge table; snapshot it once so the
+    // caller's edge derivation (often itself a join/agg chain) runs one
+    // time, not once per round — the d7 snapshot contract: the returned
+    // plan reads the snapshot, which stays resident (documented leak)
     val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(false)
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
