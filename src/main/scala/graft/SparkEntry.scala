@@ -2365,6 +2365,25 @@ object SparkEntry {
     "x68_bpe_merges" -> ((s, dir) =>
       graft.functions.Bpe.learnMerges(Tables.documents(s, dir), "text", rounds = 4)),
 
+    // tokenizer APPLICATION: encode the corpus with the x68-learned
+    // merge table — per-doc word and subword counts (the fertility
+    // readout that decides whether a vocab is worth shipping). The
+    // merge table is 4 driver rows (bounded by the round budget);
+    // encoding itself is a pure map-side regexp_replace chain, so the
+    // corpus is touched once with zero extra shuffles beyond the
+    // per-doc count agg. Oracle replays learning via x68's unrolled
+    // CTEs and applies the same left-to-right fuse contract per word
+    "x74_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.functions.Bpe.learnMerges(docs, "text", rounds = 4)
+        .orderBy("step").select("lhs", "rhs")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.functions.Bpe.encode(docs, "text", merges)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(col("subwords"))).cast("long").as("n_subwords"))
+    }),
+
     // per-source document cap (RefinedWeb's host-level cap, Penedo et
     // al. 2023 §3.3: no single origin may dominate the corpus): keep
     // each source's top-10 documents by quality score (ties broken by
@@ -4807,6 +4826,54 @@ object SparkEntry {
         |UNION ALL SELECT 2, a, b, a || b, cnt FROM m2
         |UNION ALL SELECT 3, a, b, a || b, cnt FROM m3
         |UNION ALL SELECT 4, a, b, a || b, cnt FROM m4""".stripMargin
+    },
+
+    // x68's learned merges applied per word (same replace contract),
+    // then per-doc token-instance and subword sums
+    "x74_bpe_encode" -> {
+      def pairs(src: String, out: String) =
+        s"""$out AS (
+           |  SELECT p[1] AS a, p[2] AS b, sum(wf)::BIGINT AS cnt
+           |  FROM (SELECT unnest(list_zip(string_split(syms, chr(31)),
+           |                               string_split(syms, chr(31))[2:])) AS p, wf
+           |        FROM $src)
+           |  WHERE p[2] IS NOT NULL GROUP BY 1, 2)"""
+      def best(src: String, out: String) =
+        s"$out AS (SELECT a, b, cnt FROM $src ORDER BY cnt DESC, a, b LIMIT 1)"
+      def merge(src: String, m: String, out: String) =
+        s"""$out AS (SELECT replace(syms, a || chr(31) || b, a || b) AS syms, wf
+           |         FROM $src CROSS JOIN $m)"""
+      s"""WITH $toksSql,
+        |words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |wf AS (SELECT w, count(*)::BIGINT AS wf FROM words GROUP BY 1),
+        |s0 AS (SELECT array_to_string(string_split(w, ''), chr(31)) AS syms, wf FROM wf),
+        |${pairs("s0", "p1")},
+        |${best("p1", "m1")},
+        |${merge("s0", "m1", "s1")},
+        |${pairs("s1", "p2")},
+        |${best("p2", "m2")},
+        |${merge("s1", "m2", "s2")},
+        |${pairs("s2", "p3")},
+        |${best("p3", "m3")},
+        |${merge("s2", "m3", "s3")},
+        |${pairs("s3", "p4")},
+        |${best("p4", "m4")},
+        |enc AS (
+        |  SELECT d.w,
+        |    len(string_split(
+        |      replace(replace(replace(replace(
+        |        array_to_string(string_split(d.w, ''), chr(31)),
+        |        m1.a || chr(31) || m1.b, m1.a || m1.b),
+        |        m2.a || chr(31) || m2.b, m2.a || m2.b),
+        |        m3.a || chr(31) || m3.b, m3.a || m3.b),
+        |        m4.a || chr(31) || m4.b, m4.a || m4.b),
+        |      chr(31)))::BIGINT AS nsw
+        |  FROM (SELECT DISTINCT w FROM words) d
+        |  CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3 CROSS JOIN m4)
+        |SELECT words.doc_id, count(*)::BIGINT AS n_words,
+        |  sum(enc.nsw)::BIGINT AS n_subwords
+        |FROM words JOIN enc ON enc.w = words.w
+        |GROUP BY 1""".stripMargin
     },
 
     // the shared quality formula (t2's qualitySql) feeds the same
