@@ -2,6 +2,7 @@ package graft.kafka
 
 import graft.SparkSpec
 import graft.streaming.{KafkaEdges, Rec}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
@@ -226,6 +227,40 @@ class KafkaEndToEndSpec extends SparkSpec {
       } finally q.stop()
     } finally {
       producer.close()
+      broker.close()
+    }
+  }
+
+  test("tombstones survive the wire: null values produce null-value records") {
+    // the S3 changelog contract (reference `.to(topic)` on a compacted
+    // topic): a deleted key ships as key + NULL value. The v1 message
+    // format encodes that as BYTES(-1); the sink, broker log, and fetch
+    // must all preserve it.
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val broker = new MiniBroker(numPartitions = 2)
+    val consumer = new MiniKafkaClient("localhost", broker.port)
+    val ckpt = Files.createTempDirectory("graft_kafka_tomb").toString
+    try {
+      val in = MemoryStream[Rec]
+      val q = KafkaEdges.sink(in.toDS(), broker.bootstrapServers, "changelog",
+          ckpt, format = "graft-kafka")
+        .outputMode("append").start()
+      try {
+        in.addData(Rec("k1", "v1", 1L, 0L), Rec("k1", null, 2L, 1L),
+          Rec("k2", "v2", 3L, 2L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val recs = (0 until 2).flatMap(p => consumer.fetchAll("changelog", p))
+        .map(r => (new String(r.key, "UTF-8"),
+          Option(r.value).map(new String(_, "UTF-8"))))
+      assert(recs.toSet == Set(("k1", Some("v1")), ("k1", None), ("k2", Some("v2"))))
+      // last-write-wins compaction view: k1 reads as deleted
+      val latest = recs.foldLeft(Map.empty[String, Option[String]])(_ + _)
+      assert(latest == Map("k1" -> None, "k2" -> Some("v2")))
+    } finally {
+      consumer.close()
       broker.close()
     }
   }
