@@ -551,6 +551,25 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), p)
   }
 
+  test("x73 token budget: level bases broadcast; doc window partitions by quality") {
+    val p = planOf("x73_token_budget")
+    assert(p.contains("BroadcastHashJoin"),
+      s"level-base join must broadcast (dimension-sized):\n$p")
+    assert(p.contains("windowspecdefinition(quality"), p)
+  }
+
+  test("x74 BPE encode: map-side replace chain + ONE doc-keyed exchange, no join") {
+    val p = planOf("x74_bpe_encode").toLowerCase
+    // "hashjoin"/loop, not bare "join" — the encode projection contains
+    // array_join, which is a scalar, not an operator
+    assert(!p.contains("hashjoin") && !p.contains("nestedloop") &&
+      !p.contains("cartesian"), p)
+    assert(!p.contains("windowexec"), p)
+    assert(p.sliding("exchange hashpartitioning".length)
+      .count(_ == "exchange hashpartitioning") == 1,
+      s"encode should pay exactly one hash exchange:\n$p")
+  }
+
   test("x69 source cap: ONE source-partitioned window, no join") {
     val p = planOf("x69_source_cap")
     assert(p.contains("windowspecdefinition(source"), p)
