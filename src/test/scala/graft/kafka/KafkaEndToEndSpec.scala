@@ -231,6 +231,47 @@ class KafkaEndToEndSpec extends SparkSpec {
     }
   }
 
+  test("WindowedJoin: two topics band-joined over the wire into a third") {
+    // the reference's third app (`apps/WindowedJoin.scala:41-53`):
+    // input1 ⋈ input2 within a ±10 s window, joiner = left + right
+    // concat, result to topic "join" — here with every byte crossing
+    // the broker socket on all three edges.
+    val s = spark
+    import s.implicits._
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    val ckpt = Files.createTempDirectory("graft_kafka_wj").toString
+    val base = 1700000000000L
+    try {
+      producer.produceStrings("input1", Seq(
+        ("hmida", "L1", base), ("lambda", "L2", base + 1000),
+        ("hmida", "L3", base + 60000))) // 60 s later — joins nothing
+      producer.produceStrings("input2", Seq(
+        ("hmida", "R1", base + 5000),   // within 10 s of L1
+        ("lambda", "R2", base + 30000), // 29 s from L2 — outside the band
+        ("hmida", "R3", base + 55000))) // within 10 s of L3
+      def side(topic: String) =
+        KafkaEdges.source(s, broker.bootstrapServers, topic, format = "graft-kafka")
+          .toDF().select(col("key"), col("value"), timestamp_millis(col("ts")).as("ts"))
+      val joined = graft.streaming.StreamJoins.bandJoin(
+          side("input1"), side("input2"), bandSeconds = 10L, grace = "0 seconds")
+        .select(col("l_key").as("key"),
+          concat(col("l_value"), col("r_value")).as("value"),
+          lit(0L).as("ts"), lit(0L).as("seq"))
+        .as[Rec]
+      val q = KafkaEdges.sink(joined, broker.bootstrapServers, "join",
+          ckpt, format = "graft-kafka")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = (0 until 2).flatMap(p => producer.fetchAll("join", p))
+        .map(r => (new String(r.key, "UTF-8"), new String(r.value, "UTF-8"))).toSet
+      assert(got == Set(("hmida", "L1R1"), ("hmida", "L3R3")))
+    } finally {
+      producer.close()
+      broker.close()
+    }
+  }
+
   test("tombstones survive the wire: null values produce null-value records") {
     // the S3 changelog contract (reference `.to(topic)` on a compacted
     // topic): a deleted key ships as key + NULL value. The v1 message
