@@ -321,9 +321,15 @@ object DedupOps {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     import org.apache.spark.sql.expressions.Window
     val tk = tkDistinct.withColumnRenamed("sh", "tok")
-    val dft = tk.groupBy("tok").agg(count(lit(1)).as("df"))
+    // document frequency as a WINDOW over the tok exchange, not a
+    // groupBy + join back: the join version shuffles the (doc, tok)
+    // rows on tok anyway (to meet the aggregate), so the window gets
+    // the same df with one less join and one less aggregation branch.
+    // A stop-shingle's tok partition is the same hot partition either
+    // way — skew is unchanged, work is strictly less.
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
-    val pfx = tk.join(dft, "tok")
+    val pfx = tk
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
       .select(col("doc_id"), col("tok"),
         row_number().over(byRarity).as("rnk"),
         count(lit(1)).over(Window.partitionBy("doc_id")).as("n"))
