@@ -93,6 +93,7 @@ final class MiniBroker(val numPartitions: Int = 2) extends AutoCloseable {
               case ApiProduce => produce(r)
               case ApiFetch => fetch(r)
               case ApiListOffsets => listOffsets(r)
+              case Wire.ApiVersions => apiVersions()
               case other => throw new IllegalArgumentException(s"api key $other unsupported")
             }
             val resp = new Buf
@@ -210,6 +211,20 @@ final class MiniBroker(val numPartitions: Int = 2) extends AutoCloseable {
         }
       }
     }
+    b
+  }
+
+  /** ApiVersions v0 — the protocol's handshake: a client opens with this
+    * to learn which (api, version) pairs the broker speaks. Answering it
+    * honestly (version 0 of the four data apis) is what lets a
+    * spec-conforming client negotiate down instead of dying on its first
+    * data request. */
+  private def apiVersions(): Buf = {
+    val b = new Buf
+    b.int16(ErrNone)
+    val apis = Seq(ApiProduce, ApiFetch, ApiListOffsets, ApiMetadata, Wire.ApiVersions)
+    b.int32(apis.size)
+    apis.foreach(k => b.int16(k).int16(0).int16(0)) // api, min, max
     b
   }
 

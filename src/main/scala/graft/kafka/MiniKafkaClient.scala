@@ -36,6 +36,17 @@ final class MiniKafkaClient(host: String, port: Int) extends AutoCloseable {
     r
   }
 
+  /** The protocol handshake: (api_key → max supported version). */
+  def apiVersions(): Map[Short, Short] = {
+    val r = call(Wire.ApiVersions, new Buf)
+    val err = r.int16()
+    require(err == ErrNone, s"apiVersions error $err")
+    val n = r.int32()
+    (0 until n).map { _ =>
+      val k = r.int16(); r.int16(); k -> r.int16()
+    }.toMap
+  }
+
   /** Topic → partition count (auto-creates on the mini broker). */
   def partitionsFor(topic: String): Int = {
     val body = new Buf

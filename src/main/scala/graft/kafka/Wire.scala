@@ -29,6 +29,7 @@ object Wire {
   val ApiFetch: Short = 1
   val ApiListOffsets: Short = 2
   val ApiMetadata: Short = 3
+  val ApiVersions: Short = 18
 
   val ErrNone: Short = 0
   val ErrUnknownTopicOrPartition: Short = 3

@@ -74,6 +74,15 @@ class MiniBrokerSpec extends AnyFunSuite {
     }
   }
 
+  test("ApiVersions handshake advertises the four data apis at version 0") {
+    withBroker { (_, client) =>
+      val vs = client.apiVersions()
+      Seq(ApiProduce, ApiFetch, ApiListOffsets, ApiMetadata).foreach { k =>
+        assert(vs.get(k).contains(0.toShort), s"api $k missing/else: $vs")
+      }
+    }
+  }
+
   test("murmur2 matches Kafka's published test vectors") {
     // vectors from the public Apache Kafka client test suite
     // (org.apache.kafka.common.utils.UtilsTest#testMurmur2)
