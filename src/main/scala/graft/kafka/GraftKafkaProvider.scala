@@ -349,11 +349,18 @@ private[kafka] class GraftKafkaDataWriter(host: String, port: Int, topic: String
       try {
         val n = client.partitionsFor(topic)
         val now = System.currentTimeMillis()
-        rows.groupBy { case (k, _) =>
-          if (k == null) 0 else Wire.partitionFor(k, n)
-        }.toSeq.sortBy(_._1).foreach { case (p, rs) =>
+        // keyed records place by murmur2 (the DefaultPartitioner);
+        // null-key records round-robin across partitions per task (the
+        // stock producer spreads them too — pinning them all to one
+        // partition would hot-spot an unkeyed stream)
+        var rr = 0
+        rows.map { case (k, v) =>
+          val p = if (k == null) { rr += 1; (rr - 1) % n }
+                  else Wire.partitionFor(k, n)
+          (p, k, v)
+        }.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (p, rs) =>
           client.produce(topic, p,
-            rs.toSeq.map { case (k, v) => WireRecord(0L, now, k, v) })
+            rs.toSeq.map { case (_, k, v) => WireRecord(0L, now, k, v) })
         }
       } finally client.close()
     }
