@@ -76,6 +76,14 @@ object StateQueries {
     df.select(keyCols ++ valCols: _*)
   }
 
+  /** Store discovery: which stateful operators (and state stores) a
+    * checkpoint holds, with partition counts and batch ranges — the
+    * reference client's "what can I query" step
+    * (`MetadataService.java:30-68` enumerates stores per instance; on
+    * Spark the checkpoint itself is the catalog). */
+  def metadata(spark: SparkSession, checkpointDir: String): DataFrame =
+    spark.read.format("state-metadata").load(checkpointDir)
+
   /** Point lookup: rows whose key matches `pred`
     * (reference `GET /state/keyvalue/{store}/{key}`). */
   def point(state: DataFrame, pred: Column): DataFrame = state.filter(pred)

@@ -65,6 +65,31 @@ class StateQueriesSpec extends SparkSpec {
     assert(wf == Set((s"hmida@$base", 3L)))
   }
 
+  test("metadata lists the checkpoint's stateful operator and store") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val ckpt = Files.createTempDirectory("graft_meta_state").toString
+    val in = MemoryStream[Ev]
+    val agg = WindowedStreams.tumblingCounts(in.toDF(), "ts", "10 seconds", "1 hour",
+      col("key"))
+    val q = agg.select(col("key"), col("count"))
+      .writeStream.format("memory").queryName("meta_state_src")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      in.addData(Ev("hmida", 1, ts(0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val meta = StateQueries.metadata(s, ckpt)
+      .select("operatorName", "stateStoreName", "numPartitions")
+      .as[(String, String, Int)].collect()
+    // the streaming aggregation registers as the stateStoreSave operator
+    // with the "default" store, partitioned like the shuffle
+    assert(meta.toSeq == Seq(("stateStoreSave", "default", 2)), meta.mkString(", "))
+  }
+
   test("point/all/range reads over a transformWithState checkpoint") {
     import graft.streaming.StreamZScore
     import graft.streaming.StreamZScore.TypedValue
