@@ -2673,6 +2673,30 @@ object SparkEntry {
       graft.functions.AbTest.lift(armed, "event_type", "value", "arm")
     }),
 
+    // Wilson score interval per event type (Wilson 1927; the
+    // small-sample-safe confidence bound product analytics ranks by —
+    // a 3/3 success rate must NOT outrank 95/100): conversion =
+    // value > 100, z = 1.96. ONE aggregation pass over the fact table
+    // (count + conditional sum partials); the interval algebra runs on
+    // |types| rows. Both engines evaluate the identical double
+    // expression tree, rounded at 6
+    "x75_wilson" -> ((s, dir) => {
+      val z = 1.959964
+      val agg = ev(s, dir).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") > 100, 1L).otherwise(0L)).as("pos"))
+      val nn = col("n").cast("double")
+      val p = col("pos").cast("double") / nn
+      val z2 = lit(z * z)
+      val denom = lit(1.0) + z2 / nn
+      val center = p + z2 / (lit(2.0) * nn)
+      val margin = lit(z) * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * nn)) / nn)
+      agg.select(col("event_type"), col("n"), col("pos"),
+        round(p, 6).as("rate"),
+        round((center - margin) / denom, 6).as("wilson_lo"),
+        round((center + margin) / denom, 6).as("wilson_hi"))
+    }),
+
     // zero-filled weekly series: (event_type × every week in range),
     // including silent weeks — the gap-filled shape monitoring needs
     // (a missing week must read 0, not vanish). The data-sized work is
@@ -5078,6 +5102,25 @@ object SparkEntry {
         |    nullif(sqrt((sv2a / na - pow(sva / na, 2)) / na
         |       + (sv2b / nb - pow(svb / nb, 2)) / nb), 0), 4) AS z
         |FROM a JOIN b USING (event_type)""".stripMargin,
+
+    // the identical double expression tree (z and z² as the same
+    // literals, same parenthesization), round-6 pinned
+    "x75_wilson" ->
+      s"""WITH $evSql,
+        |a AS (SELECT event_type, count(*)::BIGINT AS n,
+        |        sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)::BIGINT AS pos
+        |      FROM ev GROUP BY 1)
+        |SELECT event_type, n, pos,
+        |  round(pos::DOUBLE / n::DOUBLE, 6) AS rate,
+        |  round(((pos::DOUBLE / n::DOUBLE) + (1.959964 * 1.959964) / (2.0 * n::DOUBLE)
+        |         - 1.959964 * sqrt(((pos::DOUBLE / n::DOUBLE) * (1.0 - pos::DOUBLE / n::DOUBLE)
+        |                            + (1.959964 * 1.959964) / (4.0 * n::DOUBLE)) / n::DOUBLE))
+        |        / (1.0 + (1.959964 * 1.959964) / n::DOUBLE), 6) AS wilson_lo,
+        |  round(((pos::DOUBLE / n::DOUBLE) + (1.959964 * 1.959964) / (2.0 * n::DOUBLE)
+        |         + 1.959964 * sqrt(((pos::DOUBLE / n::DOUBLE) * (1.0 - pos::DOUBLE / n::DOUBLE)
+        |                            + (1.959964 * 1.959964) / (4.0 * n::DOUBLE)) / n::DOUBLE))
+        |        / (1.0 + (1.959964 * 1.959964) / n::DOUBLE), 6) AS wilson_hi
+        |FROM a""".stripMargin,
 
     "x47_time_grid" ->
       s"""WITH $evSql,
