@@ -272,6 +272,61 @@ class KafkaEndToEndSpec extends SparkSpec {
     }
   }
 
+  test("WindowedGroupAtClose: emit-on-close windows over the wire") {
+    // the reference's fourth app (`apps/WindowedGroupAtClose.scala:29-38`):
+    // 10 s tumbling counts with emitStrategy(onWindowClose), key
+    // "$key-$windowStartMs", to topic "output". Append mode emits a
+    // window exactly once, when the watermark closes it — so the
+    // advancer's own (still-open) window must NOT appear.
+    val s = spark
+    import s.implicits._
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    val ckpt = Files.createTempDirectory("graft_kafka_close").toString
+    val base = 1700000000000L
+    try {
+      producer.produceStrings("input", Seq(
+        ("hmida", "1", base), ("hmida", "1", base + 1000),
+        ("lambda", "1", base + 2000), ("hmida", "1", base + 12000)))
+      val src = KafkaEdges.source(s, broker.bootstrapServers, "input",
+        format = "graft-kafka")
+      val counts = graft.streaming.WindowedStreams.tumblingCounts(
+          src.toDF().withColumn("ets", timestamp_millis(col("ts"))),
+          "ets", "10 seconds", "0 seconds", col("key"))
+        .select(
+          concat(col("key"), lit("-"),
+            (col("window.start").cast("long") * 1000).cast("string")).as("key"),
+          col("count").cast("string").as("value"),
+          lit(0L).as("ts"), lit(0L).as("seq"))
+        .as[Rec]
+      val q = KafkaEdges.sink(counts, broker.bootstrapServers, "output",
+          ckpt, format = "graft-kafka")
+        .outputMode("append") // append = emit once, at close
+        .start()
+      try {
+        q.processAllAvailable()
+        // the +12 s event put stream time past w0's end, so w0 is closed
+        // and emitted; w1 (holding that event) is still open — exactly
+        // the reference's no-grace close rule
+        val mid = (0 until 2).flatMap(p => producer.fetchAll("output", p))
+          .map(r => new String(r.key, "UTF-8")).toSet
+        assert(mid == Set(s"hmida-$base", s"lambda-$base"), mid)
+        // the advancer pushes the watermark past w1 as well
+        producer.produceStrings("input", Seq(("zz", "1", base + 30000)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = (0 until 2).flatMap(p => producer.fetchAll("output", p))
+        .map(r => (new String(r.key, "UTF-8"), new String(r.value, "UTF-8").toLong))
+        .toSet
+      assert(got == Set(
+        (s"hmida-$base", 2L), (s"lambda-$base", 1L),
+        (s"hmida-${base + 10000}", 1L)), got)
+    } finally {
+      producer.close()
+      broker.close()
+    }
+  }
+
   test("tombstones survive the wire: null values produce null-value records") {
     // the S3 changelog contract (reference `.to(topic)` on a compacted
     // topic): a deleted key ships as key + NULL value. The v1 message
