@@ -327,6 +327,64 @@ class KafkaEndToEndSpec extends SparkSpec {
     }
   }
 
+  test("ForeignJoin: FK left join between two changelog topics over the wire") {
+    // the reference's FK-join app (`apps/ForeignJoin.scala:24-44`):
+    // left-topic rows carry their foreign key in the value, right-topic
+    // is the FK-keyed table, output = foreignValue keyed by left key
+    // (null when the FK dangles — on the wire that IS a null-value
+    // record, exactly like the reference's Integer null).
+    val s = spark
+    import s.implicits._
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    val ckpt = Files.createTempDirectory("graft_kafka_fk").toString
+    val fkOf: String => String = v => {
+      val fk = v.substring(0, v.indexOf('|'))
+      if (fk.isEmpty) null else fk
+    }
+    try {
+      def feed(topic: String, rows: (String, String)*): Unit = {
+        producer.produceStrings(topic, rows.map { case (k, v) => (k, v, 0L) })
+      }
+      val left = KafkaEdges.source(s, broker.bootstrapServers, "left-topic",
+        format = "graft-kafka")
+      val right = KafkaEdges.source(s, broker.bootstrapServers, "right-topic",
+        format = "graft-kafka")
+      val out = graft.streaming.FkJoinStream.join(left, right, fkOf, how = "left")
+        .select(col("leftKey").as("key"),
+          when(col("deleted"), lit(null: String))
+            .otherwise(col("rightValue")).as("value"),
+          lit(0L).as("ts"), col("seq"))
+        .as[Rec]
+      val q = KafkaEdges.sink(out, broker.bootstrapServers, "output-join",
+          ckpt, format = "graft-kafka")
+        .outputMode("append").start()
+      try {
+        feed("right-topic", ("adidas", "3"), ("puma", "4"))
+        q.processAllAvailable()
+        feed("left-topic", ("3 bands", "adidas|3 bands"),
+          ("suede", "puma|suede"), ("classic", "nike|classic"))
+        q.processAllAvailable()
+        feed("right-topic", ("adidas", "5"))  // FK-side update re-joins
+        q.processAllAvailable()
+        feed("left-topic", ("suede", null))   // left delete → tombstone
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val byKey = (0 until 2).flatMap(p => producer.fetchAll("output-join", p))
+        .sortBy(_.offset)
+        .groupBy(r => new String(r.key, "UTF-8"))
+        .view.mapValues(_.map(r =>
+          Option(r.value).map(new String(_, "UTF-8"))).toList).toMap
+      assert(byKey("3 bands") == List(Some("3"), Some("5")))
+      assert(byKey("suede") == List(Some("4"), None))
+      assert(byKey("classic") == List(None)) // dangling FK = null pad
+    } finally {
+      producer.close()
+      broker.close()
+    }
+  }
+
   test("tombstones survive the wire: null values produce null-value records") {
     // the S3 changelog contract (reference `.to(topic)` on a compacted
     // topic): a deleted key ships as key + NULL value. The v1 message
