@@ -385,6 +385,55 @@ class KafkaEndToEndSpec extends SparkSpec {
     }
   }
 
+  test("IQ REST over the wire topology: the counts-store answers HTTP point reads") {
+    // the reference runs its REST proxy NEXT TO the topology
+    // (`utils/IQService.scala:11-17`, `WordCount.java:56` names the
+    // store): same pairing here — WordCount fed over the broker socket,
+    // then the checkpoint's aggregation state served over live HTTP.
+    val s = spark
+    import s.implicits._
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    val ckpt = Files.createTempDirectory("graft_kafka_iq").toString
+    try {
+      producer.produceStrings("lines", Seq(("l1", "all streams lead to kafka", 1000L),
+        ("l2", "hello kafka streams", 2000L)))
+      val counts = KafkaEdges.source(s, broker.bootstrapServers, "lines",
+          format = "graft-kafka")
+        .toDF()
+        .select(explode(split(lower(col("value")), "\\W+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val q = counts.writeStream.format("memory").queryName("iq_counts")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+
+      val srv = new graft.state.StateHttpServer(s)
+        .registerView("counts-store", () =>
+          graft.state.StateQueries.flattened(s, ckpt)
+            // the state buffer keeps the physical agg name ("count"),
+            // not the query alias
+            .select(col("key_word").as("word"), col("value_count").as("cnt")),
+          keyCol = "word")
+      val port = srv.start()
+      try {
+        val conn = new java.net.URI(
+            s"http://127.0.0.1:$port/state/keyvalue/counts-store/kafka")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = scala.io.Source.fromInputStream(is, "UTF-8").mkString
+        conn.disconnect()
+        assert(code == 200 && body == """[{"word":"kafka","cnt":2}]""",
+          s"$code: $body")
+      } finally srv.stop()
+    } finally {
+      producer.close()
+      broker.close()
+    }
+  }
+
   test("tombstones survive the wire: null values produce null-value records") {
     // the S3 changelog contract (reference `.to(topic)` on a compacted
     // topic): a deleted key ships as key + NULL value. The v1 message
