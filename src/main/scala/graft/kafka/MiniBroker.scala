@@ -191,7 +191,7 @@ final class MiniBroker(val numPartitions: Int = 2) extends AutoCloseable {
         val (records, hw) = buf.synchronized {
           (buf.drop(from.toInt).toVector, buf.length.toLong)
         }
-        if (from > hw) {
+        if (from < 0 || from > hw) {
           b.int32(partition).int16(ErrOffsetOutOfRange).int64(hw)
           b.bytes(Array.emptyByteArray)
         } else {

@@ -140,6 +140,10 @@ object Wire {
     while (bb.remaining() >= 12) {
       val offset = bb.getLong()
       val size = bb.getInt()
+      // v1 message floor: crc(4) + magic(1) + attrs(1) + ts(8) + two
+      // null-BYTES markers (4+4) — a smaller size is corruption, not a
+      // message (and would otherwise read as a negative array length)
+      require(size >= 22, s"message size $size below the v1 minimum at offset $offset")
       if (bb.remaining() < size) { bb.position(bb.limit()) } // truncated tail
       else {
         val stored = bb.getInt()

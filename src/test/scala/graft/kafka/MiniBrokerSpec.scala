@@ -74,6 +74,23 @@ class MiniBrokerSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed message sizes and out-of-range fetch offsets fail clean") {
+    // size below the v1 floor must be a clear error, not a negative
+    // array allocation
+    val buf = new Buf
+    buf.int64(0L).int32(3).raw(Array[Byte](1, 2, 3))
+    val e = intercept[IllegalArgumentException](decodeMessageSet(buf.toArray))
+    assert(e.getMessage.contains("v1 minimum"))
+    withBroker { (_, client) =>
+      client.produce("rng", 0, Seq(WireRecord(0L, 1L, null, "v".getBytes)))
+      // negative and past-end offsets both answer OFFSET_OUT_OF_RANGE
+      Seq(-1L, 5L).foreach { off =>
+        val err = intercept[IllegalArgumentException](client.fetch("rng", 0, off))
+        assert(err.getMessage.contains("fetch error 1"), err.getMessage)
+      }
+    }
+  }
+
   test("ApiVersions handshake advertises the four data apis at version 0") {
     withBroker { (_, client) =>
       val vs = client.apiVersions()
