@@ -4986,13 +4986,15 @@ object SparkEntry {
     // the naive statement of the rule: global (quality DESC, doc_id)
     // running token total, cut at the budget — the two-phase Spark plan
     // must equal it exactly
+    // cum_tokens needs ::BIGINT — DuckDB widens sum(BIGINT) to HUGEINT,
+    // which pandas reads as float64 and the hash compare forks on dtype
     "x73_token_budget" ->
       s"""WITH $toksSql,
         |$qualitySql
         |SELECT doc_id, quality, n_tokens, cum_tokens FROM (
         |  SELECT doc_id, quality, n_tokens,
         |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
         |  FROM q)
         |WHERE cum_tokens <= 6000""".stripMargin,
 

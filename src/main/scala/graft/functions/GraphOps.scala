@@ -297,8 +297,9 @@ object GraphOps {
     * Scale shape: one node-keyed equi-join (edges ⋈ labels on the
     * neighbor endpoint) + two aggregations per round, all shuffling on
     * node id — the pageRank iteration pattern; the argmax is the
-    * portable max(struct(count, −label)) single-agg, never a per-node
-    * window over the vote table. Keep `rounds` small (communities
+    * portable min(struct(−count, label)) single-agg (negating the
+    * always-numeric COUNT, not the label, so string node ids order
+    * correctly too), never a per-node window over the vote table. Keep `rounds` small (communities
     * stabilize in a few sync rounds); deep budgets would want the d7
     * checkpoint discipline. Input edges (a, b) are symmetrized and
     * self-loop-pruned internally; returns (node, label). */
@@ -321,9 +322,13 @@ object GraphOps {
         .join(labels.select(col("node").as("v"), col("label")), "v")
         .groupBy(col("u").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
+      // (−c asc, label asc) min = (count desc, label asc) — the negation
+      // sits on the internal BIGINT count, so the label column keeps its
+      // native type and ordering (unary minus on a string id would cast
+      // to null and silently break the tie rule)
       labels = votes.groupBy("node")
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("best"))
-        .select(col("node"), (-col("best.nl")).as("label"))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("best"))
+        .select(col("node"), col("best.label").as("label"))
     }
     labels
   }

@@ -152,7 +152,7 @@ final class MiniBroker(val numPartitions: Int = 2) extends AutoCloseable {
             (ErrUnknownTopicOrPartition, -1L)
           else
             try {
-              val records = decodeMessageSet(setBytes)
+              val records = decodeMessageSet(setBytes, allowTruncatedTail = false)
               val buf = log(topic, partition)
               val b0 = buf.synchronized {
                 val b0 = buf.length.toLong
@@ -187,27 +187,40 @@ final class MiniBroker(val numPartitions: Int = 2) extends AutoCloseable {
         val partition = r.int32()
         val from = r.int64()
         val maxBytes = r.int32()
-        val buf = log(topic, partition)
-        val (records, hw) = buf.synchronized {
-          (buf.drop(from.toInt).toVector, buf.length.toLong)
-        }
-        if (from < 0 || from > hw) {
-          b.int32(partition).int16(ErrOffsetOutOfRange).int64(hw)
+        if (partition < 0 || partition >= numPartitions) {
+          // validate BEFORE touching the log map — log() auto-creates
+          // entries, and a bad client would otherwise mint phantom
+          // partitions never advertised in metadata
+          b.int32(partition).int16(ErrUnknownTopicOrPartition).int64(-1L)
           b.bytes(Array.emptyByteArray)
         } else {
-          // size-bounded prefix, ≥ 1 message if any are pending
-          var taken = Vector.empty[WireRecord]
-          var bytes = 0
-          records.foreach { rec =>
-            val sz = 26 + 8 +
-              (if (rec.key == null) 0 else rec.key.length) +
-              (if (rec.value == null) 0 else rec.value.length)
-            if (taken.isEmpty || bytes + sz <= maxBytes) {
-              taken :+= rec; bytes += sz
-            }
+          val buf = log(topic, partition)
+          val (records, hw) = buf.synchronized {
+            (buf.drop(from.toInt).toVector, buf.length.toLong)
           }
-          b.int32(partition).int16(ErrNone).int64(hw)
-          b.bytes(encodeMessageSet(taken))
+          if (from < 0 || from > hw) {
+            b.int32(partition).int16(ErrOffsetOutOfRange).int64(hw)
+            b.bytes(Array.emptyByteArray)
+          } else {
+            // size-bounded CONTIGUOUS prefix, ≥ 1 message if any are
+            // pending (Kafka's no-starvation rule). Must stop at the
+            // first record that doesn't fit: clients advance their
+            // position to last.offset + 1, so a response with a gap
+            // would silently lose the skipped records.
+            var taken = Vector.empty[WireRecord]
+            var bytes = 0
+            var full = false
+            records.foreach { rec =>
+              val sz = 26 + 8 +
+                (if (rec.key == null) 0 else rec.key.length) +
+                (if (rec.value == null) 0 else rec.value.length)
+              if (!full && (taken.isEmpty || bytes + sz <= maxBytes)) {
+                taken :+= rec; bytes += sz
+              } else full = true
+            }
+            b.int32(partition).int16(ErrNone).int64(hw)
+            b.bytes(encodeMessageSet(taken))
+          }
         }
       }
     }
@@ -243,10 +256,14 @@ final class MiniBroker(val numPartitions: Int = 2) extends AutoCloseable {
         val partition = r.int32()
         val ts = r.int64()
         r.int32() // max_num_offsets
-        val end = logEnd(topic, partition)
-        val off = if (ts == -2L) 0L else end
-        b.int32(partition).int16(ErrNone)
-        b.int32(1).int64(off)
+        if (partition < 0 || partition >= numPartitions) {
+          b.int32(partition).int16(ErrUnknownTopicOrPartition).int32(0)
+        } else {
+          val end = logEnd(topic, partition)
+          val off = if (ts == -2L) 0L else end
+          b.int32(partition).int16(ErrNone)
+          b.int32(1).int64(off)
+        }
       }
     }
     b

@@ -131,10 +131,13 @@ object Wire {
     out.toArray
   }
 
-  /** Decode a v1 MessageSet, CRC-checking every entry; a trailing
-    * truncated entry (Kafka allows one at fetch-response cut points) is
-    * dropped silently. */
-  def decodeMessageSet(data: Array[Byte]): Seq[WireRecord] = {
+  /** Decode a v1 MessageSet, CRC-checking every entry. A trailing
+    * truncated entry is legal ONLY on the fetch path (Kafka cuts fetch
+    * responses at max_bytes mid-message); callers decoding produce
+    * requests must pass `allowTruncatedTail = false` so a half-received
+    * set is rejected as corruption instead of half-accepted. */
+  def decodeMessageSet(data: Array[Byte],
+                       allowTruncatedTail: Boolean = true): Seq[WireRecord] = {
     val bb = ByteBuffer.wrap(data)
     val out = Seq.newBuilder[WireRecord]
     while (bb.remaining() >= 12) {
@@ -144,7 +147,11 @@ object Wire {
       // null-BYTES markers (4+4) — a smaller size is corruption, not a
       // message (and would otherwise read as a negative array length)
       require(size >= 22, s"message size $size below the v1 minimum at offset $offset")
-      if (bb.remaining() < size) { bb.position(bb.limit()) } // truncated tail
+      if (bb.remaining() < size) { // truncated tail
+        require(allowTruncatedTail,
+          s"truncated message at offset $offset: $size declared, ${bb.remaining()} present")
+        bb.position(bb.limit())
+      }
       else {
         val stored = bb.getInt()
         val body = new Array[Byte](size - 4)
@@ -161,6 +168,9 @@ object Wire {
         out += WireRecord(offset, ts, r.bytes(), r.bytes())
       }
     }
+    // a sub-header tail (< 12 bytes) is the same truncation case
+    require(allowTruncatedTail || bb.remaining() == 0,
+      s"${bb.remaining()} trailing bytes after the last complete message")
     out.result()
   }
 

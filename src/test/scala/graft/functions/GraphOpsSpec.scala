@@ -326,4 +326,20 @@ class GraphOpsSpec extends SparkSpec {
     val r2 = GraphOps.labelPropagation(e2, 2).as[(Long, Long)].collect().toMap
     assert(r1 == r2)
   }
+
+  test("labelPropagation tie-break holds for STRING node ids") {
+    import spark.implicits._
+    // same two-triangle shape as the hand-traced long-id test, with
+    // lexicographic ids; unary minus on a string casts to null, so the
+    // old −label tie-break would have silently voided the min-label rule
+    val ids = Map(1L -> "n1", 2L -> "n2", 3L -> "n3",
+      4L -> "n4", 5L -> "n5", 6L -> "n6")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .map { case (a, b) => (ids(a), ids(b)) }.toDF("a", "b")
+    val got = GraphOps.labelPropagation(edges, rounds = 3)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("n1" -> "n1", "n2" -> "n1", "n3" -> "n1",
+      "n4" -> "n3", "n5" -> "n3", "n6" -> "n3"))
+  }
 }

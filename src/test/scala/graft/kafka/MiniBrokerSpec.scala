@@ -136,4 +136,80 @@ class MiniBrokerSpec extends AnyFunSuite {
       } finally c.close()
     }
   }
+
+  test("maxBytes fetch with mixed record sizes returns a contiguous prefix") {
+    withBroker { (_, client) =>
+      // small, BIG, small: the big middle record must stop the scan —
+      // a response of {0, 2} would make the consumer (which advances to
+      // last.offset + 1) silently lose offset 1
+      client.produce("mix", 0, Seq(
+        WireRecord(0L, 1L, null, Array.fill[Byte](10)('a')),
+        WireRecord(0L, 2L, null, Array.fill[Byte](1000)('b')),
+        WireRecord(0L, 3L, null, Array.fill[Byte](10)('c'))))
+      val got = client.fetch("mix", 0, 0L, maxBytes = 100)
+      assert(got.map(_.offset) == Seq(0L))
+      // the skipped-over big record is still reachable from offset 1
+      val rest = client.fetchAll("mix", 0, from = 1L)
+      assert(rest.map(_.offset) == Seq(1L, 2L))
+      assert(rest.map(_.value.length) == Seq(1000, 10))
+    }
+  }
+
+  test("truncated message set: legal on fetch decode, corruption on produce") {
+    val full = encodeMessageSet(Seq(
+      WireRecord(0L, 1L, null, "aaaa".getBytes),
+      WireRecord(1L, 2L, null, "bbbb".getBytes)))
+    val cut = full.take(full.length - 3)
+    // fetch path: a truncated tail is a legal max_bytes cut point
+    assert(decodeMessageSet(cut, allowTruncatedTail = true).map(_.offset) == Seq(0L))
+    // produce path: the same bytes are corruption, never half-accepted
+    val e = intercept[IllegalArgumentException](
+      decodeMessageSet(cut, allowTruncatedTail = false))
+    assert(e.getMessage.contains("truncated"))
+    // sub-header tail (< 12 bytes left) is the same truncation case
+    val e2 = intercept[IllegalArgumentException](
+      decodeMessageSet(full.take(full.length - 40), allowTruncatedTail = false))
+    assert(e2.getMessage.nonEmpty)
+  }
+
+  test("broker rejects a truncated produce message set with CORRUPT_MESSAGE") {
+    withBroker { (broker, _) =>
+      val sock = new java.net.Socket("localhost", broker.port)
+      try {
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val full = encodeMessageSet(Seq(WireRecord(0L, 1L, null, "vvvv".getBytes)))
+        val req = new Buf
+        req.int16(ApiProduce).int16(0).int32(7).string("raw")
+        req.int16(1).int32(10000)           // acks, timeout
+        req.int32(1).string("trunc")        // 1 topic
+        req.int32(1).int32(0)               // 1 partition, p0
+        req.bytes(full.take(full.length - 2)) // truncated set
+        writeFrame(out, req.toArray)
+        val r = new Reader(java.nio.ByteBuffer.wrap(readFrame(in).get))
+        assert(r.int32() == 7) // correlation
+        r.int32(); r.string(); r.int32() // topics, name, partitions
+        r.int32() // partition id
+        assert(r.int16() == ErrCorruptMessage)
+        assert(broker.logEnd("trunc", 0) == 0L) // nothing half-accepted
+      } finally sock.close()
+    }
+  }
+
+  test("fetch and listOffsets reject partitions outside the advertised range") {
+    withBroker { (_, client) =>
+      client.produce("pv", 0, Seq(WireRecord(0L, 1L, null, "v".getBytes)))
+      // numPartitions = 2, so partition 7 was never advertised; it must
+      // answer UNKNOWN_TOPIC_OR_PARTITION, not auto-create a phantom log
+      val fe = intercept[IllegalArgumentException](client.fetch("pv", 7, 0L))
+      assert(fe.getMessage.contains("fetch error 3"), fe.getMessage)
+      val le = intercept[IllegalArgumentException](
+        client.offsetFor("pv", 7, latest = true))
+      assert(le.getMessage.contains("listOffsets error 3"), le.getMessage)
+      val ne = intercept[IllegalArgumentException](client.fetch("pv", -1, 0L))
+      assert(ne.getMessage.contains("fetch error 3"), ne.getMessage)
+      // the valid range still works after the rejects
+      assert(client.fetchAll("pv", 0).size == 1)
+    }
+  }
 }
