@@ -76,6 +76,81 @@ class KafkaEndToEndSpec extends SparkSpec {
     }
   }
 
+  test("Pipe: records pass through unchanged over the wire") {
+    // the simplest reference app (`Pipe.java:44`:
+    // `builder.stream(in).to(out)`) — identity over the wire: keys,
+    // values, and per-partition order must survive both hops
+    val s = spark
+    import s.implicits._
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    val ckpt = Files.createTempDirectory("graft_pipe_e2e").toString
+    try {
+      producer.produceStrings("streams-plaintext-input", Seq(
+        ("k1", "all streams lead to kafka", 1000L),
+        ("k2", "hello kafka streams", 2000L),
+        ("k1", "join kafka summit", 3000L)))
+      val in = KafkaEdges.source(s, broker.bootstrapServers,
+        "streams-plaintext-input", format = "graft-kafka")
+      val q = KafkaEdges.sink(in, broker.bootstrapServers,
+          "streams-pipe-output", ckpt, format = "graft-kafka")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val out = (0 until 2).flatMap(p =>
+        producer.fetchAll("streams-pipe-output", p))
+        .map(r => (new String(r.key, "UTF-8"), new String(r.value, "UTF-8")))
+      assert(out.toSet == Set(
+        ("k1", "all streams lead to kafka"),
+        ("k2", "hello kafka streams"),
+        ("k1", "join kafka summit")))
+      // per-key order survives (same key → same partition both hops)
+      assert(out.filter(_._1 == "k1").map(_._2) ==
+        Seq("all streams lead to kafka", "join kafka summit"))
+    } finally {
+      producer.close()
+      broker.close()
+    }
+  }
+
+  test("LineSplit: flatMapValues word explosion over the wire") {
+    // `LineSplit.java:47-49`: stream → flatMapValues(split \W+) → out.
+    // Kafka Streams' flatMapValues KEEPS the record key on every emitted
+    // word — the key column must ride through the explosion unchanged
+    val s = spark
+    import s.implicits._
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    val ckpt = Files.createTempDirectory("graft_linesplit_e2e").toString
+    try {
+      producer.produceStrings("streams-plaintext-input", Seq(
+        ("k1", "all streams lead", 1000L),
+        ("k2", "hello kafka", 2000L)))
+      val in = KafkaEdges.source(s, broker.bootstrapServers,
+        "streams-plaintext-input", format = "graft-kafka")
+      val words = in.toDF()
+        .select(col("key"), col("ts"), col("seq"),
+          explode(split(col("value"), "\\W+")).as("value"))
+        .filter(length(col("value")) > 0)
+        .select(col("key"), col("value"), col("ts"), col("seq")).as[Rec]
+      val q = KafkaEdges.sink(words, broker.bootstrapServers,
+          "streams-linesplit-output", ckpt, format = "graft-kafka")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val out = (0 until 2).flatMap(p =>
+        producer.fetchAll("streams-linesplit-output", p))
+        .map(r => (new String(r.key, "UTF-8"), new String(r.value, "UTF-8")))
+      assert(out.toSet == Set(
+        ("k1", "all"), ("k1", "streams"), ("k1", "lead"),
+        ("k2", "hello"), ("k2", "kafka")))
+      assert(out.filter(_._1 == "k1").map(_._2) == Seq("all", "streams", "lead"))
+    } finally {
+      producer.close()
+      broker.close()
+    }
+  }
+
   test("WindowedGrouping: event-time tumbling counts over the wire") {
     // the second reference app (`apps/WindowedGrouping.scala:39-48`):
     // keyed stream → 10 s tumbling window count → selectKey
