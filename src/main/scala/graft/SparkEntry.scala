@@ -2697,6 +2697,33 @@ object SparkEntry {
         round((center + margin) / denom, 6).as("wilson_hi"))
     }),
 
+    // CCNet-style perplexity bucketing (Wenzek 2020): head/middle/tail
+    // tertiles of cross-entropy under the corpus's own unigram LM,
+    // bucketed per source (CCNet buckets per language) — the public
+    // "keep the head" curation gate, with the engine-exact unigram LM
+    // standing in for CCNet's KenLM
+    "t26_ppl_bucket" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.Selection.perplexityBuckets(
+          docs, col("text"), col("doc_id"), col("source"))
+        .select(col("doc_id"), col("grp").as("source"),
+          col("n_tokens"), col("xent"), col("bucket"))
+    }),
+
+    // DSIR importance weighting (Xie 2023): hashed unigram+bigram
+    // bucket models over the corpus md5 hash, target = src0/src1;
+    // each raw doc scores Σ c_b·ln(p_target/p_raw), and selected =
+    // more target-like than the raw average (logw > 0) — the
+    // deterministic variant of the paper's resampling rule
+    "x76_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.Selection.dsirLogWeights(docs, col("text"),
+          col("doc_id"), col("source").isin("src0", "src1"), buckets = 512)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("logw"), 6).as("logw"),
+          (round(col("logw"), 6) > 0).as("selected"))
+    }),
+
     // zero-filled weekly series: (event_type × every week in range),
     // including silent weeks — the gap-filled shape monitoring needs
     // (a missing week must read 0, not vanish). The data-sized work is
@@ -5123,6 +5150,50 @@ object SparkEntry {
         |                            + (1.959964 * 1.959964) / (4.0 * n::DOUBLE)) / n::DOUBLE))
         |        / (1.0 + (1.959964 * 1.959964) / n::DOUBLE), 6) AS wilson_hi
         |FROM a""".stripMargin,
+
+    // xent = ln(T) − Σ c·ln(C_w)/n under the corpus unigram model; the
+    // ntile runs over (round-6 xent, doc_id) — rounding BEFORE the sort
+    // keeps the bucket split engine-exact
+    "t26_ppl_bucket" ->
+      s"""WITH $toksSql,
+        |wcx AS (SELECT doc_id, w, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+        |vocab AS (SELECT w, sum(c)::BIGINT AS cw FROM wcx GROUP BY 1),
+        |tot AS (SELECT sum(cw)::DOUBLE AS tt FROM vocab),
+        |pd AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        |         sum(c::DOUBLE * ln(cw::DOUBLE)) AS clogcw
+        |       FROM wcx JOIN vocab USING (w) GROUP BY 1),
+        |x AS (SELECT doc_id, n_tokens,
+        |        round(ln(tt) - clogcw / n_tokens, 6) AS xent FROM pd, tot)
+        |SELECT x.doc_id, d.source, x.n_tokens, x.xent,
+        |  CASE ntile(3) OVER (PARTITION BY d.source ORDER BY x.xent, x.doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM x JOIN documents d ON d.doc_id = x.doc_id""".stripMargin,
+
+    // features = unigrams + space-joined bigrams, hashed with the
+    // corpus-standard md5-60-bit bucket (the x71 idiom); Laplace-smoothed
+    // 512-bucket models, log-ratio summed per raw doc, round-6 pinned
+    "x76_dsir" ->
+      s"""WITH $toksSql,
+        |ft AS (SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+        |         unnest(list_concat(t,
+        |           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))) AS f
+        |       FROM toks),
+        |fb AS (SELECT doc_id, tgt,
+        |         ('0x' || substr(md5(f), 1, 15))::BIGINT % 512 AS b FROM ft),
+        |pdc AS (SELECT doc_id, tgt, b, count(*) AS c FROM fb GROUP BY 1, 2, 3),
+        |model AS (SELECT b,
+        |            sum(CASE WHEN tgt THEN c ELSE 0 END)::BIGINT AS ct,
+        |            sum(CASE WHEN tgt THEN 0 ELSE c END)::BIGINT AS cr
+        |          FROM pdc GROUP BY 1),
+        |tots AS (SELECT sum(ct)::DOUBLE AS tt, sum(cr)::DOUBLE AS tr FROM model),
+        |lrs AS (SELECT b, ln((ct + 1)::DOUBLE / (tt + 512))
+        |               - ln((cr + 1)::DOUBLE / (tr + 512)) AS lr
+        |        FROM model, tots)
+        |SELECT doc_id, sum(c)::BIGINT AS n_feats,
+        |  round(sum(c::DOUBLE * lr), 6) AS logw,
+        |  round(sum(c::DOUBLE * lr), 6) > 0 AS selected
+        |FROM pdc JOIN lrs USING (b) WHERE NOT tgt GROUP BY doc_id""".stripMargin,
 
     "x47_time_grid" ->
       s"""WITH $evSql,
