@@ -1,7 +1,8 @@
 package graft.kafka
 
 import graft.SparkSpec
-import graft.streaming.{KafkaEdges, Rec}
+import graft.functions.TextAnalysis
+import graft.streaming.{KafkaEdges, Rec, StreamDedup}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -70,6 +71,65 @@ class KafkaEndToEndSpec extends SparkSpec {
         (0 until 2).flatMap(p => producer.fetchAll(outTopic, p)))
       assert(round2 == round1 ++ Map(
         "kafka" -> 4L, "streams" -> 3L, "again" -> 1L))
+    } finally {
+      producer.close()
+      broker.close()
+    }
+  }
+
+  test("document ingest over the wire: dedup + quality gate, state resumes across restart") {
+    // the LLM-ingest capstone over REAL bytes: documents produced to a
+    // raw topic, streamed through the exact-dedup gate
+    // (StreamDedup.firstPerFingerprint — whitespace-normalized md5) plus
+    // a quality floor, kept docs written to a second topic, fetched and
+    // asserted over the same wire. Leg 2 restarts from the checkpoint
+    // and REDELIVERS a leg-1 text — the fingerprint state must survive
+    // the restart and drop it, while a genuinely new doc passes.
+    val s = spark
+    import s.implicits._
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    val ckpt = Files.createTempDirectory("graft_ingest_e2e").toString
+    val goodA = "the cat sat on the mat and the dog sat too"
+    val goodB = "a stream of words is the essence of the corpus"
+    val goodC = "all the words in this line are of a good shape"
+    val junk = "$$$ !!! ### %%% ^^^ &&& *** ((( ))) @@@"
+    try {
+      def runOnce(): Unit = {
+        val in = KafkaEdges.source(s, broker.bootstrapServers,
+          "docs-raw", format = "graft-kafka")
+        val kept = StreamDedup.firstPerFingerprint(
+            in.toDF().withColumn("ets", timestamp_millis(col("ts"))),
+            "value", "ets", "10 minutes")
+          .filter(TextAnalysis.qualityScore(col("value")) >= lit(0.3))
+          .select(col("key"), col("value"), col("ts"), col("seq")).as[Rec]
+        val q = KafkaEdges.sink(kept, broker.bootstrapServers,
+            "docs-kept", ckpt, format = "graft-kafka")
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      def keptTexts(): Seq[String] =
+        (0 until 2).flatMap(p => producer.fetchAll("docs-kept", p))
+          .map(r => new String(r.value, "UTF-8"))
+
+      // leg 1: two good docs, one duplicate (same text, different id,
+      // extra whitespace — the normalized fingerprint must collapse it),
+      // one junk doc the quality floor drops
+      producer.produceStrings("docs-raw", Seq(
+        ("d1", goodA, 1000L), ("d2", goodB, 2000L),
+        ("d3", "  " + goodA + "  ", 3000L), ("d4", junk, 4000L)))
+      runOnce()
+      val leg1 = keptTexts()
+      assert(leg1.map(_.trim).sorted == Seq(goodA, goodB).sorted, leg1)
+
+      // leg 2: a redelivered leg-1 text (must stay dropped ACROSS the
+      // restart) and one new doc (must pass)
+      producer.produceStrings("docs-raw", Seq(
+        ("d5", goodB, 5000L), ("d6", goodC, 6000L)))
+      runOnce()
+      val leg2 = keptTexts()
+      assert(leg2.map(_.trim).sorted == Seq(goodA, goodB, goodC).sorted, leg2)
     } finally {
       producer.close()
       broker.close()
