@@ -2724,6 +2724,72 @@ object SparkEntry {
           (round(col("logw"), 6) > 0).as("selected"))
     }),
 
+    // cross-source contamination matrix: distinct 5-gram shingles shared
+    // between every source pair — the d9 shingle definition (whole-doc
+    // fallback for short docs). ONE shingle-keyed exchange: each
+    // shingle's ≤ |sources| source set is aggregated in place and the
+    // ordered pairs explode map-side into a |sources|²-row aggregate
+    // (the self-join formulation would exchange the distinct set twice
+    // and equi-join on 32-char hash keys)
+    "d21_source_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = docs
+        .select(col("source"), TextAnalysis.tokens(col("text")).as("__t"))
+        .select(col("source"),
+          explode(graft.functions.DedupOps.shingles(col("__t"), 5)).as("sh"))
+        .select(col("source"), md5(col("sh")).as("shh"))
+      sh.groupBy("shh").agg(sort_array(collect_set("source")).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(ss, (x, i) -> " +
+            "transform(slice(ss, i + 2, size(ss)), " +
+            "y -> struct(x AS source_a, y AS source_b))))")).as("p"))
+        .groupBy("p.source_a", "p.source_b").agg(count(lit(1)).as("shared"))
+    }),
+
+    // Zipf's-law fit per source: least-squares slope of ln(freq) on
+    // ln(rank) over the top-100 words (count desc, word) — natural text
+    // sits near −1; the per-source window is the x58 partitioned shape
+    "x77_zipf_slope" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val wc = docs
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val ranked = wc.withColumn("r", row_number().over(
+          Window.partitionBy("source").orderBy(col("c").desc, col("w"))))
+        .filter(col("r") <= 100)
+        .select(col("source"), log(col("r").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+      ranked.groupBy("source").agg(
+          count(lit(1)).as("n_terms"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("source"), col("n_terms"),
+          round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("zipf_slope"))
+    }),
+
+    // language drift per source: KL(p_source ‖ p_corpus) over word
+    // unigrams — the mixture diagnostic behind domain reweighting
+    "x78_source_kl" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.Selection.classKlFromCorpus(docs, col("text"), col("source"))
+        .select(col("cls").as("source"), col("n_tokens"),
+          round(col("kl"), 6).as("kl"))
+    }),
+
+    // naive-Bayes source attribution: every doc scored against every
+    // source's Laplace unigram model, argmax by the LPA min-struct rule
+    // — the separability / leakage probe (correct = own source wins)
+    "x79_nb_source_attr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.Selection.naiveBayesAttribution(
+          docs, col("text"), col("doc_id"), col("source"))
+        .select(col("doc_id"), col("cls").as("source"), col("predicted"),
+          round(col("score"), 6).as("score"),
+          (col("predicted") === col("cls")).as("correct"))
+    }),
+
     // zero-filled weekly series: (event_type × every week in range),
     // including silent weeks — the gap-filled shape monitoring needs
     // (a missing week must read 0, not vanish). The data-sized work is
@@ -5194,6 +5260,83 @@ object SparkEntry {
         |  round(sum(c::DOUBLE * lr), 6) AS logw,
         |  round(sum(c::DOUBLE * lr), 6) > 0 AS selected
         |FROM pdc JOIN lrs USING (b) WHERE NOT tgt GROUP BY doc_id""".stripMargin,
+
+    // same 5-gram + whole-doc-fallback shingle rule as the d9 oracle
+    "d21_source_overlap" ->
+      s"""WITH $toksSql,
+        |sh5 AS (
+        |  SELECT source,
+        |    unnest(CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+        |      ELSE [array_to_string(t, ' ')] END) AS sh
+        |  FROM toks),
+        |ss AS (SELECT DISTINCT source, md5(sh) AS shh FROM sh5)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*)::BIGINT AS shared
+        |FROM ss a JOIN ss b ON a.shh = b.shh AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+
+    "x77_zipf_slope" ->
+      s"""WITH $toksSql,
+        |wc AS (SELECT source, w, count(*) AS c
+        |       FROM (SELECT source, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+        |rk AS (SELECT source, c,
+        |         row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS r
+        |       FROM wc),
+        |pt AS (SELECT source, ln(r::DOUBLE) AS x, ln(c::DOUBLE) AS y
+        |       FROM rk WHERE r <= 100),
+        |ag AS (SELECT source, count(*)::BIGINT AS n_terms,
+        |         sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx
+        |       FROM pt GROUP BY 1)
+        |SELECT source, n_terms,
+        |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+        |    AS zipf_slope
+        |FROM ag""".stripMargin,
+
+    // identical parenthesization to classKlFromCorpus:
+    // (c/ns) · ln((c·T)/(ns·C_w)), round-6 pinned
+    "x78_source_kl" ->
+      s"""WITH $toksSql,
+        |swc AS (SELECT source, w, count(*) AS c
+        |        FROM (SELECT source, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+        |ns AS (SELECT source, sum(c)::BIGINT AS ns FROM swc GROUP BY 1),
+        |vocab AS (SELECT w, sum(c)::BIGINT AS cw FROM swc GROUP BY 1),
+        |tot AS (SELECT sum(cw)::DOUBLE AS tt FROM vocab)
+        |SELECT s.source, max(n.ns)::BIGINT AS n_tokens,
+        |  round(sum((s.c::DOUBLE / n.ns) *
+        |    ln((s.c::DOUBLE * tot.tt) / (n.ns::DOUBLE * v.cw))), 6) AS kl
+        |FROM swc s JOIN vocab v USING (w) JOIN ns n USING (source), tot
+        |GROUP BY 1""".stripMargin,
+
+    // score(d, s) = Σ c_dw·ln(c_sw + 1) − n_d·ln(n_s + V); absent
+    // (doc, class) word terms are ln 1 = 0 so the shared-word join
+    // suffices; argmax over (round-6 score desc, source asc)
+    "x79_nb_source_attr" ->
+      s"""WITH $toksSql,
+        |dwc AS (SELECT doc_id, w, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+        |model AS (SELECT source, w, count(*) AS csw
+        |          FROM (SELECT source, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+        |ns AS (SELECT source, sum(csw)::BIGINT AS ns FROM model GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT w)::BIGINT AS v FROM model),
+        |nd AS (SELECT doc_id, sum(c)::BIGINT AS nd FROM dwc GROUP BY 1),
+        |t1 AS (SELECT d.doc_id, m.source AS cand,
+        |         sum(d.c::DOUBLE * ln((m.csw + 1)::DOUBLE)) AS t1
+        |       FROM dwc d JOIN model m USING (w) GROUP BY 1, 2),
+        |grid AS (SELECT nd.doc_id, ns.source AS cand,
+        |           round(coalesce(t1.t1, 0.0) -
+        |             nd.nd::DOUBLE * ln((ns.ns + vv.v)::DOUBLE), 6) AS score
+        |         FROM nd CROSS JOIN ns CROSS JOIN vv
+        |         LEFT JOIN t1 ON t1.doc_id = nd.doc_id AND t1.cand = ns.source),
+        |best AS (SELECT doc_id, cand AS predicted, score,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score DESC, cand) AS rn
+        |         FROM grid)
+        |SELECT d.doc_id, d.source, b.predicted, b.score,
+        |  b.predicted = d.source AS correct
+        |FROM best b JOIN documents d ON d.doc_id = b.doc_id
+        |WHERE b.rn = 1""".stripMargin,
 
     "x47_time_grid" ->
       s"""WITH $evSql,

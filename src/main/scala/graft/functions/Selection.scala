@@ -127,4 +127,74 @@ object Selection {
         sum("c").as("n_feats"),
         sum(col("c").cast("double") * col("lr")).as("logw"))
   }
+
+  /** Per-class KL divergence from the corpus unigram distribution:
+    * KL(p_s ‖ p) = Σ_w (c_sw/n_s)·ln((c_sw·T)/(n_s·C_w)) — the standard
+    * mixture diagnostic ("how far does each source's language drift from
+    * the corpus"). Returns (class, n_tokens, kl), kl UNROUNDED.
+    *
+    * Exchanges: the (class, word) count and its word-keyed vocabulary
+    * re-aggregation; the class-totals table is |classes| rows and the
+    * grand total one row — both broadcast. */
+  def classKlFromCorpus(docs: DataFrame, textCol: Column,
+                        classCol: Column): DataFrame = {
+    val swc = docs
+      .select(classCol.as("cls"), explode(TextAnalysis.tokens(textCol)).as("w"))
+      .groupBy("cls", "w").agg(count(lit(1)).as("c"))
+    val ns = swc.groupBy("cls").agg(sum("c").as("ns"))
+    val vocab = swc.groupBy("w").agg(sum("c").as("cw"))
+    val tot = vocab.agg(sum("cw").cast("double").as("tt"))
+    swc.join(vocab, "w")
+      .join(broadcast(ns), "cls").crossJoin(broadcast(tot))
+      .groupBy("cls").agg(
+        max("ns").as("n_tokens"),
+        sum((col("c").cast("double") / col("ns")) *
+          log((col("c").cast("double") * col("tt")) /
+            (col("ns").cast("double") * col("cw")))).as("kl"))
+      .select(col("cls"), col("n_tokens"), col("kl"))
+  }
+
+  /** Naive-Bayes class attribution: score every document against every
+    * class's Laplace-smoothed unigram model and pick the argmax — the
+    * classic domain-attribution / source-leakage probe (a document whose
+    * own source does NOT win is evidence the sources aren't separable).
+    *
+    * score(d, s) = Σ_w c_dw·ln(c_sw + 1) − n_d·ln(n_s + V): the first
+    * term only needs words PRESENT in class s (absent words contribute
+    * ln 1 = 0), so the join stays (doc, word) ⋈ (class, word) on word —
+    * per-token work bounded by |classes|; the second term rides the
+    * |classes|-row broadcast. Argmax = min(struct(−score, class)), the
+    * LPA tie-rule (score rounded to 6 BEFORE the argmax so the winner
+    * is engine-exact). Returns (doc_id, class, predicted, score). */
+  def naiveBayesAttribution(docs: DataFrame, textCol: Column, idCol: Column,
+                            classCol: Column): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), classCol.as("cls"),
+      TextAnalysis.tokens(textCol).as("t"))
+    val dwc = base
+      .select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val model = base
+      .select(col("cls"), explode(col("t")).as("w"))
+      .groupBy("cls", "w").agg(count(lit(1)).as("csw"))
+    val ns = model.groupBy("cls").agg(sum("csw").as("ns"))
+    val vsize = model.select(countDistinct("w").as("vv"))
+    val nd = dwc.groupBy("doc_id").agg(sum("c").as("nd"))
+    // shared-word term per (doc, class); absent (doc, class) pairs = 0
+    val t1 = dwc.join(model, "w")
+      .groupBy("doc_id", "cls")
+      .agg(sum(col("c").cast("double") *
+        log((col("csw") + 1).cast("double"))).as("t1"))
+    // dense (doc × class) grid from the two small sides
+    val grid = nd.crossJoin(broadcast(ns.crossJoin(vsize)))
+      .join(t1, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("cls").as("cand"),
+        round(coalesce(col("t1"), lit(0.0)) -
+          col("nd").cast("double") * log((col("ns") + col("vv")).cast("double")),
+          6).as("score"))
+    val best = grid.groupBy("doc_id")
+      .agg(min(struct((-col("score")).as("ns"), col("cand"))).as("b"))
+      .select(col("doc_id"), col("b.cand").as("predicted"),
+        (-col("b.ns")).as("score"))
+    base.select(col("doc_id"), col("cls")).join(best, "doc_id")
+  }
 }

@@ -110,4 +110,80 @@ class SelectionSpec extends SparkSpec {
     // the target-like doc outranks the disjoint one
     assert(got(10L)._2 > got(12L)._2 && got(12L)._2 > got(11L)._2)
   }
+
+  test("classKlFromCorpus equals an in-memory replay; identical class → KL 0") {
+    val rows = Seq(
+      (1L, "alpha beta alpha", "a"),
+      (2L, "alpha beta gamma", "a"),
+      (3L, "omega omega sigma", "b"),
+      (4L, "alpha beta alpha alpha beta gamma", "c")) // = class a merged
+    val got = Selection
+      .classKlFromCorpus(docsDf(rows), col("text"), col("source"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val toks = rows.map { case (_, t, s) =>
+      s -> t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq }
+    val corpus = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val total = corpus.values.sum.toDouble
+    val want = toks.groupBy(_._1).map { case (s, ts) =>
+      val ws = ts.flatMap(_._2)
+      val n = ws.size.toDouble
+      val kl = ws.groupBy(identity).map { case (w, o) =>
+        (o.size / n) * math.log((o.size * total) / (n * corpus(w)))
+      }.sum
+      s -> (ws.size.toLong, kl)
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (s, (n, kl)) =>
+      assert(got(s)._1 == n)
+      assert(math.abs(got(s)._2 - kl) < 1e-9, s"class $s: ${got(s)._2} vs $kl")
+      assert(kl >= -1e-12, s"KL must be non-negative, class $s: $kl")
+    }
+  }
+
+  test("naiveBayesAttribution: separable classes attribute to their own source") {
+    // two classes with disjoint vocabulary plus one straddler: every
+    // pure doc must win its own class; the straddler goes to the class
+    // whose words dominate it
+    val rows = Seq(
+      (1L, "alpha beta alpha gamma", "a"),
+      (2L, "beta gamma alpha", "a"),
+      (3L, "omega sigma omega tau", "b"),
+      (4L, "sigma tau omega", "b"),
+      (5L, "alpha beta omega", "a")) // 2 a-words vs 1 b-word
+    val got = Selection
+      .naiveBayesAttribution(docsDf(rows), col("text"), col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b", 5L -> "a"))
+  }
+
+  test("naiveBayesAttribution score equals the replayed Laplace log-likelihood") {
+    val rows = Seq(
+      (1L, "alpha beta alpha", "a"),
+      (2L, "omega sigma", "b"),
+      (3L, "alpha omega", "b"))
+    val got = Selection
+      .naiveBayesAttribution(docsDf(rows), col("text"), col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getDouble(3))).toMap
+
+    val toks = rows.map { case (id, t, s) =>
+      (id, t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq, s) }
+    val model = toks.groupBy(_._3).view
+      .mapValues(_.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap).toMap
+    val vocabV = toks.flatMap(_._2).distinct.size
+    def score(ws: Seq[String], s: String): Double = {
+      val m = model(s)
+      val ns = m.values.sum
+      ws.map(w => math.log(m.getOrElse(w, 0) + 1.0)).sum -
+        ws.size * math.log(ns + vocabV.toDouble)
+    }
+    toks.foreach { case (id, ws, _) =>
+      val scores = model.keys.map(s => s -> score(ws, s)).toMap
+      val best = scores.toSeq.map { case (s, sc) =>
+        (BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP), s)
+      }.sortBy(p => (-p._1, p._2)).head
+      assert(got(id)._1 == best._2, s"doc $id predicted")
+      assert(math.abs(got(id)._2 - scores(got(id)._1)) < 1e-6, s"doc $id score")
+    }
+  }
 }
