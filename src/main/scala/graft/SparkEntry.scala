@@ -894,6 +894,14 @@ object SparkEntry {
       SimilarityOps.mipsTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("vec_id") < 20, 5)),
 
+    // contrastive hard-negative mining: per query, the top-5 most
+    // similar vectors of a DIFFERENT class — s1's broadcast-queries/
+    // streamed-corpus/bounded-topK shape with the class exclusion
+    // inside the join (rank k = k usable negatives)
+    "x80_hard_negatives" -> ((s, dir) =>
+      SimilarityOps.hardNegativesTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", col("vec_id") < 20, 5)),
+
     "s2_lsh_ann" -> ((s, dir) =>
       SimilarityOps.bucketedPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         4, 0.2)),
@@ -3462,6 +3470,27 @@ object SparkEntry {
         |  FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
         |SELECT query_id, rank, neighbor_id, sim FROM (
         |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    // s1's ranking CTE restricted to cross-class pairs
+    "x80_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+        |         (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    c.label AS neighbor_class,
+        |    round(list_reduce(list_transform(range(1, len(q.embedding) + 1),
+        |            i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE),
+        |          (x, y) -> x + y) / (q.nrm * c.nrm), 6) AS sim
+        |  FROM v q JOIN v c ON q.vec_id < 20 AND q.label <> c.label)
+        |SELECT query_id, rank, neighbor_id, neighbor_class, sim FROM (
+        |  SELECT query_id, neighbor_id, neighbor_class, sim,
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
         |  FROM scored)

@@ -71,6 +71,38 @@ object SimilarityOps {
         col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("sim"))
   }
 
+  /** Hard-negative mining for contrastive/metric learning: for each
+    * query vector, the top-k most cosine-similar vectors of a DIFFERENT
+    * class — the "confusable but wrong" examples a triplet or InfoNCE
+    * loss needs (the in-batch-random alternative wastes gradient on easy
+    * negatives; mining by similarity is the standard fix). Same scale
+    * contract as [[bruteTopK]]: queries broadcast, corpus streams, the
+    * bounded per-partition top-k partials are the only exchange; the
+    * class exclusion is a predicate inside the broadcast join, not a
+    * post-filter on a ranked table (rank k means k USABLE negatives).
+    * Returns (query_id, rank, neighbor_id, neighbor_class, sim). */
+  def hardNegativesTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                        classCol: String, queryPred: Column, k: Int): DataFrame = {
+    val v = withNorm(vecs, vecCol)
+    val q = v.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(classCol).as("qc"),
+        col(vecCol).as("qv"), col("nrm").as("qn"))
+    val c = v.select(col(idCol).as("neighbor_id"), col(classCol).as("nc"),
+      col(vecCol).as("cv"), col("nrm").as("cn"))
+    val scored = c.join(broadcast(q), col("qc") =!= col("nc"))
+      .select(col("query_id"), col("neighbor_id"), col("nc"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
+    val topk = udaf(Aggregators.topK(k), Encoders.product[ScoredHit])
+    scored.groupBy("query_id")
+      .agg(topk(col("sim"), col("neighbor_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.hits")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("sim"))
+      .join(vecs.select(col(idCol).as("neighbor_id"),
+        col(classCol).as("neighbor_class")), "neighbor_id")
+      .select("query_id", "rank", "neighbor_id", "neighbor_class", "sim")
+  }
+
   /** Exact maximum-inner-product top-k (MIPS) — [[bruteTopK]]'s shape
     * with the UNNORMALIZED dot product as the score: the retrieval mode
     * of recommender/two-tower models, where vector magnitude carries
