@@ -2718,6 +2718,32 @@ object SparkEntry {
           col("n_tokens"), col("xent"), col("bucket"))
     }),
 
+    // word burstiness (Church & Gale 1995): corpus frequency over
+    // document frequency — bursty words concentrate in few docs
+    // (topical terms), flat words spread (function words); one
+    // (doc, word) exchange + a word-keyed re-agg
+    "t27_burstiness" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("w").agg(sum("c").as("cf"), count(lit(1)).as("df"))
+        .filter(col("cf") >= 5)
+        .select(col("w"), col("cf"), col("df"),
+          round(col("cf").cast("double") / col("df"), 6).as("burstiness"))
+    }),
+
+    // hop distance from the word graph's weighted-degree hub: iterative
+    // frontier BFS (per-round checkpoints, node-keyed joins only) vs
+    // the oracle's recursive CTE
+    "g7_bfs_hops" -> ((s, dir) => {
+      val ew = graft.functions.GraphOps.bigramEdges(Tables.documents(s, dir))
+      val hub = ew.groupBy("a").agg(sum("w").as("wd"))
+        .orderBy(col("wd").desc, col("a")).limit(1)
+        .select(col("a").as("node"))
+      graft.functions.GraphOps.bfsDepths(ew.select("a", "b"), hub, maxDepth = 4)
+    }),
+
     // DSIR importance weighting (Xie 2023): hashed unigram+bigram
     // bucket models over the corpus md5 hash, target = src0/src1;
     // each raw doc scores Σ c_b·ln(p_target/p_raw), and selected =
@@ -5245,6 +5271,34 @@ object SparkEntry {
         |                            + (1.959964 * 1.959964) / (4.0 * n::DOUBLE)) / n::DOUBLE))
         |        / (1.0 + (1.959964 * 1.959964) / n::DOUBLE), 6) AS wilson_hi
         |FROM a""".stripMargin,
+
+    "t27_burstiness" ->
+      s"""WITH $toksSql,
+        |wcx AS (SELECT doc_id, w, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2)
+        |SELECT w, sum(c)::BIGINT AS cf, count(*)::BIGINT AS df,
+        |  round(sum(c)::DOUBLE / count(*), 6) AS burstiness
+        |FROM wcx GROUP BY 1 HAVING sum(c) >= 5""".stripMargin,
+
+    // recursive-CTE replay of the frontier BFS: UNION dedups (node, d)
+    // rows, depth strictly increases so the recursion is bounded, and
+    // min(d) = first-seen level = the BFS depth
+    "g7_bfs_hops" ->
+      s"""WITH RECURSIVE $toksSql,
+        |bg AS (SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+        |       FROM toks WHERE len(t) >= 2),
+        |bgf AS (SELECT a, b FROM bg WHERE a <> b),
+        |ew AS (SELECT a, b, count(*)::DOUBLE AS w FROM
+        |    (SELECT a, b FROM bgf UNION ALL SELECT b AS a, a AS b FROM bgf)
+        |  GROUP BY 1, 2),
+        |wdeg AS (SELECT a, sum(w) AS wd FROM ew GROUP BY 1),
+        |hub AS (SELECT a AS node FROM wdeg ORDER BY wd DESC, a LIMIT 1),
+        |bfs AS (
+        |  SELECT node, 0 AS d FROM hub
+        |  UNION
+        |  SELECT e.b AS node, bfs.d + 1 AS d
+        |  FROM bfs JOIN ew e ON e.a = bfs.node WHERE bfs.d < 4)
+        |SELECT node, min(d)::INT AS depth FROM bfs GROUP BY 1""".stripMargin,
 
     // xent = ln(T) − Σ c·ln(C_w)/n under the corpus unigram model; the
     // ntile runs over (round-6 xent, doc_id) — rounding BEFORE the sort

@@ -285,6 +285,47 @@ object GraphOps {
     deg.select(col("u").as("node"), col("d").as("degree"))
   }
 
+  /** Hop distance from a seed set over an already-symmetrized edge
+    * table (a, b): iterative frontier expansion with the kCore
+    * per-round `localCheckpoint` discipline, so the shipped plan never
+    * unrolls 2^depth joins. `seeds` is a 1-column (`node`) DataFrame —
+    * usually one hub row, data-derived, so it composes without driver
+    * round-trips. Returns (node, depth) for every node within
+    * `maxDepth` hops (depth 0 = the seeds).
+    *
+    * Scale shape per round: one node-keyed equi-join (frontier ⋈ edges)
+    * + distinct + one anti-join against the visited set — all hashing
+    * on node id; frontier and visited sets are node-count-sized, never
+    * edge-sized. */
+  def bfsDepths(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    require(maxDepth >= 1 && maxDepth <= 8, s"maxDepth in [1,8], got $maxDepth")
+    val e = edges.select(col("a"), col("b")).localCheckpoint(false)
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("depth", lit(0)).localCheckpoint(false)
+    dist.count()
+    var frontier = dist
+    var d = 0
+    while (d < maxDepth && frontier.limit(1).count() > 0) {
+      d += 1
+      val next = e.join(frontier.select(col("node").as("a")), "a")
+        .select(col("b").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("depth", lit(d))
+        .localCheckpoint(false)
+      next.count()
+      val dist2 = dist.unionAll(next).localCheckpoint(false)
+      dist2.count()
+      // round 1's frontier IS dist — free each snapshot exactly once
+      if (frontier ne dist) GraftShims.unpersistLocalCheckpoint(frontier)
+      GraftShims.unpersistLocalCheckpoint(dist)
+      dist = dist2
+      frontier = next
+    }
+    if (frontier ne dist) GraftShims.unpersistLocalCheckpoint(frontier)
+    dist
+  }
+
   /** Synchronous label propagation (Raghavan, Albert & Kumara 2007) for
     * community detection, made DETERMINISTIC so a second engine can
     * replay it exactly: every node starts as its own label; each round,

@@ -327,6 +327,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("bfsDepths: path-graph depths, horizon cut, early exit, multi-seed") {
+    import spark.implicits._
+    // path 1—2—3—4—5—6—7, symmetrized (the bigramEdges contract)
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = (p ++ p.map(_.swap)).toDF("a", "b")
+    val seed1 = Seq(1L).toDF("node")
+    val got = GraphOps.bfsDepths(edges, seed1, maxDepth = 4)
+      .as[(Long, Int)].collect().toMap
+    // nodes 6 (depth 5) and 7 (depth 6) are beyond the horizon
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+
+    // early exit: a 3-node path exhausts its frontier before maxDepth
+    val tiny = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("a", "b")
+    val got2 = GraphOps.bfsDepths(tiny, seed1, maxDepth = 8)
+      .as[(Long, Int)].collect().toMap
+    assert(got2 == Map(1L -> 0, 2L -> 1, 3L -> 2))
+
+    // multi-seed: depth = min over seeds
+    val seeds = Seq(1L, 7L).toDF("node")
+    val got3 = GraphOps.bfsDepths(edges, seeds, maxDepth = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(got3 == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3,
+      7L -> 0, 6L -> 1, 5L -> 2))
+  }
+
   test("labelPropagation tie-break holds for STRING node ids") {
     import spark.implicits._
     // same two-triangle shape as the hand-traced long-id test, with
