@@ -2045,6 +2045,13 @@ object SparkEntry {
       graft.functions.Retrieval.bm25Rank(Tables.documents(s, dir),
         "doc_id", "text", Seq("hash", "join", "merge"), topN = 20)),
 
+    // Dirichlet query-likelihood LM ranking (Zhai & Lafferty) — the
+    // third scorer beside BM25/TF-IDF, same query bag so the three
+    // rankings are directly comparable (and fusable by s15's RRF)
+    "s17_qlm_rank" -> ((s, dir) =>
+      graft.functions.Retrieval.qlmRank(Tables.documents(s, dir),
+        "doc_id", "text", Seq("hash", "join", "merge"), topN = 20)),
+
     // text normalization: the canonical form a strict exact-dedup pass
     // fingerprints — casing/whitespace/punctuation variants collapse to
     // one digest. Pure map-side projection, zero shuffles
@@ -2732,6 +2739,13 @@ object SparkEntry {
         .select(col("w"), col("cf"), col("df"),
           round(col("cf").cast("double") / col("df"), 6).as("burstiness"))
     }),
+
+    // winnowing sketches (Schleimer 2003 / MOSS): per-doc selected-hash
+    // identity — one corpus scan, zero shuffles; the w+k−1 match
+    // guarantee is spec-pinned with planted shared runs
+    "t28_winnow" -> ((s, dir) =>
+      graft.functions.DedupOps.winnowFingerprints(
+        Tables.documents(s, dir), "doc_id", "text", k = 3, w = 4)),
 
     // hop distance from the word graph's weighted-degree hub: iterative
     // frontier BFS (per-round checkpoints, node-keyed joins only) vs
@@ -4573,6 +4587,29 @@ object SparkEntry {
         |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
         |FROM tf GROUP BY 1, 2""".stripMargin,
 
+    // the identical rank-equivalent decomposition as qlmRank: matched
+    // term sum ln(1 + tf·|C|/(μ·cf)) + |q|·ln(μ/(dl+μ)), μ = 2000
+    "s17_qlm_rank" ->
+      s"""WITH $toksSql,
+        |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |       FROM terms WHERE term IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+        |cf AS (SELECT term, count(*)::BIGINT AS cf
+        |       FROM terms WHERE term IN ('hash', 'join', 'merge') GROUP BY 1),
+        |ct AS (SELECT sum(len(t))::DOUBLE AS ct FROM toks),
+        |m AS (SELECT doc_id,
+        |        sum(ln(1.0 + (tf::DOUBLE * ct) / (2000.0 * cf))) AS m
+        |      FROM tf JOIN cf USING (term) CROSS JOIN ct GROUP BY 1),
+        |dls AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |    round(coalesce(m.m, 0.0) + 3.0 * ln(2000.0 / (d.dl + 2000.0)), 6)
+        |      AS score
+        |  FROM dls d LEFT JOIN m ON m.doc_id = d.doc_id)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score
+        |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     // deliberately the textbook dominance formulation, NOT the window
     // rewrite — the oracle must not share the query's shape
     "x44_pareto" ->
@@ -5271,6 +5308,36 @@ object SparkEntry {
         |                            + (1.959964 * 1.959964) / (4.0 * n::DOUBLE)) / n::DOUBLE))
         |        / (1.0 + (1.959964 * 1.959964) / n::DOUBLE), 6) AS wilson_hi
         |FROM a""".stripMargin,
+
+    // same winnow chain, 1-based DuckDB lists; rightmost-min ties via
+    // list_max over the filtered position range
+    "t28_winnow" ->
+      s"""WITH $toksSql,
+        |gg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_transform(range(1, len(t) - 1),
+        |        i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT)
+        |    ELSE []::BIGINT[] END AS g
+        |  FROM toks),
+        |ww AS (
+        |  SELECT doc_id, g,
+        |    CASE WHEN len(g) = 0 THEN []::BIGINT[]
+        |    WHEN len(g) < 4 THEN
+        |      [list_max(list_filter(range(1, len(g) + 1), p -> g[p] = list_min(g)))]
+        |    ELSE
+        |      list_transform(range(1, len(g) - 2),
+        |        j -> list_max(list_filter(range(j, j + 4),
+        |               p -> g[p] = list_min(g[j:j+3]))))
+        |    END AS wins
+        |  FROM gg),
+        |ff AS (
+        |  SELECT doc_id, g,
+        |    list_sort(list_distinct(list_transform(wins, p -> g[p]))) AS fps
+        |  FROM ww)
+        |SELECT doc_id, len(g)::BIGINT AS n_grams, len(fps)::BIGINT AS n_fps,
+        |  md5(array_to_string(list_transform(fps, x -> x::VARCHAR), ',')) AS fp_digest
+        |FROM ff""".stripMargin,
 
     "t27_burstiness" ->
       s"""WITH $toksSql,

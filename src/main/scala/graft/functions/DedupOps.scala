@@ -27,6 +27,66 @@ object DedupOps {
       .groupBy(col("__fp").as("fp"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS local fingerprinting algorithm): hash every word `k`-gram,
+    * slide a window of `w` consecutive gram hashes, and select each
+    * window's MINIMUM hash, ties broken by the RIGHTMOST position (the
+    * paper's robust-winnowing rule). The selected set is a ~2/(w+1)
+    * density sketch with the paper's guarantee: any shared token run of
+    * length ≥ w + k − 1 between two documents contributes at least one
+    * common fingerprint. Short inputs degrade gracefully: fewer grams
+    * than one window → the global minimum is selected; fewer tokens
+    * than `k` → no grams, empty sketch.
+    *
+    * Output (doc_id, n_grams, n_fps, fp_digest): the distinct selected
+    * hashes, ascending, digested — a comparable per-document sketch
+    * identity. Everything is per-row HOF arithmetic over ONE
+    * materialized token column (the shingles-performance contract):
+    * zero shuffles, so the sketch costs one corpus scan at any scale;
+    * cross-doc matching then works on the sketches (fingerprint-keyed
+    * joins, the d21/decontamination shapes), never on raw text. The
+    * gram hash is the corpus-standard md5-60-bit form every sampling
+    * and sharding oracle mirrors. */
+  private def winnowed(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"k, w >= 1, got k=$k w=$w")
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("t"))
+      .withColumn("g", expr(
+        s"""CASE WHEN size(t) >= $k THEN
+           |  transform(sequence(1, size(t) - ${k - 1}),
+           |    i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, $k))), 1, 15), 16, 10) AS bigint))
+           |ELSE cast(array() AS array<bigint>) END""".stripMargin))
+      .withColumn("wins", expr(
+        s"""CASE WHEN size(g) = 0 THEN cast(array() AS array<int>)
+           |WHEN size(g) < $w THEN
+           |  array(array_max(filter(sequence(1, size(g)), p -> g[p - 1] = array_min(g))))
+           |ELSE
+           |  transform(sequence(1, size(g) - ${w - 1}),
+           |    j -> array_max(filter(sequence(j, j + ${w - 1}),
+           |           p -> g[p - 1] = array_min(slice(g, j, $w)))))
+           |END""".stripMargin))
+      .withColumn("fps", expr(
+        "array_sort(array_distinct(transform(wins, p -> g[p - 1])))"))
+  }
+
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame =
+    winnowed(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), size(col("g")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        md5(concat_ws(",",
+          expr("transform(fps, x -> cast(x AS string))"))).as("fp_digest"))
+
+  /** The exploded (doc_id, fp) sketch rows — the joinable form
+    * cross-document matching builds on (fingerprint-keyed equi-joins,
+    * the d21/decontamination shapes). */
+  def winnowRows(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 3, w: Int = 4): DataFrame =
+    winnowed(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+
   /** Word n-gram shingles (default 3). Documents shorter than n words
     * collapse to a single whole-document shingle.
     *

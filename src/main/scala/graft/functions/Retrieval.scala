@@ -93,6 +93,58 @@ object Retrieval {
         col("score"))
   }
 
+  /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2001;
+    * public literature) — the language-modeling third scorer beside
+    * [[bm25Rank]] and [[tfidfRank]]:
+    *
+    *   score(q, d) = Σ_{w ∈ q ∩ d} ln(1 + c_dw·|C| / (μ·cf_w))
+    *                 + |q|·ln(μ / (dl + μ))
+    *
+    * (the standard rank-equivalent decomposition of
+    * Σ_w ln((c_dw + μ·p_C(w)) / (dl + μ)): only MATCHING terms enter the
+    * first sum, so the shuffle stays query-pruned, and the second term
+    * is a pure function of document length). Query terms absent from
+    * the corpus contribute nothing — the decomposition's smoothing-mass
+    * convention, shared verbatim with the oracle.
+    *
+    * Same scale shape as [[bm25Rank]]: map-side term filter BEFORE the
+    * tf exchange, query-term corpus frequencies and the corpus token
+    * total on one-row/|q|-row broadcasts, per-doc lengths map-side, and
+    * a bounded TakeOrderedAndProject — EVERY doc is scored (the length
+    * term ranks non-matching docs too) but none is globally sorted.
+    * Output (doc_id, rank, score), score 6-rounded before ranking. */
+  def qlmRank(docs: DataFrame, idCol: String, textCol: String,
+              terms: Seq[String], topN: Int = 20,
+              mu: Double = 2000.0): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 64, "query term set must be small (bounded broadcast)")
+    require(mu > 0.0, s"Dirichlet mu must be positive, got $mu")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"),
+      size(TextAnalysis.tokens(col(textCol))).as("dl"))
+    val qtoks = toks.filter(col("term").isin(terms: _*))
+    val tf = qtoks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cf = qtoks.groupBy("term").agg(count(lit(1)).as("cf"))
+    val ctot = docs.agg(
+      sum(size(TextAnalysis.tokens(col(textCol)))).cast("double").as("ct"))
+    val matched = tf.join(broadcast(cf), "term").crossJoin(broadcast(ctot))
+      .select(col("doc_id"),
+        log(lit(1.0) + (col("tf").cast("double") * col("ct")) /
+          (lit(mu) * col("cf"))).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("m"))
+    val dls = docs.select(col(idCol).as("doc_id"),
+      size(TextAnalysis.tokens(col(textCol))).cast("double").as("dl"))
+    dls.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("m"), lit(0.0)) +
+          lit(terms.size.toDouble) * log(lit(mu) / (col("dl") + lit(mu))), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(topN)
+      .select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)).as("rank"),
+        col("score"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009; public
     * literature): combine N retrieval rankings by
     * rrf(d) = Σ_systems 1 / (k + rank_s(d)), documents missing from a

@@ -52,6 +52,38 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq == expect)
   }
 
+  test("qlm matches a hand-rolled Dirichlet decomposition; length term ranks non-matches") {
+    val got = Retrieval.qlmRank(docs, "doc_id", "text",
+      Seq("hash", "join", "merge"), topN = 10, mu = 10.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+
+    val corpus = Seq(
+      0L -> Seq("hash", "join", "hash", "join", "hash"),
+      1L -> Seq("merge", "sort", "merge", "sort"),
+      2L -> Seq("scan", "filter", "scan", "filter", "scan", "filter"),
+      3L -> Seq("hash"),
+      4L -> Seq("join", "merge", "hash", "join", "merge", "hash", "join"))
+    val terms = Seq("hash", "join", "merge")
+    val ct = corpus.map(_._2.size).sum.toDouble
+    val cfm = terms.map(t => t -> corpus.map(_._2.count(_ == t)).sum).toMap
+    val mu = 10.0
+    def score(toks: Seq[String]): Double = {
+      val m = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0 else math.log(1.0 + (tf * ct) / (mu * cfm(t)))
+      }.sum
+      val s = m + terms.size * math.log(mu / (toks.size + mu))
+      math.rint(s * 1e6) / 1e6
+    }
+    val expect = corpus.map { case (id, toks) => id -> score(toks) }
+      .sortBy { case (id, sc) => (-sc, id) }
+      .zipWithIndex.map { case ((id, sc), i) => (id, i + 1, sc) }
+    assert(got.toSeq == expect)
+    // unlike bm25, EVERY doc is ranked: the no-match doc appears, scored
+    // purely by its length term
+    assert(got.map(_._1).contains(2L))
+  }
+
   test("bm25 excludes docs with no query term and ranks contiguously") {
     val got = Retrieval.bm25Rank(docs, "doc_id", "text",
       Seq("hash", "join", "merge"), topN = 10).collect()
