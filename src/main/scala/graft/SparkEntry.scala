@@ -157,6 +157,35 @@ object SparkEntry {
       |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS t
       |  FROM documents)""".stripMargin
 
+  /** The ONE DuckDB mirror of `DedupOps.winnowed` (k=3, w=4) — CTEs
+    * `gg`/`ww`/`ff` over `toks`, shared by the t28 and d22 oracles so
+    * the winnow selection cannot fork between them. 1-based DuckDB
+    * lists; rightmost-min ties via list_max over the filtered window
+    * positions. */
+  private val winnowFfSql =
+    """gg AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 3 THEN
+      |      list_transform(range(1, len(t) - 1),
+      |        i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT)
+      |    ELSE []::BIGINT[] END AS g
+      |  FROM toks),
+      |ww AS (
+      |  SELECT doc_id, g,
+      |    CASE WHEN len(g) = 0 THEN []::BIGINT[]
+      |    WHEN len(g) < 4 THEN
+      |      [list_max(list_filter(range(1, len(g) + 1), p -> g[p] = list_min(g)))]
+      |    ELSE
+      |      list_transform(range(1, len(g) - 2),
+      |        j -> list_max(list_filter(range(j, j + 4),
+      |               p -> g[p] = list_min(g[j:j+3]))))
+      |    END AS wins
+      |  FROM gg),
+      |ff AS (
+      |  SELECT doc_id, g,
+      |    list_sort(list_distinct(list_transform(wins, p -> g[p]))) AS fps
+      |  FROM ww)""".stripMargin
+
   /** The ONE DuckDB mirror of `TextAnalysis.langId` — shared by the t1
     * and t13 oracles so the heuristic cannot fork between them. */
   private val langGuessSql =
@@ -2747,6 +2776,24 @@ object SparkEntry {
       graft.functions.DedupOps.winnowFingerprints(
         Tables.documents(s, dir), "doc_id", "text", k = 3, w = 4)),
 
+    // near-dup pairs from the winnow sketches: MOSS's matching stage.
+    // Rare-fingerprint blocking (2 ≤ df ≤ 16) drops stop-fingerprints
+    // BEFORE pair generation — the d21 set-explosion shape, so a hub
+    // fingerprint can never emit more than 16·15/2 pairs — then pairs
+    // sharing ≥ 5 selected fingerprints survive
+    "d22_winnow_pairs" -> ((s, dir) => {
+      val rows = graft.functions.DedupOps.winnowRows(
+        Tables.documents(s, dir), "doc_id", "text", k = 3, w = 4)
+      rows.groupBy("fp").agg(sort_array(collect_set("doc_id")).as("ds"))
+        .filter(size(col("ds")).between(2, 16))
+        .select(explode(expr(
+          "flatten(transform(ds, (x, i) -> " +
+            "transform(slice(ds, i + 2, size(ds)), " +
+            "y -> struct(x AS a, y AS b))))")).as("p"))
+        .groupBy("p.a", "p.b").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
+    }),
+
     // hop distance from the word graph's weighted-degree hub: iterative
     // frontier BFS (per-round checkpoints, node-keyed joins only) vs
     // the oracle's recursive CTE
@@ -5309,35 +5356,25 @@ object SparkEntry {
         |        / (1.0 + (1.959964 * 1.959964) / n::DOUBLE), 6) AS wilson_hi
         |FROM a""".stripMargin,
 
-    // same winnow chain, 1-based DuckDB lists; rightmost-min ties via
-    // list_max over the filtered position range
     "t28_winnow" ->
       s"""WITH $toksSql,
-        |gg AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) >= 3 THEN
-        |      list_transform(range(1, len(t) - 1),
-        |        i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT)
-        |    ELSE []::BIGINT[] END AS g
-        |  FROM toks),
-        |ww AS (
-        |  SELECT doc_id, g,
-        |    CASE WHEN len(g) = 0 THEN []::BIGINT[]
-        |    WHEN len(g) < 4 THEN
-        |      [list_max(list_filter(range(1, len(g) + 1), p -> g[p] = list_min(g)))]
-        |    ELSE
-        |      list_transform(range(1, len(g) - 2),
-        |        j -> list_max(list_filter(range(j, j + 4),
-        |               p -> g[p] = list_min(g[j:j+3]))))
-        |    END AS wins
-        |  FROM gg),
-        |ff AS (
-        |  SELECT doc_id, g,
-        |    list_sort(list_distinct(list_transform(wins, p -> g[p]))) AS fps
-        |  FROM ww)
+        |$winnowFfSql
         |SELECT doc_id, len(g)::BIGINT AS n_grams, len(fps)::BIGINT AS n_fps,
         |  md5(array_to_string(list_transform(fps, x -> x::VARCHAR), ',')) AS fp_digest
         |FROM ff""".stripMargin,
+
+    // deliberately the self-join formulation (the query uses the
+    // set-explosion shape); fr rows are per-doc distinct by construction
+    "d22_winnow_pairs" ->
+      s"""WITH $toksSql,
+        |$winnowFfSql,
+        |fr AS (SELECT doc_id, unnest(fps) AS fp FROM ff),
+        |dfq AS (SELECT fp, count(*) AS d FROM fr GROUP BY 1),
+        |keep AS (SELECT fr.doc_id, fr.fp
+        |         FROM fr JOIN dfq USING (fp) WHERE dfq.d BETWEEN 2 AND 16)
+        |SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS shared
+        |FROM keep l JOIN keep r ON l.fp = r.fp AND l.doc_id < r.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
 
     "t27_burstiness" ->
       s"""WITH $toksSql,

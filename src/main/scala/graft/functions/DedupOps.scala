@@ -81,11 +81,19 @@ object DedupOps {
 
   /** The exploded (doc_id, fp) sketch rows — the joinable form
     * cross-document matching builds on (fingerprint-keyed equi-joins,
-    * the d21/decontamination shapes). */
+    * the d21/decontamination shapes).
+    *
+    * `explode_outer` + a post-explode null filter, NOT plain `explode`:
+    * InferFiltersFromGenerate would add `size(fps) > 0` to a plain
+    * explode and push it below the staged projections, inlining the
+    * whole winnow chain (tokens re-evaluated per lambda element) into a
+    * per-row filter — measured 300× slower. The null filter sits on the
+    * GENERATED attribute, which nothing can push down. */
   def winnowRows(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, w: Int = 4): DataFrame =
     winnowed(docs, idCol, textCol, k, w)
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull)
 
   /** Word n-gram shingles (default 3). Documents shorter than n words
     * collapse to a single whole-document shingle.

@@ -594,4 +594,19 @@ class PlanGuardSpec extends SparkSpec {
       .count(_ == "Exchange hashpartitioning") == 1,
       s"sharding should pay exactly one hash exchange:\n$p")
   }
+
+  test("d22 winnow rows: no scan-level filter inlines the winnow chain") {
+    // InferFiltersFromGenerate on a plain explode pushes size(fps) > 0
+    // below the staged projections, inlining tokenizer+hash per filter
+    // row (measured 300×). explode_outer + post-explode null filter
+    // keeps every Filter condition free of the md5 gram hash.
+    val p = planOf("d22_winnow_pairs")
+    val filters = p.linesIterator.filter(_.trim.startsWith("+- Filter")).toSeq ++
+      p.linesIterator.filter(_.trim.startsWith("Filter")).toSeq
+    filters.foreach { f =>
+      assert(!f.contains("md5") && !f.contains("ascii_word_tokens"),
+        s"winnow chain leaked into a filter:\n$f")
+    }
+    assert(p.contains("Generate explode"), p)
+  }
 }
