@@ -2885,6 +2885,64 @@ object SparkEntry {
           (col("predicted") === col("cls")).as("correct"))
     }),
 
+    // latency-SLO style percentile report: exact interpolated
+    // p50/p90/p99 per event type — percentile buffers per GROUP
+    // (bounded by group size, the t5/x34 contract), never per corpus
+    "x81_percentile_slo" -> ((s, dir) =>
+      ev(s, dir).groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("p"))
+        .select(col("event_type"), col("n"),
+          round(col("p")(0), 6).as("p50"),
+          round(col("p")(1), 6).as("p90"),
+          round(col("p")(2), 6).as("p99"))),
+
+    // order-independent table fingerprint: XOR of per-row md5-60-bit
+    // digests over the exactly-formattable columns — the snapshot
+    // equality probe two pipeline stages compare without moving rows
+    // (xor is commutative, associative, overflow-free; doubles are
+    // deliberately excluded: cross-engine float FORMATTING forks)
+    "x82_table_checksum" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val rowh = Sampling.rawHash(concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_returnflag"), col("l_linestatus")))
+      li.select(col("l_returnflag"), rowh.as("h"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+    }),
+
+    // per-metric trend: OLS slope of value on event time (seconds) —
+    // the x77 closed-form regression over each type's full series
+    "x83_value_trend" -> ((s, dir) =>
+      ev(s, dir).select(col("event_type"),
+          col("ts_sec").cast("double").as("x"), col("value").as("y"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 9)
+            .as("slope_per_sec"))),
+
+    // mutual information between event type and the value>100 outcome:
+    // I = Σ p_ij·ln(p_ij/(p_i·p_j)) from one contingency aggregation —
+    // the dependence probe behind feature-selection filters
+    "x84_type_value_mi" -> ((s, dir) => {
+      val cell = ev(s, dir)
+        .select(col("event_type"), (col("value") > 100).as("pos"))
+        .groupBy("event_type", "pos").agg(count(lit(1)).as("c"))
+      val rowm = cell.groupBy("event_type").agg(sum("c").as("ci"))
+      val colm = cell.groupBy("pos").agg(sum("c").as("cj"))
+      val tot = cell.agg(sum("c").cast("double").as("tt"))
+      cell.join(broadcast(rowm), "event_type").join(broadcast(colm), "pos")
+        .crossJoin(broadcast(tot))
+        .select((col("c") / col("tt") *
+          log((col("c") * col("tt")) / (col("ci").cast("double") * col("cj"))))
+          .as("term"))
+        .agg(round(sum("term"), 9).as("mi"))
+    }),
+
     // zero-filled weekly series: (event_type × every week in range),
     // including silent weeks — the gap-filled shape monitoring needs
     // (a missing week must read 0, not vanish). The data-sized work is
@@ -5524,6 +5582,45 @@ object SparkEntry {
         |  b.predicted = d.source AS correct
         |FROM best b JOIN documents d ON d.doc_id = b.doc_id
         |WHERE b.rn = 1""".stripMargin,
+
+    // quantile_cont and Spark's exact percentile share the definition
+    // pos = p·(n−1), linear interpolation between floor/ceil neighbors
+    "x81_percentile_slo" ->
+      s"""WITH $evSql
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM ev GROUP BY 1""".stripMargin,
+
+    "x82_table_checksum" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+        |  bit_xor(('0x' || substr(md5(
+        |    l_orderkey || '|' || l_partkey || '|' || l_suppkey || '|' ||
+        |    l_linenumber || '|' || l_returnflag || '|' || l_linestatus),
+        |    1, 15))::BIGINT) AS checksum
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "x83_value_trend" ->
+      s"""WITH $evSql,
+        |ag AS (SELECT event_type, count(*)::BIGINT AS n,
+        |         sum(ts_sec::DOUBLE) AS sx, sum(value) AS sy,
+        |         sum(ts_sec::DOUBLE * value) AS sxy,
+        |         sum(ts_sec::DOUBLE * ts_sec::DOUBLE) AS sxx
+        |       FROM ev GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope_per_sec
+        |FROM ag""".stripMargin,
+
+    "x84_type_value_mi" ->
+      s"""WITH $evSql,
+        |cell AS (SELECT event_type, value > 100 AS pos, count(*) AS c
+        |         FROM ev GROUP BY 1, 2),
+        |rowm AS (SELECT event_type, sum(c)::BIGINT AS ci FROM cell GROUP BY 1),
+        |colm AS (SELECT pos, sum(c)::BIGINT AS cj FROM cell GROUP BY 1),
+        |tot AS (SELECT sum(c)::DOUBLE AS tt FROM cell)
+        |SELECT round(sum((c / tt) * ln((c * tt) / (ci::DOUBLE * cj))), 9) AS mi
+        |FROM cell JOIN rowm USING (event_type) JOIN colm USING (pos), tot""".stripMargin,
 
     "x47_time_grid" ->
       s"""WITH $evSql,
