@@ -101,6 +101,21 @@ object SparkEntry {
     DedupOps.connectedComponents(docs.select("doc_id"), pairs)
   }
 
+  /** The winnow matching stage shared by d22/d23 — the Spark twin of
+    * the oracle-side [[winnowPairSql]]. */
+  private def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val rows = DedupOps.winnowRows(
+      Tables.documents(s, dir), "doc_id", "text", k = 3, w = 4)
+    rows.groupBy("fp").agg(sort_array(collect_set("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, 16))
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .groupBy("p.a", "p.b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 5)
+  }
+
   /** Latest event per user, ordered by (ts_sec, event_id) — the KTable
     * materialization used by several queries. */
   private def latestEvents(s: SparkSession, dir: String): DataFrame =
@@ -185,6 +200,18 @@ object SparkEntry {
       |  SELECT doc_id, g,
       |    list_sort(list_distinct(list_transform(wins, p -> g[p]))) AS fps
       |  FROM ww)""".stripMargin
+
+  /** The winnow matching stage (rare-fingerprint blocking + ≥5 shared)
+    * as CTEs `fr`/`dfq`/`keep`/`wp` over `ff` — shared by the d22 and
+    * d23 oracles so the pair rule cannot fork between them. */
+  private val winnowPairSql =
+    """fr AS (SELECT doc_id, unnest(fps) AS fp FROM ff),
+      |dfq AS (SELECT fp, count(*) AS d FROM fr GROUP BY 1),
+      |keep AS (SELECT fr.doc_id, fr.fp
+      |         FROM fr JOIN dfq USING (fp) WHERE dfq.d BETWEEN 2 AND 16),
+      |wp AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS shared
+      |       FROM keep l JOIN keep r ON l.fp = r.fp AND l.doc_id < r.doc_id
+      |       GROUP BY 1, 2 HAVING count(*) >= 5)""".stripMargin
 
   /** The ONE DuckDB mirror of `TextAnalysis.langId` — shared by the t1
     * and t13 oracles so the heuristic cannot fork between them. */
@@ -2781,17 +2808,16 @@ object SparkEntry {
     // BEFORE pair generation — the d21 set-explosion shape, so a hub
     // fingerprint can never emit more than 16·15/2 pairs — then pairs
     // sharing ≥ 5 selected fingerprints survive
-    "d22_winnow_pairs" -> ((s, dir) => {
-      val rows = graft.functions.DedupOps.winnowRows(
-        Tables.documents(s, dir), "doc_id", "text", k = 3, w = 4)
-      rows.groupBy("fp").agg(sort_array(collect_set("doc_id")).as("ds"))
-        .filter(size(col("ds")).between(2, 16))
-        .select(explode(expr(
-          "flatten(transform(ds, (x, i) -> " +
-            "transform(slice(ds, i + 2, size(ds)), " +
-            "y -> struct(x AS a, y AS b))))")).as("p"))
-        .groupBy("p.a", "p.b").agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 5)
+    "d22_winnow_pairs" -> ((s, dir) => winnowPairs(s, dir)),
+
+    // the winnow pairs closed into clusters: the SHARED pair rule
+    // (winnowPairs here, winnowPairSql in the oracle) + the d7 CC
+    // machinery, restricted to pair members so singletons stay out
+    "d23_winnow_clusters" -> ((s, dir) => {
+      val pairs = winnowPairs(s, dir).select("a", "b")
+      val members = pairs.select(col("a").as("doc_id"))
+        .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
+      graft.functions.DedupOps.connectedComponents(members, pairs)
     }),
 
     // hop distance from the word graph's weighted-degree hub: iterative
@@ -2883,6 +2909,23 @@ object SparkEntry {
         .select(col("doc_id"), col("cls").as("source"), col("predicted"),
           round(col("score"), 6).as("score"),
           (col("predicted") === col("cls")).as("correct"))
+    }),
+
+    // seasonal-naive monitoring: today's per-type daily total against
+    // the same weekday last week (a day-keyed self JOIN on day−7, not
+    // lag(7) — row-offset lags silently misalign across gap days);
+    // residual null when no baseline exists
+    "x85_seasonal_residual" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+        .agg(sum("value").as("v"))
+      val base = daily.select(col("event_type"),
+        (col("day") + 7).as("day"), col("v").as("v_base"))
+      daily.join(base, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          round(col("v"), 6).as("v"),
+          round(col("v_base"), 6).as("v_base"),
+          round(col("v") - col("v_base"), 6).as("residual"))
     }),
 
     // latency-SLO style percentile report: exact interpolated
@@ -5426,13 +5469,23 @@ object SparkEntry {
     "d22_winnow_pairs" ->
       s"""WITH $toksSql,
         |$winnowFfSql,
-        |fr AS (SELECT doc_id, unnest(fps) AS fp FROM ff),
-        |dfq AS (SELECT fp, count(*) AS d FROM fr GROUP BY 1),
-        |keep AS (SELECT fr.doc_id, fr.fp
-        |         FROM fr JOIN dfq USING (fp) WHERE dfq.d BETWEEN 2 AND 16)
-        |SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS shared
-        |FROM keep l JOIN keep r ON l.fp = r.fp AND l.doc_id < r.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+        |$winnowPairSql
+        |SELECT a, b, shared FROM wp""".stripMargin,
+
+    // the d7 recursive-reach replay over the SHARED winnow pair rule,
+    // seeded from pair members only
+    "d23_winnow_clusters" ->
+      s"""WITH RECURSIVE $toksSql,
+        |$winnowFfSql,
+        |$winnowPairSql,
+        |edges AS (SELECT a AS s2, b AS d2 FROM wp UNION SELECT b, a FROM wp),
+        |members AS (SELECT DISTINCT s2 AS node FROM edges),
+        |reach AS (
+        |  SELECT node, node AS r FROM members
+        |  UNION
+        |  SELECT e.s2, reach.r FROM edges e JOIN reach ON reach.node = e.d2)
+        |SELECT node AS doc_id, min(r)::BIGINT AS cluster_id
+        |FROM reach GROUP BY 1""".stripMargin,
 
     "t27_burstiness" ->
       s"""WITH $toksSql,
@@ -5582,6 +5635,15 @@ object SparkEntry {
         |  b.predicted = d.source AS correct
         |FROM best b JOIN documents d ON d.doc_id = b.doc_id
         |WHERE b.rn = 1""".stripMargin,
+
+    "x85_seasonal_residual" ->
+      s"""WITH $evSql,
+        |daily AS (SELECT event_type, ts_sec // 86400 AS day, sum(value) AS v
+        |          FROM ev GROUP BY 1, 2)
+        |SELECT d.event_type, d.day, round(d.v, 6) AS v,
+        |  round(b.v, 6) AS v_base, round(d.v - b.v, 6) AS residual
+        |FROM daily d LEFT JOIN daily b
+        |  ON b.event_type = d.event_type AND b.day = d.day - 7""".stripMargin,
 
     // quantile_cont and Spark's exact percentile share the definition
     // pos = p·(n−1), linear interpolation between floor/ceil neighbors
