@@ -53,9 +53,13 @@ final class MiniBroker(val numPartitions: Int = 2) extends AutoCloseable {
   acceptor.setDaemon(true)
   acceptor.start()
 
+  /** Long-poll fetches park here; produce (and close) wake them. */
+  private val dataMonitor = new Object
+
   override def close(): Unit = {
     running.set(false)
     server.close()
+    dataMonitor.synchronized(dataMonitor.notifyAll())
   }
 
   /** Log-end offset (next offset to be assigned). */
@@ -161,6 +165,8 @@ final class MiniBroker(val numPartitions: Int = 2) extends AutoCloseable {
                 }
                 b0
               }
+              // wake parked long-poll fetches (they re-check readiness)
+              dataMonitor.synchronized(dataMonitor.notifyAll())
               (ErrNone, b0)
             } catch { case _: IllegalArgumentException => (ErrCorruptMessage, -1L) }
         b.int32(partition).int16(err).int64(base)
@@ -170,23 +176,75 @@ final class MiniBroker(val numPartitions: Int = 2) extends AutoCloseable {
   }
 
   /** Fetch v0: records from fetch_offset, bounded by max_bytes but always
-    * at least one message when any exists (Kafka's no-starvation rule). */
+    * at least one message when any exists (Kafka's no-starvation rule).
+    *
+    * LONG POLL (`max_wait` / `min_bytes`): when the requested partitions
+    * hold fewer than `min_bytes` of new data, the response is parked on
+    * the produce monitor until either enough data lands or `max_wait`
+    * elapses — Kafka's anti-busy-poll contract. Error conditions
+    * (unknown partition, out-of-range offset) count as "data": they
+    * answer immediately, a blocked error would stall the client's reset
+    * logic. The wait runs on the connection's own thread (request/
+    * response ordering per connection is preserved by construction). */
   private def fetch(r: Reader): Buf = {
     r.int32() // replica_id
-    r.int32() // max_wait — immediate response; the source polls
-    r.int32() // min_bytes
+    val maxWait = r.int32()
+    val minBytes = r.int32()
     val nt = r.int32()
-    val b = new Buf
-    b.int32(nt)
-    (0 until nt).foreach { _ =>
+    case class PartReq(partition: Int, from: Long, maxBytes: Int)
+    val reqs: Seq[(String, Seq[PartReq])] = (0 until nt).map { _ =>
       val topic = r.string()
       val np = r.int32()
+      topic -> (0 until np).map { _ =>
+        PartReq(r.int32(), r.int64(), r.int32())
+      }
+    }
+
+    def recSize(rec: WireRecord): Int = 26 + 8 +
+      (if (rec.key == null) 0 else rec.key.length) +
+      (if (rec.value == null) 0 else rec.value.length)
+    // bytes ready across the request, or None when an error condition
+    // must answer immediately
+    def readyBytes(): Option[Long] = {
+      var total = 0L
+      var immediate = false
+      reqs.foreach { case (topic, parts) =>
+        parts.foreach { pr =>
+          if (pr.partition < 0 || pr.partition >= numPartitions) immediate = true
+          else {
+            val buf = log(topic, pr.partition)
+            buf.synchronized {
+              val hw = buf.length.toLong
+              if (pr.from < 0 || pr.from > hw) immediate = true
+              else buf.drop(pr.from.toInt).foreach(total += recSize(_))
+            }
+          }
+        }
+      }
+      if (immediate) None else Some(total)
+    }
+    if (maxWait > 0 && minBytes > 0) {
+      val deadline = System.nanoTime() + maxWait.toLong * 1000000L
+      dataMonitor.synchronized {
+        var ready = readyBytes()
+        while (running.get() && ready.exists(_ < minBytes) &&
+            System.nanoTime() < deadline) {
+          val leftMs = (deadline - System.nanoTime()) / 1000000L
+          if (leftMs > 0) dataMonitor.wait(leftMs)
+          ready = readyBytes()
+        }
+      }
+    }
+
+    val b = new Buf
+    b.int32(nt)
+    reqs.foreach { case (topic, parts) =>
       b.string(topic)
-      b.int32(np)
-      (0 until np).foreach { _ =>
-        val partition = r.int32()
-        val from = r.int64()
-        val maxBytes = r.int32()
+      b.int32(parts.size)
+      parts.foreach { pr =>
+        val partition = pr.partition
+        val from = pr.from
+        val maxBytes = pr.maxBytes
         if (partition < 0 || partition >= numPartitions) {
           // validate BEFORE touching the log map — log() auto-creates
           // entries, and a bad client would otherwise mint phantom

@@ -113,13 +113,16 @@ final class MiniKafkaClient(host: String, port: Int) extends AutoCloseable {
     }
   }
 
-  /** Fetch from `offset`; empty when caught up. */
+  /** Fetch from `offset`; empty when caught up. `maxWaitMs`/`minBytes`
+    * opt into the broker's long poll: the response parks until
+    * `minBytes` of data are ready or the wait elapses. */
   def fetch(topic: String, partition: Int, offset: Long,
-            maxBytes: Int = 4 << 20): Seq[WireRecord] = {
+            maxBytes: Int = 4 << 20, maxWaitMs: Int = 0,
+            minBytes: Int = 0): Seq[WireRecord] = {
     val body = new Buf
     body.int32(-1) // replica_id: ordinary consumer
-    body.int32(0)  // max_wait
-    body.int32(0)  // min_bytes
+    body.int32(maxWaitMs)
+    body.int32(minBytes)
     body.int32(1).string(topic)
     body.int32(1).int32(partition).int64(offset).int32(maxBytes)
     val r = call(ApiFetch, body)

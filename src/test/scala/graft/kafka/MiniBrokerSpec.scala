@@ -196,6 +196,42 @@ class MiniBrokerSpec extends AnyFunSuite {
     }
   }
 
+  test("long-poll fetch parks until produce arrives, times out when none does") {
+    withBroker { (broker, client) =>
+      client.produce("lp", 0, Seq(WireRecord(0L, 1L, null, "seed".getBytes)))
+      // caught-up fetch with a wait: a producer on another connection
+      // lands a record mid-wait and the parked fetch returns it EARLY
+      val t0 = System.nanoTime()
+      val late = new Thread(() => {
+        Thread.sleep(150)
+        val c2 = new MiniKafkaClient("localhost", broker.port)
+        try c2.produce("lp", 0, Seq(WireRecord(0L, 2L, null, "wake".getBytes)))
+        finally c2.close()
+      })
+      late.start()
+      val got = client.fetch("lp", 0, 1L, maxWaitMs = 5000, minBytes = 1)
+      val waitedMs = (System.nanoTime() - t0) / 1000000L
+      late.join()
+      assert(got.map(r => new String(r.value)) == Seq("wake"))
+      assert(waitedMs >= 100 && waitedMs < 4000,
+        s"should wake on produce, not the deadline (waited ${waitedMs}ms)")
+
+      // no producer: the wait expires and returns empty
+      val t1 = System.nanoTime()
+      val none = client.fetch("lp", 0, 2L, maxWaitMs = 200, minBytes = 1)
+      val expiredMs = (System.nanoTime() - t1) / 1000000L
+      assert(none.isEmpty)
+      assert(expiredMs >= 180, s"should hold ~max_wait (held ${expiredMs}ms)")
+
+      // error conditions answer immediately, never park: out-of-range
+      val t2 = System.nanoTime()
+      val err = intercept[IllegalArgumentException](
+        client.fetch("lp", 0, 99L, maxWaitMs = 5000, minBytes = 1))
+      assert(err.getMessage.contains("fetch error 1"))
+      assert((System.nanoTime() - t2) / 1000000L < 1000, "error must not park")
+    }
+  }
+
   test("fetch and listOffsets reject partitions outside the advertised range") {
     withBroker { (_, client) =>
       client.produce("pv", 0, Seq(WireRecord(0L, 1L, null, "v".getBytes)))
