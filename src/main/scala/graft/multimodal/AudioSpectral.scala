@@ -168,4 +168,84 @@ object AudioSpectral {
       }
     }
   }
+
+  // ---- MFCC (Davis & Mermelstein 1980; HTK mel scale) ------------------
+
+  /** Per-file mel-frequency cepstral coefficients; `ok=false` rows carry
+    * an empty vector (same fallback discipline as [[SpectralRow]]). */
+  case class MfccRow(id: Long, ok: Boolean, sampleRate: Int,
+                     mfcc: Seq[Double])
+
+  /** Triangular mel filterbank over the power-spectrum bins [0, n/2):
+    * `nFilters` overlapping triangles with centers equally spaced on the
+    * HTK mel scale (m = 2595·log10(1 + f/700)) from 0 Hz to Nyquist —
+    * the standard construction. Returned as (filter × bin) weights. */
+  private[multimodal] def melFilterbank(nFilters: Int, fftSize: Int,
+                                        rate: Int): Array[Array[Double]] = {
+    def hzToMel(hz: Double) = 2595.0 * math.log10(1.0 + hz / 700.0)
+    def melToHz(m: Double) = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+    val hi = hzToMel(rate / 2.0)
+    // nFilters + 2 edge frequencies in Hz, then in (fractional) bins
+    val edges = Array.tabulate(nFilters + 2)(i =>
+      melToHz(hi * i / (nFilters + 1)) * fftSize / rate)
+    Array.tabulate(nFilters) { f =>
+      val (lo, c, up) = (edges(f), edges(f + 1), edges(f + 2))
+      Array.tabulate(fftSize / 2) { b =>
+        if (b <= lo || b >= up) 0.0
+        else if (b <= c) (b - lo) / (c - lo)
+        else (up - b) / (up - c)
+      }
+    }
+  }
+
+  /** MFCCs from one PCM payload: mean power spectrum → mel filterbank
+    * energies → natural log (floored at 1e-12: a silent band must not
+    * produce −∞) → DCT-II → first `nCoeffs` coefficients. None when the
+    * payload is not PCM-decodable. */
+  def mfcc(bytes: Array[Byte], nCoeffs: Int = 13, nFilters: Int = 26,
+           fftSize: Int = 1024): Option[(Int, Array[Double])] = {
+    require(nCoeffs >= 1 && nCoeffs <= nFilters,
+      s"need 1 <= nCoeffs <= nFilters, got $nCoeffs/$nFilters")
+    val decoded =
+      try WavFeatureDecoder.decodePcm(bytes)
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (decoded == null || decoded._1.isEmpty) None
+    else {
+      val (samples, channels, rate) = decoded
+      val spec = meanPowerSpectrum(samples, channels, fftSize)
+      val bank = melFilterbank(nFilters, fftSize, rate)
+      val logE = bank.map { w =>
+        var e = 0.0
+        var b = 0
+        while (b < spec.length) { e += w(b) * spec(b); b += 1 }
+        math.log(math.max(e, 1e-12))
+      }
+      // DCT-II: c_k = Σ_m logE(m)·cos(π·k·(m + 0.5)/M)
+      val out = Array.tabulate(nCoeffs) { k =>
+        var s = 0.0
+        var m = 0
+        while (m < nFilters) {
+          s += logE(m) * math.cos(math.Pi * k * (m + 0.5) / nFilters)
+          m += 1
+        }
+        s
+      }
+      Some((rate, out))
+    }
+  }
+
+  /** Map-side MFCC vectors over (id, content) audio rows — the audio
+    * embedding column a 100 TB curation/clustering pipeline feeds to the
+    * ANN/dedup machinery; zero shuffles, only the 13-double rows move. */
+  def mfccFeatures(records: Dataset[MediaRecord], nCoeffs: Int = 13,
+                   nFilters: Int = 26, fftSize: Int = 1024): Dataset[MfccRow] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.map { r =>
+      mfcc(r.content, nCoeffs, nFilters, fftSize) match {
+        case Some((rate, cs)) => MfccRow(r.id, ok = true, rate, cs.toSeq)
+        case None => MfccRow(r.id, ok = false, 0, Nil)
+      }
+    }
+  }
 }

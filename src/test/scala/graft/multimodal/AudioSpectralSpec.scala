@@ -93,4 +93,54 @@ class AudioSpectralSpec extends SparkSpec {
     assert(rows(1L).ok && math.abs(rows(1L).dominantHz - 2000.0) <= rate / 1024.0)
     assert(!rows(2L).ok)
   }
+
+  test("mel filterbank: triangles partition [0, Nyquist], centers ascend the mel scale") {
+    val bank = AudioSpectral.melFilterbank(26, 1024, 16000)
+    assert(bank.length == 26 && bank.head.length == 512)
+    bank.foreach(w => assert(w.forall(x => x >= 0.0 && x <= 1.0)))
+    // every filter has mass, and peak bins strictly ascend (mel spacing)
+    val peaks = bank.map(w => w.indexOf(w.max))
+    assert(bank.forall(_.sum > 0.0))
+    assert(peaks.zip(peaks.tail).forall { case (a, b) => a < b }, peaks.toSeq)
+    // mel warping: filters WIDEN with frequency (log-ish scale)
+    val widths = bank.map(_.count(_ > 0.0))
+    assert(widths.last > 3 * widths.head, s"${widths.head} → ${widths.last}")
+  }
+
+  test("mfcc equals an independent replay of filterbank + DCT-II") {
+    val rate = 16000
+    val wav = pcmWav(rate, sine(rate, 1000.0, 0.5))
+    val Some((gotRate, got)) = AudioSpectral.mfcc(wav, nCoeffs = 13)
+    assert(gotRate == rate && got.length == 13)
+    // replay from the same power spectrum with independently-written sums
+    val (samples, channels, _) = WavFeatureDecoder.decodePcm(wav)
+    val spec = AudioSpectral.meanPowerSpectrum(samples, channels, 1024)
+    val bank = AudioSpectral.melFilterbank(26, 1024, rate)
+    val logE = bank.map(w =>
+      math.log(math.max(w.zip(spec).map { case (a, b) => a * b }.sum, 1e-12)))
+    (0 until 13).foreach { k =>
+      val want = logE.zipWithIndex.map { case (e, m) =>
+        e * math.cos(math.Pi * k * (m + 0.5) / 26) }.sum
+      assert(math.abs(got(k) - want) < 1e-9, s"c$k: ${got(k)} vs $want")
+    }
+  }
+
+  test("mfcc separates a tone from noise; Dataset path falls back on junk") {
+    val s = spark
+    import s.implicits._
+    val rate = 16000
+    val tone = pcmWav(rate, sine(rate, 1000.0, 0.5))
+    val hiss = pcmWav(rate, noise(8000))
+    val recs = Seq(
+      MediaRecord(1L, Multimodal.parseMeta(tone), tone),
+      MediaRecord(2L, Multimodal.parseMeta(hiss), hiss),
+      MediaRecord(3L, Multimodal.parseMeta(Array[Byte](9)), Array[Byte](9))).toDS()
+    val rows = AudioSpectral.mfccFeatures(recs).collect().map(r => r.id -> r).toMap
+    assert(rows(1L).ok && rows(2L).ok && !rows(3L).ok && rows(3L).mfcc.isEmpty)
+    // a pure tone's log-mel spectrum swings hard (one hot band), noise's
+    // is comparatively flat: higher-order cepstral energy separates them
+    def acEnergy(cs: Seq[Double]): Double = cs.drop(1).map(c => c * c).sum
+    assert(acEnergy(rows(1L).mfcc) > 4 * acEnergy(rows(2L).mfcc),
+      s"tone ${acEnergy(rows(1L).mfcc)} vs noise ${acEnergy(rows(2L).mfcc)}")
+  }
 }
