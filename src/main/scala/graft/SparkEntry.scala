@@ -845,6 +845,39 @@ object SparkEntry {
 
     "j10_q3_shipping" -> ((s, dir) => q3Shipping(s, dir)),
 
+    // TPC-H Q10 shape: top returned-revenue customers — four-way join
+    // (returns-filtered lineitem ⋈ orders ⋈ customer ⋈ broadcast
+    // nation), revenue agg, bounded top-20 (TakeOrderedAndProject on
+    // the round-4 revenue so the rank is engine-exact). customer joins
+    // by shuffle, NOT broadcast: at scale it is a fact-sized dimension
+    // (AQE may still elect broadcast at test SFs)
+    "j14_q10_returns" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      li.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — the HAVING-aggregate
+    // drives a semi-shaped join back to orders/customer; the quantity
+    // agg is the only lineitem-sized exchange
+    "j15_q18_bigorders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 4).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), tsFmt).as("orderdate"),
+          round(col("o_totalprice"), 4).as("totalprice"), col("total_qty"))
+    }),
+
     // §2 KTable / changelog ------------------------------------------------
 
     "k1_latest_per_key" -> ((s, dir) =>
@@ -3495,6 +3528,28 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2""".stripMargin,
+
+    "j14_q10_returns" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "j15_q18_bigorders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 4) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  round(o_totalprice, 4) AS totalprice, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "k1_latest_per_key" ->
       s"""WITH $latestSql
