@@ -136,6 +136,64 @@ class KafkaEndToEndSpec extends SparkSpec {
     }
   }
 
+  test("live index over the wire: produce docs → incremental index → HTTP term stats") {
+    // the retrieval capstone: documents produced over broker sockets,
+    // folded into the incrementally-maintained inverted index, and the
+    // per-term statistics served over the reference's IQ REST face —
+    // a second produce must show up in the SAME http store after the
+    // next micro-batch, with no re-index step anywhere
+    val s = spark
+    import s.implicits._
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    val ckpt = Files.createTempDirectory("graft_iidx_wire").toString
+    val table = Files.createTempDirectory("graft_iidx_wire_tbl").toString + "/index"
+    val http = new graft.state.StateHttpServer(s)
+      .registerView("index",
+        () => graft.streaming.IncrementalIndex.index(s, table).toDF(), "term")
+    val port = http.start()
+    def get(path: String): (Int, String) = {
+      val conn = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      conn.disconnect()
+      (code, body)
+    }
+    try {
+      producer.produceStrings("docs", Seq(
+        ("d1", "spark streams spark", 1000L),
+        ("d2", "kafka streams", 2000L)))
+      val in = KafkaEdges.source(s, broker.bootstrapServers, "docs",
+        format = "graft-kafka")
+      val q = graft.streaming.IncrementalIndex.start(
+        graft.streaming.KTableStream.changes(in), table, ckpt)
+      try {
+        q.processAllAvailable()
+        val (c1, b1) = get("/state/keyvalue/index/spark")
+        assert(c1 == 200 && b1.contains("\"df\":1") && b1.contains("\"total_tf\":2"), b1)
+        val (c2, b2) = get("/state/keyvalue/index/streams")
+        assert(c2 == 200 && b2.contains("\"df\":2"), b2)
+
+        // leg 2: rewrite d1 over the wire — the OLD text's terms must
+        // retract; the http face reads the updated table in place
+        producer.produceStrings("docs", Seq(("d1", "spark joins", 3000L)))
+        q.processAllAvailable()
+        val (_, b3) = get("/state/keyvalue/index/spark")
+        assert(b3.contains("\"total_tf\":1"), b3)
+        val (_, b4) = get("/state/keyvalue/index/streams")
+        assert(b4.contains("\"df\":1"), b4)
+        val (_, b5) = get("/state/keyvalue/index/joins")
+        assert(b5.contains("\"df\":1"), b5)
+      } finally q.stop()
+    } finally {
+      http.stop()
+      producer.close()
+      broker.close()
+    }
+  }
+
   test("Pipe: records pass through unchanged over the wire") {
     // the simplest reference app (`Pipe.java:44`:
     // `builder.stream(in).to(out)`) — identity over the wire: keys,
