@@ -863,6 +863,22 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
     }),
 
+    // Q22-flavored churn anti-join: customers with NO orders since the
+    // cutoff, counted per nation — LEFT ANTI against the recent order
+    // keys (shuffle hash anti; never a NOT IN materialization; the date
+    // filter pushes to the orders scan), 25-row nation broadcast
+    "j16_no_orders" -> ((s, dir) => {
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey"))
+      Tables.customer(s, dir)
+        .join(recent, Seq("c_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n_customers"),
+          round(sum("c_acctbal"), 4).as("total_acctbal"))
+    }),
+
     // TPC-H Q18 shape: large-volume orders — the HAVING-aggregate
     // drives a semi-shaped join back to orders/customer; the quantity
     // agg is the only lineitem-sized exchange
@@ -2942,6 +2958,51 @@ object SparkEntry {
         .select(col("doc_id"), col("cls").as("source"), col("predicted"),
           round(col("score"), 6).as("score"),
           (col("predicted") === col("cls")).as("correct"))
+    }),
+
+    // pairwise correlation matrix of the per-day activity series: the
+    // metric-dependency probe. Pearson over the days BOTH types are
+    // active (inner day join), written as the explicit five-sum closed
+    // form so both engines evaluate the identical expression tree
+    "x86_type_corr" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      val l = daily.select(col("event_type").as("ta"), col("day"), col("c").as("x"))
+      val r = daily.select(col("event_type").as("tb"), col("day"), col("c").as("y"))
+      l.join(r, "day").filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("ta"), col("tb"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr"))
+    }),
+
+    // Heaps'-law fit (V = k·N^β): vocabulary growth across sources —
+    // one (source, word) exchange to per-source (N, V) points, then the
+    // x77 closed-form regression of ln V on ln N; β ≈ 0.4–0.6 for
+    // natural text, ~0 when sources share one capped vocabulary
+    "t29_heaps_fit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sv = docs
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("source").agg(
+          count(lit(1)).as("nn"), countDistinct("w").as("vv"))
+        .select(log(col("nn").cast("double")).as("x"),
+          log(col("vv").cast("double")).as("y"))
+      sv.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").as("n_sources"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("beta"),
+          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+            col("n"), 6).as("ln_k"))
     }),
 
     // seasonal-naive monitoring: today's per-type daily total against
@@ -5690,6 +5751,48 @@ object SparkEntry {
         |  b.predicted = d.source AS correct
         |FROM best b JOIN documents d ON d.doc_id = b.doc_id
         |WHERE b.rn = 1""".stripMargin,
+
+    "x86_type_corr" ->
+      s"""WITH $evSql,
+        |daily AS (SELECT event_type, ts_sec // 86400 AS day,
+        |            count(*)::DOUBLE AS c
+        |          FROM ev GROUP BY 1, 2),
+        |ag AS (SELECT l.event_type AS ta, r.event_type AS tb,
+        |         count(*)::BIGINT AS n,
+        |         sum(l.c) AS sx, sum(r.c) AS sy, sum(l.c * r.c) AS sxy,
+        |         sum(l.c * l.c) AS sxx, sum(r.c * r.c) AS syy
+        |       FROM daily l JOIN daily r
+        |         ON l.day = r.day AND l.event_type < r.event_type
+        |       GROUP BY 1, 2)
+        |SELECT ta, tb, n,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+        |FROM ag""".stripMargin,
+
+    "t29_heaps_fit" ->
+      s"""WITH $toksSql,
+        |sv AS (SELECT ln(count(*)::DOUBLE) AS x,
+        |         ln(count(DISTINCT w)::DOUBLE) AS y
+        |       FROM (SELECT source, unnest(t) AS w FROM toks) GROUP BY source),
+        |ag AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx
+        |       FROM sv)
+        |SELECT n AS n_sources,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |    AS ln_k
+        |FROM ag""".stripMargin,
+
+    // deliberately the NOT EXISTS formulation (the query uses LEFT ANTI)
+    "j16_no_orders" ->
+      """SELECT n_name, count(*)::BIGINT AS n_customers,
+        |  round(sum(c_acctbal), 4) AS total_acctbal
+        |FROM customer c JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1""".stripMargin,
 
     "x85_seasonal_residual" ->
       s"""WITH $evSql,
