@@ -71,8 +71,19 @@ object StateQueries {
       case _ => Seq(col(c).as(prefix))
     }
     val keyCols = expand("key", "key")
+    // MapState variables surface as (user_map_key, user_map_value) —
+    // rename to (map_key, value) so one grouping key plus one value
+    // column come out, same as value/list states (a shared "value"
+    // prefix for both would collide)
     val valCols = df.columns.toSeq.filter(c => c != "key" && c != "partition_id")
-      .flatMap(c => expand(c, if (c.startsWith("map_")) c else "value"))
+      .flatMap { c =>
+        val prefix =
+          if (c == "user_map_key") "map_key"
+          else if (c == "user_map_value") "value"
+          else if (c.startsWith("map_")) c
+          else "value"
+        expand(c, prefix)
+      }
     df.select(keyCols ++ valCols: _*)
   }
 

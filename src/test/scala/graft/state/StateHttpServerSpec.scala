@@ -176,4 +176,45 @@ class StateHttpServerSpec extends SparkSpec {
         """[{"key":"a","value":1.5},{"key":"a","value":2.5}]""", b3)
     } finally srv.stop()
   }
+
+  test("StreamKlDrift MapState counts answer over the IQ face") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val ckpt = Files.createTempDirectory("graft_http_kl").toString
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.get(provKey, "")
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[graft.streaming.StreamKlDrift.TokDoc]
+    val base = Map("the" -> 0.5, "cat" -> 0.25, "sat" -> 0.25)
+    val q = graft.streaming.StreamKlDrift.monitor(in.toDS(), base, oovProb = 1e-6)
+      .writeStream.format("memory").queryName("http_kl_src")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      in.addData(
+        graft.streaming.StreamKlDrift.TokDoc("g1", 1L, 1000L,
+          Seq("the", "cat", "the")),
+        graft.streaming.StreamKlDrift.TokDoc("g2", 2L, 2000L, Seq("sat")))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      if (prevProv.isEmpty) s.conf.unset(provKey) else s.conf.set(provKey, prevProv)
+    }
+
+    val srv = new StateHttpServer(s)
+      .registerTws("kl_counts", ckpt, stateVarName = "counts")
+    val port = srv.start()
+    try {
+      // point: group g1's live word counts — the drift monitor's state
+      // is inspectable without touching the stream
+      val (c1, b1) = get(port, "/state/keyvalue/kl_counts/g1")
+      assert(c1 == 200, b1)
+      assert(b1.contains(""""the"""") && b1.contains("2") &&
+        b1.contains(""""cat""""), b1)
+      val (c2, b2) = get(port, "/state/keyvalue/kl_counts/g2")
+      assert(c2 == 200 && b2.contains(""""sat""""), b2)
+    } finally srv.stop()
+  }
 }
