@@ -2861,9 +2861,15 @@ object SparkEntry {
 
     // the winnow pairs closed into clusters: the SHARED pair rule
     // (winnowPairs here, winnowPairSql in the oracle) + the d7 CC
-    // machinery, restricted to pair members so singletons stay out
+    // machinery, restricted to pair members so singletons stay out.
+    // The pair list is SNAPSHOTTED once: CC's budget probe and its
+    // component loop are separate ACTIONS, so exchange reuse cannot
+    // span them and a plan-shaped pair input would recompute the whole
+    // winnow chain per action (measured 2×; the labelPropagation
+    // snapshot contract — the pair list is candidate-sized, not corpus-
+    // sized, so the resident blocks are small)
     "d23_winnow_clusters" -> ((s, dir) => {
-      val pairs = winnowPairs(s, dir).select("a", "b")
+      val pairs = winnowPairs(s, dir).select("a", "b").localCheckpoint(false)
       val members = pairs.select(col("a").as("doc_id"))
         .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
       graft.functions.DedupOps.connectedComponents(members, pairs)
