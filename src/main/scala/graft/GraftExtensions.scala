@@ -87,7 +87,9 @@ object GraftExtensions {
     exprFn("graft_deflate_ratio", 1)(cs =>
       graft.expressions.DeflateRatio(cs.head)),
     exprFn("damerau_levenshtein", 2)(cs =>
-      graft.expressions.DamerauLevenshtein(cs.head, cs(1))))
+      graft.expressions.DamerauLevenshtein(cs.head, cs(1))),
+    exprFn("sorted_intersect_count", 3)(cs =>
+      graft.expressions.SortedIntersectCount(cs.head, cs(1), cs(2))))
 
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -469,8 +469,11 @@ object DedupOps {
     // Array size is bounded by per-doc distinct shingles (doc length),
     // which is the same data volume the membership rows carried, just
     // grouped — no new memory shape at 100 TB.
+    // SORTED sets: the verify below is a codegen'd merge scan
+    // (SortedIntersectCount), whose comparator is exactly sort_array's
+    // binary UTF8 order
     val arrs = tk.groupBy("doc_id")
-      .agg(collect_set(col("sh")).as("shs"))
+      .agg(sort_array(collect_set(col("sh"))).as("shs"))
       .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("n"))
     // Bayardo's LENGTH FILTER before the array joins: J(A,B) ≥ t forces
     // t·|A| ≤ |B| ≤ |A|/t (the intersection is at most min(|A|,|B|) and
@@ -478,6 +481,19 @@ object DedupOps {
     // spec's brute-force equality is unaffected. At bench sf0.1 this
     // cuts the verified pair set 409k → 310k (sizes already ride the
     // candidate rows from the prefix chain's window counts).
+    //
+    // The verify is the early-exit merge scan against the minimum
+    // intersection a true pair needs, i ≥ t·(na+nb)/(1+t) (J = i/(u),
+    // u = na+nb−i, J ≥ t ⟺ that bound; the 1e-9 nudge only ever LOWERS
+    // the requirement — a ulp-up-rounded requirement could bail on a
+    // true pair). Pairs the scan bails on return a count strictly below
+    // the requirement, whose jaccard is then strictly below t — exactly
+    // the rows the final filter drops; surviving pairs carry the EXACT
+    // count, so the emitted jaccard is exact (PrefixJoinSpec's
+    // brute-force equality re-proves both claims).
+    val required = ceil(
+      lit(threshold) * (col("na") + col("nb")) / lit(1.0 + threshold) - lit(1e-9))
+      .cast("long")
     prefixCandidatesFromShingles(tk, threshold)
       .join(arrs.select(col("doc_id").as("a"), col("shs").as("sha"),
         col("n").as("na")), "a")
@@ -485,8 +501,11 @@ object DedupOps {
         col("n").as("nb")), "b")
       .filter(col("nb") >= ceil(col("na") * lit(threshold)) &&
         col("nb") <= floor(col("na") / lit(threshold)))
-      .withColumn("inter",
-        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("inter", org.apache.spark.sql.GraftShims.column(
+        graft.expressions.SortedIntersectCount(
+          org.apache.spark.sql.GraftShims.expression(col("sha")),
+          org.apache.spark.sql.GraftShims.expression(col("shb")),
+          org.apache.spark.sql.GraftShims.expression(required))).cast("long"))
       .select(col("a"), col("b"),
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
