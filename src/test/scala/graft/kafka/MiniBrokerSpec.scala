@@ -232,6 +232,27 @@ class MiniBrokerSpec extends AnyFunSuite {
     }
   }
 
+  test("broker close releases a parked long-poll fetch promptly") {
+    val broker = new MiniBroker(numPartitions = 1)
+    val client = new MiniKafkaClient("localhost", broker.port)
+    try {
+      client.produce("cl", 0, Seq(WireRecord(0L, 1L, null, "v".getBytes)))
+      val closer = new Thread(() => { Thread.sleep(150); broker.close() })
+      closer.start()
+      val t0 = System.nanoTime()
+      // caught-up fetch with a long wait: close must wake it, not let it
+      // hold the full deadline
+      try client.fetch("cl", 0, 1L, maxWaitMs = 10000, minBytes = 1)
+      catch { case _: Exception => } // a torn connection is also a prompt exit
+      val heldMs = (System.nanoTime() - t0) / 1000000L
+      closer.join()
+      assert(heldMs < 5000, s"close must release the parked fetch (held ${heldMs}ms)")
+    } finally {
+      client.close()
+      broker.close()
+    }
+  }
+
   test("fetch and listOffsets reject partitions outside the advertised range") {
     withBroker { (_, client) =>
       client.produce("pv", 0, Seq(WireRecord(0L, 1L, null, "v".getBytes)))
