@@ -464,14 +464,15 @@ object DedupOps {
     // pairs × ~50 rows at bench sf0.1). Collapsing each doc's distinct
     // shingles into one array row (same hash(doc_id) clustering the
     // candidate chain's windows already pay) turns the verify into two
-    // |pairs|-row hash joins plus a codegen'd array_intersect per pair —
-    // the exact same intersection count, A/B-measured 4.8 s → ~2 s.
-    // Array size is bounded by per-doc distinct shingles (doc length),
-    // which is the same data volume the membership rows carried, just
-    // grouped — no new memory shape at 100 TB.
-    // SORTED sets: the verify below is a codegen'd merge scan
-    // (SortedIntersectCount), whose comparator is exactly sort_array's
-    // binary UTF8 order
+    // |pairs|-row hash joins plus one per-pair intersection count —
+    // the exact same result, A/B-measured 4.8 s → ~2 s when it replaced
+    // the membership joins. Array size is bounded by per-doc distinct
+    // shingles (doc length), which is the same data volume the
+    // membership rows carried, just grouped — no new memory shape at
+    // 100 TB.
+    // SORTED sets: the per-pair count is the codegen'd early-exit merge
+    // scan (SortedIntersectCount), whose comparator is exactly
+    // sort_array's binary UTF8 order — no per-pair hash-set build
     val arrs = tk.groupBy("doc_id")
       .agg(sort_array(collect_set(col("sh"))).as("shs"))
       .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("n"))
