@@ -87,17 +87,27 @@ object Wire {
     def int16(): Short = bb.getShort()
     def int32(): Int = bb.getInt()
     def int64(): Long = bb.getLong()
+    // length fields are validated against the buffer BEFORE allocating:
+    // a malformed frame declaring a 2 GB string must die as a clean
+    // parse error, never as an attacker-chosen allocation
     def string(): String = {
       val n = bb.getShort()
       if (n < 0) null
       else {
+        require(n <= bb.remaining(),
+          s"string length $n exceeds remaining ${bb.remaining()}")
         val b = new Array[Byte](n); bb.get(b)
         new String(b, StandardCharsets.UTF_8)
       }
     }
     def bytes(): Array[Byte] = {
       val n = bb.getInt()
-      if (n < 0) null else { val b = new Array[Byte](n); bb.get(b); b }
+      if (n < 0) null
+      else {
+        require(n <= bb.remaining(),
+          s"bytes length $n exceeds remaining ${bb.remaining()}")
+        val b = new Array[Byte](n); bb.get(b); b
+      }
     }
     def remaining: Int = bb.remaining()
     def slice(n: Int): Reader = {

@@ -232,6 +232,62 @@ class MiniBrokerSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: random and mutated frames never wedge the broker") {
+    // a network-facing parser must fail CLEAN on arbitrary bytes: each
+    // garbage frame may tear its own connection, but the broker must
+    // keep serving fresh, well-formed connections afterwards
+    val rng = new scala.util.Random(1234)
+    withBroker { (broker, client) =>
+      client.produce("fz", 0, Seq(WireRecord(0L, 1L, null, "base".getBytes)))
+      (0 until 60).foreach { i =>
+        val sock = new java.net.Socket("localhost", broker.port)
+        try {
+          sock.setSoTimeout(500)
+          val out = new java.io.DataOutputStream(sock.getOutputStream)
+          val payload: Array[Byte] =
+            if (i % 3 == 0) { // pure noise
+              val b = new Array[Byte](rng.nextInt(64)); rng.nextBytes(b); b
+            } else { // a valid api header with a corrupted body
+              val req = new Buf
+              req.int16(Seq(ApiProduce, ApiFetch, ApiListOffsets,
+                ApiMetadata)(rng.nextInt(4))).int16(0).int32(i).string("fz")
+              val junk = new Array[Byte](rng.nextInt(48)); rng.nextBytes(junk)
+              req.raw(junk)
+              req.toArray
+            }
+          try {
+            writeFrame(out, payload)
+            readFrame(new java.io.DataInputStream(sock.getInputStream))
+          } catch { case _: java.io.IOException => } // torn connection is fine
+        } finally sock.close()
+      }
+      // the broker survived: a fresh well-formed round-trip still works
+      val c2 = new MiniKafkaClient("localhost", broker.port)
+      try {
+        c2.produce("fz", 0, Seq(WireRecord(0L, 2L, null, "after".getBytes)))
+        assert(c2.fetchAll("fz", 0).map(r => new String(r.value)) ==
+          Seq("base", "after"))
+      } finally c2.close()
+    }
+  }
+
+  test("a declared length past the frame end is a parse error, not an allocation") {
+    // a CRC-valid message whose KEY length claims 2 GB: the reader must
+    // raise its bounds require, never allocate attacker-chosen memory
+    val body = new Buf
+    body.int8(1).int8(0).int64(1L) // magic, attrs, ts
+    body.int32(Int.MaxValue)       // key length: 2 GB lie
+    body.raw(Array.fill[Byte](8)(0x55)) // padding so size clears the v1 floor
+    val bodyBytes = body.toArray
+    val crc = new java.util.zip.CRC32
+    crc.update(bodyBytes)
+    val set = new Buf
+    set.int64(0L).int32(4 + bodyBytes.length).int32(crc.getValue.toInt)
+    set.raw(bodyBytes)
+    val e = intercept[IllegalArgumentException](decodeMessageSet(set.toArray))
+    assert(e.getMessage.contains("exceeds remaining"), e.getMessage)
+  }
+
   test("broker close releases a parked long-poll fetch promptly") {
     val broker = new MiniBroker(numPartitions = 1)
     val client = new MiniKafkaClient("localhost", broker.port)
