@@ -2875,6 +2875,20 @@ object SparkEntry {
       graft.functions.DedupOps.connectedComponents(members, pairs)
     }),
 
+    // weighted shortest paths from the hub: 4 Bellman-Ford relaxation
+    // rounds over integer edge costs 10⁶ div w (rare co-occurrence =
+    // costly hop), vs the oracle's unrolled-CTE replay of the same
+    // recurrence — g7's BFS with costs instead of hop counts
+    "g8_sssp" -> ((s, dir) => {
+      val ew = graft.functions.GraphOps.bigramEdges(Tables.documents(s, dir))
+      val ec = ew.select(col("a"), col("b"),
+        expr("1000000L div cast(w as long)").as("cost"))
+      val hub = ew.groupBy("a").agg(sum("w").as("wd"))
+        .orderBy(col("wd").desc, col("a")).limit(1)
+        .select(col("a").as("node"))
+      graft.functions.GraphOps.ssspCosts(ec, hub, rounds = 4)
+    }),
+
     // hop distance from the word graph's weighted-degree hub: iterative
     // frontier BFS (per-round checkpoints, node-keyed joins only) vs
     // the oracle's recursive CTE
@@ -5616,6 +5630,33 @@ object SparkEntry {
         |SELECT w, sum(c)::BIGINT AS cf, count(*)::BIGINT AS df,
         |  round(sum(c)::DOUBLE / count(*), 6) AS burstiness
         |FROM wcx GROUP BY 1 HAVING sum(c) >= 5""".stripMargin,
+
+    // the Bellman-Ford recurrence unrolled (the t18 iteration idiom):
+    // r_{k} = min(r_{k-1}, min over edges of r_{k-1}(u) + cost)
+    "g8_sssp" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""rel$k AS (
+           |  SELECT e.b AS node, min(r${k - 1}.cost + e.cost) AS cost
+           |  FROM r${k - 1} JOIN ec e ON e.a = r${k - 1}.node GROUP BY 1),
+           |r$k AS (
+           |  SELECT node, min(cost)::BIGINT AS cost FROM (
+           |    SELECT node, cost FROM r${k - 1}
+           |    UNION ALL SELECT node, cost FROM rel$k) GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""WITH $toksSql,
+        |bg AS (SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+        |       FROM toks WHERE len(t) >= 2),
+        |bgf AS (SELECT a, b FROM bg WHERE a <> b),
+        |ew AS (SELECT a, b, count(*)::DOUBLE AS w FROM
+        |    (SELECT a, b FROM bgf UNION ALL SELECT b AS a, a AS b FROM bgf)
+        |  GROUP BY 1, 2),
+        |ec AS (SELECT a, b, 1000000 // w::BIGINT AS cost FROM ew),
+        |wdeg AS (SELECT a, sum(w) AS wd FROM ew GROUP BY 1),
+        |hub AS (SELECT a AS node FROM wdeg ORDER BY wd DESC, a LIMIT 1),
+        |r0 AS (SELECT node, 0::BIGINT AS cost FROM hub),
+        |$rounds
+        |SELECT node, cost FROM r4""".stripMargin
+    },
 
     // recursive-CTE replay of the frontier BFS: UNION dedups (node, d)
     // rows, depth strictly increases so the recursion is bounded, and

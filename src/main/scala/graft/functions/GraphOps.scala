@@ -326,6 +326,39 @@ object GraphOps {
     dist
   }
 
+  /** Bounded Bellman-Ford single-source shortest paths over a weighted
+    * edge table (a, b, cost) with INTEGER costs (the micro-unit
+    * discipline: float path sums would fork between engines; integer
+    * sums are exact everywhere). Each round relaxes every edge once —
+    * dist_k(v) = min(dist_{k-1}(v), min_u dist_{k-1}(u) + cost(u,v)) —
+    * so after `rounds` rounds every ≤`rounds`-edge path is optimal; the
+    * oracle replays the same recurrence as unrolled CTEs (the t18
+    * pattern). Same per-round shapes and checkpoint discipline as
+    * [[bfsDepths]]: one node-keyed join + one min-agg per round, dist
+    * is node-count-sized. Returns (node, cost) for nodes reachable
+    * within `rounds` edges (seeds at cost 0). */
+  def ssspCosts(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
+    val e = edges.select(col("a"), col("b"), col("cost").cast("long").as("cost"))
+      .localCheckpoint(false)
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("cost", lit(0L)).localCheckpoint(false)
+    dist.count()
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(dist.select(col("node").as("a"), col("cost").as("dc")), "a")
+        .select(col("b").as("node"), (col("dc") + col("cost")).as("cost"))
+      val dist2 = dist.unionAll(relaxed)
+        .groupBy("node").agg(min("cost").as("cost"))
+        .localCheckpoint(false)
+      dist2.count()
+      GraftShims.unpersistLocalCheckpoint(dist)
+      dist = dist2
+    }
+    dist
+  }
+
   /** Synchronous label propagation (Raghavan, Albert & Kumara 2007) for
     * community detection, made DETERMINISTIC so a second engine can
     * replay it exactly: every node starts as its own label; each round,

@@ -352,6 +352,30 @@ class GraphOpsSpec extends SparkSpec {
       7L -> 0, 6L -> 1, 5L -> 2))
   }
 
+  test("ssspCosts: cheap detour beats the direct hop; horizon bounds path length") {
+    import spark.implicits._
+    // 1→2 costs 10 direct, but 1→3→4→2 costs 1+1+1: Bellman-Ford must
+    // prefer the longer-but-cheaper path once rounds allow it
+    val edges = Seq(
+      (1L, 2L, 10L), (1L, 3L, 1L), (3L, 4L, 1L), (4L, 2L, 1L),
+      (2L, 5L, 1L)).toDF("a", "b", "cost")
+    val seeds = Seq(1L).toDF("node")
+    def run(r: Int): Map[Long, Long] =
+      GraphOps.ssspCosts(edges, seeds, rounds = r)
+        .as[(Long, Long)].collect().toMap
+    // 1 round: only direct edges relaxed
+    assert(run(1) == Map(1L -> 0L, 2L -> 10L, 3L -> 1L))
+    // 3 rounds: the 3-edge detour wins over the direct hop for node 2,
+    // but node 5's cheap route needs 4 edges — within 3 rounds it still
+    // pays the direct-hop prefix (10 + 1)
+    val r3 = run(3)
+    assert(r3(2L) == 3L && r3(4L) == 2L && r3(5L) == 11L, r3.toString)
+    // round 4 unlocks the 4-edge path; costs never increase with rounds
+    val r4 = run(4)
+    assert(r4(5L) == 4L, r4.toString)
+    assert(r3.forall { case (n, c) => r4(n) <= c })
+  }
+
   test("labelPropagation tie-break holds for STRING node ids") {
     import spark.implicits._
     // same two-triangle shape as the hand-traced long-id test, with
