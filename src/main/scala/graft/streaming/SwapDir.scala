@@ -8,8 +8,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * the backup. At every instant either `target` or `target.old` holds the
   * complete previous state, so a crash in any window loses no committed
   * keys; [[resolveCurrent]] is the matching read rule. Living in ONE
-  * place keeps both sinks' crash-recovery guarantees identical. */
-private[streaming] object SwapDir {
+  * place keeps both sinks' crash-recovery guarantees identical (the
+  * batch-side [[graft.functions.ModelStore]] commits through the same
+  * protocol, hence the graft-wide visibility). */
+private[graft] object SwapDir {
 
   /** Reclaim temp dirs orphaned by an earlier crash — recovery never
     * reads them, they are dead weight. */
