@@ -376,6 +376,47 @@ class GraphOpsSpec extends SparkSpec {
     assert(r3.forall { case (n, c) => r4(n) <= c })
   }
 
+  test("bfsDepths and ssspCosts equal in-memory replays on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+    (1 to 3).foreach { trial =>
+      val n = 12 + rng.nextInt(8)
+      val dir = Seq.fill(3 * n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong,
+        (1 + rng.nextInt(9)).toLong)).filter(e => e._1 != e._2).distinct
+      val sym = (dir ++ dir.map(e => (e._2, e._1, e._3)))
+        .groupBy(e => (e._1, e._2)).map { case ((a, b), es) => (a, b, es.map(_._3).min) }
+        .toSeq
+      val edges = sym.toDF("a", "b", "cost")
+      val seed = dir.head._1
+      val seeds = Seq(seed).toDF("node")
+
+      // in-memory BFS
+      val adj = sym.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+      var depth = Map(seed -> 0)
+      var frontier = Set(seed)
+      (1 to 4).foreach { d =>
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .filterNot(depth.contains)
+        depth ++= frontier.map(_ -> d)
+      }
+      val gotB = GraphOps.bfsDepths(edges, seeds, maxDepth = 4)
+        .as[(Long, Int)].collect().toMap
+      assert(gotB == depth, s"trial $trial BFS")
+
+      // in-memory bounded Bellman-Ford
+      var dist = Map(seed -> 0L)
+      (1 to 4).foreach { _ =>
+        val relaxed = sym.flatMap { case (a, b, c) =>
+          dist.get(a).map(da => b -> (da + c)) }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1).map {
+          case (v, ds) => v -> ds.map(_._2).min }
+      }
+      val gotS = GraphOps.ssspCosts(edges, seeds, rounds = 4)
+        .as[(Long, Long)].collect().toMap
+      assert(gotS == dist, s"trial $trial SSSP")
+    }
+  }
+
   test("labelPropagation tie-break holds for STRING node ids") {
     import spark.implicits._
     // same two-triangle shape as the hand-traced long-id test, with
