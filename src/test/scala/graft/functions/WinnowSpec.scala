@@ -74,6 +74,23 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("replay equality holds across the (k, w) parameter space") {
+    val rng = new scala.util.Random(5)
+    val texts = (0 until 6).map(i =>
+      Seq.fill(5 + rng.nextInt(40))(s"w${rng.nextInt(25)}").mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for ((k, w) <- Seq((1, 5), (2, 3), (4, 2), (5, 1))) {
+      val got = DedupOps.winnowFingerprints(docs, "doc_id", "text", k, w)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val (ng, fps) = replay(t, k, w)
+        assert(got(i.toLong) == ((ng.toLong, fps.size.toLong)),
+          s"k=$k w=$w doc $i: ${got(i.toLong)} vs ($ng, ${fps.size})")
+      }
+    }
+  }
+
   test("short inputs: empty sketch below k tokens, global min below w grams") {
     val docs = Seq((1L, "a b"), (2L, "a b c"), (3L, "a b c d e"))
       .toDF("doc_id", "text")
