@@ -2157,6 +2157,17 @@ object SparkEntry {
       graft.functions.Retrieval.qlmRank(Tables.documents(s, dir),
         "doc_id", "text", Seq("hash", "join", "merge"), topN = 20)),
 
+    // reverse search: standing queries percolated over the corpus —
+    // rarest-term anchoring, exact all-terms verify on the anchor's
+    // postings only; the oracle is deliberately the brute cross form
+    "s18_percolate" -> ((s, dir) =>
+      graft.functions.Retrieval.percolate(Tables.documents(s, dir),
+        "doc_id", "text", Seq(
+          ("q1", Seq("hash", "join")),
+          ("q2", Seq("table", "scan")),
+          ("q3", Seq("merge", "sort", "fast")),
+          ("q4", Seq("hash", "zzzmissing"))))),
+
     // text normalization: the canonical form a strict exact-dedup pass
     // fingerprints — casing/whitespace/punctuation variants collapse to
     // one digest. Pure map-side projection, zero shuffles
@@ -4870,6 +4881,17 @@ object SparkEntry {
         |  sum(tf)::BIGINT AS total_tf,
         |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
         |FROM tf GROUP BY 1, 2""".stripMargin,
+
+    "s18_percolate" ->
+      s"""WITH $toksSql,
+        |qs AS (SELECT * FROM (VALUES
+        |  ('q1', ['hash', 'join']),
+        |  ('q2', ['table', 'scan']),
+        |  ('q3', ['merge', 'sort', 'fast']),
+        |  ('q4', ['hash', 'zzzmissing'])) AS v(query_id, qterms))
+        |SELECT q.query_id, d.doc_id
+        |FROM toks d CROSS JOIN qs q
+        |WHERE list_has_all(d.t, q.qterms)""".stripMargin,
 
     // the identical rank-equivalent decomposition as qlmRank: matched
     // term sum ln(1 + tf·|C|/(μ·cf)) + |q|·ln(μ/(dl+μ)), μ = 2000

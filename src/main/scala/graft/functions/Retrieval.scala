@@ -145,6 +145,47 @@ object Retrieval {
         col("score"))
   }
 
+  /** Percolation — reverse search (the Elasticsearch-percolate shape):
+    * a small set of STANDING term-set queries matched against every
+    * document; emits (query_id, doc_id) for documents containing ALL of
+    * a query's terms. The routing/alerting primitive: documents flow,
+    * queries stand still.
+    *
+    * Scale shape: one corpus scan. Per query, matching anchors on its
+    * corpus-RAREST term (min document frequency, ties by term) — the
+    * classic percolator optimization: candidates are the anchor's
+    * postings, not the corpus, and the exact all-terms containment
+    * verify runs only on those. Document frequencies are computed over
+    * the query terms ONLY (map-side prune before the df exchange) and
+    * collected — bounded by the ≤64-term require, the bm25Rank
+    * broadcast contract. A query whose anchor never occurs matches
+    * nothing, which is also what all-terms containment demands. */
+  def percolate(docs: DataFrame, idCol: String, textCol: String,
+                queries: Seq[(String, Seq[String])]): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every standing query needs at least one term")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "standing query ids must be unique")
+    val allTerms = queries.flatMap(_._2).distinct
+    require(allTerms.size <= 64, "standing term set must be small (bounded broadcast)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("tk"))
+    val qterm = toks.select(col("doc_id"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .distinct()
+    val dfMap = qterm.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val qDf = queries.map { case (qid, ts) =>
+      (qid, ts, ts.map(t => (dfMap.getOrElse(t, 0L), t)).min._2)
+    }.toDF("query_id", "qterms", "anchor")
+    qterm.join(broadcast(qDf), col("term") === col("anchor"))
+      .join(toks, "doc_id")
+      .filter(expr("forall(qterms, t -> array_contains(tk, t))"))
+      .select("query_id", "doc_id")
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009; public
     * literature): combine N retrieval rankings by
     * rrf(d) = Σ_systems 1 / (k + rank_s(d)), documents missing from a

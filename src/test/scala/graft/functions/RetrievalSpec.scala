@@ -84,6 +84,29 @@ class RetrievalSpec extends SparkSpec {
     assert(got.map(_._1).contains(2L))
   }
 
+  test("percolate matches all-terms containment; absent anchors match nothing") {
+    val queries = Seq(
+      ("qa", Seq("hash", "join")),     // docs 0 and 4
+      ("qb", Seq("merge")),            // docs 1 and 4
+      ("qc", Seq("hash", "absent")),   // impossible
+      ("qd", Seq("scan", "filter")))   // doc 2
+    val got = Retrieval.percolate(docs, "doc_id", "text", queries)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // replay: brute containment over the same corpus
+    val corpus = Seq(
+      0L -> "hash join hash join hash", 1L -> "merge sort merge sort",
+      2L -> "scan filter scan filter scan filter", 3L -> "hash",
+      4L -> "join merge hash join merge hash join")
+    val want = (for {
+      (qid, ts) <- queries
+      (id, text) <- corpus
+      toksOf = text.split(" ").toSet
+      if ts.forall(toksOf.contains)
+    } yield (qid, id)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(!got.exists(_._1 == "qc"))
+  }
+
   test("bm25 excludes docs with no query term and ranks contiguously") {
     val got = Retrieval.bm25Rank(docs, "doc_id", "text",
       Seq("hash", "join", "merge"), topN = 10).collect()
