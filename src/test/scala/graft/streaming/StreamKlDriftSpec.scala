@@ -79,6 +79,59 @@ class StreamKlDriftSpec extends SparkSpec {
     assert(got(1).alarm && got(1).kl > 0.5, got(1).toString)
   }
 
+  test("state survives a query restart: the trajectory continues, not restarts") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.get(key, "")
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kl_restart").toString
+    val base = baselineOf(Seq("the cat sat on the mat", "the dog sat"))
+    val d1 = TokDoc("g", 1L, 1000L, toks("the cat sat"))
+    val d2 = TokDoc("g", 2L, 2000L, toks("the dog on the mat"))
+    // memory sinks refuse checkpoint recovery; foreachBatch resumes.
+    // Each leg's fresh MemoryStream must repopulate the offset space the
+    // checkpoint already committed (offsets identify POSITIONS, not
+    // records): already-committed offsets are skipped, so only the
+    // genuinely new doc processes — which is exactly the claim under
+    // test (skipped replay + carried state, not recomputation).
+    StreamKlDriftSpec.collected.clear()
+    def leg(docs: Seq[TokDoc]): Unit = {
+      val in = MemoryStream[TokDoc]
+      val q = StreamKlDrift.monitor(in.toDS(), base, oovProb = 1e-6)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[KlPoint], _: Long) =>
+          StreamKlDriftSpec.collected.synchronized {
+            StreamKlDriftSpec.collected ++= b.collect()
+          }; ()
+        }
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try { docs.foreach(in.addData(_)); q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      leg(Seq(d1))
+      leg(Seq(d1, d2)) // fresh query, SAME checkpoint: counts carry over
+      val got = StreamKlDriftSpec.collected.synchronized {
+        StreamKlDriftSpec.collected.toSeq }.sortBy(_.seq_id)
+      // replay over the FULL prefix — a restarted-from-zero operator
+      // would compute d2's KL from d2's tokens alone
+      var counts = Map.empty[String, Long]
+      var total = 0L
+      val want = Seq(d1, d2).map { d =>
+        d.tokens.foreach(w => counts = counts.updated(w, counts.getOrElse(w, 0L) + 1L))
+        total += d.tokens.size
+        (d.seq_id, total, BigDecimal(StreamKlDrift.klOf(counts, total, base, 1e-6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      assert(got.map(p => (p.seq_id, p.n_tokens, p.kl)).toSeq == want)
+      assert(got(1).n_tokens == 8L) // 3 + 5: leg-1 state carried over
+    } finally {
+      if (prev.nonEmpty) s.conf.set(key, prev) else s.conf.unset(key)
+    }
+  }
+
   test("groups are independent: one group's drift never alarms another") {
     val base = baselineOf(Seq("the cat sat on the mat"))
     val got = run(Seq(Seq(
@@ -89,4 +142,11 @@ class StreamKlDriftSpec extends SparkSpec {
     assert(!byGroup("ok").exists(_.alarm))
     assert(byGroup("bad").forall(_.alarm))
   }
+}
+
+/** Executor-visible alert buffer for the restart leg (a spec-class
+  * member would drag the suite into the foreachBatch closure). */
+object StreamKlDriftSpec {
+  val collected: scala.collection.mutable.ArrayBuffer[StreamKlDrift.KlPoint] =
+    scala.collection.mutable.ArrayBuffer.empty
 }
