@@ -75,7 +75,13 @@ object SortedIntersectCount {
 
   /** Merge scan over two ascending UTF8 arrays. Duplicate-safe for the
     * distinct-set inputs the verify stage produces (each common value
-    * counted once per aligned step). */
+    * counted once per aligned step). NULL elements never intersect
+    * (SQL: null ≠ null) and are skipped — the function is SQL-exposed
+    * as `sorted_intersect_count`, so user arrays may carry nulls even
+    * though the verify pipelines never produce them; `sort_array`
+    * places nulls first, so the skip costs nothing on sorted input and
+    * stays correct (an undercount is already the bail-out contract)
+    * anywhere else. */
   def compute(a: ArrayData, b: ArrayData, required: Long): Int = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -89,10 +95,14 @@ object SortedIntersectCount {
       }
       val x = a.getUTF8String(i)
       val y = b.getUTF8String(j)
-      val c = x.compareTo(y)
-      if (c == 0) { count += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+      if (x == null) i += 1
+      else if (y == null) j += 1
+      else {
+        val c = x.compareTo(y)
+        if (c == 0) { count += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     count
   }

@@ -401,7 +401,13 @@ object DedupOps {
       .select(col("doc_id"), col("tok"),
         row_number().over(byRarity).as("rnk"),
         count(lit(1)).over(Window.partitionBy("doc_id")).as("n"))
-      .filter(col("rnk") <= col("n") - ceil(col("n") * lit(threshold)) + 1)
+      // the 1e-9 nudge before ceil only ever LENGTHENS the prefix (for
+      // the exactly-representable thresholds the public API documents it
+      // is a no-op; for prefixJoin's tEff = t − 5e-7 it absorbs the
+      // double product rounding a hair above an exact integer — a
+      // SHORTER prefix would lose recall, a longer one only adds
+      // candidates the verify kills)
+      .filter(col("rnk") <= col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + 1)
     // PPJoin's POSITIONAL FILTER (Xiao et al., WWW 2008) on top of the
     // prefix pigeonhole: a token shared at ordered positions (ra, rb)
     // bounds the overlap by the shorter remaining suffix,
@@ -410,9 +416,10 @@ object DedupOps {
     // dominates the true overlap, so keeping pairs whose BEST bound
     // meets the required overlap α = t·(na+nb)/(1+t) is sound — recall
     // stays a theorem (spec re-proves vs brute force). The α test is the
-    // multiplicative form ub·(1+t) ≥ t·(na+nb): exact in doubles for the
-    // binary-representable thresholds this contract requires, with no
-    // ceil-of-float edge to round a true pair away. Bench sf0.1:
+    // multiplicative form ub·(1+t) ≥ t·(na+nb): exact in doubles for
+    // binary-representable thresholds (the prefixCandidates contract);
+    // prefixJoin passes its effective t − 5e-7, covered by the −1e-6
+    // slack at the filter below. Bench sf0.1:
     // candidates drop 409k → 125k before the verify fan-out.
     // PPJoin's ASYMMETRIC prefixes (Xiao et al. 2008 §3.2): order the
     // pair by size (ties by id) — the larger record y probes with the
@@ -441,7 +448,12 @@ object DedupOps {
         greatest(col("px"), col("py")).as("b"))
       .agg(max(least(col("nx") - col("rx"), col("ny") - col("ry")) + 1).as("ub"),
         max(col("nx") + col("ny")).as("nsum"))
-      .filter(col("ub") * lit(1.0 + threshold) >= lit(threshold) * col("nsum"))
+      // −1e-6 slack on the α test: the multiplicative form is exact in
+      // doubles only for binary-representable thresholds; prefixJoin
+      // passes tEff = t − 5e-7, where a 1-ulp-high RHS at an
+      // exact-integer boundary would prune a borderline TRUE pair. The
+      // slack only ever keeps extra candidates (verify kills them).
+      .filter(col("ub") * lit(1.0 + threshold) >= lit(threshold) * col("nsum") - lit(1e-6))
       .select("a", "b")
   }
 
@@ -476,32 +488,46 @@ object DedupOps {
     val arrs = tk.groupBy("doc_id")
       .agg(sort_array(collect_set(col("sh"))).as("shs"))
       .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("n"))
-    // Bayardo's LENGTH FILTER before the array joins: J(A,B) ≥ t forces
-    // t·|A| ≤ |B| ≤ |A|/t (the intersection is at most min(|A|,|B|) and
-    // the union at least max), so pruning on sizes alone is SOUND — the
-    // spec's brute-force equality is unaffected. At bench sf0.1 this
-    // cuts the verified pair set 409k → 310k (sizes already ride the
+    // The ACCEPTED set is {pairs with round(J, 6) ≥ t} — the spec's
+    // brute-force convention and the DuckDB oracle's — and round-6
+    // HALF_UP keeps any pair with true J ≥ t − 5e-7. Every pruning
+    // stage below therefore derives from the EFFECTIVE threshold
+    // tEff = t − 5e-7, not t itself: bounds derived from the raw t
+    // would bail a pair whose true J sits in [t − 5e-7, t) — a pair
+    // the final rounded filter KEEPS — with an undercounted jaccard,
+    // forking from brute force (reachable once na+nb crosses ~2M
+    // distinct shingles, where 1/(na+nb) < 5e-7). Loosening to tEff
+    // only ever ADDS candidates, so soundness is the same theorem at
+    // threshold tEff; at test/bench scales the integer bounds are
+    // unchanged (n·5e-7 < 1 below ~2M shingles).
+    val tEff = threshold - 5e-7
+    // Bayardo's LENGTH FILTER before the array joins: J(A,B) ≥ tEff
+    // forces tEff·|A| ≤ |B| ≤ |A|/tEff (the intersection is at most
+    // min(|A|,|B|) and the union at least max), so pruning on sizes
+    // alone is SOUND for every accepted pair. At bench sf0.1 this cuts
+    // the verified pair set 409k → 310k (sizes already ride the
     // candidate rows from the prefix chain's window counts).
     //
     // The verify is the early-exit merge scan against the minimum
-    // intersection a true pair needs, i ≥ t·(na+nb)/(1+t) (J = i/(u),
-    // u = na+nb−i, J ≥ t ⟺ that bound; the 1e-9 nudge only ever LOWERS
-    // the requirement — a ulp-up-rounded requirement could bail on a
-    // true pair). Pairs the scan bails on return a count strictly below
-    // the requirement, whose jaccard is then strictly below t — exactly
-    // the rows the final filter drops; surviving pairs carry the EXACT
-    // count, so the emitted jaccard is exact (PrefixJoinSpec's
-    // brute-force equality re-proves both claims).
+    // intersection an accepted pair needs, i ≥ tEff·(na+nb)/(1+tEff)
+    // (J = i/u, u = na+nb−i, J ≥ tEff ⟺ that bound; the 1e-9 nudge only
+    // ever LOWERS the requirement — a ulp-up-rounded requirement could
+    // bail on a true pair). Pairs the scan bails on return a count
+    // strictly below the requirement, whose jaccard is then strictly
+    // below tEff — so round-6 lands strictly below t, exactly the rows
+    // the final filter drops; surviving pairs carry the EXACT count, so
+    // the emitted jaccard is exact (PrefixJoinSpec's brute-force
+    // equality re-proves both claims).
     val required = ceil(
-      lit(threshold) * (col("na") + col("nb")) / lit(1.0 + threshold) - lit(1e-9))
+      lit(tEff) * (col("na") + col("nb")) / lit(1.0 + tEff) - lit(1e-9))
       .cast("long")
-    prefixCandidatesFromShingles(tk, threshold)
+    prefixCandidatesFromShingles(tk, tEff)
       .join(arrs.select(col("doc_id").as("a"), col("shs").as("sha"),
         col("n").as("na")), "a")
       .join(arrs.select(col("doc_id").as("b"), col("shs").as("shb"),
         col("n").as("nb")), "b")
-      .filter(col("nb") >= ceil(col("na") * lit(threshold)) &&
-        col("nb") <= floor(col("na") / lit(threshold)))
+      .filter(col("nb") >= ceil(col("na") * lit(tEff) - lit(1e-9)) &&
+        col("nb") <= floor(col("na") / lit(tEff) + lit(1e-9)))
       .withColumn("inter", org.apache.spark.sql.GraftShims.column(
         graft.expressions.SortedIntersectCount(
           org.apache.spark.sql.GraftShims.expression(col("sha")),

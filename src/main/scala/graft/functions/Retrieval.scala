@@ -151,15 +151,24 @@ object Retrieval {
     * a query's terms. The routing/alerting primitive: documents flow,
     * queries stand still.
     *
-    * Scale shape: one corpus scan. Per query, matching anchors on its
-    * corpus-RAREST term (min document frequency, ties by term) — the
-    * classic percolator optimization: candidates are the anchor's
-    * postings, not the corpus, and the exact all-terms containment
-    * verify runs only on those. Document frequencies are computed over
-    * the query terms ONLY (map-side prune before the df exchange) and
-    * collected — bounded by the ≤64-term require, the bm25Rank
-    * broadcast contract. A query whose anchor never occurs matches
-    * nothing, which is also what all-terms containment demands. */
+    * Scale shape: ONE action, one corpus tokenize. Per query, matching
+    * anchors on its corpus-RAREST term (min document frequency, ties by
+    * term) — the classic percolator optimization: candidates are the
+    * anchor's postings, not the corpus, and the exact all-terms
+    * containment verify runs only on those. The anchor choice is
+    * derived INSIDE the returned plan (term dfs → broadcast-side
+    * aggregate), not collected at construction: an earlier revision's
+    * eager `collect()` was a full tokenize+explode+distinct job at
+    * DataFrame-construction time, and — exchange reuse never spanning
+    * actions — the returned plan paid the tokenizer again. Here the df
+    * branch and the probe share the one qterm distinct-exchange, and
+    * the anchor table (≤ |queries| rows, bounded by the ≤64-term
+    * require, the bm25Rank broadcast contract) broadcasts to the
+    * postings join. ANY anchor within a query yields the same matches
+    * (every all-terms doc contains every anchor candidate) — the
+    * rarest-term min only sizes the candidate set. A query whose
+    * anchor never occurs matches nothing, which is also what all-terms
+    * containment demands. */
   def percolate(docs: DataFrame, idCol: String, textCol: String,
                 queries: Seq[(String, Seq[String])]): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
@@ -175,12 +184,16 @@ object Retrieval {
     val qterm = toks.select(col("doc_id"), explode(col("tk")).as("term"))
       .filter(col("term").isin(allTerms: _*))
       .distinct()
-    val dfMap = qterm.groupBy("term").agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val qDf = queries.map { case (qid, ts) =>
-      (qid, ts, ts.map(t => (dfMap.getOrElse(t, 0L), t)).min._2)
-    }.toDF("query_id", "qterms", "anchor")
-    qterm.join(broadcast(qDf), col("term") === col("anchor"))
+    // per-standing-term corpus df — LAZY branch of the one plan
+    val dfs = qterm.groupBy("term").agg(count(lit(1)).as("df"))
+    val anchors = queries.toDF("query_id", "qterms")
+      .select(col("query_id"), col("qterms"), explode(col("qterms")).as("term"))
+      .join(broadcast(dfs), Seq("term"), "left")
+      .groupBy("query_id", "qterms")
+      .agg(min(struct(coalesce(col("df"), lit(0L)).as("df"),
+        col("term").as("t"))).as("m"))
+      .select(col("query_id"), col("qterms"), col("m.t").as("anchor"))
+    qterm.join(broadcast(anchors), col("term") === col("anchor"))
       .join(toks, "doc_id")
       .filter(expr("forall(qterms, t -> array_contains(tk, t))"))
       .select("query_id", "doc_id")

@@ -39,9 +39,12 @@ object IncrementalIndex {
 
   /** The ONE tokenizer of the index — the plain-Scala form of
     * `TextAnalysis.tokens` (lowercase, split \W+, drop empties; the
-    * equivalence is spec-asserted corpus-wide), as per-term counts. */
+    * equivalence is spec-asserted corpus-wide), as per-term counts.
+    * Locale.ROOT pins the case mapping: default-locale toLowerCase
+    * forks on e.g. a Turkish JVM ('I' → dotless 'ı'), silently
+    * splitting the maintained index from the batch x29 index. */
   private[streaming] def termCounts(text: String): Map[String, Long] =
-    text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    text.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty)
       .groupBy(identity).map { case (t, o) => t -> o.length.toLong }
 
   def start(changes: Dataset[Change], tablePath: String,

@@ -46,6 +46,20 @@ class SortedIntersectCountSpec extends SparkSpec {
     }
   }
 
+  test("null elements never intersect and never crash (SQL-registered surface)") {
+    // user SQL can hand arrays with nulls — sort_array puts them first;
+    // SQL semantics: null ≠ null, so they contribute nothing
+    graft.GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT sorted_intersect_count(array(NULL, 'a', 'b'), array(NULL, 'b', 'c'), 0) AS c1,
+        |       sorted_intersect_count(array(CAST(NULL AS STRING)), array(CAST(NULL AS STRING)), 0) AS c2,
+        |       sorted_intersect_count(array(NULL, 'a'), array('a', 'z'), 1) AS c3
+        |""".stripMargin).collect().head
+    assert(rows.getInt(0) == 1, "b intersects once, nulls skipped")
+    assert(rows.getInt(1) == 0, "null-only arrays are disjoint")
+    assert(rows.getInt(2) == 1, "early exit path skips nulls too")
+  }
+
   test("empty and disjoint inputs") {
     val df = Seq(
       (Seq.empty[String], Seq("a", "b"), 0),

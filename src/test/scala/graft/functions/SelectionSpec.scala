@@ -26,7 +26,7 @@ class SelectionSpec extends SparkSpec {
 
     // replay: corpus counts over the same \W+ lowercase tokenization
     val toks = rows.map { case (id, t, _) =>
-      id -> t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq }.toMap
+      id -> t.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty).toSeq }.toMap
     val corpus = toks.values.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size }
     val total = corpus.values.sum.toDouble
     val want = toks.filter(_._2.nonEmpty).map { case (id, ts) =>
@@ -88,7 +88,7 @@ class SelectionSpec extends SparkSpec {
       (java.lang.Long.parseLong(hex, 16) % B).toInt
     }
     def feats(t: String): Seq[Int] = {
-      val ts = t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+      val ts = t.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty).toSeq
       (ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))).map(bucket)
     }
     val (tgt, raw) = rows.partition(_._3 == "tgt")
@@ -122,7 +122,7 @@ class SelectionSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
 
     val toks = rows.map { case (_, t, s) =>
-      s -> t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq }
+      s -> t.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty).toSeq }
     val corpus = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
     val total = corpus.values.sum.toDouble
     val want = toks.groupBy(_._1).map { case (s, ts) =>
@@ -167,7 +167,7 @@ class SelectionSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getString(2), r.getDouble(3))).toMap
 
     val toks = rows.map { case (id, t, s) =>
-      (id, t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq, s) }
+      (id, t.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty).toSeq, s) }
     val model = toks.groupBy(_._3).view
       .mapValues(_.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap).toMap
     val vocabV = toks.flatMap(_._2).distinct.size

@@ -20,7 +20,7 @@ class SpanDupSpec extends SparkSpec {
     }
 
     def bruteShingles(text: String, n: Int): Set[String] = {
-      val t = text.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+      val t = text.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty).toSeq
       if (t.size >= n) t.sliding(n).map(_.mkString(" ")).toSet
       else Set(t.mkString(" "))
     }

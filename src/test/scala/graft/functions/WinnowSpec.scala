@@ -18,7 +18,7 @@ class WinnowSpec extends SparkSpec {
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
       java.lang.Long.parseLong(hex, 16)
     }
-    val t = text.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+    val t = text.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty).toSeq
     if (t.size < k) return (0, Nil)
     val g = t.sliding(k).map(ws => h(ws.mkString(" "))).toVector
     val wins =

@@ -29,7 +29,7 @@ class DslSpec extends SparkSpec {
     implicit val sql = s.sqlContext
     val in = MemoryStream[Rec]
     val q = in.toDS()
-      .flatMapValues(line => line.toLowerCase.split("\\W+").toSeq.filter(_.nonEmpty))
+      .flatMapValues(line => line.toLowerCase(java.util.Locale.ROOT).split("\\W+").toSeq.filter(_.nonEmpty))
       .selectKey((_, word) => word)
       .filterNotNullKeys
       .toTable

@@ -32,7 +32,7 @@ class StreamKlDriftSpec extends SparkSpec {
   }
 
   private def toks(t: String): Seq[String] =
-    t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+    t.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty).toSeq
 
   private def baselineOf(texts: Seq[String]): Map[String, Double] = {
     val ws = texts.flatMap(toks)
