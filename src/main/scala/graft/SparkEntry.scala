@@ -894,6 +894,103 @@ object SparkEntry {
           round(col("o_totalprice"), 4).as("totalprice"), col("total_qty"))
     }),
 
+    // TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    // multi-supplier order — the exists + not-exists self-join pair on
+    // the fact table ("late" adapted to this schema: shipped > 90 days
+    // after the order date; the reference benchmark's receipt/commit
+    // columns are absent). Every self-join keys on l_orderkey, so all
+    // three lineitem-sized inputs share one hash(orderkey) exchange
+    // family; the distinct projections shrink before the semi/anti
+    // probes; the per-supplier count aggregates BEFORE touching
+    // supplier, so the name join moves |suppliers| rows, not |lines|
+    "j17_q21_sole_late" -> ((s, dir) => {
+      val late = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+      val anySupp = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("a_ok"), col("l_suppkey").as("a_sk")).distinct()
+      val lateSupp = late
+        .select(col("l_orderkey").as("b_ok"), col("l_suppkey").as("b_sk")).distinct()
+      val sole = late
+        .join(anySupp, col("l_orderkey") === col("a_ok") &&
+          col("l_suppkey") =!= col("a_sk"), "left_semi")
+        .join(lateSupp, col("l_orderkey") === col("b_ok") &&
+          col("l_suppkey") =!= col("b_sk"), "left_anti")
+        .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+      sole.join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(sum("numwait").as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    }),
+
+    // TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    // brand — the correlated per-part avg subquery becomes an explicit
+    // partkey aggregate joined back. The brand's part keys broadcast,
+    // pruning lineitem BEFORE the partkey exchange; the avg table and
+    // the join-back share that exchange; output is one row
+    "j18_q17_small_qty" -> ((s, dir) => {
+      val pk = Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
+        .select("p_partkey")
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val avgq = li.groupBy("l_partkey").agg(avg("l_quantity").as("aq"))
+      li.join(avgq, "l_partkey")
+        .filter(col("l_quantity") < lit(0.2) * col("aq"))
+        .agg(round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"))
+    }),
+
+    // TPC-H Q2 shape: cheapest qualifying supplier per group — but the
+    // correlated min-cost subquery + join-back is re-expressed as ONE
+    // argmin aggregate (min over a (bal, key, name) struct): no second
+    // pass over the candidates, no re-join, same tie-broken winner. The
+    // (partkey, suppkey) fact projection deduplicates before meeting
+    // supplier; part's 2-column slice broadcasts
+    "j19_argmin_supplier" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .select("p_type", "l_suppkey").distinct()
+      pairs.join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_type")
+        .agg(min(struct(col("s_acctbal"), col("s_suppkey"), col("s_name"))).as("m"))
+        .select(col("p_type"), col("m.s_suppkey").as("s_suppkey"),
+          col("m.s_name").as("s_name"), round(col("m.s_acctbal"), 4).as("acctbal"))
+    }),
+
+    // TPC-H Q15 shape: the top supplier(s) by windowed revenue — an
+    // aggregated view, its global max, and the equality join back. The
+    // 1-row max broadcasts (never a single-partition window over all
+    // suppliers); the revenue view's partkey... suppkey exchange is
+    // computed once and reused by both branches of the one action
+    "j20_q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("total_revenue"))
+      rev.join(broadcast(rev.agg(max("total_revenue").as("mr"))),
+          col("total_revenue") === col("mr"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    }),
+
+    // explicit salted skew join (operators.Joins.salted): lineitem
+    // scatters over 8 deterministic salt buckets, orders replicates ×8 —
+    // the structural-skew pattern when one key dominates and the small
+    // side can't broadcast whole. The oracle is the UNSALTED join: the
+    // operator's contract is bit-identical results
+    "j21_salted_join" -> ((s, dir) =>
+      Joins.salted(Tables.lineitem(s, dir), Tables.orders(s, dir),
+          "l_orderkey", "o_orderkey",
+          Seq(col("l_linenumber"), col("l_partkey")), buckets = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))),
+
     // §2 KTable / changelog ------------------------------------------------
 
     "k1_latest_per_key" -> ((s, dir) =>
@@ -914,6 +1011,18 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("total_cents"),
           count(lit(1)).as("n_users"))),
+
+    // type-2 slowly-changing dimension from the event changelog: one
+    // validity interval per run of equal event_type values per user —
+    // the dimension-HISTORY face of the same changelog k1's latest-view
+    // consumes (k1 is exactly this table's is_current slice). One
+    // hash(user) sort-shuffle feeds both the change-detect lag and the
+    // interval-closing lead; output size is value CHANGES, not events
+    "k4_scd2" -> ((s, dir) =>
+      Changelog.scd2(ev(s, dir), Seq("user_id"), col("event_type"),
+          col("ts_sec"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("value").as("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current"))),
 
     // dedup suite ----------------------------------------------------------
 
@@ -2362,6 +2471,16 @@ object SparkEntry {
         ev(s, dir).select(col("event_type"), col("ts_sec"), col("value")),
         "event_type", "ts_sec", "value")),
 
+    // Holt linear-trend smoothing of each event type's daily volume —
+    // the level/trend readout behind x85's seasonal-naive residuals and
+    // x83's value trend, as a genuinely SEQUENTIAL recursion: exact
+    // centi-unit daily sums feed a per-group aggregate() fold (state =
+    // (level, trend), array length = days, not events), and the DuckDB
+    // twin replays the identical IEEE trajectory via a recursive CTE
+    "x87_holt_linear" -> ((s, dir) =>
+      graft.functions.TimeSeries.holtLinear(
+        ev(s, dir), "event_type", "ts", "value")),
+
     // last-touch attribution: each purchase's value is credited to the
     // most recent PRECEDING non-purchase event by the same user within
     // a 7-day lookback — the classic marketing-attribution readout.
@@ -3643,6 +3762,62 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
+    "j17_q21_sole_late" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY),
+        |sole AS (
+        |  SELECT l1.l_suppkey, count(*)::BIGINT AS numwait FROM late l1
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM late l3
+        |      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |  GROUP BY 1)
+        |SELECT s_name, sum(numwait)::BIGINT AS numwait
+        |FROM sole JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "j18_q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1'),
+        |aq AS (SELECT l_partkey, avg(l_quantity) AS aq FROM li GROUP BY 1)
+        |SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM li JOIN aq USING (l_partkey)
+        |WHERE l_quantity < 0.2 * aq""".stripMargin,
+
+    "j19_argmin_supplier" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT p_type, l_suppkey
+        |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |  JOIN part ON l_partkey = p_partkey),
+        |c AS (SELECT p_type, s_suppkey, s_name, s_acctbal,
+        |    row_number() OVER (PARTITION BY p_type
+        |      ORDER BY s_acctbal, s_suppkey) AS rn
+        |  FROM pairs JOIN supplier ON l_suppkey = s_suppkey)
+        |SELECT p_type, s_suppkey, s_name, round(s_acctbal, 4) AS acctbal
+        |FROM c WHERE rn = 1""".stripMargin,
+
+    "j20_q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+
+    "j21_salted_join" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
     "k1_latest_per_key" ->
       s"""WITH $latestSql
         |SELECT user_id, event_id, event_type, ts_sec FROM latest""".stripMargin,
@@ -3657,6 +3832,18 @@ object SparkEntry {
         |  sum(round(value * 100)::BIGINT)::BIGINT AS total_cents,
         |  count(*) AS n_users
         |FROM latest GROUP BY 1""".stripMargin,
+
+    "k4_scd2" ->
+      s"""WITH $evSql,
+        |r AS (SELECT user_id, event_type, ts_sec,
+        |    row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT user_id, event_type, ts_sec AS valid_from, rn FROM r
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to,
+        |  lead(valid_from) OVER w2 IS NULL AS is_current
+        |FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
@@ -5034,6 +5221,35 @@ object SparkEntry {
         |  round(n2::DOUBLE / den::DOUBLE, 6) AS acf2,
         |  round(n3::DOUBLE / den::DOUBLE, 6) AS acf3
         |FROM a""".stripMargin,
+
+    // the recursion is sequential, so its inputs are forced exact
+    // (floor'd centi-unit BIGINT day sums) and the smoothing weights
+    // are binary-representable — the recursive CTE then replays the
+    // Spark fold's IEEE trajectory bit-for-bit (anchor = state after
+    // y1: l=y1, b=y2−y1; step t consumes observation rn=t+1)
+    "x87_holt_linear" ->
+      s"""WITH RECURSIVE $evSql,
+        |d AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    sum(floor(value * 100))::BIGINT AS mu
+        |  FROM ev GROUP BY 1, 2),
+        |r AS (SELECT event_type, mu::DOUBLE AS y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |h AS (
+        |  SELECT r1.event_type, 1::BIGINT AS t, r1.y AS l, r2.y - r1.y AS b, r1.n
+        |  FROM r r1 JOIN r r2 ON r2.event_type = r1.event_type AND r2.rn = 2
+        |  WHERE r1.rn = 1 AND r1.n >= 2
+        |  UNION ALL
+        |  SELECT h.event_type, h.t + 1,
+        |    0.5 * r.y + 0.5 * (h.l + h.b),
+        |    0.25 * ((0.5 * r.y + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b,
+        |    h.n
+        |  FROM h JOIN r ON r.event_type = h.event_type AND r.rn = h.t + 1)
+        |SELECT event_type, n::BIGINT AS n_days, round(l / 100.0, 6) AS level,
+        |  round(b / 100.0, 6) AS trend,
+        |  round((l + b) / 100.0, 6) AS forecast
+        |FROM h WHERE t = n""".stripMargin,
 
     // same one-window shape: the IGNORE NULLS last_value over the
     // unbounded-to-−1 frame carries the latest preceding non-purchase

@@ -64,4 +64,57 @@ object TimeSeries {
         round(col("n2").cast("double") / col("den").cast("double"), 6).as("acf2"),
         round(col("n3").cast("double") / col("den").cast("double"), 6).as("acf3"))
   }
+
+  /** Holt's linear-trend exponential smoothing (Holt 1957; Hyndman &
+    * Athanasopoulos, fpp3 §8.2 — public literature) over each group's
+    * daily-bucketed value series:
+    *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * with the standard init l₁ = y₁, b₁ = y₂ − y₁, over OBSERVED days in
+    * order (gaps are skipped, not zero-filled — this is the level/trend
+    * readout of activity when it happens; zero-fill first if absence is
+    * signal). Groups with fewer than two observed days are dropped
+    * (the trend is undefined). Output per group: n_days, level, trend,
+    * and the one-step forecast l + b, all in original value units.
+    *
+    * Cross-engine determinism: the recursion is genuinely sequential,
+    * so every input is forced EXACT first — per-day sums in floor()'d
+    * integer centi-units (order-independent BIGINT adds) — and α = 0.5,
+    * β = 0.25 are binary-representable, making the whole trajectory a
+    * fixed sequence of identically-ordered IEEE ops that a DuckDB
+    * recursive CTE replays bit-for-bit; outputs are then rounded once.
+    *
+    * Scale shape: the (group, day) aggregation is the only data-sized
+    * exchange; the fold runs inside `aggregate()` over one array row
+    * per group, whose length is bounded by the TIME SPAN in days (a
+    * few thousand for a decade), not the event count — per-group state
+    * is (level, trend), never the raw events. */
+  def holtLinear(events: DataFrame, groupCol: String, tsCol: String,
+                 valueCol: String, alpha: Double = 0.5,
+                 beta: Double = 0.25): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta > 0 && beta <= 1,
+      s"smoothing weights must be in (0,1], got alpha=$alpha beta=$beta")
+    val daily = events
+      .groupBy(col(groupCol), date_trunc("day", col(tsCol)).as("__day"))
+      .agg(sum(floor(col(valueCol) * 100).cast("long")).as("__mu"))
+    daily.groupBy(groupCol)
+      .agg(array_sort(collect_list(struct(col("__day"), col("__mu")))).as("__s"))
+      .filter(size(col("__s")) >= 2)
+      // centi-units → exact doubles (day sums sit far below 2^53)
+      .withColumn("__y", transform(col("__s"), e => e.getField("__mu").cast("double")))
+      .withColumn("__st", aggregate(
+        expr("slice(__y, 2, size(__y) - 1)"),
+        struct(element_at(col("__y"), 1).as("l"),
+          (element_at(col("__y"), 2) - element_at(col("__y"), 1)).as("b")),
+        (acc, y) => {
+          val l = acc.getField("l"); val b = acc.getField("b")
+          val nl = lit(alpha) * y + lit(1.0 - alpha) * (l + b)
+          struct(nl.as("l"),
+            (lit(beta) * (nl - l) + lit(1.0 - beta) * b).as("b"))
+        }))
+      .select(col(groupCol), size(col("__y")).as("n_days"),
+        round(col("__st.l") / 100.0, 6).as("level"),
+        round(col("__st.b") / 100.0, 6).as("trend"),
+        round((col("__st.l") + col("__st.b")) / 100.0, 6).as("forecast"))
+  }
 }

@@ -49,6 +49,48 @@ object Changelog {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Type-2 slowly-changing dimension from an attribute-update
+    * changelog: one validity interval per (key, run of equal tracked
+    * values). A row OPENS an interval when it is the key's first event
+    * or its tracked value differs from the previous event's
+    * (null-safe — a null run is one run); the NEXT change closes it
+    * (`valid_to` = the next interval's `valid_from`; half-open
+    * [from, to), so equal-timestamp changes yield zero-length
+    * intervals rather than overlaps). Each key's last interval stays
+    * open: `valid_to` null, `is_current` true. This is the warehouse
+    * dimension-history shape, derived from the same changelog the
+    * KTable surface consumes — [[latestByKey]] is exactly its
+    * `is_current` slice.
+    *
+    * `orderCols` must totally order each key's events (include a
+    * unique tie-break — same contract as [[latestByKey]]);
+    * `validFrom` is the column stamped into the interval bounds
+    * (typically epoch seconds for the cross-engine oracles).
+    *
+    * Scale shape: ONE hash(key) sort-shuffle feeds everything — the
+    * change-detect lag, and (ordering preserved through the filter)
+    * the interval-closing lead reuses the same sort with no second
+    * exchange. Output size is the number of VALUE CHANGES, not events;
+    * per-key window state is a row, not a history. */
+  def scd2(df: DataFrame, keyCols: Seq[String], valueCol: Column,
+           validFrom: Column, orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    val changes = df
+      .withColumn("__v", valueCol)
+      .withColumn("__from", validFrom)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(col("__v"), 1).over(w))
+      // null-safe change test: row 1 always opens (a first NULL value
+      // is a run too — `prev IS DISTINCT FROM v` alone would drop it)
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col("__v")))
+    changes
+      .withColumn("valid_to", lead(col("__from"), 1).over(w))
+      .select(keyCols.map(col) ++ Seq(col("__v").as("value"),
+        col("__from").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current")): _*)
+  }
+
   /** Corpus snapshot diff — the CDC audit between two corpus versions:
     * one row per key that was `added`, `removed`, or `changed` (content
     * digest over `payloadCols` differs); unchanged keys produce nothing.

@@ -100,6 +100,45 @@ object Joins {
       .drop("__graft_bkt")
   }
 
+  /** Hand-salted equi-join for KNOWN hot keys — the skew pattern AQE's
+    * runtime skew split handles per shuffle block, expressed as an
+    * explicit operator for when the skew is structural and known up
+    * front (a celebrity entity, a default/placeholder key) and the
+    * small side is replicable but too large to broadcast whole (the
+    * fragment-replicate middle ground). The big side scatters each row
+    * into one of `buckets` sub-keys by a DETERMINISTIC row-dependent
+    * hash (never rand(): task retries and replays must land each row in
+    * the same bucket); the small side replicates every row across ALL
+    * `buckets` sub-keys via a literal-sequence explode. The join
+    * shuffle then spreads a hot key's rows over `buckets` reducers
+    * instead of one, at the cost of small-side × buckets shuffle
+    * volume — size `buckets` to the hot key's imbalance, not the
+    * cluster. Result is EXACTLY the unsalted equi-join (each big row
+    * meets each small match once, in its single salt bucket); the j21
+    * oracle is the plain SQL join.
+    *
+    * Sides must have disjoint column names (same contract as
+    * [[intervalJoin]]); the salt columns are collision-checked. */
+  def salted(big: DataFrame, small: DataFrame, bigKey: String,
+             smallKey: String, saltFrom: Seq[Column], buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(saltFrom.nonEmpty, "salted join needs at least one salt-source column")
+    val shared = big.columns.toSet.intersect(small.columns.toSet)
+    require(shared.isEmpty,
+      s"salted join needs disjoint column names; shared: " +
+        s"${shared.mkString(", ")} — alias one side first")
+    require(!big.columns.contains("__graft_salt") &&
+        !small.columns.contains("__graft_salt_r"),
+      "columns __graft_salt/__graft_salt_r are reserved by salted")
+    val b = big.withColumn("__graft_salt",
+      pmod(hash(saltFrom: _*), lit(buckets)))
+    val sm = small.withColumn("__graft_salt_r",
+      explode(array((0 until buckets).map(lit): _*)))
+    b.join(sm, col(bigKey) === col(smallKey) &&
+        col("__graft_salt") === col("__graft_salt_r"))
+      .drop("__graft_salt", "__graft_salt_r")
+  }
+
   /** EXISTS — rows of `left` having a match. Spark's left-semi never
     * duplicates or widens rows, and the right side is reduced before the
     * probe. */
