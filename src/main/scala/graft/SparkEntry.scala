@@ -1387,6 +1387,25 @@ object SparkEntry {
         octet_length(col("text")).cast("long").as("byte_len"),
         length(col("text")).cast("long").as("char_len"))),
 
+    // the REAL media sniff→parse path under the oracle gate: each doc id
+    // deterministically synthesizes a valid container header (PNG / GIF /
+    // BMP / WAV cycling, production offsets/endianness) whose metadata is
+    // pure arithmetic on the id — so DuckDB can state what parseMeta must
+    // recover from bytes it cannot itself parse. Map-only: binary columns
+    // never shuffle for metadata extraction
+    "m2_media_decode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select("doc_id").as[Long]
+        .map { id =>
+          val m = graft.multimodal.Multimodal.parseMeta(
+            graft.multimodal.SyntheticMedia.bytes(id))
+          (id, m.mediaType, m.width, m.height, m.durationMs, m.channels,
+            m.sampleRate)
+        }
+        .toDF("doc_id", "media_type", "width", "height", "duration_ms",
+          "channels", "sample_rate")
+    }),
+
     // relational extras (set ops, top-k, rollup, analytic, json) -----------
 
     "x1_setops" -> ((s, dir) => {
@@ -4483,6 +4502,22 @@ object SparkEntry {
     "m1_bytes_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
         |  length(text)::BIGINT AS char_len
+        |FROM documents""".stripMargin,
+
+    // SyntheticMedia's metadata formulas restated as arithmetic — the
+    // oracle checks what the real byte-level parser must recover
+    "m2_media_decode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+        |    WHEN 2 THEN 'image/bmp' ELSE 'audio/wav' END AS media_type,
+        |  (CASE WHEN doc_id % 4 < 3 THEN 1 + doc_id % 1000 ELSE 0 END)::INT AS width,
+        |  (CASE WHEN doc_id % 4 < 3 THEN 1 + doc_id % 97 ELSE 0 END)::INT AS height,
+        |  (CASE WHEN doc_id % 4 = 3 THEN (4000 + doc_id % 512) * 1000
+        |      // ((8000 + (doc_id % 8) * 1000) * (1 + doc_id % 2) * 2)
+        |    ELSE 0 END)::BIGINT AS duration_ms,
+        |  (CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 2 ELSE 0 END)::INT AS channels,
+        |  (CASE WHEN doc_id % 4 = 3 THEN 8000 + (doc_id % 8) * 1000
+        |    ELSE 0 END)::INT AS sample_rate
         |FROM documents""".stripMargin,
 
     "x1_setops" ->
