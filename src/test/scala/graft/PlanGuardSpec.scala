@@ -609,4 +609,38 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(p.contains("Generate explode"), p)
   }
+
+  test("j17 Q21 shape: semi + anti self-joins, never a cartesian") {
+    val p = planOf("j17_q21_sole_late")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("j18/j19/j20: part keys / part slice / 1-row max broadcast; argmin and max stay windowless") {
+    Seq("j18_q17_small_qty", "j19_argmin_supplier", "j20_q15_top_supplier")
+      .foreach { q =>
+        val p = planOf(q)
+        assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$p")
+        assert(!p.contains("WindowExec"),
+          s"$q grew a window (argmin/max must stay aggregates):\n$p")
+      }
+  }
+
+  test("j21 salted join: small side replicates via Generate, big side never duplicates") {
+    val p = planOf("j21_salted_join")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("m2 media decode is map-only: the binary parse pays no exchange") {
+    val p = planOf("m2_media_decode")
+    assert(!p.contains("Exchange"), s"metadata extraction must not shuffle:\n$p")
+  }
+
+  test("x87 Holt: the sequential fold runs in aggregates, never a window or join") {
+    val p = planOf("x87_holt_linear")
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+  }
 }
