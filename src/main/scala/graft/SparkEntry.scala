@@ -991,6 +991,28 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
             .as("revenue"))),
 
+    // TPC-H Q19 shape: revenue under a DISJUNCTION of per-brand
+    // conjunctions — the OR-of-ANDs residual. The part side broadcasts;
+    // Catalyst extracts the common p_size lower bound and the union of
+    // brands as PUSHED scan filters on part, and the l_quantity bounds'
+    // union prunes lineitem, leaving the full disjunction as the join
+    // residual — the shape where naive planning degrades to a filterless
+    // join plus a post-filter over every joined row
+    "j22_q19_disjunctive" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(5, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(10, 40))))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))
+    }),
+
     // §2 KTable / changelog ------------------------------------------------
 
     "k1_latest_per_key" -> ((s, dir) =>
@@ -3836,6 +3858,17 @@ object SparkEntry {
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    "j22_q19_disjunctive" ->
+      """SELECT count(*)::BIGINT AS n_lines,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 1 AND 20)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+        |    AND l_quantity BETWEEN 5 AND 30)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+        |    AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
 
     "k1_latest_per_key" ->
       s"""WITH $latestSql

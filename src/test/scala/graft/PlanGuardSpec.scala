@@ -638,6 +638,20 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"metadata extraction must not shuffle:\n$p")
   }
 
+  test("j22 Q19 disjunction: per-side predicate unions push to BOTH scans") {
+    val df = SparkEntry.queries("j22_q19_disjunctive")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the quantity-bound union reaches the lineitem scan...
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,40.0)"),
+      s"quantity disjunction union not pushed:\n$p")
+    // ...and the brand/size union reaches the part scan
+    assert(p.contains("EqualTo(p_brand,Brand#1)"),
+      s"brand disjunction union not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("x87 Holt: the sequential fold runs in aggregates, never a window or join") {
     val p = planOf("x87_holt_linear")
     assert(!p.contains("WindowExec"), p)
