@@ -2318,6 +2318,19 @@ object SparkEntry {
           ("q3", Seq("merge", "sort", "fast")),
           ("q4", Seq("hash", "zzzmissing"))))),
 
+    // quantized JL random projection 64 → 16: exact milli-unit BIGINT
+    // arithmetic over a formula-derived ±1 matrix, so the projection is
+    // engine-exact (the oracle regenerates the matrix from the same
+    // md5 parity); the readout digests each projected vector
+    "s19_jl_project" -> ((s, dir) =>
+      SimilarityOps.jlProject(Tables.embeddings(s, dir),
+          "vec_id", "embedding", dim = 64, dimOut = 16)
+        .select(col("vec_id"),
+          md5(concat_ws(",", expr("transform(proj, v -> cast(v AS string))")))
+            .as("proj_digest"),
+          expr("aggregate(proj, 0L, (a, v) -> a + v)").as("proj_sum"),
+          expr("aggregate(proj, 0L, (a, v) -> a + v * v)").as("proj_norm2"))),
+
     // text normalization: the canonical form a strict exact-dedup pass
     // fingerprints — casing/whitespace/punctuation variants collapse to
     // one digest. Pure map-side projection, zero shuffles
@@ -5147,6 +5160,32 @@ object SparkEntry {
         |SELECT q.query_id, d.doc_id
         |FROM toks d CROSS JOIN qs q
         |WHERE list_has_all(d.t, q.qterms)""".stripMargin,
+
+    // the ±1 matrix regenerated from the shared md5-parity formula;
+    // everything after the milli-unit quantization is exact BIGINT
+    "s19_jl_project" ->
+      """WITH sm AS (
+        |  SELECT list(sv ORDER BY j) AS S FROM (
+        |    SELECT j, list_transform(generate_series(0, 63), i ->
+        |        1 - 2 * (('0x' || substr(md5(i::VARCHAR || ':' || j::VARCHAR), 1, 15))::BIGINT % 2))
+        |      AS sv
+        |    FROM generate_series(0, 15) AS t(j))),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+        |  FROM embeddings WHERE len(embedding) = 64),
+        |p AS (
+        |  SELECT vec_id,
+        |    list_transform(generate_series(1, 16), j ->
+        |      list_aggregate(list_transform(generate_series(1, 64),
+        |        i -> qv[i] * S[j][i]), 'sum')) AS proj
+        |  FROM q, sm)
+        |SELECT vec_id,
+        |  md5(list_aggregate(list_transform(proj, v -> v::VARCHAR),
+        |    'string_agg', ',')) AS proj_digest,
+        |  list_aggregate(proj, 'sum')::BIGINT AS proj_sum,
+        |  list_aggregate(list_transform(proj, v -> v * v), 'sum')::BIGINT AS proj_norm2
+        |FROM p""".stripMargin,
 
     // the identical rank-equivalent decomposition as qlmRank: matched
     // term sum ln(1 + tf·|C|/(μ·cf)) + |q|·ln(μ/(dl+μ)), μ = 2000

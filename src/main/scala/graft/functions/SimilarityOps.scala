@@ -547,6 +547,51 @@ object SimilarityOps {
 
   // ---- product quantization (Jégou et al., PAMI 2011 — public) ---------
 
+  /** Quantized Johnson–Lindenstrauss random projection (JL 1984;
+    * Achlioptas 2001's database-friendly ±1 matrix — public
+    * literature): dim-d embeddings → dimOut coordinates
+    * proj_j = Σ_i q_i · s(i,j), with q the EXACT milli-unit
+    * quantization round(x·1000) and s(i,j) ∈ {±1} derived from the
+    * corpus-standard md5-60 hash of "i:j" — no RNG, no stored matrix:
+    * any engine (and the DuckDB oracle) regenerates the same matrix
+    * from the formula. All arithmetic after quantization is exact
+    * BIGINT, so the projection is engine-portable to the bit.
+    *
+    * This is the ANN scale path's FIRST move at 100 TB: 768-dim fp32
+    * corpora project to 16–64 small-int coordinates (E[proj_i·proj_j]
+    * preserves dot products up to the JL distortion; spec measures the
+    * distance-rank correlation on real data), shrinking every
+    * downstream LSH/IVF/brute pass by d/dimOut. Map-only: the corpus
+    * never shuffles to be projected; the ±1 matrix is a dimOut×dim
+    * literal (a few KB) baked into the plan, not broadcast state.
+    *
+    * `dim` is a declared contract (ragged vectors would silently
+    * mis-project), enforced per row with zero driver actions at
+    * construction — rows with a different size are REJECTED to null
+    * and dropped, surfacing in counts rather than corrupting sums. */
+  def jlProject(vecs: DataFrame, idCol: String, vecCol: String,
+                dim: Int, dimOut: Int): DataFrame = {
+    require(dim > 0 && dimOut > 0 && dimOut <= dim,
+      s"need 0 < dimOut <= dim, got dim=$dim dimOut=$dimOut")
+    val signs: Seq[Seq[Long]] = (0 until dimOut).map { j =>
+      (0 until dim).map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$i:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        1L - 2L * (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2L)
+      }
+    }
+    vecs
+      .filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long"))
+          .as("q"))
+      .withColumn("__S", typedLit(signs))
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(0, ${dimOut - 1}),
+           |  j -> aggregate(zip_with(q, __S[j], (a, b) -> a * b),
+           |         0L, (acc, v) -> acc + v))""".stripMargin).as("proj"))
+  }
+
   /** One subspace codebook: (cid, vector, norm) triples ordered by cid
     * plus each centroid's sum-of-squares (for reconstruction norms). */
   private final case class PqBook(cents: Seq[(Long, Array[Float], Double)],
