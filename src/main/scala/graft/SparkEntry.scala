@@ -1615,6 +1615,29 @@ object SparkEntry {
         .select("doc_id", "quality")
     }),
 
+    // per-document curation PROVENANCE: for every doc, the FIRST stage
+    // of the c1 pipeline that dropped it (lang → quality → duplicate →
+    // sampled_out) or 'kept' — the governance audit trail behind a
+    // curation decision ("why is this document not in the corpus?").
+    // Same definitions as c1 (shared scorers + the same rep rule), one
+    // extra fp-keyed exchange over the PASSING docs only; every doc
+    // appears exactly once, so kept-count ≡ |c1| by construction
+    "c6_provenance" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val reps = scored.filter(col("lang") === "en" && col("quality") >= 0.5)
+        .groupBy("fp").agg(min("doc_id").as("rep_id"))
+      scored.join(reps, Seq("fp"), "left")
+        .select(col("doc_id"),
+          when(col("lang") =!= "en", "lang")
+            .when(col("quality") < 0.5, "quality")
+            .when(col("doc_id") =!= col("rep_id"), "duplicate")
+            .when(Sampling.hashBucket(col("doc_id")) >= 50, "sampled_out")
+            .otherwise("kept").as("stage"))
+    }),
+
     // deterministic 10% sample + hash train/val/test split — pure
     // map-side filters, stable across runs/partitionings/engines
     "x10_hash_sample" -> ((s, dir) =>
@@ -6555,6 +6578,31 @@ object SparkEntry {
         |  FROM en GROUP BY 1)
         |SELECT doc_id, quality FROM reps
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 50""".stripMargin,
+
+    // c1's stages restated as a first-drop CASE — same scorer CTEs, same
+    // rep rule, so 'kept' here is c1's output by construction
+    "c6_provenance" ->
+      s"""WITH $toksSql,
+        |$qualitySql,
+        |sc AS (
+        |  SELECT doc_id, quality,
+        |    (CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]') THEN 'other'
+        |          WHEN len(list_filter(t,
+        |                 x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) > 0 THEN 'en'
+        |          ELSE 'und' END) AS lang,
+        |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        |  FROM q),
+        |reps AS (
+        |  SELECT fp, min(doc_id)::BIGINT AS rep_id FROM sc
+        |  WHERE lang = 'en' AND quality >= 0.5 GROUP BY 1)
+        |SELECT doc_id,
+        |  CASE WHEN lang <> 'en' THEN 'lang'
+        |       WHEN quality < 0.5 THEN 'quality'
+        |       WHEN doc_id <> rep_id THEN 'duplicate'
+        |       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 >= 50
+        |         THEN 'sampled_out'
+        |       ELSE 'kept' END AS stage
+        |FROM sc LEFT JOIN reps USING (fp)""".stripMargin,
 
     "x10_hash_sample" ->
       """WITH h AS (
