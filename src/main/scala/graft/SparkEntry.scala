@@ -1837,6 +1837,23 @@ object SparkEntry {
       Changelog.snapshotDiff(old, neu, "doc_id", Seq("text", "lang", "source"))
     }),
 
+    // Merkle bucket reconciliation over the SAME snapshot pair x41
+    // diffs row-by-row: per-bucket (count, XOR-of-digests) comparison
+    // flags the buckets that differ — the cheap first pass whose flagged
+    // buckets are all a row-level snapshotDiff then needs to touch.
+    // Each side is one scan + a 32-row aggregate; the compare join is
+    // bucket-sized at any table size
+    "x88_merkle_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val old = d.filter(col("doc_id") % 7 =!= 0)
+      val neu = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val dig = Sampling.rawHash(concat_ws("|",
+        col("doc_id"), col("text"), col("lang"), col("source")))
+      Changelog.merkleDiff(old, neu, col("doc_id"), dig, buckets = 32)
+    }),
+
     // the reference's custom Reducer (IntegerAdd) as a typed Aggregator
     // registered through functions.udaf: exact per-user cents total
     "a6_custom_udaf" -> ((s, dir) => {
@@ -6443,6 +6460,37 @@ object SparkEntry {
         |         WHEN o.d <> n.d THEN 'changed' END AS change
         |  FROM oldt o FULL OUTER JOIN newt n ON n.doc_id = o.doc_id)
         |SELECT doc_id, change FROM j WHERE change IS NOT NULL""".stripMargin,
+
+    // x41's snapshot pair, reconciled at bucket grain: XOR of md5-60 row
+    // digests per hash bucket, differing buckets only
+    "x88_merkle_diff" ->
+      """WITH o AS (SELECT doc_id, text, lang, source FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang, source
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |oa AS (
+        |  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 32 AS bucket,
+        |    count(*)::BIGINT AS old_rows,
+        |    bit_xor(('0x' || substr(md5(
+        |      doc_id || '|' || text || '|' || lang || '|' || source), 1, 15))::BIGINT)
+        |      AS old_checksum
+        |  FROM o GROUP BY 1),
+        |na AS (
+        |  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 32 AS bucket,
+        |    count(*)::BIGINT AS new_rows,
+        |    bit_xor(('0x' || substr(md5(
+        |      doc_id || '|' || text || '|' || lang || '|' || source), 1, 15))::BIGINT)
+        |      AS new_checksum
+        |  FROM n GROUP BY 1)
+        |SELECT coalesce(oa.bucket, na.bucket) AS bucket,
+        |  coalesce(old_rows, 0)::BIGINT AS old_rows,
+        |  coalesce(new_rows, 0)::BIGINT AS new_rows,
+        |  old_checksum, new_checksum
+        |FROM oa FULL OUTER JOIN na ON oa.bucket = na.bucket
+        |WHERE old_rows IS DISTINCT FROM new_rows
+        |   OR old_checksum IS DISTINCT FROM new_checksum""".stripMargin,
 
     "x14_balanced_sample" ->
       """SELECT event_type, rank, event_id FROM (

@@ -91,6 +91,42 @@ object Changelog {
         col("valid_to").isNull.as("is_current")): _*)
   }
 
+  /** Merkle-style bucket reconciliation between two table versions: one
+    * row per HASH BUCKET whose (row count, order-independent XOR of
+    * row digests) disagree — the replication/backup verification shape
+    * at 100 TB, where a row-level [[snapshotDiff]] (a full-outer join of
+    * BOTH tables) is the expensive second step you only run on the
+    * buckets this op flags. Each side costs one scan + one
+    * buckets-sized aggregate (map-side partials: a count and a running
+    * XOR per bucket per task); the comparison join touches `buckets`
+    * rows however large the tables are. XOR is order- and
+    * partitioning-independent, and a single changed row flips its
+    * bucket's checksum with probability 1 − 2⁻⁶⁰ (md5-60 digests);
+    * multi-row collisions within one bucket are the standard Merkle
+    * caveat — pick `buckets` so expected rows/bucket keeps the paranoia
+    * acceptable, or re-digest flagged buckets at a finer grain.
+    *
+    * `rowDigest` must stringify IDENTICALLY across engines for the
+    * oracle gate (BIGINT/string columns only — float formatting forks;
+    * move doubles to exact micro-units first). */
+  def merkleDiff(old: DataFrame, neu: DataFrame, keyCol: Column,
+                 rowDigest: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def side(df: DataFrame, pre: String) =
+      df.select(graft.functions.Sampling.hashBucket(keyCol, buckets).as("bucket"),
+          rowDigest.as("h"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(s"${pre}_rows"),
+          expr("bit_xor(h)").as(s"${pre}_checksum"))
+    side(old, "old").join(side(neu, "new"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("old_rows"), lit(0L)).as("old_rows"),
+        coalesce(col("new_rows"), lit(0L)).as("new_rows"),
+        col("old_checksum"), col("new_checksum"))
+      .filter(!(col("old_rows") <=> col("new_rows")) ||
+        !(col("old_checksum") <=> col("new_checksum")))
+  }
+
   /** Corpus snapshot diff — the CDC audit between two corpus versions:
     * one row per key that was `added`, `removed`, or `changed` (content
     * digest over `payloadCols` differs); unchanged keys produce nothing.
