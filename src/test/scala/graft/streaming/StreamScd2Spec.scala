@@ -64,6 +64,43 @@ class StreamScd2Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("randomized differential: arbitrary batch boundaries ≡ batch replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val rng = new scala.util.Random(1137)
+    // per-key monotone ts (the CDC contract), random values incl. nulls,
+    // random batch boundaries — 3 independent trials
+    (1 to 3).foreach { trial =>
+      val nextTs = scala.collection.mutable.Map.empty[String, Long]
+      var seq = 0L
+      val recs = (1 to 120).map { _ =>
+        val k = s"k${rng.nextInt(6)}"
+        val ts = nextTs.getOrElse(k, 0L) + 1 + rng.nextInt(5)
+        nextTs(k) = ts
+        seq += 1
+        val v = if (rng.nextInt(5) == 0) null else s"v${rng.nextInt(3)}"
+        Rec(k, v, ts, seq)
+      }
+      val table = Files.createTempDirectory(s"graft_scd2_rand$trial").toString + "/t"
+      val ckpt = Files.createTempDirectory(s"graft_scd2_rand_ck$trial").toString
+      val in = MemoryStream[Rec]
+      val q = StreamScd2.start(in.toDS(), table, ckpt)
+      try {
+        var rest = recs
+        while (rest.nonEmpty) {
+          val n = 1 + rng.nextInt(25)
+          val (batch, tail) = rest.splitAt(n)
+          in.addData(batch: _*)
+          q.processAllAvailable()
+          rest = tail
+        }
+        assert(tableNow(table) == replay(recs),
+          s"trial $trial diverged from batch replay")
+      } finally q.stop()
+    }
+  }
+
   test("redelivery of an applied batch is a no-op; intervals keep chaining after") {
     val s = spark
     import s.implicits._
