@@ -661,6 +661,58 @@ class KafkaEndToEndSpec extends SparkSpec {
     }
   }
 
+  test("SCD2 over the wire: produce → graft-kafka source → StreamScd2 table, resumes across restart") {
+    val s = spark
+    import s.implicits._
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    val ckpt = Files.createTempDirectory("graft_scd2_wire_ck").toString
+    val table = Files.createTempDirectory("graft_scd2_wire").toString + "/scd2"
+    try {
+      val topic = "attr-updates"
+      // per-key distinct, increasing timestamps (the CDC delivery order)
+      val leg1 = Seq(("u1", "a", 1000L), ("u1", "a", 2000L), ("u1", "b", 3000L),
+        ("u2", "x", 1500L))
+      producer.produceStrings(topic, leg1)
+
+      def runOnce(): Unit = {
+        val q = graft.streaming.StreamScd2.start(
+          KafkaEdges.source(s, broker.bootstrapServers, topic,
+            format = "graft-kafka"), table, ckpt)
+        try q.processAllAvailable() finally q.stop()
+      }
+      def replayOf(recs: Seq[(String, String, Long)]) = {
+        import org.apache.spark.sql.functions.col
+        graft.operators.Changelog.scd2(
+            recs.zipWithIndex.map { case ((k, v, t), i) => (k, v, t, i.toLong) }
+              .toDF("key", "value", "ts", "seq"),
+            Seq("key"), col("value"), col("ts"), Seq(col("ts"), col("seq")))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+      }
+      def tableNow() = graft.streaming.StreamScd2.table(s, table)
+        .collect().map(i => (i.key, i.value, i.valid_from,
+          i.valid_to.getOrElse(-1L), i.is_current)).toSet
+
+      runOnce()
+      assert(tableNow() == replayOf(leg1))
+      assert(tableNow() == Set(
+        ("u1", "a", 1000L, 3000L, false), ("u1", "b", 3000L, -1L, true),
+        ("u2", "x", 1500L, -1L, true)))
+
+      // leg 2: more updates over the wire, restart from the checkpoint —
+      // offsets resume (no re-fold) and intervals keep chaining
+      val leg2 = Seq(("u1", "b", 4000L), ("u2", "y", 5000L))
+      producer.produceStrings(topic, leg2)
+      runOnce()
+      assert(tableNow() == replayOf(leg1 ++ leg2))
+      assert(tableNow().count(_._5) == 2, "one open interval per key")
+    } finally {
+      producer.close()
+      broker.close()
+    }
+  }
+
   test("record timestamps and offsets survive the wire into the source schema") {
     val s = spark
     import s.implicits._
