@@ -2538,6 +2538,20 @@ object SparkEntry {
         .select("event_type", "event_id", "ts_sec", "value", "z")
     }),
 
+    // the x53 anomaly feed at TIME-BUCKETED parallelism — the SCALE.md
+    // x53 caveat (window parallelism = type cardinality) solved by the
+    // overlap-carry rewrite: biweekly buckets each carry their
+    // predecessor's last 20 rows, every frame completes inside its own
+    // (type, bucket) partition, and the output is bit-identical to the
+    // single-window form (same oracle SQL as x53 — the full-timeline
+    // semantics — proves it cross-engine)
+    "x89_zscore_bucketed" -> ((s, dir) =>
+      graft.functions.TimeSeries.rollingZScoreBucketed(
+          ev(s, dir), "event_type", "ts_sec", "event_id", "value",
+          bucketSec = 1209600L)
+        .select(col("g").as("event_type"), col("id").as("event_id"),
+          col("ts").as("ts_sec"), col("v").as("value"), col("z"))),
+
     // first-order Markov transition matrix of user behavior: per-user
     // event streams → (from, to) adjacent-type pairs (one lead() over
     // the user-ordered window) → global counts and per-from-state
@@ -5304,6 +5318,26 @@ object SparkEntry {
     // frame-sum ulp is absorbed where it is smallest (see the query
     // comment); z compared at its rounded 4 digits
     "x53_rolling_zscore" ->
+      s"""WITH $evSql,
+        |f AS (
+        |  SELECT event_type, event_id, ts_sec, value,
+        |    count(*) OVER w AS n, sum(value) OVER w AS sv,
+        |    sum(value * value) OVER w AS sv2
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_sec, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |s AS (
+        |  SELECT event_type, event_id, ts_sec, value, sv / 20 AS mean,
+        |    round(sv2 / 20 - pow(sv / 20, 2), 6) AS varr
+        |  FROM f WHERE n = 20)
+        |SELECT event_type, event_id, ts_sec, value,
+        |  round((value - mean) / sqrt(varr), 4) AS z
+        |FROM s WHERE varr > 0
+        |  AND abs(round((value - mean) / sqrt(varr), 4)) > 3""".stripMargin,
+
+    // deliberately x53's EXACT oracle: the bucketed rewrite must
+    // reproduce the full-timeline semantics to the bit
+    "x89_zscore_bucketed" ->
       s"""WITH $evSql,
         |f AS (
         |  SELECT event_type, event_id, ts_sec, value,

@@ -65,6 +65,65 @@ object TimeSeries {
         round(col("n3").cast("double") / col("den").cast("double"), 6).as("acf3"))
   }
 
+  /** Rolling z-score anomalies with TIME-BUCKETED parallelism — the
+    * scale path for the x53 shape, whose single per-group ordered
+    * window bounds parallelism by group cardinality (the SCALE.md x53
+    * caveat, solved here). Rows split into `bucketSec`-wide time
+    * buckets per group; each bucket additionally receives the LAST
+    * `depth` rows of its predecessor (the overlap carry), so every
+    * row's depth-row look-back frame is complete inside its own
+    * (group, bucket) partition and the window runs at group × bucket
+    * parallelism. Carried rows compute nothing themselves (they only
+    * fill frames) and every original row is emitted from exactly its
+    * own bucket, so output ≡ the single-window form — row for row and
+    * bit for bit (the frame is the identical row sequence, so even the
+    * float sums match; spec-pinned on real data).
+    *
+    * PRECONDITION (the intervalJoin-style sizing contract): every
+    * non-FIRST bucket of a group must hold ≥ `depth` rows — a frame may
+    * span at most ONE bucket boundary, since the carry reaches exactly
+    * one bucket back. Size `bucketSec` from known group density
+    * (depth/rate plus slack). A violating (sparser) bucket silently
+    * DROPS the early frames of its successor (they see n < depth) —
+    * the spec demonstrates the honest bound. A short first bucket is
+    * fine: its successor's early rows have fewer than `depth` true
+    * predecessors and are dropped by both forms alike.
+    *
+    * Emission contract is exactly x53's: frames of exactly `depth`
+    * rows, positive rounded variance, |z| > `zThresh`. */
+  def rollingZScoreBucketed(events: DataFrame, groupCol: String,
+                            tsSecCol: String, idCol: String, valueCol: String,
+                            bucketSec: Long, depth: Int = 20,
+                            zThresh: Double = 3.0): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    require(depth > 0, s"depth must be positive, got $depth")
+    val base = events.select(col(groupCol).as("g"), col(tsSecCol).as("ts"),
+        col(idCol).as("id"), col(valueCol).as("v"))
+      .withColumn("bkt", expr(s"ts div $bucketSec"))
+    val wLast = Window.partitionBy("g", "bkt")
+      .orderBy(col("ts").desc, col("id").desc)
+    val carry = base.withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") <= depth)
+      .select(col("g"), col("ts"), col("id"), col("v"),
+        (col("bkt") + 1).as("bkt"), lit(true).as("carry"))
+    val f = Window.partitionBy("g", "bkt")
+      .orderBy(col("ts").asc, col("id").asc)
+      .rowsBetween(-depth, -1)
+    base.withColumn("carry", lit(false))
+      .select("g", "ts", "id", "v", "bkt", "carry")
+      .unionByName(carry)
+      .withColumn("n", count(lit(1)).over(f))
+      .withColumn("sv", sum("v").over(f))
+      .withColumn("sv2", sum(col("v") * col("v")).over(f))
+      .filter(!col("carry") && col("n") === depth)
+      .withColumn("mean", col("sv") / depth)
+      .withColumn("varr", round(col("sv2") / depth - pow(col("mean"), 2), 6))
+      .filter(col("varr") > 0)
+      .withColumn("z", round((col("v") - col("mean")) / sqrt(col("varr")), 4))
+      .filter(abs(col("z")) > zThresh)
+      .select(col("g"), col("id"), col("ts"), col("v"), col("z"))
+  }
+
   /** Holt's linear-trend exponential smoothing (Holt 1957; Hyndman &
     * Athanasopoulos, fpp3 §8.2 — public literature) over each group's
     * daily-bucketed value series:
