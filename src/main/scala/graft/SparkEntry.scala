@@ -3068,6 +3068,18 @@ object SparkEntry {
           col("n_tokens"), col("xent"), col("bucket"))
     }),
 
+    // t26's CCNet tertiles at RANGE-PARALLEL rank — the per-group ntile
+    // window caveat solved the distributed-ranking way: monotone coarse
+    // xent bins + a dimension-sized offset table make the exact global
+    // rank a (group, bin)-parallel row_number plus an offset, and SQL
+    // ntile's uneven-bucket rule is a closed form of (rank, n). Same
+    // oracle as t26 — the rewrite must reproduce it row for row
+    "x90_ppl_parallel" -> ((s, dir) =>
+      graft.functions.Selection.perplexityBucketsParallel(
+          Tables.documents(s, dir), col("text"), col("doc_id"), col("source"))
+        .select(col("doc_id"), col("grp").as("source"),
+          col("n_tokens"), col("xent"), col("bucket"))),
+
     // word burstiness (Church & Gale 1995): corpus frequency over
     // document frequency — bursty words concentrate in few docs
     // (topical terms), flat words spread (function words); one
@@ -6101,6 +6113,24 @@ object SparkEntry {
     // ntile runs over (round-6 xent, doc_id) — rounding BEFORE the sort
     // keeps the bucket split engine-exact
     "t26_ppl_bucket" ->
+      s"""WITH $toksSql,
+        |wcx AS (SELECT doc_id, w, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+        |vocab AS (SELECT w, sum(c)::BIGINT AS cw FROM wcx GROUP BY 1),
+        |tot AS (SELECT sum(cw)::DOUBLE AS tt FROM vocab),
+        |pd AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        |         sum(c::DOUBLE * ln(cw::DOUBLE)) AS clogcw
+        |       FROM wcx JOIN vocab USING (w) GROUP BY 1),
+        |x AS (SELECT doc_id, n_tokens,
+        |        round(ln(tt) - clogcw / n_tokens, 6) AS xent FROM pd, tot)
+        |SELECT x.doc_id, d.source, x.n_tokens, x.xent,
+        |  CASE ntile(3) OVER (PARTITION BY d.source ORDER BY x.xent, x.doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM x JOIN documents d ON d.doc_id = x.doc_id""".stripMargin,
+
+    // deliberately t26's EXACT oracle: the range-parallel rank must
+    // reproduce the per-group ntile semantics row for row
+    "x90_ppl_parallel" ->
       s"""WITH $toksSql,
         |wcx AS (SELECT doc_id, w, count(*) AS c
         |        FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),

@@ -84,6 +84,53 @@ object Selection {
       when(t === 1, "head").when(t === 2, "middle").otherwise("tail"))
   }
 
+  /** [[perplexityBuckets]] at RANGE-PARALLEL rank — the scale path for
+    * its per-group ntile window (parallelism = group cardinality, the
+    * x53-class caveat; solved here the classic distributed-ranking
+    * way). The sort key (xent, doc_id) is range-split by a monotone
+    * coarse bin of xent (floor(xent·8) — equal keys share a bin, bins
+    * are totally ordered by construction), so the exact global rank is
+    * a per-(group, bin) `row_number` PLUS the group's running count of
+    * earlier bins — and the only window over data-sized rows runs at
+    * group × bin parallelism; the offset window runs over the
+    * (group, bin) COUNT table, dimension-sized at any corpus size.
+    * SQL-ntile's uneven-bucket rule (first n mod k buckets get the
+    * extra row) is then a closed form of (rank, n), so the output is
+    * row-for-row IDENTICAL to [[perplexityBuckets]] — same oracle, and
+    * the spec pins the equality on real data. */
+  def perplexityBucketsParallel(docs: DataFrame, textCol: Column,
+                                idCol: Column, groupCol: Column): DataFrame = {
+    val xent = unigramCrossEntropy(docs, textCol, idCol)
+      .withColumn("xent", round(col("xent"), 6))
+    val binned = docs.select(idCol.as("doc_id"), groupCol.as("grp"))
+      .join(xent, "doc_id")
+      .withColumn("bin", floor(col("xent") * 8).cast("long"))
+    val cnt = binned.groupBy("grp", "bin").agg(count(lit(1)).as("c"))
+    val off = cnt
+      .withColumn("off", coalesce(sum("c").over(
+        Window.partitionBy("grp").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("c").over(Window.partitionBy("grp")))
+      .select("grp", "bin", "off", "n")
+    binned
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp", "bin").orderBy(col("xent"), col("doc_id"))))
+      .join(off, Seq("grp", "bin"))
+      .withColumn("rank", col("off") + col("rn"))
+      // SQL ntile(3): q = n div 3 rows per bucket, the first m = n % 3
+      // buckets carry one extra; q = 0 degenerates to bucket = rank
+      .withColumn("t", when(expr("n div 3") === 0, col("rank"))
+        .when(col("rank") <= (col("n") % 3) * (expr("n div 3") + 1),
+          expr("(rank - 1) div ((n div 3) + 1) + 1"))
+        .otherwise(expr(
+          "(n % 3) + (rank - (n % 3) * ((n div 3) + 1) - 1) div (n div 3) + 1")))
+      .withColumn("bucket",
+        when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("grp"), col("n_tokens"), col("xent"),
+        col("bucket"))
+  }
+
   /** DSIR log importance weight per raw document over hashed n-gram
     * features. Features are word unigrams and bigrams hashed into
     * `buckets` cells with the corpus-standard md5 60-bit hash
