@@ -2890,6 +2890,20 @@ object SparkEntry {
           round(max("value"), 4).as("hi"))
     }),
 
+    // x58's equi-depth histogram through Ranks.rangeParallelNtile — the
+    // third instance of the per-group-window caveat, now one LIBRARY
+    // operator (x90 shares it): coarse floor(value) bins split the
+    // rank, SQL ntile falls out in closed form. Same oracle as x58
+    "x91_equidepth_parallel" -> ((s, dir) =>
+      graft.functions.Ranks.rangeParallelNtile(
+          ev(s, dir).select(col("event_type"), col("event_id"), col("value")),
+          "event_type", "value", "event_id", 10,
+          floor(col("value")).cast("long"))
+        .groupBy(col("event_type"), col("ntile").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min("value"), 4).as("lo"),
+          round(max("value"), 4).as("hi"))),
+
     // hapax legomena per doc: the fraction of a document's distinct
     // words used exactly once — templated/spammy text reuses its
     // vocabulary (low hapax), natural prose keeps minting new words.
@@ -5913,6 +5927,18 @@ object SparkEntry {
     // (value, event_id) order is total, so bins are engine-exact;
     // value bounds round at 4 (2-decimal source data — exact)
     "x58_equidepth_bins" ->
+      s"""WITH $evSql,
+        |b AS (SELECT event_type, event_id, value,
+        |    ntile(10) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS bin
+        |  FROM ev)
+        |SELECT event_type, bin, count(*)::BIGINT AS n,
+        |  round(min(value), 4) AS lo, round(max(value), 4) AS hi
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // deliberately x58's EXACT oracle: the range-parallel rank must
+    // reproduce the ntile histogram row for row
+    "x91_equidepth_parallel" ->
       s"""WITH $evSql,
         |b AS (SELECT event_type, event_id, value,
         |    ntile(10) OVER (PARTITION BY event_type

@@ -102,31 +102,12 @@ object Selection {
                                 idCol: Column, groupCol: Column): DataFrame = {
     val xent = unigramCrossEntropy(docs, textCol, idCol)
       .withColumn("xent", round(col("xent"), 6))
-    val binned = docs.select(idCol.as("doc_id"), groupCol.as("grp"))
+    val grouped = docs.select(idCol.as("doc_id"), groupCol.as("grp"))
       .join(xent, "doc_id")
-      .withColumn("bin", floor(col("xent") * 8).cast("long"))
-    val cnt = binned.groupBy("grp", "bin").agg(count(lit(1)).as("c"))
-    val off = cnt
-      .withColumn("off", coalesce(sum("c").over(
-        Window.partitionBy("grp").orderBy("bin")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("n", sum("c").over(Window.partitionBy("grp")))
-      .select("grp", "bin", "off", "n")
-    binned
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("grp", "bin").orderBy(col("xent"), col("doc_id"))))
-      .join(off, Seq("grp", "bin"))
-      .withColumn("rank", col("off") + col("rn"))
-      // SQL ntile(3): q = n div 3 rows per bucket, the first m = n % 3
-      // buckets carry one extra; q = 0 degenerates to bucket = rank
-      .withColumn("t", when(expr("n div 3") === 0, col("rank"))
-        .when(col("rank") <= (col("n") % 3) * (expr("n div 3") + 1),
-          expr("(rank - 1) div ((n div 3) + 1) + 1"))
-        .otherwise(expr(
-          "(n % 3) + (rank - (n % 3) * ((n div 3) + 1) - 1) div (n div 3) + 1")))
-      .withColumn("bucket",
-        when(col("t") === 1, "head").when(col("t") === 2, "middle")
-          .otherwise("tail"))
+    Ranks.rangeParallelNtile(grouped, "grp", "xent", "doc_id", 3,
+        floor(col("xent") * 8).cast("long"))
+      .withColumn("bucket", when(col("ntile") === 1, "head")
+        .when(col("ntile") === 2, "middle").otherwise("tail"))
       .select(col("doc_id"), col("grp"), col("n_tokens"), col("xent"),
         col("bucket"))
   }
