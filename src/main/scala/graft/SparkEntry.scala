@@ -1046,6 +1046,22 @@ object SparkEntry {
         .select(col("user_id"), col("value").as("event_type"),
           col("valid_from"), col("valid_to"), col("is_current"))),
 
+    // point-in-time dimension lookup over the k4 history: the value
+    // each key held AT a cutoff instant — one half-open interval filter
+    // over the SCD2 table (valid_from ≤ t < valid_to), the time-travel
+    // read the history table exists to serve. Users whose first change
+    // postdates the cutoff simply have no row — exactly the latest-
+    // per-key view over the truncated changelog
+    "k5_scd2_asof" -> ((s, dir) => {
+      val t = lit(1704067200L + 10 * 86400)
+      Changelog.scd2(ev(s, dir), Seq("user_id"), col("event_type"),
+          col("ts_sec"), Seq(col("ts"), col("event_id")))
+        .filter(col("valid_from") <= t &&
+          (col("valid_to").isNull || col("valid_to") > t))
+        .select(col("user_id"), col("value").as("event_type"),
+          col("valid_from"))
+    }),
+
     // dedup suite ----------------------------------------------------------
 
     "d1_exact_dedup" -> ((s, dir) =>
@@ -3989,6 +4005,21 @@ object SparkEntry {
         |  lead(valid_from) OVER w2 AS valid_to,
         |  lead(valid_from) OVER w2 IS NULL AS is_current
         |FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)""".stripMargin,
+
+    // k4's interval table filtered at the cutoff instant (half-open)
+    "k5_scd2_asof" ->
+      s"""WITH $evSql,
+        |r AS (SELECT user_id, event_type, ts_sec,
+        |    row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT user_id, event_type, ts_sec AS valid_from, rn FROM r
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |iv AS (SELECT user_id, event_type, valid_from,
+        |    lead(valid_from) OVER w2 AS valid_to
+        |  FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY rn))
+        |SELECT user_id, event_type, valid_from FROM iv
+        |WHERE valid_from <= ${1704067200L + 10 * 86400}
+        |  AND (valid_to IS NULL OR valid_to > ${1704067200L + 10 * 86400})""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,

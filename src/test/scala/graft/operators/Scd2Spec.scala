@@ -64,6 +64,21 @@ class Scd2Spec extends SparkSpec {
     assert(current === latest)
   }
 
+  test("as-of filter at a cutoff ≡ latestByKey over the truncated changelog") {
+    val cut = 35L
+    val asOf = intervals
+      .filter(col("valid_from") <= cut &&
+        (col("valid_to").isNull || col("valid_to") > cut))
+      .select(col("k"), col("value"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    val latest = Changelog.latestByKey(log.filter(col("ts") <= cut),
+        Seq("k"), Seq(col("ts"), col("seq")))
+      .select(col("k"), col("v"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(asOf === latest)
+    assert(asOf === Set(("u1", Some("b")), ("u2", Some("z")), ("u3", Some("x"))))
+  }
+
   test("one sort-shuffle: a single Exchange under both windows") {
     val plan = intervals.queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
