@@ -1013,6 +1013,137 @@ object SparkEntry {
             .as("revenue"))
     }),
 
+    // TPC-H Q13 shape: customers-per-order-count distribution INCLUDING
+    // the zero bucket — the priority filter lives in the JOIN side (not
+    // a WHERE over the joined result), so customers whose only orders
+    // are urgent still land in c_count = 0. Orders pre-aggregate to one
+    // row per custkey BEFORE meeting customer, so the outer join moves
+    // |customers| + |distinct custkeys| rows, never |orders|; the
+    // second aggregate runs over a ≤ max-orders-per-customer key space
+    "j23_q13_custdist" -> ((s, dir) => {
+      val oc = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      Tables.customer(s, dir).select("c_custkey")
+        .join(oc, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("c"), lit(0L)).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q22 shape: well-funded customers gone idle — the scalar
+    // positive-balance average becomes a broadcast 1-row cross join and
+    // NOT EXISTS becomes a left-anti probe against the DISTINCT
+    // custkeys of the date-pruned orders slice (the date filter pushes
+    // to the orders scan; the anti build side is custkey-sized). The
+    // above-average cut compares exact BIGINT cents (bal·n > Σbal) so
+    // no float-sum ordering can flip a boundary customer
+    "j24_q22_idle_rich" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .withColumn("bal_cents", round(col("c_acctbal") * 100, 0).cast("long"))
+      val posAvg = cust.filter(col("c_acctbal") > 0)
+        .agg(sum("bal_cents").as("tot"), count(lit(1)).as("n"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey").distinct()
+      cust.crossJoin(broadcast(posAvg))
+        .filter(col("bal_cents") * col("n") > col("tot"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 4).as("totacctbal"))
+    }),
+
+    // TPC-H Q7 shape: bilateral shipping volume between two nations by
+    // ship year. Supplier⋈nation broadcasts WITH the 2-nation filter
+    // applied, so lineitem is pruned to the two supplier nations before
+    // the orders shuffle; customer resolves its nation the same way and
+    // meets the order stream on custkey; the symmetric-pair inequality
+    // is the residual. Both nation dims are the same 25-row broadcast
+    "j25_q7_volume" -> ((s, dir) => {
+      val sn = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        .filter(col("supp_nation").isin("NATION_3", "NATION_7"))
+      val cn = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        .filter(col("cust_nation").isin("NATION_3", "NATION_7"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(cn, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+    }),
+
+    // TPC-H Q8 shape: one nation's market share of a region's import
+    // volume by order year — conditional aggregation over the joined
+    // slice. Numerator and denominator both accumulate exact BIGINT
+    // cents, so the share is ONE deterministic double division, not a
+    // ratio of two order-dependent float sums; region prunes customer
+    // through the broadcast nation⋈region dim before the custkey join
+    "j26_q8_share" -> ((s, dir) => {
+      val cn = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val sn = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long").as("cents"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(cn, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", col("cents")).otherwise(0L))
+            .cast("double") / sum(col("cents")).cast("double"), 6).as("mkt_share"))
+    }),
+
+    // TPC-H Q16 shape: distinct suppliers per retained (brand, type,
+    // size) with a supplier denylist — negative balance standing in for
+    // Q16's complaints predicate (this schema has no comment column).
+    // The (partkey, suppkey) projection deduplicates before meeting
+    // part; the size/brand filters push into the broadcast part dim;
+    // the denylist broadcasts as an anti build side of |denylist| rows
+    "j27_q16_supplier_cnt" -> ((s, dir) => {
+      val pk = Tables.part(s, dir)
+        .filter(col("p_size").isin(1, 14, 23, 45) && col("p_brand") =!= "Brand#5")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      Tables.lineitem(s, dir).select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q11 shape: parts holding an outsized share of total traded
+    // value — the global scalar subquery re-expressed as a broadcast
+    // 1-row join over the SAME per-part aggregate both branches share
+    // (the j20 pattern). Value accumulates as exact BIGINT cents so the
+    // 1.5×-average cut (vc·2n > 3·Σvc) is integer-exact at the
+    // keep/drop boundary, and the RELATIVE threshold keeps the result
+    // SF-invariant — Q11's fixed fraction goes empty as |parts| grows
+    "j28_q11_value_parts" -> ((s, dir) => {
+      val v = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long")).as("vc"))
+      val tot = v.agg(sum("vc").as("tot"), count(lit(1)).as("n"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("vc") * lit(2) * col("n") > lit(3) * col("tot"))
+        .select(col("l_partkey"), col("vc").as("value_cents"))
+    }),
+
     // §2 KTable / changelog ------------------------------------------------
 
     "k1_latest_per_key" -> ((s, dir) =>
@@ -3978,6 +4109,76 @@ object SparkEntry {
         |    AND l_quantity BETWEEN 5 AND 30)
         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
         |    AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
+
+    "j23_q13_custdist" ->
+      """WITH oc AS (SELECT o_custkey, count(*)::BIGINT AS c FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT coalesce(c, 0)::BIGINT AS c_count, count(*)::BIGINT AS custdist
+        |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "j24_q22_idle_rich" ->
+      """WITH pos AS (
+        |  SELECT sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS tot,
+        |    count(*)::BIGINT AS n
+        |  FROM customer WHERE c_acctbal > 0),
+        |recent AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+        |SELECT c_nationkey, count(*)::BIGINT AS numcust,
+        |  round(sum(c_acctbal), 4) AS totacctbal
+        |FROM customer, pos
+        |WHERE round(c_acctbal * 100)::BIGINT * n > tot
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+        |GROUP BY 1""".stripMargin,
+
+    "j25_q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate)::BIGINT AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+        |  AND cn.n_name IN ('NATION_3', 'NATION_7')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "j26_q8_share" ->
+      """SELECT year(o_orderdate)::BIGINT AS o_year,
+        |  round(
+        |    (sum(CASE WHEN sn.n_name = 'NATION_3'
+        |         THEN round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+        |         ELSE 0 END)::BIGINT)::DOUBLE /
+        |    (sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT)::DOUBLE,
+        |    6) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+
+    "j27_q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (1, 14, 23, 45) AND p_brand <> 'Brand#5'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "j28_q11_value_parts" ->
+      """WITH v AS (SELECT l_partkey,
+        |    sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS vc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, vc AS value_cents FROM v
+        |WHERE vc * 2 * (SELECT count(*) FROM v) > 3 * (SELECT sum(vc) FROM v)""".stripMargin,
 
     "k1_latest_per_key" ->
       s"""WITH $latestSql
