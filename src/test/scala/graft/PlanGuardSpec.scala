@@ -652,6 +652,36 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("j23/j24/j27: outer/anti probes stay hash joins over pre-aggregated or broadcast sides") {
+    val p23 = planOf("j23_q13_custdist")
+    // orders reach the outer join already at custkey grain (aggregate below the join)
+    assert(p23.contains("LeftOuter"), p23)
+    assert(!p23.contains("WindowExec") && !p23.contains("CartesianProduct"), p23)
+    val p24 = planOf("j24_q22_idle_rich")
+    assert(p24.contains("LeftAnti"), p24)
+    assert(p24.contains("BroadcastNestedLoopJoin") && p24.contains("Cross"),
+      s"j24's scalar average must ride a broadcast 1-row cross join:\n$p24")
+    val p27 = planOf("j27_q16_supplier_cnt")
+    assert(p27.contains("LeftAnti") && p27.contains("BroadcastHashJoin"), p27)
+    assert(!p27.contains("WindowExec"), p27)
+  }
+
+  test("j25 Q7: the 2-nation filter pushes into BOTH nation scans") {
+    val df = SparkEntry.queries("j25_q7_volume")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pushed = "In(n_name, [NATION_3,NATION_7])"
+    val hits = p.sliding(pushed.length).count(_ == pushed)
+    assert(hits >= 2, s"nation filter must prune both dim scans (saw $hits):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j28 Q11: the global cut is a broadcast 1-row cross join, never a window") {
+    val p = planOf("j28_q11_value_parts")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
   test("x87 Holt: the sequential fold runs in aggregates, never a window or join") {
     val p = planOf("x87_holt_linear")
     assert(!p.contains("WindowExec"), p)
