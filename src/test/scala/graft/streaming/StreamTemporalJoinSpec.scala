@@ -1,0 +1,124 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import scala.util.Random
+
+/** Event-time temporal join: events must join the dim version valid at
+  * their EVENT time under any arrival interleaving the watermark admits —
+  * including a dim update that arrives after the event it back-dates
+  * (the case arrival-order enrichment cannot get right). Ground truth is
+  * a plain-Scala as-of replay over the merged (ts, seq)-sorted history. */
+class StreamTemporalJoinSpec extends SparkSpec {
+
+  import StreamTemporalJoin.TemporalJoined
+
+  /** Drive batches of (dims, events); a far-future dim sentinel (emits
+    * nothing) closes the watermark so every buffered event drains. */
+  private def drive(batches: Seq[(Seq[Rec], Seq[Rec])],
+                    delay: String = "5 seconds"): List[TemporalJoined] = {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.get(key, "")
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dims = MemoryStream[Rec]
+    val events = MemoryStream[Rec]
+    val name = s"tj${System.nanoTime()}"
+    val q = StreamTemporalJoin.joinAsOf(events.toDS(), dims.toDS(), delay)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { case (d, e) =>
+        if (d.nonEmpty) dims.addData(d)
+        if (e.nonEmpty) events.addData(e)
+        q.processAllAvailable()
+      }
+      dims.addData(Rec("__sentinel", "x", 10_000_000L, 999999))
+      q.processAllAvailable()
+      // one more batch so the advanced watermark fires the timers
+      dims.addData(Rec("__sentinel", "x", 10_000_001L, 1000000))
+      q.processAllAvailable()
+      s.table(name).as[TemporalJoined].collect().toList
+        .sortBy(t => (t.key, t.event_ts, t.event_seq))
+    } finally {
+      q.stop()
+      if (prev.nonEmpty) s.conf.set(key, prev) else s.conf.unset(key)
+    }
+  }
+
+  /** The as-of rule, replayed directly: latest dim (ts, seq) <= event ts. */
+  private def replay(dims: Seq[Rec], events: Seq[Rec]): List[TemporalJoined] =
+    events.groupBy(_.key).toList.flatMap { case (k, evs) =>
+      val vs = dims.filter(_.key == k).sortBy(r => (r.ts, r.seq))
+      evs.map { e =>
+        val v = vs.takeWhile(_.ts <= e.ts).lastOption
+        TemporalJoined(k, e.value, e.ts, e.seq,
+          v.map(_.value).orNull, v.map(_.ts).getOrElse(-1L))
+      }
+    }.sortBy(t => (t.key, t.event_ts, t.event_seq))
+
+  test("back-dated dim arriving AFTER the event still wins") {
+    val out = drive(Seq(
+      (Nil, Seq(Rec("k", "order", 5000, 10))),          // event first
+      (Seq(Rec("k", "v1", 1000, 1)), Nil)               // dim back-dates it
+    ))
+    assert(out == List(TemporalJoined("k", "order", 5000, 10, "v1", 1000)))
+  }
+
+  test("half-open validity: same-ts dim applies; seq breaks same-ts ties") {
+    val out = drive(Seq(
+      (Seq(Rec("k", "v1", 1000, 1), Rec("k", "v1b", 1000, 2),
+           Rec("k", "v2", 3000, 3)),
+       Seq(Rec("k", "e0", 500, 10),   // before any version → null dim
+           Rec("k", "e1", 1000, 11),  // same-ts: v1b (higher seq at 1000)
+           Rec("k", "e2", 2999, 12),  // still v1b
+           Rec("k", "e3", 3000, 13))) // v2 applies at its own ts
+    ))
+    assert(out == List(
+      TemporalJoined("k", "e0", 500, 10, null, -1L),
+      TemporalJoined("k", "e1", 1000, 11, "v1b", 1000),
+      TemporalJoined("k", "e2", 2999, 12, "v1b", 1000),
+      TemporalJoined("k", "e3", 3000, 13, "v2", 3000)))
+  }
+
+  test("randomized interleaving equals the as-of replay") {
+    val rnd = new Random(11)
+    val keys = Seq("a", "b", "c")
+    var seq = 0L
+    def next(): Long = { seq += 1; seq }
+    val dims = for (k <- keys; i <- 1 to 6)
+      yield Rec(k, s"$k-v$i", rnd.between(0L, 50L) * 100, next())
+    val events = for (k <- keys; i <- 1 to 12)
+      yield Rec(k, s"$k-e$i", rnd.between(0L, 60L) * 100, next())
+    // shuffle everything into 5 random batches, dims and events mixed —
+    // a huge delay keeps every out-of-order row inside the watermark
+    val slots = rnd.shuffle(dims.map(Left(_)) ++ events.map(Right(_)))
+    val batches = slots.grouped((slots.size + 4) / 5).map { g =>
+      (g.collect { case Left(d) => d }, g.collect { case Right(e) => e })
+    }.toSeq
+    val out = drive(batches, delay = "2 hours")
+    assert(out == replay(dims, events))
+  }
+
+  test("multi-epoch waves: versions compacted between waves stay correct") {
+    // wave 1 resolves under v1/v2; the watermark then passes far beyond
+    // them (compacting to the latest), and wave-2 events still join the
+    // surviving version — then a NEWER version takes over
+    val out = drive(Seq(
+      (Seq(Rec("k", "v1", 1000, 1), Rec("k", "v2", 2000, 2)),
+       Seq(Rec("k", "w1", 1500, 10), Rec("k", "w1b", 2500, 11))),
+      (Seq(Rec("__tick", "tick", 200000, 3)), Nil), // advance the watermark
+      (Seq(Rec("k", "v3", 300000, 4)),
+       Seq(Rec("k", "w2", 250000, 12), Rec("k", "w2b", 300500, 13)))
+    ), delay = "1 second")
+    assert(out == List(
+      TemporalJoined("k", "w1", 1500, 10, "v1", 1000),
+      TemporalJoined("k", "w1b", 2500, 11, "v2", 2000),
+      TemporalJoined("k", "w2", 250000, 12, "v2", 2000),
+      TemporalJoined("k", "w2b", 300500, 13, "v3", 300000)))
+  }
+}
