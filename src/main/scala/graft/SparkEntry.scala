@@ -3051,6 +3051,22 @@ object SparkEntry {
           round(min("value"), 4).as("lo"),
           round(max("value"), 4).as("hi"))),
 
+    // rendezvous (HRW) sharding stability readout: docs per shard at
+    // n=8, plus how many of each shard's docs MOVE when a 9th shard
+    // joins — rendezvous placement moves only the rows the new shard
+    // wins (≈ 1/9), where hash-mod placement would move 8/9 of the
+    // corpus. Pure projection (per-row md5 candidates + argmax, the
+    // portable cross-engine hash) into one shard-grain aggregate
+    "x92_hrw_shards" -> ((s, dir) =>
+      Tables.documents(s, dir).select("doc_id")
+        .select(col("doc_id"),
+          graft.functions.Sharding.hrwShard(col("doc_id"), 8).as("shard"),
+          graft.functions.Sharding.hrwShard(col("doc_id"), 9).as("shard9"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("shard9") =!= col("shard"), 1L).otherwise(0L))
+            .as("moved"))),
+
     // hapax legomena per doc: the fraction of a document's distinct
     // words used exactly once — templated/spammy text reuses its
     // vocabulary (low hapax), natural prose keeps minting new words.
@@ -6179,6 +6195,29 @@ object SparkEntry {
         |SELECT event_type, bin, count(*)::BIGINT AS n,
         |  round(min(value), 4) AS lo, round(max(value), 4) AS hi
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // same md5 candidate weights, argmax via greatest + CASE scanning
+    // the HIGHER shard id first (Spark's struct-max tie order)
+    "x92_hrw_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5(doc_id::VARCHAR || ':0') AS h0, md5(doc_id::VARCHAR || ':1') AS h1,
+        |    md5(doc_id::VARCHAR || ':2') AS h2, md5(doc_id::VARCHAR || ':3') AS h3,
+        |    md5(doc_id::VARCHAR || ':4') AS h4, md5(doc_id::VARCHAR || ':5') AS h5,
+        |    md5(doc_id::VARCHAR || ':6') AS h6, md5(doc_id::VARCHAR || ':7') AS h7,
+        |    md5(doc_id::VARCHAR || ':8') AS h8
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE greatest(h0, h1, h2, h3, h4, h5, h6, h7)
+        |      WHEN h7 THEN 7 WHEN h6 THEN 6 WHEN h5 THEN 5 WHEN h4 THEN 4
+        |      WHEN h3 THEN 3 WHEN h2 THEN 2 WHEN h1 THEN 1 ELSE 0 END AS s8,
+        |    CASE greatest(h0, h1, h2, h3, h4, h5, h6, h7, h8)
+        |      WHEN h8 THEN 8 WHEN h7 THEN 7 WHEN h6 THEN 6 WHEN h5 THEN 5
+        |      WHEN h4 THEN 4 WHEN h3 THEN 3 WHEN h2 THEN 2 WHEN h1 THEN 1
+        |      ELSE 0 END AS s9
+        |  FROM h)
+        |SELECT s8::BIGINT AS shard, count(*)::BIGINT AS docs,
+        |  sum(CASE WHEN s9 <> s8 THEN 1 ELSE 0 END)::BIGINT AS moved
+        |FROM g GROUP BY 1""".stripMargin,
 
     // mirrors the single-pass shape: one conditional-count histogram,
     // window totals over it, absent bins folded in closed form
