@@ -3067,6 +3067,19 @@ object SparkEntry {
           sum(when(col("shard9") =!= col("shard"), 1L).otherwise(0L))
             .as("moved"))),
 
+    // the OTHER movement-minimal placement: consistent-hash ring with 4
+    // virtual nodes per shard — same growth readout as x92 (insertion
+    // reroutes only the keys the new shard's vnodes capture), rougher
+    // balance at small vnode counts (the documented trade); the ring
+    // broadcasts, the successor lookup is one linearized min aggregate
+    "x93_ring_shards" -> ((s, dir) =>
+      graft.functions.Sharding.ringGrowth(
+          Tables.documents(s, dir).select("doc_id"), "doc_id", 8, 4)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("shard_next") =!= col("shard"), 1L).otherwise(0L))
+            .as("moved"))),
+
     // hapax legomena per doc: the fraction of a document's distinct
     // words used exactly once — templated/spammy text reuses its
     // vocabulary (low hapax), natural prose keeps minting new words.
@@ -6218,6 +6231,27 @@ object SparkEntry {
         |SELECT s8::BIGINT AS shard, count(*)::BIGINT AS docs,
         |  sum(CASE WHEN s9 <> s8 THEN 1 ELSE 0 END)::BIGINT AS moved
         |FROM g GROUP BY 1""".stripMargin,
+
+    // ring successor linearized to one integer order: wrapFlag·2^61 + pos
+    // (smallest position ≥ the key's, else smallest position overall)
+    "x93_ring_shards" ->
+      """WITH vn AS (SELECT (i // 4)::BIGINT AS s,
+        |    ('0x' || substr(md5((i // 4)::VARCHAR || ':' || (i % 4)::VARCHAR),
+        |      1, 15))::BIGINT AS pos
+        |  FROM range(36) t(i)),
+        |k AS (SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS kpos
+        |  FROM documents),
+        |c AS (SELECT doc_id, s,
+        |    ((CASE WHEN pos >= kpos THEN 0 ELSE 1 END)::BIGINT << 61) + pos AS ordv
+        |  FROM k, vn),
+        |a AS (SELECT doc_id,
+        |    arg_min(s, ordv) FILTER (WHERE s < 8) AS s8,
+        |    arg_min(s, ordv) AS s9
+        |  FROM c GROUP BY 1)
+        |SELECT s8::BIGINT AS shard, count(*)::BIGINT AS docs,
+        |  sum(CASE WHEN s9 <> s8 THEN 1 ELSE 0 END)::BIGINT AS moved
+        |FROM a GROUP BY 1""".stripMargin,
 
     // mirrors the single-pass shape: one conditional-count histogram,
     // window totals over it, absent bins folded in closed form

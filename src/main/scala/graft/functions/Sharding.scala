@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Rendezvous (highest-random-weight) sharding — stable assignment of
@@ -35,5 +35,46 @@ object Sharding {
         lit(i.toLong).as("s"))
     }
     array_max(array(candidates: _*)).getField("s")
+  }
+
+  /** Consistent-hash ring with `vnodes` virtual nodes per shard — the
+    * other classic movement-minimal placement (Karger 1997): vnode
+    * `"s:v"` sits at its 60-bit md5 position on the ring; a key belongs
+    * to the first vnode clockwise from its own position (wrap-around to
+    * the ring minimum). HRW costs O(N) hashes per KEY; the ring costs
+    * |ring| hashes ONCE and a successor lookup per key — the right trade
+    * when N·vnodes is large. Here the whole ring broadcasts (it is tiny)
+    * and the successor is a broadcast cross product + one min aggregate:
+    * `min(wrapFlag·2^61 + pos)` linearizes "smallest pos ≥ key, else
+    * smallest pos overall" into one integer order, so Catalyst plans a
+    * partial-aggregated hash agg, never a per-key sort.
+    *
+    * Returns one row per input row: the key columns plus `outCol` (the
+    * shard at `n`) and `outCol + "_next"` (the shard at `n + 1`) — the
+    * growth readout: insertion only reroutes keys the NEW shard's
+    * vnodes capture (the ring movement theorem, spec-pinned), but load
+    * balance is rougher than HRW at small `vnodes` (arc lengths vary;
+    * that variance is the price of the cheaper lookup, and why real
+    * rings run 100+ vnodes). */
+  def ringGrowth(df: DataFrame, keyCol: String, n: Int,
+                 vnodes: Int = 4, outCol: String = "shard"): DataFrame = {
+    require(n >= 1 && n < 256 && vnodes >= 1 && n * vnodes <= 4096,
+      s"ring out of range: n=$n vnodes=$vnodes")
+    val spark = df.sparkSession
+    val ring = spark.range((n + 1).toLong * vnodes).select(
+      expr(s"id div $vnodes").as("__s"),
+      Sampling.rawHash(concat(expr(s"id div $vnodes").cast("string"),
+        lit(":"), (col("id") % vnodes).cast("string"))).as("__pos"))
+    val ordv = shiftleft(
+      when(col("__pos") >= col("__kpos"), lit(0L)).otherwise(lit(1L)), 61) +
+      col("__pos")
+    df.select(col(keyCol), Sampling.rawHash(col(keyCol)).as("__kpos"))
+      .crossJoin(broadcast(ring))
+      .groupBy(col(keyCol))
+      .agg(
+        min(when(col("__s") < n, struct(ordv.as("o"), col("__s"))))
+          .getField("__s").as(outCol),
+        min(struct(ordv.as("o"), col("__s")))
+          .getField("__s").as(outCol + "_next"))
   }
 }

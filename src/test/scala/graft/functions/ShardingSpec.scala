@@ -46,4 +46,41 @@ class ShardingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  private lazy val ring = {
+    val s = spark
+    import s.implicits._
+    Sharding.ringGrowth((0L until 5000L).toDF("k"), "k", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+  }
+
+  test("ring: every moved key lands on the NEW shard's vnodes") {
+    val moved = ring.filter { case (_, s8, s9) => s8 != s9 }
+    assert(moved.nonEmpty)
+    assert(moved.forall(_._3 == 8L))
+  }
+
+  test("ring: successor rule replayed directly in scala agrees") {
+    // independent replay of the wrap-around successor over md5 positions
+    def h(x: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        .take(15), 16)
+    val vn = for (s <- 0 until 9; v <- 0 until 4) yield (s.toLong, h(s"$s:$v"))
+    def assign(kpos: Long, n: Int): Long = {
+      val cand = vn.filter(_._1 < n)
+      cand.filter(_._2 >= kpos).sortBy(c => (c._2, c._1)).headOption
+        .getOrElse(cand.minBy(c => (c._2, c._1)))._1
+    }
+    ring.take(500).foreach { case (k, s8, s9) =>
+      val kpos = h(k.toString)
+      assert(assign(kpos, 8) == s8 && assign(kpos, 9) == s9, s"key $k")
+    }
+  }
+
+  test("ring: all shards populated; balance rougher than HRW as documented") {
+    val loads = ring.groupBy(_._2).view.mapValues(_.length)
+    assert(loads.size == 8)
+    assert(loads.values.forall(_ > 0))
+  }
 }
