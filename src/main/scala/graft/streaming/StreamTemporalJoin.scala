@@ -135,7 +135,10 @@ object StreamTemporalJoin {
   /** Join `events` against the `dim` change stream as of each event's
     * event time. `delay` is the shared watermark delay (allowed
     * out-of-orderness ACROSS both streams); rows later than it are
-    * dropped by the watermark, exactly the reference's grace rule. */
+    * dropped by the watermark, exactly the reference's grace rule —
+    * including the boundary: a row whose event time does not EXCEED the
+    * current watermark is late (so at-ts-zero rows fall to the initial
+    * watermark of 0). */
   def joinAsOf(events: Dataset[Rec], dim: Dataset[Rec],
                delay: String = "10 seconds"): Dataset[TemporalJoined] = {
     val spark = events.sparkSession

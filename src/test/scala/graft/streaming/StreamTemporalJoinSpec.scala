@@ -104,6 +104,39 @@ class StreamTemporalJoinSpec extends SparkSpec {
     assert(out == replay(dims, events))
   }
 
+  test("agrees with point-in-time lookups over the batch SCD2 history") {
+    // cross-operator consistency: the stream's as-of value at each event
+    // equals the k5-style half-open lookup over Changelog.scd2 built
+    // from the SAME dim changes (run-collapse makes valid_from differ
+    // for equal-value runs, so values — not version ts — are compared)
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(7)
+    var seq = 0L
+    def next(): Long = { seq += 1; seq }
+    val dims = for (k <- Seq("a", "b"); i <- 1 to 8)
+      yield Rec(k, s"v${rnd.between(0, 3)}", rnd.between(1L, 40L) * 100, next())
+    // ts ≥ 100: a row at EXACTLY the initial watermark (ts = 0 = wm)
+    // falls to the engine's late-row filter — the grace-rule boundary
+    val events = for (k <- Seq("a", "b"); i <- 1 to 10)
+      yield Rec(k, s"e$i", rnd.between(1L, 45L) * 100, next())
+    val out = drive(Seq((dims, Nil), (Nil, events)), delay = "2 hours")
+
+    val hist = graft.operators.Changelog.scd2(dims.toDF(), Seq("key"),
+        col("value"), col("ts"), Seq(col("ts"), col("seq")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
+    events.foreach { e =>
+      val want = hist.collectFirst {
+        case (k, v, from, to) if k == e.key && from <= e.ts && to > e.ts => v
+      }.orNull
+      val got = out.find(t => t.key == e.key && t.event_seq == e.seq).get
+      assert(got.dim_value == want, s"event $e: got ${got.dim_value}, want $want")
+    }
+  }
+
   test("multi-epoch waves: versions compacted between waves stay correct") {
     // wave 1 resolves under v1/v2; the watermark then passes far beyond
     // them (compacting to the latest), and wave-2 events still join the
