@@ -3067,6 +3067,22 @@ object SparkEntry {
           sum(when(col("shard9") =!= col("shard"), 1L).otherwise(0L))
             .as("moved"))),
 
+    // trailing-hour rolling totals per user as a RANGE (time-interval)
+    // window frame — the frame is defined by ts_sec VALUES, not row
+    // counts, so same-second peers all join the frame and the result is
+    // tie-order-independent (a ROWS frame with ties would not be
+    // oracle-safe); values accumulate as exact micro-unit BIGINTs
+    "x94_rolling_range" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_sec")
+        .rangeBetween(-3600, 0)
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          round(col("value") * 1e6, 0).cast("long").as("micro"))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("cnt_1h"),
+          sum("micro").over(w).as("sum_micro_1h"))
+    }),
+
     // the OTHER movement-minimal placement: consistent-hash ring with 4
     // virtual nodes per shard — same growth readout as x92 (insertion
     // reroutes only the keys the new shard's vnodes capture), rougher
@@ -6231,6 +6247,15 @@ object SparkEntry {
         |SELECT s8::BIGINT AS shard, count(*)::BIGINT AS docs,
         |  sum(CASE WHEN s9 <> s8 THEN 1 ELSE 0 END)::BIGINT AS moved
         |FROM g GROUP BY 1""".stripMargin,
+
+    "x94_rolling_range" ->
+      s"""WITH $evSql
+        |SELECT user_id, event_id,
+        |  count(*) OVER w::BIGINT AS cnt_1h,
+        |  sum(round(value * 1e6)::BIGINT) OVER w::BIGINT AS sum_micro_1h
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // ring successor linearized to one integer order: wrapFlag·2^61 + pos
     // (smallest position ≥ the key's, else smallest position overall)

@@ -523,6 +523,17 @@ class PlanGuardSpec extends SparkSpec {
     assert(specs == 1, s"expected 1 cumulative spec, got $specs\n$p")
   }
 
+  test("x94 rolling range frame: one user-keyed window, both aggs share its sort") {
+    val p = planOf("x94_rolling_range")
+    assert(!p.contains("CartesianProduct"), p)
+    // one windowspecdefinition pair (count + sum over the SAME spec) —
+    // a second spec would mean a second sort/shuffle
+    val specs = p.sliding("windowspecdefinition(".length)
+      .count(_ == "windowspecdefinition(")
+    assert(specs == 2, s"expected the 2 same-frame aggs, got $specs\n$p")
+    assert(p.sliding("Window".length).count(_ == "Window") <= 2, p)
+  }
+
   test("d20 ingest gate: base corpus streams past BROADCAST batch digests — no shuffled base join") {
     val p = planOf("d20_ingest_gate")
     assert(!p.contains("CartesianProduct"), p)
