@@ -2745,6 +2745,34 @@ object SparkEntry {
     // moves to integer micro-units before the channel sum (exact BIGINT
     // adds, the g2 discipline). No joins at all: window + one ≤|types|-
     // row aggregation
+    // time-decay multi-touch attribution — the other standard credit
+    // model next to x57's last-touch: every touch inside a conversion's
+    // 30-day lookback earns weight 2^(30 − Δdays), halving per day of
+    // age. Weights are exact BIGINT powers of two and the only float op
+    // is ONE rounded division per (conversion, touch) pair, so the
+    // per-channel micro-credit totals are engine-exact; the pair join is
+    // per-user (bounded by a user's events), never cross-user
+    "x95_decay_attribution" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val conv = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("cu"), col("event_id").as("conv_id"),
+          col("ts_sec").as("cts"))
+      val touch = e.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("tu"), col("event_type").as("channel"),
+          col("ts_sec").as("tts"))
+      conv.join(touch, col("cu") === col("tu") &&
+          col("tts") <= col("cts") &&
+          col("cts") - col("tts") < lit(30L * 86400))
+        .withColumn("w",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - ((cts - tts) div 86400) AS INT))"))
+        .withColumn("sw", sum("w").over(Window.partitionBy("conv_id")))
+        .withColumn("credit_micro",
+          round(col("w") * lit(1000000L) / col("sw"), 0).cast("long"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_touches"),
+          sum("credit_micro").as("total_credit_micro"))
+    }),
+
     "x57_attribution" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts_sec").asc, col("event_id").asc)
@@ -5738,6 +5766,24 @@ object SparkEntry {
     // same one-window shape: the IGNORE NULLS last_value over the
     // unbounded-to-−1 frame carries the latest preceding non-purchase
     // (type, ts) forward; micro-unit value sums are exact BIGINT adds
+    // the one float op mirrors the Spark side exactly: BIGINT weight
+    // and window sum, one rounded division per pair
+    "x95_decay_attribution" ->
+      s"""WITH $evSql,
+        |conv AS (SELECT user_id AS cu, event_id AS conv_id, ts_sec AS cts
+        |  FROM ev WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id AS tu, event_type AS channel, ts_sec AS tts
+        |  FROM ev WHERE event_type <> 'purchase'),
+        |p AS (SELECT conv_id, channel,
+        |    (1::BIGINT << (30 - ((cts - tts) // 86400))::INT) AS w
+        |  FROM conv JOIN touch ON cu = tu
+        |  WHERE tts <= cts AND cts - tts < 2592000),
+        |c AS (SELECT channel, w,
+        |    sum(w) OVER (PARTITION BY conv_id)::BIGINT AS sw FROM p)
+        |SELECT channel, count(*)::BIGINT AS n_touches,
+        |  sum(round(w * 1000000 / sw)::BIGINT)::BIGINT AS total_credit_micro
+        |FROM c GROUP BY 1""".stripMargin,
+
     "x57_attribution" ->
       s"""WITH $evSql,
         |pa AS (SELECT user_id, event_id, ts_sec, event_type, value,
