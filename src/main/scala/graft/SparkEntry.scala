@@ -2745,6 +2745,39 @@ object SparkEntry {
     // moves to integer micro-units before the channel sum (exact BIGINT
     // adds, the g2 discipline). No joins at all: window + one ≤|types|-
     // row aggregation
+    // deterministic Poisson bootstrap: error bars for a 100 TB mean
+    // without ever resampling data — each (row, replicate) draws a
+    // Poisson(1) resample WEIGHT from the portable 60-bit hash compared
+    // against 7 hard-coded integer CDF thresholds (floor(CDF·2^60); the
+    // standard streaming-bootstrap construction), so all 32 replicate
+    // means ride ONE (group, replicate)-grain aggregation of exact
+    // BIGINT sums; the CI is order statistics 2 and 31 of the sorted
+    // replicate means — no percentile interpolation to fork engines
+    "x96_bootstrap_ci" -> ((s, dir) => {
+      val th = Seq(424136118829305344L, 848272237658610688L,
+        1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+        1152236456152946176L, 1152825534095764608L)
+      val reps = ev(s, dir)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 1e6, 0).cast("long").as("micro"))
+        .withColumn("rep", explode(sequence(lit(0), lit(31))))
+        .withColumn("u", graft.functions.Sampling.rawHash(
+          concat(col("event_id").cast("string"), lit(":"),
+            col("rep").cast("string"))))
+        .withColumn("w",
+          th.map(t => when(col("u") >= t, 1L).otherwise(0L)).reduce(_ + _))
+        .groupBy("event_type", "rep")
+        .agg(sum(col("w") * col("micro")).as("swm"), sum("w").as("sw"))
+        .filter(col("sw") > 0)
+        .withColumn("m", round(col("swm") / col("sw"), 4))
+      reps.groupBy("event_type").agg(
+        count(lit(1)).as("n_reps"),
+        element_at(sort_array(collect_list(col("m"))), 2)
+          .as("lo_mean_micro"),
+        element_at(sort_array(collect_list(col("m"))), 31)
+          .as("hi_mean_micro"))
+    }),
+
     // time-decay multi-touch attribution — the other standard credit
     // model next to x57's last-touch: every touch inside a conversion's
     // 30-day lookback earns weight 2^(30 − Δdays), halving per day of
@@ -5766,6 +5799,32 @@ object SparkEntry {
     // same one-window shape: the IGNORE NULLS last_value over the
     // unbounded-to-−1 frame carries the latest preceding non-purchase
     // (type, ts) forward; micro-unit value sums are exact BIGINT adds
+    // same thresholds, same hash; HUGEINT sums cast back to BIGINT
+    // before the one division per replicate (the dtype discipline)
+    "x96_bootstrap_ci" ->
+      s"""WITH $evSql,
+        |base AS (SELECT event_type, event_id,
+        |    round(value * 1e6)::BIGINT AS micro, r.rep
+        |  FROM ev, (SELECT unnest(generate_series(0, 31)) AS rep) r),
+        |u AS (SELECT event_type, rep, micro,
+        |    ('0x' || substr(md5(event_id::VARCHAR || ':' || rep::VARCHAR),
+        |      1, 15))::BIGINT AS u
+        |  FROM base),
+        |w AS (SELECT event_type, rep, micro,
+        |    ((u >= 424136118829305344)::INT + (u >= 848272237658610688)::INT
+        |     + (u >= 1060340297073263360)::INT + (u >= 1131029650211480960)::INT
+        |     + (u >= 1148701988496035328)::INT + (u >= 1152236456152946176)::INT
+        |     + (u >= 1152825534095764608)::INT)::BIGINT AS w
+        |  FROM u),
+        |r AS (SELECT event_type, rep,
+        |    round((sum(w * micro)::BIGINT)::DOUBLE / (sum(w)::BIGINT)::DOUBLE,
+        |      4) AS m
+        |  FROM w GROUP BY 1, 2 HAVING sum(w) > 0)
+        |SELECT event_type, count(*)::BIGINT AS n_reps,
+        |  (array_agg(m ORDER BY m))[2] AS lo_mean_micro,
+        |  (array_agg(m ORDER BY m))[31] AS hi_mean_micro
+        |FROM r GROUP BY 1""".stripMargin,
+
     // the one float op mirrors the Spark side exactly: BIGINT weight
     // and window sum, one rounded division per pair
     "x95_decay_attribution" ->

@@ -523,6 +523,13 @@ class PlanGuardSpec extends SparkSpec {
     assert(specs == 1, s"expected 1 cumulative spec, got $specs\n$p")
   }
 
+  test("x96 bootstrap: replicate means are hash aggregates — no window, no cartesian") {
+    val p = planOf("x96_bootstrap_ci")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Generate"), p) // the 32-replicate explode is in-flight
+  }
+
   test("x94 rolling range frame: one user-keyed window, both aggs share its sort") {
     val p = planOf("x94_rolling_range")
     assert(!p.contains("CartesianProduct"), p)
