@@ -3396,6 +3396,16 @@ object SparkEntry {
     // rounds over integer edge costs 10⁶ div w (rare co-occurrence =
     // costly hop), vs the oracle's unrolled-CTE replay of the same
     // recurrence — g7's BFS with costs instead of hop counts
+    // HyperBall over the word graph: per-node 2-hop ball-size estimates
+    // in |V|·16 register rows — neighborhood sets are never
+    // materialized; two edges⋈registers max-merges, then the x39
+    // estimate closed form. Deterministic end to end, so the oracle is
+    // the same two rounds unrolled in SQL
+    "g9_hyperball" -> ((s, dir) =>
+      graft.functions.GraphOps.hyperBall(
+        graft.functions.GraphOps.bigramEdges(Tables.documents(s, dir)),
+        rounds = 2, b = 4, outCol = "est_ball2")),
+
     "g8_sssp" -> ((s, dir) => {
       val ew = graft.functions.GraphOps.bigramEdges(Tables.documents(s, dir))
       val ec = ew.select(col("a"), col("b"),
@@ -6553,6 +6563,46 @@ object SparkEntry {
     // recursive-CTE replay of the frontier BFS: UNION dedups (node, d)
     // rows, depth strictly increases so the recursion is bounded, and
     // min(d) = first-seen level = the BFS depth
+    // the two register-merge rounds unrolled; estimate constants are
+    // m=16, w=56 (2^57 = 144115188075855872, 2.5m = 40) in exactly the
+    // x39 literal/op order
+    "g9_hyperball" ->
+      s"""WITH $toksSql,
+        |bg AS (SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+        |       FROM toks WHERE len(t) >= 2),
+        |bgf AS (SELECT a, b FROM bg WHERE a <> b),
+        |ew AS (SELECT a, b, count(*)::DOUBLE AS w FROM
+        |    (SELECT a, b FROM bgf UNION ALL SELECT b AS a, a AS b FROM bgf)
+        |  GROUP BY 1, 2),
+        |nh AS (SELECT node, ('0x' || substr(md5(node), 1, 15))::BIGINT AS h
+        |  FROM (SELECT DISTINCT a AS node FROM ew)),
+        |r0 AS (SELECT node, h % 16 AS b,
+        |    CASE WHEN (h >> 4) = 0 THEN 57
+        |         ELSE 57 - length(bin(h >> 4)) END AS m
+        |  FROM nh),
+        |r1 AS (SELECT node, b, max(m) AS m FROM (
+        |    SELECT node, b, m FROM r0
+        |    UNION ALL
+        |    SELECT e.a AS node, r0.b, r0.m FROM ew e JOIN r0 ON r0.node = e.b
+        |  ) GROUP BY 1, 2),
+        |r2 AS (SELECT node, b, max(m) AS m FROM (
+        |    SELECT node, b, m FROM r1
+        |    UNION ALL
+        |    SELECT e.a AS node, r1.b, r1.m FROM ew e JOIN r1 ON r1.node = e.b
+        |  ) GROUP BY 1, 2),
+        |s AS (SELECT node, count(*)::BIGINT AS c,
+        |    sum(1::BIGINT << (57 - m))::BIGINT AS sl FROM r2 GROUP BY 1),
+        |est AS (SELECT node, c,
+        |    0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 16.0::DOUBLE)
+        |      * 16.0::DOUBLE * 16.0::DOUBLE * 144115188075855872.0::DOUBLE
+        |      / (sl + (16 - c) * (1::BIGINT << 57))::DOUBLE AS raw
+        |  FROM s)
+        |SELECT node, c AS n_regs,
+        |  round(CASE WHEN raw <= 40.0::DOUBLE AND c < 16
+        |    THEN 16.0::DOUBLE * ln(16.0::DOUBLE / (16 - c)::DOUBLE)
+        |    ELSE raw END, 4) AS est_ball2
+        |FROM est""".stripMargin,
+
     "g7_bfs_hops" ->
       s"""WITH RECURSIVE $toksSql,
         |bg AS (SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b

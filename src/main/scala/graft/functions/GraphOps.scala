@@ -465,4 +465,36 @@ object GraphOps {
     wedge.join(closer, Seq("g", "t1", "t2"))
       .groupBy("g").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** HyperBall (Boldi & Vigna 2013): per-node ball-size estimates — how
+    * many distinct nodes sit within `rounds` hops — via the PORTABLE
+    * HLL register algebra ([[Sketches.hllRegisters]]' bucket/rank
+    * construction on the node's own 60-bit hash). Each round is one
+    * edges⋈registers equi-join + a (node, bucket) max-merge: register
+    * union IS max, so the whole neighborhood function runs in
+    * |V|·2^b register rows per round, never materializing neighbor
+    * SETS — the trick that makes distance distributions computable on
+    * billion-node graphs. Deterministic end to end (integer max-merges;
+    * the estimate is [[Sketches.hllEstimate]]'s closed form), so an
+    * unrolled SQL replay matches exactly. */
+  def hyperBall(edges: DataFrame, rounds: Int = 2, b: Int = 4,
+                outCol: String = "est_ball"): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
+    val w = 60 - b
+    val nodes = edges.select(col("a").as("node")).distinct()
+    val h = Sampling.rawHash(col("node"))
+    val rest = shiftright(h, b)
+    val rho = when(rest === 0, lit(w + 1))
+      .otherwise(lit(w + 1) - length(bin(rest)))
+    var regs = nodes.select(col("node"), (h % (1 << b)).as("__b"),
+      rho.cast("int").as("__m"))
+    for (_ <- 1 to rounds) {
+      val fromNbrs = edges.select("a", "b")
+        .join(regs.withColumnRenamed("node", "b"), "b")
+        .select(col("a").as("node"), col("__b"), col("__m"))
+      regs = regs.unionByName(fromNbrs)
+        .groupBy("node", "__b").agg(max("__m").as("__m"))
+    }
+    Sketches.hllEstimate(regs, Seq("node"), b, outCol)
+  }
 }
