@@ -58,6 +58,22 @@ object GraftExtensions {
           Md5(Cast(Cast(key, org.apache.spark.sql.types.StringType), BinaryType)),
           Literal(1), Literal(15)), Literal(16), Literal(10)), LongType),
         Cast(buckets, LongType))
+
+    /** Rendezvous shard — mirror of `Sharding.hrwShard` (argmax over n
+      * md5 candidate weights as an array-of-structs max). */
+    def hrwShard(key: Expression, n: Int): Expression = {
+      require(n >= 1 && n <= 256, s"hrw_shard: shard count out of range: $n")
+      val candidates = (0 until n).map { i =>
+        CreateNamedStruct(Seq(
+          Literal("h"),
+          Md5(Cast(Concat(Seq(
+            Cast(key, org.apache.spark.sql.types.StringType),
+            Literal(s":$i"))), BinaryType)),
+          Literal("s"), Literal(i.toLong)))
+      }
+      val top = ArrayMax(CreateArray(candidates))
+      GetStructField(top, 1, Some("s"))
+    }
   }
 
   private def exprFn(name: String, arity: Int)
@@ -89,7 +105,15 @@ object GraftExtensions {
     exprFn("damerau_levenshtein", 2)(cs =>
       graft.expressions.DamerauLevenshtein(cs.head, cs(1))),
     exprFn("sorted_intersect_count", 3)(cs =>
-      graft.expressions.SortedIntersectCount(cs.head, cs(1), cs(2))))
+      graft.expressions.SortedIntersectCount(cs.head, cs(1), cs(2))),
+    exprFn("hrw_shard", 2)(cs => {
+      val n = cs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) if v > 0 => v
+        case other => throw new IllegalArgumentException(
+          s"hrw_shard(key, n): n must be a positive integer literal, got $other")
+      }
+      SqlExprs.hrwShard(cs.head, n)
+    }))
 
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

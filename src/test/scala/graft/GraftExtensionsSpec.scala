@@ -74,6 +74,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql === viaCol && viaSql.nonEmpty)
   }
 
+  test("hrw_shard is callable from SQL and matches the Column API") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("docs_hrw")
+    val viaSql = spark.sql(
+      "SELECT doc_id, hrw_shard(doc_id, 8) AS s FROM docs_hrw")
+    import org.apache.spark.sql.functions.col
+    val viaColumn = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), functions.Sharding.hrwShard(col("doc_id"), 8).as("s"))
+    assert(viaSql.exceptAll(viaColumn).count() == 0)
+    assert(viaColumn.exceptAll(viaSql).count() == 0)
+    // non-literal shard count is rejected at the registration boundary
+    val err = intercept[Exception] {
+      spark.sql("SELECT hrw_shard(doc_id, doc_id) FROM docs_hrw").collect()
+    }
+    assert(err.getMessage.contains("hrw_shard") ||
+      err.getCause != null && err.getCause.getMessage.contains("hrw_shard"))
+  }
+
   test("SQL arity errors are caught at registration boundary") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
