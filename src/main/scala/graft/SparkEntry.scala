@@ -3848,6 +3848,43 @@ object SparkEntry {
     // double accumulation is the day-ordered cumulative window —
     // deterministic sequence, both engines. Days are a bounded readout
     // (span/86400), stats ride a 1-row broadcast
+    // Mann–Kendall trend test per event type over the daily micro-unit
+    // series: S = Σ sign(later − earlier) over all day pairs and the
+    // tie-corrected variance numerator are INTEGERS (the test is
+    // nonparametric, so exactness is free); the only float ops are the
+    // final sqrt (IEEE-exact) and one division. Day pairs are per-type
+    // and bounded by the calendar (≤ days² rows), never by event volume
+    "x97_mann_kendall" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+        .agg(sum(round(col("value") * 10000).cast("long")).as("micros"))
+      val a = daily.select(col("event_type"), col("day").as("di"),
+        col("micros").as("vi"))
+      val b = daily.select(col("event_type"), col("day").as("dj"),
+        col("micros").as("vj"))
+      val s0 = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
+        .groupBy("event_type")
+        .agg(sum(signum(col("vj") - col("vi")).cast("long")).as("s_stat"))
+      val n = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      val ties = daily.groupBy("event_type", "micros")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tie_corr"))
+      val z = {
+        val varD = (col("n_days") * (col("n_days") - 1) *
+          (lit(2) * col("n_days") + 5) - col("tie_corr")).cast("double") / 18.0
+        when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") / sqrt(varD))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") / sqrt(varD))
+          .otherwise(lit(0.0))
+      }
+      s0.join(n, "event_type").join(ties, "event_type")
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          round(z, 4).as("z"))
+    }),
+
     "x65_cusum" -> ((s, dir) => {
       val daily = ev(s, dir).filter(col("event_type") === "purchase")
         .groupBy(expr("ts_sec div 86400").as("day"))
@@ -7329,6 +7366,36 @@ object SparkEntry {
     // Spark side uses decimal(38,0) — both exact); both engines
     // standardize identical integers, and the one ordered double
     // accumulation is the day-ordered cumulative window
+    // integer S and tie-corrected variance numerator; one division and
+    // an IEEE sqrt are the only float ops
+    "x97_mann_kendall" ->
+      s"""WITH $evSql,
+        |daily AS (SELECT event_type, ts_sec // 86400 AS day,
+        |    sum(round(value * 10000)::BIGINT)::BIGINT AS micros
+        |  FROM ev GROUP BY 1, 2),
+        |s0 AS (SELECT a.event_type,
+        |    sum(sign(b.micros - a.micros))::BIGINT AS s_stat
+        |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |    AND a.day < b.day
+        |  GROUP BY 1),
+        |n AS (SELECT event_type, count(*)::BIGINT AS n_days
+        |  FROM daily GROUP BY 1),
+        |ties AS (SELECT event_type,
+        |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_corr
+        |  FROM (SELECT event_type, micros, count(*)::BIGINT AS t
+        |        FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |j AS (SELECT s0.event_type, n_days, s_stat,
+        |    ((n_days * (n_days - 1) * (2 * n_days + 5) - tie_corr)::BIGINT)::DOUBLE
+        |      / 18.0::DOUBLE AS vr
+        |  FROM s0 JOIN n ON s0.event_type = n.event_type
+        |  JOIN ties ON s0.event_type = ties.event_type)
+        |SELECT event_type, n_days, s_stat,
+        |  round(CASE WHEN s_stat > 0 THEN (s_stat - 1)::DOUBLE / sqrt(vr)
+        |             WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE / sqrt(vr)
+        |             ELSE 0.0::DOUBLE END, 4) AS z
+        |FROM j""".stripMargin,
+
     "x65_cusum" ->
       s"""WITH $evSql,
         |daily AS (
