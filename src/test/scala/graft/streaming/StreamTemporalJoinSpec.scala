@@ -104,6 +104,61 @@ class StreamTemporalJoinSpec extends SparkSpec {
     assert(out == replay(dims, events))
   }
 
+  test("buffered events, versions and watermark survive a query restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.get(key, "")
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tj_restart").toString
+    StreamTemporalJoinSpec.collected.clear()
+    // memory sinks refuse checkpoint recovery; foreachBatch resumes. A
+    // fresh MemoryStream per leg must repopulate the offset space the
+    // checkpoint committed (offsets are positions): replayed batches
+    // skip, new ones process against the CARRIED state.
+    def leg(adds: Seq[(Seq[Rec], Seq[Rec])]): Unit = {
+      val dims = MemoryStream[Rec]
+      val events = MemoryStream[Rec]
+      val q = StreamTemporalJoin.joinAsOf(events.toDS(), dims.toDS(), "2 seconds")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[TemporalJoined], _: Long) =>
+          StreamTemporalJoinSpec.collected.synchronized {
+            StreamTemporalJoinSpec.collected ++= b.collect()
+          }; ()
+        }
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        adds.foreach { case (d, e) =>
+          if (d.nonEmpty) dims.addData(d)
+          if (e.nonEmpty) events.addData(e)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    try {
+      val v1 = Seq(Rec("k", "v1", 1000, 1))
+      val e1 = Seq(Rec("k", "order", 5000, 10))
+      leg(Seq((v1, Nil), (Nil, e1))) // e1 buffers; nothing emitted yet
+      assert(StreamTemporalJoinSpec.collected.isEmpty)
+      // restart: replay the committed prefix, then a BACK-DATED dim
+      // between v1 and the buffered event, then close the watermark
+      leg(Seq((v1, Nil), (Nil, e1),
+        (Seq(Rec("k", "v2", 4000, 2)), Nil),
+        (Seq(Rec("__s", "x", 10_000_000L, 99)), Nil),
+        (Seq(Rec("__s", "x", 10_000_001L, 100)), Nil)))
+      val got = StreamTemporalJoinSpec.collected.synchronized {
+        StreamTemporalJoinSpec.collected.toList }
+      // the buffered event drains against the post-restart version: a
+      // restarted-from-zero operator would have lost the buffer (no
+      // row) or the version list (v1/null instead of v2)
+      assert(got == List(TemporalJoined("k", "order", 5000, 10, "v2", 4000)))
+    } finally {
+      if (prev.nonEmpty) s.conf.set(key, prev) else s.conf.unset(key)
+    }
+  }
+
   test("agrees with point-in-time lookups over the batch SCD2 history") {
     // cross-operator consistency: the stream's as-of value at each event
     // equals the k5-style half-open lookup over Changelog.scd2 built
@@ -154,4 +209,11 @@ class StreamTemporalJoinSpec extends SparkSpec {
       TemporalJoined("k", "w2", 250000, 12, "v2", 2000),
       TemporalJoined("k", "w2b", 300500, 13, "v3", 300000)))
   }
+}
+
+object StreamTemporalJoinSpec {
+  /** Shared sink buffer for the restart legs (foreachBatch closures
+    * must reach state that outlives each query). */
+  val collected: scala.collection.mutable.ArrayBuffer[StreamTemporalJoin.TemporalJoined] =
+    scala.collection.mutable.ArrayBuffer.empty
 }
