@@ -3848,6 +3848,28 @@ object SparkEntry {
     // double accumulation is the day-ordered cumulative window —
     // deterministic sequence, both engines. Days are a bounded readout
     // (span/86400), stats ride a 1-row broadcast
+    // capture–recapture (Chapman) population estimate: how many distinct
+    // users does a type REALLY have when full enumeration is off the
+    // table — capture = seen before the x52 reference cutoff, recapture
+    // = seen after; N̂ = (nA+1)(nB+1)/(m+1) − 1 is exact integers up to
+    // ONE division. `actual` rides along so the estimate is judged
+    // against truth in the same row; per-user presence flags aggregate
+    // out of one exchange
+    "x98_capture_recapture" -> ((s, dir) => {
+      val presence = ev(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(max(when(col("ts_sec") < refCutoffSec, 1L).otherwise(0L)).as("ia"),
+          max(when(col("ts_sec") >= refCutoffSec, 1L).otherwise(0L)).as("ib"))
+      presence.groupBy("event_type").agg(
+        sum("ia").as("n_a"), sum("ib").as("n_b"),
+        sum(col("ia") * col("ib")).as("m"),
+        count(lit(1)).as("actual"))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("m"),
+          col("actual"),
+          round((col("n_a") + 1) * (col("n_b") + 1) /
+            (col("m") + 1).cast("double") - 1, 4).as("chapman"))
+    }),
+
     // Mann–Kendall trend test per event type over the daily micro-unit
     // series: S = Σ sign(later − earlier) over all day pairs and the
     // tie-corrected variance numerator are INTEGERS (the test is
@@ -7366,6 +7388,18 @@ object SparkEntry {
     // Spark side uses decimal(38,0) — both exact); both engines
     // standardize identical integers, and the one ordered double
     // accumulation is the day-ordered cumulative window
+    "x98_capture_recapture" ->
+      s"""WITH $evSql,
+        |p AS (SELECT event_type, user_id,
+        |    max(CASE WHEN ts_sec < $refCutoffSec THEN 1 ELSE 0 END)::BIGINT AS ia,
+        |    max(CASE WHEN ts_sec >= $refCutoffSec THEN 1 ELSE 0 END)::BIGINT AS ib
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT event_type, sum(ia)::BIGINT AS n_a, sum(ib)::BIGINT AS n_b,
+        |  sum(ia * ib)::BIGINT AS m, count(*)::BIGINT AS actual,
+        |  round(((sum(ia) + 1) * (sum(ib) + 1))::BIGINT::DOUBLE
+        |    / (sum(ia * ib) + 1)::BIGINT::DOUBLE - 1, 4) AS chapman
+        |FROM p GROUP BY 1""".stripMargin,
+
     // integer S and tie-corrected variance numerator; one division and
     // an IEEE sqrt are the only float ops
     "x97_mann_kendall" ->
