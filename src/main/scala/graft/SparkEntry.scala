@@ -2761,9 +2761,13 @@ object SparkEntry {
         .select(col("event_type"), col("event_id"),
           round(col("value") * 1e6, 0).cast("long").as("micro"))
         .withColumn("rep", explode(sequence(lit(0), lit(31))))
-        .withColumn("u", graft.functions.Sampling.rawHash(
-          concat(col("event_id").cast("string"), lit(":"),
-            col("rep").cast("string"))))
+        // one md5 yields TWO independent 60-bit draws (hex chars 1-15
+        // and 17-31), halving the dominant per-row digest cost: rep 2j
+        // and 2j+1 share the digest of block j
+        .withColumn("u", expr(
+          "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':', " +
+            "CAST(rep DIV 2 AS STRING))), CAST(1 + 16 * (rep % 2) AS INT), " +
+            "15), 16, 10) AS BIGINT)"))
         .withColumn("w",
           th.map(t => when(col("u") >= t, 1L).otherwise(0L)).reduce(_ + _))
         .groupBy("event_type", "rep")
@@ -5876,8 +5880,8 @@ object SparkEntry {
         |    round(value * 1e6)::BIGINT AS micro, r.rep
         |  FROM ev, (SELECT unnest(generate_series(0, 31)) AS rep) r),
         |u AS (SELECT event_type, rep, micro,
-        |    ('0x' || substr(md5(event_id::VARCHAR || ':' || rep::VARCHAR),
-        |      1, 15))::BIGINT AS u
+        |    ('0x' || substr(md5(event_id::VARCHAR || ':' || (rep // 2)::VARCHAR),
+        |      1 + 16 * (rep % 2)::INT, 15))::BIGINT AS u
         |  FROM base),
         |w AS (SELECT event_type, rep, micro,
         |    ((u >= 424136118829305344)::INT + (u >= 848272237658610688)::INT
