@@ -3852,6 +3852,42 @@ object SparkEntry {
     // double accumulation is the day-ordered cumulative window —
     // deterministic sequence, both engines. Days are a bounded readout
     // (span/86400), stats ride a 1-row broadcast
+    // Kendall τ-b rank correlation between a type's daily revenue and
+    // daily event count — the tie-corrected RANK companion to the
+    // moment-based correlations: concordant/discordant pair counts and
+    // both tie corrections are exact integers over calendar-bounded day
+    // pairs; one sqrt + one division at the end
+    "x99_kendall_tau" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+        .agg(sum(round(col("value") * 10000).cast("long")).as("rev"),
+          count(lit(1)).as("cnt"))
+      val a = daily.select(col("event_type"), col("day").as("di"),
+        col("rev").as("ri"), col("cnt").as("ci"))
+      val b = daily.select(col("event_type"), col("day").as("dj"),
+        col("rev").as("rj"), col("cnt").as("cj"))
+      val pairs = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
+        .groupBy("event_type")
+        .agg(sum((signum(col("rj") - col("ri")) *
+            signum(col("cj") - col("ci"))).cast("long")).as("s_stat"))
+      val n = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      // t(t−1) is even, so the double division is exact; kept LongType
+      def tiePairs(c: org.apache.spark.sql.Column) =
+        (c * (c - 1) / 2).cast("long")
+      val t1 = daily.groupBy("event_type", "rev")
+        .agg(count(lit(1)).as("t")).groupBy("event_type")
+        .agg(sum(tiePairs(col("t"))).as("t_rev"))
+      val t2 = daily.groupBy("event_type", "cnt")
+        .agg(count(lit(1)).as("t")).groupBy("event_type")
+        .agg(sum(tiePairs(col("t"))).as("t_cnt"))
+      pairs.join(n, "event_type").join(t1, "event_type").join(t2, "event_type")
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          round(col("s_stat").cast("double") /
+            sqrt(((tiePairs(col("n_days")) - col("t_rev")) *
+              (tiePairs(col("n_days")) - col("t_cnt"))).cast("double")),
+            4).as("tau_b"))
+    }),
+
     // capture–recapture (Chapman) population estimate: how many distinct
     // users does a type REALLY have when full enumeration is off the
     // table — capture = seen before the x52 reference cutoff, recapture
@@ -7392,6 +7428,33 @@ object SparkEntry {
     // Spark side uses decimal(38,0) — both exact); both engines
     // standardize identical integers, and the one ordered double
     // accumulation is the day-ordered cumulative window
+    "x99_kendall_tau" ->
+      s"""WITH $evSql,
+        |daily AS (SELECT event_type, ts_sec // 86400 AS day,
+        |    sum(round(value * 10000)::BIGINT)::BIGINT AS rev,
+        |    count(*)::BIGINT AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |s0 AS (SELECT a.event_type,
+        |    sum(sign(b.rev - a.rev) * sign(b.cnt - a.cnt))::BIGINT AS s_stat
+        |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |    AND a.day < b.day
+        |  GROUP BY 1),
+        |n AS (SELECT event_type, count(*)::BIGINT AS n_days FROM daily GROUP BY 1),
+        |t1 AS (SELECT event_type, sum(t * (t - 1) // 2)::BIGINT AS t_rev
+        |  FROM (SELECT event_type, rev, count(*)::BIGINT AS t
+        |        FROM daily GROUP BY 1, 2) GROUP BY 1),
+        |t2 AS (SELECT event_type, sum(t * (t - 1) // 2)::BIGINT AS t_cnt
+        |  FROM (SELECT event_type, cnt, count(*)::BIGINT AS t
+        |        FROM daily GROUP BY 1, 2) GROUP BY 1)
+        |SELECT s0.event_type, n_days, s_stat,
+        |  round(s_stat::DOUBLE / sqrt(
+        |    ((n_days * (n_days - 1) // 2 - t_rev)
+        |      * (n_days * (n_days - 1) // 2 - t_cnt))::BIGINT::DOUBLE), 4)
+        |    AS tau_b
+        |FROM s0 JOIN n ON s0.event_type = n.event_type
+        |JOIN t1 ON s0.event_type = t1.event_type
+        |JOIN t2 ON s0.event_type = t2.event_type""".stripMargin,
+
     "x98_capture_recapture" ->
       s"""WITH $evSql,
         |p AS (SELECT event_type, user_id,
