@@ -3852,6 +3852,35 @@ object SparkEntry {
     // double accumulation is the day-ordered cumulative window —
     // deterministic sequence, both engines. Days are a bounded readout
     // (span/86400), stats ride a 1-row broadcast
+    // Theil–Sen robust slope of daily revenue per type: the median of
+    // all pairwise day slopes — breakdown point 29%, immune to the
+    // outlier days OLS (x83) chases. Each slope is ONE deterministic
+    // division of exact integers; the median is an order statistic
+    // (avg of the two middles when even), so no quantile interpolation
+    // forks engines; pairs are calendar-bounded
+    "x100_theil_sen" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+        .agg(sum(round(col("value") * 10000).cast("long")).as("rev"))
+      val a = daily.select(col("event_type"), col("day").as("di"),
+        col("rev").as("ri"))
+      val b = daily.select(col("event_type"), col("day").as("dj"),
+        col("rev").as("rj"))
+      a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
+        .select(col("event_type"),
+          ((col("rj") - col("ri")).cast("double") /
+            (col("dj") - col("di")).cast("double")).as("slope"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sort_array(collect_list(col("slope"))).as("sl"))
+        .select(col("event_type"), col("n_pairs"),
+          expr("""round(CASE WHEN n_pairs % 2 = 1
+                 THEN element_at(sl, CAST((n_pairs + 1) DIV 2 AS INT))
+                 ELSE (element_at(sl, CAST(n_pairs DIV 2 AS INT))
+                   + element_at(sl, CAST(n_pairs DIV 2 + 1 AS INT))) / 2
+                 END, 4)""").as("sen_slope"))
+    }),
+
     // Kendall τ-b rank correlation between a type's daily revenue and
     // daily event count — the tie-corrected RANK companion to the
     // moment-based correlations: concordant/discordant pair counts and
@@ -7428,6 +7457,24 @@ object SparkEntry {
     // Spark side uses decimal(38,0) — both exact); both engines
     // standardize identical integers, and the one ordered double
     // accumulation is the day-ordered cumulative window
+    "x100_theil_sen" ->
+      s"""WITH $evSql,
+        |daily AS (SELECT event_type, ts_sec // 86400 AS day,
+        |    sum(round(value * 10000)::BIGINT)::BIGINT AS rev
+        |  FROM ev GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    (b.rev - a.rev)::DOUBLE / (b.day - a.day)::DOUBLE AS slope
+        |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |    AND a.day < b.day),
+        |g AS (SELECT event_type, count(*)::BIGINT AS n_pairs,
+        |    array_agg(slope ORDER BY slope) AS sl
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, n_pairs,
+        |  round(CASE WHEN n_pairs % 2 = 1 THEN sl[((n_pairs + 1) // 2)::INT]
+        |    ELSE (sl[(n_pairs // 2)::INT] + sl[(n_pairs // 2 + 1)::INT]) / 2
+        |    END, 4) AS sen_slope
+        |FROM g""".stripMargin,
+
     "x99_kendall_tau" ->
       s"""WITH $evSql,
         |daily AS (SELECT event_type, ts_sec // 86400 AS day,
