@@ -44,6 +44,46 @@ class StreamOverWindowSpec extends SparkSpec {
     assert(out(4L) == (2L, 12L)) // the two peers fell out of the frame
   }
 
+  test("the horizon buffer survives a query restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.get(key, "")
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ow_restart").toString
+    StreamOverWindowSpec.collected.clear()
+    def leg(adds: Seq[Seq[(Long, Long, Long, Long)]]): Unit = {
+      val in = MemoryStream[(Long, Long, Long, Long)]
+      val q = StreamOverWindow.rollingTotals(in.toDS())
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[FrameAgg], _: Long) =>
+          StreamOverWindowSpec.collected.synchronized {
+            StreamOverWindowSpec.collected ++= b.collect()
+          }; ()
+        }
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try { adds.foreach { b => in.addData(b); q.processAllAvailable() } }
+      finally q.stop()
+    }
+    try {
+      val first = Seq((1L, 1L, 1000L, 10L))
+      leg(Seq(first))
+      // restart: the committed batch replays (skipped), the new event's
+      // frame must still see the pre-restart event — a restarted-from-
+      // zero operator would report (cnt 1, sum 5)
+      leg(Seq(first, Seq((1L, 2L, 2000L, 5L))))
+      val got = StreamOverWindowSpec.collected.synchronized {
+        StreamOverWindowSpec.collected.toList }.sortBy(_.event_id)
+      assert(got == List(
+        FrameAgg(1L, 1L, 1000L, 1L, 10L),
+        FrameAgg(1L, 2L, 2000L, 2L, 15L)))
+    } finally {
+      if (prev.nonEmpty) s.conf.set(key, prev) else s.conf.unset(key)
+    }
+  }
+
   test("harness replay equals the batch x94 RANGE frame exactly") {
     val s = spark
     import s.implicits._
@@ -69,4 +109,10 @@ class StreamOverWindowSpec extends SparkSpec {
     assert(got.size == want.size)
     assert(got == want)
   }
+}
+
+object StreamOverWindowSpec {
+  /** Shared sink buffer for the restart legs. */
+  val collected: scala.collection.mutable.ArrayBuffer[StreamOverWindow.FrameAgg] =
+    scala.collection.mutable.ArrayBuffer.empty
 }
