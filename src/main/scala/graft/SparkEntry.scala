@@ -1144,6 +1144,90 @@ object SparkEntry {
         .select(col("l_partkey"), col("vc").as("value_cents"))
     }),
 
+    // TPC-H Q6 shape: the forecasting-revenue-change scan — ZERO joins,
+    // one partial-aggregated scalar over a triple range predicate that
+    // pushes entirely into the parquet scan (date range + discount band
+    // + quantity cap all arrive as PushedFilters). Revenue accumulates
+    // exact cent×percent integers (price·discount is 10^-4-dollar
+    // exact); ONE division at the end
+    "j29_q6_forecast" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          round(sum(round(col("l_extendedprice") * 100).cast("long") *
+            round(col("l_discount") * 100).cast("long")).cast("double") /
+            lit(10000.0), 4).as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // TPC-H Q14 shape: promo revenue share for one ship month — the
+    // broadcast part dim meets a date-pruned lineitem slice; numerator
+    // and denominator are exact 10^-4-dollar integers from the SAME
+    // conditional aggregation (one pass), so the share is one double
+    // division, never a ratio of order-dependent float sums
+    "j30_q14_promo" -> ((s, dir) => {
+      val pt = Tables.part(s, dir).select("p_partkey", "p_type")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-09-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-10-01")))
+        .select(col("l_partkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("units"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", col("units")).otherwise(0L))
+              .cast("double") / sum(col("units")).cast("double"), 6)
+            .as("promo_share"),
+          round(sum(when(col("p_type") === "PROMO", col("units")).otherwise(0L))
+            .cast("double") / lit(10000.0), 4).as("promo_revenue"),
+          round(sum(col("units")).cast("double") / lit(10000.0), 4)
+            .as("total_revenue"))
+    }),
+
+    // TPC-H Q9 shape (adapted: this schema carries no partsupp/
+    // supplycost, so profit is gross revenue): per supplier-nation,
+    // per order-year revenue on a part-name-filtered slice. The part
+    // filter broadcasts and prunes lineitem BEFORE the one big shuffle
+    // (the orderkey join against orders); supplier⋈nation broadcasts;
+    // exact 10^-4-dollar integer accumulation, one division per group
+    "j31_q9_profit" -> ((s, dir) => {
+      val pf = Tables.part(s, dir).filter(col("p_name").contains("ol"))
+        .select("p_partkey")
+      val sn = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("nation"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("units"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(col("units")).cast("double") / lit(10000.0), 4)
+          .as("sum_profit"))
+    }),
+
+    // TPC-H Q4 shape (adapted: no commit/receipt dates in this schema,
+    // so "late" = shipped > 30 days after the order date): order counts
+    // per priority for one quarter where ANY lineitem shipped late —
+    // the EXISTS is a left-semi join (first match short-circuits; no
+    // post-join dedup), with the quarter filter pruning orders before
+    // the shuffle
+    "j32_q4_priority" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-04-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-07-01")))
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey") &&
+            datediff(col("l_shipdate"), col("o_orderdate")) > 30, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))),
+
     // §2 KTable / changelog ------------------------------------------------
 
     "k1_latest_per_key" -> ((s, dir) =>
@@ -2492,6 +2576,29 @@ object SparkEntry {
     // rankings are directly comparable (and fusable by s15's RRF)
     "s17_qlm_rank" -> ((s, dir) =>
       graft.functions.Retrieval.qlmRank(Tables.documents(s, dir),
+        "doc_id", "text", Seq("hash", "join", "merge"), topN = 20)),
+
+    // DBSCAN density clustering over the embedding space — arbitrary-
+    // shape clusters + an explicit NOISE verdict (what k-means can't
+    // say). The ε-graph is decided by EXACT integer squared-L2 over
+    // milli-unit quantized vectors (the s19 discipline) so no float
+    // distance ever thresholds; clusters are min-id-labeled components
+    // of the core-core graph (the d7 CC contract), borders take the min
+    // core-neighbor cluster — deterministic where classic DBSCAN is
+    // scan-order-dependent. Scale path: swap the exact pair scan for
+    // s2's LSH candidates
+    "s16_dbscan" -> ((s, dir) =>
+      SimilarityOps.dbscan(Tables.embeddings(s, dir), "vec_id", "embedding",
+        eps2 = 1250000L, minPts = 4)),
+
+    // ranking-quality eval: NDCG@1..20 of the BM25 ranking against
+    // graded term-overlap relevance — the metric a retrieval change is
+    // gated on. Gains rounded BEFORE the rank-ordered cumulative sums
+    // (the x65 ordered-window discipline) so engines fold identical
+    // values; the ideal side is a bounded TakeOrderedAndProject whose
+    // gain sequence is tie-order-independent (equal rel ⇒ equal gain)
+    "s20_ndcg" -> ((s, dir) =>
+      graft.functions.Retrieval.ndcgCurve(Tables.documents(s, dir),
         "doc_id", "text", Seq("hash", "join", "merge"), topN = 20)),
 
     // reverse search: standing queries percolated over the corpus —
@@ -3881,6 +3988,62 @@ object SparkEntry {
                  END, 4)""").as("sen_slope"))
     }),
 
+    // Jaro-Winkler entity resolution over the part-name dictionary —
+    // the SIMILARITY-gated twin of x61's edit-distance match, scored by
+    // the codegen'd classic Jaro-Winkler (Spark ships no Jaro family;
+    // DuckDB's jaro_winkler_similarity is the same parameterization:
+    // 0.7 boost threshold, prefix cap 4, p=0.1 — probe-verified).
+    // Dictionary-first as ever: corpus aggregated once, the O(|a|·|b|)
+    // scorer only inside first-token blocks of the tiny dictionary
+    "x101_jaro_winkler" -> ((s, dir) =>
+      FuzzyMatch.jaroWinklerMatch(Tables.part(s, dir), "p_name",
+        n => element_at(split(n, " "), 1), minSim = 0.88)),
+
+    // classifier calibration curve (the reliability diagram): s13's
+    // scores bucketed into deciles vs the empirical label rate — the
+    // audit that decides whether a quality-gate threshold MEANS its
+    // number. Mean scores ride exact micro-unit integer sums (the g2
+    // discipline) so no unordered float summation exists; the fit is
+    // the SAME lrCtes-replayed trajectory as s13/c5, so the three can
+    // never fork
+    "c7_calibration" -> ((s, dir) => {
+      val scored = Classifier.fitScore(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("label") < 5, iters = LrIters, lr = LrStep,
+        threshold = LrThreshold)
+      val y = Tables.embeddings(s, dir).select(col("vec_id"),
+        (col("label") < 5).cast("int").as("y"))
+      scored.join(y, "vec_id")
+        .select(least(floor(col("score") * 10), lit(9)).cast("int").as("bucket"),
+          col("score"), col("y"))
+        .groupBy("bucket").agg(
+          count(lit(1)).as("n"),
+          sum("y").cast("long").as("pos"),
+          sum(round(col("score") * 1e6).cast("long")).as("su"))
+        .select(col("bucket"), col("n"), col("pos"),
+          round(col("su") / lit(1e6) / col("n"), 6).as("mean_score"),
+          round(col("pos").cast("double") / col("n"), 6).as("pos_rate"))
+    }),
+
+    // Kaplan-Meier churn survival: user lifetimes (last-active −
+    // first-active day) with still-active users CENSORED, then the
+    // product-limit curve on |distinct durations| rows — bounded by the
+    // observation window in DAYS, never by user/event count. Exact
+    // integer at-risk/event/censor counts; factor logs rounded before
+    // the duration-ordered cumulative sum (the x65/s20 discipline)
+    "x103_kaplan_meier" -> ((s, dir) =>
+      graft.functions.Survival.kaplanMeier(
+        graft.functions.Survival.lifetimes(
+          ev(s, dir), "user_id", "ts_sec", horizonDays = 7))),
+
+    // the hashing trick (Weinberger 2009): dictionary-free fixed-dim
+    // featurization — index = portable 60-bit md5 mod 256, value = Σ ±1
+    // sign hash over token occurrences (signed sums make collisions
+    // cancel in expectation). No vocabulary build pass exists at all;
+    // the one exchange is the (doc, feat) aggregation, partial map-side
+    "x102_feature_hashing" -> ((s, dir) =>
+      graft.functions.Featurize.hashedFeatures(
+        Tables.documents(s, dir), "doc_id", "text", dim = 256)),
+
     // Kendall τ-b rank correlation between a type's daily revenue and
     // daily event count — the tie-corrected RANK companion to the
     // moment-based correlations: concordant/discordant pair counts and
@@ -4423,6 +4586,62 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1)
         |SELECT l_partkey, vc AS value_cents FROM v
         |WHERE vc * 2 * (SELECT count(*) FROM v) > 3 * (SELECT sum(vc) FROM v)""".stripMargin,
+
+    // exact cent×percent integers; one final division
+    "j29_q6_forecast" ->
+      """SELECT
+        |  round(sum(round(l_extendedprice * 100)::BIGINT
+        |    * round(l_discount * 100)::BIGINT)::DOUBLE / 10000.0, 4) AS revenue,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    // numerator/denominator from ONE conditional aggregation over exact
+    // 10^-4-dollar integers
+    "j30_q14_promo" ->
+      """WITH sl AS (
+        |  SELECT l.l_partkey,
+        |    round(l_extendedprice * 100)::BIGINT
+        |      * (100 - round(l_discount * 100)::BIGINT) AS units,
+        |    p.p_type
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01')
+        |SELECT
+        |  round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN units ELSE 0 END)::DOUBLE
+        |    / sum(units)::DOUBLE, 6) AS promo_share,
+        |  round(sum(CASE WHEN p_type = 'PROMO' THEN units ELSE 0 END)::DOUBLE
+        |    / 10000.0, 4) AS promo_revenue,
+        |  round(sum(units)::DOUBLE / 10000.0, 4) AS total_revenue
+        |FROM sl""".stripMargin,
+
+    // gross-revenue Q9 adaptation (no partsupp in this schema); exact
+    // integer accumulation, one division per (nation, year)
+    "j31_q9_profit" ->
+      """SELECT n.n_name AS nation,
+        |  year(o.o_orderdate)::BIGINT AS o_year,
+        |  round(sum(round(l_extendedprice * 100)::BIGINT
+        |    * (100 - round(l_discount * 100)::BIGINT))::DOUBLE / 10000.0, 4)
+        |    AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND contains(p.p_name, 'ol')
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // EXISTS as a semi join; "late" = shipped > 30 days after ordering
+    "j32_q4_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-04-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE) > 30)
+        |GROUP BY 1""".stripMargin,
 
     "k1_latest_per_key" ->
       s"""WITH $latestSql
@@ -5695,6 +5914,79 @@ object SparkEntry {
         |SELECT doc_id,
         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score
         |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the ε-graph replayed on exact integers; components via a
+    // reachability fixpoint (WITH RECURSIVE ... UNION dedup) labeled by
+    // min reachable core id — exactly the union-find/hash-min min-label
+    // contract of the Spark side's connectedComponents
+    "s16_dbscan" ->
+      """WITH RECURSIVE q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> round(x * 1000)::BIGINT) AS qv
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |    list_aggregate(list_transform(range(1, len(a.qv) + 1),
+        |      i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])), 'sum') AS d2
+        |  FROM q a JOIN q b ON a.vec_id < b.vec_id),
+        |e AS (SELECT a, b FROM p WHERE d2 <= 1250000),
+        |bidir AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |core AS (SELECT a AS node FROM bidir GROUP BY 1
+        |  HAVING count(*) + 1 >= 4),
+        |ce AS (SELECT bi.a, bi.b FROM bidir bi
+        |  JOIN core x ON bi.a = x.node JOIN core y ON bi.b = y.node),
+        |reach(a, b) AS (SELECT node, node FROM core
+        |  UNION SELECT r.a, ce.b FROM reach r JOIN ce ON r.b = ce.a),
+        |cl AS (SELECT a AS node, min(b) AS cid FROM reach GROUP BY 1),
+        |bord AS (SELECT bi.a AS node, min(cl.cid) AS bcid
+        |  FROM bidir bi JOIN cl ON bi.b = cl.node GROUP BY 1)
+        |SELECT q.vec_id,
+        |  CASE WHEN cl.cid IS NOT NULL THEN 'core'
+        |    WHEN bord.bcid IS NOT NULL THEN 'border'
+        |    ELSE 'noise' END AS role,
+        |  coalesce(cl.cid, bord.bcid) AS cluster_id
+        |FROM q LEFT JOIN cl ON q.vec_id = cl.node
+        |LEFT JOIN bord ON q.vec_id = bord.node""".stripMargin,
+
+    // the t14 BM25 chain feeding rank-ordered cumulative gains; gains
+    // rounded before the window sums so both engines fold identical
+    // doubles in identical order; ndcg divides the two ROUNDED cums
+    "s20_ndcg" ->
+      s"""WITH $toksSql,
+        |rels AS (SELECT doc_id,
+        |    len(list_intersect(t, ['hash', 'join', 'merge']))::INT AS rel
+        |  FROM toks),
+        |terms AS (SELECT doc_id, unnest(t) AS term, len(t)::BIGINT AS dl FROM toks),
+        |tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl
+        |  FROM terms WHERE term IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT AS n_docs, avg(len(t)::DOUBLE) AS avgdl FROM toks),
+        |contrib AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+        |  FROM tf JOIN dfc USING (term) CROSS JOIN st),
+        |scored AS (SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY 1),
+        |sys AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored ORDER BY score DESC, doc_id LIMIT 20),
+        |sg AS (SELECT rank, s.doc_id, rel,
+        |    round((pow(2, rel) - 1) / log2(rank + 1), 6) AS gain
+        |  FROM sys s JOIN rels r ON s.doc_id = r.doc_id),
+        |ideal AS (SELECT row_number() OVER (ORDER BY rel DESC, doc_id) AS rank, rel
+        |  FROM rels ORDER BY rel DESC, doc_id LIMIT 20),
+        |ig AS (SELECT rank,
+        |    round((pow(2, rel) - 1) / log2(rank + 1), 6) AS igain
+        |  FROM ideal),
+        |cums AS (
+        |  SELECT sg.rank, doc_id, rel, gain,
+        |    round(sum(gain) OVER (ORDER BY sg.rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS dcg,
+        |    round(sum(igain) OVER (ORDER BY sg.rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS idcg
+        |  FROM sg JOIN ig ON sg.rank = ig.rank)
+        |SELECT rank, doc_id, rel, gain, dcg, idcg,
+        |  round(dcg / idcg, 6) AS ndcg
+        |FROM cums""".stripMargin,
 
     "x29_inverted_index" ->
       s"""WITH $toksSql,
@@ -7474,6 +7766,76 @@ object SparkEntry {
         |    ELSE (sl[(n_pairs // 2)::INT] + sl[(n_pairs // 2 + 1)::INT]) / 2
         |    END, 4) AS sen_slope
         |FROM g""".stripMargin,
+
+    // DuckDB's jaro_winkler_similarity is the same classic
+    // parameterization as the graft expression (probe-verified on the
+    // boost-threshold / prefix-cap / empty edges); both sides filter on
+    // the ROUNDED score so the gate itself can't fork on a last ulp
+    "x101_jaro_winkler" ->
+      """WITH dict AS (
+        |  SELECT p_name AS name, count(*)::BIGINT AS n,
+        |    split_part(p_name, ' ', 1) AS blk
+        |  FROM part GROUP BY p_name)
+        |SELECT a.name AS name_a, b.name AS name_b, a.n AS n_a, b.n AS n_b,
+        |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+        |FROM dict a JOIN dict b ON a.blk = b.blk AND a.name < b.name
+        |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.88""".stripMargin,
+
+    // the SAME lrCtes fit trajectory as s13/c5; mean scores via exact
+    // micro-unit integer sums, one division per bucket at the end
+    "c7_calibration" ->
+      s"""WITH ${lrCtes(LrIters, LrStep)},
+        |b AS (SELECT least(floor(s.score * 10), 9)::INT AS bucket,
+        |    s.score, v.y
+        |  FROM scored s JOIN v ON v.vid = s.vec_id)
+        |SELECT bucket, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos,
+        |  round(sum(round(score * 1000000)::BIGINT) / 1000000.0 / count(*), 6)
+        |    AS mean_score,
+        |  round(sum(y) / count(*)::DOUBLE, 6) AS pos_rate
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // exact integer at-risk/event/censor counts; factor logs rounded at
+    // 9 before the duration-ordered cumulative sum; the all-remaining-
+    // churn last step pins S to exact 0 instead of folding ln(0)
+    "x103_kaplan_meier" ->
+      s"""WITH $evSql,
+        |u AS (SELECT user_id, min(ts_sec // 86400) AS fd,
+        |    max(ts_sec // 86400) AS ld
+        |  FROM ev GROUP BY 1),
+        |mx AS (SELECT max(ld) AS md FROM u),
+        |life AS (SELECT (ld - fd)::BIGINT AS duration,
+        |    (ld <= md - 7)::INT AS churn
+        |  FROM u CROSS JOIN mx),
+        |gr AS (SELECT duration, sum(churn)::BIGINT AS d,
+        |    sum(1 - churn)::BIGINT AS c
+        |  FROM life GROUP BY 1),
+        |tot AS (SELECT sum(d + c)::BIGINT AS n FROM gr),
+        |rk AS (SELECT duration, d, c,
+        |    (n - coalesce(sum(d + c) OVER (ORDER BY duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+        |      AS at_risk
+        |  FROM gr CROSS JOIN tot)
+        |SELECT duration, at_risk, d, c,
+        |  CASE WHEN sum((d = at_risk)::INT) OVER (ORDER BY duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0 THEN 0.0
+        |    ELSE round(exp(sum(CASE WHEN d < at_risk
+        |      THEN round(ln((at_risk - d)::DOUBLE / at_risk), 9)
+        |      ELSE 0.0 END) OVER (ORDER BY duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |  END AS surv
+        |FROM rk""".stripMargin,
+
+    // both hashes are the shared md5 discipline — DuckDB replays them
+    // verbatim; weights are exact signed-integer sums
+    "x102_feature_hashing" ->
+      s"""WITH $toksSql,
+        |tok AS (SELECT doc_id, unnest(t) AS term FROM toks)
+        |SELECT doc_id,
+        |  (('0x' || substr(md5(term), 1, 15))::BIGINT % 256)::INT AS feat,
+        |  sum(1 - 2 * (('0x' || substr(md5(term || ':sign'), 1, 15))::BIGINT % 2))::BIGINT
+        |    AS weight
+        |FROM tok GROUP BY 1, 2
+        |HAVING sum(1 - 2 * (('0x' || substr(md5(term || ':sign'), 1, 15))::BIGINT % 2)) <> 0""".stripMargin,
 
     "x99_kendall_tau" ->
       s"""WITH $evSql,

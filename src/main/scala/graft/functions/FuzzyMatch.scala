@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.DamerauLevenshtein
+import graft.expressions.{DamerauLevenshtein, JaroWinkler}
 
 /** Entity-resolution fuzzy matching over string keys.
   *
@@ -21,6 +21,12 @@ object FuzzyMatch {
     * expression — Spark ships only plain `levenshtein`). */
   def damerauLevenshtein(a: Column, b: Column): Column =
     GraftShims.column(DamerauLevenshtein(
+      GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Classic Jaro-Winkler similarity in [0, 1] (codegen'd custom
+    * expression — Spark ships no Jaro family). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftShims.column(JaroWinkler(
       GraftShims.expression(a), GraftShims.expression(b)))
 
   /** Blocked fuzzy self-match of the distinct values of `nameCol`:
@@ -46,5 +52,27 @@ object FuzzyMatch {
       .filter(col("dl") <= maxDist)
       .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
         levenshtein(col("name_a"), col("name_b")).as("lev"), col("dl"))
+  }
+
+  /** The SIMILARITY-thresholded twin of [[dictionaryMatch]]: distinct
+    * in-block name pairs with Jaro-Winkler ≥ `minSim` (name_a <
+    * name_b), emitting the rounded score. Edit-distance thresholds
+    * (dl ≤ k) treat a typo in a 5-char code and a 40-char title the
+    * same; a RELATIVE score is the right gate when key lengths vary —
+    * the two gates are complementary, not redundant. Same
+    * dictionary-first cost shape: the corpus is aggregated once and
+    * the O(|a|·|b|) scorer runs only inside dictionary blocks. */
+  def jaroWinklerMatch(rows: DataFrame, nameCol: String,
+                       blockKey: Column => Column, minSim: Double): DataFrame = {
+    val dict = rows.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("blk", blockKey(col("name")))
+    val a = dict.select(col("blk"), col("name").as("name_a"), col("n").as("n_a"))
+    val b = dict.select(col("blk"), col("name").as("name_b"), col("n").as("n_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jw", round(jaroWinkler(col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= minSim)
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"), col("jw"))
   }
 }

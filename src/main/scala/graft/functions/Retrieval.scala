@@ -292,4 +292,47 @@ object Retrieval {
       .filter(col("rk") <= topK)
       .select("doc_id", "rk", "phrase", "score")
   }
+
+  /** NDCG@1..topN of the BM25 ranking against graded term-overlap
+    * relevance — the ranking-quality readout every retrieval change is
+    * gated on. Relevance of a doc is the number of DISTINCT query terms
+    * it contains (0..|terms|); gain is the exponential-graded
+    * (2^rel − 1)/log2(rank + 1), ROUNDED at 6 digits BEFORE the
+    * cumulative sums so both engines fold identical values in identical
+    * rank order (the x65 ordered-window discipline); the ideal ranking
+    * sorts the whole corpus by (rel desc, doc_id) — its GAIN sequence
+    * is tie-order-independent because equal rel means equal gain.
+    *
+    * Scale shape: relevance is a map-side projection; the only
+    * corpus-sized steps are bm25Rank's bounded top-k and an ideal-side
+    * TakeOrderedAndProject (never a global sort); everything after is
+    * arithmetic over ≤ topN rows on one partition — driver-scale by
+    * construction. Output (rank, doc_id, rel, gain, dcg, idcg, ndcg),
+    * one row per rank 1..topN. */
+  def ndcgCurve(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty && terms.size <= 62,
+      "query term set must be small (bounded broadcast; 2^rel must fit a long)")
+    val rels = docs.select(col(idCol).as("doc_id"),
+      size(array_intersect(TextAnalysis.tokens(col(textCol)),
+        array(terms.map(lit): _*))).cast("int").as("rel"))
+    def gainOf(rel: Column, rank: Column): Column =
+      round((pow(lit(2.0), rel) - lit(1.0)) / log2(rank + lit(1)), 6)
+    val sys = bm25Rank(docs, idCol, textCol, terms, topN)
+      .join(rels, "doc_id")
+      .select(col("rank"), col("doc_id"), col("rel"),
+        gainOf(col("rel"), col("rank")).as("gain"))
+    val ideal = rels.orderBy(col("rel").desc, col("doc_id").asc).limit(topN)
+      .select(row_number().over(Window.orderBy(col("rel").desc, col("doc_id").asc))
+        .as("rank"), col("rel").as("irel"))
+      .select(col("rank"), gainOf(col("irel"), col("rank")).as("igain"))
+    val cum = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sys.join(ideal, "rank")
+      .select(col("rank"), col("doc_id"), col("rel"), col("gain"),
+        round(sum("gain").over(cum), 6).as("dcg"),
+        round(sum("igain").over(cum), 6).as("idcg"))
+      .withColumn("ndcg", round(col("dcg") / col("idcg"), 6))
+  }
 }

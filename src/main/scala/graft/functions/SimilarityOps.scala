@@ -170,6 +170,73 @@ object SimilarityOps {
       .filter(col("sim") >= minSim)
   }
 
+  /** DBSCAN density clustering over an embedding column (Ester et al.
+    * 1996) — the cluster family k-means can't express: arbitrary-shape
+    * clusters plus an explicit NOISE verdict, the outlier-robust
+    * grouping an embedding-space curation pass wants (near-duplicate
+    * communities, topical pockets, junk isolation).
+    *
+    * Exactness: vectors are milli-unit quantized (the s19 discipline)
+    * so the ε-neighborhood graph is decided by EXACT INTEGER squared-L2
+    * — no float distance ever thresholds, and the oracle replays the
+    * identical graph. Core = |N_ε(p)| ≥ minPts (self included);
+    * clusters = connected components of the core-core graph labeled by
+    * MIN member id ([[DedupOps.connectedComponents]]'s contract, which
+    * a reachability oracle reproduces); borders take the MIN core-
+    * neighbor cluster (classic DBSCAN is scan-order-dependent here —
+    * the min rule makes the assignment deterministic and
+    * engine-portable); everything else is noise.
+    *
+    * Scale shape: this exact form scores all pairs (the a < b brute
+    * join) — right for the ≤ 10⁵-vector corpora the exactness contract
+    * targets. At population scale swap the pair source for
+    * [[bucketedPairs]]/[[saltedBlockPairs]] (LSH candidates; same
+    * downstream), accepting LSH recall on the edge set. Degree counts
+    * partial-aggregate map-side; the component step inherits
+    * connectedComponents' driver fast path (the edge set already passed
+    * a density threshold — orders smaller than the corpus).
+    *
+    * Returns (vec_id, role ∈ core|border|noise, cluster_id — null for
+    * noise). */
+  def dbscan(vecs: DataFrame, idCol: String, vecCol: String,
+             eps2: Long, minPts: Int): DataFrame = {
+    require(eps2 > 0 && minPts >= 2, s"need eps2 > 0, minPts >= 2")
+    val q = vecs.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long"))
+        .as("qv"))
+    val l = q.select(col("vec_id").as("a"), col("qv").as("qa"))
+    val r = q.select(col("vec_id").as("b"), col("qv").as("qb"))
+    val d2 = aggregate(zip_with(col("qa"), col("qb"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val edges = l.crossJoin(r)
+      .filter(col("a") < col("b") && d2 <= eps2)
+      .select("a", "b")
+    val bidir = edges.unionByName(
+      edges.select(col("b").as("a"), col("a").as("b")))
+    val core = bidir.groupBy(col("a").as("node"))
+      .agg((count(lit(1)) + 1).as("n"))
+      .filter(col("n") >= minPts).select("node")
+    val coreEdges = bidir
+      .join(core.select(col("node").as("a")), "a")
+      .join(core.select(col("node").as("b")), "b")
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    val cc = DedupOps.connectedComponents(core, coreEdges)
+    val borders = bidir
+      .join(cc.select(col("node").as("b"), col("cluster_id")), "b")
+      .groupBy(col("a").as("node")).agg(min("cluster_id").as("bcid"))
+    q.select("vec_id")
+      .join(cc.select(col("node").as("vec_id"), col("cluster_id").as("core_cid")),
+        Seq("vec_id"), "left")
+      .join(borders.select(col("node").as("vec_id"), col("bcid")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("core_cid").isNotNull, lit("core"))
+          .when(col("bcid").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("core_cid"), col("bcid")).as("cluster_id"))
+  }
+
   /** Lloyd's k-means over an embedding column — the centroid fit that
     * completes the IVF story ([[ivfAssign]]/[[ivfTopK]] take the result
     * via their `centroids` parameter).

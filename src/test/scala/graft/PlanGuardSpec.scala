@@ -705,4 +705,46 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), p)
     assert(!p.toLowerCase.contains("join"), p)
   }
+
+  test("j29 Q6: join-free scan-agg with the range predicates PUSHED into parquet") {
+    val p = planOf("j29_q6_forecast")
+    assert(!p.toLowerCase.contains("join") && !p.contains("WindowExec"), p)
+    // all three residual predicates must reach the scan as pushed
+    // filters (formatted mode — toString truncates the filter list)
+    val f = SparkEntry.queries("j29_q6_forecast")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(f.contains("GreaterThanOrEqual(l_shipdate") &&
+      f.contains("LessThan(l_quantity,24"),
+      s"Q6's range predicates must push into the FileScan:\n$f")
+  }
+
+  test("j30/j31: dims broadcast; j31 keeps exactly ONE shuffled join (orders)") {
+    val p30 = planOf("j30_q14_promo")
+    assert(p30.contains("BroadcastHashJoin"), p30)
+    assert(!p30.contains("SortMergeJoin") && !p30.contains("CartesianProduct"), p30)
+    val p31 = planOf("j31_q9_profit")
+    assert(p31.contains("BroadcastHashJoin"), p31)
+    val smj = p31.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin")
+    assert(smj <= 1, s"Q9 must shuffle only the orderkey join (saw $smj):\n$p31")
+    assert(!p31.contains("CartesianProduct"), p31)
+  }
+
+  test("j32 Q4: the EXISTS plans as a semi join, orders pruned before it") {
+    val p = planOf("j32_q4_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("WindowExec"), p)
+  }
+
+  test("x101 Jaro-Winkler match: block-keyed equi join, no cartesian dictionary scan") {
+    val p = planOf("x101_jaro_winkler")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the JW verifier must stay inside first-token blocks:\n$p")
+  }
+
+  test("x102 feature hashing: one hash-aggregate exchange, no join, no window") {
+    val p = planOf("x102_feature_hashing")
+    assert(!p.toLowerCase.contains("join") && !p.contains("WindowExec"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
