@@ -4080,6 +4080,98 @@ object SparkEntry {
             4).as("tau_b"))
     }),
 
+    // Spearman rank correlation per type between daily revenue and
+    // daily event count — the third correlation lens beside Pearson
+    // (x86) and Kendall (x99): monotone association through ranks.
+    // Average ranks carried DOUBLED (2·rank + ties − 1) so tie
+    // averaging stays exact-integer; Pearson over doubled ranks is the
+    // same ρ (affine invariance); every sum is exact BIGINT, one
+    // sqrt + one division at the end; zero-variance series emit NULL
+    // identically in both engines
+    "x104_spearman" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+        .agg(sum(round(col("value") * 10000).cast("long")).as("rev"),
+          count(lit(1)).as("cnt"))
+      val ranked = daily.select(col("event_type"),
+        (lit(2L) * rank().over(Window.partitionBy("event_type").orderBy("rev"))
+          + count(lit(1)).over(Window.partitionBy("event_type", "rev"))
+          - lit(1L)).as("dx"),
+        (lit(2L) * rank().over(Window.partitionBy("event_type").orderBy("cnt"))
+          + count(lit(1)).over(Window.partitionBy("event_type", "cnt"))
+          - lit(1L)).as("dy"))
+      ranked.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("dx").as("sx"), sum("dy").as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(col("event_type"), col("n").as("n_days"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+              (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6))
+            .as("rho"))
+    }),
+
+    // degree assortativity of the part co-occurrence graph (Newman
+    // 2002): do high-degree parts co-occur with high-degree parts?
+    // Pearson over the directed edge list's endpoint degrees — exact
+    // integer sums out of the same basket-bounded candidate core as
+    // x46/g5, one sqrt + one division; a degree-regular graph (zero
+    // variance) emits NULL in both engines
+    "g10_assortativity" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+      val co = e.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(e.select(col("l_orderkey").as("ok2"), col("l_partkey").as("b")),
+          col("l_orderkey") === col("ok2") && col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 3).select("a", "b")
+      val dir2 = co.unionByName(co.select(col("b").as("a"), col("a").as("b")))
+      val deg = dir2.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      dir2
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .agg(count(lit(1)).as("m"), sum("da").as("sa"), sum("db").as("sb"),
+          sum(col("da") * col("db")).as("sab"),
+          sum(col("da") * col("da")).as("saa"),
+          sum(col("db") * col("db")).as("sbb"))
+        .select((col("m") / 2).cast("long").as("n_edges"),
+          when((col("m") * col("saa") - col("sa") * col("sa")) > 0 &&
+              (col("m") * col("sbb") - col("sb") * col("sb")) > 0,
+            round((col("m") * col("sab") - col("sa") * col("sb")).cast("double") /
+              sqrt((col("m") * col("saa") - col("sa") * col("sa")).cast("double") *
+                (col("m") * col("sbb") - col("sb") * col("sb")).cast("double")), 6))
+            .as("assortativity"))
+    }),
+
+    // 10%-trimmed mean order value per market segment — the robust
+    // location estimate that ignores both tails: exact total order
+    // (cents, orderkey) decides the trim deterministically, kept cents
+    // sum exactly, ONE division at the end. Exact-NTILE shape like
+    // x62: windows run on one-row-per-order within 5 segments; at
+    // population scale swap for x58/x91 bucketed boundaries
+    "x105_trimmed_mean" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderkey"))
+      o.select(col("segment"), col("cents"),
+          row_number().over(Window.partitionBy("segment")
+            .orderBy(col("cents"), col("o_orderkey"))).as("rn"),
+          count(lit(1)).over(Window.partitionBy("segment")).as("n"))
+        .filter(col("rn") > expr("n div 10") &&
+          col("rn") <= col("n") - expr("n div 10"))
+        .groupBy("segment").agg(
+          count(lit(1)).as("n_kept"),
+          round(sum("cents").cast("double") / lit(100.0) / count(lit(1)), 6)
+            .as("trimmed_mean"))
+    }),
+
     // capture–recapture (Chapman) population estimate: how many distinct
     // users does a type REALLY have when full enumeration is off the
     // table — capture = seen before the x52 reference cutoff, recapture
@@ -7863,6 +7955,70 @@ object SparkEntry {
         |FROM s0 JOIN n ON s0.event_type = n.event_type
         |JOIN t1 ON s0.event_type = t1.event_type
         |JOIN t2 ON s0.event_type = t2.event_type""".stripMargin,
+
+    // doubled average ranks keep tie averaging exact-integer; Pearson
+    // over doubled ranks is the same ρ (affine invariance)
+    "x104_spearman" ->
+      s"""WITH $evSql,
+        |daily AS (SELECT event_type, ts_sec // 86400 AS day,
+        |    sum(round(value * 10000)::BIGINT)::BIGINT AS rev,
+        |    count(*)::BIGINT AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |rk AS (SELECT event_type,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY rev)
+        |      + count(*) OVER (PARTITION BY event_type, rev) - 1 AS dx,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY cnt)
+        |      + count(*) OVER (PARTITION BY event_type, cnt) - 1 AS dy
+        |  FROM daily),
+        |g AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(dx)::BIGINT AS sx, sum(dy)::BIGINT AS sy,
+        |    sum(dx * dy)::BIGINT AS sxy, sum(dx * dx)::BIGINT AS sxx,
+        |    sum(dy * dy)::BIGINT AS syy
+        |  FROM rk GROUP BY 1)
+        |SELECT event_type, n AS n_days,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN round((n * sxy - sx * sy)::DOUBLE /
+        |      sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+        |  END AS rho
+        |FROM g""".stripMargin,
+
+    // Pearson over directed-edge endpoint degrees; the graph is the
+    // same basket-bounded co ≥ 3 candidate core as x46/g5
+    "g10_assortativity" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |co AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM e a JOIN e b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |d2 AS (SELECT a, b FROM co UNION ALL SELECT b, a FROM co),
+        |deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM d2 GROUP BY 1),
+        |dd AS (SELECT da.deg AS da, db.deg AS db FROM d2
+        |  JOIN deg da ON d2.a = da.node JOIN deg db ON d2.b = db.node),
+        |g AS (SELECT count(*)::BIGINT AS m, sum(da)::BIGINT AS sa,
+        |    sum(db)::BIGINT AS sb, sum(da * db)::BIGINT AS sab,
+        |    sum(da * da)::BIGINT AS saa, sum(db * db)::BIGINT AS sbb
+        |  FROM dd)
+        |SELECT (m // 2)::BIGINT AS n_edges,
+        |  CASE WHEN m * saa - sa * sa > 0 AND m * sbb - sb * sb > 0
+        |    THEN round((m * sab - sa * sb)::DOUBLE /
+        |      sqrt((m * saa - sa * sa)::DOUBLE * (m * sbb - sb * sb)::DOUBLE), 6)
+        |  END AS assortativity
+        |FROM g""".stripMargin,
+
+    // exact total order (cents, orderkey) decides the trim identically
+    // in both engines; kept cents sum exactly, one division
+    "x105_trimmed_mean" ->
+      """WITH o AS (SELECT c.c_mktsegment AS segment,
+        |    round(o_totalprice * 100)::BIGINT AS cents, o_orderkey
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |r AS (SELECT segment, cents,
+        |    row_number() OVER (PARTITION BY segment ORDER BY cents, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY segment) AS n
+        |  FROM o)
+        |SELECT segment, count(*)::BIGINT AS n_kept,
+        |  round(sum(cents)::DOUBLE / 100.0 / count(*), 6) AS trimmed_mean
+        |FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+        |GROUP BY 1""".stripMargin,
 
     "x98_capture_recapture" ->
       s"""WITH $evSql,
