@@ -3503,6 +3503,17 @@ object SparkEntry {
       graft.functions.DedupOps.connectedComponents(members, pairs)
     }),
 
+    // LSH parameter planner: the closed-form S-curve table that picks
+    // (bands, rows) BEFORE any corpus pass — candidate probability at
+    // the target Jaccard (recall), below it (the verify stage's
+    // false-candidate bill), above it (margin), and the curve midpoint;
+    // |divisors(120)| rows of driver-scale math, zero corpus I/O.
+    // Explicit threshold literals so both engines evaluate identical
+    // doubles
+    "d24_lsh_planner" -> ((s, dir) =>
+      graft.functions.DedupOps.lshPlan(s, numHashes = 120,
+        t = 0.8, tBelow = 0.6, tAbove = 0.9)),
+
     // weighted shortest paths from the hub: 4 Bellman-Ford relaxation
     // rounds over integer edge costs 10⁶ div w (rare co-occurrence =
     // costly hop), vs the oracle's unrolled-CTE replay of the same
@@ -7036,6 +7047,15 @@ object SparkEntry {
         |  SELECT e.s2, reach.r FROM edges e JOIN reach ON reach.node = e.d2)
         |SELECT node AS doc_id, min(r)::BIGINT AS cluster_id
         |FROM reach GROUP BY 1""".stripMargin,
+
+    // the same closed forms over the same double literals
+    "d24_lsh_planner" ->
+      """SELECT b, (120 // b)::BIGINT AS r,
+        |  round(pow(1.0 / b, 1.0 / (120 // b)), 6) AS s50,
+        |  round(1 - pow(1 - pow(0.8, 120 // b), b), 6) AS p_at_t,
+        |  round(1 - pow(1 - pow(0.6, 120 // b), b), 6) AS p_below,
+        |  round(1 - pow(1 - pow(0.9, 120 // b), b), 6) AS p_above
+        |FROM generate_series(1, 120) t(b) WHERE 120 % b = 0""".stripMargin,
 
     "t27_burstiness" ->
       s"""WITH $toksSql,

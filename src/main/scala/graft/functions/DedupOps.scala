@@ -193,6 +193,34 @@ object DedupOps {
       minhashSignatures(docs, idCol, textCol, numHashes, shingleN),
       numHashes, rowsPerBand))
 
+  /** LSH parameter planner: for every (bands, rows) split of a
+    * `numHashes`-function MinHash signature, the S-curve readouts that
+    * pick the banding BEFORE any corpus pass runs — candidate
+    * probability 1 − (1 − s^r)^b at the target similarity `t` (want
+    * ≈ 1: recall), at a sub-threshold similarity `tBelow` (want ≈ 0:
+    * false-candidate pressure, the verify stage's bill), at `tAbove`
+    * (safety margin), and the curve midpoint s50 = (1/b)^(1/r).
+    * Thresholds are EXPLICIT parameters, not derived offsets, so both
+    * engines evaluate identical double literals. A |divisors(k)|-row
+    * closed-form table — driver-scale math, zero corpus I/O; this is
+    * how d2/d10's (numHashes, rowsPerBand) defaults were picked. */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+              t: Double, tBelow: Double, tAbove: Double): DataFrame = {
+    import spark.implicits._
+    require(numHashes >= 2, s"need at least 2 hash functions: $numHashes")
+    require(tBelow < t && t < tAbove && tBelow > 0 && tAbove <= 1.0,
+      "need 0 < tBelow < t < tAbove <= 1")
+    val divs = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b.toLong, (numHashes / b).toLong))
+    def pCand(sim: Double): Column =
+      round(lit(1.0) - pow(lit(1.0) - pow(lit(sim), col("r")), col("b")), 6)
+    divs.toDF("b", "r").select(col("b"), col("r"),
+      round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 6).as("s50"),
+      pCand(t).as("p_at_t"),
+      pCand(tBelow).as("p_below"),
+      pCand(tAbove).as("p_above"))
+  }
+
   /** 16-bit SimHash signature per document: per token-hash bit, majority
     * vote of ±1 contributions. Two shuffle-free explodes + one aggregation
     * keyed by (doc, bit) then (doc); contributions sum map-side.
