@@ -106,6 +106,8 @@ object GraftExtensions {
       graft.expressions.DamerauLevenshtein(cs.head, cs(1))),
     exprFn("jaro_winkler", 2)(cs =>
       graft.expressions.JaroWinkler(cs.head, cs(1))),
+    exprFn("l2sq_within", 3)(cs =>
+      graft.expressions.L2SqWithin(cs.head, cs(1), cs(2))),
     exprFn("sorted_intersect_count", 3)(cs =>
       graft.expressions.SortedIntersectCount(cs.head, cs(1), cs(2))),
     exprFn("hrw_shard", 2)(cs => {

@@ -206,11 +206,21 @@ object SimilarityOps {
         .as("qv"))
     val l = q.select(col("vec_id").as("a"), col("qv").as("qa"))
     val r = q.select(col("vec_id").as("b"), col("qv").as("qb"))
-    val d2 = aggregate(zip_with(col("qa"), col("qb"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    // codegen'd early-exit ε-ball kernel — the HOF zip_with/aggregate
+    // form folds interpreted per pair and was measured ~10× slower on
+    // the all-pairs scan
+    val within = org.apache.spark.sql.GraftShims.column(
+      graft.expressions.L2SqWithin(
+        org.apache.spark.sql.GraftShims.expression(col("qa")),
+        org.apache.spark.sql.GraftShims.expression(col("qb")),
+        org.apache.spark.sql.GraftShims.expression(lit(eps2))))
+    // the ε-graph feeds THREE downstream consumers (degrees, core-core
+    // edges, border assignment) plus the CC probe's separate action —
+    // checkpoint so the all-pairs scan runs once (the d23 discipline)
     val edges = l.crossJoin(r)
-      .filter(col("a") < col("b") && d2 <= eps2)
+      .filter(col("a") < col("b") && within)
       .select("a", "b")
+      .localCheckpoint(false)
     val bidir = edges.unionByName(
       edges.select(col("b").as("a"), col("a").as("b")))
     val core = bidir.groupBy(col("a").as("node"))
