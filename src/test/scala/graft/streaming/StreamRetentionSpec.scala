@@ -58,6 +58,46 @@ class StreamRetentionSpec extends SparkSpec {
     assert(out.size == 1 && fold(out) == Map((4L, 0L) -> 1L))
   }
 
+  test("cohort and week-set state survive a query restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.get(key, "")
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ret_restart").toString
+    StreamRetentionSpec.collected.clear()
+    def leg(adds: Seq[Seq[UserWeek]]): Unit = {
+      val in = MemoryStream[UserWeek]
+      val q = StreamRetention.cellDeltas(in.toDS())
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[CellDelta], _: Long) =>
+          StreamRetentionSpec.collected.synchronized {
+            StreamRetentionSpec.collected ++= b.collect()
+          }; ()
+        }
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try { adds.foreach { b => in.addData(b); q.processAllAvailable() } }
+      finally q.stop()
+    }
+    try {
+      val first = Seq(UserWeek(1, 5), UserWeek(1, 7))
+      leg(Seq(first))
+      // restart: the committed batch replays (skipped); the late week-3
+      // event must still see cohort 5 and the {5, 7} week set so it
+      // RETRACTS both old cells — a restarted-from-zero operator would
+      // just emit a fresh (3, 0) cell and leave the stale ones standing
+      leg(Seq(first, Seq(UserWeek(1, 3))))
+      val got = StreamRetentionSpec.collected.synchronized {
+        StreamRetentionSpec.collected.toList }
+      assert(got.count(_.delta == -1L) == 2, s"expected 2 retractions: $got")
+      assert(fold(got) == Map((3L, 0L) -> 1L, (3L, 2L) -> 1L, (3L, 4L) -> 1L))
+    } finally {
+      if (prev.nonEmpty) s.conf.set(key, prev) else s.conf.unset(key)
+    }
+  }
+
   test("randomized interleavings: folded deltas equal batch x45 after every batch") {
     val rnd = new scala.util.Random(604800)
     for (round <- 1 to 3) {
@@ -73,4 +113,10 @@ class StreamRetentionSpec extends SparkSpec {
       assert(got == batchTriangle(rows), s"round=$round")
     }
   }
+}
+
+object StreamRetentionSpec {
+  /** Shared sink buffer for the restart legs. */
+  val collected: scala.collection.mutable.ArrayBuffer[StreamRetention.CellDelta] =
+    scala.collection.mutable.ArrayBuffer.empty
 }
