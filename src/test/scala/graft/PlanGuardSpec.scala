@@ -747,4 +747,30 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("join") && !p.contains("WindowExec"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("s20 NDCG: two bounded top-k's, windows only after them") {
+    val p = planOf("s20_ndcg")
+    // system side ranks via TakeOrderedAndProject (the t14 guard);
+    // the ideal side is a bounded top-k too — no global sort anywhere
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c7 calibration: scoring stays a projection — one join, no window") {
+    val p = planOf("c7_calibration")
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x104 Spearman windows partition by type; x103 KM windows run on the day-grain table") {
+    val p104 = planOf("x104_spearman")
+    assert(!p104.contains("CartesianProduct") && !p104.toLowerCase.contains("nestedloop"), p104)
+    val p103 = planOf("x103_kaplan_meier")
+    // the single-partition windows are INTENDED: they run on the
+    // |distinct durations|-row curve, after the user-grain reduction;
+    // the two scalars (max day, total users) ride 1-row broadcasts
+    assert(p103.contains("HashAggregate"), p103)
+    assert(!p103.contains("CartesianProduct"), p103)
+    assert(p103.contains("BroadcastNestedLoopJoin"), p103)
+  }
 }
