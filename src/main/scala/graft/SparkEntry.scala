@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.operators.{Changelog, EventTime, Joins}
-import graft.functions.{Classifier, DedupOps, FuzzyMatch, GraphOps, Sampling, SimilarityOps, TextAnalysis}
+import graft.functions.{AbTest, Classifier, DedupOps, FuzzyMatch, GraphOps, Sampling, SimilarityOps, TextAnalysis}
 import graft.sources.Bucketing
 
 /** Driver contract — the full operator inventory of SURVEY.md §2 plus the
@@ -4183,6 +4183,25 @@ object SparkEntry {
             .as("trimmed_mean"))
     }),
 
+    // Mann-Whitney U between the purchase and click value distributions
+    // — the nonparametric companion to x48's z-lift (no normality
+    // assumption on values). Rank sums ride DOUBLED average ranks
+    // computed from the shared value HISTOGRAM (windows run on
+    // |distinct values| rows, the x51 discipline), tie-corrected
+    // variance exact-integer until one division
+    "x106_mann_whitney" -> ((s, dir) =>
+      AbTest.mannWhitney(ev(s, dir), "value",
+        col("event_type") === "purchase", col("event_type") === "click")),
+
+    // two-sample Kolmogorov-Smirnov on the same pair: D = max |ECDF
+    // difference| as an exact integer maximum over the histogram
+    // support (one division at the end), with the α=0.05 asymptotic
+    // threshold and verdict in the same row — the distribution-shift
+    // gate that catches what a mean test can't (shape changes)
+    "x107_ks_test" -> ((s, dir) =>
+      AbTest.ksTest(ev(s, dir), "value",
+        col("event_type") === "purchase", col("event_type") === "click")),
+
     // capture–recapture (Chapman) population estimate: how many distinct
     // users does a type REALLY have when full enumeration is off the
     // table — capture = seen before the x52 reference cutoff, recapture
@@ -7975,6 +7994,56 @@ object SparkEntry {
         |FROM s0 JOIN n ON s0.event_type = n.event_type
         |JOIN t1 ON s0.event_type = t1.event_type
         |JOIN t2 ON s0.event_type = t2.event_type""".stripMargin,
+
+    // doubled average ranks from the value histogram; tie-corrected
+    // variance exact-integer until one division
+    "x106_mann_whitney" ->
+      s"""WITH $evSql,
+        |h AS (SELECT round(value * 10000)::BIGINT AS micro,
+        |    sum((event_type = 'purchase')::INT)::BIGINT AS c1,
+        |    sum((event_type = 'click')::INT)::BIGINT AS c2
+        |  FROM ev WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+        |w AS (SELECT c1, c2,
+        |    coalesce(sum(c1 + c2) OVER (ORDER BY micro
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS p
+        |  FROM h),
+        |g AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+        |    sum(c1 * (2 * p + c1 + c2 + 1))::BIGINT AS r1x2,
+        |    sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))::BIGINT AS tie
+        |  FROM w)
+        |SELECT n1, n2,
+        |  round((r1x2 - n1 * (n1 + 1))::DOUBLE / 2.0, 1) AS u1,
+        |  round(((r1x2 - n1 * (n1 + 1))::DOUBLE / 2.0
+        |      - (n1 * n2)::DOUBLE / 2.0) /
+        |    sqrt((n1 * n2)::DOUBLE / 12.0 * ((n1 + n2 + 1)::DOUBLE
+        |      - tie::DOUBLE / ((n1 + n2) * (n1 + n2 - 1))::DOUBLE)), 4) AS z
+        |FROM g""".stripMargin,
+
+    // exact integer ECDF-difference maximum; rounded d and threshold
+    // decide the verdict identically in both engines
+    "x107_ks_test" ->
+      s"""WITH $evSql,
+        |h AS (SELECT round(value * 10000)::BIGINT AS micro,
+        |    sum((event_type = 'purchase')::INT)::BIGINT AS c1,
+        |    sum((event_type = 'click')::INT)::BIGINT AS c2
+        |  FROM ev WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+        |w AS (SELECT
+        |    sum(c1) OVER (ORDER BY micro
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum1,
+        |    sum(c2) OVER (ORDER BY micro
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum2
+        |  FROM h),
+        |t AS (SELECT max(cum1)::BIGINT AS n1, max(cum2)::BIGINT AS n2 FROM w),
+        |g AS (SELECT max(abs(t.n2 * w.cum1 - t.n1 * w.cum2))::BIGINT AS num,
+        |    max(t.n1) AS n1, max(t.n2) AS n2
+        |  FROM w CROSS JOIN t)
+        |SELECT n1, n2,
+        |  round(num::DOUBLE / (n1 * n2)::DOUBLE, 6) AS d,
+        |  round(1.358 * sqrt((n1 + n2)::DOUBLE / (n1 * n2)::DOUBLE), 6) AS crit_05,
+        |  round(num::DOUBLE / (n1 * n2)::DOUBLE, 6)
+        |    > round(1.358 * sqrt((n1 + n2)::DOUBLE / (n1 * n2)::DOUBLE), 6)
+        |    AS reject_05
+        |FROM g""".stripMargin,
 
     // doubled average ranks keep tie averaging exact-integer; Pearson
     // over doubled ranks is the same ρ (affine invariance)

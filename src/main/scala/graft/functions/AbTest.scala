@@ -41,4 +41,83 @@ object AbTest {
             (col("sv2b") / col("nb") - pow(mb, 2)) / col("nb")), lit(0.0)),
           4).as("z"))
   }
+
+  /** Shared two-sample VALUE HISTOGRAM: one (micro-unit value) row with
+    * per-group counts and the preceding cumulative total — the x51
+    * discipline (windows run on the histogram, never raw rows), which
+    * is what makes rank/ECDF tests scale: the window length is
+    * |distinct values|, not |events|. `flagA` selects group A's rows;
+    * rows match the frame iff `flagA` or `flagB`. */
+  private def histogram(events: DataFrame, valueCol: String,
+                        flagA: Column, flagB: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events.filter(flagA || flagB)
+      .select(round(col(valueCol) * 10000).cast("long").as("micro"),
+        flagA.cast("long").as("ia"))
+      .groupBy("micro").agg(sum("ia").as("c1"),
+        (count(lit(1)) - sum("ia")).as("c2"))
+      .withColumn("p", coalesce(sum(col("c1") + col("c2"))
+        .over(Window.orderBy("micro")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+  }
+
+  /** Mann-Whitney U test between the value distributions of two groups
+    * (the nonparametric companion to [[lift]]'s z — no normality
+    * assumption on values, only on U itself). Rank sums use DOUBLED
+    * average ranks computed from the histogram (each element at a value
+    * has doubled rank 2·preceding + ties + 1 — exact integers, the x104
+    * trick), the tie-corrected variance is exact-integer until one
+    * division, and the readout is a single row (n1, n2, u1, z). */
+  def mannWhitney(events: DataFrame, valueCol: String,
+                  flagA: Column, flagB: Column): DataFrame = {
+    histogram(events, valueCol, flagA, flagB)
+      .select(col("c1"), col("c2"),
+        (col("c1") * (lit(2L) * col("p") + col("c1") + col("c2") + 1)).as("r1x2"),
+        (pow3(col("c1") + col("c2")) - (col("c1") + col("c2"))).as("tie"))
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        sum("r1x2").as("r1x2"), sum("tie").as("tie"))
+      .select(col("n1"), col("n2"),
+        ((col("r1x2") - col("n1") * (col("n1") + 1)).cast("double") / lit(2.0))
+          .as("u1"),
+        col("tie"), (col("n1") + col("n2")).as("n"))
+      .select(col("n1"), col("n2"), round(col("u1"), 1).as("u1"),
+        round((col("u1") - (col("n1") * col("n2")).cast("double") / lit(2.0)) /
+          sqrt((col("n1") * col("n2")).cast("double") / lit(12.0) *
+            ((col("n") + 1).cast("double") - col("tie").cast("double") /
+              (col("n") * (col("n") - 1)).cast("double"))), 4).as("z"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic between the value
+    * distributions of two groups: D = max |ECDF₁ − ECDF₂| computed as an
+    * exact integer maximum (|n₂·cum₁ − n₁·cum₂| over the shared
+    * histogram support, ONE division at the end), with the α = 0.05
+    * asymptotic threshold 1.358·√((n₁+n₂)/(n₁·n₂)) and the reject
+    * verdict in the same row. */
+  def ksTest(events: DataFrame, valueCol: String,
+             flagA: Column, flagB: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.orderBy("micro")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // totals via a second frame over the SAME histogram sort (no join,
+    // no second scan — the whole-frame max reuses the cum sort)
+    val whole = Window.orderBy("micro")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    histogram(events, valueCol, flagA, flagB)
+      .select(col("micro"),
+        sum("c1").over(cum).as("cum1"), sum("c2").over(cum).as("cum2"))
+      .select(col("cum1"), col("cum2"),
+        max("cum1").over(whole).as("n1"), max("cum2").over(whole).as("n2"))
+      .agg(max(abs(col("n2") * col("cum1") - col("n1") * col("cum2"))).as("num"),
+        max("n1").as("n1"), max("n2").as("n2"))
+      .select(col("n1"), col("n2"),
+        round(col("num").cast("double") /
+          (col("n1") * col("n2")).cast("double"), 6).as("d"),
+        round(lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+          (col("n1") * col("n2")).cast("double")), 6).as("crit_05"))
+      .withColumn("reject_05", col("d") > col("crit_05"))
+  }
+
+  /** c³ as a Column (kept explicit so both engines fold identical
+    * integer arithmetic — no pow() on integers). */
+  private def pow3(c: Column): Column = c * c * c
 }
