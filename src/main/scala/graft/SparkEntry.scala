@@ -4183,6 +4183,48 @@ object SparkEntry {
             .as("trimmed_mean"))
     }),
 
+    // Herfindahl-Hirschman revenue concentration per nation — the
+    // antitrust-style "is this market one whale or many minnows"
+    // readout beside x63's Gini: HHI = Σ shareᵢ² over customer revenue
+    // shares. Σc and Σc² exact integers (Σc² in DECIMAL(38,0)/HUGEINT,
+    // the g2 discipline) — ONE double division per nation
+    "x108_hhi" -> ((s, dir) => {
+      val oc = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"), col("c_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      oc.groupBy("nation").agg(
+          count(lit(1)).as("n_customers"),
+          sum("cents").as("tot"),
+          sum(col("cents").cast("decimal(38,0)") * col("cents")).as("sq"))
+        .select(col("nation"), col("n_customers"), col("tot"),
+          round(col("sq").cast("double") /
+            (col("tot").cast("double") * col("tot").cast("double")), 6).as("hhi"))
+    }),
+
+    // vocabulary richness per source: Chao1's bias-corrected unseen-
+    // species estimate (observed + f1(f1−1)/2(f2+1)) and Good-Turing's
+    // unseen probability mass (f1/N) from ONE frequency-of-frequencies
+    // table — "how much vocabulary has this crawl NOT seen yet", the
+    // coverage readout beside t29's Heaps fit and x98's user estimate.
+    // Exact integer singleton/doubleton/token counts, one division per
+    // estimator
+    "t31_vocab_richness" -> ((s, dir) => {
+      val wc = Tables.documents(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      wc.groupBy("source").agg(
+          count(lit(1)).as("vocab"),
+          sum("c").as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("source"), col("vocab"), col("n_tokens"), col("f1"), col("f2"),
+          round(col("vocab") + (col("f1") * (col("f1") - 1)).cast("double") /
+            (lit(2.0) * (col("f2") + 1).cast("double")), 4).as("chao1"),
+          round(col("f1").cast("double") / col("n_tokens"), 6).as("p_unseen"))
+    }),
+
     // Mann-Whitney U between the purchase and click value distributions
     // — the nonparametric companion to x48's z-lift (no normality
     // assumption on values). Rank sums ride DOUBLED average ranks
@@ -7994,6 +8036,34 @@ object SparkEntry {
         |FROM s0 JOIN n ON s0.event_type = n.event_type
         |JOIN t1 ON s0.event_type = t1.event_type
         |JOIN t2 ON s0.event_type = t2.event_type""".stripMargin,
+
+    // Σc² in HUGEINT (Spark: DECIMAL(38,0)) — both exact; one division
+    "x108_hhi" ->
+      """WITH oc AS (SELECT c.c_nationkey AS nation, o.o_custkey,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT nation, count(*)::BIGINT AS n_customers,
+        |  sum(cents)::BIGINT AS tot,
+        |  round(sum(cents * cents)::DOUBLE /
+        |    (sum(cents)::DOUBLE * sum(cents)::DOUBLE), 6) AS hhi
+        |FROM oc GROUP BY 1""".stripMargin,
+
+    // one frequency-of-frequencies pass; exact integers, one division
+    // per estimator
+    "t31_vocab_richness" ->
+      s"""WITH $toksSql,
+        |wc AS (SELECT source, w, count(*)::BIGINT AS c
+        |  FROM (SELECT source, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+        |g AS (SELECT source, count(*)::BIGINT AS vocab,
+        |    sum(c)::BIGINT AS n_tokens,
+        |    sum((c = 1)::INT)::BIGINT AS f1, sum((c = 2)::INT)::BIGINT AS f2
+        |  FROM wc GROUP BY 1)
+        |SELECT source, vocab, n_tokens, f1, f2,
+        |  round(vocab + (f1 * (f1 - 1))::DOUBLE / (2.0 * (f2 + 1)::DOUBLE), 4)
+        |    AS chao1,
+        |  round(f1::DOUBLE / n_tokens, 6) AS p_unseen
+        |FROM g""".stripMargin,
 
     // doubled average ranks from the value histogram; tie-corrected
     // variance exact-integer until one division
