@@ -80,6 +80,31 @@ object WindowedStreams {
       .groupBy(session_window(col(tsCol), gap) +: keyCols: _*)
       .count()
 
+  /** Session PATHS per user at window close — the streaming twin of
+    * the batch x55 readout: each closed session emits its event count
+    * and the ">"-joined event-type path in (ts_sec, event_id) order
+    * (the same sorted-struct trick as the batch query, so intra-batch
+    * and cross-batch disorder cannot change a path). Spark-first:
+    * `session_window` merging + an order-carrying `collect_list` — no
+    * custom state or timers; append mode emits once the watermark
+    * passes the session end. A downstream `groupBy(path).count()` is
+    * the live x55 table.
+    *
+    * Scale: state per (user, open session) is that session's event
+    * structs — bounded by session length, evicted at close; the
+    * grouping key hash-spreads users. */
+  def sessionPaths(input: DataFrame, tsCol: String, gap: String,
+                   grace: String, userCol: String, typeCol: String,
+                   tsSecCol: String, seqCol: String): DataFrame =
+    input.withWatermark(tsCol, grace)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(array_sort(collect_list(
+        struct(col(tsSecCol), col(seqCol), col(typeCol)))).as("evs"))
+      .select(col("session_window"), col(userCol),
+        size(col("evs")).as("n_events"),
+        concat_ws(">", transform(col("evs"), e => e.getField(typeCol)))
+          .as("path"))
+
   /** Flatten the window struct to the reference's `"$key-$windowStart"`
     * output key (`apps/WindowedGrouping.scala:47`). */
   def flattenWindowKey(df: DataFrame, keyCol: String): DataFrame =
