@@ -4183,6 +4183,18 @@ object SparkEntry {
             .as("trimmed_mean"))
     }),
 
+    // Count-Min Sketch over the corpus token stream (Cormode 2005) —
+    // the third mergeable summary beside KMV (x15) and HLL (x39):
+    // depth×width upper-bound counters that merge by per-cell ADDITION,
+    // probed at the 5 most frequent words with the TRUE count in-row so
+    // the ≥0 over-count guarantee is visible. Portable md5 buckets +
+    // integer sums keep the sketch itself oracle-checkable
+    "x109_countmin" -> ((s, dir) =>
+      graft.functions.Sketches.cmsEstimates(
+        Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("w")),
+        "w", depth = 4, width = 64, topN = 5)),
+
     // Herfindahl-Hirschman revenue concentration per nation — the
     // antitrust-style "is this market one whale or many minnows"
     // readout beside x63's Gini: HHI = Σ shareᵢ² over customer revenue
@@ -8036,6 +8048,28 @@ object SparkEntry {
         |FROM s0 JOIN n ON s0.event_type = n.event_type
         |JOIN t1 ON s0.event_type = t1.event_type
         |JOIN t2 ON s0.event_type = t2.event_type""".stripMargin,
+
+    // the sketch replayed cell-for-cell on the shared md5 hash; probes
+    // are the deterministic (count desc, word) top 5
+    "x109_countmin" ->
+      s"""WITH $toksSql,
+        |tok AS (SELECT unnest(t) AS w FROM toks),
+        |cms AS (SELECT j,
+        |    ('0x' || substr(md5(w || ':cms' || j::VARCHAR), 1, 15))::BIGINT % 64
+        |      AS bucket,
+        |    count(*)::BIGINT AS counter
+        |  FROM tok CROSS JOIN generate_series(0, 3) s(j) GROUP BY 1, 2),
+        |exact AS (SELECT w, count(*)::BIGINT AS true_count FROM tok GROUP BY 1),
+        |probes AS (SELECT w, true_count FROM exact
+        |  ORDER BY true_count DESC, w LIMIT 5),
+        |est AS (SELECT p.w, p.true_count, min(c.counter)::BIGINT AS cms_estimate
+        |  FROM probes p CROSS JOIN generate_series(0, 3) s(j)
+        |  JOIN cms c ON c.j = s.j AND c.bucket =
+        |    ('0x' || substr(md5(p.w || ':cms' || s.j::VARCHAR), 1, 15))::BIGINT % 64
+        |  GROUP BY 1, 2)
+        |SELECT w, true_count, cms_estimate,
+        |  (cms_estimate - true_count)::BIGINT AS overestimate
+        |FROM est""".stripMargin,
 
     // Σc² in HUGEINT (Spark: DECIMAL(38,0)) — both exact; one division
     "x108_hhi" ->

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Distinct-count sketching with ENGINE-EXACT determinism.
@@ -117,5 +117,52 @@ object Sketches {
       lit(mD) * log(lit(mD) / (lit(m.toLong) - col("n_regs")).cast("double")))
       .otherwise(raw)
     sums.select(keys :+ col("n_regs") :+ round(est, 4).as(outCol): _*)
+  }
+
+  /** Count-Min row hash: bucket of `value` under hash row `j` (the
+    * portable md5 discipline, salted per row so the depth hashes are
+    * independent). `j` is a COLUMN so one explode drives all rows. */
+  private def cmsBucket(value: Column, j: Column, width: Int): Column =
+    Sampling.hashBucket(
+      concat_ws("", value, lit(":cms"), j.cast("string")), width)
+
+  /** Count-Min Sketch counter table (Cormode & Muthukrishnan 2005):
+    * depth × width upper-bound counters for a frequency column — the
+    * mergeable fixed-size summary that answers "roughly how often does
+    * X occur" over a stream or shard union without storing the domain:
+    * counters merge by per-cell ADDITION (associative), estimates only
+    * ever OVER-count (every collision inflates), and the whole sketch
+    * is depth·width longs however large the corpus. Engine-exact (md5
+    * buckets + integer sums), so the sketch itself is oracle-checkable
+    * — same contract as the KMV/HLL family above. */
+  def cmsCounters(rows: DataFrame, valueCol: String,
+                  depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth >= 1 && depth <= 16 && width >= 2,
+      s"count-min shape out of range: $depth x $width")
+    rows.select(col(valueCol).cast("string").as("w"))
+      .withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
+      .select(col("j"), cmsBucket(col("w"), col("j"), width).as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("counter"))
+  }
+
+  /** Point-estimate eval of a Count-Min sketch over the `topN` most
+    * frequent values (deterministic probe set: count desc, value):
+    * estimate = min over rows of the value's counter, reported next to
+    * the TRUE count so the over-count gap is visible in-row —
+    * `overestimate ≥ 0` is the sketch's guarantee, and equality holds
+    * when none of the value's depth cells collided. */
+  def cmsEstimates(rows: DataFrame, valueCol: String,
+                   depth: Int = 4, width: Int = 64,
+                   topN: Int = 5): DataFrame = {
+    val cms = cmsCounters(rows, valueCol, depth, width)
+    val exact = rows.select(col(valueCol).cast("string").as("w"))
+      .groupBy("w").agg(count(lit(1)).as("true_count"))
+    exact.orderBy(col("true_count").desc, col("w").asc).limit(topN)
+      .withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("bucket", cmsBucket(col("w"), col("j"), width))
+      .join(broadcast(cms), Seq("j", "bucket"))
+      .groupBy("w", "true_count").agg(min("counter").as("cms_estimate"))
+      .select(col("w"), col("true_count"), col("cms_estimate"),
+        (col("cms_estimate") - col("true_count")).as("overestimate"))
   }
 }
