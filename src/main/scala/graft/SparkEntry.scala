@@ -1228,6 +1228,99 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("order_count"))),
 
+    // TPC-H Q2 shape (adapted: no partsupp/supplycost, so a supplier's
+    // unit cost for a part is the cheapest per-unit price it ever
+    // shipped at): for each EUROPE-supplied part in a size/type slice,
+    // the minimum-cost supplier(s). The correlated min subquery is a
+    // window-min PARTITIONED BY partkey over the already-aggregated
+    // (part, supplier) pairs — one shuffle keyed on partkey serves both
+    // the per-pair aggregate's downstream and the argmin, and the
+    // part-slice + region dims both broadcast, so lineitem is pruned
+    // before its only wide exchange
+    "j33_q2_min_cost" -> ((s, dir) => {
+      val ps = Tables.part(s, dir)
+        .filter(col("p_size").isin(5, 15, 25, 35, 45) && col("p_type") === "LARGE")
+        .select("p_partkey", "p_name")
+      val eu = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val cost = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") / col("l_quantity") * 100, 0)
+            .cast("long").as("unit_cents"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min("unit_cents").as("unit_cost_cents"))
+        .join(broadcast(ps), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      cost
+        .withColumn("min_cost",
+          min(col("unit_cost_cents")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))))
+        .filter(col("unit_cost_cents") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("unit_cost_cents"))
+    }),
+
+    // TPC-H Q12 shape (adapted: no l_shipmode/commit/receipt columns,
+    // so the mode axis becomes the shipping-delay class and "late" is
+    // implicit in the class itself): per delay class over one ship
+    // year, how many line items belong to urgent-priority orders vs
+    // not. One broadcast of nothing — orders⋈lineitem is the single
+    // shuffle, the year filter prunes the scan, and both counts come
+    // from ONE conditional aggregation pass
+    "j34_q12_shipmode" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("ship_class",
+          when(datediff(col("l_shipdate"), col("o_orderdate")) > 60, "SLOW")
+            .when(datediff(col("l_shipdate"), col("o_orderdate")) > 30, "MEDIUM")
+            .otherwise("FAST"))
+        .groupBy("ship_class")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))),
+
+    // TPC-H Q20 shape (adapted: no partsupp.availqty, so "holds excess
+    // stock" becomes "shipped the dominant share": a supplier
+    // qualifies if, for some part named small*, its 1997 shipped
+    // quantity exceeds half that part's total 1997 shipped quantity).
+    // The per-(part, supplier) and per-part totals share one
+    // partkey-keyed aggregation; the dominance filter is a window
+    // comparison on the SAME partitioning (no second shuffle); the
+    // qualifying supplier set then left-semi-joins the broadcast-sized
+    // supplier dim
+    "j35_q20_excess_share" -> ((s, dir) => {
+      val pn = Tables.part(s, dir).filter(col("p_name").startsWith("small"))
+        .select("p_partkey")
+      val qty = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(broadcast(pn), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(round(col("l_quantity") * 100, 0).cast("long")).as("sq"))
+      val dominant = qty
+        .withColumn("part_total",
+          sum(col("sq")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))))
+        .filter(col("sq") * 2 > col("part_total"))
+        .select("l_suppkey").distinct()
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    }),
+
     // §2 KTable / changelog ------------------------------------------------
 
     "k1_latest_per_key" -> ((s, dir) =>
@@ -4818,6 +4911,68 @@ object SparkEntry {
         |    WHERE l.l_orderkey = o.o_orderkey
         |      AND date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE) > 30)
         |GROUP BY 1""".stripMargin,
+
+    // correlated min as a window-min per part; unit cost = cheapest
+    // observed per-unit ship price in cents
+    "j33_q2_min_cost" ->
+      """WITH eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(round(l_extendedprice / l_quantity * 100)::BIGINT) AS unit_cost_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |j AS (
+        |  SELECT c.*, p.p_name, e.s_name, e.s_acctbal, e.n_name,
+        |    min(c.unit_cost_cents) OVER (PARTITION BY c.l_partkey) AS mc
+        |  FROM cost c
+        |  JOIN part p ON c.l_partkey = p.p_partkey
+        |    AND p.p_size IN (5, 15, 25, 35, 45) AND p.p_type = 'LARGE'
+        |  JOIN eu e ON c.l_suppkey = e.s_suppkey)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_name,
+        |  unit_cost_cents
+        |FROM j WHERE unit_cost_cents = mc""".stripMargin,
+
+    // delay-class axis standing in for l_shipmode; one conditional
+    // aggregation yields both priority counts
+    "j34_q12_shipmode" ->
+      """SELECT CASE
+        |    WHEN date_diff('day', o_orderdate::DATE, l_shipdate::DATE) > 60
+        |      THEN 'SLOW'
+        |    WHEN date_diff('day', o_orderdate::DATE, l_shipdate::DATE) > 30
+        |      THEN 'MEDIUM'
+        |    ELSE 'FAST' END AS ship_class,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    // dominance (>half the part's shipped quantity) standing in for
+    // availqty excess; quantities as exact centi-units
+    "j35_q20_excess_share" ->
+      """WITH qty AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sq
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small%'
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |dom AS (
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT l_suppkey, sq,
+        |      sum(sq) OVER (PARTITION BY l_partkey) AS part_total
+        |    FROM qty)
+        |  WHERE sq * 2 > part_total)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)""".stripMargin,
 
     "k1_latest_per_key" ->
       s"""WITH $latestSql

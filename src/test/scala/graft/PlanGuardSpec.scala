@@ -736,6 +736,34 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("WindowExec"), p)
   }
 
+  test("j33 Q2: dims broadcast; the argmin window is partkey-partitioned") {
+    val p = planOf("j33_q2_min_cost")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the correlated-min rewrite must NOT collapse to a global window —
+    // Window over partkey keeps per-part locality at any scale
+    assert(!p.contains("SinglePartition"),
+      s"Q2's window min must stay partitioned by partkey:\n$p")
+  }
+
+  test("j34 Q12: single orderkey shuffle, both counts in one aggregation pass") {
+    val p = planOf("j34_q12_shipmode")
+    assert(!p.contains("CartesianProduct") && !p.contains("WindowExec"), p)
+    val f = SparkEntry.queries("j34_q12_shipmode")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(f.contains("GreaterThanOrEqual(l_shipdate"),
+      s"Q12's ship-year filter must push into the lineitem scan:\n$f")
+  }
+
+  test("j35 Q20: part prefix broadcast; dominance window shares the partkey shuffle") {
+    val p = planOf("j35_q20_excess_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SinglePartition"),
+      s"Q20's dominance window must stay partitioned by partkey:\n$p")
+  }
+
   test("x101 Jaro-Winkler match: block-keyed equi join, no cartesian dictionary scan") {
     val p = planOf("x101_jaro_winkler")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
