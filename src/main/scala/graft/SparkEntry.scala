@@ -2640,6 +2640,41 @@ object SparkEntry {
         .agg(first(col("ns")).as("n_tokens"), round(sum("term"), 6).as("kl"))
     }),
 
+    // Jensen-Shannon divergence of each source against the REST of the
+    // corpus — t10's KL made symmetric and bounded (≤ ln 2), the
+    // standard "how far does this feed drift from everything else"
+    // number. The full (source × vocab) frame comes from broadcasting
+    // the |sources|-row totals over the term table (one wt shuffle;
+    // the left join back to per-source counts is the only other
+    // exchange), so the grid is |vocab|·|sources| rows — vocab-linear,
+    // never corpus-linear. Zero-count sides contribute only their
+    // opposite term (the 0·ln 0 = 0 convention), expressed as CASE on
+    // both engines
+    "t30_js_divergence" -> ((s, dir) => {
+      val sw = Tables.documents(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("cs"))
+      val srcTot = sw.groupBy("source").agg(sum("cs").as("ns"))
+      val wTot = sw.groupBy("w").agg(sum("cs").as("cw"))
+      val tot = wTot.agg(sum("cw").as("n"))
+      val grid = wTot.crossJoin(broadcast(srcTot)).crossJoin(broadcast(tot))
+        .join(sw, Seq("source", "w"), "left")
+        .select(col("source"), col("ns"),
+          coalesce(col("cs"), lit(0L)).as("cs"),
+          (col("cw") - coalesce(col("cs"), lit(0L))).as("cr"),
+          (col("n") - col("ns")).as("nr"))
+      val p = col("cs").cast("double") / col("ns")
+      val q = col("cr").cast("double") / col("nr")
+      val m = (p + q) / 2
+      grid
+        .select(col("source"), col("ns"),
+          (when(col("cs") > 0, p * (log(p) - log(m))).otherwise(0.0) +
+           when(col("cr") > 0, q * (log(q) - log(m))).otherwise(0.0)).as("term"))
+        .groupBy("source")
+        .agg(first(col("ns")).as("n_tokens"),
+          round(sum("term") / 2, 6).as("js"))
+    }),
+
     // retrieval-style term salience: TF-IDF top-3 terms per document —
     // t6's scoring (same tfidfScoredTerms helper, same smoothed IDF)
     // extended from argmax to a ranked list. The per-doc top-k window
@@ -4287,6 +4322,28 @@ object SparkEntry {
         Tables.documents(s, dir)
           .select(explode(TextAnalysis.tokens(col("text"))).as("w")),
         "w", depth = 4, width = 64, topN = 5)),
+
+    // Welch's unequal-variance t per metric over the x48 arm split —
+    // the experiment readout that stays honest when A and B have
+    // different spreads. Same one-pass sufficient-statistics shape as
+    // x48 (count/Σv/Σv² per (metric, arm)); t AND the
+    // Welch–Satterthwaite df are |metrics| rows of post-aggregation
+    // arithmetic, so the fact table is touched exactly once at any SF
+    "x110_welch_t" -> ((s, dir) => {
+      val armed = ev(s, dir).select(col("event_type"), col("value"),
+        when(Sampling.hashBucket(
+          concat(col("user_id").cast("string"), lit(":ab")), 2) === 0, "A")
+          .otherwise("B").as("arm"))
+      graft.functions.AbTest.welchT(armed, "event_type", "value", "arm")
+    }),
+
+    // one-way ANOVA F across ALL event types — "does the metric differ
+    // across k groups at all" before x110 asks which pair. One keyed
+    // aggregation (n, Σv, Σv² per group) then k rows collapse to a
+    // single readout; SSB in sum form (Σsvᵢ²/nᵢ − (Σsv)²/n) so the
+    // grand mean never needs a second pass
+    "x111_anova_f" -> ((s, dir) =>
+      graft.functions.AbTest.anovaF(ev(s, dir), "value", "event_type")),
 
     // Herfindahl-Hirschman revenue concentration per nation — the
     // antitrust-style "is this market one whale or many minnows"
@@ -6207,6 +6264,31 @@ object SparkEntry {
         |JOIN wt ON wt.w = c.w CROSS JOIN tot
         |GROUP BY 1, 2""".stripMargin,
 
+    // symmetric bounded twin of t10: source vs rest-of-corpus over the
+    // full (source × vocab) grid; 0·ln 0 = 0 via CASE on both engines
+    "t30_js_divergence" ->
+      s"""WITH $toksSql,
+        |sw AS (SELECT source, unnest(t) AS w FROM toks),
+        |c AS (SELECT source, w, count(*)::BIGINT AS cs FROM sw GROUP BY 1, 2),
+        |st AS (SELECT source, sum(cs)::BIGINT AS ns FROM c GROUP BY 1),
+        |wt AS (SELECT w, sum(cs)::BIGINT AS cw FROM c GROUP BY 1),
+        |tot AS (SELECT sum(cw)::BIGINT AS n FROM wt),
+        |grid AS (
+        |  SELECT st.source, st.ns, coalesce(c.cs, 0) AS cs,
+        |    wt.cw - coalesce(c.cs, 0) AS cr, tot.n - st.ns AS nr
+        |  FROM wt CROSS JOIN st CROSS JOIN tot
+        |  LEFT JOIN c ON c.source = st.source AND c.w = wt.w)
+        |SELECT source, ns AS n_tokens,
+        |  round(sum(
+        |    CASE WHEN cs > 0 THEN cs::DOUBLE / ns *
+        |      (ln(cs::DOUBLE / ns)
+        |       - ln((cs::DOUBLE / ns + cr::DOUBLE / nr) / 2)) ELSE 0 END +
+        |    CASE WHEN cr > 0 THEN cr::DOUBLE / nr *
+        |      (ln(cr::DOUBLE / nr)
+        |       - ln((cs::DOUBLE / ns + cr::DOUBLE / nr) / 2)) ELSE 0 END
+        |  ) / 2, 6) AS js
+        |FROM grid GROUP BY 1, 2""".stripMargin,
+
     // same smoothed IDF as the t6 oracle — one formula, two surfaces
     "t11_tfidf_terms" ->
       s"""WITH $toksSql,
@@ -7226,6 +7308,48 @@ object SparkEntry {
         |    nullif(sqrt((sv2a / na - pow(sva / na, 2)) / na
         |       + (sv2b / nb - pow(svb / nb, 2)) / nb), 0), 4) AS z
         |FROM a JOIN b USING (event_type)""".stripMargin,
+
+    // same sufficient statistics as x48; SAMPLE (n−1) variances feed
+    // both t and the Welch–Satterthwaite df
+    "x110_welch_t" ->
+      s"""WITH $evSql,
+        |armed AS (SELECT event_type, value,
+        |  CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || ':ab'), 1, 15))::BIGINT
+        |            % 2 = 0
+        |       THEN 'A' ELSE 'B' END AS arm FROM ev),
+        |s AS (SELECT event_type, arm, count(*) AS n, sum(value) AS sv,
+        |        sum(value * value) AS sv2
+        |      FROM armed GROUP BY 1, 2),
+        |a AS (SELECT event_type, n AS na, sv AS sva, sv2 AS sv2a FROM s WHERE arm = 'A'),
+        |b AS (SELECT event_type, n AS nb, sv AS svb, sv2 AS sv2b FROM s WHERE arm = 'B'),
+        |j AS (SELECT event_type, na, nb, sva / na AS ma, svb / nb AS mb,
+        |        ((sv2a - na * (sva / na) * (sva / na)) / nullif(na - 1, 0)) / na AS ra,
+        |        ((sv2b - nb * (svb / nb) * (svb / nb)) / nullif(nb - 1, 0)) / nb AS rb
+        |      FROM a JOIN b USING (event_type))
+        |SELECT event_type, na::BIGINT AS na, nb::BIGINT AS nb,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round((mb - ma) / nullif(sqrt(ra + rb), 0), 4) AS t,
+        |  round((ra + rb) * (ra + rb) /
+        |    nullif(ra * ra / nullif(na - 1, 0) + rb * rb / nullif(nb - 1, 0), 0),
+        |    2) AS df
+        |FROM j""".stripMargin,
+
+    // SSB in sum form (Σsvᵢ²/nᵢ − (Σsv)²/n): no grand-mean second pass
+    "x111_anova_f" ->
+      s"""WITH $evSql,
+        |g AS (SELECT event_type, count(*) AS n, sum(value) AS sv,
+        |        sum(value * value) AS sv2
+        |      FROM ev GROUP BY 1),
+        |r AS (SELECT count(*) AS k, sum(n) AS n, sum(sv * sv / n) AS sbn,
+        |        sum(sv) AS svt, sum(sv2) AS svt2
+        |      FROM g)
+        |SELECT k::BIGINT AS k, n::BIGINT AS n,
+        |  round((sbn - svt * svt / n) / nullif(k - 1, 0), 4) AS ms_between,
+        |  round((svt2 - sbn) / nullif(n - k, 0), 4) AS ms_within,
+        |  round(((sbn - svt * svt / n) / nullif(k - 1, 0)) /
+        |    nullif((svt2 - sbn) / nullif(n - k, 0), 0), 4) AS f,
+        |  (k - 1)::BIGINT AS df1, (n - k)::BIGINT AS df2
+        |FROM r""".stripMargin,
 
     // the identical double expression tree (z and z² as the same
     // literals, same parenthesization), round-6 pinned

@@ -117,6 +117,62 @@ object AbTest {
       .withColumn("reject_05", col("d") > col("crit_05"))
   }
 
+  /** Welch's unequal-variance t-test per metric, A vs B, from the SAME
+    * one-pass sufficient statistics as [[lift]] (count/sum/sum-of-squares
+    * per (metric, arm)). Sample (n−1) variances; the Welch–Satterthwaite
+    * df comes from the same two variance ratios, so the whole readout is
+    * |metrics| rows of arithmetic after one fact-table aggregation.
+    * Arms with n < 2 read as NULL t and df (zero-division guards), never
+    * an engine-specific Inf/NaN. */
+  def welchT(events: DataFrame, metricCol: String, valueCol: String,
+             armCol: String): DataFrame = {
+    val v: Column = col(valueCol)
+    val sums = events.groupBy(metricCol, armCol).agg(
+      count(lit(1)).as("n"), sum(v).as("sv"), sum(v * v).as("sv2"))
+    val a = sums.filter(col(armCol) === "A").select(col(metricCol),
+      col("n").as("na"), col("sv").as("sva"), col("sv2").as("sv2a"))
+    val b = sums.filter(col(armCol) === "B").select(col(metricCol).as("__m2"),
+      col("n").as("nb"), col("sv").as("svb"), col("sv2").as("sv2b"))
+    val ma = col("sva") / col("na")
+    val mb = col("svb") / col("nb")
+    // sample variance from sums: (Σv² − n·mean²) / (n−1)
+    val s2a = (col("sv2a") - col("na") * ma * ma) / nullif(col("na") - 1L, lit(0L))
+    val s2b = (col("sv2b") - col("nb") * mb * mb) / nullif(col("nb") - 1L, lit(0L))
+    val ra = s2a / col("na")
+    val rb = s2b / col("nb")
+    a.join(b, col(metricCol) === col("__m2"))
+      .select(col(metricCol), col("na"), col("nb"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        round((mb - ma) / nullif(sqrt(ra + rb), lit(0.0)), 4).as("t"),
+        round((ra + rb) * (ra + rb) /
+          nullif(ra * ra / nullif(col("na") - 1L, lit(0L)) +
+            rb * rb / nullif(col("nb") - 1L, lit(0L)), lit(0.0)), 2).as("df"))
+  }
+
+  /** One-way ANOVA F over all groups of `groupCol`: between/within sum
+    * of squares from per-group (n, Σv, Σv²) — ONE keyed aggregation over
+    * the fact table, then |groups| rows reduce to a single readout row
+    * (k, n, f, df1, df2). SSB = Σ nᵢ(mᵢ−m)² re-expressed sum-form
+    * (Σ svᵢ²/nᵢ − (Σsv)²/n) so no second pass needs the grand mean. */
+  def anovaF(events: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val v: Column = col(valueCol)
+    events.groupBy(groupCol).agg(
+        count(lit(1)).as("n"), sum(v).as("sv"), sum(v * v).as("sv2"))
+      .agg(count(lit(1)).as("k"), sum("n").as("n"),
+        sum(col("sv") * col("sv") / col("n")).as("sbn"),
+        sum("sv").as("svt"), sum("sv2").as("svt2"))
+      .select(col("k"), col("n"),
+        round((col("sbn") - col("svt") * col("svt") / col("n")) /
+          nullif(col("k") - 1L, lit(0L)), 4).as("ms_between"),
+        round((col("svt2") - col("sbn")) /
+          nullif(col("n") - col("k"), lit(0L)), 4).as("ms_within"),
+        round(((col("sbn") - col("svt") * col("svt") / col("n")) /
+            nullif(col("k") - 1L, lit(0L))) /
+          nullif((col("svt2") - col("sbn")) /
+            nullif(col("n") - col("k"), lit(0L)), lit(0.0)), 4).as("f"),
+        (col("k") - 1L).as("df1"), (col("n") - col("k")).as("df2"))
+  }
+
   /** c³ as a Column (kept explicit so both engines fold identical
     * integer arithmetic — no pow() on integers). */
   private def pow3(c: Column): Column = c * c * c

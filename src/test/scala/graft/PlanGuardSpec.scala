@@ -764,6 +764,21 @@ class PlanGuardSpec extends SparkSpec {
       s"Q20's dominance window must stay partitioned by partkey:\n$p")
   }
 
+  test("x110/x111: one fact-table aggregation pass, no window, no cartesian") {
+    val p110 = planOf("x110_welch_t")
+    assert(!p110.contains("WindowExec") && !p110.contains("CartesianProduct"), p110)
+    val p111 = planOf("x111_anova_f")
+    assert(!p111.contains("WindowExec") && !p111.toLowerCase.contains("join"),
+      s"ANOVA is two stacked aggregations over one scan:\n$p111")
+  }
+
+  test("t30 JS grid: vocab-row joins only — totals broadcast, no corpus cartesian") {
+    val p = planOf("t30_js_divergence")
+    assert(!p.contains("CartesianProduct"),
+      s"the (source × vocab) grid must come from broadcast totals:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("x101 Jaro-Winkler match: block-keyed equi join, no cartesian dictionary scan") {
     val p = planOf("x101_jaro_winkler")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
