@@ -4345,6 +4345,24 @@ object SparkEntry {
     "x111_anova_f" -> ((s, dir) =>
       graft.functions.AbTest.anovaF(ev(s, dir), "value", "event_type")),
 
+    // single best changepoint per event type's daily series — binary
+    // segmentation step 1, the "when did this metric regime-shift"
+    // readout next to x65's known-target CUSUM. Exact-integer prefix
+    // sums decide the argmax (decimal(38,0) numerator), so the split
+    // choice never forks on float order; grid-sized work after one
+    // (type, day) aggregation
+    "x112_changepoint" -> ((s, dir) =>
+      graft.functions.TimeSeries.changepoint(
+        ev(s, dir), "event_type", "ts_sec", "value")),
+
+    // SAX symbol strings per event type: dense daily grid →
+    // z-normalize (series' own μ/σ from exact integer sums) → 8-frame
+    // PAA → Gaussian quartile alphabet {a,b,c,d}. The whole-series
+    // shape index: W chars instead of N days
+    "x113_sax" -> ((s, dir) =>
+      graft.functions.TimeSeries.saxSymbols(
+        ev(s, dir), "event_type", "ts_sec", "value")),
+
     // Herfindahl-Hirschman revenue concentration per nation — the
     // antitrust-style "is this market one whale or many minnows"
     // readout beside x63's Gini: HHI = Σ shareᵢ² over customer revenue
@@ -7350,6 +7368,72 @@ object SparkEntry {
         |    nullif((svt2 - sbn) / nullif(n - k, 0), 0), 4) AS f,
         |  (k - 1)::BIGINT AS df1, (n - k)::BIGINT AS df2
         |FROM r""".stripMargin,
+
+    // exact HUGEINT numerator decides the argmax; gain/means divide once
+    "x112_changepoint" ->
+      s"""WITH $evSql,
+        |cells AS (SELECT event_type, ts_sec // 86400 AS day,
+        |    round(sum(value), 3) AS v3 FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM cells),
+        |grid AS (
+        |  SELECT g.event_type, d.day, round(coalesce(c.v3, 0) * 1000)::BIGINT AS m
+        |  FROM (SELECT DISTINCT event_type FROM cells) g
+        |  CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS day FROM b) d
+        |  LEFT JOIN cells c ON c.event_type = g.event_type AND c.day = d.day),
+        |pre AS (
+        |  SELECT event_type, day,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    sum(m) OVER (PARTITION BY event_type ORDER BY day) AS st,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(m) OVER (PARTITION BY event_type) AS sn
+        |  FROM grid),
+        |sc AS (
+        |  SELECT *,
+        |    (n::HUGEINT * st - t::HUGEINT * sn)::DOUBLE *
+        |    (n::HUGEINT * st - t::HUGEINT * sn)::DOUBLE /
+        |    (t * (n - t) * n)::DOUBLE AS gain
+        |  FROM pre WHERE t < n)
+        |SELECT event_type, n::BIGINT AS n_days, day AS cp_day,
+        |  (((2 * st + t) // (2 * t))::DOUBLE / 1000.0) AS mean_before,
+        |  (((2 * (sn - st) + (n - t)) // (2 * (n - t)))::DOUBLE / 1000.0)
+        |    AS mean_after,
+        |  round(gain / 1e6, 4) AS gain
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY gain DESC, t ASC) AS rk FROM sc)
+        |WHERE rk = 1""".stripMargin,
+
+    // μ/σ² and frame means from exact integer sums; quartile alphabet
+    "x113_sax" ->
+      s"""WITH $evSql,
+        |cells AS (SELECT event_type, ts_sec // 86400 AS day,
+        |    round(sum(value), 3) AS v3 FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM cells),
+        |grid AS (
+        |  SELECT g.event_type, d.day - (SELECT d0 FROM b) AS i,
+        |    round(coalesce(c.v3, 0) * 1000)::BIGINT AS m
+        |  FROM (SELECT DISTINCT event_type FROM cells) g
+        |  CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS day FROM b) d
+        |  LEFT JOIN cells c ON c.event_type = g.event_type AND c.day = d.day),
+        |stats AS (SELECT event_type, count(*) AS n, sum(m)::BIGINT AS s,
+        |    sum(m::HUGEINT * m) AS s2 FROM grid GROUP BY 1),
+        |paa AS (
+        |  SELECT g.event_type, st.n, floor(g.i * 8 / st.n)::INT AS seg,
+        |    count(*) AS cnt, sum(g.m)::BIGINT AS sm,
+        |    first(st.s) AS s, first(st.s2) AS s2
+        |  FROM grid g JOIN stats st USING (event_type)
+        |  WHERE st.s2::DOUBLE / st.n - (st.s::DOUBLE / st.n) * (st.s::DOUBLE / st.n) > 0
+        |  GROUP BY 1, 2, 3),
+        |sym AS (
+        |  SELECT event_type, n, seg,
+        |    CASE WHEN pz < -0.6745 THEN 'a' WHEN pz < 0.0 THEN 'b'
+        |         WHEN pz < 0.6745 THEN 'c' ELSE 'd' END AS sym
+        |  FROM (SELECT *,
+        |      (sm::DOUBLE / cnt - s::DOUBLE / n) /
+        |      sqrt(s2::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)) AS pz
+        |    FROM paa))
+        |SELECT event_type, n::BIGINT AS n_days,
+        |  string_agg(sym, '' ORDER BY seg) AS sax
+        |FROM sym GROUP BY 1, 2""".stripMargin,
 
     // the identical double expression tree (z and z² as the same
     // literals, same parenthesization), round-6 pinned

@@ -176,4 +176,117 @@ object TimeSeries {
         round(col("__st.b") / 100.0, 6).as("trend"),
         round((col("__st.l") + col("__st.b")) / 100.0, 6).as("forecast"))
   }
+
+  /** Single best changepoint per group's daily-volume series — binary
+    * segmentation's first step. For every split t of the ZERO-FILLED
+    * dense grid (1 ≤ t < n), the between-segment sum-of-squares gain is
+    * gain(t) = (n·S_t − t·S_n)² / (t·(n−t)·n) with S the milli-unit
+    * prefix sum; the argmax (earliest day on ties) is the changepoint.
+    * The numerator stays an EXACT integer (decimal(38,0)) so the
+    * ordering never forks on float summation; only the final ratio and
+    * the reported means divide.
+    *
+    * Scale shape: one (group, day) aggregation, the broadcast bounds
+    * spine for the dense grid, ONE group-partitioned ordered window
+    * (prefix sums ride it), and a group-keyed argmax aggregation over
+    * grid-sized rows — everything past the first aggregation scales
+    * with the time span, not the event count. */
+  def changepoint(events: DataFrame, groupCol: String, tsSecCol: String,
+                  valueCol: String, bucketSec: Long = 86400L): DataFrame = {
+    val cells = events
+      .select(col(groupCol), expr(s"$tsSecCol div $bucketSec").as("day"),
+        col(valueCol).as("__v"))
+      .groupBy(groupCol, "day").agg(round(sum("__v"), 3).as("v3"))
+    val bounds = cells.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = cells.select(groupCol).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(groupCol), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(cells, Seq(groupCol, "day"), "left_outer")
+      .select(col(groupCol), col("day"),
+        round(coalesce(col("v3"), lit(0.0)) * 1000).cast("long").as("m"))
+    val w = Window.partitionBy(groupCol).orderBy(col("day").asc)
+    val pre = dense
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("st", sum("m").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .withColumn("sn", sum("m").over(Window.partitionBy(groupCol)))
+      .filter(col("t") < col("n"))
+    val num = (col("n").cast("decimal(38,0)") * col("st") -
+      col("t").cast("decimal(38,0)") * col("sn")).cast("double")
+    val scored = pre.select(col(groupCol), col("day"), col("t"), col("n"),
+      col("st"), col("sn"),
+      (num * num /
+        (col("t") * (col("n") - col("t")) * col("n")).cast("double")).as("gain"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("gain").desc, col("t").asc)))
+      .filter(col("rk") === 1)
+      // means quantize to milli-units in INTEGER round-half-up
+      // ((2a+b) div 2b) — a double division only happens once, on a
+      // ≤3-decimal value, so the final rounding can never sit on a
+      // half-up boundary (the x112 sf0.01 3031.93875 incident)
+      .select(col(groupCol), col("n").as("n_days"), col("day").as("cp_day"),
+        (expr("(2*st + t) div (2*t)").cast("double") / 1000.0).as("mean_before"),
+        (expr("(2*(sn - st) + (n - t)) div (2*(n - t))").cast("double") / 1000.0)
+          .as("mean_after"),
+        round(col("gain") / 1e6, 4).as("gain"))
+  }
+
+  /** SAX symbolization of each group's daily-volume series: the dense
+    * milli-unit grid z-normalizes against the series' own mean/σ
+    * (population), averages into `segments` PAA frames (day d joins
+    * frame ⌊d·w/n⌋ — the integer-partition PAA), and each frame mean
+    * maps through the Gaussian quartile breakpoints (−0.6745, 0,
+    * 0.6745) to one of {a, b, c, d}. Output: one symbol string per
+    * group — the index key for whole-series similarity at scale (equal
+    * strings ⇒ similar shape, compared in w chars instead of n days).
+    *
+    * Same scale shape as [[changepoint]]: past the (group, day)
+    * aggregation everything is grid-sized; the symbol concat is a
+    * sorted struct collect over w ≤ `segments` rows per group. Flat
+    * (zero-σ) series are dropped — their z-grid is undefined. */
+  def saxSymbols(events: DataFrame, groupCol: String, tsSecCol: String,
+                 valueCol: String, segments: Int = 8,
+                 bucketSec: Long = 86400L): DataFrame = {
+    val cells = events
+      .select(col(groupCol), expr(s"$tsSecCol div $bucketSec").as("day"),
+        col(valueCol).as("__v"))
+      .groupBy(groupCol, "day").agg(round(sum("__v"), 3).as("v3"))
+    val bounds = cells.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = cells.select(groupCol).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(groupCol), explode(sequence(col("d0"), col("d1"))).as("day"),
+        col("d0"))
+      .join(cells, Seq(groupCol, "day"), "left_outer")
+      .select(col(groupCol), (col("day") - col("d0")).as("i"),
+        round(coalesce(col("v3"), lit(0.0)) * 1000).cast("long").as("m"))
+    // all sufficient statistics are EXACT integer sums (Σm in long,
+    // Σm² in decimal(38,0)), so μ, σ², and every frame mean are single
+    // fixed expression trees over exact inputs — no float-summation
+    // order for the two engines to disagree on
+    val stats = dense.groupBy(groupCol).agg(
+      count(lit(1)).as("n"), sum("m").as("s"),
+      sum(col("m").cast("decimal(38,0)") * col("m")).as("s2"))
+    val mu = col("s").cast("double") / col("n")
+    val varp = col("s2").cast("double") / col("n") - mu * mu
+    val paa = dense.join(stats, groupCol)
+      .filter(varp > 0)
+      .select(col(groupCol), col("n"), col("s"), col("s2"),
+        floor(col("i") * segments / col("n")).cast("int").as("seg"), col("m"))
+      .groupBy(groupCol, "seg")
+      .agg(first("n").as("n"), first("s").as("s"), first("s2").as("s2"),
+        count(lit(1)).as("cnt"), sum("m").as("sm"))
+      .select(col(groupCol), col("n"), col("seg"),
+        ((col("sm").cast("double") / col("cnt") - mu) / sqrt(varp)).as("pz"))
+    paa
+      .select(col(groupCol), col("n"), col("seg"),
+        when(col("pz") < -0.6745, "a").when(col("pz") < 0.0, "b")
+          .when(col("pz") < 0.6745, "c").otherwise("d").as("sym"))
+      .groupBy(groupCol)
+      .agg(first("n").as("n_days"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg"), col("sym")))),
+          e => e.getField("sym")), "").as("sax"))
+  }
 }

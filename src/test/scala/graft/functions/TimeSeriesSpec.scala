@@ -81,4 +81,45 @@ class TimeSeriesSpec extends SparkSpec {
         s"$g: got ($a1,$a2,$a3) want ($e1,$e2,$e3)")
     }
   }
+
+  test("changepoint lands on a clean step and reads both means exactly") {
+    // 10 days at 2.0/day, then 10 days at 8.0/day — the gain statistic
+    // peaks exactly at the boundary (t = 10, i.e. the last day of the
+    // low regime; cp_day is that day's index)
+    val rows = (0 until 20).map { d =>
+      ("step", d * 86400L, if (d < 10) 2.0 else 8.0)
+    }
+    val r = TimeSeries.changepoint(rows.toDF("g", "ts", "v"), "g", "ts", "v")
+      .collect().head
+    assert(r.getLong(1) == 20L, s"n_days: $r")
+    assert(r.getLong(2) == 9L, s"cp must be the last low day: $r")
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 8.0, s"means: $r")
+  }
+
+  test("changepoint ties break to the EARLIEST split") {
+    // symmetric single-peak series: gains are symmetric around the
+    // middle, so the argmax has a mirror twin — t asc must win
+    val rows = (0 until 9).map { d =>
+      ("sym", d * 86400L, if (d == 4) 10.0 else 0.0)
+    }
+    val r = TimeSeries.changepoint(rows.toDF("g", "ts", "v"), "g", "ts", "v")
+      .collect().head
+    assert(r.getLong(2) == 3L, s"mirror tie must resolve to the earlier day: $r")
+  }
+
+  test("SAX maps a low→high ramp to a sorted symbol string; flat series drop") {
+    // 16 days linear ramp → 8 PAA frames strictly increasing around
+    // the mean: first quarter deep-low (a..), last deep-high (..d),
+    // and the string is monotone in the alphabet
+    val ramp = (0 until 16).map(d => ("ramp", d * 86400L, d.toDouble))
+    val flat = (0 until 16).map(d => ("flat", d * 86400L, 5.0))
+    val out = TimeSeries.saxSymbols((ramp ++ flat).toDF("g", "ts", "v"),
+        "g", "ts", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(!out.contains("flat"), "zero-variance series must drop")
+    val (n, sax) = out("ramp")
+    assert(n == 16L && sax.length == 8, s"$out")
+    assert(sax == sax.sorted, s"a ramp's SAX must be alphabet-monotone: $sax")
+    assert(sax.startsWith("a") && sax.endsWith("d"), s"tails must hit a/d: $sax")
+  }
 }
