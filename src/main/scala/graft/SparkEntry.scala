@@ -4363,6 +4363,16 @@ object SparkEntry {
       graft.functions.TimeSeries.saxSymbols(
         ev(s, dir), "event_type", "ts_sec", "value")),
 
+    // AMS F₂ over the corpus token stream — "how big is the token
+    // self-join" in 8 longs, next to x109's per-value Count-Min: the
+    // sketch every join-size planner wants before committing to a
+    // shuffle. Map-side ±1 sums, k-row state, true F₂ in-row
+    "x114_ams_f2" -> ((s, dir) =>
+      graft.functions.Sketches.amsF2(
+        Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("w")),
+        "w", sketches = 8)),
+
     // Herfindahl-Hirschman revenue concentration per nation — the
     // antitrust-style "is this market one whale or many minnows"
     // readout beside x63's Gini: HHI = Σ shareᵢ² over customer revenue
@@ -8433,6 +8443,23 @@ object SparkEntry {
         |SELECT w, true_count, cms_estimate,
         |  (cms_estimate - true_count)::BIGINT AS overestimate
         |FROM est""".stripMargin,
+
+    // ±1 sign from the same md5 discipline (salt :ams, sketch row j);
+    // quantile_cont(0.5) interpolation = the two-middle average
+    "x114_ams_f2" ->
+      s"""WITH $toksSql,
+        |tok AS (SELECT unnest(t) AS w FROM toks),
+        |z AS (SELECT j,
+        |    sum(1 - 2 * (('0x' || substr(md5(w || ':ams' || j::VARCHAR), 1, 15))
+        |      ::BIGINT % 2))::BIGINT AS z
+        |  FROM tok CROSS JOIN generate_series(0, 7) s(j) GROUP BY 1),
+        |est AS (SELECT count(*)::BIGINT AS n_sketches,
+        |    quantile_cont(z * z, 0.5) AS m FROM z),
+        |tru AS (SELECT sum(f * f)::BIGINT AS true_f2
+        |  FROM (SELECT w, count(*)::BIGINT AS f FROM tok GROUP BY 1))
+        |SELECT n_sketches, true_f2, m::DOUBLE AS est_median,
+        |  round((m::DOUBLE - true_f2::DOUBLE) / true_f2::DOUBLE, 6) AS rel_err
+        |FROM est, tru""".stripMargin,
 
     // Σc² in HUGEINT (Spark: DECIMAL(38,0)) — both exact; one division
     "x108_hhi" ->

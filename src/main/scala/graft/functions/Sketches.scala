@@ -151,6 +151,43 @@ object Sketches {
     * the TRUE count so the over-count gap is visible in-row —
     * `overestimate ≥ 0` is the sketch's guarantee, and equality holds
     * when none of the value's depth cells collided. */
+  /** AMS F₂ sketch (Alon, Matias & Szegedy 1996): the self-join-size
+    * estimator Σ f_w² from `sketches` independent ±1 hash counters —
+    * the one-number answer to "how big would this key's self-join be"
+    * without materializing frequencies. Each sketch j keeps
+    * Z_j = Σ_rows s_j(w) with s_j(w) ∈ {−1, +1} decided by the portable
+    * md5 hash (salt ":ams", row j) — a pure MAP-SIDE sum, so the sketch
+    * costs one k-way explode and a k-row aggregate however large the
+    * corpus, and shards merge by ADDING their Z vectors. E[Z_j²] = F₂
+    * exactly; the median of the k squares is the standard
+    * variance-tamed estimate. Engine-exact end to end (integer Z,
+    * integer squares, one interpolated median), reported next to the
+    * TRUE F₂ so the estimation error is visible in-row. */
+  def amsF2(rows: DataFrame, valueCol: String, sketches: Int = 8): DataFrame = {
+    require(sketches >= 1 && sketches <= 64, s"ams sketch count: $sketches")
+    val w = rows.select(col(valueCol).cast("string").as("w"))
+    val z = w
+      .withColumn("j", explode(sequence(lit(0), lit(sketches - 1))))
+      .select(col("j"), (lit(1L) - lit(2L) * Sampling.hashBucket(
+        concat_ws("", col("w"), lit(":ams"), col("j").cast("string")), 2))
+        .as("sign"))
+      .groupBy("j").agg(sum("sign").as("z"))
+    val est = z.select((col("z") * col("z")).as("e"))
+      .agg(count(lit(1)).as("n_sketches"),
+        array_sort(collect_list(col("e"))).as("es"))
+    val truth = w.groupBy("w").agg(count(lit(1)).as("f"))
+      .agg(sum(col("f").cast("decimal(38,0)") * col("f"))
+        .cast("long").as("true_f2"))
+    // median of k integers: avg of the two middle elements (equal for
+    // odd k) — matches quantile_cont(0.5) interpolation exactly
+    val median = (element_at(col("es"), (sketches + 1) / 2) +
+      element_at(col("es"), sketches / 2 + 1)).cast("double") / 2.0
+    est.crossJoin(broadcast(truth))
+      .select(col("n_sketches"), col("true_f2"), median.as("est_median"),
+        round((median - col("true_f2").cast("double")) /
+          col("true_f2").cast("double"), 6).as("rel_err"))
+  }
+
   def cmsEstimates(rows: DataFrame, valueCol: String,
                    depth: Int = 4, width: Int = 64,
                    topN: Int = 5): DataFrame = {

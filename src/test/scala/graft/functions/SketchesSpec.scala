@@ -108,4 +108,52 @@ class SketchesSpec extends SparkSpec {
       Sketches.hllDistinct(Seq(("g", 1)).toDF("g", "v"), Seq("g"), "v", b = 3)
     }
   }
+
+  test("AMS F2: a single-value stream estimates its self-join size EXACTLY") {
+    val s = spark
+    import s.implicits._
+    // one distinct value, n copies: every Z_j = ±n, every Z_j² = n²,
+    // so the median is exactly F₂ = n² — zero estimator variance
+    val n = 137
+    val df = Seq.fill(n)("only").toDF("v")
+    val r = Sketches.amsF2(df, "v", sketches = 8).collect().head
+    assert(r.getLong(0) == 8L)
+    assert(r.getLong(1) == n.toLong * n, s"true F2: $r")
+    assert(r.getDouble(2) == (n.toLong * n).toDouble, s"estimate must be exact: $r")
+    assert(r.getDouble(3) == 0.0, s"rel_err: $r")
+  }
+
+  test("AMS F2: estimate within 5 relative standard errors on a skewed stream") {
+    val s = spark
+    import s.implicits._
+    // zipf-ish: value i repeated 200/i times, i = 1..50
+    val rows = (1 to 50).flatMap(i => Seq.fill(200 / i)(s"w$i"))
+    val trueF2 = (1 to 50).map(i => { val f = (200 / i).toLong; f * f }).sum
+    val r = Sketches.amsF2(rows.toDF("v"), "v", sketches = 8).collect().head
+    assert(r.getLong(1) == trueF2)
+    // var(Z²) ≤ 2·F₂² ⇒ rse ≈ sqrt(2); median-of-8 tames it, 5×√2 is safe
+    assert(math.abs(r.getDouble(3)) < 5 * math.sqrt(2.0),
+      s"AMS estimate implausibly far from F2: $r")
+  }
+
+  test("AMS F2: Z vectors merge by addition across shards (sketch linearity)") {
+    val s = spark
+    import s.implicits._
+    val all = (1 to 400).map(i => s"w${i % 37}")
+    val (sh1, sh2) = all.splitAt(167)
+    // the merge law lives on the Z vector: Z(union) = Z(a) + Z(b) per j
+    def zvec(xs: Seq[String]): Map[Int, Long] = {
+      val w = xs.toDF("v").select(col("v").cast("string").as("w"))
+        .withColumn("j", explode(sequence(lit(0), lit(7))))
+        .select(col("j"), (lit(1L) - lit(2L) * Sampling.hashBucket(
+          concat_ws("", col("w"), lit(":ams"), col("j").cast("string")), 2))
+          .as("sign"))
+        .groupBy("j").agg(sum("sign").as("z"))
+      w.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    val (za, zb, zu) = (zvec(sh1), zvec(sh2), zvec(all))
+    (0 until 8).foreach { j =>
+      assert(za(j) + zb(j) == zu(j), s"sketch row $j must merge additively")
+    }
+  }
 }
