@@ -1783,6 +1783,32 @@ object SparkEntry {
       ev(s, dir).select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_val"))),
 
+    // explicit GROUPING SETS — the third grouping-lattice shape beside
+    // x3's rollup and x8's cube: exactly the two marginals plus the
+    // full cross, no grand total. One pass (Spark expands sets inside
+    // a single Expand + aggregate, not one scan per set); both group
+    // columns are non-null in the data, so NULL marks the aggregated
+    // level unambiguously
+    "x115_grouping_sets" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))),
+
+    // unpivot (melt) — x12's wide per-user metric row back to tall
+    // (user_id, metric, cnt): the Spark-native Unpivot node (one
+    // Expand, no self-union, no re-scan per metric)
+    "x116_unpivot" -> ((s, dir) =>
+      ev(s, dir).groupBy("user_id").agg(
+          count(when(col("event_type") === "click", 1)).as("clicks"),
+          count(when(col("event_type") === "view", 1)).as("views"),
+          count(when(col("event_type") === "purchase", 1)).as("purchases"))
+        .unpivot(Array(col("user_id")),
+          Array(col("clicks"), col("views"), col("purchases")),
+          "metric", "cnt")),
+
     "x5_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
       ev(s, dir).withColumn("rnk", row_number().over(w))
@@ -3258,6 +3284,55 @@ object SparkEntry {
         .filter(col("co") >= 3)
       graft.functions.GraphOps.labelPropagation(co.select("a", "b"), rounds = 3)
         .select(col("node").as("part"), col("label").as("community"))
+    }),
+
+    // Newman modularity of the g6 LPA partition over the SAME
+    // co-purchase graph — "was that community structure real" as one
+    // number plus per-community shares. Exact-integer formulation:
+    // Q = (4m·Σe_c − Σd_c²) / 4m², so the global score is ONE division
+    // over exact sums (no float-order fork however many communities);
+    // per-community contributions divide the same way. Labels join the
+    // edge list twice (both endpoints) and the degree table once —
+    // all node-keyed equi joins
+    "g10_modularity" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+      val co = e.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(e.select(col("l_orderkey").as("ok2"), col("l_partkey").as("b")),
+          col("l_orderkey") === col("ok2") && col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("nco"))
+        .filter(col("nco") >= 3).select("a", "b")
+      val lab = graft.functions.GraphOps
+        .labelPropagation(co, rounds = 3).select("node", "label")
+      val sym = co.unionByName(co.select(col("b").as("a"), col("a").as("b")))
+      val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      val cstat = deg.join(lab, "node")
+        .groupBy("label").agg(count(lit(1)).as("n_nodes"),
+          sum("deg").as("d_c"))
+      val ein = co
+        .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
+        .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_c"))
+      val m = co.agg(count(lit(1)).as("m"))
+      val rows = cstat.join(ein, Seq("label"), "left")
+        .select(col("label").as("community"), col("n_nodes"), col("d_c"),
+          coalesce(col("e_c"), lit(0L)).as("e_c"))
+        .crossJoin(broadcast(m))
+      val tot = rows.agg(sum("e_c").as("se"),
+        sum(col("d_c").cast("decimal(38,0)") * col("d_c")).as("sd2"),
+        first("m").as("m"))
+        .select(round((lit(4).cast("decimal(38,0)") * col("m") * col("se") -
+            col("sd2")).cast("double") /
+          (lit(4.0) * col("m").cast("double") * col("m").cast("double")), 6)
+          .as("modularity"))
+      rows
+        .select(col("community"), col("n_nodes"), col("e_c").as("internal_edges"),
+          col("d_c").as("degree_sum"),
+          round((lit(4).cast("decimal(38,0)") * col("m") * col("e_c") -
+              col("d_c").cast("decimal(38,0)") * col("d_c")).cast("double") /
+            (lit(4.0) * col("m").cast("double") * col("m").cast("double")), 6)
+            .as("contribution"))
+        .crossJoin(broadcast(tot))
     }),
 
     // split-leakage audit: near-duplicate pairs (the d3 LSH + exact
@@ -5778,6 +5853,26 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
+    "x115_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))""".stripMargin,
+
+    // melt as three stacked slices — the naive statement the single
+    // Expand must equal
+    "x116_unpivot" ->
+      s"""WITH $evSql,
+        |wide AS (SELECT user_id,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS clicks,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS views,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT AS purchases
+        |  FROM ev GROUP BY 1)
+        |SELECT user_id, 'clicks' AS metric, clicks AS cnt FROM wide
+        |UNION ALL SELECT user_id, 'views', views FROM wide
+        |UNION ALL SELECT user_id, 'purchases', purchases FROM wide""".stripMargin,
+
     "x8_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
         |  round(sum(o_totalprice), 2) AS total
@@ -7115,6 +7210,51 @@ object SparkEntry {
         |${round("l1", "v2", "l2")},
         |${round("l2", "v3", "l3")}
         |SELECT node AS part, label AS community FROM l3""".stripMargin
+    },
+
+    // the g6 LPA replay + exact-integer modularity
+    // (4m·Σe_c − Σd_c²)/4m² — one division, no float-order fork
+    "g10_modularity" -> {
+      def round(lbl: String, v: String, out: String) =
+        s"""$v AS (SELECT s.u AS node, l.label, count(*) AS c
+           |       FROM sym s JOIN $lbl l ON l.node = s.v GROUP BY 1, 2),
+           |$out AS (SELECT node, label FROM (
+           |  SELECT node, label,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+           |  FROM $v) WHERE rn = 1)"""
+      s"""WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |co AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM e a JOIN e b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sym AS (SELECT a AS u, b AS v FROM co
+        |        UNION ALL SELECT b AS u, a AS v FROM co),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+        |${round("l0", "v1", "l1")},
+        |${round("l1", "v2", "l2")},
+        |${round("l2", "v3", "l3")},
+        |deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+        |cstat AS (SELECT l.label, count(*)::BIGINT AS n_nodes,
+        |    sum(d.deg)::BIGINT AS d_c
+        |  FROM deg d JOIN l3 l ON l.node = d.node GROUP BY 1),
+        |ein AS (SELECT la.label, count(*)::BIGINT AS e_c
+        |  FROM co JOIN l3 la ON la.node = co.a
+        |  JOIN l3 lb ON lb.node = co.b AND lb.label = la.label
+        |  GROUP BY 1),
+        |m AS (SELECT count(*)::BIGINT AS m FROM co),
+        |rows_ AS (SELECT c.label AS community, c.n_nodes, c.d_c,
+        |    coalesce(e.e_c, 0)::BIGINT AS e_c, m.m
+        |  FROM cstat c LEFT JOIN ein e ON e.label = c.label CROSS JOIN m),
+        |tot AS (SELECT round(
+        |    (4::HUGEINT * first(m) * sum(e_c) - sum(d_c::HUGEINT * d_c))::DOUBLE /
+        |    (4.0 * first(m)::DOUBLE * first(m)::DOUBLE), 6) AS modularity
+        |  FROM rows_)
+        |SELECT community, n_nodes, e_c AS internal_edges, d_c AS degree_sum,
+        |  round((4::HUGEINT * m * e_c - d_c::HUGEINT * d_c)::DOUBLE /
+        |    (4.0 * m::DOUBLE * m::DOUBLE), 6) AS contribution,
+        |  tot.modularity
+        |FROM rows_ CROSS JOIN tot""".stripMargin
     },
 
     // d3's verified-pair chain + the x10 split rule; leakage = pairs

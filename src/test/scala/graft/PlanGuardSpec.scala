@@ -779,6 +779,22 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x115/x116: grouping sets and unpivot are ONE Expand, never unioned re-scans") {
+    val p115 = planOf("x115_grouping_sets")
+    assert(p115.contains("Expand"), p115)
+    assert(!p115.contains("Union"),
+      s"grouping sets must expand in one pass, not re-scan per set:\n$p115")
+    val p116 = planOf("x116_unpivot")
+    assert(p116.contains("Expand"), p116)
+    assert(!p116.contains("Union"),
+      s"unpivot must be a single Expand, not a self-union:\n$p116")
+  }
+
+  test("g10 modularity: node-keyed equi joins only, no cartesian") {
+    val p = planOf("g10_modularity")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x101 Jaro-Winkler match: block-keyed equi join, no cartesian dictionary scan") {
     val p = planOf("x101_jaro_winkler")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
