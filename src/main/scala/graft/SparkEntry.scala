@@ -4238,6 +4238,26 @@ object SparkEntry {
           round(col("pos").cast("double") / col("n"), 6).as("pos_rate"))
     }),
 
+    // isotonic (PAVA) calibration on c7's reliability table — the
+    // monotone recalibration every binary scorer wants before its
+    // scores gate anything. PAVA's sequential stack is re-expressed as
+    // the minimax closed form (max_i min_j of interval means), pure
+    // relational algebra over the B-row bucket table: the O(B³) pair
+    // lattice is 1000 rows at B=10 and never touches the corpus
+    "c8_isotonic" -> ((s, dir) => {
+      val scored = Classifier.fitScore(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("label") < 5, iters = LrIters, lr = LrStep,
+        threshold = LrThreshold)
+      val y = Tables.embeddings(s, dir).select(col("vec_id"),
+        (col("label") < 5).cast("int").as("y"))
+      val stats = scored.join(y, "vec_id")
+        .select(least(floor(col("score") * 10), lit(9)).cast("int").as("bucket"),
+          col("y"))
+        .groupBy("bucket").agg(
+          count(lit(1)).as("n"), sum("y").cast("long").as("pos"))
+      Classifier.isotonicCalibration(stats, "bucket", "n", "pos")
+    }),
+
     // Kaplan-Meier churn survival: user lifetimes (last-active −
     // first-active day) with still-active users CENSORED, then the
     // product-limit curve on |distinct durations| rows — bounded by the
@@ -8491,6 +8511,30 @@ object SparkEntry {
         |    AS mean_score,
         |  round(sum(y) / count(*)::DOUBLE, 6) AS pos_rate
         |FROM b GROUP BY 1""".stripMargin,
+
+    // PAVA via the minimax identity: iso(k) = max_{i≤k} min_{j≥k} of
+    // the interval mean — interval means from exact prefix sums
+    "c8_isotonic" ->
+      s"""WITH ${lrCtes(LrIters, LrStep)},
+        |b AS (SELECT least(floor(s.score * 10), 9)::INT AS bucket, v.y
+        |  FROM scored s JOIN v ON v.vid = s.vec_id),
+        |stats AS (SELECT bucket, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+        |  FROM b GROUP BY 1),
+        |pre AS (SELECT bucket, n, pos,
+        |    sum(pos) OVER (ORDER BY bucket)::BIGINT AS cp,
+        |    sum(n) OVER (ORDER BY bucket)::BIGINT AS cn
+        |  FROM stats),
+        |iv AS (SELECT i.bucket AS bi, j.bucket AS bj,
+        |    (j.cp - i.cp + i.pos)::DOUBLE / (j.cn - i.cn + i.n)::DOUBLE AS mean_ij
+        |  FROM pre i JOIN pre j ON i.bucket <= j.bucket),
+        |inner_ AS (SELECT iv.bi, k.bucket AS bk, min(mean_ij) AS mn
+        |  FROM iv JOIN pre k ON iv.bi <= k.bucket AND iv.bj >= k.bucket
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT bk AS bucket, max(mn) AS iso FROM inner_ GROUP BY 1)
+        |SELECT s.bucket, s.n, s.pos,
+        |  round(s.pos::DOUBLE / s.n::DOUBLE, 6) AS pos_rate,
+        |  round(iso.iso, 6) AS iso_rate
+        |FROM stats s JOIN iso USING (bucket)""".stripMargin,
 
     // exact integer at-risk/event/censor counts; factor logs rounded at
     // 9 before the duration-ordered cumulative sum; the all-remaining-

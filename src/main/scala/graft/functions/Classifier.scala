@@ -118,4 +118,50 @@ object Classifier {
                threshold: Double): DataFrame =
     logisticScore(vecs, idCol, vecCol,
       logisticFit(vecs, vecCol, labelExpr, iters, lr), threshold)
+
+  /** Isotonic (PAVA) calibration over score buckets, via the minimax
+    * identity instead of the sequential pool-adjacent-violators stack:
+    *
+    *   iso(k) = max_{i ≤ k} min_{j ≥ k} (Σ pos[i..j]) / (Σ n[i..j])
+    *
+    * — the closed form of the weighted isotonic fit (Robertson, Wright
+    * & Dykstra 1988, §1.2), which is pure relational algebra: interval
+    * means from prefix sums, then a min and a max over bucket-keyed
+    * joins. The input is the CALIBRATION TABLE (one row per score
+    * bucket, e.g. c7's), so every frame here is |buckets|-sized —
+    * the O(B³) pair lattice is 1000 rows at B = 10 and never touches
+    * the raw corpus; exact integer prefix sums mean both engines
+    * compare identical doubles. Output adds `iso_rate`, the
+    * non-decreasing calibrated rate per bucket. */
+  def isotonicCalibration(stats: DataFrame, bucketCol: String,
+                          nCol: String, posCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = stats.select(col(bucketCol).as("b"),
+        col(nCol).as("n"), col(posCol).as("pos"))
+      .withColumn("cp", sum("pos").over(w))
+      .withColumn("cn", sum("n").over(w))
+    val i = pre.select(col("b").as("bi"), col("pos").as("pi"),
+      col("n").as("ni"), col("cp").as("cpi"), col("cn").as("cni"))
+    val j = pre.select(col("b").as("bj"), col("cp").as("cpj"),
+      col("cn").as("cnj"))
+    val iv = i.join(j, col("bi") <= col("bj"))
+      .select(col("bi"), col("bj"),
+        ((col("cpj") - col("cpi") + col("pi")).cast("double") /
+          (col("cnj") - col("cni") + col("ni")).cast("double")).as("mean_ij"))
+    val inner = iv
+      .join(pre.select(col("b").as("bk")),
+        col("bi") <= col("bk") && col("bj") >= col("bk"))
+      .groupBy("bi", "bk").agg(min("mean_ij").as("mn"))
+    val iso = inner.groupBy(col("bk").as("b"))
+      .agg(max("mn").as("iso"))
+    pre.select(col("b").as(bucketCol), col("n").as(nCol),
+        col("pos").as(posCol))
+      .join(iso.select(col("b").as(bucketCol), col("iso")), bucketCol)
+      .select(col(bucketCol), col(nCol), col(posCol),
+        round(col(posCol).cast("double") / col(nCol).cast("double"), 6)
+          .as("pos_rate"),
+        round(col("iso"), 6).as("iso_rate"))
+  }
 }

@@ -130,4 +130,55 @@ class ClassifierSpec extends SparkSpec {
         iters = 1, lr = 0.3)
     }
   }
+
+  test("isotonic minimax pools adjacent violators exactly like PAVA") {
+    val s = spark
+    import s.implicits._
+    // equal-weight rates 0.1, 0.5, 0.3, 0.7: buckets 1 and 2 violate
+    // monotonicity and pool to (5+3)/20 = 0.4; ends stay untouched
+    val stats = Seq((0, 10L, 1L), (1, 10L, 5L), (2, 10L, 3L), (3, 10L, 7L))
+      .toDF("bucket", "n", "pos")
+    val out = Classifier.isotonicCalibration(stats, "bucket", "n", "pos")
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    assert(out == Map(0 -> 0.1, 1 -> 0.4, 2 -> 0.4, 3 -> 0.7), s"$out")
+  }
+
+  test("isotonic minimax: weighted pooling and a full-decreasing collapse") {
+    val s = spark
+    import s.implicits._
+    // weighted violators: (n=10, 0.8) then (n=30, 0.4) pool to
+    // (8+12)/40 = 0.5
+    val wtd = Seq((0, 10L, 8L), (1, 30L, 12L)).toDF("bucket", "n", "pos")
+    val w = Classifier.isotonicCalibration(wtd, "bucket", "n", "pos")
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    assert(w == Map(0 -> 0.5, 1 -> 0.5), s"$w")
+
+    // strictly decreasing input collapses to the single grand mean
+    val dec = Seq((0, 10L, 9L), (1, 10L, 6L), (2, 10L, 3L))
+      .toDF("bucket", "n", "pos")
+    val d = Classifier.isotonicCalibration(dec, "bucket", "n", "pos")
+      .collect().map(r => r.getDouble(4)).distinct
+    assert(d.sameElements(Array(0.6)), s"${d.toSeq}")
+  }
+
+  test("isotonic output is always non-decreasing and mean-preserving on a random table") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val stats = (0 until 12).map(b => (b, 5L + rnd.nextInt(20),
+      rnd.nextInt(5).toLong)).map { case (b, n, p) => (b, n, math.min(p, n)) }
+      .toDF("bucket", "n", "pos")
+    val rows = Classifier.isotonicCalibration(stats, "bucket", "n", "pos")
+      .orderBy("bucket").collect()
+    val iso = rows.map(_.getDouble(4))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b },
+      s"must be non-decreasing: ${iso.toSeq}")
+    // weighted mean of iso equals the overall positive rate (PAVA is a
+    // projection: block means preserve the weighted total)
+    val n = rows.map(_.getLong(1)).sum
+    val pos = rows.map(_.getLong(2)).sum
+    val wmean = rows.map(r => r.getLong(1) * r.getDouble(4)).sum / n
+    assert(math.abs(wmean - pos.toDouble / n) < 1e-4,
+      s"mean preservation: $wmean vs ${pos.toDouble / n}")
+  }
 }
