@@ -3789,6 +3789,19 @@ object SparkEntry {
         .groupBy("p.source_a", "p.source_b").agg(count(lit(1)).as("shared"))
     }),
 
+    // d21's overlap matrix on SKETCHES — the 100 TB path: per-source
+    // 5-gram HLLs (m registers per source however big the feed),
+    // union by register max, intersection by inclusion-exclusion.
+    // Pairwise work is |sources|²·m rows, never corpus-sized
+    "d25_hll_overlap" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("source"), TextAnalysis.tokens(col("text")).as("__t"))
+        .select(col("source"),
+          explode(graft.functions.DedupOps.shingles(col("__t"), 5)).as("sh"))
+        .select(col("source"), md5(col("sh")).as("shh"))
+      graft.functions.Sketches.hllOverlap(sh, "source", "shh", b = 10)
+    }),
+
     // Zipf's-law fit per source: least-squares slope of ln(freq) on
     // ln(rank) over the top-100 words (count desc, word) — natural text
     // sits near −1; the per-source window is the x58 partitioned shape
@@ -4448,6 +4461,14 @@ object SparkEntry {
     // (type, day) aggregation
     "x112_changepoint" -> ((s, dir) =>
       graft.functions.TimeSeries.changepoint(
+        ev(s, dir), "event_type", "ts_sec", "value")),
+
+    // PACF lags 1–3 from x56's ACF via Durbin–Levinson closed forms —
+    // the AR-order fingerprint (cuts off at p where ACF only decays).
+    // Arithmetic on the rounded acf columns: |groups| extra rows on
+    // the ACF plan, no new exchange
+    "x117_pacf" -> ((s, dir) =>
+      graft.functions.TimeSeries.bucketPacf(
         ev(s, dir), "event_type", "ts_sec", "value")),
 
     // SAX symbol strings per event type: dense daily grid →
@@ -6753,6 +6774,46 @@ object SparkEntry {
         |  round(n3::DOUBLE / den::DOUBLE, 6) AS acf3
         |FROM a""".stripMargin,
 
+    // Durbin-Levinson on the ROUNDED acf values (identical 6-decimal
+    // starting points on both engines)
+    "x117_pacf" ->
+      s"""WITH $evSql,
+        |cells AS (SELECT event_type, ts_sec // 3600 AS hr,
+        |    round(sum(value), 3) AS v3
+        |  FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM cells),
+        |g AS (SELECT et.event_type, u.hr
+        |      FROM (SELECT DISTINCT event_type FROM cells) et, b,
+        |        unnest(generate_series(b.h0, b.h1)) AS u(hr)),
+        |dense AS (SELECT g.event_type, g.hr,
+        |    round(coalesce(c.v3, 0.0) * 1000)::BIGINT AS m
+        |  FROM g LEFT JOIN cells c USING (event_type, hr)),
+        |mu AS (SELECT event_type, round(avg(m))::BIGINT AS mu
+        |       FROM dense GROUP BY 1),
+        |cent AS (SELECT d.event_type, d.hr, d.m - mu.mu AS c
+        |         FROM dense d JOIN mu USING (event_type)),
+        |lg AS (SELECT event_type, c,
+        |    lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2,
+        |    lag(c, 3) OVER w AS c3
+        |  FROM cent WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n_hours,
+        |    sum(c * c) AS den, sum(c * c1) AS n1,
+        |    sum(c * c2) AS n2, sum(c * c3) AS n3
+        |  FROM lg GROUP BY 1 HAVING sum(c * c) > 0),
+        |r AS (SELECT event_type, n_hours,
+        |    round(n1::DOUBLE / den::DOUBLE, 6) AS r1,
+        |    round(n2::DOUBLE / den::DOUBLE, 6) AS r2,
+        |    round(n3::DOUBLE / den::DOUBLE, 6) AS r3
+        |  FROM a),
+        |p2 AS (SELECT *,
+        |    (r2 - r1 * r1) / nullif(1.0::DOUBLE - r1 * r1, 0.0::DOUBLE) AS p22
+        |  FROM r),
+        |p3 AS (SELECT *, r1 * (1.0::DOUBLE - p22) AS p21 FROM p2)
+        |SELECT event_type, n_hours, r1 AS pacf1, round(p22, 6) AS pacf2,
+        |  round((r3 - p21 * r2 - p22 * r1) /
+        |    nullif(1.0::DOUBLE - p21 * r1 - p22 * r2, 0.0::DOUBLE), 6) AS pacf3
+        |FROM p3""".stripMargin,
+
     // the recursion is sequential, so its inputs are forced exact
     // (floor'd centi-unit BIGINT day sums) and the smoothing weights
     // are binary-representable — the recursive CTE then replays the
@@ -7834,6 +7895,58 @@ object SparkEntry {
         |  count(*)::BIGINT AS shared
         |FROM ss a JOIN ss b ON a.shh = b.shh AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+
+    // x39's register/estimate pipeline per source + per-bucket MAX
+    // union; inclusion-exclusion with the 0-clamp
+    "d25_hll_overlap" ->
+      s"""WITH $toksSql,
+        |sh5 AS (
+        |  SELECT source,
+        |    unnest(CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+        |      ELSE [array_to_string(t, ' ')] END) AS sh
+        |  FROM toks),
+        |h AS (SELECT source,
+        |    ('0x' || substr(md5(md5(sh)), 1, 15))::BIGINT AS h
+        |  FROM sh5),
+        |r AS (SELECT source, h % 1024 AS b,
+        |    CASE WHEN (h >> 10) = 0 THEN 51
+        |         ELSE 51 - length(bin(h >> 10)) END AS rho
+        |  FROM h),
+        |m AS (SELECT source, b, max(rho) AS mx FROM r GROUP BY 1, 2),
+        |est AS (SELECT source,
+        |    round(CASE WHEN raw <= 2560.0::DOUBLE AND c < 1024
+        |      THEN 1024.0::DOUBLE * ln(1024.0::DOUBLE / (1024 - c)::DOUBLE)
+        |      ELSE raw END, 4) AS e
+        |  FROM (SELECT source, count(*)::BIGINT AS c,
+        |      0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
+        |        * 1024.0::DOUBLE * 1024.0::DOUBLE * 2251799813685248.0::DOUBLE
+        |        / (sum(1::BIGINT << (51 - mx))::BIGINT
+        |           + (1024 - count(*)) * (1::BIGINT << 51))::DOUBLE AS raw
+        |    FROM m GROUP BY 1)),
+        |um AS (SELECT a.source AS ga, bb.source AS gb, mm.b, max(mm.mx) AS mx
+        |  FROM (SELECT DISTINCT source FROM m) a
+        |  JOIN (SELECT DISTINCT source FROM m) bb ON a.source < bb.source
+        |  JOIN m mm ON mm.source = a.source OR mm.source = bb.source
+        |  GROUP BY 1, 2, 3),
+        |ue AS (SELECT ga, gb,
+        |    round(CASE WHEN raw <= 2560.0::DOUBLE AND c < 1024
+        |      THEN 1024.0::DOUBLE * ln(1024.0::DOUBLE / (1024 - c)::DOUBLE)
+        |      ELSE raw END, 4) AS est_union
+        |  FROM (SELECT ga, gb, count(*)::BIGINT AS c,
+        |      0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
+        |        * 1024.0::DOUBLE * 1024.0::DOUBLE * 2251799813685248.0::DOUBLE
+        |        / (sum(1::BIGINT << (51 - mx))::BIGINT
+        |           + (1024 - count(*)) * (1::BIGINT << 51))::DOUBLE AS raw
+        |    FROM um GROUP BY 1, 2))
+        |SELECT ue.ga AS source_a, ue.gb AS source_b,
+        |  ea.e AS est_a, eb.e AS est_b, ue.est_union,
+        |  round(greatest(0.0::DOUBLE, ea.e + eb.e - ue.est_union), 4)
+        |    AS est_shared,
+        |  round(greatest(0.0::DOUBLE, ea.e + eb.e - ue.est_union) / ue.est_union,
+        |    6) AS est_jaccard
+        |FROM ue JOIN est ea ON ea.source = ue.ga
+        |JOIN est eb ON eb.source = ue.gb""".stripMargin,
 
     "x77_zipf_slope" ->
       s"""WITH $toksSql,

@@ -151,6 +151,43 @@ object Sketches {
     * the TRUE count so the over-count gap is visible in-row —
     * `overestimate ≥ 0` is the sketch's guarantee, and equality holds
     * when none of the value's depth cells collided. */
+  /** Pairwise set overlap from HLL sketches — inclusion-exclusion on
+    * register estimates: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+    * union sketch is the per-bucket register MAX (HLL's lossless union,
+    * the property that makes the estimate shard-mergeable). The scale
+    * path for exact-overlap readouts like d21: each group compresses to
+    * m registers, so the pairwise stage touches |groups|²·m rows, never
+    * the corpora. Estimates reuse [[hllEstimate]]'s exact expression
+    * shape (engine-deterministic); the intersection clamps at 0 — the
+    * sketch can go slightly negative on near-disjoint sets. */
+  def hllOverlap(df: DataFrame, groupCol: String, valueCol: String,
+                 b: Int = 10): DataFrame = {
+    val regs = hllRegisters(df, Seq(groupCol), valueCol, b)
+    val pairs = regs.select(col(groupCol).as("ga")).distinct()
+      .join(regs.select(col(groupCol).as("gb")).distinct(),
+        col("ga") < col("gb"))
+    val ra = pairs.join(regs.withColumnRenamed(groupCol, "ga"), Seq("ga"))
+      .select(col("ga"), col("gb"), col("__b"), col("__m"))
+    val rb = pairs.join(regs.withColumnRenamed(groupCol, "gb"), Seq("gb"))
+      .select(col("ga"), col("gb"), col("__b"), col("__m"))
+    val union = ra.unionByName(rb)
+      .groupBy("ga", "gb", "__b").agg(max("__m").as("__m"))
+    val estU = hllEstimate(union, Seq("ga", "gb"), b, "est_union")
+      .drop("n_regs")
+    val estS = hllEstimate(regs, Seq(groupCol), b, "est")
+      .drop("n_regs")
+    estU
+      .join(estS.select(col(groupCol).as("ga"), col("est").as("est_a")), "ga")
+      .join(estS.select(col(groupCol).as("gb"), col("est").as("est_b")), "gb")
+      .select(col("ga").as("source_a"), col("gb").as("source_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        round(greatest(lit(0.0),
+          col("est_a") + col("est_b") - col("est_union")), 4).as("est_shared"),
+        round(greatest(lit(0.0),
+          col("est_a") + col("est_b") - col("est_union")) / col("est_union"),
+          6).as("est_jaccard"))
+  }
+
   /** AMS F₂ sketch (Alon, Matias & Szegedy 1996): the self-join-size
     * estimator Σ f_w² from `sketches` independent ±1 hash counters —
     * the one-number answer to "how big would this key's self-join be"

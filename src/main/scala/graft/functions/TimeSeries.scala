@@ -177,6 +177,31 @@ object TimeSeries {
         round((col("__st.l") + col("__st.b")) / 100.0, 6).as("forecast"))
   }
 
+  /** Partial autocorrelation at lags 1–3 via the Durbin–Levinson
+    * closed forms over [[bucketAcf]]'s r₁..r₃ — the AR-order
+    * fingerprint next to the plain ACF (an AR(p) series cuts off after
+    * lag p in PACF where the ACF only decays):
+    *
+    *   φ₁₁ = r₁
+    *   φ₂₂ = (r₂ − r₁²) / (1 − r₁²)
+    *   φ₃₃ = (r₃ − φ₂₁r₂ − φ₂₂r₁) / (1 − φ₂₁r₁ − φ₂₂r₂),  φ₂₁ = r₁(1 − φ₂₂)
+    *
+    * Arithmetic runs on the ROUNDED acf columns (both engines start
+    * from identical 6-decimal inputs, so the recursion can't fork);
+    * degenerate denominators (|r₁| = 1 alternation) read NULL. Adds
+    * |groups| rows of arithmetic to the ACF plan — nothing else. */
+  def bucketPacf(events: DataFrame, groupCol: String, tsSecCol: String,
+                 valueCol: String, bucketSec: Long = 3600L): DataFrame = {
+    val acf = bucketAcf(events, groupCol, tsSecCol, valueCol, bucketSec)
+    val r1 = col("acf1"); val r2 = col("acf2"); val r3 = col("acf3")
+    val p22 = (r2 - r1 * r1) / nullif(lit(1.0) - r1 * r1, lit(0.0))
+    val p21 = r1 * (lit(1.0) - p22)
+    val p33 = (r3 - p21 * r2 - p22 * r1) /
+      nullif(lit(1.0) - p21 * r1 - p22 * r2, lit(0.0))
+    acf.select(col(groupCol), col("n_hours"),
+      r1.as("pacf1"), round(p22, 6).as("pacf2"), round(p33, 6).as("pacf3"))
+  }
+
   /** Single best changepoint per group's daily-volume series — binary
     * segmentation's first step. For every split t of the ZERO-FILLED
     * dense grid (1 ≤ t < n), the between-segment sum-of-squares gain is

@@ -109,6 +109,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("HLL overlap: near-identical sets read jaccard ~1, disjoint sets ~0") {
+    val s = spark
+    import s.implicits._
+    val shared = (1 to 3000).map(i => ("A", s"v$i")) ++
+      (1 to 3000).map(i => ("B", s"v$i")) ++
+      (1 to 3000).map(i => ("C", s"w$i"))
+    val out = Sketches.hllOverlap(shared.toDF("g", "v"), "g", "v", b = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val (_, _, jAB) = out(("A", "B"))
+    assert(jAB > 0.9, s"identical sets must read ~1: $out")
+    val (_, _, jAC) = out(("A", "C"))
+    assert(jAC < 0.1, s"disjoint sets must read ~0: $out")
+    // union of identical sets estimates like the single set
+    val (u, sh, _) = out(("A", "B"))
+    assert(math.abs(u - sh) / u < 0.25, s"A=B: union ≈ shared: $out")
+  }
+
   test("AMS F2: a single-value stream estimates its self-join size EXACTLY") {
     val s = spark
     import s.implicits._

@@ -82,6 +82,21 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("PACF follows Durbin-Levinson exactly from the rounded ACF values") {
+    // the alternating series: r1 = -0.95, r2 = 0.9, r3 = -0.85 exactly
+    // (see the ACF test) — hand-run the recursion on those values
+    val alt = (0 until 20).map(h => ("alt", h * 3600L, if (h % 2 == 0) 10.0 else 0.0))
+    val r = TimeSeries.bucketPacf(alt.toDF("g", "ts", "v"), "g", "ts", "v")
+      .collect().head
+    val (r1, r2, r3) = (-0.95, 0.9, -0.85)
+    val p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    val p21 = r1 * (1 - p22)
+    val p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    assert(r.getDouble(2) == r1, s"pacf1: $r")
+    assert(math.abs(r.getDouble(3) - p22) < 1e-6, s"pacf2: $r")
+    assert(math.abs(r.getDouble(4) - p33) < 1e-6, s"pacf3: $r")
+  }
+
   test("changepoint lands on a clean step and reads both means exactly") {
     // 10 days at 2.0/day, then 10 days at 8.0/day — the gain statistic
     // peaks exactly at the boundary (t = 10, i.e. the last day of the
