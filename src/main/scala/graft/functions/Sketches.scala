@@ -200,15 +200,24 @@ object Sketches {
     * variance-tamed estimate. Engine-exact end to end (integer Z,
     * integer squares, one interpolated median), reported next to the
     * TRUE F₂ so the estimation error is visible in-row. */
-  def amsF2(rows: DataFrame, valueCol: String, sketches: Int = 8): DataFrame = {
+  /** The AMS Z vector alone — one signed sum per sketch row j. Shared
+    * by [[amsF2]] and the streaming twin (a complete-mode aggregation
+    * over the same sign expression converges to this exactly; shards /
+    * micro-batches merge by per-j ADDITION). Works on batch AND
+    * streaming frames. */
+  def amsZ(rows: DataFrame, valueCol: String, sketches: Int = 8): DataFrame = {
     require(sketches >= 1 && sketches <= 64, s"ams sketch count: $sketches")
-    val w = rows.select(col(valueCol).cast("string").as("w"))
-    val z = w
+    rows.select(col(valueCol).cast("string").as("w"))
       .withColumn("j", explode(sequence(lit(0), lit(sketches - 1))))
       .select(col("j"), (lit(1L) - lit(2L) * Sampling.hashBucket(
         concat_ws("", col("w"), lit(":ams"), col("j").cast("string")), 2))
         .as("sign"))
       .groupBy("j").agg(sum("sign").as("z"))
+  }
+
+  def amsF2(rows: DataFrame, valueCol: String, sketches: Int = 8): DataFrame = {
+    val w = rows.select(col(valueCol).cast("string").as("w"))
+    val z = amsZ(rows, valueCol, sketches)
     val est = z.select((col("z") * col("z")).as("e"))
       .agg(count(lit(1)).as("n_sketches"),
         array_sort(collect_list(col("e"))).as("es"))

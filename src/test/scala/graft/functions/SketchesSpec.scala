@@ -161,18 +161,32 @@ class SketchesSpec extends SparkSpec {
     val all = (1 to 400).map(i => s"w${i % 37}")
     val (sh1, sh2) = all.splitAt(167)
     // the merge law lives on the Z vector: Z(union) = Z(a) + Z(b) per j
-    def zvec(xs: Seq[String]): Map[Int, Long] = {
-      val w = xs.toDF("v").select(col("v").cast("string").as("w"))
-        .withColumn("j", explode(sequence(lit(0), lit(7))))
-        .select(col("j"), (lit(1L) - lit(2L) * Sampling.hashBucket(
-          concat_ws("", col("w"), lit(":ams"), col("j").cast("string")), 2))
-          .as("sign"))
-        .groupBy("j").agg(sum("sign").as("z"))
-      w.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    }
+    def zvec(xs: Seq[String]): Map[Int, Long] =
+      Sketches.amsZ(xs.toDF("v"), "v", sketches = 8)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val (za, zb, zu) = (zvec(sh1), zvec(sh2), zvec(all))
     (0 until 8).foreach { j =>
       assert(za(j) + zb(j) == zu(j), s"sketch row $j must merge additively")
     }
+  }
+
+  test("AMS: streaming complete-mode Z vector converges to the batch sketch") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = (1 to 600).map(i => s"w${i % 53}")
+    val in = MemoryStream[String]
+    val name = s"ams${System.nanoTime()}"
+    val q = Sketches.amsZ(in.toDF().withColumnRenamed("value", "v"), "v", 8)
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      all.grouped(210).foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = s.table(name)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val want = Sketches.amsZ(all.toDF("v"), "v", 8)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == want, s"stream Z must equal batch Z: $got vs $want")
+    } finally q.stop()
   }
 }
