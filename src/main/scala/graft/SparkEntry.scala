@@ -1617,6 +1617,20 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_guess"))),
 
+    // confusion matrix of t1's detector against the stored lang labels
+    // — the eval harness face of langId: (truth, guess, n, share of
+    // the truth row). One (lang, guess) aggregation; the per-truth
+    // share rides a ≤|langs·guesses|-row window
+    "t31_langid_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          round(col("n").cast("double") /
+            sum("n").over(Window.partitionBy("lang")).cast("double"), 6))
+    }),
+
     // label QA: does the shipped lang column agree with the content
     // heuristic? Binarized to is-English (the heuristic's only positive
     // class). Pure map-side signals into one source-keyed aggregation —
@@ -4271,6 +4285,38 @@ object SparkEntry {
       Classifier.isotonicCalibration(stats, "bucket", "n", "pos")
     }),
 
+    // Brier score + expected calibration error — the two scalar
+    // calibration numbers over the SAME scored rows c7/c8 bucket.
+    // Brier from exact micro-unit integers ((su − y·10⁶)² summed as
+    // decimal, ONE division); ECE folds the decile reliability table
+    // in closed form. One corpus aggregation, then 10-row arithmetic
+    "c9_brier_ece" -> ((s, dir) => {
+      val scored = Classifier.fitScore(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("label") < 5, iters = LrIters, lr = LrStep,
+        threshold = LrThreshold)
+      val y = Tables.embeddings(s, dir).select(col("vec_id"),
+        (col("label") < 5).cast("int").as("y"))
+      val b = scored.join(y, "vec_id")
+        .select(least(floor(col("score") * 10), lit(9)).cast("int").as("bucket"),
+          round(col("score") * 1e6).cast("long").as("su"), col("y"))
+        .groupBy("bucket").agg(
+          count(lit(1)).as("n"), sum("y").cast("long").as("pos"),
+          sum("su").as("ssu"),
+          sum((col("su") - col("y") * lit(1000000L)).cast("decimal(38,0)") *
+            (col("su") - col("y") * lit(1000000L))).as("sq"))
+      // |pos/n − mean_score|·n telescopes to |pos·10⁶ − Σsu|/10⁶, so
+      // the ECE numerator stays an EXACT integer — no 10-row float sum
+      // for the engines to order differently
+      b.agg(sum("n").as("n"),
+          sum("sq").as("sqt"),
+          sum(abs(col("pos") * lit(1000000L) - col("ssu"))).as("ece_num"))
+        .select(col("n"),
+          round(col("sqt").cast("double") / col("n").cast("double") / lit(1e12), 6)
+            .as("brier"),
+          round(col("ece_num").cast("double") / col("n").cast("double") / lit(1e6),
+            6).as("ece"))
+    }),
+
     // Kaplan-Meier churn survival: user lifetimes (last-active −
     // first-active day) with still-active users CENSORED, then the
     // product-limit curve on |distinct durations| rows — bounded by the
@@ -4470,6 +4516,15 @@ object SparkEntry {
     "x117_pacf" -> ((s, dir) =>
       graft.functions.TimeSeries.bucketPacf(
         ev(s, dir), "event_type", "ts_sec", "value")),
+
+    // does click volume LEAD purchase volume — cross-correlation of
+    // the two hourly series at lags −3..3 (positive lag: purchases
+    // trail clicks). Shared dense grid, exact decimal numerators per
+    // lag, full-series normalization; span-sized work after one
+    // (type, hour) aggregation
+    "x118_ccf" -> ((s, dir) =>
+      graft.functions.TimeSeries.crossCorrelation(
+        ev(s, dir), "event_type", "ts_sec", "value", "click", "purchase")),
 
     // SAX symbol strings per event type: dense daily grid →
     // z-normalize (series' own μ/σ from exact integer sums) → 8-frame
@@ -5676,6 +5731,15 @@ object SparkEntry {
         |  $langGuessSql AS lang_guess
         |FROM documents""".stripMargin,
 
+    "t31_langid_eval" ->
+      s"""WITH g AS (SELECT lang, $langGuessSql AS lang_guess FROM documents),
+        |c AS (SELECT lang, lang_guess, count(*)::BIGINT AS n
+        |  FROM g GROUP BY 1, 2)
+        |SELECT lang, lang_guess, n,
+        |  round(n::DOUBLE /
+        |    (sum(n) OVER (PARTITION BY lang))::DOUBLE, 6) AS share
+        |FROM c""".stripMargin,
+
     // label QA: per-source agreement between the shipped lang label and
     // the t1 heuristic on the binarized is-English task
     "t13_label_agreement" ->
@@ -6813,6 +6877,38 @@ object SparkEntry {
         |  round((r3 - p21 * r2 - p22 * r1) /
         |    nullif(1.0::DOUBLE - p21 * r1 - p22 * r2, 0.0::DOUBLE), 6) AS pacf3
         |FROM p3""".stripMargin,
+
+    // two centered dense grids on the SHARED span; exact HUGEINT
+    // numerators per lag, full-series normalization
+    "x118_ccf" ->
+      s"""WITH $evSql,
+        |cells AS (SELECT event_type AS g, ts_sec // 3600 AS hr,
+        |    round(sum(value), 3) AS v3
+        |  FROM ev WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM cells),
+        |grid AS (SELECT gg.g, u.hr
+        |  FROM (SELECT DISTINCT g FROM cells) gg, b,
+        |    unnest(generate_series(b.h0, b.h1)) AS u(hr)),
+        |dense AS (SELECT grid.g, grid.hr,
+        |    round(coalesce(c.v3, 0.0) * 1000)::BIGINT AS m
+        |  FROM grid LEFT JOIN cells c USING (g, hr)),
+        |mu AS (SELECT g, round(avg(m))::BIGINT AS mu FROM dense GROUP BY 1),
+        |cg AS (SELECT d.g, d.hr, (d.m - mu.mu)::HUGEINT AS c
+        |       FROM dense d JOIN mu USING (g)),
+        |a AS (SELECT hr, c AS ca FROM cg WHERE g = 'click'),
+        |bb AS (SELECT hr AS hrb, c AS cb FROM cg WHERE g = 'purchase'),
+        |den AS (SELECT sa, sb
+        |  FROM (SELECT sum(ca * ca) AS sa FROM a)
+        |  CROSS JOIN (SELECT sum(cb * cb) AS sb FROM bb)),
+        |lags AS (SELECT unnest(generate_series(-3, 3))::INT AS lag)
+        |SELECT l.lag,
+        |  round(sum(a.ca * bb.cb)::DOUBLE /
+        |    sqrt(den.sa::DOUBLE * den.sb::DOUBLE), 6) AS ccf
+        |FROM a CROSS JOIN lags l
+        |JOIN bb ON bb.hrb = a.hr + l.lag
+        |CROSS JOIN den
+        |WHERE den.sa > 0 AND den.sb > 0
+        |GROUP BY 1, den.sa, den.sb""".stripMargin,
 
     // the recursion is sequential, so its inputs are forced exact
     // (floor'd centi-unit BIGINT day sums) and the smoothing weights
@@ -8648,6 +8744,23 @@ object SparkEntry {
         |  round(s.pos::DOUBLE / s.n::DOUBLE, 6) AS pos_rate,
         |  round(iso.iso, 6) AS iso_rate
         |FROM stats s JOIN iso USING (bucket)""".stripMargin,
+
+    // Brier from exact micro-unit squares; ECE numerator telescoped to
+    // the exact integer |pos·10⁶ − Σsu| per bucket
+    "c9_brier_ece" ->
+      s"""WITH ${lrCtes(LrIters, LrStep)},
+        |rows_ AS (SELECT least(floor(s.score * 10), 9)::INT AS bucket,
+        |    round(s.score * 1000000)::BIGINT AS su, v.y
+        |  FROM scored s JOIN v ON v.vid = s.vec_id),
+        |b AS (SELECT bucket, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos,
+        |    sum(su)::BIGINT AS ssu,
+        |    sum((su - y * 1000000)::HUGEINT * (su - y * 1000000)) AS sq
+        |  FROM rows_ GROUP BY 1)
+        |SELECT sum(n)::BIGINT AS n,
+        |  round(sum(sq)::DOUBLE / sum(n)::DOUBLE / 1e12, 6) AS brier,
+        |  round(sum(abs(pos * 1000000 - ssu))::DOUBLE / sum(n)::DOUBLE / 1e6,
+        |    6) AS ece
+        |FROM b""".stripMargin,
 
     // exact integer at-risk/event/censor counts; factor logs rounded at
     // 9 before the duration-ordered cumulative sum; the all-remaining-

@@ -177,6 +177,54 @@ object TimeSeries {
         round((col("__st.l") + col("__st.b")) / 100.0, 6).as("forecast"))
   }
 
+  /** Cross-correlation between TWO groups' bucketed-volume series at
+    * lags −maxLag..maxLag: r(ℓ) = Σ a_t·b_{t+ℓ} / √(Σa²·Σb²) with both
+    * series centered milli-unit grids over the SHARED global span (the
+    * x56 discipline — gaps are real zeros, both series align on the
+    * same dense hours). Positive ℓ means B LAGS A by ℓ buckets — the
+    * "does A lead B" readout (clicks → purchases). Numerators are
+    * exact decimal(38,0) per lag; the full-series normalization makes
+    * r(ℓ) comparable across lags. Output: one row per lag, built from
+    * a (2·maxLag+1)-row lag spine × the grid — span-sized work after
+    * the one (group, bucket) aggregation. */
+  def crossCorrelation(events: DataFrame, groupCol: String, tsSecCol: String,
+                       valueCol: String, groupA: String, groupB: String,
+                       maxLag: Int = 3, bucketSec: Long = 3600L): DataFrame = {
+    val cells = events
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("g"), expr(s"$tsSecCol div $bucketSec").as("hr"),
+        col(valueCol).as("__v"))
+      .groupBy("g", "hr").agg(round(sum("__v"), 3).as("v3"))
+    val bounds = cells.agg(min("hr").as("h0"), max("hr").as("h1"))
+    val dense = cells.select("g").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("g"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .join(cells, Seq("g", "hr"), "left_outer")
+      .select(col("g"), col("hr"),
+        round(coalesce(col("v3"), lit(0.0)) * 1000).cast("long").as("m"))
+    val mu = dense.groupBy("g").agg(round(avg("m")).cast("long").as("mu"))
+    val cgrid = dense.join(mu, "g")
+      .select(col("g"), col("hr"),
+        (col("m") - col("mu")).cast("decimal(38,0)").as("c"))
+    val a = cgrid.filter(col("g") === groupA)
+      .select(col("hr"), col("c").as("ca"))
+    val b = cgrid.filter(col("g") === groupB)
+      .select(col("hr").as("hrb"), col("c").as("cb"))
+    val den = a.agg(sum(col("ca") * col("ca")).as("sa"))
+      .crossJoin(b.agg(sum(col("cb") * col("cb")).as("sb")))
+    val lags = a.sparkSession.range(-maxLag, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    a.crossJoin(broadcast(lags))
+      .join(b, col("hrb") === col("hr") + col("lag"))
+      .groupBy("lag").agg(sum(col("ca") * col("cb")).as("num"))
+      .crossJoin(broadcast(den))
+      .filter(col("sa") > 0 && col("sb") > 0)
+      .select(col("lag"),
+        round(col("num").cast("double") /
+          sqrt(col("sa").cast("double") * col("sb").cast("double")), 6)
+          .as("ccf"))
+  }
+
   /** Partial autocorrelation at lags 1–3 via the Durbin–Levinson
     * closed forms over [[bucketAcf]]'s r₁..r₃ — the AR-order
     * fingerprint next to the plain ACF (an AR(p) series cuts off after

@@ -97,6 +97,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - p33) < 1e-6, s"pacf3: $r")
   }
 
+  test("cross-correlation peaks at the true shift with r = 1") {
+    // B is exactly A delayed by 2 hours (same shape, same span):
+    // ccf(+2) = 1 up to the edge truncation; every other lag is lower
+    val base = Seq(0.0, 10.0, 0.0, 0.0, 8.0, 0.0, 0.0, 0.0, 12.0, 0.0,
+      0.0, 6.0, 0.0, 0.0, 0.0, 9.0, 0.0, 0.0, 0.0, 0.0)
+    val a = base.zipWithIndex.map { case (v, h) => ("A", h * 3600L, v) }
+    val bshift = base.zipWithIndex.map { case (v, h) => ("B", (h + 2) * 3600L, v) }
+    val out = TimeSeries.crossCorrelation(
+        (a ++ bshift).toDF("g", "ts", "v"), "g", "ts", "v", "A", "B")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out.size == 7, s"$out")
+    val best = out.maxBy(_._2)
+    assert(best._1 == 2, s"peak must sit at lag +2: $out")
+    assert(best._2 > 0.8, s"shifted copy must correlate strongly: $out")
+  }
+
   test("changepoint lands on a clean step and reads both means exactly") {
     // 10 days at 2.0/day, then 10 days at 8.0/day — the gain statistic
     // peaks exactly at the boundary (t = 10, i.e. the last day of the
