@@ -1830,6 +1830,49 @@ object SparkEntry {
         .select("user_id", "rnk", "event_id", "value")
     }),
 
+    // the rest of the rank-function surface in one query: rank /
+    // dense_rank with REAL ties (centi-value), percent_rank, cume_dist,
+    // and the per-user top value via a frame max — all six share the
+    // SAME user-partitioned sort, so the whole suite costs one
+    // exchange + one in-partition sort
+    "x119_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("cv").asc, col("event_id").asc)
+      val wt = Window.partitionBy("user_id").orderBy(col("cv").asc)
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cv"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(wt))
+        .withColumn("drnk", dense_rank().over(wt))
+        .withColumn("pr", round(percent_rank().over(wt), 6))
+        .withColumn("cd", round(cume_dist().over(wt), 6))
+        .withColumn("top_cv", max("cv").over(
+          Window.partitionBy("user_id")))
+        .filter(col("rn") <= 5)
+        .select("user_id", "rn", "event_id", "cv", "rnk", "drnk", "pr", "cd",
+          "top_cv")
+    }),
+
+    // join-key skew diagnosis BEFORE committing a shuffle: per-key row
+    // counts → heaviest keys + the skew factor (max/avg) and the p99
+    // key weight — the planner-facing readout that says "salt this key"
+    // (j21) or "let AQE split it". One keyed count, then a
+    // |distinct keys|-row quantile over the count HISTOGRAM, never the
+    // raw rows
+    "x120_skew_report" -> ((s, dir) => {
+      val counts = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+      val stats = counts.agg(
+        count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+        max("c").as("max_c"),
+        expr("percentile(c, 0.99)").as("p99_c"))
+      stats.select(col("n_keys"), col("n_rows"), col("max_c"),
+        round(col("p99_c"), 4).as("p99_c"),
+        round(col("max_c").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double"), 4).as("skew_factor"))
+    }),
+
     // conditional-aggregation pivot: one row per user, one column per
     // event type — single shuffle on the key, the pivot columns are plain
     // codegen'd conditional aggregates
@@ -5994,6 +6037,33 @@ object SparkEntry {
         |                       ORDER BY value DESC, event_id ASC) AS rnk
         |  FROM events)
         |WHERE rnk <= 3""".stripMargin,
+
+    // one sort serves every rank flavor; centi-value keys make ties real
+    "x119_window_suite" ->
+      """SELECT user_id, rn, event_id, cv, rnk, drnk, pr, cd, top_cv FROM (
+        |  SELECT user_id, event_id, round(value * 100)::BIGINT AS cv,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY round(value * 100)::BIGINT ASC, event_id ASC) AS rn,
+        |    rank() OVER wt AS rnk,
+        |    dense_rank() OVER wt AS drnk,
+        |    round(percent_rank() OVER wt, 6) AS pr,
+        |    round(cume_dist() OVER wt, 6) AS cd,
+        |    max(round(value * 100)::BIGINT)
+        |      OVER (PARTITION BY user_id) AS top_cv
+        |  FROM events
+        |  WINDOW wt AS (PARTITION BY user_id
+        |    ORDER BY round(value * 100)::BIGINT ASC))
+        |WHERE rn <= 5""".stripMargin,
+
+    "x120_skew_report" ->
+      """WITH c AS (SELECT l_orderkey, count(*)::BIGINT AS c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_keys, sum(c)::BIGINT AS n_rows,
+        |  max(c)::BIGINT AS max_c,
+        |  round(quantile_cont(c, 0.99), 4) AS p99_c,
+        |  round(max(c)::DOUBLE * count(*)::DOUBLE / sum(c)::DOUBLE, 4)
+        |    AS skew_factor
+        |FROM c""".stripMargin,
 
     "x12_pivot" ->
       s"""WITH $evSql
