@@ -265,18 +265,29 @@ object TimeSeries {
     * grid-sized rows — everything past the first aggregation scales
     * with the time span, not the event count. */
   def changepoint(events: DataFrame, groupCol: String, tsSecCol: String,
-                  valueCol: String, bucketSec: Long = 86400L): DataFrame = {
-    val cells = events
-      .select(col(groupCol), expr(s"$tsSecCol div $bucketSec").as("day"),
-        col(valueCol).as("__v"))
-      .groupBy(groupCol, "day").agg(round(sum("__v"), 3).as("v3"))
+                  valueCol: String, bucketSec: Long = 86400L): DataFrame =
+    changepointFromCells(
+      events
+        .select(col(groupCol), expr(s"$tsSecCol div $bucketSec").as("day"),
+          col(valueCol).as("__v"))
+        .groupBy(groupCol, "day").agg(round(sum("__v"), 3).as("v3"))
+        .select(col(groupCol), col("day"),
+          round(col("v3") * 1000).cast("long").as("m")),
+      groupCol)
+
+  /** The changepoint readout over a PRE-AGGREGATED sparse cell table
+    * (groupCol, day, m) with m the exact milli-unit day sum — the
+    * entry point the streaming maintainer
+    * ([[graft.streaming.StreamDailyCells]]) shares with the batch
+    * path, so "view ≡ recompute" is a theorem about one function. */
+  def changepointFromCells(cells: DataFrame, groupCol: String): DataFrame = {
     val bounds = cells.agg(min("day").as("d0"), max("day").as("d1"))
     val dense = cells.select(groupCol).distinct()
       .crossJoin(broadcast(bounds))
       .select(col(groupCol), explode(sequence(col("d0"), col("d1"))).as("day"))
       .join(cells, Seq(groupCol, "day"), "left_outer")
       .select(col(groupCol), col("day"),
-        round(coalesce(col("v3"), lit(0.0)) * 1000).cast("long").as("m"))
+        coalesce(col("m"), lit(0L)).as("m"))
     val w = Window.partitionBy(groupCol).orderBy(col("day").asc)
     val pre = dense
       .withColumn("t", row_number().over(w).cast("long"))
