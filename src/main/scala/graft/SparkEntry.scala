@@ -3353,13 +3353,19 @@ object SparkEntry {
     // all node-keyed equi joins
     "g10_modularity" -> ((s, dir) => {
       val e = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+      // the co-occurrence self-join feeds LPA, the degree table and
+      // BOTH endpoint joins — snapshot it once (the d7 contract), and
+      // snapshot the 3-round LPA chain too: labels join three branches
+      // and would otherwise execute the whole iteration per branch
       val co = e.select(col("l_orderkey"), col("l_partkey").as("a"))
         .join(e.select(col("l_orderkey").as("ok2"), col("l_partkey").as("b")),
           col("l_orderkey") === col("ok2") && col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("nco"))
         .filter(col("nco") >= 3).select("a", "b")
+        .localCheckpoint(false)
       val lab = graft.functions.GraphOps
         .labelPropagation(co, rounds = 3).select("node", "label")
+        .localCheckpoint(false)
       val sym = co.unionByName(co.select(col("b").as("a"), col("a").as("b")))
       val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
       val cstat = deg.join(lab, "node")
