@@ -1454,6 +1454,14 @@ object SparkEntry {
       SimilarityOps.mipsTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("vec_id") < 20, 5)),
 
+    // MMR diversified re-rank (λ = 0.7, pool 20, k 5) for one query —
+    // the greedy relevance-vs-redundancy pick between ANN recall and
+    // the consumer; corpus work is exactly the s1 scan, the k rounds
+    // run on the pool²-row similarity matrix
+    "s20_mmr_rerank" -> ((s, dir) =>
+      SimilarityOps.mmrRerank(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") === 0, pool = 20, k = 5, lambda = 0.7)),
+
     // contrastive hard-negative mining: per query, the top-5 most
     // similar vectors of a DIFFERENT class — s1's broadcast-queries/
     // streamed-corpus/bounded-topK shape with the class exclusion
@@ -5472,6 +5480,59 @@ object SparkEntry {
         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+
+    // 5 unrolled greedy rounds; identical λ expression tree as the
+    // Spark side (1.0 − 0.7, never a 0.3 literal — binary doubles)
+    "s20_mmr_rerank" -> {
+      def mmrRound(r: Int): String = {
+        val sel = (1 until r).map(i => s"SELECT id FROM s$i").mkString(" UNION ALL ")
+        s"""d$r AS (SELECT p.a AS id, max(p.s) AS dv
+           |  FROM ps p JOIN ($sel) sel ON p.b = sel.id GROUP BY 1),
+           |c$r AS (SELECT pool.id, pool.rel,
+           |    0.7::DOUBLE * pool.rel
+           |      - (1.0::DOUBLE - 0.7::DOUBLE) * coalesce(d$r.dv, 0.0::DOUBLE) AS sc
+           |  FROM pool LEFT JOIN d$r USING (id)
+           |  WHERE pool.id NOT IN ($sel)),
+           |s$r AS (SELECT id, $r AS rank, rel, round(sc, 6) AS score
+           |  FROM c$r ORDER BY sc DESC, id LIMIT 1)"""
+      }
+      s"""WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+        |         (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn
+        |  FROM v WHERE vec_id = 0),
+        |pool AS (
+        |  SELECT id, rel, cv, cn FROM (
+        |    SELECT c.vec_id AS id,
+        |      round(list_reduce(list_transform(range(1, len(q.qv) + 1),
+        |              i -> q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE),
+        |            (x, y) -> x + y) / (q.qn * c.nrm), 6) AS rel,
+        |      c.embedding AS cv, c.nrm AS cn
+        |    FROM v c, q WHERE c.vec_id <> q.qid)
+        |  ORDER BY rel DESC, id LIMIT 20),
+        |ps AS (
+        |  SELECT a.id AS a, b.id AS b,
+        |    round(list_reduce(list_transform(range(1, len(a.cv) + 1),
+        |            i -> a.cv[i]::DOUBLE * b.cv[i]::DOUBLE),
+        |          (x, y) -> x + y) / (a.cn * b.cn), 6) AS s
+        |  FROM pool a JOIN pool b ON a.id <> b.id),
+        |s1 AS (SELECT id, 1 AS rank, rel,
+        |    round(0.7::DOUBLE * rel
+        |      - (1.0::DOUBLE - 0.7::DOUBLE) * 0.0::DOUBLE, 6) AS score
+        |  FROM pool ORDER BY 0.7::DOUBLE * rel
+        |      - (1.0::DOUBLE - 0.7::DOUBLE) * 0.0::DOUBLE DESC, id LIMIT 1),
+        |${mmrRound(2)},
+        |${mmrRound(3)},
+        |${mmrRound(4)},
+        |${mmrRound(5)}
+        |SELECT id, rank, rel, score FROM s1
+        |UNION ALL SELECT id, rank, rel, score FROM s2
+        |UNION ALL SELECT id, rank, rel, score FROM s3
+        |UNION ALL SELECT id, rank, rel, score FROM s4
+        |UNION ALL SELECT id, rank, rel, score FROM s5""".stripMargin
+    },
 
     // s1's ranking CTE restricted to cross-class pairs
     "x80_hard_negatives" ->

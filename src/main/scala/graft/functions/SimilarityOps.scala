@@ -71,6 +71,60 @@ object SimilarityOps {
         col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("sim"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversified top-k every retrieval stack wants between ANN
+    * recall and the consumer: greedily pick
+    *
+    *   argmax_c  λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+    *
+    * k times over a relevance-top-`pool` candidate set. The expensive
+    * part (corpus → pool) is exactly [[bruteTopK]]'s broadcast-query /
+    * streamed-corpus scan; everything after — the pool×pool similarity
+    * matrix and k greedy rounds of equi-joins — is pool²-sized (400
+    * rows at pool = 20), so the sequential greed never touches the
+    * corpus. Ties break to the smaller id (the portable min-struct
+    * argmax); round 1 has no selected set, so its diversity term is 0
+    * and the top-relevance candidate opens the list. */
+  def mmrRerank(vecs: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, pool: Int = 20, k: Int = 5,
+                lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && k <= pool, s"k=$k must be in [1, pool=$pool]")
+    val v = withNorm(vecs, vecCol)
+    val q = v.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("nrm").as("qn"))
+    val rel = v.join(broadcast(q), col(idCol) =!= col("qid"))
+      .select(col(idCol).as("id"), col(vecCol).as("cv"), col("nrm").as("cn"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("rel"))
+      .orderBy(col("rel").desc, col("id").asc).limit(pool)
+      .localCheckpoint(false) // pool feeds k rounds + the pair matrix
+    val pa = rel.select(col("id").as("a"), col("cv").as("av"), col("cn").as("an"))
+    val pb = rel.select(col("id").as("b"), col("cv").as("bv"), col("cn").as("bn"))
+    val psym = pa.join(pb, col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        cosine(col("av"), col("bv"), col("an"), col("bn")).as("s"))
+      .localCheckpoint(false)
+    val cand = rel.select("id", "rel")
+    var selected = cand
+      .select(col("id"), lit(0).as("rank"), col("rel"), col("rel").as("score"))
+      .limit(0)
+    for (r <- 1 to k) {
+      val rem = cand.join(selected.select("id"), Seq("id"), "left_anti")
+      val div = psym
+        .join(selected.select(col("id").as("b")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(max("s").as("dv"))
+      val pick = rem.join(div, Seq("id"), "left")
+        .select(col("id"), col("rel"),
+          (lit(lambda) * col("rel") -
+            lit(1.0 - lambda) * coalesce(col("dv"), lit(0.0))).as("sc"))
+        .agg(min(struct((-col("sc")).as("ns"), col("id").as("id"),
+          col("rel").as("rel"), col("sc").as("sc"))).as("p"))
+        .select(col("p.id").as("id"), lit(r).as("rank"),
+          col("p.rel").as("rel"), round(col("p.sc"), 6).as("score"))
+      selected = selected.unionByName(pick).localCheckpoint(false)
+    }
+    selected
+  }
+
   /** Hard-negative mining for contrastive/metric learning: for each
     * query vector, the top-k most cosine-similar vectors of a DIFFERENT
     * class — the "confusable but wrong" examples a triplet or InfoNCE
