@@ -3359,6 +3359,24 @@ object SparkEntry {
     // per-community contributions divide the same way. Labels join the
     // edge list twice (both endpoints) and the degree table once —
     // all node-keyed equi joins
+    // weakly connected components of the (≥2) co-purchase graph — the
+    // graph-family face of the d7 machinery (same library operator,
+    // same min-reachable-id labels): which parts trade together AT ALL,
+    // before LPA asks how they cluster. Nodes = edge-touched parts
+    "g11_components" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+      val co = e.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(e.select(col("l_orderkey").as("ok2"), col("l_partkey").as("b")),
+          col("l_orderkey") === col("ok2") && col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("nco"))
+        .filter(col("nco") >= 2).select("a", "b")
+        .localCheckpoint(false)
+      val nodes = co.select(col("a").as("part"))
+        .unionByName(co.select(col("b").as("part"))).distinct()
+      graft.functions.DedupOps.connectedComponents(nodes, co)
+        .select(col("part"), col("cluster_id").as("component_id"))
+    }),
+
     "g10_modularity" -> ((s, dir) => {
       val e = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
       // the co-occurrence self-join feeds LPA, the degree table and
@@ -7525,6 +7543,23 @@ object SparkEntry {
         |${round("l2", "v3", "l3")}
         |SELECT node AS part, label AS community FROM l3""".stripMargin
     },
+
+    // min-reachable-id per node via the recursive closure (the d7 rule)
+    "g11_components" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |co AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM e a JOIN e b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT a AS s, b AS d FROM co UNION SELECT b, a FROM co),
+        |nodes AS (SELECT DISTINCT s AS node FROM sym),
+        |reach AS (
+        |  SELECT node, node AS r FROM nodes
+        |  UNION
+        |  SELECT e2.s, reach.r FROM sym e2 JOIN reach ON reach.node = e2.d)
+        |SELECT node AS part, min(r)::BIGINT AS component_id
+        |FROM reach GROUP BY 1""".stripMargin,
 
     // the g6 LPA replay + exact-integer modularity
     // (4m·Σe_c − Σd_c²)/4m² — one division, no float-order fork
