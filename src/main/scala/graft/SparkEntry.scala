@@ -4360,6 +4360,19 @@ object SparkEntry {
       Classifier.isotonicCalibration(stats, "bucket", "n", "pos")
     }),
 
+    // exact ROC AUC of the LR scorer — the ranking-quality scalar next
+    // to c9's calibration pair: U/(n₁n₀) on the micro-unit score
+    // histogram with doubled average ranks (ties at half credit);
+    // exact integers until ONE division
+    "c10_auc" -> ((s, dir) => {
+      val scored = Classifier.fitScore(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("label") < 5, iters = LrIters, lr = LrStep,
+        threshold = LrThreshold)
+      val y = Tables.embeddings(s, dir).select(col("vec_id"),
+        (col("label") < 5).cast("int").as("y"))
+      Classifier.aucFromScores(scored.join(y, "vec_id"), "score", "y")
+    }),
+
     // Brier score + expected calibration error — the two scalar
     // calibration numbers over the SAME scored rows c7/c8 bucket.
     // Brier from exact micro-unit integers ((su − y·10⁶)² summed as
@@ -8916,6 +8929,23 @@ object SparkEntry {
         |  round(s.pos::DOUBLE / s.n::DOUBLE, 6) AS pos_rate,
         |  round(iso.iso, 6) AS iso_rate
         |FROM stats s JOIN iso USING (bucket)""".stripMargin,
+
+    // rank-sum AUC on the doubled-rank histogram; exact ints, one division
+    "c10_auc" ->
+      s"""WITH ${lrCtes(LrIters, LrStep)},
+        |r0 AS (SELECT round(s.score * 1000000)::BIGINT AS su, v.y
+        |  FROM scored s JOIN v ON v.vid = s.vec_id),
+        |h AS (SELECT su, sum(y)::BIGINT AS c1, sum(1 - y)::BIGINT AS c0
+        |  FROM r0 GROUP BY 1),
+        |rk AS (SELECT c1, c0,
+        |    2 * (sum(c1 + c0) OVER (ORDER BY su ASC) - c1 - c0)
+        |      + (c1 + c0) + 1 AS dr
+        |  FROM h)
+        |SELECT sum(c1)::BIGINT AS n1, sum(c0)::BIGINT AS n0,
+        |  round((sum(c1::HUGEINT * dr)::DOUBLE
+        |      - sum(c1)::DOUBLE * (sum(c1) + 1)::DOUBLE) /
+        |    (2.0 * sum(c1)::DOUBLE * sum(c0)::DOUBLE), 6) AS auc
+        |FROM rk""".stripMargin,
 
     // Brier from exact micro-unit squares; ECE numerator telescoped to
     // the exact integer |pos·10⁶ − Σsu| per bucket

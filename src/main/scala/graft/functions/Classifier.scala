@@ -119,6 +119,40 @@ object Classifier {
     logisticScore(vecs, idCol, vecCol,
       logisticFit(vecs, vecCol, labelExpr, iters, lr), threshold)
 
+  /** Exact ROC AUC via the rank-sum identity AUC = U / (n₁·n₀) — the
+    * probability a random positive outscores a random negative, with
+    * ties at half credit. Computed on the micro-unit score HISTOGRAM
+    * with DOUBLED average ranks (the mannWhitney discipline): every
+    * quantity is an exact integer until the single final division, so
+    * the number cannot fork on float order. The window runs over
+    * |distinct scores| rows, never raw rows. */
+  def aucFromScores(scored: DataFrame, scoreCol: String,
+                    labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = scored
+      .select(round(col(scoreCol) * 1e6).cast("long").as("su"),
+        col(labelCol).cast("int").as("y"))
+      .groupBy("su").agg(
+        sum("y").cast("long").as("c1"),
+        sum(lit(1) - col("y")).cast("long").as("c0"))
+    val w = Window.orderBy(col("su").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // doubled average rank of a tie block = 2·(ranks before) + cnt + 1
+    val ranked = h
+      .withColumn("cumall", sum(col("c1") + col("c0")).over(w))
+      .select(col("c1"), col("c0"),
+        (lit(2L) * (col("cumall") - col("c1") - col("c0")) +
+          (col("c1") + col("c0")) + lit(1L)).as("dr"))
+    ranked.agg(
+        sum("c1").as("n1"), sum("c0").as("n0"),
+        sum(col("c1").cast("decimal(38,0)") * col("dr")).as("r1d"))
+      .select(col("n1"), col("n0"),
+        round((col("r1d").cast("double") -
+            col("n1").cast("double") * (col("n1") + 1L).cast("double")) /
+          (lit(2.0) * col("n1").cast("double") * col("n0").cast("double")), 6)
+          .as("auc"))
+  }
+
   /** Isotonic (PAVA) calibration over score buckets, via the minimax
     * identity instead of the sequential pool-adjacent-violators stack:
     *

@@ -131,6 +131,21 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("AUC: perfect separation = 1, all-tied scores = 0.5, hand case exact") {
+    val s = spark
+    import s.implicits._
+    def auc(rows: Seq[(Double, Int)]): Double =
+      Classifier.aucFromScores(rows.toDF("score", "y"), "score", "y")
+        .collect().head.getDouble(2)
+    assert(auc(Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))) == 1.0)
+    assert(auc(Seq((0.5, 1), (0.5, 1), (0.5, 0), (0.5, 0))) == 0.5)
+    assert(auc(Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1))) == 0.0)
+    // positives {0.8, 0.4}, negatives {0.6, 0.2}: pairs won = 3 of 4
+    assert(auc(Seq((0.8, 1), (0.4, 1), (0.6, 0), (0.2, 0))) == 0.75)
+    // one tie across classes at 0.6 → half credit: (2 + 0.5 + 1)/4
+    assert(auc(Seq((0.8, 1), (0.6, 1), (0.6, 0), (0.2, 0))) == 0.875)
+  }
+
   test("isotonic minimax pools adjacent violators exactly like PAVA") {
     val s = spark
     import s.implicits._
