@@ -1625,6 +1625,43 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_guess"))),
 
+    // collocations by Dunning's log-likelihood ratio (1993) — the
+    // bigram association test that stays sane at low counts where PMI
+    // explodes: G² = 2·ΣO·ln(O·N/(R·C)) over the 2×2 contingency of
+    // (first-word, second-word) position marginals. Every count is an
+    // exact integer; each term is O·(lnO + lnN − lnR − lnC), the
+    // log-sum form that never multiplies two corpus-sized numbers
+    // (N·O would pass 2^53 long before the sums do). One (w1, w2)
+    // aggregation + two marginal aggs; the ≥5 floor prunes before the
+    // marginal joins; top-15 via TakeOrderedAndProject
+    "t32_collocations" -> ((s, dir) => {
+      val pairs = Tables.documents(s, dir)
+        .select(TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(DedupOps.shingles(col("t"), 2)).as("bg"))
+        .select(split(col("bg"), " ").getItem(0).as("w1"),
+          split(col("bg"), " ").getItem(1).as("w2"))
+      val k = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("k11"))
+        .filter(col("k11") >= 5)
+      val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val c2 = pairs.groupBy("w2").agg(count(lit(1)).as("c2"))
+      val n = pairs.agg(count(lit(1)).as("n"))
+      def term(o: Column, r: Column, c: Column): Column =
+        when(o > 0, o.cast("double") *
+          (log(o.cast("double")) + log(col("n").cast("double")) -
+            log(r.cast("double")) - log(c.cast("double")))).otherwise(0.0)
+      k.join(c1, "w1").join(c2, "w2").crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("k11").as("cnt"),
+          round(lit(2.0) * (
+            term(col("k11"), col("c1"), col("c2")) +
+            term(col("c1") - col("k11"), col("c1"), col("n") - col("c2")) +
+            term(col("c2") - col("k11"), col("n") - col("c1"), col("c2")) +
+            term(col("n") - col("c1") - col("c2") + col("k11"),
+              col("n") - col("c1"), col("n") - col("c2"))), 4).as("g2"))
+        .orderBy(col("g2").desc, col("w1").asc, col("w2").asc)
+        .limit(15)
+    }),
+
     // confusion matrix of t1's detector against the stored lang labels
     // — the eval harness face of langId: (truth, guess, n, share of
     // the truth row). One (lang, guess) aggregation; the per-truth
@@ -5871,6 +5908,39 @@ object SparkEntry {
       s"""SELECT doc_id,
         |  $langGuessSql AS lang_guess
         |FROM documents""".stripMargin,
+
+    // identical log-sum term shape; counts exact, one ln per factor
+    "t32_collocations" ->
+      s"""WITH $toksSql,
+        |bg AS (SELECT unnest(CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+        |    ELSE [] END) AS bg
+        |  FROM toks),
+        |pairs AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |    string_split(bg, ' ')[2] AS w2 FROM bg),
+        |k AS (SELECT w1, w2, count(*)::BIGINT AS k11 FROM pairs
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |m1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM pairs GROUP BY 1),
+        |m2 AS (SELECT w2, count(*)::BIGINT AS c2 FROM pairs GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM pairs),
+        |sc AS (SELECT k.w1, k.w2, k.k11 AS cnt,
+        |    round(2.0::DOUBLE * (
+        |      (CASE WHEN k11 > 0 THEN k11::DOUBLE *
+        |        (ln(k11::DOUBLE) + ln(n::DOUBLE) - ln(c1::DOUBLE) - ln(c2::DOUBLE))
+        |        ELSE 0.0 END) +
+        |      (CASE WHEN c1 - k11 > 0 THEN (c1 - k11)::DOUBLE *
+        |        (ln((c1 - k11)::DOUBLE) + ln(n::DOUBLE) - ln(c1::DOUBLE)
+        |         - ln((n - c2)::DOUBLE)) ELSE 0.0 END) +
+        |      (CASE WHEN c2 - k11 > 0 THEN (c2 - k11)::DOUBLE *
+        |        (ln((c2 - k11)::DOUBLE) + ln(n::DOUBLE) - ln((n - c1)::DOUBLE)
+        |         - ln(c2::DOUBLE)) ELSE 0.0 END) +
+        |      (CASE WHEN n - c1 - c2 + k11 > 0 THEN (n - c1 - c2 + k11)::DOUBLE *
+        |        (ln((n - c1 - c2 + k11)::DOUBLE) + ln(n::DOUBLE)
+        |         - ln((n - c1)::DOUBLE) - ln((n - c2)::DOUBLE)) ELSE 0.0 END)
+        |    ), 4) AS g2
+        |  FROM k JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nn)
+        |SELECT w1, w2, cnt, g2 FROM sc
+        |ORDER BY g2 DESC, w1 ASC, w2 ASC LIMIT 15""".stripMargin,
 
     "t31_langid_eval" ->
       s"""WITH g AS (SELECT lang, $langGuessSql AS lang_guess FROM documents),
