@@ -1875,6 +1875,41 @@ object SparkEntry {
         .select("user_id", "rnk", "event_id", "value")
     }),
 
+    // winsorized per-type value stats — x34's MAD flags outliers, this
+    // NEUTRALIZES them: clamp at the exact p05/p95 DATA values (disc
+    // rule: smallest micro value whose cumulative count reaches the
+    // rank threshold, cum·20 ≥ k·N in pure integers — no interpolated
+    // double ever enters the sums) and report the tamed mean next to
+    // the raw one. Histogram + cumulative window (the x51 discipline:
+    // windows over |distinct values| rows), boundaries broadcast back,
+    // exact micro sums, one division per stat
+    "x121_winsorize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = ev(s, dir).select(col("event_type"),
+        round(col("value") * 1e6).cast("long").as("mu"))
+      val hist = v.groupBy("event_type", "mu").agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy("event_type").orderBy(col("mu").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum("c").over(wc))
+        .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+      val bounds = cum.groupBy("event_type").agg(
+        min(when(col("cum") * 20 >= col("n"), col("mu"))).as("lo"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("mu"))).as("hi"),
+        first("n").as("n"))
+      v.join(broadcast(bounds), "event_type")
+        .select(col("event_type"), col("n"), col("lo"), col("hi"), col("mu"),
+          greatest(col("lo"), least(col("hi"), col("mu"))).as("wmu"))
+        .groupBy("event_type")
+        .agg(first("n").as("n"),
+          round(first("lo").cast("double") / 1e6, 6).as("p05"),
+          round(first("hi").cast("double") / 1e6, 6).as("p95"),
+          round(sum("mu").cast("double") / first("n") / 1e6, 6).as("mean_raw"),
+          round(sum("wmu").cast("double") / first("n") / 1e6, 6)
+            .as("mean_winsorized"),
+          sum(when(col("mu") =!= col("wmu"), 1L).otherwise(0L)).as("n_clamped"))
+    }),
+
     // the rest of the rank-function surface in one query: rank /
     // dense_rank with REAL ties (centi-value), percent_rank, cume_dist,
     // and the per-user top value via a frame max — all six share the
@@ -6205,6 +6240,31 @@ object SparkEntry {
         |                       ORDER BY value DESC, event_id ASC) AS rnk
         |  FROM events)
         |WHERE rnk <= 3""".stripMargin,
+
+    // disc-rule boundaries in pure integers; clamp then exact sums
+    "x121_winsorize" ->
+      s"""WITH $evSql,
+        |v AS (SELECT event_type, round(value * 1000000)::BIGINT AS mu FROM ev),
+        |h AS (SELECT event_type, mu, count(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+        |cm AS (SELECT event_type, mu, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY mu ASC)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY event_type)::BIGINT AS n
+        |  FROM h),
+        |b AS (SELECT event_type,
+        |    min(CASE WHEN cum * 20 >= n THEN mu END)::BIGINT AS lo,
+        |    min(CASE WHEN cum * 20 >= n * 19 THEN mu END)::BIGINT AS hi,
+        |    first(n)::BIGINT AS n
+        |  FROM cm GROUP BY 1),
+        |w AS (SELECT v.event_type, b.n, b.lo, b.hi, v.mu,
+        |    greatest(b.lo, least(b.hi, v.mu)) AS wmu
+        |  FROM v JOIN b USING (event_type))
+        |SELECT event_type, first(n)::BIGINT AS n,
+        |  round(first(lo)::DOUBLE / 1e6, 6) AS p05,
+        |  round(first(hi)::DOUBLE / 1e6, 6) AS p95,
+        |  round(sum(mu)::DOUBLE / first(n) / 1e6, 6) AS mean_raw,
+        |  round(sum(wmu)::DOUBLE / first(n) / 1e6, 6) AS mean_winsorized,
+        |  sum(CASE WHEN mu <> wmu THEN 1 ELSE 0 END)::BIGINT AS n_clamped
+        |FROM w GROUP BY 1""".stripMargin,
 
     // one sort serves every rank flavor; centi-value keys make ties real
     "x119_window_suite" ->
