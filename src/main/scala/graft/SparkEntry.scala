@@ -4637,6 +4637,29 @@ object SparkEntry {
           .select(explode(TextAnalysis.tokens(col("text"))).as("w")),
         "w", depth = 4, width = 64, topN = 5)),
 
+    // sample-ratio-mismatch guard for the x48 experiment — the FIRST
+    // check any A/B readout should gate on: if the 50/50 hash split's
+    // USER counts drift, every downstream lift/t/U number is suspect.
+    // χ² = (na−nb)²/(na+nb) on distinct users per arm (exact integers,
+    // one division), flagged at the 0.05 critical value 3.841
+    "x122_ab_srm" -> ((s, dir) => {
+      val armed = ev(s, dir).select(col("user_id"),
+        when(Sampling.hashBucket(
+          concat(col("user_id").cast("string"), lit(":ab")), 2) === 0, "A")
+          .otherwise("B").as("arm"))
+        .distinct()
+      armed.groupBy("arm").agg(count(lit(1)).as("n"))
+        .agg(
+          sum(when(col("arm") === "A", col("n")).otherwise(0L)).as("na"),
+          sum(when(col("arm") === "B", col("n")).otherwise(0L)).as("nb"))
+        .select(col("na"), col("nb"),
+          round((col("na") - col("nb")).cast("double") *
+            (col("na") - col("nb")).cast("double") /
+            (col("na") + col("nb")).cast("double"), 6).as("chi2"),
+          ((col("na") - col("nb")) * (col("na") - col("nb")) * lit(1000000L) >
+            lit(3841459L) * (col("na") + col("nb"))).as("srm_flag"))
+    }),
+
     // Welch's unequal-variance t per metric over the x48 arm split —
     // the experiment readout that stays honest when A and B have
     // different spreads. Same one-pass sufficient-statistics shape as
@@ -7968,6 +7991,23 @@ object SparkEntry {
         |    nullif(sqrt((sv2a / na - pow(sva / na, 2)) / na
         |       + (sv2b / nb - pow(svb / nb, 2)) / nb), 0), 4) AS z
         |FROM a JOIN b USING (event_type)""".stripMargin,
+
+    // χ² flag via integer cross-multiplication (3.841459 scaled ×10⁶)
+    "x122_ab_srm" ->
+      s"""WITH $evSql,
+        |armed AS (SELECT DISTINCT user_id,
+        |  CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || ':ab'), 1, 15))::BIGINT
+        |            % 2 = 0
+        |       THEN 'A' ELSE 'B' END AS arm FROM ev),
+        |c AS (SELECT
+        |    sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS nb
+        |  FROM armed)
+        |SELECT na, nb,
+        |  round((na - nb)::DOUBLE * (na - nb)::DOUBLE / (na + nb)::DOUBLE, 6)
+        |    AS chi2,
+        |  (na - nb) * (na - nb) * 1000000 > 3841459 * (na + nb) AS srm_flag
+        |FROM c""".stripMargin,
 
     // same sufficient statistics as x48; SAMPLE (n−1) variances feed
     // both t and the Welch–Satterthwaite df
