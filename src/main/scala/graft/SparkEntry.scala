@@ -1360,6 +1360,38 @@ object SparkEntry {
     // read the history table exists to serve. Users whose first change
     // postdates the cutoff simply have no row — exactly the latest-
     // per-key view over the truncated changelog
+    // BITEMPORAL as-of: "what was the user's state at VALID time V, as
+    // the system KNEW it at ingestion point E" — k5's one-axis as-of
+    // extended with the transaction axis (event_id as ingestion order).
+    // Three probes scan the two dimensions: same V at two knowledge
+    // points shows late-arriving corrections appearing; the whole
+    // readout is one broadcast of 3 probe rows + one max_by aggregate
+    // over the filtered fact — no window, no per-probe re-scan
+    "k6_bitemporal" -> ((s, dir) => {
+      val base = 1704067200L
+      val mid = ev(s, dir)
+        .agg(((min("event_id") + max("event_id")) / 2).cast("long").as("e_mid"),
+          max("event_id").as("e_max"))
+      val probes = mid.select(explode(array(
+          struct(lit(1).as("probe_id"), lit(base + 5 * 86400).as("v"),
+            col("e_mid").as("e")),
+          struct(lit(2).as("probe_id"), lit(base + 10 * 86400).as("v"),
+            col("e_mid").as("e")),
+          struct(lit(3).as("probe_id"), lit(base + 10 * 86400).as("v"),
+            col("e_max").as("e")))).as("p"))
+        .select("p.probe_id", "p.v", "p.e")
+      ev(s, dir)
+        .select("user_id", "event_id", "ts_sec", "event_type")
+        .crossJoin(broadcast(probes))
+        .filter(col("ts_sec") <= col("v") && col("event_id") <= col("e"))
+        .groupBy("probe_id", "user_id")
+        .agg(max(struct(col("ts_sec"), col("event_id"), col("event_type")))
+          .as("b"))
+        .select(col("probe_id"), col("user_id"),
+          col("b.event_type").as("known_state"),
+          col("b.ts_sec").as("valid_ts"), col("b.event_id").as("txn_id"))
+    }),
+
     "k5_scd2_asof" -> ((s, dir) => {
       val t = lit(1704067200L + 10 * 86400)
       Changelog.scd2(ev(s, dir), Seq("user_id"), col("event_type"),
@@ -1624,6 +1656,38 @@ object SparkEntry {
     "t1_langid" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_guess"))),
+
+    // Luhn-style extractive summary: top-2 sentences per doc by total
+    // doc-level term frequency — the cheap "what is this document
+    // about" proxy a curation pipeline runs before paying for an
+    // abstractive model. Sentence split on terminal-punct+space (RE2-
+    // compatible, no lookbehind); scores are exact integer Σtf; ties
+    // break to the EARLIER sentence. Doc-keyed exchanges only; the
+    // rank window runs over sentence counts, never tokens
+    "t33_extractive" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val sent = docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "[.!?]+\\s+")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"),
+          col("col").as("sentence"))
+        .filter(length(trim(col("sentence"))) > 0)
+      val tf = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      val stok = sent.select(col("doc_id"), col("pos"),
+        explode(TextAnalysis.tokens(col("sentence"))).as("w"))
+      val score = stok.join(tf, Seq("doc_id", "w"))
+        .groupBy("doc_id", "pos").agg(sum("cnt").as("score"))
+      sent.join(score, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("score"), lit(0L)).as("score"), col("sentence"))
+        .withColumn("rank", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("pos").asc)))
+        .filter(col("rank") <= 2)
+        .select("doc_id", "rank", "pos", "score", "sentence")
+    }),
 
     // collocations by Dunning's log-likelihood ratio (1993) — the
     // bigram association test that stays sane at low counts where PMI
@@ -5441,6 +5505,27 @@ object SparkEntry {
         |FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)""".stripMargin,
 
     // k4's interval table filtered at the cutoff instant (half-open)
+    // the same max_by argmax over both time axes
+    "k6_bitemporal" ->
+      s"""WITH $evSql,
+        |mid AS (SELECT ((min(event_id) + max(event_id)) // 2)::BIGINT AS e_mid,
+        |    max(event_id)::BIGINT AS e_max FROM ev),
+        |probes AS (
+        |  SELECT 1 AS probe_id, ${1704067200L + 5 * 86400} AS v, e_mid AS e FROM mid
+        |  UNION ALL
+        |  SELECT 2, ${1704067200L + 10 * 86400}, e_mid FROM mid
+        |  UNION ALL
+        |  SELECT 3, ${1704067200L + 10 * 86400}, e_max FROM mid),
+        |f AS (SELECT p.probe_id, ev.user_id, ev.ts_sec, ev.event_id,
+        |    ev.event_type
+        |  FROM ev CROSS JOIN probes p
+        |  WHERE ev.ts_sec <= p.v AND ev.event_id <= p.e),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY probe_id, user_id
+        |    ORDER BY ts_sec DESC, event_id DESC) AS rn FROM f)
+        |SELECT probe_id, user_id, event_type AS known_state,
+        |  ts_sec AS valid_ts, event_id AS txn_id
+        |FROM rk WHERE rn = 1""".stripMargin,
+
     "k5_scd2_asof" ->
       s"""WITH $evSql,
         |r AS (SELECT user_id, event_type, ts_sec,
@@ -5966,6 +6051,36 @@ object SparkEntry {
       s"""SELECT doc_id,
         |  $langGuessSql AS lang_guess
         |FROM documents""".stripMargin,
+
+    // same split regex, same integer Σtf scores, same earlier-wins tie
+    "t33_extractive" ->
+      s"""WITH $toksSql,
+        |sp AS (SELECT doc_id,
+        |    regexp_split_to_array(text, '[.!?]+\\s+') AS arr
+        |  FROM documents),
+        |sent0 AS (SELECT doc_id,
+        |    unnest(list_filter(
+        |      list_transform(range(1, len(arr) + 1),
+        |        i -> struct_pack(pos := i, sentence := arr[i])),
+        |      st -> trim(st.sentence) <> '')) AS st
+        |  FROM sp),
+        |sent AS (SELECT doc_id, st.pos AS pos, st.sentence AS sentence
+        |  FROM sent0),
+        |tf AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |tfc AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM tf GROUP BY 1, 2),
+        |stok AS (SELECT doc_id, pos,
+        |    unnest(list_filter(regexp_split_to_array(lower(sentence), '\\W+'),
+        |      x -> x <> '')) AS w
+        |  FROM sent),
+        |sc AS (SELECT s.doc_id, s.pos, sum(t.cnt)::BIGINT AS score
+        |  FROM stok s JOIN tfc t ON t.doc_id = s.doc_id AND t.w = s.w
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT sent.doc_id, sent.pos,
+        |    coalesce(sc.score, 0)::BIGINT AS score, sent.sentence,
+        |    row_number() OVER (PARTITION BY sent.doc_id
+        |      ORDER BY coalesce(sc.score, 0) DESC, sent.pos ASC) AS rank
+        |  FROM sent LEFT JOIN sc USING (doc_id, pos))
+        |SELECT doc_id, rank, pos, score, sentence FROM rk WHERE rank <= 2""".stripMargin,
 
     // identical log-sum term shape; counts exact, one ln per factor
     "t32_collocations" ->
