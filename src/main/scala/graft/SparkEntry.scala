@@ -2793,6 +2793,21 @@ object SparkEntry {
           .select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
         .select("doc_id", "source", "n_chars")),
 
+    // d12's keep decision with a QUALITY rule instead of min-id: the
+    // longest doc per near-dup cluster survives (n_chars desc, doc_id
+    // asc tie) — the policy real curation runs use, since the min-id
+    // pick discards the richest copy whenever a truncated dup sorts
+    // first. Same shared dedupClusters chain; one cluster-keyed argmax
+    "d26_keep_best" -> ((s, dir) =>
+      dedupClusters(s, dir)
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nd"))).as("b"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("b.nd")).as("kept_doc"), col("b.nc").as("kept_chars"))),
+
     // dedup savings readout: per source, corpus size before vs after the
     // d12 keep decision (docs and chars) and the fractional savings —
     // the number a curation run actually reports. Two source-keyed
@@ -3251,6 +3266,83 @@ object SparkEntry {
     // is ONE rounded division per (conversion, touch) pair, so the
     // per-channel micro-credit totals are engine-exact; the pair join is
     // per-user (bounded by a user's events), never cross-user
+    // U-shaped (position-based) multi-touch attribution — the third
+    // standard model beside x57's last-touch and x95's time-decay:
+    // first and last touch take 4000 basis points each, the middles
+    // split 2000 exactly (integer division, remainder to the EARLIEST
+    // middles — the x68 exact-split discipline, so every conversion's
+    // credits sum to precisely 10000). One conversion-keyed window
+    // orders the touches; channel totals are exact integer bps
+    "x123_ushape_attribution" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val conv = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("cu"), col("event_id").as("conv_id"),
+          col("ts_sec").as("cts"))
+      val touch = e.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("tu"), col("event_type").as("channel"),
+          col("ts_sec").as("tts"), col("event_id").as("tid"))
+      val w = Window.partitionBy("conv_id")
+      val ordered = conv.join(touch, col("cu") === col("tu") &&
+          col("tts") <= col("cts") &&
+          col("cts") - col("tts") < lit(30L * 86400))
+        .withColumn("idx", row_number().over(
+          w.orderBy(col("tts").asc, col("tid").asc)))
+        .withColumn("n", count(lit(1)).over(w))
+      ordered
+        .withColumn("bps",
+          when(col("n") === 1, 10000L)
+            .when(col("n") === 2, 5000L)
+            .when(col("idx") === 1 || col("idx") === col("n"), 4000L)
+            .otherwise(expr("2000 div (n - 2)") +
+              when(col("idx") - 2 < expr("2000 % (n - 2)"), 1L).otherwise(0L)))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_touches"), sum("bps").as("total_bps"))
+    }),
+
+    // CUPED variance reduction (Deng et al. 2013) — the experiment
+    // readout after x122's SRM gate: adjust each user's post-period
+    // metric by θ·(pre-period − mean) with θ = cov(X,Y)/var(X), which
+    // strips pre-existing user variance out of the arm comparison.
+    // θ's numerator and denominator are EXACT decimal sums
+    // (n·Σxy − ΣxΣy over n·Σx² − (Σx)²) — one division; the per-arm
+    // CUPED means are closed-form over exact per-arm sums. One
+    // user-keyed aggregation of the fact table, then arm-count rows
+    "x124_cuped" -> ((s, dir) => {
+      val base = 1704067200L
+      val cut = base + 10 * 86400
+      val per = ev(s, dir)
+        .select(col("user_id"),
+          when(col("ts_sec") < cut, round(col("value") * 1e6).cast("long"))
+            .otherwise(0L).as("xv"),
+          when(col("ts_sec") >= cut, round(col("value") * 1e6).cast("long"))
+            .otherwise(0L).as("yv"))
+        .groupBy("user_id")
+        .agg(sum("xv").as("x"), sum("yv").as("y"))
+        .withColumn("arm",
+          when(Sampling.hashBucket(
+            concat(col("user_id").cast("string"), lit(":ab")), 2) === 0, "A")
+            .otherwise("B"))
+      val g = per.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      val theta = g.select(col("n"), col("sx"),
+        ((col("n").cast("decimal(38,0)") * col("sxy") -
+          col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+          (col("n").cast("decimal(38,0)") * col("sxx") -
+            col("sx").cast("decimal(38,0)") * col("sx")).cast("double"))
+          .as("theta"))
+      per.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), sum("x").as("ax"), sum("y").as("ay"))
+        .crossJoin(broadcast(theta))
+        .select(col("arm"), col("n_users"),
+          round(col("ay").cast("double") / col("n_users") / 1e6, 6)
+            .as("mean_raw"),
+          round((col("ay").cast("double") / col("n_users") -
+            col("theta") * (col("ax").cast("double") / col("n_users") -
+              col("sx").cast("double") / col("n"))) / 1e6, 6).as("mean_cuped"),
+          round(col("theta"), 6).as("theta"))
+    }),
+
     "x95_decay_attribution" -> ((s, dir) => {
       val e = ev(s, dir)
       val conv = e.filter(col("event_type") === "purchase")
@@ -6777,6 +6869,21 @@ object SparkEntry {
         |FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
         |WHERE c.doc_id = c.cluster_id""".stripMargin,
 
+    // longest-survivor keep rule on the same recursive clusters
+    "d26_keep_best" ->
+      s"""WITH RECURSIVE $ccReachSql,
+        |clusters AS (
+        |  SELECT node AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY 1),
+        |jm AS (SELECT c.cluster_id, c.doc_id, d.n_chars
+        |  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |  FROM jm)
+        |SELECT cluster_id, n_members::BIGINT AS n_members,
+        |  doc_id AS kept_doc, n_chars AS kept_chars
+        |FROM rk WHERE rn = 1""".stripMargin,
+
     // the d12 keep decision rolled up to the per-source before/after
     // report; shares ccReachSql so the savings cannot describe a
     // different dedup than d12 ships
@@ -8106,6 +8213,60 @@ object SparkEntry {
         |    nullif(sqrt((sv2a / na - pow(sva / na, 2)) / na
         |       + (sv2b / nb - pow(svb / nb, 2)) / nb), 0), 4) AS z
         |FROM a JOIN b USING (event_type)""".stripMargin,
+
+    // exact integer bps split: 4000/4000 ends, middles 2000 div (n−2)
+    // with the remainder to the earliest
+    "x123_ushape_attribution" ->
+      s"""WITH $evSql,
+        |conv AS (SELECT user_id AS cu, event_id AS conv_id, ts_sec AS cts
+        |  FROM ev WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id AS tu, event_type AS channel,
+        |    ts_sec AS tts, event_id AS tid
+        |  FROM ev WHERE event_type <> 'purchase'),
+        |j AS (SELECT c.conv_id, t.channel, t.tts, t.tid
+        |  FROM conv c JOIN touch t ON t.tu = c.cu
+        |  WHERE t.tts <= c.cts AND c.cts - t.tts < ${30L * 86400}),
+        |o AS (SELECT *, row_number() OVER (PARTITION BY conv_id
+        |    ORDER BY tts ASC, tid ASC) AS idx,
+        |    count(*) OVER (PARTITION BY conv_id) AS n
+        |  FROM j)
+        |SELECT channel, count(*)::BIGINT AS n_touches,
+        |  sum(CASE WHEN n = 1 THEN 10000
+        |    WHEN n = 2 THEN 5000
+        |    WHEN idx = 1 OR idx = n THEN 4000
+        |    ELSE 2000 // (n - 2)
+        |      + (CASE WHEN idx - 2 < 2000 % (n - 2) THEN 1 ELSE 0 END)
+        |    END)::BIGINT AS total_bps
+        |FROM o GROUP BY 1""".stripMargin,
+
+    // θ from exact HUGEINT sums; per-arm CUPED means closed-form
+    "x124_cuped" ->
+      s"""WITH $evSql,
+        |per AS (SELECT user_id,
+        |    sum(CASE WHEN ts_sec < ${1704067200L + 10 * 86400}
+        |      THEN round(value * 1000000)::BIGINT ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN ts_sec >= ${1704067200L + 10 * 86400}
+        |      THEN round(value * 1000000)::BIGINT ELSE 0 END)::BIGINT AS y,
+        |    CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || ':ab'), 1, 15))::BIGINT
+        |              % 2 = 0
+        |         THEN 'A' ELSE 'B' END AS arm
+        |  FROM ev GROUP BY user_id),
+        |g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x::HUGEINT * y) AS sxy,
+        |    sum(x::HUGEINT * x) AS sxx
+        |  FROM per),
+        |th AS (SELECT n, sx,
+        |    (n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE /
+        |    (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE AS theta
+        |  FROM g)
+        |SELECT p.arm, count(*)::BIGINT AS n_users,
+        |  round(sum(p.y)::DOUBLE / count(*) / 1e6, 6) AS mean_raw,
+        |  round((sum(p.y)::DOUBLE / count(*) -
+        |    th.theta * (sum(p.x)::DOUBLE / count(*) - th.sx::DOUBLE / th.n))
+        |    / 1e6, 6) AS mean_cuped,
+        |  round(th.theta, 6) AS theta
+        |FROM per p CROSS JOIN th
+        |GROUP BY p.arm, th.theta, th.sx, th.n""".stripMargin,
 
     // χ² flag via integer cross-multiplication (3.841459 scaled ×10⁶)
     "x122_ab_srm" ->
