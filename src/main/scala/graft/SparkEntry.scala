@@ -1657,6 +1657,7 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_guess"))),
 
+
     // Luhn-style extractive summary: top-2 sentences per doc by total
     // doc-level term frequency — the cheap "what is this document
     // about" proxy a curation pipeline runs before paying for an
@@ -4588,6 +4589,41 @@ object SparkEntry {
       Classifier.isotonicCalibration(stats, "bucket", "n", "pos")
     }),
 
+    // cumulative gains (lift chart data) — "score the corpus, take the
+    // top X%: what share of positives do you capture": the operational
+    // complement to c10's AUC, read per score decile from c7's bucket
+    // table. Cumulative sums run over the 10-row reliability table in
+    // DESCENDING score order; shares are exact integer ratios, one
+    // division each
+    "c11_gains" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Classifier.fitScore(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("label") < 5, iters = LrIters, lr = LrStep,
+        threshold = LrThreshold)
+      val y = Tables.embeddings(s, dir).select(col("vec_id"),
+        (col("label") < 5).cast("int").as("y"))
+      val b = scored.join(y, "vec_id")
+        .select(least(floor(col("score") * 10), lit(9)).cast("int").as("bucket"),
+          col("y"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"),
+          sum("y").cast("long").as("pos"))
+      val wd = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      b.withColumn("cum_n", sum("n").over(wd))
+        .withColumn("cum_pos", sum("pos").over(wd))
+        .withColumn("tot_n", sum("n").over(wall))
+        .withColumn("tot_pos", sum("pos").over(wall))
+        .select(col("bucket"), col("n"), col("pos"), col("cum_n"), col("cum_pos"),
+          round(col("cum_n").cast("double") / col("tot_n"), 6)
+            .as("pop_share"),
+          round(col("cum_pos").cast("double") / col("tot_pos"), 6)
+            .as("gain"),
+          round(col("cum_pos").cast("double") * col("tot_n") /
+            (col("cum_n").cast("double") * col("tot_pos")), 6).as("lift"))
+    }),
+
     // exact ROC AUC of the LR scorer — the ranking-quality scalar next
     // to c9's calibration pair: U/(n₁n₀) on the micro-unit score
     // histogram with doubled average ranks (ties at half credit);
@@ -6143,6 +6179,7 @@ object SparkEntry {
       s"""SELECT doc_id,
         |  $langGuessSql AS lang_guess
         |FROM documents""".stripMargin,
+
 
     // same split regex, same integer Σtf scores, same earlier-wins tie
     "t33_extractive" ->
@@ -9375,6 +9412,24 @@ object SparkEntry {
         |  round(s.pos::DOUBLE / s.n::DOUBLE, 6) AS pos_rate,
         |  round(iso.iso, 6) AS iso_rate
         |FROM stats s JOIN iso USING (bucket)""".stripMargin,
+
+    // descending-score cumulative shares over the 10-row bucket table
+    "c11_gains" ->
+      s"""WITH ${lrCtes(LrIters, LrStep)},
+        |b AS (SELECT least(floor(s.score * 10), 9)::INT AS bucket,
+        |    count(*)::BIGINT AS n, sum(v.y)::BIGINT AS pos
+        |  FROM scored s JOIN v ON v.vid = s.vec_id GROUP BY 1),
+        |c AS (SELECT bucket, n, pos,
+        |    sum(n) OVER (ORDER BY bucket DESC)::BIGINT AS cum_n,
+        |    sum(pos) OVER (ORDER BY bucket DESC)::BIGINT AS cum_pos,
+        |    sum(n) OVER ()::BIGINT AS tot_n,
+        |    sum(pos) OVER ()::BIGINT AS tot_pos
+        |  FROM b)
+        |SELECT bucket, n, pos, cum_n, cum_pos,
+        |  round(cum_n::DOUBLE / tot_n, 6) AS pop_share,
+        |  round(cum_pos::DOUBLE / tot_pos, 6) AS gain,
+        |  round(cum_pos::DOUBLE * tot_n / (cum_n::DOUBLE * tot_pos), 6) AS lift
+        |FROM c""".stripMargin,
 
     // rank-sum AUC on the doubled-rank histogram; exact ints, one division
     "c10_auc" ->
