@@ -4311,6 +4311,70 @@ object SparkEntry {
     // (user, week) dedup aggregate (clustering on a key subset is
     // clustering) and the per-user min window, so neither re-shuffles;
     // the final cell aggregate moves only |users × active weeks| rows
+    // per-entry-type session quality — bounce rate and dwell: which
+    // entry event starts sessions that die immediately. Rides the
+    // SHARED x31 sessionizer (one hash(user) exchange), collapses each
+    // session to one row (entry type via min-struct argmin, n events,
+    // exact dwell seconds), then a |types|-row readout; bounce =
+    // single-event session
+    "x126_bounce" -> ((s, dir) => {
+      val sess = sessionized(s, dir)
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          (max("ts_sec") - min("ts_sec")).as("dwell_sec"),
+          min(struct(col("ts_sec"), col("event_id"), col("event_type")))
+            .getField("event_type").as("entry_type"))
+      sess.groupBy("entry_type")
+        .agg(count(lit(1)).as("n_sessions"),
+          round(sum(when(col("n_events") === 1, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("bounce_rate"),
+          round(sum("dwell_sec").cast("double") / count(lit(1)), 4)
+            .as("mean_dwell_sec"))
+    }),
+
+    // exponential retention-decay fit over the pooled x45 triangle:
+    // ln(retention at offset k) regressed on k (offsets ≥ 1, the x83
+    // five-sum closed form) → decay rate and half-life — the one-number
+    // compression of the whole cohort triangle. Retention rates are
+    // exact integer ratios; the regression runs on ≤|offsets| rows
+    "x125_retention_fit" -> ((s, dir) => {
+      val uw = ev(s, dir)
+        .select(col("user_id"), expr("ts_sec div 604800").as("week"))
+        .repartition(col("user_id"))
+        .dropDuplicates("user_id", "week")
+      val cohorted = uw.withColumn("cohort_week",
+        min("week").over(Window.partitionBy("user_id")))
+      val base = cohorted.filter(col("week") === col("cohort_week"))
+        .agg(count(lit(1)).as("n0"))
+      val offs = cohorted
+        .groupBy((col("week") - col("cohort_week")).as("k"))
+        .agg(count(lit(1)).as("active"))
+        .filter(col("k") >= 1)
+        .crossJoin(broadcast(base))
+        .select(col("k").cast("double").as("k"),
+          log(col("active").cast("double") / col("n0").cast("double")).as("lr"))
+      // a one-offset (or empty) triangle has no slope: nullif keeps the
+      // degenerate readout NULL, never a divide-by-zero
+      offs.agg(count(lit(1)).as("n_offsets"),
+          sum("k").as("sk"), sum("lr").as("sl"),
+          sum(col("k") * col("lr")).as("skl"), sum(col("k") * col("k")).as("skk"))
+        .select(col("n_offsets"),
+          round((col("n_offsets") * col("skl") - col("sk") * col("sl")) /
+            nullif(col("n_offsets") * col("skk") - col("sk") * col("sk"),
+              lit(0.0)), 6).as("decay_rate"),
+          round((col("sl") - ((col("n_offsets") * col("skl") -
+              col("sk") * col("sl")) /
+            nullif(col("n_offsets") * col("skk") - col("sk") * col("sk"),
+              lit(0.0))) *
+            col("sk")) / nullif(col("n_offsets").cast("double"), lit(0.0)), 6)
+            .as("intercept"),
+          round(-log(lit(2.0)) /
+            nullif((col("n_offsets") * col("skl") - col("sk") * col("sl")) /
+              nullif(col("n_offsets") * col("skk") - col("sk") * col("sk"),
+                lit(0.0)), lit(0.0)), 4)
+            .as("half_life_weeks"))
+    }),
+
     "x45_retention_cohorts" -> ((s, dir) => {
       val uw = ev(s, dir)
         .select(col("user_id"), expr("ts_sec div 604800").as("week"))
@@ -7319,6 +7383,20 @@ object SparkEntry {
         |  round(sum(value), 2) AS total
         |FROM sess GROUP BY 1, 2""".stripMargin,
 
+    // entry type by (ts, event_id) argmin; bounce = 1-event session
+    "x126_bounce" ->
+      s"""WITH $sessSql,
+        |ss AS (SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+        |    (max(ts_sec) - min(ts_sec))::BIGINT AS dwell_sec,
+        |    min(struct_pack(ts_sec := ts_sec, event_id := event_id,
+        |      event_type := event_type)).event_type AS entry_type
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT entry_type, count(*)::BIGINT AS n_sessions,
+        |  round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS bounce_rate,
+        |  round(sum(dwell_sec)::DOUBLE / count(*), 4) AS mean_dwell_sec
+        |FROM ss GROUP BY 1""".stripMargin,
+
     // x31's sessions (shared sessSql CTE) → ordered type paths → counts
     "x55_session_paths" ->
       s"""WITH $sessSql,
@@ -8884,6 +8962,30 @@ object SparkEntry {
         |SELECT cohort_week, week - cohort_week AS week_offset,
         |  count(*) AS n_users
         |FROM cw GROUP BY 1, 2""".stripMargin,
+
+    // x83's five-sum closed form on ln(retention), offsets >= 1
+    "x125_retention_fit" ->
+      s"""WITH $evSql,
+        |uw AS (SELECT DISTINCT user_id, ts_sec // 604800 AS week FROM ev),
+        |cw AS (SELECT week,
+        |         min(week) OVER (PARTITION BY user_id) AS cohort_week
+        |       FROM uw),
+        |base AS (SELECT count(*)::BIGINT AS n0 FROM cw WHERE week = cohort_week),
+        |offs AS (SELECT (week - cohort_week)::DOUBLE AS k,
+        |    ln(count(*)::DOUBLE / (SELECT n0 FROM base)::DOUBLE) AS lr
+        |  FROM cw WHERE week - cohort_week >= 1 GROUP BY week - cohort_week),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(k) AS sk, sum(lr) AS sl,
+        |    sum(k * lr) AS skl, sum(k * k) AS skk FROM offs)
+        |SELECT n AS n_offsets,
+        |  round((n * skl - sk * sl) / nullif(n * skk - sk * sk, 0.0), 6)
+        |    AS decay_rate,
+        |  round((sl - ((n * skl - sk * sl) / nullif(n * skk - sk * sk, 0.0))
+        |      * sk) / nullif(n::DOUBLE, 0.0), 6)
+        |    AS intercept,
+        |  round(-ln(2.0::DOUBLE) /
+        |    nullif((n * skl - sk * sl) / nullif(n * skk - sk * sk, 0.0), 0.0),
+        |    4) AS half_life_weeks
+        |FROM s""".stripMargin,
 
     "t15_normalize" ->
       """WITH n AS (
