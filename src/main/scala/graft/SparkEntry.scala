@@ -657,6 +657,36 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc"),
           count(lit(1)).as("cnt"))),
 
+    // the FULL TPC-H Q1 pricing summary — all eight aggregate columns
+    // including the tax-inclusive charge, in exact integer micro-
+    // dollars (cents × centi-disc × centi-tax = 10⁻⁶ dollars), every
+    // average an integer-ratio division. One scan, one partial-agg
+    // exchange of four group rows
+    "j36_q1_pricing" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val cd = lit(100L) - round(col("l_discount") * 100).cast("long")
+      val ct = lit(100L) + round(col("l_tax") * 100).cast("long")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_quantity") * 100).cast("long").as("q"),
+          cents.as("p"),
+          round(col("l_discount") * 100).cast("long").as("d"),
+          (cents * cd).as("disc6"),
+          (cents.cast("decimal(38,0)") * cd * ct).as("chg8"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("count_order"),
+          round(sum("q").cast("double") / 100.0, 2).as("sum_qty"),
+          round(sum("p").cast("double") / 100.0, 2).as("sum_base_price"),
+          round(sum("disc6").cast("double") / 10000.0, 4).as("sum_disc_price"),
+          round(sum("chg8").cast("double") / 1000000.0, 4).as("sum_charge"),
+          round(sum("q").cast("double") / count(lit(1)) / 100.0, 4).as("avg_qty"),
+          round(sum("p").cast("double") / count(lit(1)) / 100.0, 4)
+            .as("avg_price"),
+          round(sum("d").cast("double") / count(lit(1)) / 100.0, 6)
+            .as("avg_disc"))
+    }),
+
     "a2_wordcount" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
@@ -4311,6 +4341,27 @@ object SparkEntry {
     // (user, week) dedup aggregate (clustering on a key subset is
     // clustering) and the per-user min window, so neither re-shuffles;
     // the final cell aggregate moves only |users × active weeks| rows
+    // DAU/WAU stickiness per week — the product-health ratio: how much
+    // of the weekly audience shows up on an average day. Two distinct-
+    // user aggregations share the user-keyed exchange family; the
+    // readout divides exact integer sums once per week row
+    "x127_stickiness" -> ((s, dir) => {
+      val ud = ev(s, dir)
+        .select(col("user_id"), expr("ts_sec div 86400").as("day"),
+          expr("ts_sec div 604800").as("week"))
+        .distinct()
+      val dau = ud.groupBy("week", "day")
+        .agg(countDistinct("user_id").as("dau"))
+        .groupBy("week")
+        .agg(count(lit(1)).as("n_days"), sum("dau").as("sum_dau"))
+      val wau = ud.groupBy("week").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, "week")
+        .select(col("week"), col("n_days"), col("wau"),
+          round(col("sum_dau").cast("double") / col("n_days"), 4).as("avg_dau"),
+          round(col("sum_dau").cast("double") /
+            (col("n_days") * col("wau")).cast("double"), 6).as("stickiness"))
+    }),
+
     // per-entry-type session quality — bounce rate and dwell: which
     // entry event starts sessions that die immediately. Rides the
     // SHARED x31 sessionizer (one hash(user) exchange), collapses each
@@ -5241,6 +5292,28 @@ object SparkEntry {
         |  count(*) AS cnt
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
         |GROUP BY 1, 2""".stripMargin,
+
+    // full Q1 in exact micro-dollar integers; averages integer-ratio
+    "j36_q1_pricing" ->
+      """WITH l AS (SELECT l_returnflag, l_linestatus,
+        |    round(l_quantity * 100)::BIGINT AS q,
+        |    round(l_extendedprice * 100)::BIGINT AS p,
+        |    round(l_discount * 100)::BIGINT AS d,
+        |    round(l_extendedprice * 100)::BIGINT
+        |      * (100 - round(l_discount * 100)::BIGINT) AS disc6,
+        |    round(l_extendedprice * 100)::HUGEINT
+        |      * (100 - round(l_discount * 100)::BIGINT)
+        |      * (100 + round(l_tax * 100)::BIGINT) AS chg8
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01')
+        |SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS count_order,
+        |  round(sum(q)::DOUBLE / 100.0, 2) AS sum_qty,
+        |  round(sum(p)::DOUBLE / 100.0, 2) AS sum_base_price,
+        |  round(sum(disc6)::DOUBLE / 10000.0, 4) AS sum_disc_price,
+        |  round(sum(chg8)::DOUBLE / 1000000.0, 4) AS sum_charge,
+        |  round(sum(q)::DOUBLE / count(*) / 100.0, 4) AS avg_qty,
+        |  round(sum(p)::DOUBLE / count(*) / 100.0, 4) AS avg_price,
+        |  round(sum(d)::DOUBLE / count(*) / 100.0, 6) AS avg_disc
+        |FROM l GROUP BY 1, 2""".stripMargin,
 
     "a2_wordcount" ->
       """SELECT word, count(*) AS cnt FROM (
@@ -7382,6 +7455,22 @@ object SparkEntry {
         |  min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
         |  round(sum(value), 2) AS total
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    "x127_stickiness" ->
+      s"""WITH $evSql,
+        |ud AS (SELECT DISTINCT user_id, ts_sec // 86400 AS day,
+        |    ts_sec // 604800 AS week FROM ev),
+        |dau AS (SELECT week, count(*)::BIGINT AS n_days,
+        |    sum(dau)::BIGINT AS sum_dau
+        |  FROM (SELECT week, day, count(DISTINCT user_id)::BIGINT AS dau
+        |        FROM ud GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |wau AS (SELECT week, count(DISTINCT user_id)::BIGINT AS wau
+        |  FROM ud GROUP BY 1)
+        |SELECT d.week, d.n_days, w.wau,
+        |  round(d.sum_dau::DOUBLE / d.n_days, 4) AS avg_dau,
+        |  round(d.sum_dau::DOUBLE / (d.n_days * w.wau)::DOUBLE, 6) AS stickiness
+        |FROM dau d JOIN wau w USING (week)""".stripMargin,
 
     // entry type by (ts, event_id) argmin; bounce = 1-event session
     "x126_bounce" ->
