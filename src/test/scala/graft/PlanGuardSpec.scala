@@ -795,6 +795,38 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x121 winsorize: windows on the value histogram, boundaries broadcast back") {
+    val p = planOf("x121_winsorize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row boundary table must broadcast into the clamp pass:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x123 U-shape: conversion-keyed window, no cartesian touch join") {
+    val p = planOf("x123_ushape_attribution")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SinglePartition"),
+      s"the position window must stay partitioned by conv_id:\n$p")
+  }
+
+  test("x126 bounce rides the sessionizer's user-keyed windows — no global sort") {
+    val p = planOf("x126_bounce")
+    assert(!p.contains("SinglePartition"),
+      s"session collapse must stay user-partitioned:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j36 full Q1: join-free scan-agg, date filter pushed") {
+    val p = planOf("j36_q1_pricing")
+    assert(!p.toLowerCase.contains("join") && !p.contains("WindowExec"), p)
+    val f = SparkEntry.queries("j36_q1_pricing")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(f.contains("LessThan(l_shipdate"),
+      s"Q1's date filter must push into the scan:\n$f")
+  }
+
   test("x101 Jaro-Winkler match: block-keyed equi join, no cartesian dictionary scan") {
     val p = planOf("x101_jaro_winkler")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
