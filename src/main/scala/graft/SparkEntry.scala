@@ -4341,6 +4341,34 @@ object SparkEntry {
     // (user, week) dedup aggregate (clustering on a key subset is
     // clustering) and the per-user min window, so neither re-shuffles;
     // the final cell aggregate moves only |users × active weeks| rows
+    // trending detector: parts whose demand SHARE jumped between two
+    // halves of 1997 — the period-over-period screen behind every
+    // "what's hot" readout. Add-one-smoothed share ratio
+    // (cH2+1)·nH1 / ((cH1+1)·nH2): numerator and denominator exact
+    // integer products, ONE double division for the sort key, ties to
+    // the smaller part. One conditional aggregation pass builds both
+    // periods; the ≥10-unit floor prunes before ranking
+    "x128_trending_parts" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select(col("l_partkey"),
+          round(col("l_quantity") * 100).cast("long").as("q"),
+          (col("l_shipdate") >= to_timestamp(lit("1997-07-01"))).as("h2"))
+      val per = l.groupBy("l_partkey").agg(
+        sum(when(col("h2"), 0L).otherwise(col("q"))).as("q1"),
+        sum(when(col("h2"), col("q")).otherwise(0L)).as("q2"))
+      val tot = per.agg(sum("q1").as("n1"), sum("q2").as("n2"))
+      per.filter(col("q2") >= 1000L)
+        .crossJoin(broadcast(tot))
+        .select(col("l_partkey"), col("q1"), col("q2"),
+          round((col("q2") + 1L).cast("double") * col("n1").cast("double") /
+            ((col("q1") + 1L).cast("double") * col("n2").cast("double")), 6)
+            .as("share_ratio"))
+        .orderBy(col("share_ratio").desc, col("l_partkey").asc)
+        .limit(15)
+    }),
+
     // DAU/WAU stickiness per week — the product-health ratio: how much
     // of the weekly audience shows up on an average day. Two distinct-
     // user aggregations share the user-keyed exchange family; the
@@ -7455,6 +7483,25 @@ object SparkEntry {
         |  min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
         |  round(sum(value), 2) AS total
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // same add-one-smoothed exact-product ratio, one division
+    "x128_trending_parts" ->
+      """WITH l AS (SELECT l_partkey, round(l_quantity * 100)::BIGINT AS q,
+        |    l_shipdate >= TIMESTAMP '1997-07-01' AS h2
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'),
+        |per AS (SELECT l_partkey,
+        |    sum(CASE WHEN h2 THEN 0 ELSE q END)::BIGINT AS q1,
+        |    sum(CASE WHEN h2 THEN q ELSE 0 END)::BIGINT AS q2
+        |  FROM l GROUP BY 1),
+        |tot AS (SELECT sum(q1)::BIGINT AS n1, sum(q2)::BIGINT AS n2 FROM per)
+        |SELECT l_partkey, q1, q2,
+        |  round((q2 + 1)::DOUBLE * n1::DOUBLE /
+        |    ((q1 + 1)::DOUBLE * n2::DOUBLE), 6) AS share_ratio
+        |FROM per CROSS JOIN tot
+        |WHERE q2 >= 1000
+        |ORDER BY share_ratio DESC, l_partkey ASC LIMIT 15""".stripMargin,
 
     "x127_stickiness" ->
       s"""WITH $evSql,
