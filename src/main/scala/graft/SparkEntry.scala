@@ -3618,6 +3618,34 @@ object SparkEntry {
     // per-community contributions divide the same way. Labels join the
     // edge list twice (both endpoints) and the degree table once —
     // all node-keyed equi joins
+    // degree distribution + continuous power-law MLE over the (≥2)
+    // co-purchase graph: α̂ = 1 + n / Σ ln(dᵢ/d_min) (Clauset-Shalizi-
+    // Newman 2009, eq. 3.1) with d_min = 1 — is this a scale-free
+    // co-demand structure or a random one. Degrees are exact integer
+    // counts; the ln sum is the only float op, computed from the
+    // DEGREE HISTOGRAM (c·ln d per distinct degree — dimension-sized,
+    // and float-order-safe because each distinct degree contributes
+    // ONE product)
+    "g12_degree_alpha" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+      val co = e.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(e.select(col("l_orderkey").as("ok2"), col("l_partkey").as("b")),
+          col("l_orderkey") === col("ok2") && col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("nco"))
+        .filter(col("nco") >= 2).select("a", "b")
+      val deg = co.select(col("a").as("node"))
+        .unionByName(co.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val hist = deg.groupBy("d").agg(count(lit(1)).as("c"))
+      hist.agg(sum("c").as("n_nodes"), max("d").as("max_degree"),
+          sum(col("c").cast("double") * log(col("d").cast("double")))
+            .as("slnd"))
+        .select(col("n_nodes"), col("max_degree"),
+          round(lit(1.0) +
+            col("n_nodes").cast("double") / nullif(col("slnd"), lit(0.0)), 4)
+            .as("alpha"))
+    }),
+
     // weakly connected components of the (≥2) co-purchase graph — the
     // graph-family face of the d7 machinery (same library operator,
     // same min-reachable-id labels): which parts trade together AT ALL,
@@ -4341,6 +4369,24 @@ object SparkEntry {
     // (user, week) dedup aggregate (clustering on a key subset is
     // clustering) and the per-user min window, so neither re-shuffles;
     // the final cell aggregate moves only |users × active weeks| rows
+    // fulfilment SLA: order-to-ship latency percentiles per order
+    // priority — does URGENT actually ship faster. Latency is an exact
+    // integer day count; percentiles run per-priority over the
+    // |priorities|-bounded groups (the x81 percentile discipline);
+    // one orderkey join is the only data-sized exchange
+    "x129_ship_sla" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lat"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          round(expr("percentile(lat, 0.5)"), 4).as("p50_days"),
+          round(expr("percentile(lat, 0.9)"), 4).as("p90_days"),
+          max("lat").as("max_days"))),
+
     // trending detector: parts whose demand SHARE jumped between two
     // halves of 1997 — the period-over-period screen behind every
     // "what's hot" readout. Add-one-smoothed share ratio
@@ -7483,6 +7529,34 @@ object SparkEntry {
         |  min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
         |  round(sum(value), 2) AS total
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    "x129_ship_sla" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+        |  round(quantile_cont(lat, 0.5), 4) AS p50_days,
+        |  round(quantile_cont(lat, 0.9), 4) AS p90_days,
+        |  max(lat)::BIGINT AS max_days
+        |FROM (SELECT o.o_orderpriority,
+        |    date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE)::BIGINT
+        |      AS lat
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |GROUP BY 1""".stripMargin,
+
+    // CSN eq. 3.1 with d_min = 1; ln sum over the degree histogram
+    "g12_degree_alpha" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |co AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM e a JOIN e b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, count(*)::BIGINT AS d FROM (
+        |    SELECT a AS node FROM co UNION ALL SELECT b FROM co)
+        |  GROUP BY 1),
+        |h AS (SELECT d, count(*)::BIGINT AS c FROM deg GROUP BY 1)
+        |SELECT sum(c)::BIGINT AS n_nodes, max(d)::BIGINT AS max_degree,
+        |  round(1.0::DOUBLE + sum(c)::DOUBLE /
+        |    nullif(sum(c::DOUBLE * ln(d::DOUBLE)), 0.0), 4) AS alpha
+        |FROM h""".stripMargin,
 
     // same add-one-smoothed exact-product ratio, one division
     "x128_trending_parts" ->
