@@ -4369,6 +4369,30 @@ object SparkEntry {
     // (user, week) dedup aggregate (clustering on a key subset is
     // clustering) and the per-user min window, so neither re-shuffles;
     // the final cell aggregate moves only |users × active weeks| rows
+    // relational DIVISION — the algebra operator SQL forgot: customers
+    // whose orders span EVERY priority class, with the divisor a
+    // RELATION (distinct priorities), not a literal count. The general
+    // double-anti-join form: candidates × divisor minus supplied =
+    // missing pairs; candidates minus missing = the quotient. Divisor
+    // broadcasts (|D| rows), so the pair frame is |D|·|candidates| —
+    // divisor-linear, and the count-equality shortcut is NOT used
+    // because it breaks the moment the divisor carries duplicates or
+    // runtime-derived membership
+    "j37_division" -> ((s, dir) => {
+      val sup = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderpriority")).distinct()
+      val divisor = sup.select("o_orderpriority").distinct()
+      val cand = sup.select("o_custkey").distinct()
+      val missing = cand.crossJoin(broadcast(divisor))
+        .join(sup, Seq("o_custkey", "o_orderpriority"), "left_anti")
+      cand.join(missing.select("o_custkey").distinct(),
+          Seq("o_custkey"), "left_anti")
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_custkey").as("custkey"), col("c_nationkey"))
+    }),
+
     // fulfilment SLA: order-to-ship latency percentiles per order
     // priority — does URGENT actually ship faster. Latency is an exact
     // integer day count; percentiles run per-priority over the
@@ -4413,6 +4437,52 @@ object SparkEntry {
             .as("share_ratio"))
         .orderBy(col("share_ratio").desc, col("l_partkey").asc)
         .limit(15)
+    }),
+
+    // 2-D SKYLINE of the parts market: cheapest-to-buy vs most-demanded
+    // — parts no other part strictly beats on BOTH axes (min unit price
+    // ↓, shipped quantity ↑). The classic sort-scan rewrite: order by
+    // (price asc, demand desc, part asc) and keep rows whose demand
+    // strictly exceeds every PRECEDING row's (running max over the
+    // sorted frame) — O(n log n), no pairwise domination join; exact
+    // integer axes. Equal-(price, demand) ties keep the smallest part
+    // id (strict-skyline convention, stated here because both engines
+    // must share it)
+    "x130_skyline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val axes = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(min(round(col("l_extendedprice") / col("l_quantity") * 100, 0)
+            .cast("long")).as("price_cents"),
+          sum(round(col("l_quantity") * 100, 0).cast("long")).as("demand"))
+      val w = Window.orderBy(col("price_cents").asc, col("demand").desc,
+          col("l_partkey").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      axes.withColumn("prevmax", max("demand").over(w))
+        .filter(col("prevmax").isNull || col("demand") > col("prevmax"))
+        .select("l_partkey", "price_cents", "demand")
+    }),
+
+    // new-vs-returning split per week — the x45 triangle's other
+    // readout: how much of each week's audience is seeing the product
+    // for the first time. Shares one user-keyed exchange with the
+    // cohort computation; exact counts, one division
+    "x131_new_returning" -> ((s, dir) => {
+      val uw = ev(s, dir)
+        .select(col("user_id"), expr("ts_sec div 604800").as("week"))
+        .repartition(col("user_id"))
+        .dropDuplicates("user_id", "week")
+      uw.withColumn("cohort_week",
+          min("week").over(Window.partitionBy("user_id")))
+        .groupBy("week")
+        .agg(sum(when(col("week") === col("cohort_week"), 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("week") === col("cohort_week"), 0L).otherwise(1L))
+            .as("n_returning"))
+        .select(col("week"), col("n_new"), col("n_returning"),
+          round(col("n_new").cast("double") /
+            (col("n_new") + col("n_returning")).cast("double"), 6)
+            .as("new_share"))
     }),
 
     // DAU/WAU stickiness per week — the product-health ratio: how much
@@ -7529,6 +7599,48 @@ object SparkEntry {
         |  min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
         |  round(sum(value), 2) AS total
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // the general double-anti-join division (NOT EXISTS of NOT EXISTS)
+    "j37_division" ->
+      """WITH sup AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders),
+        |d AS (SELECT DISTINCT o_orderpriority FROM sup),
+        |cand AS (SELECT DISTINCT o_custkey FROM sup)
+        |SELECT c.o_custkey AS custkey, cu.c_nationkey
+        |FROM cand c JOIN customer cu ON cu.c_custkey = c.o_custkey
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM d WHERE NOT EXISTS (
+        |    SELECT 1 FROM sup
+        |    WHERE sup.o_custkey = c.o_custkey
+        |      AND sup.o_orderpriority = d.o_orderpriority))""".stripMargin,
+
+    // sort-scan skyline; strict-skyline tie convention as in the code
+    "x130_skyline" ->
+      """WITH axes AS (SELECT l_partkey,
+        |    min(round(l_extendedprice / l_quantity * 100)::BIGINT)
+        |      AS price_cents,
+        |    sum(round(l_quantity * 100)::BIGINT)::BIGINT AS demand
+        |  FROM lineitem GROUP BY 1),
+        |sc AS (SELECT *,
+        |    max(demand) OVER (ORDER BY price_cents ASC, demand DESC,
+        |      l_partkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prevmax
+        |  FROM axes)
+        |SELECT l_partkey, price_cents, demand FROM sc
+        |WHERE prevmax IS NULL OR demand > prevmax""".stripMargin,
+
+    "x131_new_returning" ->
+      s"""WITH $evSql,
+        |uw AS (SELECT DISTINCT user_id, ts_sec // 604800 AS week FROM ev),
+        |cw AS (SELECT week,
+        |         min(week) OVER (PARTITION BY user_id) AS cohort_week
+        |       FROM uw)
+        |SELECT week,
+        |  sum(CASE WHEN week = cohort_week THEN 1 ELSE 0 END)::BIGINT AS n_new,
+        |  sum(CASE WHEN week = cohort_week THEN 0 ELSE 1 END)::BIGINT
+        |    AS n_returning,
+        |  round(sum(CASE WHEN week = cohort_week THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS new_share
+        |FROM cw GROUP BY 1""".stripMargin,
 
     "x129_ship_sla" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
