@@ -912,7 +912,7 @@ object SparkEntry {
     // TPC-H Q18 shape: large-volume orders — the HAVING-aggregate
     // drives a semi-shaped join back to orders/customer; the quantity
     // agg is the only lineitem-sized exchange
-    "j15_q18_bigorders" -> ((s, dir) => {
+    "j38_q18_bigorders" -> ((s, dir) => {
       val big = Tables.lineitem(s, dir)
         .groupBy("l_orderkey")
         .agg(round(sum("l_quantity"), 4).as("total_qty"))
@@ -2998,7 +2998,7 @@ object SparkEntry {
     // (the x65 ordered-window discipline) so engines fold identical
     // values; the ideal side is a bounded TakeOrderedAndProject whose
     // gain sequence is tie-order-independent (equal rel ⇒ equal gain)
-    "s20_ndcg" -> ((s, dir) =>
+    "s21_ndcg" -> ((s, dir) =>
       graft.functions.Retrieval.ndcgCurve(Tables.documents(s, dir),
         "doc_id", "text", Seq("hash", "join", "merge"), topN = 20)),
 
@@ -5025,7 +5025,7 @@ object SparkEntry {
     // integer sums out of the same basket-bounded candidate core as
     // x46/g5, one sqrt + one division; a degree-regular graph (zero
     // variance) emits NULL in both engines
-    "g10_assortativity" -> ((s, dir) => {
+    "g13_assortativity" -> ((s, dir) => {
       val e = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
       val co = e.select(col("l_orderkey"), col("l_partkey").as("a"))
         .join(e.select(col("l_orderkey").as("ok2"), col("l_partkey").as("b")),
@@ -5205,7 +5205,7 @@ object SparkEntry {
     // coverage readout beside t29's Heaps fit and x98's user estimate.
     // Exact integer singleton/doubleton/token counts, one division per
     // estimator
-    "t31_vocab_richness" -> ((s, dir) => {
+    "t34_vocab_richness" -> ((s, dir) => {
       val wc = Tables.documents(s, dir)
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("c"))
@@ -5620,7 +5620,7 @@ object SparkEntry {
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
-    "j15_q18_bigorders" ->
+    "j38_q18_bigorders" ->
       """WITH big AS (
         |  SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
         |  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 4) > 250)
@@ -7451,7 +7451,7 @@ object SparkEntry {
     // the t14 BM25 chain feeding rank-ordered cumulative gains; gains
     // rounded before the window sums so both engines fold identical
     // doubles in identical order; ndcg divides the two ROUNDED cums
-    "s20_ndcg" ->
+    "s21_ndcg" ->
       s"""WITH $toksSql,
         |rels AS (SELECT doc_id,
         |    len(list_intersect(t, ['hash', 'join', 'merge']))::INT AS rel
@@ -10012,7 +10012,7 @@ object SparkEntry {
 
     // one frequency-of-frequencies pass; exact integers, one division
     // per estimator
-    "t31_vocab_richness" ->
+    "t34_vocab_richness" ->
       s"""WITH $toksSql,
         |wc AS (SELECT source, w, count(*)::BIGINT AS c
         |  FROM (SELECT source, unnest(t) AS w FROM toks) GROUP BY 1, 2),
@@ -10046,8 +10046,9 @@ object SparkEntry {
         |  round((r1x2 - n1 * (n1 + 1))::DOUBLE / 2.0, 1) AS u1,
         |  round(((r1x2 - n1 * (n1 + 1))::DOUBLE / 2.0
         |      - (n1 * n2)::DOUBLE / 2.0) /
-        |    sqrt((n1 * n2)::DOUBLE / 12.0 * ((n1 + n2 + 1)::DOUBLE
-        |      - tie::DOUBLE / ((n1 + n2) * (n1 + n2 - 1))::DOUBLE)), 4) AS z
+        |    nullif(sqrt((n1 * n2)::DOUBLE / 12.0 * ((n1 + n2 + 1)::DOUBLE
+        |      - tie::DOUBLE / nullif(((n1 + n2) * (n1 + n2 - 1))::DOUBLE, 0.0))),
+        |      0.0), 4) AS z
         |FROM g""".stripMargin,
 
     // exact integer ECDF-difference maximum; rounded d and threshold
@@ -10069,10 +10070,12 @@ object SparkEntry {
         |    max(t.n1) AS n1, max(t.n2) AS n2
         |  FROM w CROSS JOIN t)
         |SELECT n1, n2,
-        |  round(num::DOUBLE / (n1 * n2)::DOUBLE, 6) AS d,
-        |  round(1.358 * sqrt((n1 + n2)::DOUBLE / (n1 * n2)::DOUBLE), 6) AS crit_05,
-        |  round(num::DOUBLE / (n1 * n2)::DOUBLE, 6)
-        |    > round(1.358 * sqrt((n1 + n2)::DOUBLE / (n1 * n2)::DOUBLE), 6)
+        |  round(num::DOUBLE / nullif((n1 * n2)::DOUBLE, 0.0), 6) AS d,
+        |  round(1.358 * sqrt((n1 + n2)::DOUBLE
+        |    / nullif((n1 * n2)::DOUBLE, 0.0)), 6) AS crit_05,
+        |  round(num::DOUBLE / nullif((n1 * n2)::DOUBLE, 0.0), 6)
+        |    > round(1.358 * sqrt((n1 + n2)::DOUBLE
+        |      / nullif((n1 * n2)::DOUBLE, 0.0)), 6)
         |    AS reject_05
         |FROM g""".stripMargin,
 
@@ -10104,7 +10107,7 @@ object SparkEntry {
 
     // Pearson over directed-edge endpoint degrees; the graph is the
     // same basket-bounded co ≥ 3 candidate core as x46/g5
-    "g10_assortativity" ->
+    "g13_assortativity" ->
       """WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |co AS (SELECT a.l_partkey AS a, b.l_partkey AS b
         |  FROM e a JOIN e b ON a.l_orderkey = b.l_orderkey

@@ -81,10 +81,15 @@ object AbTest {
           .as("u1"),
         col("tie"), (col("n1") + col("n2")).as("n"))
       .select(col("n1"), col("n2"), round(col("u1"), 1).as("u1"),
+        // nullif guards: an empty/single-value frame has zero variance
+        // (and n ≤ 1 zeroes the tie divisor) — NULL z on BOTH engines,
+        // never the engine-specific Inf/NaN fork (DuckDB's IEEE default
+        // would yield Inf where Spark yields NULL)
         round((col("u1") - (col("n1") * col("n2")).cast("double") / lit(2.0)) /
-          sqrt((col("n1") * col("n2")).cast("double") / lit(12.0) *
+          nullif(sqrt((col("n1") * col("n2")).cast("double") / lit(12.0) *
             ((col("n") + 1).cast("double") - col("tie").cast("double") /
-              (col("n") * (col("n") - 1)).cast("double"))), 4).as("z"))
+              nullif((col("n") * (col("n") - 1)).cast("double"), lit(0.0)))),
+            lit(0.0)), 4).as("z"))
   }
 
   /** Two-sample Kolmogorov-Smirnov statistic between the value
@@ -110,10 +115,13 @@ object AbTest {
       .agg(max(abs(col("n2") * col("cum1") - col("n1") * col("cum2"))).as("num"),
         max("n1").as("n1"), max("n2").as("n2"))
       .select(col("n1"), col("n2"),
+        // nullif: an empty group zeroes n1·n2 — NULL d/crit on BOTH
+        // engines, not DuckDB's IEEE Inf vs Spark's NULL
         round(col("num").cast("double") /
-          (col("n1") * col("n2")).cast("double"), 6).as("d"),
+          nullif((col("n1") * col("n2")).cast("double"), lit(0.0)), 6).as("d"),
         round(lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
-          (col("n1") * col("n2")).cast("double")), 6).as("crit_05"))
+          nullif((col("n1") * col("n2")).cast("double"), lit(0.0))), 6)
+          .as("crit_05"))
       .withColumn("reject_05", col("d") > col("crit_05"))
   }
 

@@ -84,13 +84,21 @@ object SimilarityOps {
     * rows at pool = 20), so the sequential greed never touches the
     * corpus. Ties break to the smaller id (the portable min-struct
     * argmax); round 1 has no selected set, so its diversity term is 0
-    * and the top-relevance candidate opens the list. */
+    * and the top-relevance candidate opens the list.
+    *
+    * Contract: ONE query vector. `queryPred` is reduced to its
+    * smallest-id match structurally (sort + limit 1), so a predicate
+    * that happens to match several rows cannot seed the pool with
+    * duplicate candidate ids under different rel values — which would
+    * corrupt the greedy argmax. Re-rank per query in a loop (or map
+    * over query ids) when diversifying many queries. */
   def mmrRerank(vecs: DataFrame, idCol: String, vecCol: String,
                 queryPred: Column, pool: Int = 20, k: Int = 5,
                 lambda: Double = 0.7): DataFrame = {
     require(k >= 1 && k <= pool, s"k=$k must be in [1, pool=$pool]")
     val v = withNorm(vecs, vecCol)
     val q = v.filter(queryPred)
+      .orderBy(col(idCol).asc).limit(1) // single-query contract, enforced
       .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("nrm").as("qn"))
     val rel = v.join(broadcast(q), col(idCol) =!= col("qid"))
       .select(col(idCol).as("id"), col(vecCol).as("cv"), col("nrm").as("cn"),

@@ -145,12 +145,6 @@ object Sketches {
       .groupBy("j", "bucket").agg(count(lit(1)).as("counter"))
   }
 
-  /** Point-estimate eval of a Count-Min sketch over the `topN` most
-    * frequent values (deterministic probe set: count desc, value):
-    * estimate = min over rows of the value's counter, reported next to
-    * the TRUE count so the over-count gap is visible in-row —
-    * `overestimate ≥ 0` is the sketch's guarantee, and equality holds
-    * when none of the value's depth cells collided. */
   /** Pairwise set overlap from HLL sketches — inclusion-exclusion on
     * register estimates: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
     * union sketch is the per-bucket register MAX (HLL's lossless union,
@@ -188,18 +182,6 @@ object Sketches {
           6).as("est_jaccard"))
   }
 
-  /** AMS F₂ sketch (Alon, Matias & Szegedy 1996): the self-join-size
-    * estimator Σ f_w² from `sketches` independent ±1 hash counters —
-    * the one-number answer to "how big would this key's self-join be"
-    * without materializing frequencies. Each sketch j keeps
-    * Z_j = Σ_rows s_j(w) with s_j(w) ∈ {−1, +1} decided by the portable
-    * md5 hash (salt ":ams", row j) — a pure MAP-SIDE sum, so the sketch
-    * costs one k-way explode and a k-row aggregate however large the
-    * corpus, and shards merge by ADDING their Z vectors. E[Z_j²] = F₂
-    * exactly; the median of the k squares is the standard
-    * variance-tamed estimate. Engine-exact end to end (integer Z,
-    * integer squares, one interpolated median), reported next to the
-    * TRUE F₂ so the estimation error is visible in-row. */
   /** The AMS Z vector alone — one signed sum per sketch row j. Shared
     * by [[amsF2]] and the streaming twin (a complete-mode aggregation
     * over the same sign expression converges to this exactly; shards /
@@ -215,6 +197,18 @@ object Sketches {
       .groupBy("j").agg(sum("sign").as("z"))
   }
 
+  /** AMS F₂ sketch (Alon, Matias & Szegedy 1996): the self-join-size
+    * estimator Σ f_w² from `sketches` independent ±1 hash counters —
+    * the one-number answer to "how big would this key's self-join be"
+    * without materializing frequencies. Each sketch j keeps
+    * Z_j = Σ_rows s_j(w) with s_j(w) ∈ {−1, +1} decided by the portable
+    * md5 hash (salt ":ams", row j) — a pure MAP-SIDE sum, so the sketch
+    * costs one k-way explode and a k-row aggregate however large the
+    * corpus, and shards merge by ADDING their Z vectors. E[Z_j²] = F₂
+    * exactly; the median of the k squares is the standard
+    * variance-tamed estimate. Engine-exact end to end (integer Z,
+    * integer squares, one interpolated median), reported next to the
+    * TRUE F₂ so the estimation error is visible in-row. */
   def amsF2(rows: DataFrame, valueCol: String, sketches: Int = 8): DataFrame = {
     val w = rows.select(col(valueCol).cast("string").as("w"))
     val z = amsZ(rows, valueCol, sketches)
@@ -234,6 +228,12 @@ object Sketches {
           col("true_f2").cast("double"), 6).as("rel_err"))
   }
 
+  /** Point-estimate eval of a Count-Min sketch over the `topN` most
+    * frequent values (deterministic probe set: count desc, value):
+    * estimate = min over rows of the value's counter, reported next to
+    * the TRUE count so the over-count gap is visible in-row —
+    * `overestimate ≥ 0` is the sketch's guarantee, and equality holds
+    * when none of the value's depth cells collided. */
   def cmsEstimates(rows: DataFrame, valueCol: String,
                    depth: Int = 4, width: Int = 64,
                    topN: Int = 5): DataFrame = {

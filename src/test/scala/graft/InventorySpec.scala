@@ -27,6 +27,16 @@ class InventorySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without query: $orphans")
   }
 
+  test("numeric query-id prefixes are unique (no g10_a/g10_b collisions)") {
+    // the round-11 verdict flagged colliding prefixes (g10_, j15_, s20_,
+    // t31_) as the next counting-drift vector — docs and tooling key on
+    // the numeric prefix, so two queries must never share one
+    val byPrefix = SparkEntry.queries.keySet.groupBy(_.takeWhile(_ != '_'))
+    val collisions = byPrefix.filter(_._2.size > 1)
+    assert(collisions.isEmpty,
+      s"query ids sharing a numeric prefix: ${collisions.values.toList}")
+  }
+
   test("README.md inventory line matches the code") {
     val doc = read("README.md")
     val want = s"$nQueries queries, $nOracles oracle pairs"

@@ -840,7 +840,7 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("s20 NDCG: two bounded top-k's, windows only after them") {
-    val p = planOf("s20_ndcg")
+    val p = planOf("s21_ndcg")
     // system side ranks via TakeOrderedAndProject (the t14 guard);
     // the ideal side is a bounded top-k too — no global sort anywhere
     assert(p.contains("TakeOrderedAndProject"), p)
