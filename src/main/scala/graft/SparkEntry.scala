@@ -1906,6 +1906,63 @@ object SparkEntry {
           "channels", "sample_rate")
     }),
 
+    // the m2 trick pushed from headers to PIXELS: each doc id renders a
+    // real 24-bit BMP whose pixels sum 31 id-selected DCT basis
+    // functions, so the full encode → ImageIO decode → box-resample →
+    // DCT → median-threshold pHash pipeline lands on a hash DuckDB can
+    // state as arithmetic (the selected-position mask; proof in
+    // SyntheticMediaOracleSpec). Map-only: pixels are born and hashed
+    // inside the partition, only (id, hash) rows ever move
+    "m3_phash" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).select("doc_id").as[Long]
+        .map(id => graft.multimodal.MediaRecord(id, null,
+          graft.multimodal.SyntheticMedia.bmpPatternBytes(id)))
+      graft.multimodal.PerceptualHash.imagePHashes(recs)
+        .select(col("doc_id"), col("simhash").as("phash"))
+    }),
+
+    // real audio DSP under the oracle gate: each doc id synthesizes a
+    // playable WAV holding a bin-aligned pure tone; javax.sound decode →
+    // Hann frames → FFT → spectral statistics recover the bin EXACTLY
+    // (dominant/rolloff as exact doubles, centroid to the bin integer,
+    // flatness ≈ 0 for a tone — margins proved in
+    // SyntheticMediaOracleSpec). Map-only like m3
+    "m4_audio_spectral" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).select("doc_id").as[Long]
+        .map(id => graft.multimodal.MediaRecord(id, null,
+          graft.multimodal.SyntheticMedia.wavToneBytes(id)))
+      graft.multimodal.AudioSpectral.spectralFeatures(recs).toDF()
+        .select(col("id").as("doc_id"),
+          col("sampleRate").as("sample_rate"),
+          col("dominantHz").as("dominant_hz"),
+          round(col("centroidHz") /
+            (col("sampleRate").cast("double") / lit(1024.0)))
+            .cast("int").as("centroid_bin"),
+          col("rolloff85Hz").as("rolloff85_hz"),
+          (col("flatness") < lit(0.01)).as("is_tonal"))
+    }),
+
+    // image near-dup via pHash Hamming blocking: ids 2g and 2g+1 render
+    // the SAME pattern at different brightness (amp/base rescale — every
+    // byte differs, no hash bit moves: the invariance pHash exists for),
+    // so the banded self-join at distance 0 must recover exactly the
+    // (2g, 2g+1) pairs. Restricted to one 315-group window where the
+    // mask construction is injective (CRT on 63·5), keeping the oracle
+    // scale-independent
+    "m5_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).select("doc_id").as[Long]
+        .filter(_ < 630L)
+        .map { id =>
+          val (amp, base) = if (id % 2 == 0) (4, 128) else (3, 140)
+          graft.multimodal.MediaRecord(id, null,
+            graft.multimodal.SyntheticMedia.bmpPatternBytes(id / 2, amp, base))
+        }
+      graft.multimodal.PerceptualHash.nearDupImagePairs(recs, maxDist = 0)
+    }),
+
     // relational extras (set ops, top-k, rollup, analytic, json) -----------
 
     "x1_setops" -> ((s, dir) => {
@@ -6730,6 +6787,41 @@ object SparkEntry {
         |  (CASE WHEN doc_id % 4 = 3 THEN 8000 + (doc_id % 8) * 1000
         |    ELSE 0 END)::INT AS sample_rate
         |FROM documents""".stripMargin,
+
+    // the selected-position mask as a 63-bit word: 31-term arithmetic
+    // progression (offset + i·step) mod 63, step from a coprime pick —
+    // the hash the real BMP → decode → DCT → median pipeline must emit
+    // (SyntheticMediaOracleSpec proves the equality over every residue)
+    "m3_phash" ->
+      """SELECT d.doc_id,
+        |  (SELECT sum(1::BIGINT << ((d.doc_id % 63 + i * s) % 63))::BIGINT
+        |   FROM generate_series(0, 30) t(i)) AS phash
+        |FROM (SELECT doc_id,
+        |    CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+        |      WHEN 3 THEN 5 ELSE 8 END AS s
+        |  FROM documents) d""".stripMargin,
+
+    // bin-aligned tone physics as arithmetic: dominant = k·rate/1024 and
+    // rolloff = (k+1)·rate/1024 are EXACT doubles (rate divisible by 8
+    // makes rate/1024 exact binary); centroid rounds to the bin integer
+    "m4_audio_spectral" ->
+      """SELECT doc_id,
+        |  (8000 + (doc_id % 8) * 1000)::INT AS sample_rate,
+        |  ((8 + doc_id % 48) * (8000 + (doc_id % 8) * 1000))::DOUBLE
+        |    / 1024.0 AS dominant_hz,
+        |  (8 + doc_id % 48)::INT AS centroid_bin,
+        |  ((9 + doc_id % 48) * (8000 + (doc_id % 8) * 1000))::DOUBLE
+        |    / 1024.0 AS rolloff85_hz,
+        |  TRUE AS is_tonal
+        |FROM documents""".stripMargin,
+
+    // brightness-rescale pairs: ids 2g and 2g+1 share a pattern, so the
+    // distance-0 banded join must return exactly the consecutive pairs
+    "m5_phash_neardup" ->
+      """SELECT d1.doc_id AS a, d2.doc_id AS b, 0::INT AS hamming
+        |FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        |WHERE d1.doc_id % 2 = 0 AND d1.doc_id < 630 AND d2.doc_id < 630
+        |""".stripMargin,
 
     "x1_setops" ->
       s"""WITH $evSql,

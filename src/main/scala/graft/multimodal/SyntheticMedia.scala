@@ -60,4 +60,149 @@ object SyntheticMedia {
         le16(ch * 2) ++ le16(16) ++
         "data".getBytes("US-ASCII") ++ le32(ds)
   }
+
+  // ==== id-deterministic PIXEL content (m3/m5): DCT-basis patterns =====
+  //
+  // The m2 trick, pushed from headers to pixels. Each id selects exactly
+  // 31 of the 63 AC positions of the pHash 8×8 low-frequency block — an
+  // arithmetic progression (offset + i·step) mod 63 with step coprime to
+  // 63, so the mask is pure arithmetic on the id and a DuckDB oracle can
+  // state it. The image is 128 + Σ A·cos-basis over the selected
+  // positions, which makes [[PerceptualHash.phash64]] PROVABLY equal to
+  // the mask as a 63-bit word:
+  //
+  //  - a selected position's 2-D DCT coefficient is A·N_u·N_v ≥ 256·A
+  //    (N_0 = 32, N_{u≥1} = 16 — basis orthogonality, exact);
+  //  - an unselected position sees only pixel-rounding noise, bounded by
+  //    0.5·Σ|cos_u|·Σ|cos_v| ≤ 0.5·32·32 = 512 absolute worst case and
+  //    ≲ 330 in practice (Σ|cos_u| ≈ 32·2/π for u ≥ 1) — with A = 4 the
+  //    selected floor is 1024 − 330, strictly above every unselected
+  //    coefficient;
+  //  - the median of the 63 AC values (element 31 ascending) is then the
+  //    LARGEST unselected value, and `> median` sets exactly the 31
+  //    selected bits. A positive brightness rescale (A, base) moves every
+  //    pixel but no bit — the perceptual-invariance property m5 gates on.
+  //
+  // 63 = 7·9, so steps {1,2,4,5,8} are coprime and (offset, step) is
+  // injective on id mod 315 (CRT on 63·5) — masks are unique within any
+  // id window of 315, which is what the m5 near-dup oracle restricts to.
+
+  private val MaskSteps = Array(1, 2, 4, 5, 8)
+
+  /** The 31 selected AC positions for pattern id g. */
+  def maskPositions(g: Long): Array[Int] = {
+    val o = (g % 63).toInt
+    val s = MaskSteps((g % 5).toInt)
+    Array.tabulate(31)(i => (o + i * s) % 63)
+  }
+
+  /** The pHash this pattern must produce: bit p set for each selected
+    * position p (bit 63 never set — 63 informative bits). */
+  def maskHash(g: Long): Long =
+    maskPositions(g).foldLeft(0L)((h, p) => h | (1L << p))
+
+  // cos((2x+1)·u·π/64) — the exact basis phash64's 32-point DCT-II uses
+  private val CosB = Array.tabulate(8, 32)((u, x) =>
+    StrictMath.cos((2 * x + 1) * u * math.Pi / 64.0))
+
+  /** 32×32 grayscale pattern for id g: base + amp·Σ selected bases,
+    * rounded to ints (range stays in [0,255] for amp ≤ 4, base 128 and
+    * amp ≤ 3, base 140 — no clamp ever fires). */
+  private[multimodal] def patternPixels(g: Long, amp: Int, base: Int): Array[Array[Int]] = {
+    val acc = Array.ofDim[Double](32, 32)
+    maskPositions(g).foreach { p =>
+      val q = p + 1 // AC scan order: position p ↔ (v, u) = (q/8, q%8)
+      val cu = CosB(q & 7)
+      val cv = CosB(q >> 3)
+      var y = 0
+      while (y < 32) {
+        val w = cv(y)
+        var x = 0
+        while (x < 32) { acc(y)(x) += w * cu(x); x += 1 }
+        y += 1
+      }
+    }
+    Array.tabulate(32, 32) { (y, x) =>
+      val v = math.round(base + amp * acc(y)(x)).toInt
+      math.max(0, math.min(255, v))
+    }
+  }
+
+  /** A REAL 24-bit BMP (bottom-up rows, the production default) of the
+    * pattern — decoded by `javax.imageio` on the query path, so the
+    * oracle exercises genuine encode → decode → hash, not a shortcut. */
+  def bmpPatternBytes(g: Long, amp: Int = 4, base: Int = 128): Array[Byte] = {
+    val px = patternPixels(g, amp, base)
+    val rowBytes = 32 * 3 // already a multiple of 4: no padding
+    val out = new Array[Byte](54 + 32 * rowBytes)
+    def put(off: Int, bs: Array[Byte]): Unit = System.arraycopy(bs, 0, out, off, bs.length)
+    put(0, "BM".getBytes("US-ASCII"))
+    put(2, le32(out.length)); put(10, le32(54))
+    put(14, le32(40)); put(18, le32(32)); put(22, le32(32))
+    put(26, le16(1)); put(28, le16(24)); put(34, le32(32 * rowBytes))
+    var r = 0
+    while (r < 32) {
+      val y = 31 - r // bottom-up storage
+      var x = 0
+      while (x < 32) {
+        val v = px(y)(x).toByte
+        val o = 54 + r * rowBytes + x * 3
+        out(o) = v; out(o + 1) = v; out(o + 2) = v // B = G = R: grayscale
+        x += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  // ==== id-deterministic SAMPLE content (m4): bin-aligned tones ========
+  //
+  // Each id synthesizes a mono 16-bit WAV holding a pure sine at FFT bin
+  // k = 8 + id % 48 of [[AudioSpectral]]'s 1024-point transform, sampled
+  // at rate 8000 + (id % 8)·1000. 3072 samples = 1024 + 4·512, so every
+  // Hann frame is FULLY filled (no zero-padded tail) and the leakage of
+  // a bin-aligned tone is confined to k ± 1 (power ratio ¼ : 1 : ¼) up
+  // to the symmetric-window ε. The features are then arithmetic on id:
+  //  - dominant bin = k exactly → dominantHz = k·rate/1024, EXACT in
+  //    doubles (rate divisible by 8 makes rate/1024 an exact binary);
+  //  - 85% rolloff stops at bin k+1 (cumulative crosses at 5/6 < 0.85
+  //    before it, 1.0 after) → (k+1)·rate/1024, exact;
+  //  - centroid = k bins up to ~1e-3 → round(centroid/hzPerBin) = k;
+  //  - flatness ≈ 0 (pure tone) → is_tonal.
+  // k ≥ 8 keeps the k−1 leakage bin clear of the skipped DC bin; k ≤ 55
+  // stays far under Nyquist (bin 512) at every rate.
+
+  val ToneSamples = 3072
+  val ToneAmp = 14000 // < 32767: no clipping
+
+  def toneRate(id: Long): Int = (8000 + (id % 8) * 1000).toInt
+  def toneBin(id: Long): Int = (8 + id % 48).toInt
+
+  // sin(2π·j/1024): sample i of bin-k tone is table[(k·i) mod 1024]
+  private val SinT = Array.tabulate(1024)(j =>
+    StrictMath.sin(2.0 * math.Pi * j / 1024.0))
+
+  /** Full playable WAV (44-byte canonical header + PCM data) of the
+    * bin-aligned tone for id. */
+  def wavToneBytes(id: Long): Array[Byte] = {
+    val k = toneBin(id)
+    val sr = toneRate(id)
+    val ds = ToneSamples * 2
+    val out = new Array[Byte](44 + ds)
+    def put(off: Int, bs: Array[Byte]): Unit = System.arraycopy(bs, 0, out, off, bs.length)
+    put(0, "RIFF".getBytes("US-ASCII")); put(4, le32(36 + ds))
+    put(8, "WAVE".getBytes("US-ASCII"))
+    put(12, "fmt ".getBytes("US-ASCII")); put(16, le32(16))
+    put(20, le16(1)); put(22, le16(1)); put(24, le32(sr))
+    put(28, le32(sr * 2)); put(32, le16(2)); put(34, le16(16))
+    put(36, "data".getBytes("US-ASCII")); put(40, le32(ds))
+    var i = 0
+    while (i < ToneSamples) {
+      val v = math.round(ToneAmp * SinT(((k.toLong * i) % 1024).toInt)).toInt
+      out(44 + 2 * i) = (v & 0xff).toByte
+      out(44 + 2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
 }
