@@ -36,4 +36,26 @@ class NoUdfSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"scalar UDF registrations found in main source:\n${offenders.mkString("\n")}")
   }
+
+  test("main source never case-converts without Locale.ROOT") {
+    // the round-10 incident class: String.toLowerCase() without a locale
+    // follows the JVM default locale (Turkish-I etc.), forking results
+    // across deployments. Every case conversion in main source must pass
+    // Locale.ROOT (comment/scaladoc lines are exempt).
+    val root = Paths.get("src/main/scala")
+    assume(Files.exists(root), "main source tree not present")
+    val bare = """to(Lower|Upper)Case(\(\)|(?=[^(a-zA-Z0-9_]|$))""".r
+    val offenders = scalaFiles(root).flatMap { p =>
+      val lines = new String(Files.readAllBytes(p), "UTF-8").linesIterator
+      lines.zipWithIndex.collect {
+        case (l, i)
+          if !l.trim.startsWith("*") && !l.trim.startsWith("//") &&
+            bare.findFirstIn(l).isDefined &&
+            !l.contains("Locale.ROOT") =>
+          s"$p:${i + 1}: ${l.trim}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"locale-less case conversions in main source:\n${offenders.mkString("\n")}")
+  }
 }
