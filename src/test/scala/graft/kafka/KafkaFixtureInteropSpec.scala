@@ -1,0 +1,151 @@
+package graft.kafka
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.util.concurrent.{ArrayBlockingQueue, TimeUnit}
+
+import Wire.WireRecord
+
+/** Cross-implementation wire check. `scripts/kafka_fixture_gen.py` is a
+  * SECOND, independent encoding of the public Kafka protocol (v0 apis,
+  * MessageSet v1, murmur2) sharing no code with [[Wire]] — its committed
+  * byte fixtures are replayed here in both directions:
+  *
+  *  - broker side: the Python-encoded request bytes go down a real TCP
+  *    socket to a fresh [[MiniBroker]], and every response must be
+  *    byte-exact equal to the Python-computed expectation (the metadata
+  *    response compares around a 4-byte hole for the ephemeral port);
+  *  - client side: [[MiniKafkaClient]] talks to a scripted socket server
+  *    that asserts the client's produce/fetch requests are byte-exact
+  *    equal to the Python encoding and answers with Python-built
+  *    responses the client must parse (CRCs included).
+  *
+  * This closes the "both ends are this repo's code" loop as far as an
+  * offline environment allows: a framing/width/CRC bug that cancels out
+  * between the repo's encoder and decoder cannot cancel against an
+  * implementation in another language built from the spec text. */
+class KafkaFixtureInteropSpec extends AnyFunSuite {
+
+  private lazy val fx: Map[String, Array[Byte]] = {
+    val in = getClass.getResourceAsStream("/kafka_wire_fixtures.txt")
+    assert(in != null, "kafka_wire_fixtures.txt missing — run scripts/kafka_fixture_gen.py")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map { l =>
+      val Array(name, hex) = l.trim.split(" ", 2)
+      name -> hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    }.toMap
+    finally src.close()
+  }
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private val records = Seq(
+    WireRecord(0L, 1000L, "k1".getBytes("UTF-8"), "v1".getBytes("UTF-8")),
+    WireRecord(0L, 1001L, null, "v2".getBytes("UTF-8")),
+    WireRecord(0L, 1002L, "k3".getBytes("UTF-8"), null))
+
+  test("broker answers an independently-encoded session byte-exactly") {
+    val broker = new MiniBroker(numPartitions = 2)
+    try {
+      val sock = new Socket("localhost", broker.port)
+      sock.setTcpNoDelay(true)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      def roundTrip(reqName: String, respName: String): Array[Byte] = {
+        out.write(fx(reqName)); out.flush() // raw Python bytes, prefix included
+        val size = in.readInt()
+        val resp = new Array[Byte](size)
+        in.readFully(resp)
+        val want = fx(respName)
+        if (respName == "metadata_resp") {
+          val hole = be32(fx("metadata_resp_port_hole"), 0)
+          assert(resp.length == want.length, s"$respName length")
+          for (i <- resp.indices if i < hole || i >= hole + 4)
+            assert(resp(i) == want(i), s"$respName byte $i")
+        } else
+          assert(java.util.Arrays.equals(resp, want),
+            s"$respName differs from the spec-derived bytes")
+        resp
+      }
+      roundTrip("apiversions_req", "apiversions_resp")
+      val meta = roundTrip("metadata_req", "metadata_resp")
+      // the hole really is the live port
+      val hole = be32(fx("metadata_resp_port_hole"), 0)
+      assert(be32(meta, hole) == broker.port)
+      roundTrip("produce_req", "produce_resp")
+      roundTrip("fetch_req", "fetch_resp")
+      roundTrip("listoffsets_req", "listoffsets_resp")
+      sock.close()
+    } finally broker.close()
+  }
+
+  test("client emits spec-exact bytes and parses spec-built responses") {
+    val server = new ServerSocket(0)
+    val failures = new ArrayBlockingQueue[String](8)
+    val script = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new DataInputStream(sock.getInputStream)
+        val out = new DataOutputStream(sock.getOutputStream)
+        def step(reqName: String, respName: String): Unit = {
+          val size = in.readInt()
+          val got = new Array[Byte](size)
+          in.readFully(got)
+          val want = fx(reqName)
+          // fixture requests carry the size prefix; compare payloads
+          if (!java.util.Arrays.equals(got, want.drop(4)))
+            failures.add(s"$reqName: client bytes differ from the spec encoding")
+          val resp = fx(respName)
+          out.writeInt(resp.length); out.write(resp); out.flush()
+        }
+        step("client_produce_req", "client_produce_resp")
+        step("client_fetch_req", "client_fetch_resp")
+        sock.close()
+      } catch { case e: Throwable => failures.add(s"script server died: $e") }
+    }, "fixture-script-server")
+    script.setDaemon(true)
+    script.start()
+    val client = new MiniKafkaClient("localhost", server.getLocalPort)
+    try {
+      assert(client.produce("fx", 0, records) == 0L)
+      val fetched = client.fetch("fx", 0, 0L)
+      assert(fetched.map(_.offset) == Seq(0L, 1L, 2L))
+      assert(fetched.map(_.timestamp) == Seq(1000L, 1001L, 1002L))
+      assert(new String(fetched.head.key, "UTF-8") == "k1")
+      assert(fetched(1).key == null)
+      assert(fetched(2).value == null)
+      assert(new String(fetched(1).value, "UTF-8") == "v2")
+      script.join(10000)
+      val firstFailure = failures.poll(1, TimeUnit.MILLISECONDS)
+      assert(firstFailure == null, s"script server reported: $firstFailure")
+    } finally { client.close(); server.close() }
+  }
+
+  test("murmur2 and partition placement match the independent implementation") {
+    for (key <- Seq("k1", "k3", "user-42", "a", "abcd", "abcde", "")) {
+      val f = fx(s"murmur2_${if (key.isEmpty) "empty" else key}")
+      val wantHash = be32(f, 0)
+      val wantPart = be32(f, 4)
+      val data = key.getBytes("UTF-8")
+      assert(Wire.murmur2(data) == wantHash, s"murmur2($key)")
+      assert(Wire.partitionFor(data, 2) == wantPart, s"partitionFor($key)")
+    }
+  }
+
+  test("the repo encoder's message set is byte-identical to the Python one") {
+    // produce_req tail: the Python message set for the same 3 records —
+    // locate it structurally (last INT32-length BYTES field of the body)
+    val enc = Wire.encodeMessageSet(records)
+    val req = fx("produce_req")
+    val tail = req.takeRight(enc.length)
+    assert(java.util.Arrays.equals(tail, enc),
+      "encodeMessageSet differs from the spec-derived MessageSet v1 bytes")
+    // and the prefix length field agrees
+    val lenOff = req.length - enc.length - 4
+    assert(be32(req, lenOff) == enc.length)
+  }
+}
