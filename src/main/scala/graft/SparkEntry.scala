@@ -1963,6 +1963,43 @@ object SparkEntry {
       graft.multimodal.PerceptualHash.nearDupImagePairs(recs, maxDist = 0)
     }),
 
+    // the m2 trick for the VIDEO modality: each doc id builds a valid
+    // minimal container — ISO-BMFF MP4 (ftyp + moov{mvhd,trak{tkhd}},
+    // v0/v1 box layouts alternating so both parser paths are gated) or
+    // RIFF AVI (LIST hdrl + avih) — whose duration/dimensions are
+    // arithmetic on the id; parseMeta must recover them by real box/
+    // chunk walking. Completes the modality matrix under the oracle:
+    // image pixels (m3/m5), audio samples (m4), video containers (m6)
+    "m6_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select("doc_id").as[Long]
+        .map { id =>
+          val m = graft.multimodal.Multimodal.parseMeta(
+            graft.multimodal.SyntheticMedia.videoBytes(id))
+          (id, m.mediaType, m.width, m.height, m.durationMs)
+        }
+        .toDF("doc_id", "media_type", "width", "height", "duration_ms")
+    }),
+
+    // nonzero-distance calibration of the pHash pipeline: consecutive
+    // ids render DIFFERENT arithmetic masks, so the measured Hamming
+    // distance between their decoded-image hashes must equal the
+    // popcount of the mask XOR — DuckDB states every distance exactly.
+    // Exercises the distance math the m5 invariance query can't (its
+    // pairs sit at 0)
+    "m7_phash_hamming" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = Tables.documents(s, dir).select("doc_id").as[Long]
+        .map(id => graft.multimodal.MediaRecord(id, null,
+          graft.multimodal.SyntheticMedia.bmpPatternBytes(id)))
+        .transform(graft.multimodal.PerceptualHash.imagePHashes)
+      hashes.join(
+          hashes.select((col("doc_id") - 1).as("doc_id"),
+            col("simhash").as("next_hash")), "doc_id")
+        .select(col("doc_id"),
+          expr("bit_count(simhash ^ next_hash)").cast("int").as("hamming"))
+    }),
+
     // relational extras (set ops, top-k, rollup, analytic, json) -----------
 
     "x1_setops" -> ((s, dir) => {
@@ -6822,6 +6859,34 @@ object SparkEntry {
         |FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
         |WHERE d1.doc_id % 2 = 0 AND d1.doc_id < 630 AND d2.doc_id < 630
         |""".stripMargin,
+
+    // container fields restated as arithmetic: MP4 duration is a real
+    // integer division (600-tick timescale), AVI duration is
+    // µs/frame × frames / 1000
+    "m6_video_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 2 WHEN 0 THEN 'video/mp4' ELSE 'video/avi' END
+        |    AS media_type,
+        |  (1 + doc_id % 1000)::INT AS width,
+        |  (1 + doc_id % 97)::INT AS height,
+        |  (CASE doc_id % 2
+        |    WHEN 0 THEN (1 + doc_id % 100000) * 1000 // 600
+        |    ELSE (10000 + (doc_id % 5) * 10000) * (1 + doc_id % 2400) // 1000
+        |   END)::BIGINT AS duration_ms
+        |FROM documents""".stripMargin,
+
+    // the measured image-hash Hamming distance must equal the popcount
+    // of the two arithmetic masks' XOR — every nonzero distance stated
+    "m7_phash_hamming" ->
+      """WITH m AS (SELECT d.doc_id,
+        |    (SELECT sum(1::BIGINT << ((d.doc_id % 63 + i * s) % 63))::BIGINT
+        |     FROM generate_series(0, 30) t(i)) AS mask
+        |  FROM (SELECT doc_id,
+        |      CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+        |        WHEN 3 THEN 5 ELSE 8 END AS s
+        |    FROM documents) d)
+        |SELECT a.doc_id, bit_count(xor(a.mask, b.mask))::INT AS hamming
+        |FROM m a JOIN m b ON b.doc_id = a.doc_id + 1""".stripMargin,
 
     "x1_setops" ->
       s"""WITH $evSql,

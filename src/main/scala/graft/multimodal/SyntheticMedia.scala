@@ -61,6 +61,61 @@ object SyntheticMedia {
         "data".getBytes("US-ASCII") ++ le32(ds)
   }
 
+  // ==== id-deterministic VIDEO containers (m6) =========================
+  //
+  // The m2 trick for the video modality: each id builds a VALID minimal
+  // container — ISO-BMFF MP4 (ftyp + moov{mvhd, trak{tkhd}}, v0/v1 box
+  // layouts alternating so both parser paths stay under the gate) or
+  // RIFF AVI (LIST hdrl + avih) — whose duration/dimension fields are
+  // pure arithmetic on the id, so DuckDB can state what
+  // [[Multimodal.parseMeta]] must recover by walking the boxes/chunks.
+
+  /** MP4 ids use a 600-tick timescale (the QuickTime convention), so
+    * durationMs exercises real integer division: d·1000/600. */
+  def mp4Duration(id: Long): Long = 1 + id % 100000
+  def aviUsPerFrame(id: Long): Long = 10000 + (id % 5) * 10000
+  def aviFrames(id: Long): Long = 1 + id % 2400
+
+  private def box(boxType: String, payload: Array[Byte]): Array[Byte] =
+    be32(8 + payload.length) ++ boxType.getBytes("US-ASCII") ++ payload
+
+  /** A valid video container for id: MP4 on even ids (mvhd/tkhd version
+    * 1 when (id/2) is odd — 64-bit duration fields), AVI on odd ids. */
+  def videoBytes(id: Long): Array[Byte] =
+    if (id % 2 == 0) {
+      val v1 = (id / 2) % 2 == 1
+      val mvhd =
+        if (v1)
+          Array[Byte](1, 0, 0, 0) ++ // version 1, flags
+            new Array[Byte](16) ++ // created/modified (8+8)
+            be32(600) ++ // timescale
+            be32(0) ++ be32(mp4Duration(id).toInt) ++ // 64-bit duration
+            new Array[Byte](80)
+        else
+          Array[Byte](0, 0, 0, 0) ++
+            new Array[Byte](8) ++ // created/modified (4+4)
+            be32(600) ++ be32(mp4Duration(id).toInt) ++
+            new Array[Byte](80)
+      val tkhd =
+        if (v1)
+          Array[Byte](1, 0, 0, 0) ++ new Array[Byte](84) ++
+            be32(width(id) << 16) ++ be32(height(id) << 16)
+        else
+          Array[Byte](0, 0, 0, 0) ++ new Array[Byte](72) ++
+            be32(width(id) << 16) ++ be32(height(id) << 16)
+      box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++
+        box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+    } else {
+      val avih = le32(aviUsPerFrame(id).toInt) ++ new Array[Byte](12) ++
+        le32(aviFrames(id).toInt) ++ new Array[Byte](12) ++
+        le32(width(id)) ++ le32(height(id)) ++ new Array[Byte](16)
+      val hdrl = "hdrl".getBytes("US-ASCII") ++
+        "avih".getBytes("US-ASCII") ++ le32(avih.length) ++ avih
+      val body = "AVI ".getBytes("US-ASCII") ++
+        "LIST".getBytes("US-ASCII") ++ le32(hdrl.length) ++ hdrl
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+
   // ==== id-deterministic PIXEL content (m3/m5): DCT-basis patterns =====
   //
   // The m2 trick, pushed from headers to pixels. Each id selects exactly

@@ -54,6 +54,25 @@ class SyntheticMediaOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("video containers parse back to the id formulas (mp4 v0/v1 + avi)") {
+    // ids 0..119 cover every residue the formulas read (lcm of 2,4,5,97
+    // not needed — the field arithmetic is checked directly per id) and
+    // both mvhd/tkhd box versions
+    for (id <- 0L until 120L) {
+      val m = Multimodal.parseMeta(SyntheticMedia.videoBytes(id))
+      if (id % 2 == 0) {
+        assert(m.mediaType == "video/mp4", s"id $id")
+        assert(m.durationMs == SyntheticMedia.mp4Duration(id) * 1000 / 600)
+      } else {
+        assert(m.mediaType == "video/avi", s"id $id")
+        assert(m.durationMs ==
+          SyntheticMedia.aviUsPerFrame(id) * SyntheticMedia.aviFrames(id) / 1000)
+      }
+      assert(m.width == SyntheticMedia.width(id), s"id $id width")
+      assert(m.height == SyntheticMedia.height(id), s"id $id height")
+    }
+  }
+
   test("tone WAV spectral features equal the id formulas (all 48 residues)") {
     // (id % 8, id % 48) pairs are determined by id % 48 (8 | 48), so 48
     // ids cover every (rate, bin) combination that can ever occur
