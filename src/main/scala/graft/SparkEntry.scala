@@ -2000,6 +2000,28 @@ object SparkEntry {
           expr("bit_count(simhash ^ next_hash)").cast("int").as("hamming"))
     }),
 
+    // frame-level video under the gate: each doc id builds a PLAYABLE
+    // MJPEG AVI (genuine JDK-encoded JPEG frames in a RIFF movi list);
+    // the query walks the container and REALLY decodes every frame —
+    // the oracle states the frame count and the decoded dimensions
+    // (dims survive the lossy codec exactly; pixel values don't ride)
+    "m8_avi_frames" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select("doc_id").as[Long]
+        .map { id =>
+          val chunks = graft.multimodal.Multimodal.aviVideoChunks(
+            graft.multimodal.SyntheticMedia.mjpegAviBytes(id))
+          val imgs = chunks.flatMap { c =>
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(c)))
+          }
+          (id, chunks.length, imgs.size,
+            imgs.headOption.map(_.getWidth).getOrElse(0),
+            imgs.headOption.map(_.getHeight).getOrElse(0))
+        }
+        .toDF("doc_id", "n_frames", "frames_decoded", "frame_w", "frame_h")
+    }),
+
     // relational extras (set ops, top-k, rollup, analytic, json) -----------
 
     "x1_setops" -> ((s, dir) => {
@@ -6887,6 +6909,16 @@ object SparkEntry {
         |    FROM documents) d)
         |SELECT a.doc_id, bit_count(xor(a.mask, b.mask))::INT AS hamming
         |FROM m a JOIN m b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    // frame count and decoded dimensions as arithmetic; every frame must
+    // decode (frames_decoded = n_frames — real JPEGs, real decoder)
+    "m8_avi_frames" ->
+      """SELECT doc_id,
+        |  (1 + doc_id % 8)::INT AS n_frames,
+        |  (1 + doc_id % 8)::INT AS frames_decoded,
+        |  (8 + doc_id % 16)::INT AS frame_w,
+        |  (8 + doc_id % 12)::INT AS frame_h
+        |FROM documents""".stripMargin,
 
     "x1_setops" ->
       s"""WITH $evSql,

@@ -116,6 +116,61 @@ object SyntheticMedia {
       "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
     }
 
+  // ==== id-deterministic MJPEG-AVI clips (m8) ===========================
+  //
+  // Frame-level video under the gate: each id builds a playable MJPEG
+  // AVI whose frame COUNT and frame DIMENSIONS are arithmetic on the id.
+  // Frames are genuine JDK-encoded JPEGs, so the query path exercises
+  // the full RIFF movi walk ([[Multimodal.aviVideoChunks]]) plus a REAL
+  // per-frame JPEG decode; dimensions survive the lossy codec exactly,
+  // pixel values deliberately don't ride the oracle.
+
+  def mjpegFrameCount(id: Long): Int = (1 + id % 8).toInt
+  def mjpegFrameW(id: Long): Int = (8 + id % 16).toInt
+  def mjpegFrameH(id: Long): Int = (8 + id % 12).toInt
+
+  private def riffChunk(fourcc: String, body: Array[Byte]): Array[Byte] = {
+    val pad: Array[Byte] =
+      if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+    fourcc.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+  }
+
+  private def jpegFrame(w: Int, h: Int, shade: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (shade << 16) | (shade << 8) | shade
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** A playable MJPEG AVI for id: avih header + movi list of `00dc`
+    * JPEG frames (count/dims per the formulas above, 25 fps). */
+  def mjpegAviBytes(id: Long): Array[Byte] = {
+    val w = mjpegFrameW(id)
+    val h = mjpegFrameH(id)
+    val n = mjpegFrameCount(id)
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(40000), 0, avih, 0, 4) // 25 fps
+    System.arraycopy(le32(n), 0, avih, 16, 4)
+    System.arraycopy(le32(w), 0, avih, 32, 4)
+    System.arraycopy(le32(h), 0, avih, 36, 4)
+    val frames = Array.tabulate(n)(i =>
+      riffChunk("00dc", jpegFrame(w, h, ((id + i) % 200 + 28).toInt)))
+    val hdrl = riffChunk("LIST",
+      "hdrl".getBytes("US-ASCII") ++ riffChunk("avih", avih))
+    val movi = riffChunk("LIST",
+      "movi".getBytes("US-ASCII") ++ frames.flatten)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
   // ==== id-deterministic PIXEL content (m3/m5): DCT-basis patterns =====
   //
   // The m2 trick, pushed from headers to pixels. Each id selects exactly

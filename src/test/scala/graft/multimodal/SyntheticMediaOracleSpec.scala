@@ -73,6 +73,26 @@ class SyntheticMediaOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("MJPEG AVI clips walk and decode back to the id formulas") {
+    // 96 ids: two full cycles of lcm(8, 16, 12) = 48
+    for (id <- 0L until 96L) {
+      val bytes = SyntheticMedia.mjpegAviBytes(id)
+      assert(Multimodal.mediaType(bytes) == "video/avi", s"id $id")
+      val chunks = Multimodal.aviVideoChunks(bytes)
+      assert(chunks.length == SyntheticMedia.mjpegFrameCount(id), s"id $id count")
+      chunks.foreach { c =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(c))
+        assert(img != null, s"id $id: frame failed to decode")
+        assert(img.getWidth == SyntheticMedia.mjpegFrameW(id))
+        assert(img.getHeight == SyntheticMedia.mjpegFrameH(id))
+      }
+      // and the avih metadata agrees with the movi contents
+      val m = Multimodal.parseMeta(bytes)
+      assert(m.width == SyntheticMedia.mjpegFrameW(id))
+      assert(m.durationMs == 40L * SyntheticMedia.mjpegFrameCount(id))
+    }
+  }
+
   test("tone WAV spectral features equal the id formulas (all 48 residues)") {
     // (id % 8, id % 48) pairs are determined by id % 48 (8 | 48), so 48
     // ids cover every (rate, bin) combination that can ever occur
