@@ -61,10 +61,22 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 ok = fail = 0
+results = {}   # per-query audit record, dumped as JSON when argv[3] given
+
+
+def df_hash(df):
+    """Stable digest of a normalized frame — the auditable evidence that
+    the Spark result and the local oracle agreed value-for-value."""
+    import hashlib
+    return hashlib.sha256(
+        df.round(9).to_csv(index=False).encode("utf-8")).hexdigest()[:16]
+
+
 for name in sorted(set(oracle) | set(PY_ORACLES)):
     res_files = glob.glob(f"{OUT_DIR}/{name}/*.parquet")
     if not res_files:
         print(f"FAIL {name}: no spark result")
+        results[name] = {"status": "fail", "err": "no spark result"}
         fail += 1
         continue
     try:
@@ -72,20 +84,28 @@ for name in sorted(set(oracle) | set(PY_ORACLES)):
         duck_df = PY_ORACLES[name]() if name in PY_ORACLES else con.sql(oracle[name]).df()
     except Exception as e:
         print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+        results[name] = {"status": "fail",
+                         "err": f"{type(e).__name__}: {str(e)[:200]}"}
         fail += 1
         continue
     s, d = normalize(spark_df), normalize(duck_df)
     if list(s.columns) != list(d.columns):
         print(f"FAIL {name}: columns differ spark={list(s.columns)} duck={list(d.columns)}")
+        results[name] = {"status": "fail", "err": "schema mismatch"}
         fail += 1
         continue
     if len(s) != len(d):
         print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
+        results[name] = {"status": "fail",
+                         "err": f"rows {len(s)} vs {len(d)}"}
         fail += 1
         continue
     try:
         pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)
         print(f"OK   {name} ({len(s)} rows)")
+        results[name] = {"status": "ok", "rows": int(len(s)),
+                         "hash": df_hash(s),
+                         "oracle": "python" if name in PY_ORACLES else "duckdb"}
         ok += 1
     except AssertionError as e:
         print(f"FAIL {name}: values differ: {str(e).splitlines()[-1][:300]}")
@@ -94,6 +114,11 @@ for name in sorted(set(oracle) | set(PY_ORACLES)):
         bad = neq.any(axis=1)
         print(s[bad].head(3))
         print(d[bad].head(3))
+        results[name] = {"status": "fail", "err": "values differ"}
         fail += 1
 print(f"\n{ok} OK, {fail} FAIL of {len(oracle)}")
+if len(sys.argv) > 3:
+    json.dump({"sf_dir": SF_DIR, "ok": ok, "fail": fail,
+               "results": results}, open(sys.argv[3], "w"), indent=1)
+    print(f"wrote {sys.argv[3]}")
 sys.exit(1 if fail else 0)
