@@ -1989,10 +1989,14 @@ object SparkEntry {
     // pairs sit at 0)
     "m7_phash_hamming" -> ((s, dir) => {
       import s.implicits._
+      // localCheckpoint: the self-join reads the hash table twice —
+      // decode-and-hash once (the d7/mmr snapshot discipline), never
+      // re-render the corpus per join side
       val hashes = Tables.documents(s, dir).select("doc_id").as[Long]
         .map(id => graft.multimodal.MediaRecord(id, null,
           graft.multimodal.SyntheticMedia.bmpPatternBytes(id)))
         .transform(graft.multimodal.PerceptualHash.imagePHashes)
+        .localCheckpoint(false)
       hashes.join(
           hashes.select((col("doc_id") - 1).as("doc_id"),
             col("simhash").as("next_hash")), "doc_id")
