@@ -853,6 +853,28 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("multimodal decode queries are map-only: media bytes never cross an Exchange") {
+    // the modality pillar's scale claim — pixels/samples/containers are
+    // born, decoded and reduced to scalar rows inside the partition;
+    // only (id, scalar...) rows may ever shuffle
+    Seq("m2_media_decode", "m3_phash", "m4_audio_spectral",
+        "m6_video_meta", "m8_avi_frames").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q grew an Exchange:\n$p")
+      assert(!p.toLowerCase.contains("join"), s"$q grew a join:\n$p")
+    }
+  }
+
+  test("m5 near-dup: the only exchange is keyed on (band, key) hashes, never bytes") {
+    val p = planOf("m5_phash_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // every hashpartitioning key is a band key or pair id — if media
+    // bytes or decoded images ever rode an exchange, `content` would
+    // appear in its partitioning expressions
+    assert(!p.contains("hashpartitioning(content"), p)
+  }
+
   test("x104 Spearman windows partition by type; x103 KM windows run on the day-grain table") {
     val p104 = planOf("x104_spearman")
     assert(!p104.contains("CartesianProduct") && !p104.toLowerCase.contains("nestedloop"), p104)
