@@ -10,6 +10,10 @@ import java.nio.file.Files
   * outer-free constructor for the product encoder). */
 case class StreamBenchDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 
+/** One replayed image row (binary BMP bytes). */
+case class StreamBenchImg(doc_id: Long, content: Array[Byte],
+                          ets: java.sql.Timestamp)
+
 /** Streaming throughput harness (not part of the library surface):
   * replays the sf events table through three representative streaming
   * operators in fixed-size micro-batches and reports rows/s plus final
@@ -99,6 +103,24 @@ object StreamBench {
         .writeStream.format("noop")
         .option("checkpointLocation",
           Files.createTempDirectory("sb_topk").toString)
+        .outputMode("append").start()
+    }
+
+    // 4. streaming image near-dup: map-side decode + pHash, banded
+    //    bucket state (10,000 synthetic BMPs, m5 corpus shape: 5,000
+    //    brightness-rescaled pairs — every row decodes a real image)
+    run[StreamBenchImg]("image_neardup",
+      (0L until 10000L).map { id =>
+        val (amp, base) = if (id % 2 == 0) (4, 128) else (3, 140)
+        StreamBenchImg(id,
+          graft.multimodal.SyntheticMedia.bmpPatternBytes(id / 2, amp, base),
+          new java.sql.Timestamp((1700000000L + id) * 1000))
+      }) { in =>
+      streaming.StreamImageNearDup
+        .pairs(in.toDF(), "doc_id", "content", "ets", "1 hour", maxDist = 0)
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("sb_imgdup").toString)
         .outputMode("append").start()
     }
 
