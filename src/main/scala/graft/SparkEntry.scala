@@ -5263,6 +5263,17 @@ object SparkEntry {
       graft.functions.TimeSeries.changepoint(
         ev(s, dir), "event_type", "ts_sec", "value")),
 
+    // Haar wavelet top-5 detail coefficients per event type's daily
+    // series — the multi-resolution "where and at what SCALE does this
+    // metric move" localization next to x112's single changepoint. The
+    // unnormalized sum/difference pyramid keeps every coefficient an
+    // exact milli-unit integer, so the |detail| ranking never forks;
+    // everything past one (type, day) aggregation is span-bound
+    // (levels halving aggs over 2^5-point grids)
+    "x132_haar" -> ((s, dir) =>
+      graft.functions.TimeSeries.haarTopDetails(
+        ev(s, dir), "event_type", "ts_sec", "value")),
+
     // PACF lags 1–3 from x56's ACF via Durbin–Levinson closed forms —
     // the AR-order fingerprint (cuts off at p where ACF only decays).
     // Arithmetic on the rounded acf columns: |groups| extra rows on
@@ -8989,6 +9000,48 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
         |        ORDER BY gain DESC, t ASC) AS rk FROM sc)
         |WHERE rk = 1""".stripMargin,
+
+    // unnormalized Haar pyramid: five explicit halving stages, every
+    // coefficient an exact integer; rank (|detail| desc, level, pos)
+    "x132_haar" ->
+      s"""WITH $evSql,
+        |cells AS (SELECT event_type, ts_sec // 86400 AS day,
+        |    round(sum(value), 3) AS v3 FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0 FROM cells),
+        |s0 AS (
+        |  SELECT g.event_type, d.pos,
+        |    round(coalesce(c.v3, 0) * 1000)::BIGINT AS m
+        |  FROM (SELECT DISTINCT event_type FROM cells) g
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS pos) d
+        |  LEFT JOIN (SELECT event_type, day - (SELECT d0 FROM b) AS pos, v3
+        |             FROM cells) c
+        |    ON c.event_type = g.event_type AND c.pos = d.pos),
+        |l1 AS (SELECT event_type, pos // 2 AS pos,
+        |    sum(CASE WHEN pos % 2 = 0 THEN m ELSE -m END)::BIGINT AS detail,
+        |    sum(m)::BIGINT AS m FROM s0 GROUP BY 1, 2),
+        |l2 AS (SELECT event_type, pos // 2 AS pos,
+        |    sum(CASE WHEN pos % 2 = 0 THEN m ELSE -m END)::BIGINT AS detail,
+        |    sum(m)::BIGINT AS m FROM l1 GROUP BY 1, 2),
+        |l3 AS (SELECT event_type, pos // 2 AS pos,
+        |    sum(CASE WHEN pos % 2 = 0 THEN m ELSE -m END)::BIGINT AS detail,
+        |    sum(m)::BIGINT AS m FROM l2 GROUP BY 1, 2),
+        |l4 AS (SELECT event_type, pos // 2 AS pos,
+        |    sum(CASE WHEN pos % 2 = 0 THEN m ELSE -m END)::BIGINT AS detail,
+        |    sum(m)::BIGINT AS m FROM l3 GROUP BY 1, 2),
+        |l5 AS (SELECT event_type, pos // 2 AS pos,
+        |    sum(CASE WHEN pos % 2 = 0 THEN m ELSE -m END)::BIGINT AS detail,
+        |    sum(m)::BIGINT AS m FROM l4 GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, 1 AS level, pos, detail FROM l1 UNION ALL
+        |  SELECT event_type, 2, pos, detail FROM l2 UNION ALL
+        |  SELECT event_type, 3, pos, detail FROM l3 UNION ALL
+        |  SELECT event_type, 4, pos, detail FROM l4 UNION ALL
+        |  SELECT event_type, 5, pos, detail FROM l5)
+        |SELECT event_type, rank, level, pos::INT AS pos, detail
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(detail) DESC, level ASC, pos ASC) AS rank
+        |      FROM d)
+        |WHERE rank <= 5""".stripMargin,
 
     // μ/σ² and frame means from exact integer sums; quartile alphabet
     "x113_sax" ->

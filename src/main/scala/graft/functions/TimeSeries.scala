@@ -373,4 +373,65 @@ object TimeSeries {
           array_sort(collect_list(struct(col("seg"), col("sym")))),
           e => e.getField("sym")), "").as("sax"))
   }
+
+  /** Haar wavelet top-k detail coefficients of each group's daily
+    * series — the multi-resolution "where and at what scale does this
+    * series move" readout (wavelet compression / anomaly localization:
+    * a big |detail| at level ℓ, position p marks a change of scale 2^ℓ
+    * days around day p·2^ℓ). The UNNORMALIZED sum/difference pyramid
+    * (s = a+b, d = a−b per pair) keeps every coefficient an EXACT
+    * integer in milli-units — the x53/x65 exactness discipline — and
+    * the per-group ranking (|detail| desc, level asc, pos asc) is then
+    * engine-stable; divide by 2^(ℓ/2) downstream when orthonormal
+    * values are wanted.
+    *
+    * Scale shape: ONE keyed aggregation over events, then `levels`
+    * halving aggregations + a top-k window over grid-sized rows
+    * (2^levels per group) — everything past the first aggregation is
+    * span-bound, not event-bound, exactly the [[changepoint]] contract.
+    * The dyadic window is the first 2^levels days from the global min
+    * day; later days fall outside the transform by definition. */
+  def haarTopDetails(events: DataFrame, groupCol: String, tsSecCol: String,
+                     valueCol: String, levels: Int = 5, k: Int = 5,
+                     bucketSec: Long = 86400L): DataFrame = {
+    require(levels >= 1 && levels <= 20, s"levels out of range: $levels")
+    val n = 1 << levels
+    val cells = events
+      .select(col(groupCol), expr(s"$tsSecCol div $bucketSec").as("day"),
+        col(valueCol).as("__v"))
+      .groupBy(groupCol, "day").agg(round(sum("__v"), 3).as("v3"))
+    val bounds = cells.agg(min("day").as("d0"))
+    // dense dyadic grid 0..2^levels−1, zero-filled (the x112/x113 grid)
+    var level = cells.select(groupCol).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(groupCol), explode(sequence(lit(0), lit(n - 1))).as("pos"),
+        col("d0"))
+      .join(cells.crossJoin(broadcast(bounds))
+          .select(col(groupCol), (col("day") - col("d0")).as("pos"), col("v3")),
+        Seq(groupCol, "pos"), "left_outer")
+      .select(col(groupCol), col("pos"),
+        round(coalesce(col("v3"), lit(0.0)) * 1000).cast("long").as("m"))
+    var details: DataFrame = null
+    for (l <- 1 to levels) {
+      val folded = level
+        // "ppos", not "pos": the agg's even/odd sign test must resolve
+        // unambiguously against the CHILD's position column
+        .groupBy(col(groupCol), (col("pos") / 2).cast("long").as("ppos"))
+        .agg(sum(when(col("pos") % 2 === 0, col("m")).otherwise(-col("m")))
+            .as("detail"),
+          sum("m").as("m"))
+        .withColumnRenamed("ppos", "pos")
+      val d = folded.select(col(groupCol), lit(l).as("level"), col("pos"),
+        col("detail"))
+      details = if (details == null) d else details.unionByName(d)
+      level = folded.select(col(groupCol), col("pos"), col("m"))
+    }
+    val w = Window.partitionBy(groupCol)
+      .orderBy(abs(col("detail")).desc, col("level").asc, col("pos").asc)
+    details
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("level"),
+        col("pos").cast("int").as("pos"), col("detail"))
+  }
 }

@@ -153,4 +153,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(sax == sax.sorted, s"a ramp's SAX must be alphabet-monotone: $sax")
     assert(sax.startsWith("a") && sax.endsWith("d"), s"tails must hit a/d: $sax")
   }
+
+  test("Haar top details equal a plain-Scala pyramid replay, and a step lands where physics says") {
+    // step series: 2.0 for days 0..15, 9.0 for days 16..31 — the ONLY
+    // nonzero detail in exact arithmetic is the level-5 root difference
+    // (all within-half pairs are equal), so rank 1 must be
+    // (level 5, pos 0, 16·2000 − 16·9000 = −112000)
+    val step = (0 until 32).map(d => ("step", d * 86400L, if (d < 16) 2.0 else 9.0))
+    // a second group with irregular values exercises the generic replay
+    val rng = new scala.util.Random(7)
+    val wob = (0 until 32).map(d => ("wob", d * 86400L, rng.nextInt(1000) / 10.0))
+    val out = TimeSeries.haarTopDetails(
+        (step ++ wob).toDF("g", "ts", "v"), "g", "ts", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    val stepTop = out.filter(_._1 == "step").minBy(_._2)
+    assert(stepTop == (("step", 1, 5, 0, -112000L)), stepTop)
+    // plain-Scala pyramid for the irregular group
+    var m = (0 until 32).map(d => math.round(wob(d)._3 * 1000)).toVector
+    val all = Seq.newBuilder[(Int, Int, Long)]
+    for (l <- 1 to 5) {
+      val pairs = m.grouped(2).toVector
+      pairs.zipWithIndex.foreach { case (Vector(a, b), p) => all += ((l, p, a - b)) }
+      m = pairs.map { case Vector(a, b) => a + b }
+    }
+    val want = all.result()
+      .sortBy { case (l, p, d) => (-math.abs(d), l, p) }.take(5)
+      .zipWithIndex.map { case ((l, p, d), i) => ("wob", i + 1, l, p, d) }.toSet
+    assert(out.filter(_._1 == "wob").toSet == want,
+      s"got ${out.filter(_._1 == "wob").toSet}\nwant $want")
+  }
 }
