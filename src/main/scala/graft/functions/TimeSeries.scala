@@ -393,13 +393,26 @@ object TimeSeries {
     * day; later days fall outside the transform by definition. */
   def haarTopDetails(events: DataFrame, groupCol: String, tsSecCol: String,
                      valueCol: String, levels: Int = 5, k: Int = 5,
-                     bucketSec: Long = 86400L): DataFrame = {
+                     bucketSec: Long = 86400L): DataFrame =
+    haarFromCells(
+      events
+        .select(col(groupCol), expr(s"$tsSecCol div $bucketSec").as("day"),
+          col(valueCol).as("__v"))
+        .groupBy(groupCol, "day").agg(round(sum("__v"), 3).as("v3"))
+        .select(col(groupCol), col("day"),
+          round(col("v3") * 1000).cast("long").as("m")),
+      groupCol, levels, k)
+
+  /** The Haar readout over a PRE-AGGREGATED sparse cell table
+    * (groupCol, day, m) — the same [[changepointFromCells]] entry point
+    * the streaming maintainer ([[graft.streaming.StreamDailyCells]])
+    * shares with the batch path, so "wavelet readout over the live view
+    * ≡ batch readout over raw events" is a theorem about one
+    * function. */
+  def haarFromCells(cells: DataFrame, groupCol: String,
+                    levels: Int = 5, k: Int = 5): DataFrame = {
     require(levels >= 1 && levels <= 20, s"levels out of range: $levels")
     val n = 1 << levels
-    val cells = events
-      .select(col(groupCol), expr(s"$tsSecCol div $bucketSec").as("day"),
-        col(valueCol).as("__v"))
-      .groupBy(groupCol, "day").agg(round(sum("__v"), 3).as("v3"))
     val bounds = cells.agg(min("day").as("d0"))
     // dense dyadic grid 0..2^levels−1, zero-filled (the x112/x113 grid)
     var level = cells.select(groupCol).distinct()
@@ -407,10 +420,10 @@ object TimeSeries {
       .select(col(groupCol), explode(sequence(lit(0), lit(n - 1))).as("pos"),
         col("d0"))
       .join(cells.crossJoin(broadcast(bounds))
-          .select(col(groupCol), (col("day") - col("d0")).as("pos"), col("v3")),
+          .select(col(groupCol), (col("day") - col("d0")).as("pos"), col("m")),
         Seq(groupCol, "pos"), "left_outer")
       .select(col(groupCol), col("pos"),
-        round(coalesce(col("v3"), lit(0.0)) * 1000).cast("long").as("m"))
+        coalesce(col("m"), lit(0L)).as("m"))
     var details: DataFrame = null
     for (l <- 1 to levels) {
       val folded = level

@@ -64,6 +64,20 @@ class StreamDailyCellsSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(2))).toMap
       assert(view == batch, s"view readout $view must equal batch $batch")
       assert(view("step") == 11L, s"the step split must land on day 11: $view")
+      // and the x132 wavelet readout rides the same shared-function
+      // theorem: haarFromCells(view) ≡ haarTopDetails(raw events)
+      val viewHaar = TimeSeries.haarFromCells(
+        StreamDailyCells.cells(s, table).withColumnRenamed("g", "grp"), "grp")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getLong(4))).toSet
+      val batchHaar = TimeSeries.haarTopDetails(
+        fixture.toDF("grp", "ts", "m").select(col("grp"), col("ts"),
+          (col("m").cast("double") / 1000.0).as("v")),
+        "grp", "ts", "v")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getLong(4))).toSet
+      assert(viewHaar == batchHaar,
+        s"wavelet view readout $viewHaar must equal batch $batchHaar")
     } finally q.stop()
   }
 
