@@ -20,10 +20,13 @@ import java.nio.charset.StandardCharsets
   *    fetch over [from, to] epoch-seconds, rendered `"$key@$windowStart"`
   *    (reference `IQueriesService.java:173`)
   *
-  * What disappears vs the reference: the `MetadataService` key→host
-  * routing and the cross-instance HTTP forward
-  * (`IQueriesService.java:84-87,104-109`) — the driver addresses every
-  * state partition, so every key is local by construction.
+  * Multi-instance routing (the reference's `MetadataService` key→host
+  * lookup and the `IQueriesService.java:84-87,104-109` cross-instance
+  * HTTP forward) is available via [[enableRouting]]: key ownership
+  * follows the reference's default-partitioner placement, key-addressed
+  * lookups forward one hop to the owner, and the metadata endpoints
+  * advertise the real peer ring. On a single Spark driver the topology
+  * degenerates honestly (routing off: every key local by construction).
   *
   * Rows are rendered as a JSON array via Spark's own row-JSON encoder, so
   * any state schema is servable without bean classes.
@@ -48,6 +51,39 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0,
   private val stores = scala.collection.concurrent.TrieMap.empty[String, StoreConfig]
   private var server: HttpServer = _
   private var boundPort: Int = bindPort
+
+  /** Multi-instance topology: peer (host, port) list + this instance's
+    * index. None = the single-driver degenerate case. */
+  private case class Peers(hosts: IndexedSeq[(String, Int)], self: Int)
+  private var peers: Option[Peers] = None
+
+  /** Enable the reference's multi-instance routing
+    * (`MetadataService.java:30-68` key→host lookup,
+    * `IQueriesService.java:84-87,104-109` cross-instance HTTP forward):
+    * key ownership follows Kafka's default-partitioner placement
+    * ([[graft.kafka.Wire.partitionFor]] — the same assignment the
+    * reference's source-topic partitioning induces on its state
+    * stores), key-addressed lookups for foreign keys forward to the
+    * owner over HTTP, and the instance-metadata endpoints answer with
+    * the real topology. Instances are assumed symmetric (every peer
+    * serves the same store names — the Kafka Streams same-app
+    * contract). Each instance must register views filtered to its own
+    * key slice; range/all scans stay local by design (clients
+    * scatter-gather via `/state/instances`, as with the reference). */
+  def enableRouting(instances: Seq[(String, Int)], selfIndex: Int): this.type = {
+    require(instances.nonEmpty && selfIndex >= 0 && selfIndex < instances.size,
+      s"selfIndex $selfIndex out of range for ${instances.size} instances")
+    peers = Some(Peers(instances.toIndexedSeq, selfIndex))
+    this
+  }
+
+  /** The instance index owning `key` under the partitioner placement. */
+  def ownerOf(key: String): Int = peers match {
+    case Some(p) =>
+      graft.kafka.Wire.partitionFor(key.getBytes(StandardCharsets.UTF_8),
+        p.hosts.size)
+    case None => 0
+  }
 
   /** Register a named store (reference `Materialized.as("counts-store")`,
     * `WordCount.java:56`) backed by `checkpoint`'s state, keyed by
@@ -87,8 +123,59 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0,
 
   def stop(): Unit = if (server != null) server.stop(0)
 
+  /** The key a path addresses, when it is key-addressed (point lookup or
+    * windowed fetch) — the two shapes the reference forwards
+    * (`IQueriesService.java:104-109`); scans are served locally. */
+  private def addressedKey(path: String): Option[String] =
+    segments(path) match {
+      case "state" :: "keyvalue" :: _ :: key :: Nil            => Some(key)
+      case "state" :: "windowed" :: _ :: key :: _ :: _ :: Nil  => Some(key)
+      case _                                                   => None
+    }
+
+  /** Relay a key-addressed request to its owning peer. One hop only:
+    * the forwarded request carries `X-Graft-Forwarded`, and a receiver
+    * that STILL doesn't own the key answers 500 instead of looping. */
+  private def forward(owner: Int, path: String, query: String): (Int, String) = {
+    val (host, port) = peers.get.hosts(owner)
+    val q = Option(query).filter(_.nonEmpty).map("?" + _).getOrElse("")
+    val conn = new java.net.URI(s"http://$host:$port$path$q").toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestProperty("X-Graft-Forwarded", "1")
+    try {
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(is.readAllBytes(), StandardCharsets.UTF_8)
+      (code, body)
+    } finally conn.disconnect()
+  }
+
   private def handle(ex: HttpExchange): Unit = {
     val page = Page.parse(ex.getRequestURI.getQuery, maxRows)
+    val path = ex.getRequestURI.getPath
+    val alreadyForwarded =
+      ex.getRequestHeaders.containsKey("X-Graft-Forwarded")
+    val foreignOwner: Option[Int] = peers.flatMap { p =>
+      addressedKey(path).map(ownerOf).filter(_ != p.self)
+    }
+    if (foreignOwner.isDefined) {
+      val resp: (Int, String) =
+        if (alreadyForwarded)
+          (500, """{"error":"misrouted: this instance does not own the key"}""")
+        else
+          try forward(foreignOwner.get, path, ex.getRequestURI.getQuery)
+          catch {
+            case e: Throwable => (502,
+              s"""{"error":${quote("owner unreachable: " +
+                Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
+          }
+      val bytes = resp._2.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(resp._1, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+      return
+    }
     val resp: (Int, String) =
       try route(ex.getRequestURI.getPath, page) match {
         case Some(result) =>
@@ -149,17 +236,28 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0,
     * and key, so the metadata answers are constant — kept so a reference
     * client's discovery flow works unchanged. */
   private def routeMetadata(path: String): Option[String] = {
-    def instance(storeNames: Iterable[String]): String =
-      s"""[{"host":"127.0.0.1","port":$boundPort,"stores":${
-        storeNames.toSeq.sorted.map(quote).mkString("[", ",", "]")}}]"""
+    // the advertised topology: the peer ring when routing is enabled
+    // (symmetric stores — the Kafka Streams same-app contract), else
+    // the single-driver degenerate constant
+    def ring: IndexedSeq[(String, Int)] = peers match {
+      case Some(p) => p.hosts
+      case None    => IndexedSeq(("127.0.0.1", boundPort))
+    }
+    def instanceList(storeNames: Iterable[String]): String =
+      ring.map { case (h, pt) =>
+        s"""{"host":${quote(h)},"port":$pt,"stores":${
+          storeNames.toSeq.sorted.map(quote).mkString("[", ",", "]")}}"""
+      }.mkString("[", ",", "]")
     segments(path) match {
       case "state" :: "instances" :: Nil =>
-        Some(instance(stores.keys))
+        Some(instanceList(stores.keys))
       case "state" :: "instances" :: store :: Nil =>
-        stores.get(store).map(_ => instance(Seq(store)))
+        stores.get(store).map(_ => instanceList(Seq(store)))
       case "state" :: "instance" :: store :: key :: Nil =>
-        stores.get(store).map(_ =>
-          s"""{"host":"127.0.0.1","port":$boundPort,"store":${quote(store)},"key":${quote(key)}}""")
+        stores.get(store).map { _ =>
+          val (h, pt) = ring(ownerOf(key))
+          s"""{"host":${quote(h)},"port":$pt,"store":${quote(store)},"key":${quote(key)}}"""
+        }
       case _ => None
     }
   }
