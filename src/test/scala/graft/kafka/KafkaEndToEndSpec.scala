@@ -627,6 +627,83 @@ class KafkaEndToEndSpec extends SparkSpec {
     }
   }
 
+  test("IQ RING over the wire topology: two instances, key-routed point reads") {
+    // the reference's full multi-instance deployment shape
+    // (`MetadataService.java:30-68`, `IQueriesService.java:104-109`):
+    // one topology fed over the broker socket, TWO REST instances each
+    // owning the partitioner's key slice, clients free to ask either.
+    val s = spark
+    import s.implicits._
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    val ckpt = Files.createTempDirectory("graft_kafka_iqring").toString
+    try {
+      producer.produceStrings("ringlines",
+        Seq(("l1", "all streams lead to kafka", 1000L),
+          ("l2", "hello kafka streams", 2000L)))
+      val counts = KafkaEdges.source(s, broker.bootstrapServers, "ringlines",
+          format = "graft-kafka")
+        .toDF()
+        .select(explode(split(lower(col("value")), "\\W+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val q = counts.writeStream.format("memory").queryName("iqring_counts")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+
+      // each instance serves ITS slice of the same checkpoint — the
+      // partitioner assignment the reference's source topic induces
+      def slice(idx: Int) = () =>
+        graft.state.StateQueries.flattened(s, ckpt)
+          .select(col("key_word").as("word"), col("value_count").as("cnt"))
+          .as[(String, Long)]
+          .filter(r => Wire.partitionFor(r._1.getBytes("UTF-8"), 2) == idx)
+          .toDF("word", "cnt")
+      val srv0 = new graft.state.StateHttpServer(s)
+        .registerView("counts-store", slice(0), keyCol = "word")
+      val srv1 = new graft.state.StateHttpServer(s)
+        .registerView("counts-store", slice(1), keyCol = "word")
+      val p0 = srv0.start()
+      val p1 = srv1.start()
+      try {
+        val ring = Seq(("127.0.0.1", p0), ("127.0.0.1", p1))
+        srv0.enableRouting(ring, 0)
+        srv1.enableRouting(ring, 1)
+        def get(port: Int, path: String): (Int, String) = {
+          val conn = new java.net.URI(s"http://127.0.0.1:$port$path")
+            .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+          val code = conn.getResponseCode
+          val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+          val body = scala.io.Source.fromInputStream(is, "UTF-8").mkString
+          conn.disconnect()
+          (code, body)
+        }
+        // every word answers identically from either instance, local or
+        // one forwarded hop — including a word from each slice
+        val expect = Map("kafka" -> 2L, "streams" -> 2L, "hello" -> 1L,
+          "lead" -> 1L)
+        expect.foreach { case (w, c) =>
+          val want = s"""[{"word":"$w","cnt":$c}]"""
+          assert(get(p0, s"/state/keyvalue/counts-store/$w") == ((200, want)), s"$w via p0")
+          assert(get(p1, s"/state/keyvalue/counts-store/$w") == ((200, want)), s"$w via p1")
+        }
+        // at least one word lives on each slice (else the ring is vacuous)
+        val owners = expect.keySet.map(w => Wire.partitionFor(w.getBytes("UTF-8"), 2))
+        assert(owners == Set(0, 1), s"test words all on one slice: $owners")
+        // owner metadata agrees with the placement from either instance
+        expect.keySet.foreach { w =>
+          val wantPort = if (Wire.partitionFor(w.getBytes("UTF-8"), 2) == 0) p0 else p1
+          val (c, b) = get(p0, s"/state/instance/counts-store/$w")
+          assert(c == 200 && b.contains(s""""port":$wantPort"""), s"$w: $b")
+        }
+      } finally { srv0.stop(); srv1.stop() }
+    } finally {
+      producer.close()
+      broker.close()
+    }
+  }
+
   test("tombstones survive the wire: null values produce null-value records") {
     // the S3 changelog contract (reference `.to(topic)` on a compacted
     // topic): a deleted key ships as key + NULL value. The v1 message
