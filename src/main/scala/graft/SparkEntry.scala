@@ -2004,6 +2004,26 @@ object SparkEntry {
           expr("bit_count(simhash ^ next_hash)").cast("int").as("hamming"))
     }),
 
+    // the image-dedup DECISION (the d12 shape for pixels): m5's corpus
+    // rendered, hashed, grouped by pHash, min doc id per group kept —
+    // survivors are exactly the even ids (each odd id is a brightness
+    // rescale of its even partner), and each survivor carries the
+    // arithmetic mask the oracle states. Detection (m5) and decision
+    // (m9) together close the image-dedup story end to end
+    "m9_image_dedup_keep" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = Tables.documents(s, dir).select("doc_id").as[Long]
+        .filter(_ < 630L)
+        .map { id =>
+          val (amp, base) = if (id % 2 == 0) (4, 128) else (3, 140)
+          graft.multimodal.MediaRecord(id, null,
+            graft.multimodal.SyntheticMedia.bmpPatternBytes(id / 2, amp, base))
+        }
+        .transform(graft.multimodal.PerceptualHash.imagePHashes)
+      hashes.groupBy("simhash").agg(min("doc_id").as("doc_id"))
+        .select(col("doc_id"), col("simhash").as("phash"))
+    }),
+
     // frame-level video under the gate: each doc id builds a PLAYABLE
     // MJPEG AVI (genuine JDK-encoded JPEG frames in a RIFF movi list);
     // the query walks the container and REALLY decodes every frame —
@@ -6924,6 +6944,17 @@ object SparkEntry {
         |    FROM documents) d)
         |SELECT a.doc_id, bit_count(xor(a.mask, b.mask))::INT AS hamming
         |FROM m a JOIN m b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    // survivors = the even ids (min per pattern group), each carrying
+    // its group's arithmetic mask
+    "m9_image_dedup_keep" ->
+      """SELECT d.doc_id,
+        |  (SELECT sum(1::BIGINT << (((d.doc_id // 2) % 63 + i * s) % 63))::BIGINT
+        |   FROM generate_series(0, 30) t(i)) AS phash
+        |FROM (SELECT doc_id,
+        |    CASE (doc_id // 2) % 5 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+        |      WHEN 3 THEN 5 ELSE 8 END AS s
+        |  FROM documents WHERE doc_id < 630 AND doc_id % 2 = 0) d""".stripMargin,
 
     // frame count and decoded dimensions as arithmetic; every frame must
     // decode (frames_decoded = n_frames — real JPEGs, real decoder)
