@@ -14,6 +14,10 @@ case class StreamBenchDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 case class StreamBenchImg(doc_id: Long, content: Array[Byte],
                           ets: java.sql.Timestamp)
 
+/** One replayed embedding row. */
+case class StreamBenchVec(vec_id: Long, embedding: Seq[Float],
+                          ets: java.sql.Timestamp)
+
 /** Streaming throughput harness (not part of the library surface):
   * replays the sf events table through three representative streaming
   * operators in fixed-size micro-batches and reports rows/s plus final
@@ -121,6 +125,25 @@ object StreamBench {
         .writeStream.format("noop")
         .option("checkpointLocation",
           Files.createTempDirectory("sb_imgdup").toString)
+        .outputMode("append").start()
+    }
+
+    // 5. streaming embedding near-dup: map-side SRP signature + banded
+    //    bucket state with exact cosine verification (the sf embeddings
+    //    table replayed; every row computes a 16-bit SRP over 64 dims)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+    run[StreamBenchVec]("embedding_neardup",
+      emb.toSeq.zipWithIndex.map { case (r, i) =>
+        StreamBenchVec(r.getLong(0), r.getSeq[Float](1),
+          new java.sql.Timestamp((1700000000L + i) * 1000))
+      }) { in =>
+      streaming.StreamEmbeddingNearDup
+        .pairs(in.toDF(), "vec_id", "embedding", "ets", "1 hour",
+          threshold = 0.9)
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("sb_vecdup").toString)
         .outputMode("append").start()
     }
 
