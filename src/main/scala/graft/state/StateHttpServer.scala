@@ -55,7 +55,8 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0,
   /** Multi-instance topology: peer (host, port) list + this instance's
     * index. None = the single-driver degenerate case. */
   private case class Peers(hosts: IndexedSeq[(String, Int)], self: Int)
-  private var peers: Option[Peers] = None
+  // volatile: written by the configuring thread, read by HTTP threads
+  @volatile private var peers: Option[Peers] = None
 
   /** Enable the reference's multi-instance routing
     * (`MetadataService.java:30-68` key→host lookup,
@@ -116,8 +117,10 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0,
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
     server.createContext("/state", (ex: HttpExchange) => handle(ex))
-    server.start()
+    // bind happens at create(): record the port BEFORE serving, so no
+    // request can observe a stale 0 in metadata renderings
     boundPort = server.getAddress.getPort
+    server.start()
     boundPort
   }
 
