@@ -1,14 +1,23 @@
 package graft.multimodal
 
-/** Deterministic synthetic media headers — the oracle-able face of the
-  * binary-column plumbing: each id maps to a VALID container header
-  * (PNG / GIF / BMP / WAV, cycling on id % 4) whose metadata fields are
-  * pure arithmetic on the id, so a DuckDB oracle can state what
-  * [[Multimodal.parseMeta]] must recover from the bytes without being
-  * able to parse them itself. This closes the loop the binary fixtures
-  * in the specs open: the sniff → parse path runs distributed, under
-  * the correctness gate, on bytes built row-side (map-only — binary
-  * columns never shuffle for metadata extraction).
+/** Deterministic synthetic media — the oracle-able face of the
+  * binary-column plumbing, from headers all the way down to pixels,
+  * samples, and container trees: each id maps to VALID media whose
+  * parse/decode/hash results are pure arithmetic on the id, so a DuckDB
+  * oracle can state what the real codec paths must recover from bytes
+  * it cannot itself read. The whole m-family rides this one trick:
+  *
+  *  - [[bytes]] (m2): PNG/GIF/BMP/WAV headers, metadata by arithmetic;
+  *  - [[bmpPatternBytes]] (m3/m5/m7/m9): real 24-bit BMPs whose pixels
+  *    sum id-selected DCT bases — pHash provably equals a bit mask;
+  *  - [[wavToneBytes]] (m4): playable WAVs holding bin-aligned tones —
+  *    FFT dominant/rolloff exact, centroid to the bin;
+  *  - [[videoBytes]] (m6): minimal MP4 (v0+v1 boxes) / AVI containers;
+  *  - [[mjpegAviBytes]] (m8): playable MJPEG AVIs, real JPEG frames.
+  *
+  * Everything is map-only on the query side: media are born, decoded
+  * and reduced to scalar rows inside the partition — binary columns
+  * never shuffle (plan-guarded in PlanGuardSpec).
   *
   * Headers are minimal but REAL: the same offsets/endianness production
   * files carry (PNG IHDR big-endian dims at 16/20; GIF89a logical
