@@ -424,6 +424,12 @@ object TimeSeries {
         Seq(groupCol, "pos"), "left_outer")
       .select(col(groupCol), col("pos"),
         coalesce(col("m"), lit(0L)).as("m"))
+      // snapshot the grid (the d7/g10 iterated-chain discipline): every
+      // level branches TWICE (its detail rows + the next level), so an
+      // unsnapshotted lineage re-derives the whole events aggregation
+      // 2^levels times — 40 fact-table scans, plan-audited. Grid and
+      // per-level tables are groups × 2^levels rows: snapshot-cheap.
+      .localCheckpoint(false)
     var details: DataFrame = null
     for (l <- 1 to levels) {
       val folded = level
@@ -434,6 +440,7 @@ object TimeSeries {
             .as("detail"),
           sum("m").as("m"))
         .withColumnRenamed("ppos", "pos")
+        .localCheckpoint(false)
       val d = folded.select(col(groupCol), lit(l).as("level"), col("pos"),
         col("detail"))
       details = if (details == null) d else details.unionByName(d)
