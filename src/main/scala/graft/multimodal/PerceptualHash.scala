@@ -137,7 +137,12 @@ object PerceptualHash {
 
   /** Image near-dup pairs at Hamming distance ≤ maxDist: pHash per
     * image, then the established banded self-join — perfect recall by
-    * pigeonhole, exact XOR-popcount precision filter. */
+    * pigeonhole, exact XOR-popcount precision filter. The hash table is
+    * SNAPSHOTTED first (localCheckpoint): the banded join reads it from
+    * both sides, and an unsnapshotted lineage would re-decode the whole
+    * image corpus per side (plan-audited: 4 decode stages → 1). The
+    * snapshot is 2 columns × |corpus| rows — nothing next to pixels. */
   def nearDupImagePairs(records: Dataset[MediaRecord], maxDist: Int): DataFrame =
-    graft.functions.DedupOps.simhashPairsBanded(imagePHashes(records), maxDist)
+    graft.functions.DedupOps.simhashPairsBanded(
+      imagePHashes(records).localCheckpoint(false), maxDist)
 }
