@@ -118,4 +118,75 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("Kafka wire codec law: random MessageSets round-trip byte-faithfully") {
+    import graft.kafka.Wire
+    // keys/values cover null, empty (distinct from null on the wire:
+    // BYTES(-1) vs BYTES(0)), and arbitrary binary up to 1 KiB
+    val bytesGen: Gen[Array[Byte]] = Gen.frequency(
+      2 -> Gen.const(null.asInstanceOf[Array[Byte]]),
+      1 -> Gen.const(Array.emptyByteArray),
+      7 -> Gen.choose(1, 1024).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)))
+    val recsGen = Gen.choose(0, 20).flatMap(n => Gen.listOfN(n,
+      for {
+        off <- Gen.choose(0L, 1000000L)
+        ts <- Gen.choose(-1L, 4102444800000L) // -1 = NO_TIMESTAMP is legal
+        k <- bytesGen
+        v <- bytesGen
+      } yield Wire.WireRecord(off, ts, k, v)))
+    forAll(recsGen, cases = 25) { recs =>
+      val decoded = Wire.decodeMessageSet(Wire.encodeMessageSet(recs),
+        allowTruncatedTail = false)
+      assert(decoded.length == recs.length)
+      decoded.zip(recs).foreach { case (d, r) =>
+        assert(d.offset == r.offset && d.timestamp == r.timestamp)
+        // null and empty must survive as DISTINCT states
+        assert((d.key == null) == (r.key == null), "null-key fidelity")
+        assert((d.value == null) == (r.value == null), "null-value fidelity")
+        if (r.key != null) assert(java.util.Arrays.equals(d.key, r.key))
+        if (r.value != null) assert(java.util.Arrays.equals(d.value, r.value))
+      }
+    }
+  }
+
+  test("Haar pyramid law: random cell tables equal a plain-Scala replay") {
+    val s = spark
+    import s.implicits._
+    val cellsGen = for {
+      nGroups <- Gen.choose(1, 3)
+      rows <- Gen.listOfN(nGroups * 20, for {
+        g <- Gen.choose(0, nGroups - 1)
+        day <- Gen.choose(0L, 31L)
+        m <- Gen.choose(-100000L, 100000L)
+      } yield (s"g$g", day, m))
+    } yield rows.groupBy(r => (r._1, r._2)) // one cell per (g, day)
+      .map { case ((g, d), vs) => (g, d, vs.map(_._3).sum) }.toSeq
+    forAll(cellsGen, cases = 8) { cells =>
+      whenever(cells.nonEmpty) {
+        val got = graft.functions.TimeSeries.haarFromCells(
+            cells.toDF("g", "day", "m"), "g")
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+            r.getLong(4))).toSet
+        val d0 = cells.map(_._2).min
+        val want = cells.groupBy(_._1).flatMap { case (g, rows) =>
+          var m = (0 until 32).map(p =>
+            rows.collectFirst { case (_, d, v) if d - d0 == p => v }
+              .getOrElse(0L)).toVector
+          val all = Seq.newBuilder[(Int, Int, Long)]
+          for (l <- 1 to 5) {
+            val pairs = m.grouped(2).toVector
+            pairs.zipWithIndex.foreach { case (Vector(a, b), p) =>
+              all += ((l, p, a - b)) }
+            m = pairs.map { case Vector(a, b) => a + b }
+          }
+          all.result().sortBy { case (l, p, d) => (-math.abs(d), l, p) }
+            .take(5).zipWithIndex
+            .map { case ((l, p, d), i) => (g, i + 1, l, p, d) }
+        }.toSet
+        assert(got == want, s"cells=$cells")
+      }
+    }
+  }
 }

@@ -81,6 +81,26 @@ class StreamImageNearDupSpec extends SparkSpec {
     }
   }
 
+  test("nonzero distances ride the bands: a Hamming-2 pattern pair is found at maxDist 2, not 0") {
+    // masks {0..30} (g = 0: offset 0, step 1) and {1..31} (g = 190:
+    // offset 190 % 63 = 1, step pick(190 % 5 = 0) = 1) differ in exactly
+    // positions {0, 31} → pHash Hamming distance exactly 2
+    val a = Img(1L, SyntheticMedia.bmpPatternBytes(0), ts(1))
+    val b = Img(2L, SyntheticMedia.bmpPatternBytes(190), ts(2))
+    assert(java.lang.Long.bitCount(
+      SyntheticMedia.maskHash(0) ^ SyntheticMedia.maskHash(190)) == 2)
+    val at2 = run(Seq(Seq(a, b)), "10 minutes", maxDist = 2)
+    assert(at2.map(p => (p.a, p.b, p.hamming)).toSet == Set((1L, 2L, 2)), at2)
+    val at0 = run(Seq(Seq(a, b)), "10 minutes", maxDist = 0)
+    assert(at0.isEmpty, s"distance-2 pair must not pass maxDist 0: $at0")
+    // and the batch chain agrees at both settings
+    val s = spark
+    import s.implicits._
+    val recs = s.createDataset(Seq(a, b).map(d => MediaRecord(d.doc_id, null, d.content)))
+    assert(PerceptualHash.nearDupImagePairs(recs, maxDist = 2).count() == 1)
+    assert(PerceptualHash.nearDupImagePairs(recs, maxDist = 0).count() == 0)
+  }
+
   test("an out-of-horizon copy pairs with nothing (watermark eviction)") {
     // g=0 pair split across the horizon: the second rendering arrives
     // after the watermark (advanced by a far-future row) passed the first
