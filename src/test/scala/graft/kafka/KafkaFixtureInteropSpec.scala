@@ -125,6 +125,35 @@ class KafkaFixtureInteropSpec extends AnyFunSuite {
     } finally { client.close(); server.close() }
   }
 
+  test("a corrupted fixture produce is CRC-rejected with ErrCorruptMessage") {
+    val broker = new MiniBroker(numPartitions = 2)
+    try {
+      val sock = new Socket("localhost", broker.port)
+      sock.setTcpNoDelay(true)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      // flip the last payload byte (inside the message set body): the
+      // stored CRC no longer matches, and the broker must answer
+      // error 2 / base -1 instead of appending garbage
+      val corrupted = fx("produce_req").clone()
+      corrupted(corrupted.length - 1) = (corrupted(corrupted.length - 1) ^ 0x01).toByte
+      out.write(corrupted); out.flush()
+      val size = in.readInt()
+      val resp = new Array[Byte](size)
+      in.readFully(resp)
+      // expected = the Python produce_resp with err := 2, base := -1
+      val want = fx("produce_resp").clone()
+      val errOff = want.length - 10 // ... partition(4) err(2) base(8)
+      want(errOff) = 0; want(errOff + 1) = 2
+      java.util.Arrays.fill(want, errOff + 2, want.length, 0xff.toByte)
+      assert(java.util.Arrays.equals(resp, want),
+        "corrupted produce must answer ErrCorruptMessage/-1 byte-exactly")
+      // and the log stayed empty: nothing half-appended
+      assert(broker.logEnd("fx", 0) == 0L)
+      sock.close()
+    } finally broker.close()
+  }
+
   test("murmur2 and partition placement match the independent implementation") {
     for (key <- Seq("k1", "k3", "user-42", "a", "abcd", "abcde", "")) {
       val f = fx(s"murmur2_${if (key.isEmpty) "empty" else key}")
