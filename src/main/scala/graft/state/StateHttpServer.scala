@@ -53,8 +53,13 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0,
   private var boundPort: Int = bindPort
 
   /** Multi-instance topology: peer (host, port) list + this instance's
-    * index. None = the single-driver degenerate case. */
-  private case class Peers(hosts: IndexedSeq[(String, Int)], self: Int)
+    * index, the source topic's partition count (the reference's
+    * `metadataForKey` hashes modulo PARTITIONS, not instances —
+    * `MetadataService.java:52-60` resolves the key's partition first,
+    * then the instance hosting it), and the partition→instance
+    * assignment. None = the single-driver degenerate case. */
+  private case class Peers(hosts: IndexedSeq[(String, Int)], self: Int,
+                           numPartitions: Int, assignment: Int => Int)
   // volatile: written by the configuring thread, read by HTTP threads
   @volatile private var peers: Option[Peers] = None
 
@@ -70,19 +75,43 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0,
     * serves the same store names — the Kafka Streams same-app
     * contract). Each instance must register views filtered to its own
     * key slice; range/all scans stay local by design (clients
-    * scatter-gather via `/state/instances`, as with the reference). */
-  def enableRouting(instances: Seq[(String, Int)], selfIndex: Int): this.type = {
+    * scatter-gather via `/state/instances`, as with the reference).
+    *
+    * Mirroring the reference, ownership is two-step: the key hashes to
+    * one of `numPartitions` source-topic partitions
+    * (`Wire.partitionFor(key, numPartitions)` — Kafka's
+    * DefaultPartitioner), and `assignment` maps that partition to the
+    * instance hosting its state (Kafka Streams' task placement). The
+    * defaults (`numPartitions` = instance count, identity assignment)
+    * reproduce the one-partition-per-instance degenerate ring; pass the
+    * real topic partition count + placement when instances ≠ partitions
+    * so the advertised owner matches the data placement the topology
+    * induces. */
+  def enableRouting(instances: Seq[(String, Int)], selfIndex: Int,
+                    numPartitions: Int = -1,
+                    assignment: Int => Int = identity): this.type = {
     require(instances.nonEmpty && selfIndex >= 0 && selfIndex < instances.size,
       s"selfIndex $selfIndex out of range for ${instances.size} instances")
-    peers = Some(Peers(instances.toIndexedSeq, selfIndex))
+    val parts = if (numPartitions <= 0) instances.size else numPartitions
+    // validate the full assignment up front: every partition must map to
+    // a real instance, so no request can discover a bad placement later
+    (0 until parts).foreach { p =>
+      val inst = assignment(p)
+      require(inst >= 0 && inst < instances.size,
+        s"assignment($p) = $inst out of range for ${instances.size} instances")
+    }
+    peers = Some(Peers(instances.toIndexedSeq, selfIndex, parts, assignment))
     this
   }
 
-  /** The instance index owning `key` under the partitioner placement. */
+  /** The instance index owning `key`: partition under the reference's
+    * DefaultPartitioner placement (modulo the TOPIC's partition count,
+    * as `MetadataService.metadataForKey` does), then that partition's
+    * hosting instance under the task assignment. */
   def ownerOf(key: String): Int = peers match {
     case Some(p) =>
-      graft.kafka.Wire.partitionFor(key.getBytes(StandardCharsets.UTF_8),
-        p.hosts.size)
+      p.assignment(graft.kafka.Wire.partitionFor(
+        key.getBytes(StandardCharsets.UTF_8), p.numPartitions))
     case None => 0
   }
 
@@ -113,10 +142,18 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0,
     registerView(name,
       () => StateQueries.flattenedTws(spark, checkpoint, stateVarName), keyCol)
 
+  // own pool, not the HttpServer default single dispatcher thread: two
+  // instances concurrently forwarding to each other would otherwise
+  // deadlock — each dispatcher blocked in forward(), unable to accept
+  // the peer's forwarded request
+  private var pool: java.util.concurrent.ExecutorService = _
+
   /** Start listening; returns the bound port (pass 0 for ephemeral). */
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
     server.createContext("/state", (ex: HttpExchange) => handle(ex))
+    pool = java.util.concurrent.Executors.newCachedThreadPool()
+    server.setExecutor(pool)
     // bind happens at create(): record the port BEFORE serving, so no
     // request can observe a stale 0 in metadata renderings
     boundPort = server.getAddress.getPort
@@ -124,7 +161,10 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0,
     boundPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown()
+  }
 
   /** The key a path addresses, when it is key-addressed (point lookup or
     * windowed fetch) — the two shapes the reference forwards
@@ -136,20 +176,38 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0,
       case _                                                   => None
     }
 
+  /** Headers a forwarded response must relay verbatim: the pagination
+    * contract lives in headers, so a paged read answered via a
+    * non-owner must still carry the owner's truncation/continuation
+    * signal. */
+  private val RelayedHeaders = Seq("X-Graft-Truncated", "X-Graft-Next-Offset")
+
   /** Relay a key-addressed request to its owning peer. One hop only:
     * the forwarded request carries `X-Graft-Forwarded`, and a receiver
-    * that STILL doesn't own the key answers 500 instead of looping. */
-  private def forward(owner: Int, path: String, query: String): (Int, String) = {
+    * that STILL doesn't own the key answers 500 instead of looping.
+    * Bounded timeouts: a slow or wedged peer degrades to the caller's
+    * 502 path instead of pinning this server's handler thread forever. */
+  private def forward(owner: Int, path: String,
+                      query: String): (Int, String, Seq[(String, String)]) = {
     val (host, port) = peers.get.hosts(owner)
     val q = Option(query).filter(_.nonEmpty).map("?" + _).getOrElse("")
     val conn = new java.net.URI(s"http://$host:$port$path$q").toURL
       .openConnection().asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestProperty("X-Graft-Forwarded", "1")
+    conn.setConnectTimeout(2000)
+    conn.setReadTimeout(10000)
     try {
       val code = conn.getResponseCode
-      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-      val body = new String(is.readAllBytes(), StandardCharsets.UTF_8)
-      (code, body)
+      // getErrorStream is null for bodyless error responses — fall back
+      // to an empty body so the peer's real status code is relayed
+      // rather than masked by an NPE-turned-502
+      val is = if (code >= 400) Option(conn.getErrorStream)
+               else Option(conn.getInputStream)
+      val body = is.map(s => new String(s.readAllBytes(), StandardCharsets.UTF_8))
+        .getOrElse("")
+      val relayed = RelayedHeaders.flatMap(h =>
+        Option(conn.getHeaderField(h)).map(h -> _))
+      (code, body, relayed)
     } finally conn.disconnect()
   }
 
@@ -162,18 +220,20 @@ class StateHttpServer(spark: SparkSession, bindPort: Int = 0,
       addressedKey(path).map(ownerOf).filter(_ != p.self)
     }
     if (foreignOwner.isDefined) {
-      val resp: (Int, String) =
+      val resp: (Int, String, Seq[(String, String)]) =
         if (alreadyForwarded)
-          (500, """{"error":"misrouted: this instance does not own the key"}""")
+          (500, """{"error":"misrouted: this instance does not own the key"}""",
+            Nil)
         else
           try forward(foreignOwner.get, path, ex.getRequestURI.getQuery)
           catch {
             case e: Throwable => (502,
               s"""{"error":${quote("owner unreachable: " +
-                Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
+                Option(e.getMessage).getOrElse(e.getClass.getName))}}""", Nil)
           }
       val bytes = resp._2.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
+      resp._3.foreach { case (h, v) => ex.getResponseHeaders.set(h, v) }
       ex.sendResponseHeaders(resp._1, bytes.length)
       ex.getResponseBody.write(bytes)
       ex.close()

@@ -81,6 +81,136 @@ class StateHttpRoutingSpec extends SparkSpec {
     } finally { srv0.stop(); srv1.stop() }
   }
 
+  test("concurrent mutual forwards do not deadlock (pooled dispatch)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("alpha", 3L), ("bravo", 7L), ("carol", 11L),
+      ("delta", 19L), ("echo", 23L), ("fox", 29L))
+    def slice(idx: Int) = rows
+      .filter { case (k, _) => Wire.partitionFor(k.getBytes("UTF-8"), 2) == idx }
+      .toDF("key", "cnt")
+    val srv0 = new StateHttpServer(s).registerView("counts", () => slice(0), "key")
+    val srv1 = new StateHttpServer(s).registerView("counts", () => slice(1), "key")
+    val p0 = srv0.start()
+    val p1 = srv1.start()
+    try {
+      val ring = Seq(("127.0.0.1", p0), ("127.0.0.1", p1))
+      srv0.enableRouting(ring, 0)
+      srv1.enableRouting(ring, 1)
+      val ownedBy0 = rows.collectFirst {
+        case (k, _) if Wire.partitionFor(k.getBytes("UTF-8"), 2) == 0 => k }.get
+      val ownedBy1 = rows.collectFirst {
+        case (k, _) if Wire.partitionFor(k.getBytes("UTF-8"), 2) == 1 => k }.get
+      // each instance receives a burst of lookups it must forward to the
+      // other — with a single dispatcher thread both would block in
+      // forward() and neither could accept the peer's forwarded request
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val calls = Future.sequence((1 to 4).flatMap(_ => Seq(
+        Future(get(p0, s"/state/keyvalue/counts/$ownedBy1")),
+        Future(get(p1, s"/state/keyvalue/counts/$ownedBy0")))))
+      val results = Await.result(calls, 60.seconds)
+      assert(results.forall(_._1 == 200), results.filter(_._1 != 200))
+    } finally { srv0.stop(); srv1.stop() }
+  }
+
+  test("forwarded responses relay the owner's pagination headers") {
+    val s = spark
+    import s.implicits._
+    // a multi-row key so a paged point lookup truncates on the owner
+    val key = Seq("alpha", "bravo").find(k =>
+      Wire.partitionFor(k.getBytes("UTF-8"), 2) == 1).get
+    val owned = (1L to 5L).map(v => (key, v)).toDF("key", "cnt")
+    val srv0 = new StateHttpServer(s)
+      .registerView("counts", () => owned.limit(0), "key")
+    val srv1 = new StateHttpServer(s).registerView("counts", () => owned, "key")
+    val p0 = srv0.start()
+    val p1 = srv1.start()
+    try {
+      val ring = Seq(("127.0.0.1", p0), ("127.0.0.1", p1))
+      srv0.enableRouting(ring, 0)
+      srv1.enableRouting(ring, 1)
+      // via the NON-owner: truncation + continuation must survive the hop
+      val conn = new URI(s"http://127.0.0.1:$p0/state/keyvalue/counts/$key?limit=2")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getHeaderField("X-Graft-Truncated") == "true")
+      assert(conn.getHeaderField("X-Graft-Next-Offset") == "2")
+      val body = Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+      conn.disconnect()
+      assert(body.count(_ == '{') == 2, body)
+    } finally { srv0.stop(); srv1.stop() }
+  }
+
+  test("a peer's bodyless error status is relayed, not masked as 502") {
+    val s = spark
+    import s.implicits._
+    val key = Seq("alpha", "bravo").find(k =>
+      Wire.partitionFor(k.getBytes("UTF-8"), 2) == 1).get
+    // a fake owner that answers 418 with NO body (getErrorStream = null)
+    val fake = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    fake.createContext("/state",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(418, -1); ex.close()
+      })
+    fake.start()
+    val srv0 = new StateHttpServer(s)
+      .registerView("counts", () => Seq.empty[(String, Long)].toDF("key", "cnt"),
+        "key")
+    val p0 = srv0.start()
+    try {
+      srv0.enableRouting(Seq(("127.0.0.1", p0),
+        ("127.0.0.1", fake.getAddress.getPort)), 0)
+      val (code, _) = get(p0, s"/state/keyvalue/counts/$key")
+      assert(code == 418, s"expected the peer's real 418, got $code")
+    } finally { srv0.stop(); fake.stop(0) }
+  }
+
+  test("instances != partitions: ownership mirrors the topic's partition count") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("alpha", 3L), ("bravo", 7L), ("carol", 11L),
+      ("delta", 19L), ("echo", 23L), ("fox", 29L))
+    // the reference hashes modulo the SOURCE TOPIC's partitions (3 — a
+    // non-multiple of the instance count, so the two hashings genuinely
+    // diverge), then task placement maps partitions to the 2 instances
+    val parts = 3
+    def instOf(k: String): Int = Wire.partitionFor(k.getBytes("UTF-8"), parts) % 2
+    def slice(idx: Int) = rows.filter { case (k, _) => instOf(k) == idx }
+      .toDF("key", "cnt")
+    assert(slice(0).count() > 0 && slice(1).count() > 0)
+    val srv0 = new StateHttpServer(s).registerView("counts", () => slice(0), "key")
+    val srv1 = new StateHttpServer(s).registerView("counts", () => slice(1), "key")
+    val p0 = srv0.start()
+    val p1 = srv1.start()
+    try {
+      val ring = Seq(("127.0.0.1", p0), ("127.0.0.1", p1))
+      srv0.enableRouting(ring, 0, numPartitions = parts, assignment = _ % 2)
+      srv1.enableRouting(ring, 1, numPartitions = parts, assignment = _ % 2)
+      // with a 3-partition placement at least one key must land on a
+      // DIFFERENT instance than the instances-count hash would pick, or
+      // this test degenerates to the default ring
+      assert(rows.exists { case (k, _) =>
+        instOf(k) != Wire.partitionFor(k.getBytes("UTF-8"), 2) })
+      rows.foreach { case (k, v) =>
+        val want = s"""[{"key":"$k","cnt":$v}]"""
+        assert(get(p0, s"/state/keyvalue/counts/$k") == ((200, want)), s"$k via p0")
+        assert(get(p1, s"/state/keyvalue/counts/$k") == ((200, want)), s"$k via p1")
+        val wantPort = if (instOf(k) == 0) p0 else p1
+        val (c, body) = get(p1, s"/state/instance/counts/$k")
+        assert(c == 200 && body.contains(s""""port":$wantPort"""), s"$k: $body")
+      }
+      // an out-of-range assignment is rejected loudly at configure time
+      val bad = intercept[IllegalArgumentException] {
+        new StateHttpServer(s).enableRouting(ring, 0,
+          numPartitions = parts, assignment = identity)
+      }
+      assert(bad.getMessage.contains("out of range"))
+    } finally { srv0.stop(); srv1.stop() }
+  }
+
   test("scans stay local by design: clients scatter-gather via the ring") {
     val s = spark
     import s.implicits._
