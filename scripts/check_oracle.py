@@ -4,7 +4,7 @@
 this script loads each query's parquet result, runs the corresponding
 oracle SQL in DuckDB over the same tables, and compares (columns sorted by
 name, rows sorted by all columns, values normalized)."""
-import json, sys, glob, os, math, zlib
+import json, sys, glob, os
 import duckdb
 import pandas as pd
 
@@ -21,30 +21,11 @@ for t in TABLES:
 oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
 
 
-def t19_oracle():
-    """Python-zlib replica of graft.expressions.DeflateRatio — DuckDB has
-    no zlib scalar, but CPython's zlib and java.util.zip.Deflater wrap
-    the same library with the same defaults (level -1 -> 6, memLevel 8;
-    wbits -15 = raw DEFLATE matching Deflater(nowrap=true)), so the
-    compressed LENGTH is byte-for-byte reproducible. Rounding replicates
-    Java's math.round (floor(x*1e4 + 0.5) / 1e4; Python round() is
-    banker's and would fork on ties)."""
-    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
-                           columns=["doc_id", "text"])
-    def ratio(text):
-        raw = text.encode("utf-8")
-        if len(raw) == 0:
-            return 1.0
-        co = zlib.compressobj(zlib.Z_DEFAULT_COMPRESSION, zlib.DEFLATED, -15)
-        total = len(co.compress(raw)) + len(co.flush())
-        return math.floor(total / len(raw) * 10000 + 0.5) / 10000
-    return pd.DataFrame({"doc_id": docs.doc_id,
-                         "compress_ratio": docs.text.map(ratio)})
-
-
 # queries whose oracle is a local Python function rather than DuckDB SQL
-# (the driver's gate records these rows-only; this closes the gap locally)
-PY_ORACLES = {"t19_compress_ratio": t19_oracle}
+# (none since round 13 — t19's readout became the engine-portable
+# distinct-4-gram statistic with a plain DuckDB oracle; the mechanism is
+# kept for any future non-SQL-expressible readout)
+PY_ORACLES = {}
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)

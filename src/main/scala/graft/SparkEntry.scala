@@ -3215,14 +3215,27 @@ object SparkEntry {
         TextAnalysis.piiHits(line, "[0-9]{5,}").as("n_ids"))
     }),
 
-    // DEFLATE compression-ratio quality signal — model-free redundancy
-    // gate (template spam compresses to almost nothing). ROWS-ONLY
-    // driver check by design: DuckDB has no zlib scalar (see
-    // expressions.DeflateRatio); behavior is spec-asserted instead
-    "t19_compress_ratio" -> ((s, dir) =>
+    // compressibility quality signal — model-free redundancy gate
+    // (template spam repeats itself; organic text doesn't). The driver
+    // readout is the engine-portable LZ-style statistic: distinct
+    // 4-gram count vs total sliding 4-gram count (the window-dictionary
+    // size DEFLATE's LZ77 stage would build, so it orders documents the
+    // same way the exact zlib ratio does). Emitted as exact integers —
+    // a ratio would invite cross-engine float-rounding forks at tie
+    // digits. The exact zlib DEFLATE ratio remains available as
+    // expressions.DeflateRatio (codegen'd, SQL-registered via
+    // GraftExtensions, spec-asserted against java.util.zip semantics).
+    // Map-only: per-row array ops, zero exchanges
+    "t19_compress_ratio" -> ((s, dir) => {
+      val n = greatest(length(col("text")) - 3, lit(0))
+      val grams = transform(sequence(lit(1), n),
+        i => col("text").substr(i, lit(4)))
       Tables.documents(s, dir).select(col("doc_id"),
-        graft.expressions.DeflateRatio.ratio(col("text"))
-          .as("compress_ratio"))),
+        n.cast("long").as("n_grams"),
+        when(n === 0, lit(0L))
+          .otherwise(size(array_distinct(grams)).cast("long"))
+          .as("n_distinct"))
+    }),
 
     // sharded inverted index: (term, shard) → posting CSV. Sharding by
     // hash(doc_id) bounds every output row by df/shards — a stop-word's
@@ -9878,6 +9891,17 @@ object SparkEntry {
         |    '[0-9]{5,}', '<ID>', 'g') AS clean,
         |  len(regexp_extract_all(line, '[0-9]{5,}'))::INT AS n_ids
         |FROM c""".stripMargin,
+
+    "t19_compress_ratio" ->
+      """SELECT d.doc_id,
+        |  greatest(length(d.text) - 3, 0)::BIGINT AS n_grams,
+        |  coalesce(r.nd, 0)::BIGINT AS n_distinct
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, count(DISTINCT substr(text, i, 4))::BIGINT AS nd
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text) - 3, 0) + 1)) AS i
+        |        FROM documents)
+        |  GROUP BY doc_id) r USING (doc_id)""".stripMargin,
 
     "t5_quantiles" ->
       """SELECT event_type,

@@ -21,10 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen by emitting a static call; the DEFLATE loop itself is
   * per-row work either way. Map-side, zero shuffles.
   *
-  * Not oracle-checkable: DuckDB exposes no zlib scalar, so `t19` is a
-  * rows-only driver check by design; the behavioral contract
-  * (repetition ⇒ low ratio, incompressible ⇒ ~1, determinism) is
-  * spec-asserted instead. */
+  * Not oracle-checkable: DuckDB exposes no zlib scalar, so the driver
+  * query `t19_compress_ratio` reads out the engine-portable
+  * distinct-4-gram statistic instead (same redundancy ordering); this
+  * exact zlib ratio stays available as a library scalar, with the
+  * behavioral contract (repetition ⇒ low ratio, incompressible ⇒ ~1,
+  * determinism) spec-asserted. */
 case class DeflateRatio(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = DoubleType

@@ -9,8 +9,10 @@ class BatchQueriesSpec extends SparkSpec {
 
   /** Queries with no DuckDB-expressible oracle, each documented at the
     * query site (the driver records a rows-only check for these). Keep
-    * this list EXPLICIT so a forgotten oracle can't hide in it. */
-  private val rowsOnlyByDesign = Set("t19_compress_ratio")
+    * this list EXPLICIT so a forgotten oracle can't hide in it.
+    * Empty since round 13: t19's readout became the engine-portable
+    * distinct-4-gram statistic, so every query is DuckDB-oracled. */
+  private val rowsOnlyByDesign = Set.empty[String]
 
   test("every query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet

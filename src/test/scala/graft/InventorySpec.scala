@@ -20,9 +20,9 @@ class InventorySpec extends AnyFunSuite {
     new String(Files.readAllBytes(p), "UTF-8")
   }
 
-  test("every query has an oracle (or is the documented rows-only t19)") {
+  test("every query has an oracle") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == Set("t19_compress_ratio"), s"queries without oracle: $missing")
+    assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without query: $orphans")
   }
