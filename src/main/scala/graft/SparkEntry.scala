@@ -3126,11 +3126,22 @@ object SparkEntry {
     // distance ever thresholds; clusters are min-id-labeled components
     // of the core-core graph (the d7 CC contract), borders take the min
     // core-neighbor cluster — deterministic where classic DBSCAN is
-    // scan-order-dependent. Scale path: swap the exact pair scan for
-    // s2's LSH candidates
+    // scan-order-dependent. The exact kernel is require-bounded to 10⁵
+    // vectors; s22 is the blocked scale path over the same semantics
     "s16_dbscan" -> ((s, dir) =>
       SimilarityOps.dbscan(Tables.embeddings(s, dir), "vec_id", "embedding",
         eps2 = 1250000L, minPts = 4)),
+
+    // DBSCAN's 100 TB path: same density semantics, ε-candidates from a
+    // sign-bucket LSH self-join (Σ|bucket|² work, never all-pairs), each
+    // candidate verified by the same EXACT integer ε-test — precision
+    // exact, recall = the bucket contract (pairs split across buckets
+    // are unseen; DbscanSpec pins blocked ≡ exact where the corpus
+    // respects the bucket geometry). The oracle replays bucket + ε-graph
+    // + reachability on exact integers
+    "s22_dbscan_blocked" -> ((s, dir) =>
+      SimilarityOps.dbscanBlocked(Tables.embeddings(s, dir), "vec_id",
+        "embedding", eps2 = 1250000L, minPts = 4, bits = 4)),
 
     // ranking-quality eval: NDCG@1..20 of the BM25 ranking against
     // graded term-overlap relevance — the metric a retrieval change is
@@ -7677,6 +7688,42 @@ object SparkEntry {
         |    list_aggregate(list_transform(range(1, len(a.qv) + 1),
         |      i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])), 'sum') AS d2
         |  FROM q a JOIN q b ON a.vec_id < b.vec_id),
+        |e AS (SELECT a, b FROM p WHERE d2 <= 1250000),
+        |bidir AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |core AS (SELECT a AS node FROM bidir GROUP BY 1
+        |  HAVING count(*) + 1 >= 4),
+        |ce AS (SELECT bi.a, bi.b FROM bidir bi
+        |  JOIN core x ON bi.a = x.node JOIN core y ON bi.b = y.node),
+        |reach(a, b) AS (SELECT node, node FROM core
+        |  UNION SELECT r.a, ce.b FROM reach r JOIN ce ON r.b = ce.a),
+        |cl AS (SELECT a AS node, min(b) AS cid FROM reach GROUP BY 1),
+        |bord AS (SELECT bi.a AS node, min(cl.cid) AS bcid
+        |  FROM bidir bi JOIN cl ON bi.b = cl.node GROUP BY 1)
+        |SELECT q.vec_id,
+        |  CASE WHEN cl.cid IS NOT NULL THEN 'core'
+        |    WHEN bord.bcid IS NOT NULL THEN 'border'
+        |    ELSE 'noise' END AS role,
+        |  coalesce(cl.cid, bord.bcid) AS cluster_id
+        |FROM q LEFT JOIN cl ON q.vec_id = cl.node
+        |LEFT JOIN bord ON q.vec_id = bord.node""".stripMargin,
+
+    // s16's replay with the ε-graph restricted to sign-bucket cohabitants
+    // (bucket bit i = qv[i] > 0 on the SAME quantized integers), then the
+    // identical core/reach/border chain
+    "s22_dbscan_blocked" ->
+      """WITH RECURSIVE q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> round(x * 1000)::BIGINT) AS qv
+        |  FROM embeddings),
+        |bk AS (SELECT vec_id, qv,
+        |    (CASE WHEN qv[1] > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN qv[2] > 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN qv[3] > 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN qv[4] > 0 THEN 8 ELSE 0 END)::BIGINT AS bkt
+        |  FROM q),
+        |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+        |    list_aggregate(list_transform(range(1, len(x.qv) + 1),
+        |      i -> (x.qv[i] - y.qv[i]) * (x.qv[i] - y.qv[i])), 'sum') AS d2
+        |  FROM bk x JOIN bk y ON x.bkt = y.bkt AND x.vec_id < y.vec_id),
         |e AS (SELECT a, b FROM p WHERE d2 <= 1250000),
         |bidir AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
         |core AS (SELECT a AS node FROM bidir GROUP BY 1

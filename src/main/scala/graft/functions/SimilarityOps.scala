@@ -250,41 +250,93 @@ object SimilarityOps {
     * engine-portable); everything else is noise.
     *
     * Scale shape: this exact form scores all pairs (the a < b brute
-    * join) — right for the ≤ 10⁵-vector corpora the exactness contract
-    * targets. At population scale swap the pair source for
-    * [[bucketedPairs]]/[[saltedBlockPairs]] (LSH candidates; same
-    * downstream), accepting LSH recall on the edge set. Degree counts
-    * partial-aggregate map-side; the component step inherits
-    * connectedComponents' driver fast path (the edge set already passed
-    * a density threshold — orders smaller than the corpus).
+    * join), ENFORCED right-sized by a loud `require` at
+    * [[MaxExactDbscanVectors]] — the quadratic kernel is correct only
+    * for the corpora the exactness contract targets. At population
+    * scale use [[dbscanBlocked]] (LSH-bucketed candidates, exact
+    * verification, same downstream) or inject any verified ε-edge
+    * source via [[dbscanFromEdges]]. Degree counts partial-aggregate
+    * map-side; the component step inherits connectedComponents' driver
+    * fast path (the edge set already passed a density threshold —
+    * orders smaller than the corpus).
     *
     * Returns (vec_id, role ∈ core|border|noise, cluster_id — null for
     * noise). */
   def dbscan(vecs: DataFrame, idCol: String, vecCol: String,
              eps2: Long, minPts: Int): DataFrame = {
     require(eps2 > 0 && minPts >= 2, s"need eps2 > 0, minPts >= 2")
-    val q = vecs.select(col(idCol).cast("long").as("vec_id"),
-      transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long"))
-        .as("qv"))
+    // loud contract, not prose: the probe reads one column with an
+    // early-out limit — never the cost of the quadratic scan it guards
+    val probe = vecs.select(col(idCol))
+      .limit(MaxExactDbscanVectors + 1).count()
+    require(probe <= MaxExactDbscanVectors,
+      s"dbscan's exact all-pairs kernel is bounded to " +
+        s"$MaxExactDbscanVectors vectors; this corpus exceeds it — " +
+        "use dbscanBlocked (LSH-bucketed candidates) or dbscanFromEdges " +
+        "(an injected verified edge source) at population scale")
+    val q = quantizedVecs(vecs, idCol, vecCol)
     val l = q.select(col("vec_id").as("a"), col("qv").as("qa"))
     val r = q.select(col("vec_id").as("b"), col("qv").as("qb"))
-    // codegen'd early-exit ε-ball kernel — the HOF zip_with/aggregate
-    // form folds interpreted per pair and was measured ~10× slower on
-    // the all-pairs scan
-    val within = org.apache.spark.sql.GraftShims.column(
-      graft.expressions.L2SqWithin(
-        org.apache.spark.sql.GraftShims.expression(col("qa")),
-        org.apache.spark.sql.GraftShims.expression(col("qb")),
-        org.apache.spark.sql.GraftShims.expression(lit(eps2))))
+    val edges = l.crossJoin(r)
+      .filter(col("a") < col("b") && withinEps2(eps2))
+      .select("a", "b")
+    dbscanFromEdges(q.select("vec_id"), edges, minPts)
+  }
+
+  /** The exact kernel's enforced corpus bound (see [[dbscan]]). */
+  val MaxExactDbscanVectors: Int = 100000
+
+  /** [[dbscan]]'s 100 TB path: identical density semantics, but the
+    * ε-candidate pairs come from a sign-bucket LSH self-join instead of
+    * the all-pairs scan — work is Σ_bucket |bucket|² (the LSH
+    * contract), and every candidate is still verified by the EXACT
+    * integer ε-test before it becomes an edge. Precision is therefore
+    * exact; recall follows the bucket: an ε-close pair whose first
+    * `bits` quantized signs differ is unseen (the standard LSH recall
+    * trade, disclosed — on corpora whose clusters respect the bucket
+    * geometry the result is pinned EQUAL to [[dbscan]], see
+    * `DbscanSpec`). The bucket bit is decided on the QUANTIZED integer
+    * component (qv_i > 0), so bucketing, like the ε-test, is exact
+    * integer arithmetic any engine replays bit-for-bit. */
+  def dbscanBlocked(vecs: DataFrame, idCol: String, vecCol: String,
+                    eps2: Long, minPts: Int, bits: Int): DataFrame = {
+    require(eps2 > 0 && minPts >= 2, s"need eps2 > 0, minPts >= 2")
+    require(bits >= 1 && bits <= 62, s"need 1 <= bits <= 62, got $bits")
+    val q = quantizedVecs(vecs, idCol, vecCol)
+    val bkt = (0 until bits).map { i =>
+      when(element_at(col("qv"), i + 1) > 0L, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = q.withColumn("bkt", bkt)
+    val l = b.select(col("bkt"), col("vec_id").as("a"), col("qv").as("qa"))
+    val r = b.select(col("bkt").as("bkt2"), col("vec_id").as("b"),
+      col("qv").as("qb"))
+    val edges = l.join(r,
+        col("bkt") === col("bkt2") && col("a") < col("b") && withinEps2(eps2))
+      .select("a", "b")
+    dbscanFromEdges(q.select("vec_id"), edges, minPts)
+  }
+
+  /** DBSCAN's density semantics downstream of an INJECTED ε-edge set —
+    * the explicit extension point the scale contract names: [[dbscan]]
+    * (all pairs) and [[dbscanBlocked]] (LSH buckets) are just two edge
+    * sources over this one implementation, and a caller with a better
+    * candidate generator (IVF cells, a metric tree, a prior round's
+    * clusters) plugs it in here.
+    *
+    * `ids` is one `vec_id` per corpus vector; `edges` holds each
+    * undirected ε-edge exactly once as (a, b) with a < b, ALREADY
+    * verified against the ε threshold — edge precision is the caller's
+    * contract, and candidate recall bounds cluster recall. */
+  def dbscanFromEdges(ids: DataFrame, edges: DataFrame,
+                      minPts: Int): DataFrame = {
+    require(minPts >= 2, s"need minPts >= 2, got $minPts")
     // the ε-graph feeds THREE downstream consumers (degrees, core-core
     // edges, border assignment) plus the CC probe's separate action —
-    // checkpoint so the all-pairs scan runs once (the d23 discipline)
-    val edges = l.crossJoin(r)
-      .filter(col("a") < col("b") && within)
-      .select("a", "b")
+    // checkpoint so the edge scan runs once (the d23 discipline)
+    val e = edges.select(col("a").cast("long").as("a"),
+        col("b").cast("long").as("b"))
       .localCheckpoint(false)
-    val bidir = edges.unionByName(
-      edges.select(col("b").as("a"), col("a").as("b")))
+    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val core = bidir.groupBy(col("a").as("node"))
       .agg((count(lit(1)) + 1).as("n"))
       .filter(col("n") >= minPts).select("node")
@@ -297,7 +349,7 @@ object SimilarityOps {
     val borders = bidir
       .join(cc.select(col("node").as("b"), col("cluster_id")), "b")
       .groupBy(col("a").as("node")).agg(min("cluster_id").as("bcid"))
-    q.select("vec_id")
+    ids.select(col("vec_id").cast("long").as("vec_id"))
       .join(cc.select(col("node").as("vec_id"), col("cluster_id").as("core_cid")),
         Seq("vec_id"), "left")
       .join(borders.select(col("node").as("vec_id"), col("bcid")),
@@ -308,6 +360,24 @@ object SimilarityOps {
           .otherwise(lit("noise")).as("role"),
         coalesce(col("core_cid"), col("bcid")).as("cluster_id"))
   }
+
+  /** Milli-unit integer quantization of an embedding column (the s19
+    * discipline) — the shared front of the dbscan family. */
+  private def quantizedVecs(vecs: DataFrame, idCol: String,
+                            vecCol: String): DataFrame =
+    vecs.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long"))
+        .as("qv"))
+
+  /** Codegen'd early-exit ε-ball kernel over (qa, qb) — the HOF
+    * zip_with/aggregate form folds interpreted per pair and was
+    * measured ~10× slower on the all-pairs scan. */
+  private def withinEps2(eps2: Long): Column =
+    org.apache.spark.sql.GraftShims.column(
+      graft.expressions.L2SqWithin(
+        org.apache.spark.sql.GraftShims.expression(col("qa")),
+        org.apache.spark.sql.GraftShims.expression(col("qb")),
+        org.apache.spark.sql.GraftShims.expression(lit(eps2))))
 
   /** Lloyd's k-means over an embedding column — the centroid fit that
     * completes the IVF story ([[ivfAssign]]/[[ivfTopK]] take the result
