@@ -79,8 +79,22 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m.take(200)) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, sec, None) => sec }.sum
+    // Noise normalization, carried IN the artifact: host steal inflates
+    // every query nearly uniformly (the documented environment
+    // signature), so each query's ratio to the suite median is stable
+    // across run windows even when raw seconds are not. Cross-round
+    // comparisons should read norm[q] (a real regression moves a query
+    // AGAINST the suite); the suite median itself tracks the window.
+    val okTimes = results.collect { case (_, sec, None) => sec }.sorted
+    val suiteMedian =
+      if (okTimes.isEmpty) 0.0 else okTimes((okTimes.length - 1) / 2)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val norms = results.map { case (k, sec, err) =>
+      jstr(k) + ":" + (if (err.isEmpty && suiteMedian > 0)
+        r4(sec / suiteMedian).toString else "null")
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"queries":$qs,"p50":$p50s,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"suite_median_sec":${r4(suiteMedian)},"queries":$qs,"p50":$p50s,"norm":$norms,"errors":$errs,"sf":"$sfDir"}"""
     // stdout gets buried in sbt [info] noise — the file is the reliable channel.
     val p = Paths.get(outPath)
     if (p.getParent != null) Files.createDirectories(p.getParent)
