@@ -823,6 +823,15 @@ object DedupOps {
                          shingleN: Int = 5, bits: Int = 1 << 16,
                          numHashes: Int = 5): DataFrame = {
     require(bits >= 64 && (bits & (bits - 1)) == 0, "bits must be a power of two >= 64")
+    // the bitset is driver state AND a broadcast plan literal: 2^26 bits
+    // = 8 MiB of longs serves ~6.7M benchmark shingles at ~10 bits/key —
+    // far past any eval set; beyond that the filter itself has outgrown
+    // the Bloom design point, so refuse loudly rather than ship a
+    // hundred-MiB literal into every task
+    require(bits <= (1 << 26),
+      s"bits=$bits exceeds the 2^26 driver/plan-literal bound; an eval " +
+        "benchmark needing more Bloom bits should use decontaminate's " +
+        "broadcast-join probe instead")
     val bench = shingleRows(benchmark, idCol, textCol, shingleN)
       .select(md5(col("sh")).as("shh")).distinct()
     def idxs(c: Column): Seq[Column] =

@@ -585,10 +585,21 @@ object SimilarityOps {
     * from every assignment pass. Norms are taken from the DataFrame (not
     * recomputed on the driver) so the doubles match the column path
     * bit-for-bit. */
-  private def collectCentroids(cents: DataFrame): Seq[(Long, Array[Float], Double)] =
-    cents.select(col("cid").cast("long"), col("cv"), col("cn").cast("double"))
-      .collect().toSeq
+  private def collectCentroids(cents: DataFrame): Seq[(Long, Array[Float], Double)] = {
+    // loud bound BEFORE the pull: a caller-supplied centroid frame that
+    // is secretly corpus-sized must fail with a diagnostic, not an OOM.
+    // 100 is nearestCellExpr's ×100 score-encoding contract, so any set
+    // passing here is also valid for every downstream consumer.
+    val rows = cents
+      .select(col("cid").cast("long"), col("cv"), col("cn").cast("double"))
+      .limit(101).collect()
+    require(rows.length <= 100,
+      "centroid sets are driver state by contract (the small side of a " +
+        "broadcast) and the score encoding bounds cid to [0, 100) — got " +
+        "more than 100 rows; fit on a sample or shrink k")
+    rows.toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+  }
 
   /** One (score, cid) struct per centroid: the established
     * rounded-similarity × 100 − cid score encoding (highest similarity
