@@ -2046,6 +2046,29 @@ object SparkEntry {
         .toDF("doc_id", "n_frames", "frames_decoded", "frame_w", "frame_h")
     }),
 
+    // the m8 story for the ISO-BMFF container: each doc id builds a
+    // playable MJPEG-in-MP4 (real JPEG samples in mdat, a REAL
+    // stsc/stsz/stco sample table — two samples per chunk, so odd counts
+    // exercise a two-run stsc); the query walks the sample table and
+    // REALLY decodes every sample. Shrinks the video stub to truly
+    // absent codecs (H.264/HEVC). Map-only like m8
+    "m10_mp4_frames" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select("doc_id").as[Long]
+        .map { id =>
+          val samples = graft.multimodal.Multimodal.mp4VideoSamples(
+            graft.multimodal.SyntheticMedia.mjpegMp4Bytes(id))
+          val imgs = samples.flatMap { c =>
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(c)))
+          }
+          (id, samples.length, imgs.size,
+            imgs.headOption.map(_.getWidth).getOrElse(0),
+            imgs.headOption.map(_.getHeight).getOrElse(0))
+        }
+        .toDF("doc_id", "n_frames", "frames_decoded", "frame_w", "frame_h")
+    }),
+
     // relational extras (set ops, top-k, rollup, analytic, json) -----------
 
     "x1_setops" -> ((s, dir) => {
@@ -6988,6 +7011,16 @@ object SparkEntry {
         |  (1 + doc_id % 8)::INT AS frames_decoded,
         |  (8 + doc_id % 16)::INT AS frame_w,
         |  (8 + doc_id % 12)::INT AS frame_h
+        |FROM documents""".stripMargin,
+
+    // sample count and decoded dimensions as arithmetic; every sample
+    // must decode (the sample table is real, the samples are real JPEGs)
+    "m10_mp4_frames" ->
+      """SELECT doc_id,
+        |  (1 + doc_id % 6)::INT AS n_frames,
+        |  (1 + doc_id % 6)::INT AS frames_decoded,
+        |  (8 + doc_id % 14)::INT AS frame_w,
+        |  (8 + doc_id % 10)::INT AS frame_h
         |FROM documents""".stripMargin,
 
     "x1_setops" ->

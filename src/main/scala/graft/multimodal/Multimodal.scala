@@ -18,8 +18,9 @@ import org.apache.spark.sql.{Dataset, Encoder}
   * [[ImageIoFeatureDecoder]] (PNG/JPEG/GIF/BMP via `javax.imageio`),
   * [[WavFeatureDecoder]] (WAV/PCM via `javax.sound.sampled`), and
   * [[MjpegAviFrameDecoder]] (video frame sampling for MJPEG-in-AVI:
-  * RIFF walking + per-frame JPEG decode), routed per record by
-  * [[JdkFeatureDecoder]].
+  * RIFF walking + per-frame JPEG decode), and [[Mp4FrameDecoder]]
+  * (MJPEG-in-MP4: stsc×stsz×stco sample-table walking + per-sample JPEG
+  * decode), routed per record by [[JdkFeatureDecoder]].
   *
   * What is STUBBED: codecs the JDK does not ship (H.264/H.265 in MP4).
   * [[StubFeatureDecoder]] produces a deterministic hash-derived vector;
@@ -184,6 +185,121 @@ object Multimodal {
           }
         }
         walk(ms, me)
+        frames.result()
+    }
+  }
+
+  /** stsd sample-entry fourccs whose samples are complete JPEG files —
+    * the MJPEG-in-MP4 convention (QuickTime `jpeg`/`mjpa`, plus the
+    * registered MJPEG variants). Tracks with any other codec (H.264's
+    * `avc1`, HEVC's `hvc1`…) are NOT walked here: the JDK ships no
+    * decoder for their samples. */
+  private val JpegSampleFourccs = Set("jpeg", "mjpa", "mjpb", "mjpg", "avdj")
+
+  /** JPEG sample payloads of an MJPEG-in-MP4: walk `moov` → each `trak`
+    * → `mdia/minf/stbl`; a track whose first `stsd` entry is
+    * JPEG-family yields its samples by the standard sample-table
+    * arithmetic — `stsc` (chunk → samples-per-chunk runs) × `stsz`
+    * (per-sample sizes) × `stco`/`co64` (absolute chunk offsets).
+    * Plain byte walking, no codec: each returned slice is a complete
+    * JPEG file for `ImageIO`. Malformed tables (offsets or sizes
+    * escaping the buffer) stop that track's walk rather than throw —
+    * the same bail-don't-loop discipline as [[findBox]]. */
+  def mp4VideoSamples(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (mediaType(bytes) != "video/mp4") return Nil
+    findBox(bytes, 0, bytes.length, "moov").toSeq.flatMap { case (ms, me) =>
+      val out = Seq.newBuilder[Array[Byte]]
+      var off = ms
+      var done = false
+      while (!done && off < me) {
+        findBox(bytes, off, me, "trak") match {
+          case None => done = true
+          case Some((ts, te)) =>
+            out ++= trakJpegSamples(bytes, ts, te)
+            off = te
+        }
+      }
+      out.result()
+    }
+  }
+
+  /** One track's JPEG samples (empty for non-JPEG codecs). */
+  private def trakJpegSamples(b: Array[Byte], ts: Int, te: Int): Seq[Array[Byte]] = {
+    val stbl = for {
+      (ds, de) <- findBox(b, ts, te, "mdia")
+      (fs, fe) <- findBox(b, ds, de, "minf")
+      st <- findBox(b, fs, fe, "stbl")
+    } yield st
+    stbl match {
+      case None => Nil
+      case Some((ss, se)) =>
+        // stsd: version/flags(4) entry_count(4) entry{size(4) format(4)…}
+        val fourcc = findBox(b, ss, se, "stsd") match {
+          case Some((s, e)) if s + 16 <= e =>
+            new String(b, s + 12, 4,
+              java.nio.charset.StandardCharsets.US_ASCII).toLowerCase
+          case _ => ""
+        }
+        if (!JpegSampleFourccs.contains(fourcc)) return Nil
+        // stsz: version/flags(4) fixed_size(4) count(4) [sizes…]
+        val sizes: Array[Long] = findBox(b, ss, se, "stsz") match {
+          case Some((s, e)) if s + 12 <= e =>
+            val fixed = beInt(b, s + 4) & 0xffffffffL
+            val n = beInt(b, s + 8)
+            if (n < 0 || (fixed == 0 && s + 12 + 4L * n > e)) Array.empty
+            else if (fixed != 0) Array.fill(n)(fixed)
+            else Array.tabulate(n)(i => beInt(b, s + 12 + 4 * i) & 0xffffffffL)
+          case _ => Array.empty
+        }
+        // chunk offsets: stco (32-bit) or co64 (64-bit)
+        val chunkOffsets: Array[Long] = findBox(b, ss, se, "stco") match {
+          case Some((s, e)) if s + 8 <= e =>
+            val n = beInt(b, s + 4)
+            if (n < 0 || s + 8 + 4L * n > e) Array.empty
+            else Array.tabulate(n)(i => beInt(b, s + 8 + 4 * i) & 0xffffffffL)
+          case _ => findBox(b, ss, se, "co64") match {
+            case Some((s, e)) if s + 8 <= e =>
+              val n = beInt(b, s + 4)
+              if (n < 0 || s + 8 + 8L * n > e) Array.empty
+              else Array.tabulate(n)(i => beLong(b, s + 8 + 8 * i))
+            case _ => Array.empty
+          }
+        }
+        // stsc: version/flags(4) entry_count(4) {first_chunk,
+        // samples_per_chunk, sample_description_index}(12)…
+        val stscRuns: Array[(Long, Long)] = findBox(b, ss, se, "stsc") match {
+          case Some((s, e)) if s + 8 <= e =>
+            val n = beInt(b, s + 4)
+            if (n < 0 || s + 8 + 12L * n > e) Array.empty
+            else Array.tabulate(n) { i =>
+              (beInt(b, s + 8 + 12 * i) & 0xffffffffL,
+                beInt(b, s + 12 + 12 * i) & 0xffffffffL)
+            }
+          case _ => Array.empty
+        }
+        if (sizes.isEmpty || chunkOffsets.isEmpty || stscRuns.isEmpty) return Nil
+        val frames = Seq.newBuilder[Array[Byte]]
+        var sample = 0
+        var run = 0
+        var chunk = 1L
+        while (sample < sizes.length && chunk <= chunkOffsets.length) {
+          // advance to the stsc run covering this chunk
+          while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= chunk)
+            run += 1
+          var offset = chunkOffsets((chunk - 1).toInt)
+          var inChunk = 0L
+          while (inChunk < stscRuns(run)._2 && sample < sizes.length) {
+            val sz = sizes(sample)
+            if (offset < 0 || sz <= 0 || offset + sz > b.length)
+              return frames.result() // malformed table: bail, don't throw
+            frames += java.util.Arrays.copyOfRange(
+              b, offset.toInt, (offset + sz).toInt)
+            offset += sz
+            sample += 1
+            inChunk += 1
+          }
+          chunk += 1
+        }
         frames.result()
     }
   }
@@ -539,10 +655,35 @@ object GifFrameDecoder extends FeatureDecoder {
     }
 }
 
+/** MJPEG-in-MP4 twin of [[MjpegAviFrameDecoder]]: frame extraction is
+  * sample-table walking ([[Multimodal.mp4VideoSamples]] — stsc × stsz ×
+  * stco byte arithmetic), each sample a complete JPEG for
+  * `javax.imageio`. An MP4 whose video track is NOT JPEG-family (H.264,
+  * HEVC — no JDK codec) yields zero samples and falls through to
+  * [[StubFeatureDecoder]], so the stub now covers only truly-absent
+  * codecs. */
+object Mp4FrameDecoder extends FeatureDecoder {
+  val Dim = FramePool.Dim
+
+  override def decodeBatch(batch: Seq[(MediaMeta, Array[Byte])]): Seq[Array[Float]] =
+    batch.map { case (meta, bytes) =>
+      val frames = Multimodal.mp4VideoSamples(bytes)
+      val imgs = FramePool.sampleIndices(frames.length).flatMap { i =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames(i)))
+          catch { case scala.util.control.NonFatal(_) => null }
+        Option(img)
+      }
+      FramePool.features(frames.length, imgs)
+        .getOrElse(StubFeatureDecoder.decodeBatch(Seq((meta, bytes))).head)
+    }
+}
+
 /** One decoder for a mixed-modality corpus: route each record to the JDK
   * codec for its container (imageio for PNG/JPEG, sampled-audio for WAV,
-  * RIFF walking + imageio for MJPEG-AVI frames); modalities without a JDK
-  * codec (MP4 video) take the stub. */
+  * RIFF walking + imageio for MJPEG-AVI frames, sample-table walking +
+  * imageio for MJPEG-MP4 samples); modalities without a JDK codec
+  * (H.264/HEVC video) take the stub. */
 object JdkFeatureDecoder extends FeatureDecoder {
   val Dim = 8
 
@@ -553,6 +694,7 @@ object JdkFeatureDecoder extends FeatureDecoder {
           ImageIoFeatureDecoder.decodeBatch(Seq(rec)).head
         case "audio/wav" => WavFeatureDecoder.decodeBatch(Seq(rec)).head
         case "video/avi" => MjpegAviFrameDecoder.decodeBatch(Seq(rec)).head
+        case "video/mp4" => Mp4FrameDecoder.decodeBatch(Seq(rec)).head
         // GIFs can animate: the frame-sampling decoder covers both (a
         // still GIF is the 1-frame, zero-motion case)
         case "image/gif" => GifFrameDecoder.decodeBatch(Seq(rec)).head

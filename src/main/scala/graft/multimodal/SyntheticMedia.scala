@@ -180,6 +180,58 @@ object SyntheticMedia {
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
 
+  // ==== id-deterministic MJPEG-in-MP4 clips (m10) =======================
+  //
+  // The m8 story for the ISO-BMFF container: real JPEG samples in mdat,
+  // a REAL stsc/stsz/stco sample table in moov/trak/mdia/minf/stbl.
+  // Samples pack TWO per chunk, so odd counts produce a two-run stsc —
+  // the chunk-run arithmetic is genuinely exercised, not degenerate.
+
+  def mjpegMp4FrameCount(id: Long): Int = (1 + id % 6).toInt
+  def mjpegMp4FrameW(id: Long): Int = (8 + id % 14).toInt
+  def mjpegMp4FrameH(id: Long): Int = (8 + id % 10).toInt
+
+  /** A playable MJPEG-in-MP4 for id: ftyp + mdat (JPEG samples) + moov
+    * whose sample table states where they live. mdat precedes moov so
+    * every stco offset is known when the table is written (the
+    * progressive-download layout inverts this; same walker either way). */
+  def mjpegMp4Bytes(id: Long): Array[Byte] = {
+    val w = mjpegMp4FrameW(id)
+    val h = mjpegMp4FrameH(id)
+    val n = mjpegMp4FrameCount(id)
+    val frames = Array.tabulate(n)(i =>
+      jpegFrame(w, h, ((id * 7 + i) % 200 + 28).toInt))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    val mdat = box("mdat", frames.flatten)
+    val firstSample = ftyp.length + 8L // mdat payload start
+    val chunkSizes = frames.map(_.length.toLong).grouped(2).map(_.sum).toArray
+    val chunkOffsets = chunkSizes.scanLeft(firstSample)(_ + _).init
+    val stsd = Array[Byte](0, 0, 0, 0) ++ be32(1) ++
+      be32(16) ++ "jpeg".getBytes("US-ASCII") ++ new Array[Byte](8)
+    val stsz = Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(n) ++
+      frames.flatMap(f => be32(f.length))
+    val stscEntries =
+      if (n == 1) Seq((1, 1))
+      else if (n % 2 == 0) Seq((1, 2))
+      else Seq((1, 2), (chunkOffsets.length, 1))
+    val stsc = Array[Byte](0, 0, 0, 0) ++ be32(stscEntries.length) ++
+      stscEntries.toArray.flatMap { case (fc, spc) =>
+        be32(fc) ++ be32(spc) ++ be32(1)
+      }
+    val stco = Array[Byte](0, 0, 0, 0) ++ be32(chunkOffsets.length) ++
+      chunkOffsets.flatMap(o => be32(o.toInt))
+    val stbl = box("stbl", box("stsd", stsd) ++ box("stsc", stsc) ++
+      box("stsz", stsz) ++ box("stco", stco))
+    val mdia = box("mdia", box("minf", stbl))
+    val tkhd = Array[Byte](0, 0, 0, 0) ++ new Array[Byte](72) ++
+      be32(w << 16) ++ be32(h << 16)
+    val mvhd = Array[Byte](0, 0, 0, 0) ++ new Array[Byte](8) ++
+      be32(600) ++ be32(n * 24) ++ new Array[Byte](80) // 25 fps at ts 600
+    val moov = box("moov",
+      box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd) ++ mdia))
+    ftyp ++ mdat ++ moov
+  }
+
   // ==== id-deterministic PIXEL content (m3/m5): DCT-basis patterns =====
   //
   // The m2 trick, pushed from headers to pixels. Each id selects exactly

@@ -241,6 +241,57 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toList == StubFeatureDecoder.decodeBatch(Seq((meta, avi))).head.toList)
   }
 
+  test("MJPEG-in-MP4: the sample-table walk recovers every JPEG sample") {
+    // n=1 (single-sample chunk run), even n (one two-per-chunk run), odd
+    // n ≥ 3 (TWO stsc runs: (1,2) then a trailing single) — all three
+    // run-table shapes, every sample a decodable JPEG at the id's dims
+    Seq(0L, 1L, 2L, 4L, 7L, 36L, 123L).foreach { id =>
+      val bytes = SyntheticMedia.mjpegMp4Bytes(id)
+      assert(Multimodal.mediaType(bytes) == "video/mp4")
+      val samples = Multimodal.mp4VideoSamples(bytes)
+      assert(samples.length == SyntheticMedia.mjpegMp4FrameCount(id),
+        s"id=$id: ${samples.length}")
+      samples.foreach { s =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(s))
+        assert(img != null, s"id=$id: sample did not decode")
+        assert(img.getWidth == SyntheticMedia.mjpegMp4FrameW(id) &&
+          img.getHeight == SyntheticMedia.mjpegMp4FrameH(id))
+      }
+    }
+  }
+
+  test("Mp4FrameDecoder: real frame features for MJPEG samples, stub for codec-less MP4s") {
+    val mjpeg = SyntheticMedia.mjpegMp4Bytes(5L)
+    val meta = Multimodal.parseMeta(mjpeg)
+    val out = Mp4FrameDecoder.decodeBatch(Seq((meta, mjpeg))).head
+    val stub = StubFeatureDecoder.decodeBatch(Seq((meta, mjpeg))).head
+    assert(out.toList != stub.toList, "MJPEG samples must take the real path")
+    // frame-count feature = n/1000 (FramePool layout)
+    assert(math.abs(out(0) - SyntheticMedia.mjpegMp4FrameCount(5L) / 1000f) < 1e-6)
+    // an MP4 with no sample table (m6's metadata-only container — the
+    // H.264 stand-in: nothing the JDK can decode) falls back to the stub
+    val bare = SyntheticMedia.videoBytes(2L)
+    val bmeta = Multimodal.parseMeta(bare)
+    val bout = Mp4FrameDecoder.decodeBatch(Seq((bmeta, bare))).head
+    assert(bout.toList ==
+      StubFeatureDecoder.decodeBatch(Seq((bmeta, bare))).head.toList)
+  }
+
+  test("a malformed MP4 sample table bails instead of throwing") {
+    val bytes = SyntheticMedia.mjpegMp4Bytes(3L)
+    // corrupt stco's entry count (top byte → ~2^30 chunks): the declared
+    // table now escapes the box, which must read as "no offsets", not OOB
+    val idx = {
+      // locate 'stco' fourcc
+      val pat = "stco".getBytes("US-ASCII")
+      (0 until bytes.length - 4).find(i => pat.indices.forall(j => bytes(i + j) == pat(j))).get
+    }
+    val corrupted = bytes.clone()
+    corrupted(idx + 8) = 0x7f.toByte
+    val samples = Multimodal.mp4VideoSamples(corrupted)
+    assert(samples.isEmpty, s"expected bail, got ${samples.length} samples")
+  }
+
   test("container sniffing and header parsing (PNG/JPEG/WAV) without codec libs") {
     val png = Multimodal.parseMeta(pngBytes(640, 480))
     assert(png == MediaMeta("image/png", 640, 480, 0L, 0, 0))
