@@ -20,6 +20,28 @@ observed distributions at sf0.01/sf0.1:
   the co-occurrence graph is 10 disjoint replicas: the honest "does the
   operator scale linearly in graph size" input. Only the two columns the
   g-family reads are materialized.
+- events (1,000,000 rows): sf0.1 tiled 10x with disjoint key shifts
+  (event_id + i*1e6, user_id + i*10000; ts/type/value/props copied) —
+  per-user event sequences are preserved exactly, so user-keyed windows
+  see 10 disjoint replica populations and group-keyed aggregates see 10x
+  rows per group. Input for the c/x-family sf1 curves (x96 etc.).
+
+Round-13 addition — the production-shaped corpus (VERDICT r12 #5): the
+driver's 30-word closed vocabulary makes near-threshold pair density
+quadratic in corpus size BY CONSTRUCTION (any two docs share most of
+their unigram vocabulary), which is the measured cause of d17's 1.28
+sf1 slope. Real corpora are heavy-tailed: rare words stay rare as the
+corpus grows, so near-dup candidate density grows ~linearly. This
+script therefore also writes a Zipfian decade —
+  localdata/sf0.1_zipf/documents.parquet  (5,000 docs) and
+  localdata/sf1_zipf/documents.parquet    (50,000 docs)
+— same row schema, doc length ~ U[10,100], langs/sources matched, the
+same planted near-dup process (5% copy an earlier doc with one word ->
+"dup"), but words drawn rank-wise from a 50,000-type vocabulary with
+P(rank r) ∝ 1/r^1.05 (inside the s∈[1,1.2] band measured on web text;
+Piantadosi 2014 review). Both decades are seeded from the same stream,
+so the sf0.1_zipf corpus is NOT a subset of sf1_zipf — each is an iid
+draw at its size, which is what a growing crawl looks like.
 
 Seeded (42): byte-stable across runs. Run: python3 scripts/gen_sf1.py
 """
@@ -88,4 +110,54 @@ COPY (
   CROSS JOIN (SELECT unnest(range(10)) AS i)
 ) TO '{OUT}/lineitem.parquet' (FORMAT parquet)
 """)
-print("done:", [p.name for p in OUT.iterdir()])
+
+print("events (tiled 10x) ...")
+con.sql(f"""
+COPY (
+  SELECT event_id + i * 1000000 AS event_id,
+         ts,
+         user_id + i * 10000 AS user_id,
+         event_type, value, props
+  FROM '{SRC}/events.parquet'
+  CROSS JOIN (SELECT unnest(range(10)) AS i)
+) TO '{OUT}/events.parquet' (FORMAT parquet)
+""")
+
+# ---- Zipfian-vocabulary decade (round 13) --------------------------------
+ZIPF_VOCAB_N = 50_000
+ZIPF_S = 1.05
+zipf_words = np.array([f"w{r:05d}" for r in range(1, ZIPF_VOCAB_N + 1)])
+zipf_p = 1.0 / np.arange(1, ZIPF_VOCAB_N + 1) ** ZIPF_S
+zipf_p /= zipf_p.sum()
+
+def gen_zipf_docs(n_docs: int, out_dir: Path) -> None:
+    out_dir.mkdir(parents=True, exist_ok=True)
+    texts = []
+    for _ in range(n_docs):
+        n = int(rng.integers(10, 101))
+        texts.append(" ".join(rng.choice(zipf_words, size=n, p=zipf_p)))
+    dup_ids = rng.choice(np.arange(1, n_docs), size=int(n_docs * DUP_FRACTION),
+                         replace=False)
+    for i in sorted(dup_ids):
+        victim = int(rng.integers(0, i))
+        words = texts[victim].split(" ")
+        words[int(rng.integers(0, len(words)))] = "dup"
+        texts[i] = " ".join(words)
+    langs_z = rng.choice(LANGS, size=n_docs, p=LANG_P)
+    sources_z = [f"src{int(s)}" for s in rng.integers(0, 20, size=n_docs)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs_z, pa.string()),
+        "source": pa.array(sources_z, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), out_dir / "documents.parquet")
+
+print("documents zipf sf0.1 (5,000 docs) ...")
+gen_zipf_docs(5_000, OUT.parent / "sf0.1_zipf")
+print("documents zipf sf1 (50,000 docs) ...")
+gen_zipf_docs(50_000, OUT.parent / "sf1_zipf")
+
+print("done:", [p.name for p in OUT.iterdir()],
+      [p.name for p in (OUT.parent / "sf0.1_zipf").iterdir()],
+      [p.name for p in (OUT.parent / "sf1_zipf").iterdir()])

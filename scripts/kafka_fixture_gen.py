@@ -4,8 +4,9 @@
 The Scala side (graft.kafka.Wire / MiniBroker / MiniKafkaClient) and this
 script are INDEPENDENT encodings of the same public protocol definition
 (https://kafka.apache.org/protocol: request/response headers, Metadata v0,
-Produce v0, Fetch v0, ListOffsets v0, ApiVersions v0, MessageSet v1, and
-the murmur2 default partitioner). This script writes byte-exact request
+Produce v0, Fetch v0, ListOffsets v0, ApiVersions v0, MessageSet v0/v1 —
+including gzip-compressed wrapper messages with KIP-31 relative offsets —
+and the murmur2 default partitioner). This script writes byte-exact request
 AND expected-response fixtures from the spec alone — deliberately sharing
 no code with the Scala implementation — so a bug that cancels out between
 the repo's own encoder and decoder (e.g. both treating a STRING length as
@@ -72,6 +73,31 @@ def message_set(records):
         crc = zlib.crc32(body) & 0xFFFFFFFF
         out += i64(off) + i32(4 + len(body)) + struct.pack(">I", crc) + body
     return out
+
+
+def message_set_v0(records):
+    """magic-0 entries (pre-0.10 producers): no timestamp field."""
+    out = b""
+    for off, _ts, key, value in records:
+        body = i8(0) + i8(0) + nbytes(key) + nbytes(value)
+        crc = zlib.crc32(body) & 0xFFFFFFFF
+        out += i64(off) + i32(4 + len(body)) + struct.pack(">I", crc) + body
+    return out
+
+
+def message_set_gzip(records):
+    """ONE gzip wrapper message (compression.type=gzip producer shape):
+    inner v1 set with relative offsets 0..n-1, wrapper offset n-1,
+    wrapper ts = max inner ts, attribute codec bits = 1, null key."""
+    import gzip as _gzip
+    inner = message_set([(i, ts, k, v)
+                         for i, (_o, ts, k, v) in enumerate(records)])
+    gz = _gzip.compress(inner, mtime=0)  # mtime=0: byte-stable fixture
+    body = i8(1) + i8(1) + i64(max(ts for _o, ts, _k, _v in records)) + \
+        nbytes(None) + nbytes(gz)
+    crc = zlib.crc32(body) & 0xFFFFFFFF
+    return i64(len(records) - 1) + i32(4 + len(body)) + \
+        struct.pack(">I", crc) + body
 
 
 # ---- murmur2 (seed 0x9747b28c), the default-partitioner hash ------------
@@ -165,6 +191,52 @@ fx["listoffsets_req"] = request(2, 5, lo_body)
 fx["listoffsets_resp"] = i32(5) + i32(1) + string(TOPIC) + i32(2) + \
     i32(0) + i16(0) + i32(1) + i64(3) + \
     i32(1) + i16(0) + i32(1) + i64(0)
+
+# 6. Produce v0 request carrying a GZIP-compressed batch (corr 6):
+# the compression.type=gzip producer shape — the broker must unwrap the
+# wrapper, resolve relative offsets, and append at base 3 (after step 3)
+GZ_RECORDS = [
+    (0, 2000, b"gk1", b"gv1"),
+    (0, 2001, None, b"gv2"),
+    (0, 2002, b"gk3", b"gv3"),
+]
+GZ_ASSIGNED = [(3 + i, ts, k, v) for i, (_o, ts, k, v) in enumerate(GZ_RECORDS)]
+produce_gzip_body = i16(1) + i32(10000) + i32(1) + string(TOPIC) + \
+    i32(1) + i32(0) + nbytes(message_set_gzip(GZ_RECORDS))
+fx["produce_gzip_req"] = request(0, 6, produce_gzip_body)
+fx["produce_gzip_resp"] = i32(6) + i32(1) + string(TOPIC) + i32(1) + \
+    i32(0) + i16(0) + i64(3)
+
+# 7. Fetch v0 from offset 3 (corr 7): the broker stores the gzip batch
+# DECOMPRESSED (compression.type=uncompressed broker semantics), so the
+# fetch returns plain magic-1 messages with the producer timestamps
+fetch_gzip_body = i32(-1) + i32(0) + i32(0) + i32(1) + string(TOPIC) + \
+    i32(1) + i32(0) + i64(3) + i32(4 << 20)
+fx["fetch_gzip_req"] = request(1, 7, fetch_gzip_body)
+fx["fetch_gzip_resp"] = i32(7) + i32(1) + string(TOPIC) + i32(1) + \
+    i32(0) + i16(0) + i64(6) + nbytes(message_set(GZ_ASSIGNED))
+
+# 8. Produce v0 request with MAGIC-0 messages (corr 8): the pre-0.10
+# client shape — no timestamp field; the broker accepts and stores
+# ts = -1. Partition 1 (still empty), so base = 0
+V0_RECORDS = [
+    (0, None, b"ok1", b"ov1"),
+    (0, None, None, b"ov2"),
+]
+produce_v0_body = i16(1) + i32(10000) + i32(1) + string(TOPIC) + \
+    i32(1) + i32(1) + nbytes(message_set_v0(V0_RECORDS))
+fx["produce_v0_req"] = request(0, 8, produce_v0_body)
+fx["produce_v0_resp"] = i32(8) + i32(1) + string(TOPIC) + i32(1) + \
+    i32(1) + i16(0) + i64(0)
+
+# 9. Fetch v0 of partition 1 (corr 9): up-converted magic-1 messages
+# with ts = -1 (Kafka's "no timestamp" sentinel)
+fetch_v0_body = i32(-1) + i32(0) + i32(0) + i32(1) + string(TOPIC) + \
+    i32(1) + i32(1) + i64(0) + i32(4 << 20)
+fx["fetch_v0_req"] = request(1, 9, fetch_v0_body)
+fx["fetch_v0_resp"] = i32(9) + i32(1) + string(TOPIC) + i32(1) + \
+    i32(1) + i16(0) + i64(2) + nbytes(message_set(
+        [(i, -1, k, v) for i, (_o, _t, k, v) in enumerate(V0_RECORDS)]))
 
 # ---- client-side fixtures (MiniKafkaClient's FIRST call => corr 1) ------
 

@@ -168,7 +168,14 @@ final class MiniBroker(val numPartitions: Int = 2) extends AutoCloseable {
               // wake parked long-poll fetches (they re-check readiness)
               dataMonitor.synchronized(dataMonitor.notifyAll())
               (ErrNone, b0)
-            } catch { case _: IllegalArgumentException => (ErrCorruptMessage, -1L) }
+            } catch {
+              // IllegalArgumentException: CRC / size / codec violations;
+              // BufferUnderflowException: a length field inside a
+              // CRC-valid body lying about the bytes that follow — both
+              // are the same "reject the batch, keep the connection" case
+              case _: IllegalArgumentException => (ErrCorruptMessage, -1L)
+              case _: java.nio.BufferUnderflowException => (ErrCorruptMessage, -1L)
+            }
         b.int32(partition).int16(err).int64(base)
       }
     }

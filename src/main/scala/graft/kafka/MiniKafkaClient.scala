@@ -72,15 +72,18 @@ final class MiniKafkaClient(host: String, port: Int) extends AutoCloseable {
   }
 
   /** Produce one batch to one partition; returns the assigned base
-    * offset. */
+    * offset. `gzip = true` ships the batch as one gzip-wrapped v1
+    * message (the `compression.type=gzip` wire shape) — the broker
+    * stores it decompressed, so fetches are unaffected. */
   def produce(topic: String, partition: Int,
-              records: Seq[WireRecord]): Long = {
+              records: Seq[WireRecord], gzip: Boolean = false): Long = {
     val body = new Buf
     body.int16(1) // acks=1
     body.int32(10000)
     body.int32(1).string(topic)
     body.int32(1).int32(partition)
-    body.bytes(encodeMessageSet(records))
+    body.bytes(if (gzip) encodeMessageSetGzip(records)
+               else encodeMessageSet(records))
     val r = call(ApiProduce, body)
     val nt = r.int32()
     var base = -1L

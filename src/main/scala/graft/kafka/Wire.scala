@@ -20,6 +20,21 @@ import java.util.zip.CRC32
   * engine's event-time contract at the edge (reference
   * `utils/Producer.scala:41-45` assigns event time at produce).
   *
+  * The DECODE side additionally accepts what real-world clients send:
+  * magic-0 messages (pre-0.10 producers; no timestamp field → ts = −1,
+  * the broker up-converts on fetch) and gzip-compressed sets (attribute
+  * codec bits = 1: the wrapper's value is a gzip stream of an inner
+  * MessageSet; for magic 1 the inner offsets are RELATIVE and the
+  * wrapper carries the last inner offset, per KIP-31 — both the
+  * producer convention, wrapper = n−1 over relative 0..n−1, and the
+  * broker-log convention, wrapper = absolute last, resolve through the
+  * same base = wrapper − lastInner formula). Snappy/LZ4/zstd (codecs
+  * 2–4) have no JDK implementation and are rejected LOUDLY as
+  * unsupported rather than misread. The encode side stays
+  * uncompressed-magic-1 by default ([[encodeMessageSet]]);
+  * [[encodeMessageSetGzip]] builds a spec-shaped gzip wrapper for
+  * producers that want the on-wire compression.
+  *
   * Nothing here is Spark-specific; the DSv2 edge
   * ([[GraftKafkaSourceProvider]]) rides on [[MiniKafkaClient]].
   */
@@ -141,7 +156,9 @@ object Wire {
     out.toArray
   }
 
-  /** Decode a v1 MessageSet, CRC-checking every entry. A trailing
+  /** Decode a MessageSet, CRC-checking every entry. Accepts magic 0 and
+    * magic 1 messages and transparently unwraps gzip-compressed wrappers
+    * (see the class doc for the relative-offset rules). A trailing
     * truncated entry is legal ONLY on the fetch path (Kafka cuts fetch
     * responses at max_bytes mid-message); callers decoding produce
     * requests must pass `allowTruncatedTail = false` so a half-received
@@ -153,10 +170,12 @@ object Wire {
     while (bb.remaining() >= 12) {
       val offset = bb.getLong()
       val size = bb.getInt()
-      // v1 message floor: crc(4) + magic(1) + attrs(1) + ts(8) + two
+      // magic-0 message floor: crc(4) + magic(1) + attrs(1) + two
       // null-BYTES markers (4+4) — a smaller size is corruption, not a
-      // message (and would otherwise read as a negative array length)
-      require(size >= 22, s"message size $size below the v1 minimum at offset $offset")
+      // message (and would otherwise read as a negative array length);
+      // the v1 floor (+8 for the timestamp) is enforced after magic is
+      // known, below
+      require(size >= 14, s"message size $size below the v0 minimum at offset $offset")
       if (bb.remaining() < size) { // truncated tail
         require(allowTruncatedTail,
           s"truncated message at offset $offset: $size declared, ${bb.remaining()} present")
@@ -170,12 +189,7 @@ object Wire {
         crc.update(body)
         require(crc.getValue.toInt == stored,
           s"CRC mismatch at offset $offset: wire ${stored}, computed ${crc.getValue.toInt}")
-        val r = new Reader(ByteBuffer.wrap(body))
-        val magic = r.int8()
-        require(magic == 1, s"unsupported message magic $magic (codec speaks v1)")
-        r.int8() // attributes
-        val ts = r.int64()
-        out += WireRecord(offset, ts, r.bytes(), r.bytes())
+        out ++= parseMessage(offset, body)
       }
     }
     // a sub-header tail (< 12 bytes) is the same truncation case
@@ -183,6 +197,100 @@ object Wire {
       s"${bb.remaining()} trailing bytes after the last complete message")
     out.result()
   }
+
+  /** One CRC-verified message body → its records: itself when plain, the
+    * unwrapped inner set when it is a gzip wrapper. */
+  private def parseMessage(offset: Long, body: Array[Byte]): Seq[WireRecord] = {
+    val r = new Reader(ByteBuffer.wrap(body))
+    val magic = r.int8()
+    require(magic == 0 || magic == 1,
+      s"unsupported message magic $magic (codec speaks v0/v1 message sets)")
+    val attrs = r.int8()
+    require(magic == 1 || body.length >= 10,
+      s"magic-0 body ${body.length} below the 10-byte floor at offset $offset")
+    require(magic == 0 || body.length >= 18,
+      s"magic-1 body ${body.length} below the 18-byte floor at offset $offset")
+    val ts = if (magic == 1) r.int64() else -1L // v0 carries no timestamp
+    val key = r.bytes()
+    val value = r.bytes()
+    (attrs & 0x07) match {
+      case 0 => Seq(WireRecord(offset, ts, key, value))
+      case 1 => // gzip wrapper: value = gzip(inner MessageSet)
+        require(value != null, s"gzip wrapper with null value at offset $offset")
+        val inner = decodeMessageSet(gzipDecompress(value),
+          allowTruncatedTail = false)
+        require(inner.nonEmpty, s"gzip wrapper with empty inner set at offset $offset")
+        if (magic == 1) {
+          // KIP-31: inner offsets are relative; the wrapper carries the
+          // last inner offset (absolute in a broker log, n−1 from a
+          // producer) — one base shift resolves both conventions
+          val base = offset - inner.last.offset
+          inner.map(m => m.copy(offset = base + m.offset))
+        } else inner // magic 0: inner offsets are already absolute
+      case c =>
+        throw new IllegalArgumentException(
+          s"unsupported compression codec $c at offset $offset " +
+            "(none=0 and gzip=1 are the JDK-available codecs; " +
+            "snappy/lz4/zstd need vendor libraries)")
+    }
+  }
+
+  /** Encode records as ONE gzip-wrapped v1 message (the on-wire shape a
+    * `compression.type=gzip` producer sends): inner set with relative
+    * offsets 0..n−1, wrapper offset n−1, wrapper timestamp = max inner
+    * timestamp, codec bits = 1. */
+  def encodeMessageSetGzip(records: Seq[WireRecord]): Array[Byte] = {
+    require(records.nonEmpty, "gzip wrapper needs at least one record")
+    val inner = encodeMessageSet(
+      records.zipWithIndex.map { case (r, i) => r.copy(offset = i.toLong) })
+    val msg = new Buf
+    msg.int8(1) // magic
+    msg.int8(1) // attributes: gzip, CreateTime
+    msg.int64(records.map(_.timestamp).max)
+    msg.bytes(null) // wrapper key
+    msg.bytes(gzipCompress(inner))
+    val body = msg.toArray
+    val crc = new CRC32
+    crc.update(body)
+    val out = new Buf
+    out.int64(records.size - 1L) // producer convention: last relative offset
+    out.int32(4 + body.length)
+    out.int32(crc.getValue.toInt)
+    out.raw(body)
+    out.toArray
+  }
+
+  private def gzipCompress(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(data); gz.close()
+    bos.toByteArray
+  }
+
+  /** Bounded gunzip: a wrapper that inflates past [[MaxFrame]] is a
+    * zip bomb, not a message set — rejected before the allocation, and
+    * every stream error surfaces as the same IllegalArgumentException
+    * the CRC path throws so the broker maps it to ErrCorruptMessage. */
+  private def gzipDecompress(data: Array[Byte]): Array[Byte] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(data))
+      val bos = new java.io.ByteArrayOutputStream(data.length * 2 + 64)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      var total = 0L
+      while (n > 0) {
+        total += n
+        require(total <= MaxFrame,
+          s"gzip wrapper inflates past the $MaxFrame-byte frame cap")
+        bos.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      bos.toByteArray
+    } catch {
+      case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"corrupt gzip wrapper: ${e.getMessage}")
+    }
 
   // ---- framing ---------------------------------------------------------
 

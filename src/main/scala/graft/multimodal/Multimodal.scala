@@ -237,7 +237,8 @@ object Multimodal {
         val fourcc = findBox(b, ss, se, "stsd") match {
           case Some((s, e)) if s + 16 <= e =>
             new String(b, s + 12, 4,
-              java.nio.charset.StandardCharsets.US_ASCII).toLowerCase
+              java.nio.charset.StandardCharsets.US_ASCII)
+              .toLowerCase(java.util.Locale.ROOT)
           case _ => ""
         }
         if (!JpegSampleFourccs.contains(fourcc)) return Nil

@@ -79,8 +79,82 @@ class KafkaFixtureInteropSpec extends AnyFunSuite {
       roundTrip("produce_req", "produce_resp")
       roundTrip("fetch_req", "fetch_resp")
       roundTrip("listoffsets_req", "listoffsets_resp")
+      // a compression.type=gzip producer batch (Python-gzipped wrapper,
+      // KIP-31 relative offsets): broker unwraps, appends at base 3, and
+      // a fetch from 3 returns the records PLAIN with producer timestamps
+      roundTrip("produce_gzip_req", "produce_gzip_resp")
+      roundTrip("fetch_gzip_req", "fetch_gzip_resp")
+      // a pre-0.10 magic-0 batch (no timestamp field): accepted, stored
+      // with ts = −1, fetched back up-converted to magic 1
+      roundTrip("produce_v0_req", "produce_v0_resp")
+      roundTrip("fetch_v0_req", "fetch_v0_resp")
       sock.close()
     } finally broker.close()
+  }
+
+  test("gzip produce via the Scala client round-trips end-to-end") {
+    val broker = new MiniBroker(numPartitions = 2)
+    val client = new MiniKafkaClient("localhost", broker.port)
+    try {
+      assert(client.produce("gz", 0, records, gzip = true) == 0L)
+      val fetched = client.fetch("gz", 0, 0L)
+      assert(fetched.map(_.offset) == Seq(0L, 1L, 2L))
+      assert(fetched.map(_.timestamp) == Seq(1000L, 1001L, 1002L))
+      assert(new String(fetched.head.value, "UTF-8") == "v1")
+      assert(fetched(1).key == null)
+      assert(fetched(2).value == null)
+    } finally { client.close(); broker.close() }
+  }
+
+  test("gzip wrapper encode/decode is an identity on records") {
+    val rs = Seq(
+      WireRecord(0L, 5L, "a".getBytes("UTF-8"), Array.fill(3000)('x'.toByte)),
+      WireRecord(1L, 9L, null, "b".getBytes("UTF-8")))
+    val decoded = Wire.decodeMessageSet(Wire.encodeMessageSetGzip(rs))
+    assert(decoded.map(_.offset) == Seq(0L, 1L))
+    assert(decoded.map(_.timestamp) == Seq(5L, 9L))
+    assert(java.util.Arrays.equals(decoded.head.value, rs.head.value))
+    assert(decoded(1).key == null)
+    // broker-log convention: wrapper offset = absolute last inner offset
+    val relog = Wire.encodeMessageSetGzip(rs).clone()
+    // rewrite the wrapper offset INT64 from 1 (= n−1) to 41 (as if the
+    // batch sat at absolute offsets 40..41 in a log segment)
+    java.util.Arrays.fill(relog, 0, 8, 0.toByte); relog(7) = 41
+    assert(Wire.decodeMessageSet(relog).map(_.offset) == Seq(40L, 41L))
+  }
+
+  test("a corrupt gzip payload and an unknown codec are rejected loudly") {
+    val wrapper = Wire.encodeMessageSetGzip(records)
+    // locate the gzip value: wrapper layout is offset(8) size(4) crc(4)
+    // magic(1) attrs(1) ts(8) keylen(4=-1) vallen(4) value...
+    val valueOff = 8 + 4 + 4 + 1 + 1 + 8 + 4 + 4
+    val corrupt = wrapper.clone()
+    corrupt(valueOff + 12) = (corrupt(valueOff + 12) ^ 0x5a).toByte
+    // restore the wrapper CRC so the failure exercises the GZIP path,
+    // not the CRC path: recompute over the message body
+    locally {
+      val body = java.util.Arrays.copyOfRange(corrupt, 16, corrupt.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(body)
+      val c = crc.getValue.toInt
+      corrupt(12) = (c >>> 24).toByte; corrupt(13) = (c >>> 16).toByte
+      corrupt(14) = (c >>> 8).toByte; corrupt(15) = c.toByte
+    }
+    val e1 = intercept[IllegalArgumentException](Wire.decodeMessageSet(corrupt))
+    assert(e1.getMessage.contains("gzip"))
+    // snappy (codec 2) must be refused as unsupported, never misread
+    val snappy = wrapper.clone()
+    snappy(17) = 2 // attributes byte (offset 8 + size 4 + crc 4 + magic 1)
+    locally {
+      val body = java.util.Arrays.copyOfRange(snappy, 16, snappy.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(body)
+      val c = crc.getValue.toInt
+      snappy(12) = (c >>> 24).toByte; snappy(13) = (c >>> 16).toByte
+      snappy(14) = (c >>> 8).toByte; snappy(15) = c.toByte
+    }
+    val e2 = intercept[IllegalArgumentException](Wire.decodeMessageSet(snappy))
+    assert(e2.getMessage.contains("unsupported compression codec 2"))
   }
 
   test("client emits spec-exact bytes and parses spec-built responses") {

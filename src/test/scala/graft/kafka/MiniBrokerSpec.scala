@@ -80,7 +80,7 @@ class MiniBrokerSpec extends AnyFunSuite {
     val buf = new Buf
     buf.int64(0L).int32(3).raw(Array[Byte](1, 2, 3))
     val e = intercept[IllegalArgumentException](decodeMessageSet(buf.toArray))
-    assert(e.getMessage.contains("v1 minimum"))
+    assert(e.getMessage.contains("v0 minimum"))
     withBroker { (_, client) =>
       client.produce("rng", 0, Seq(WireRecord(0L, 1L, null, "v".getBytes)))
       // negative and past-end offsets both answer OFFSET_OUT_OF_RANGE
