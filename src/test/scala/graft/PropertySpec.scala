@@ -150,6 +150,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Kafka gzip wrapper law: random batches survive compress/decompress " +
+      "with producer-relative offsets resolved") {
+    import graft.kafka.Wire
+    val bytesGen: Gen[Array[Byte]] = Gen.frequency(
+      2 -> Gen.const(null.asInstanceOf[Array[Byte]]),
+      1 -> Gen.const(Array.emptyByteArray),
+      7 -> Gen.choose(1, 2048).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)))
+    val recsGen = Gen.choose(1, 20).flatMap(n => Gen.listOfN(n,
+      for {
+        ts <- Gen.choose(-1L, 4102444800000L)
+        k <- bytesGen
+        v <- bytesGen
+      } yield Wire.WireRecord(0L, ts, k, v)))
+    forAll(recsGen, cases = 25) { recs =>
+      val decoded = Wire.decodeMessageSet(Wire.encodeMessageSetGzip(recs),
+        allowTruncatedTail = false)
+      assert(decoded.length == recs.length)
+      // producer convention (wrapper offset = n−1 over relative 0..n−1)
+      // must resolve to absolute 0..n−1
+      assert(decoded.map(_.offset) == recs.indices.map(_.toLong))
+      decoded.zip(recs).foreach { case (d, r) =>
+        assert(d.timestamp == r.timestamp)
+        assert((d.key == null) == (r.key == null), "null-key fidelity")
+        assert((d.value == null) == (r.value == null), "null-value fidelity")
+        if (r.key != null) assert(java.util.Arrays.equals(d.key, r.key))
+        if (r.value != null) assert(java.util.Arrays.equals(d.value, r.value))
+      }
+    }
+  }
+
   test("Haar pyramid law: random cell tables equal a plain-Scala replay") {
     val s = spark
     import s.implicits._
