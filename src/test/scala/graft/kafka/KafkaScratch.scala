@@ -30,6 +30,24 @@ object KafkaScratch {
       val produceSec = (System.nanoTime() - t0) / 1e9
       println(f"KAFKA_SCRATCH produce     $n%8d rec ${produceSec}%7.2f s ${n / produceSec}%10.0f rec/s")
 
+      // 1b. same batches gzip-wrapped (compression.type=gzip shape):
+      // CPU cost of the wrapper vs bytes saved on the wire. Sizes are
+      // measured in an untimed pre-pass so the timed loop does exactly
+      // what a compressing producer does: encode-gzip-send
+      val sizeProbe = (0 until 1000).map(i =>
+        Wire.WireRecord(0L, i.toLong, s"k$i".getBytes("UTF-8"), payload))
+      val rawBytes = Wire.encodeMessageSet(sizeProbe).length
+      val gzBytes = Wire.encodeMessageSetGzip(sizeProbe).length
+      val tg = System.nanoTime()
+      (0 until n).grouped(1000).foreach { batch =>
+        client.produce("ingz", batch.head % 4, batch.map(i =>
+          Wire.WireRecord(0L, i.toLong, s"k$i".getBytes("UTF-8"), payload)).toSeq,
+          gzip = true)
+      }
+      val gzSec = (System.nanoTime() - tg) / 1e9
+      println(f"KAFKA_SCRATCH produce/gz  $n%8d rec ${gzSec}%7.2f s ${n / gzSec}%10.0f rec/s " +
+        f"wire ${gzBytes * 100.0 / rawBytes}%5.1f%% of plain")
+
       // 2. streaming read → memory sink
       val t1 = System.nanoTime()
       val src = KafkaEdges.source(spark, broker.bootstrapServers, "in",
