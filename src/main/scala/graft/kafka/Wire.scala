@@ -164,7 +164,11 @@ object Wire {
     * requests must pass `allowTruncatedTail = false` so a half-received
     * set is rejected as corruption instead of half-accepted. */
   def decodeMessageSet(data: Array[Byte],
-                       allowTruncatedTail: Boolean = true): Seq[WireRecord] = {
+                       allowTruncatedTail: Boolean = true): Seq[WireRecord] =
+    decodeMessageSet(data, allowTruncatedTail, inWrapper = false)
+
+  private def decodeMessageSet(data: Array[Byte], allowTruncatedTail: Boolean,
+                               inWrapper: Boolean): Seq[WireRecord] = {
     val bb = ByteBuffer.wrap(data)
     val out = Seq.newBuilder[WireRecord]
     while (bb.remaining() >= 12) {
@@ -189,7 +193,7 @@ object Wire {
         crc.update(body)
         require(crc.getValue.toInt == stored,
           s"CRC mismatch at offset $offset: wire ${stored}, computed ${crc.getValue.toInt}")
-        out ++= parseMessage(offset, body)
+        out ++= parseMessage(offset, body, inWrapper)
       }
     }
     // a sub-header tail (< 12 bytes) is the same truncation case
@@ -199,8 +203,12 @@ object Wire {
   }
 
   /** One CRC-verified message body → its records: itself when plain, the
-    * unwrapped inner set when it is a gzip wrapper. */
-  private def parseMessage(offset: Long, body: Array[Byte]): Seq[WireRecord] = {
+    * unwrapped inner set when it is a gzip wrapper. `inWrapper` guards
+    * the spec's no-nested-compression rule — without it a crafted chain
+    * of wrappers-in-wrappers would recurse once per ~36 payload bytes,
+    * deep enough to overflow the stack inside a single legal frame. */
+  private def parseMessage(offset: Long, body: Array[Byte],
+                           inWrapper: Boolean): Seq[WireRecord] = {
     val r = new Reader(ByteBuffer.wrap(body))
     val magic = r.int8()
     require(magic == 0 || magic == 1,
@@ -216,9 +224,12 @@ object Wire {
     (attrs & 0x07) match {
       case 0 => Seq(WireRecord(offset, ts, key, value))
       case 1 => // gzip wrapper: value = gzip(inner MessageSet)
+        require(!inWrapper,
+          s"nested compressed wrapper at offset $offset — the protocol " +
+            "forbids compression inside a compressed message set")
         require(value != null, s"gzip wrapper with null value at offset $offset")
         val inner = decodeMessageSet(gzipDecompress(value),
-          allowTruncatedTail = false)
+          allowTruncatedTail = false, inWrapper = true)
         require(inner.nonEmpty, s"gzip wrapper with empty inner set at offset $offset")
         if (magic == 1) {
           // KIP-31: inner offsets are relative; the wrapper carries the

@@ -157,6 +157,34 @@ class KafkaFixtureInteropSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unsupported compression codec 2"))
   }
 
+  test("nested compressed wrappers are rejected (stack-depth guard)") {
+    // gzip(gzip(records)): each legal-looking level would recurse — the
+    // spec forbids nesting and the decoder must refuse at depth 2
+    val level1 = Wire.encodeMessageSetGzip(records)
+    // build a wrapper whose inner SET is itself the level-1 wrapper set
+    val nested = {
+      val inner = level1 // already a complete MessageSet (one wrapper msg)
+      val gz = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(inner); g.close(); bos.toByteArray
+      }
+      val msg = new Wire.Buf
+      msg.int8(1); msg.int8(1) // magic 1, gzip
+      msg.int64(1L)
+      msg.bytes(null)
+      msg.bytes(gz)
+      val body = msg.toArray
+      val crc = new java.util.zip.CRC32
+      crc.update(body)
+      val out = new Wire.Buf
+      out.int64(0L).int32(4 + body.length).int32(crc.getValue.toInt).raw(body)
+      out.toArray
+    }
+    val e = intercept[IllegalArgumentException](Wire.decodeMessageSet(nested))
+    assert(e.getMessage.contains("nested compressed wrapper"))
+  }
+
   test("client emits spec-exact bytes and parses spec-built responses") {
     val server = new ServerSocket(0)
     val failures = new ArrayBlockingQueue[String](8)
