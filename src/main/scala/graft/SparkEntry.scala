@@ -2069,6 +2069,35 @@ object SparkEntry {
         .toDF("doc_id", "n_frames", "frames_decoded", "frame_w", "frame_h")
     }),
 
+    // REAL H.264 pixel decode — the I_PCM baseline subset implemented
+    // from the public spec (graft.multimodal.H264): avcC config + AVCC
+    // sample walk + NAL/Exp-Golomb/I_PCM parsing, losslessly exact, so
+    // the oracle can state the decoded mean luma as id arithmetic. Map-
+    // only like the rest of the m-family: zero exchanges, per-row codec
+    // work that multiplies by executor count at cluster scale
+    "m11_h264_frames" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select("doc_id").as[Long]
+        .map { id =>
+          val bytes = graft.multimodal.SyntheticMedia.h264Mp4Bytes(id)
+          val frames = graft.multimodal.Multimodal.mp4Avc1Track(bytes)
+            .toSeq.flatMap { case (sps, pps, lenSize, samples) =>
+              samples.flatMap(smp => graft.multimodal.H264.decodeNals(
+                Seq(sps, pps) ++
+                  graft.multimodal.Multimodal.avccNals(smp, lenSize)))
+            }
+          // mean over the full decoded plane (sum of every pixel, not a
+          // header readback) — proves the samples really decoded
+          val yMean = frames.headOption.map { f =>
+            f.y.foldLeft(0L)((a, b) => a + (b & 0xff)) / f.y.length
+          }.getOrElse(-1L)
+          (id, frames.length,
+            frames.headOption.map(_.width).getOrElse(0),
+            frames.headOption.map(_.height).getOrElse(0), yMean)
+        }
+        .toDF("doc_id", "n_frames", "frame_w", "frame_h", "y_mean_first")
+    }),
+
     // relational extras (set ops, top-k, rollup, analytic, json) -----------
 
     "x1_setops" -> ((s, dir) => {
@@ -7021,6 +7050,17 @@ object SparkEntry {
         |  (1 + doc_id % 6)::INT AS frames_decoded,
         |  (8 + doc_id % 14)::INT AS frame_w,
         |  (8 + doc_id % 10)::INT AS frame_h
+        |FROM documents""".stripMargin,
+
+    // the generator writes constant-luma I_PCM frames, and I_PCM decode
+    // is LOSSLESS — so the decoded full-plane mean luma is exactly the
+    // generator's arithmetic, restated here
+    "m11_h264_frames" ->
+      """SELECT doc_id,
+        |  (1 + doc_id % 5)::INT AS n_frames,
+        |  (16 + 2 * (doc_id % 9))::INT AS frame_w,
+        |  (16 + 2 * (doc_id % 7))::INT AS frame_h,
+        |  ((doc_id * 5) % 200 + 28)::BIGINT AS y_mean_first
         |FROM documents""".stripMargin,
 
     "x1_setops" ->

@@ -1,0 +1,452 @@
+package graft.multimodal
+
+/** H.264 (ITU-T Rec. H.264 / ISO/IEC 14496-10) — the I_PCM subset,
+  * implemented from the public spec text with no codec library.
+  *
+  * I_PCM is the one H.264 macroblock mode that is raw: after the
+  * Exp-Golomb slice header, each macroblock is `mb_type = 25` (I_PCM in
+  * I slices, Table 7-11), a byte-alignment run, then 256 luma + 2×64
+  * chroma samples verbatim (7.3.5 `macroblock_layer`). A baseline
+  * stream built only of I_PCM IDR slices therefore decodes EXACTLY —
+  * no prediction, no transform, no entropy coding beyond the headers —
+  * which makes real pixel decode implementable from the spec alone:
+  *
+  *  - NAL layer (7.3.1, 7.4.1): 1-byte header + RBSP with emulation
+  *    prevention (`0x000003` escaping) both directions;
+  *  - Exp-Golomb ue(v)/se(v) (9.1) bit codecs;
+  *  - SPS (7.3.2.1, baseline profile 66, `pic_order_cnt_type = 2`,
+  *    `frame_mbs_only_flag = 1`, optional frame cropping — CropUnitX =
+  *    SubWidthC = 2 and CropUnitY = 2 for 4:2:0 frames, 7.4.2.1.1);
+  *  - PPS (7.3.2.2, CAVLC, single slice group);
+  *  - IDR slice header (7.3.3: I slice, `dec_ref_pic_marking` for IDR)
+  *    and the I_PCM `slice_data`/`macroblock_layer` walk.
+  *
+  * The encoder exists so the synthetic-media generator can emit REAL
+  * H.264 the decoder can be held to (and any spec-conformant decoder
+  * would decode identically — I_PCM is lossless by definition). Streams
+  * using entropy-coded macroblocks (CAVLC/CABAC residuals) are outside
+  * this subset and are rejected loudly; the multimodal stub now covers
+  * only those. Reference behavior context: the reference treats media
+  * values as opaque payloads end-to-end (`serdes/JsonSerde.scala:10-36`
+  * is its only value codec), so this whole layer is beyond-reference
+  * capability for the multimodal pipeline family.
+  */
+object H264 {
+
+  /** One decoded (or to-encode) 4:2:0 frame. Planes are raster order;
+    * `cb`/`cr` are (width/2)×(height/2). Dimensions must be even (a
+    * 4:2:0 chroma grid and the ×2 crop units both require it). */
+  final case class Frame(width: Int, height: Int,
+                         y: Array[Byte], cb: Array[Byte], cr: Array[Byte]) {
+    require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
+      s"4:2:0 frames need positive even dims, got ${width}x$height")
+    require(y.length == width * height, "luma plane size")
+    require(cb.length == width * height / 4 && cr.length == cb.length,
+      "chroma plane size")
+  }
+
+  /** SPS fields the I_PCM subset needs downstream. */
+  final case class Sps(mbWidth: Int, mbHeight: Int,
+                       cropRight: Int, cropBottom: Int,
+                       log2MaxFrameNum: Int) {
+    def width: Int = mbWidth * 16 - 2 * cropRight
+    def height: Int = mbHeight * 16 - 2 * cropBottom
+  }
+
+  // ---- bit IO with Exp-Golomb (spec 9.1) ---------------------------------
+
+  private[multimodal] final class BitWriter {
+    private val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nBits = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nBits += 1
+      if (nBits == 8) { out += cur.toByte; cur = 0; nBits = 0 }
+    }
+    /** u(n): n-bit unsigned, MSB first. */
+    def u(v: Int, n: Int): Unit = {
+      require(n >= 0 && n <= 31 && v >= 0 && (n == 31 || v < (1 << n)),
+        s"u($v, $n) out of range")
+      var i = n - 1
+      while (i >= 0) { bit((v >>> i) & 1); i -= 1 }
+    }
+    /** ue(v): Exp-Golomb — (len−1) zeros, then (codeNum+1) in len bits. */
+    def ue(v: Int): Unit = {
+      require(v >= 0 && v < Int.MaxValue, s"ue($v)")
+      val cw = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(cw)
+      u(0, len - 1)
+      u(cw, len)
+    }
+    /** se(v): signed Exp-Golomb (9.1.1: k odd → +(k+1)/2, even → −k/2). */
+    def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    def byteAligned: Boolean = nBits == 0
+    /** `pcm_alignment_zero_bit` run / rbsp alignment zeros. */
+    def alignZero(): Unit = while (!byteAligned) bit(0)
+    def rawByte(b: Byte): Unit = { require(byteAligned); out += b }
+    /** rbsp_trailing_bits: stop bit then zero-pad to a byte. */
+    def trailing(): Unit = { bit(1); alignZero() }
+    def toArray: Array[Byte] = { require(byteAligned, "unterminated RBSP"); out.toArray }
+  }
+
+  private[multimodal] final class BitReader(b: Array[Byte]) {
+    private var pos = 0 // absolute bit position
+    private def ensure(n: Int): Unit =
+      require(pos + n <= b.length * 8, s"RBSP underrun at bit $pos (+$n)")
+    def bit(): Int = { ensure(1); val v = (b(pos >> 3) >> (7 - (pos & 7))) & 1; pos += 1; v }
+    def u(n: Int): Int = {
+      require(n >= 0 && n <= 31, s"u($n)"); ensure(n)
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (bit() == 0) { zeros += 1; require(zeros < 31, "ue() run too long") }
+      if (zeros == 0) 0 else ((1 << zeros) | u(zeros)) - 1
+    }
+    def se(): Int = { val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2) }
+    def alignZero(): Unit = while ((pos & 7) != 0)
+      require(bit() == 0, "alignment bit not zero")
+    def rawByte(): Byte = { require((pos & 7) == 0, "not byte-aligned"); ensure(8); val v = b(pos >> 3); pos += 8; v }
+  }
+
+  // ---- RBSP ⇄ EBSP (emulation prevention, 7.3.1/7.4.1) -------------------
+
+  /** Insert `emulation_prevention_three_byte`: any 0x00 0x00 followed by
+    * a byte ≤ 0x03 gains a 0x03 between them. */
+  private[multimodal] def rbspToEbsp(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(rbsp.length + 8)
+    var zeros = 0
+    var i = 0
+    while (i < rbsp.length) {
+      val v = rbsp(i) & 0xff
+      if (zeros >= 2 && v <= 3) { out.write(3); zeros = 0 }
+      out.write(v)
+      zeros = if (v == 0) zeros + 1 else 0
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Strip `0x03` from every `0x00 0x00 0x03` run. */
+  private[multimodal] def ebspToRbsp(ebsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(ebsp.length)
+    var zeros = 0
+    var i = 0
+    while (i < ebsp.length) {
+      val v = ebsp(i) & 0xff
+      if (v == 3 && zeros >= 2) zeros = 0 // the escape byte itself: drop
+      else {
+        out.write(v)
+        zeros = if (v == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  // ---- NAL types ----------------------------------------------------------
+
+  val NalIdr = 5
+  val NalSps = 7
+  val NalPps = 8
+
+  private def nal(nalType: Int, refIdc: Int, rbsp: Array[Byte]): Array[Byte] =
+    Array(((refIdc << 5) | nalType).toByte) ++ rbspToEbsp(rbsp)
+
+  def nalType(nalUnit: Array[Byte]): Int = nalUnit(0) & 0x1f
+
+  // ---- SPS ---------------------------------------------------------------
+
+  /** Baseline (profile 66) SPS for a frame-only 4:2:0 stream of the
+    * given EVEN pixel dimensions; cropping expresses non-multiple-of-16
+    * sizes exactly. */
+  def encodeSpsNal(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
+      s"even dims required, got ${width}x$height")
+    val mbW = (width + 15) / 16
+    val mbH = (height + 15) / 16
+    val cropRight = (mbW * 16 - width) / 2
+    val cropBottom = (mbH * 16 - height) / 2
+    val w = new BitWriter
+    w.u(66, 8) // profile_idc: baseline
+    w.u(0, 8)  // constraint flags + reserved
+    w.u(10, 8) // level_idc 1.0 — far above these tiny frames' MB rate
+    w.ue(0)    // seq_parameter_set_id
+    w.ue(0)    // log2_max_frame_num_minus4 → MaxFrameNum 16
+    w.ue(2)    // pic_order_cnt_type 2: order = decode order, no POC syntax
+    w.ue(0)    // max_num_ref_frames: all-IDR stream references nothing
+    w.u(0, 1)  // gaps_in_frame_num_value_allowed_flag
+    w.ue(mbW - 1)
+    w.ue(mbH - 1)
+    w.u(1, 1)  // frame_mbs_only_flag
+    w.u(0, 1)  // direct_8x8_inference_flag
+    if (cropRight == 0 && cropBottom == 0) w.u(0, 1)
+    else {
+      w.u(1, 1) // frame_cropping_flag
+      w.ue(0); w.ue(cropRight); w.ue(0); w.ue(cropBottom)
+    }
+    w.u(0, 1)  // vui_parameters_present_flag
+    w.trailing()
+    nal(NalSps, refIdc = 3, w.toArray)
+  }
+
+  def parseSps(nalUnit: Array[Byte]): Sps = {
+    require(nalType(nalUnit) == NalSps, s"not an SPS NAL: type ${nalType(nalUnit)}")
+    val r = new BitReader(ebspToRbsp(nalUnit.drop(1)))
+    val profile = r.u(8)
+    r.u(8) // constraint flags
+    r.u(8) // level
+    r.ue() // sps id
+    // profiles ≥ High carry chroma/bit-depth/scaling syntax here; the
+    // I_PCM subset speaks baseline/main/extended (4:2:0 implied)
+    require(!Set(100, 110, 122, 244, 44, 83, 86, 118, 128).contains(profile),
+      s"high-profile SPS (profile_idc $profile) outside the I_PCM subset")
+    val log2MaxFrameNum = r.ue() + 4
+    val pocType = r.ue()
+    require(pocType == 2, s"pic_order_cnt_type $pocType outside the I_PCM subset")
+    r.ue()    // max_num_ref_frames
+    r.u(1)    // gaps_in_frame_num_value_allowed_flag
+    val mbW = r.ue() + 1
+    val mbH0 = r.ue() + 1
+    val frameMbsOnly = r.u(1)
+    require(frameMbsOnly == 1, "interlaced streams outside the I_PCM subset")
+    r.u(1)    // direct_8x8_inference_flag
+    val (cropR, cropB) =
+      if (r.u(1) == 1) {
+        val l = r.ue(); val rt = r.ue(); val t = r.ue(); val bm = r.ue()
+        require(l == 0 && t == 0, "left/top cropping unsupported in this subset")
+        (rt, bm)
+      } else (0, 0)
+    Sps(mbW, mbH0, cropR, cropB, log2MaxFrameNum)
+  }
+
+  // ---- PPS ---------------------------------------------------------------
+
+  def encodePpsNal(): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0)   // pic_parameter_set_id
+    w.ue(0)   // seq_parameter_set_id
+    w.u(0, 1) // entropy_coding_mode_flag: CAVLC
+    w.u(0, 1) // bottom_field_pic_order_in_frame_present_flag
+    w.ue(0)   // num_slice_groups_minus1
+    w.ue(0)   // num_ref_idx_l0_default_active_minus1
+    w.ue(0)   // num_ref_idx_l1_default_active_minus1
+    w.u(0, 1) // weighted_pred_flag
+    w.u(0, 2) // weighted_bipred_idc
+    w.se(0)   // pic_init_qp_minus26
+    w.se(0)   // pic_init_qs_minus26
+    w.se(0)   // chroma_qp_index_offset
+    w.u(0, 1) // deblocking_filter_control_present_flag
+    w.u(0, 1) // constrained_intra_pred_flag
+    w.u(0, 1) // redundant_pic_cnt_present_flag
+    w.trailing()
+    nal(NalPps, refIdc = 3, w.toArray)
+  }
+
+  /** The I_PCM subset only needs to know the PPS is CAVLC + single
+    * slice group with no deblocking-override syntax in slice headers. */
+  private def validatePps(nalUnit: Array[Byte]): Unit = {
+    require(nalType(nalUnit) == NalPps, s"not a PPS NAL: type ${nalType(nalUnit)}")
+    val r = new BitReader(ebspToRbsp(nalUnit.drop(1)))
+    r.ue(); r.ue()
+    require(r.u(1) == 0, "CABAC streams outside the I_PCM subset")
+    r.u(1)
+    require(r.ue() == 0, "slice groups outside the I_PCM subset")
+  }
+
+  // ---- IDR slice: encode --------------------------------------------------
+
+  /** One IDR picture whose every macroblock is I_PCM. Frames whose dims
+    * are not multiples of 16 are padded to the MB grid by edge
+    * replication; the SPS crop removes the padding on decode. */
+  def encodeIdrIPcmNal(frame: Frame): Array[Byte] = {
+    val mbW = (frame.width + 15) / 16
+    val mbH = (frame.height + 15) / 16
+    val w = new BitWriter
+    // slice_header
+    w.ue(0)      // first_mb_in_slice
+    w.ue(7)      // slice_type: I (all slices of the picture are I)
+    w.ue(0)      // pic_parameter_set_id
+    w.u(0, 4)    // frame_num (log2MaxFrameNum = 4; 0 for an IDR)
+    w.ue(0)      // idr_pic_id
+    // pic_order_cnt_type 2 → no POC syntax
+    w.u(0, 1)    // no_output_of_prior_pics_flag   (dec_ref_pic_marking,
+    w.u(0, 1)    // long_term_reference_flag        IDR variant)
+    w.se(0)      // slice_qp_delta
+    // slice_data: no mb_skip syntax in I slices
+    var my = 0
+    while (my < mbH) {
+      var mx = 0
+      while (mx < mbW) {
+        w.ue(25) // mb_type: I_PCM (Table 7-11)
+        w.alignZero()
+        writePcmMb(w, frame, mx, my)
+        mx += 1
+      }
+      my += 1
+    }
+    w.trailing()
+    nal(NalIdr, refIdc = 3, w.toArray)
+  }
+
+  /** 256 luma then 64 Cb then 64 Cr samples, raster within the MB;
+    * out-of-frame positions replicate the nearest edge sample. */
+  private def writePcmMb(w: BitWriter, f: Frame, mx: Int, my: Int): Unit = {
+    var y = 0
+    while (y < 16) {
+      val sy = math.min(my * 16 + y, f.height - 1)
+      var x = 0
+      while (x < 16) {
+        val sx = math.min(mx * 16 + x, f.width - 1)
+        w.rawByte(f.y(sy * f.width + sx))
+        x += 1
+      }
+      y += 1
+    }
+    val cw = f.width / 2; val ch = f.height / 2
+    var c = 0
+    while (c < 2) {
+      val plane = if (c == 0) f.cb else f.cr
+      var yy = 0
+      while (yy < 8) {
+        val sy = math.min(my * 8 + yy, ch - 1)
+        var xx = 0
+        while (xx < 8) {
+          val sx = math.min(mx * 8 + xx, cw - 1)
+          w.rawByte(plane(sy * cw + sx))
+          xx += 1
+        }
+        yy += 1
+      }
+      c += 1
+    }
+  }
+
+  // ---- IDR slice: decode --------------------------------------------------
+
+  /** Decode one IDR NAL against its SPS. Rejects (loudly) any
+    * macroblock that is not I_PCM — residual-coded streams need an
+    * entropy decoder this subset deliberately does not implement. */
+  def decodeIdr(nalUnit: Array[Byte], sps: Sps): Frame = {
+    require(nalType(nalUnit) == NalIdr, s"not an IDR NAL: type ${nalType(nalUnit)}")
+    val r = new BitReader(ebspToRbsp(nalUnit.drop(1)))
+    require(r.ue() == 0, "multi-slice pictures outside the I_PCM subset")
+    val sliceType = r.ue()
+    require(sliceType == 2 || sliceType == 7,
+      s"slice_type $sliceType is not I")
+    r.ue()                    // pic_parameter_set_id
+    r.u(sps.log2MaxFrameNum)  // frame_num
+    r.ue()                    // idr_pic_id
+    r.u(1); r.u(1)            // dec_ref_pic_marking (IDR)
+    r.se()                    // slice_qp_delta
+    val fullW = sps.mbWidth * 16
+    val fullH = sps.mbHeight * 16
+    val y = new Array[Byte](fullW * fullH)
+    val cb = new Array[Byte](fullW * fullH / 4)
+    val cr = new Array[Byte](fullW * fullH / 4)
+    var my = 0
+    while (my < sps.mbHeight) {
+      var mx = 0
+      while (mx < sps.mbWidth) {
+        val mbType = r.ue()
+        require(mbType == 25,
+          s"mb_type $mbType at ($mx,$my) — only I_PCM (25) is decodable " +
+            "in this subset; entropy-coded macroblocks take the stub")
+        r.alignZero()
+        var py = 0
+        while (py < 16) {
+          var px = 0
+          while (px < 16) {
+            y((my * 16 + py) * fullW + mx * 16 + px) = r.rawByte()
+            px += 1
+          }
+          py += 1
+        }
+        var c = 0
+        while (c < 2) {
+          val plane = if (c == 0) cb else cr
+          var py2 = 0
+          while (py2 < 8) {
+            var px2 = 0
+            while (px2 < 8) {
+              plane((my * 8 + py2) * (fullW / 2) + mx * 8 + px2) = r.rawByte()
+              px2 += 1
+            }
+            py2 += 1
+          }
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    crop(Frame(fullW, fullH, y, cb, cr), sps.width, sps.height)
+  }
+
+  private def crop(f: Frame, w: Int, h: Int): Frame =
+    if (w == f.width && h == f.height) f
+    else {
+      val y = new Array[Byte](w * h)
+      var r0 = 0
+      while (r0 < h) {
+        System.arraycopy(f.y, r0 * f.width, y, r0 * w, w); r0 += 1
+      }
+      val cw = w / 2; val ch = h / 2
+      val cb = new Array[Byte](cw * ch)
+      val cr = new Array[Byte](cw * ch)
+      var r1 = 0
+      while (r1 < ch) {
+        System.arraycopy(f.cb, r1 * (f.width / 2), cb, r1 * cw, cw)
+        System.arraycopy(f.cr, r1 * (f.width / 2), cr, r1 * cw, cw)
+        r1 += 1
+      }
+      Frame(w, h, y, cb, cr)
+    }
+
+  /** Decode a NAL sequence: SPS/PPS establish context (the PPS is
+    * validated against the subset), each IDR NAL yields one frame. */
+  def decodeNals(nals: Seq[Array[Byte]]): Seq[Frame] = {
+    var sps: Option[Sps] = None
+    val frames = Seq.newBuilder[Frame]
+    nals.foreach { n =>
+      nalType(n) match {
+        case NalSps => sps = Some(parseSps(n))
+        case NalPps => validatePps(n)
+        case NalIdr =>
+          frames += decodeIdr(n,
+            sps.getOrElse(sys.error("IDR before SPS in the NAL stream")))
+        case _ => () // SEI / AUD / filler: legal to skip
+      }
+    }
+    frames.result()
+  }
+
+  /** BT.601-shaped conversion of a decoded frame to a BufferedImage for
+    * the shared [[FramePool]] pooling (full-range: the synthetic
+    * encoder writes full-range samples; with Cb = Cr = 128 this is the
+    * exact R = G = B = Y identity the oracles rely on). */
+  def toImage(f: Frame): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      f.width, f.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val cw = f.width / 2
+    var y = 0
+    while (y < f.height) {
+      var x = 0
+      while (x < f.width) {
+        val yy = f.y(y * f.width + x) & 0xff
+        val cbv = (f.cb((y / 2) * cw + x / 2) & 0xff) - 128
+        val crv = (f.cr((y / 2) * cw + x / 2) & 0xff) - 128
+        def clamp(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
+        val r = clamp(yy + 1.402 * crv)
+        val g = clamp(yy - 0.344136 * cbv - 0.714136 * crv)
+        val b = clamp(yy + 1.772 * cbv)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+}

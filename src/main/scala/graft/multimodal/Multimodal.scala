@@ -22,10 +22,13 @@ import org.apache.spark.sql.{Dataset, Encoder}
   * (MJPEG-in-MP4: stsc×stsz×stco sample-table walking + per-sample JPEG
   * decode), routed per record by [[JdkFeatureDecoder]].
   *
-  * What is STUBBED: codecs the JDK does not ship (H.264/H.265 in MP4).
-  * [[StubFeatureDecoder]] produces a deterministic hash-derived vector;
-  * swap in a real [[FeatureDecoder]] (JNI codec, ONNX runtime) without
-  * touching any of the plumbing.
+  * What is STUBBED: ENTROPY-CODED video payloads (CAVLC/CABAC H.264
+  * residuals, H.265) — H.264's raw I_PCM baseline subset decodes for
+  * real via the from-spec [[H264]] parser (NAL/Exp-Golomb/SPS-PPS/
+  * slice walking, lossless). [[StubFeatureDecoder]] produces a
+  * deterministic hash-derived vector for the rest; swap in a real
+  * [[FeatureDecoder]] (JNI codec, ONNX runtime) without touching any
+  * of the plumbing.
   */
 object Multimodal {
 
@@ -225,23 +228,42 @@ object Multimodal {
 
   /** One track's JPEG samples (empty for non-JPEG codecs). */
   private def trakJpegSamples(b: Array[Byte], ts: Int, te: Int): Seq[Array[Byte]] = {
-    val stbl = for {
+    trakStbl(b, ts, te) match {
+      case None => Nil
+      case Some((ss, se)) =>
+        stsdFirstEntry(b, ss, se) match {
+          case Some((fourcc, _, _)) if JpegSampleFourccs.contains(fourcc) =>
+            sampleTableBytes(b, ss, se)
+          case _ => Nil
+        }
+    }
+  }
+
+  private def trakStbl(b: Array[Byte], ts: Int, te: Int): Option[(Int, Int)] =
+    for {
       (ds, de) <- findBox(b, ts, te, "mdia")
       (fs, fe) <- findBox(b, ds, de, "minf")
       st <- findBox(b, fs, fe, "stbl")
     } yield st
-    stbl match {
-      case None => Nil
-      case Some((ss, se)) =>
-        // stsd: version/flags(4) entry_count(4) entry{size(4) format(4)…}
-        val fourcc = findBox(b, ss, se, "stsd") match {
-          case Some((s, e)) if s + 16 <= e =>
-            new String(b, s + 12, 4,
-              java.nio.charset.StandardCharsets.US_ASCII)
-              .toLowerCase(java.util.Locale.ROOT)
-          case _ => ""
-        }
-        if (!JpegSampleFourccs.contains(fourcc)) return Nil
+
+  /** First stsd sample entry: (lowercased fourcc, entry payload bounds).
+    * stsd: version/flags(4) entry_count(4) entry{size(4) format(4) …}. */
+  private def stsdFirstEntry(b: Array[Byte], ss: Int,
+                             se: Int): Option[(String, Int, Int)] =
+    findBox(b, ss, se, "stsd") match {
+      case Some((s, e)) if s + 16 <= e =>
+        val entrySize = beInt(b, s + 8)
+        val entryEnd = s + 8L + entrySize
+        if (entrySize < 8 || entryEnd > e) None
+        else Some((new String(b, s + 12, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+          .toLowerCase(java.util.Locale.ROOT), s + 8, entryEnd.toInt))
+      case _ => None
+    }
+
+  /** The stsz × stco/co64 × stsc sample arithmetic, codec-agnostic. */
+  private def sampleTableBytes(b: Array[Byte], ss: Int,
+                               se: Int): Seq[Array[Byte]] = {
         // stsz: version/flags(4) fixed_size(4) count(4) [sizes…]
         val sizes: Array[Long] = findBox(b, ss, se, "stsz") match {
           case Some((s, e)) if s + 12 <= e =>
@@ -302,7 +324,79 @@ object Multimodal {
           chunk += 1
         }
         frames.result()
+  }
+
+  /** The first `avc1` (H.264) track of an MP4: the avcC decoder
+    * configuration's SPS/PPS NAL units, the per-sample NAL length-field
+    * size, and the raw samples from the same stsc × stsz × stco walk the
+    * JPEG path uses. avcC (ISO 14496-15 §5.2.4): configurationVersion(1)
+    * profile(1) compat(1) level(1) 0xFC|lengthSizeMinusOne(1)
+    * 0xE0|numSPS(1) {len(2) spsNAL}… numPPS(1) {len(2) ppsNAL}…, found
+    * after the 86-byte VisualSampleEntry header of the stsd entry. */
+  def mp4Avc1Track(bytes: Array[Byte])
+      : Option[(Array[Byte], Array[Byte], Int, Seq[Array[Byte]])] = {
+    if (mediaType(bytes) != "video/mp4") return None
+    findBox(bytes, 0, bytes.length, "moov").flatMap { case (ms, me) =>
+      var off = ms
+      var found: Option[(Array[Byte], Array[Byte], Int, Seq[Array[Byte]])] = None
+      while (found.isEmpty && off < me) {
+        findBox(bytes, off, me, "trak") match {
+          case None => off = me
+          case Some((ts, te)) =>
+            found = trakAvc1(bytes, ts, te)
+            off = te
+        }
+      }
+      found
     }
+  }
+
+  private def trakAvc1(b: Array[Byte], ts: Int, te: Int)
+      : Option[(Array[Byte], Array[Byte], Int, Seq[Array[Byte]])] =
+    for {
+      (ss, se) <- trakStbl(b, ts, te)
+      (fourcc, es, ee) <- stsdFirstEntry(b, ss, se)
+      if fourcc == "avc1" && es + 86 <= ee
+      (cs, ce) <- findBox(b, es + 86, ee, "avcC")
+      cfg <- parseAvcC(b, cs, ce)
+    } yield (cfg._1, cfg._2, cfg._3, sampleTableBytes(b, ss, se))
+
+  private def parseAvcC(b: Array[Byte], cs: Int,
+                        ce: Int): Option[(Array[Byte], Array[Byte], Int)] = {
+    if (cs + 7 > ce || b(cs) != 1) return None
+    val lengthSize = (b(cs + 4) & 0x03) + 1
+    val numSps = b(cs + 5) & 0x1f
+    if (numSps < 1) return None
+    val spsLen = ((b(cs + 6) & 0xff) << 8) | (b(cs + 7) & 0xff)
+    val spsEnd = cs + 8 + spsLen
+    if (spsEnd + 1 > ce) return None
+    val sps = java.util.Arrays.copyOfRange(b, cs + 8, spsEnd)
+    val numPps = b(spsEnd) & 0xff
+    if (numPps < 1 || spsEnd + 3 > ce) return None
+    val ppsLen = ((b(spsEnd + 1) & 0xff) << 8) | (b(spsEnd + 2) & 0xff)
+    if (spsEnd + 3 + ppsLen > ce) return None
+    val pps = java.util.Arrays.copyOfRange(b, spsEnd + 3, spsEnd + 3 + ppsLen)
+    Some((sps, pps, lengthSize))
+  }
+
+  /** Split one AVCC-format sample into its NAL units (each prefixed by
+    * a big-endian `lengthSize`-byte length). Malformed lengths bail with
+    * what parsed so far — the sample-walk discipline. */
+  def avccNals(sample: Array[Byte], lengthSize: Int): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var off = 0
+    while (off + lengthSize <= sample.length) {
+      var len = 0L
+      var i = 0
+      while (i < lengthSize) {
+        len = (len << 8) | (sample(off + i) & 0xff); i += 1
+      }
+      val start = off + lengthSize
+      if (len <= 0 || start + len > sample.length) return out.result()
+      out += java.util.Arrays.copyOfRange(sample, start, (start + len).toInt)
+      off = (start + len).toInt
+    }
+    out.result()
   }
 
   /** AVI metadata from the `avih` main header inside `LIST hdrl`:
@@ -659,32 +753,44 @@ object GifFrameDecoder extends FeatureDecoder {
 /** MJPEG-in-MP4 twin of [[MjpegAviFrameDecoder]]: frame extraction is
   * sample-table walking ([[Multimodal.mp4VideoSamples]] — stsc × stsz ×
   * stco byte arithmetic), each sample a complete JPEG for
-  * `javax.imageio`. An MP4 whose video track is NOT JPEG-family (H.264,
-  * HEVC — no JDK codec) yields zero samples and falls through to
-  * [[StubFeatureDecoder]], so the stub now covers only truly-absent
-  * codecs. */
+  * `javax.imageio`. An `avc1` (H.264) track is decoded for REAL when its
+  * samples are I_PCM baseline ([[H264]] — the raw-macroblock subset a
+  * from-spec parser can decode losslessly); only entropy-coded
+  * H.264/HEVC falls through to [[StubFeatureDecoder]]. */
 object Mp4FrameDecoder extends FeatureDecoder {
   val Dim = FramePool.Dim
 
   override def decodeBatch(batch: Seq[(MediaMeta, Array[Byte])]): Seq[Array[Float]] =
     batch.map { case (meta, bytes) =>
       val frames = Multimodal.mp4VideoSamples(bytes)
-      val imgs = FramePool.sampleIndices(frames.length).flatMap { i =>
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames(i)))
-          catch { case scala.util.control.NonFatal(_) => null }
-        Option(img)
-      }
-      FramePool.features(frames.length, imgs)
-        .getOrElse(StubFeatureDecoder.decodeBatch(Seq((meta, bytes))).head)
+      val pooled =
+        if (frames.nonEmpty) {
+          val imgs = FramePool.sampleIndices(frames.length).flatMap { i =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames(i)))
+              catch { case scala.util.control.NonFatal(_) => null }
+            Option(img)
+          }
+          FramePool.features(frames.length, imgs)
+        } else
+          Multimodal.mp4Avc1Track(bytes).flatMap { case (sps, pps, lenSize, samples) =>
+            val imgs = FramePool.sampleIndices(samples.length).flatMap { i =>
+              try H264.decodeNals(
+                  Seq(sps, pps) ++ Multimodal.avccNals(samples(i), lenSize))
+                .headOption.map(H264.toImage)
+              catch { case scala.util.control.NonFatal(_) => None }
+            }
+            FramePool.features(samples.length, imgs)
+          }
+      pooled.getOrElse(StubFeatureDecoder.decodeBatch(Seq((meta, bytes))).head)
     }
 }
 
 /** One decoder for a mixed-modality corpus: route each record to the JDK
   * codec for its container (imageio for PNG/JPEG, sampled-audio for WAV,
   * RIFF walking + imageio for MJPEG-AVI frames, sample-table walking +
-  * imageio for MJPEG-MP4 samples); modalities without a JDK codec
-  * (H.264/HEVC video) take the stub. */
+  * imageio for MJPEG-MP4 samples, from-spec [[H264]] I_PCM decode for
+  * avc1 tracks); only entropy-coded video takes the stub. */
 object JdkFeatureDecoder extends FeatureDecoder {
   val Dim = 8
 
@@ -704,11 +810,12 @@ object JdkFeatureDecoder extends FeatureDecoder {
     }
 }
 
-/** STUB — deterministic fake decoder for modalities whose codecs the JDK
-  * does not ship (H.264/H.265 video in MP4; exotic image/audio
-  * containers); stands in with a hash-derived vector (stable across
-  * runs/engines) so the pipeline plumbing is fully exercisable. Marked
-  * ??? on the real path. */
+/** STUB — deterministic fake decoder for the payloads still outside
+  * every real path: ENTROPY-CODED video (CAVLC/CABAC H.264 residual
+  * macroblocks, H.265 — I_PCM baseline H.264 decodes for real via
+  * [[H264]]) and exotic image/audio containers; stands in with a
+  * hash-derived vector (stable across runs/engines) so the pipeline
+  * plumbing is fully exercisable. Marked ??? on the real path. */
 object StubFeatureDecoder extends FeatureDecoder {
   val Dim = 8
 

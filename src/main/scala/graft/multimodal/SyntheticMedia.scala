@@ -232,6 +232,74 @@ object SyntheticMedia {
     ftyp ++ mdat ++ moov
   }
 
+  // ==== real H.264 (I_PCM baseline) in MP4 =============================
+
+  def h264FrameCount(id: Long): Int = (1 + id % 5).toInt
+  /** Even dims, deliberately often NOT multiples of 16 so the SPS
+    * frame-cropping path is exercised (id % 9 == 0 → exactly 1 MB). */
+  def h264FrameW(id: Long): Int = (16 + 2 * (id % 9)).toInt
+  def h264FrameH(id: Long): Int = (16 + 2 * (id % 7)).toInt
+  /** Constant luma of frame i — with Cb = Cr = 128 the decoded RGB is
+    * exactly (Y, Y, Y), so frame mean luma IS this value (oracle-exact). */
+  def h264FrameLuma(id: Long, i: Int): Int = ((id * 5 + i * 17) % 200 + 28).toInt
+
+  private def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+
+  /** A playable H.264-in-MP4 for id: `avc1` sample entry carrying the
+    * avcC decoder configuration (SPS/PPS, 4-byte NAL lengths), one IDR
+    * I_PCM access unit per sample, one sample per chunk. The same
+    * walker/table layout as [[mjpegMp4Bytes]]; only the codec differs. */
+  def h264Mp4Bytes(id: Long): Array[Byte] = {
+    val w = h264FrameW(id)
+    val h = h264FrameH(id)
+    val n = h264FrameCount(id)
+    val sps = H264.encodeSpsNal(w, h)
+    val pps = H264.encodePpsNal()
+    val samples = Array.tabulate(n) { i =>
+      val f = H264.Frame(w, h,
+        Array.fill(w * h)(h264FrameLuma(id, i).toByte),
+        Array.fill(w * h / 4)(128.toByte), Array.fill(w * h / 4)(128.toByte))
+      val idr = H264.encodeIdrIPcmNal(f)
+      be32(idr.length) ++ idr
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    val mdat = box("mdat", samples.flatten)
+    val firstSample = ftyp.length + 8L
+    val chunkOffsets = samples.map(_.length.toLong).scanLeft(firstSample)(_ + _).init
+    val avcC = box("avcC",
+      Array[Byte](1, 66, 0, 10, (0xfc | 3).toByte, (0xe0 | 1).toByte) ++
+        be16(sps.length) ++ sps ++ Array[Byte](1) ++ be16(pps.length) ++ pps)
+    // VisualSampleEntry: 6 reserved + data_ref_idx(2), then 70 bytes of
+    // pre_defined/reserved/dims/resolution/frame_count/name/depth fields
+    val visual = new Array[Byte](70)
+    System.arraycopy(be16(w), 0, visual, 16, 2)
+    System.arraycopy(be16(h), 0, visual, 18, 2)
+    System.arraycopy(be32(0x00480000), 0, visual, 20, 4) // 72 dpi horiz
+    System.arraycopy(be32(0x00480000), 0, visual, 24, 4) // 72 dpi vert
+    System.arraycopy(be16(1), 0, visual, 32, 2)          // frame_count
+    System.arraycopy(be16(24), 0, visual, 66, 2)         // depth
+    val entry = be32(8 + 8 + 70 + avcC.length) ++
+      "avc1".getBytes("US-ASCII") ++ new Array[Byte](6) ++ be16(1) ++
+      visual ++ avcC
+    val stsd = Array[Byte](0, 0, 0, 0) ++ be32(1) ++ entry
+    val stsz = Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(n) ++
+      samples.flatMap(s => be32(s.length))
+    val stsc = Array[Byte](0, 0, 0, 0) ++ be32(1) ++
+      be32(1) ++ be32(1) ++ be32(1) // one sample per chunk
+    val stco = Array[Byte](0, 0, 0, 0) ++ be32(chunkOffsets.length) ++
+      chunkOffsets.flatMap(o => be32(o.toInt))
+    val stbl = box("stbl", box("stsd", stsd) ++ box("stsc", stsc) ++
+      box("stsz", stsz) ++ box("stco", stco))
+    val mdia = box("mdia", box("minf", stbl))
+    val tkhd = Array[Byte](0, 0, 0, 0) ++ new Array[Byte](72) ++
+      be32(w << 16) ++ be32(h << 16)
+    val mvhd = Array[Byte](0, 0, 0, 0) ++ new Array[Byte](8) ++
+      be32(600) ++ be32(n * 24) ++ new Array[Byte](80)
+    val moov = box("moov",
+      box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd) ++ mdia))
+    ftyp ++ mdat ++ moov
+  }
+
   // ==== id-deterministic PIXEL content (m3/m5): DCT-basis patterns =====
   //
   // The m2 trick, pushed from headers to pixels. Each id selects exactly
