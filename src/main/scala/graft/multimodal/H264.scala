@@ -219,6 +219,15 @@ object H264 {
         require(l == 0 && t == 0, "left/top cropping unsupported in this subset")
         (rt, bm)
       } else (0, 0)
+    // allocation bomb guard: plane buffers are sized from these fields
+    // BEFORE any sample is read, so a malformed SPS from an untrusted
+    // corpus must die here as a parse error, never as a multi-GB alloc
+    // (16k × 16k ≫ any level-defined H.264 frame)
+    require(mbW >= 1 && mbH0 >= 1 && mbW <= 1024 && mbH0 <= 1024 &&
+      mbW.toLong * mbH0 <= (1 << 18),
+      s"implausible SPS dimensions ${mbW}x$mbH0 MBs")
+    require(2 * cropR < mbW * 16 && 2 * cropB < mbH0 * 16,
+      s"cropping ($cropR,$cropB) consumes the whole ${mbW * 16}x${mbH0 * 16} frame")
     Sps(mbW, mbH0, cropR, cropB, log2MaxFrameNum)
   }
 

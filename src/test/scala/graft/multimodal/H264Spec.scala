@@ -83,6 +83,37 @@ class H264Spec extends AnyFunSuite {
     assert(e.getMessage.contains("only I_PCM"))
   }
 
+  test("a malformed SPS declaring huge dims dies as a parse error, not an alloc") {
+    val w = new H264.BitWriter
+    w.u(66, 8); w.u(0, 8); w.u(10, 8)
+    w.ue(0); w.ue(0); w.ue(2); w.ue(0); w.u(0, 1)
+    w.ue((1 << 20) - 1) // pic_width_in_mbs_minus1: a 16-million-MB row
+    w.ue(0)
+    w.u(1, 1); w.u(0, 1); w.u(0, 1); w.u(0, 1)
+    w.trailing()
+    val nal = Array((3 << 5 | 7).toByte) ++ w.toArray
+    val e = intercept[IllegalArgumentException](H264.parseSps(nal))
+    assert(e.getMessage.contains("implausible SPS"))
+  }
+
+  test("random garbage NALs fail cleanly (no hang, no giant alloc)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200; t <- Seq(H264.NalSps, H264.NalIdr)) {
+      val body = new Array[Byte](1 + rnd.nextInt(64))
+      rnd.nextBytes(body)
+      val nal = Array((3 << 5 | t).toByte) ++ body
+      val r = scala.util.Try {
+        if (t == H264.NalSps) { H264.parseSps(nal); () }
+        else H264.decodeNals(Seq(H264.encodeSpsNal(16, 16),
+          H264.encodePpsNal(), nal))
+      }
+      // some random SPS bodies can legitimately parse; decode of random
+      // slice data must fail (the I_PCM walk demands mb_type 25 and
+      // enough raw bytes) — either way nothing hangs or allocates big
+      if (t == H264.NalIdr) assert(r.isFailure, "garbage slice accepted")
+    }
+  }
+
   test("synthetic H.264-in-MP4: avcC + samples decode to the id arithmetic") {
     for (id <- Seq(0L, 1L, 7L, 38L, 123L)) {
       val bytes = SyntheticMedia.h264Mp4Bytes(id)
