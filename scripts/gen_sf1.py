@@ -132,10 +132,15 @@ zipf_p /= zipf_p.sum()
 
 def gen_zipf_docs(n_docs: int, out_dir: Path) -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
-    texts = []
-    for _ in range(n_docs):
-        n = int(rng.integers(10, 101))
-        texts.append(" ".join(rng.choice(zipf_words, size=n, p=zipf_p)))
+    # one vectorized draw for the whole corpus (per-doc rng.choice would
+    # rebuild the 50k-entry CDF once per document — ~100x slower for the
+    # identical distribution), then slice per document
+    lengths = rng.integers(10, 101, size=n_docs)
+    cdf = np.cumsum(zipf_p)
+    idx = np.searchsorted(cdf, rng.random(int(lengths.sum())))
+    draws = zipf_words[np.minimum(idx, len(zipf_words) - 1)]  # fp-sum guard
+    bounds = np.concatenate(([0], np.cumsum(lengths)))
+    texts = [" ".join(draws[bounds[i]:bounds[i + 1]]) for i in range(n_docs)]
     dup_ids = rng.choice(np.arange(1, n_docs), size=int(n_docs * DUP_FRACTION),
                          replace=False)
     for i in sorted(dup_ids):

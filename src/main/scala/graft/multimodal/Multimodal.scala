@@ -269,7 +269,12 @@ object Multimodal {
           case Some((s, e)) if s + 12 <= e =>
             val fixed = beInt(b, s + 4) & 0xffffffffL
             val n = beInt(b, s + 8)
-            if (n < 0 || (fixed == 0 && s + 12 + 4L * n > e)) Array.empty
+            // fixed-size path: total declared bytes can never exceed the
+            // file, so n is bounded BEFORE the allocation (a crafted
+            // stsz declaring 2^31 samples must not allocate a 17 GB
+            // array — the same allocation-bomb guard as H264.parseSps)
+            if (n < 0 || (fixed == 0 && s + 12 + 4L * n > e) ||
+              (fixed != 0 && fixed * n > b.length)) Array.empty
             else if (fixed != 0) Array.fill(n)(fixed)
             else Array.tabulate(n)(i => beInt(b, s + 12 + 4 * i) & 0xffffffffL)
           case _ => Array.empty
@@ -305,6 +310,7 @@ object Multimodal {
         var sample = 0
         var run = 0
         var chunk = 1L
+        var copied = 0L // Σ extracted bytes — overlap amplification guard
         while (sample < sizes.length && chunk <= chunkOffsets.length) {
           // advance to the stsc run covering this chunk
           while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= chunk)
@@ -313,10 +319,16 @@ object Multimodal {
           var inChunk = 0L
           while (inChunk < stscRuns(run)._2 && sample < sizes.length) {
             val sz = sizes(sample)
-            if (offset < 0 || sz <= 0 || offset + sz > b.length)
+            // the per-sample bound alone admits a table whose chunks all
+            // overlap (every offset 0, every size = file size): each copy
+            // is legal but Σ copies is quadratic in the file. A real
+            // table's samples tile the mdat at most once — cap the total
+            if (offset < 0 || sz <= 0 || offset + sz > b.length ||
+              copied + sz > b.length)
               return frames.result() // malformed table: bail, don't throw
             frames += java.util.Arrays.copyOfRange(
               b, offset.toInt, (offset + sz).toInt)
+            copied += sz
             offset += sz
             sample += 1
             inChunk += 1
@@ -363,10 +375,15 @@ object Multimodal {
 
   private def parseAvcC(b: Array[Byte], cs: Int,
                         ce: Int): Option[(Array[Byte], Array[Byte], Int)] = {
-    if (cs + 7 > ce || b(cs) != 1) return None
+    // 8 bytes precede the SPS body: version, profile, compat, level,
+    // lengthSize, numSPS, and the 2-byte spsLen at cs+6..cs+7
+    if (cs + 8 > ce || b(cs) != 1) return None
     val lengthSize = (b(cs + 4) & 0x03) + 1
     val numSps = b(cs + 5) & 0x1f
-    if (numSps < 1) return None
+    // multi-SPS configs exist (ISO 14496-15 allows >1); parsing only the
+    // first would misread the second SPS's bytes as the PPS count — bail
+    // to the stub instead of decoding against a corrupted config
+    if (numSps != 1) return None
     val spsLen = ((b(cs + 6) & 0xff) << 8) | (b(cs + 7) & 0xff)
     val spsEnd = cs + 8 + spsLen
     if (spsEnd + 1 > ce) return None
@@ -773,7 +790,7 @@ object Mp4FrameDecoder extends FeatureDecoder {
           }
           FramePool.features(frames.length, imgs)
         } else
-          Multimodal.mp4Avc1Track(bytes).flatMap { case (sps, pps, lenSize, samples) =>
+          try Multimodal.mp4Avc1Track(bytes).flatMap { case (sps, pps, lenSize, samples) =>
             val imgs = FramePool.sampleIndices(samples.length).flatMap { i =>
               try H264.decodeNals(
                   Seq(sps, pps) ++ Multimodal.avccNals(samples(i), lenSize))
@@ -781,7 +798,7 @@ object Mp4FrameDecoder extends FeatureDecoder {
               catch { case scala.util.control.NonFatal(_) => None }
             }
             FramePool.features(samples.length, imgs)
-          }
+          } catch { case scala.util.control.NonFatal(_) => None }
       pooled.getOrElse(StubFeatureDecoder.decodeBatch(Seq((meta, bytes))).head)
     }
 }

@@ -201,19 +201,32 @@ object SyntheticMedia {
     val n = mjpegMp4FrameCount(id)
     val frames = Array.tabulate(n)(i =>
       jpegFrame(w, h, ((id * 7 + i) % 200 + 28).toInt))
+    val stsdEntry = be32(16) ++ "jpeg".getBytes("US-ASCII") ++ new Array[Byte](8)
+    mp4Container(stsdEntry, frames, samplesPerChunk = 2, w = w, h = h)
+  }
+
+  /** Shared ISO-BMFF assembly for the synthetic video generators: ftyp +
+    * mdat (samples) + moov with the full stsd/stsc/stsz/stco table and
+    * tkhd/mvhd headers (25 fps at timescale 600). Only the stsd sample
+    * entry and the chunking differ between codecs. */
+  private def mp4Container(stsdEntry: Array[Byte], samples: Array[Array[Byte]],
+                           samplesPerChunk: Int, w: Int, h: Int): Array[Byte] = {
+    val n = samples.length
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
-    val mdat = box("mdat", frames.flatten)
+    val mdat = box("mdat", samples.flatten)
     val firstSample = ftyp.length + 8L // mdat payload start
-    val chunkSizes = frames.map(_.length.toLong).grouped(2).map(_.sum).toArray
+    val chunkSizes = samples.map(_.length.toLong)
+      .grouped(samplesPerChunk).map(_.sum).toArray
     val chunkOffsets = chunkSizes.scanLeft(firstSample)(_ + _).init
-    val stsd = Array[Byte](0, 0, 0, 0) ++ be32(1) ++
-      be32(16) ++ "jpeg".getBytes("US-ASCII") ++ new Array[Byte](8)
+    val stsd = Array[Byte](0, 0, 0, 0) ++ be32(1) ++ stsdEntry
     val stsz = Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(n) ++
-      frames.flatMap(f => be32(f.length))
+      samples.flatMap(s => be32(s.length))
+    val full = n / samplesPerChunk
+    val rem = n % samplesPerChunk
     val stscEntries =
-      if (n == 1) Seq((1, 1))
-      else if (n % 2 == 0) Seq((1, 2))
-      else Seq((1, 2), (chunkOffsets.length, 1))
+      if (rem == 0) Seq((1, samplesPerChunk))
+      else if (full == 0) Seq((1, rem))
+      else Seq((1, samplesPerChunk), (full + 1, rem))
     val stsc = Array[Byte](0, 0, 0, 0) ++ be32(stscEntries.length) ++
       stscEntries.toArray.flatMap { case (fc, spc) =>
         be32(fc) ++ be32(spc) ++ be32(1)
@@ -262,10 +275,6 @@ object SyntheticMedia {
       val idr = H264.encodeIdrIPcmNal(f)
       be32(idr.length) ++ idr
     }
-    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
-    val mdat = box("mdat", samples.flatten)
-    val firstSample = ftyp.length + 8L
-    val chunkOffsets = samples.map(_.length.toLong).scanLeft(firstSample)(_ + _).init
     val avcC = box("avcC",
       Array[Byte](1, 66, 0, 10, (0xfc | 3).toByte, (0xe0 | 1).toByte) ++
         be16(sps.length) ++ sps ++ Array[Byte](1) ++ be16(pps.length) ++ pps)
@@ -281,23 +290,7 @@ object SyntheticMedia {
     val entry = be32(8 + 8 + 70 + avcC.length) ++
       "avc1".getBytes("US-ASCII") ++ new Array[Byte](6) ++ be16(1) ++
       visual ++ avcC
-    val stsd = Array[Byte](0, 0, 0, 0) ++ be32(1) ++ entry
-    val stsz = Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(n) ++
-      samples.flatMap(s => be32(s.length))
-    val stsc = Array[Byte](0, 0, 0, 0) ++ be32(1) ++
-      be32(1) ++ be32(1) ++ be32(1) // one sample per chunk
-    val stco = Array[Byte](0, 0, 0, 0) ++ be32(chunkOffsets.length) ++
-      chunkOffsets.flatMap(o => be32(o.toInt))
-    val stbl = box("stbl", box("stsd", stsd) ++ box("stsc", stsc) ++
-      box("stsz", stsz) ++ box("stco", stco))
-    val mdia = box("mdia", box("minf", stbl))
-    val tkhd = Array[Byte](0, 0, 0, 0) ++ new Array[Byte](72) ++
-      be32(w << 16) ++ be32(h << 16)
-    val mvhd = Array[Byte](0, 0, 0, 0) ++ new Array[Byte](8) ++
-      be32(600) ++ be32(n * 24) ++ new Array[Byte](80)
-    val moov = box("moov",
-      box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd) ++ mdia))
-    ftyp ++ mdat ++ moov
+    mp4Container(entry, samples, samplesPerChunk = 1, w = w, h = h)
   }
 
   // ==== id-deterministic PIXEL content (m3/m5): DCT-basis patterns =====
