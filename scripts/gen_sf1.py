@@ -20,6 +20,9 @@ observed distributions at sf0.01/sf0.1:
   the co-occurrence graph is 10 disjoint replicas: the honest "does the
   operator scale linearly in graph size" input. Only the two columns the
   g-family reads are materialized.
+- orders (150,000 rows): sf0.1 tiled 10x with the SAME orderkey shift as
+  lineitem (so the g2 bipartite join lines up) and disjoint custkeys —
+  the HITS graph becomes 10 exact replicas.
 - events (1,000,000 rows): sf0.1 tiled 10x with disjoint key shifts
   (event_id + i*1e6, user_id + i*10000; ts/type/value/props copied) —
   per-user event sequences are preserved exactly, so user-keyed windows
@@ -109,6 +112,16 @@ COPY (
   FROM '{SRC}/lineitem.parquet'
   CROSS JOIN (SELECT unnest(range(10)) AS i)
 ) TO '{OUT}/lineitem.parquet' (FORMAT parquet)
+""")
+
+print("orders (tiled 10x, the g2 bipartite-graph input) ...")
+con.sql(f"""
+COPY (
+  SELECT o_orderkey + i * 1000000000 AS o_orderkey,
+         o_custkey + i * 1000000 AS o_custkey
+  FROM '{SRC}/orders.parquet'
+  CROSS JOIN (SELECT unnest(range(10)) AS i)
+) TO '{OUT}/orders.parquet' (FORMAT parquet)
 """)
 
 print("events (tiled 10x) ...")
