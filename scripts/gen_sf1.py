@@ -2,7 +2,7 @@
 """Repo-local sf1 test data — the 4th decade for SCALE.md's sf-curves.
 
 The driver ships sf0.001/0.01/0.1 only (TESTDATA.md); this script writes
-a 10x-sf0.1 decade to localdata/sf1/ (gitignored) for the three tables
+a 10x-sf0.1 decade to localdata/sf1/ (gitignored) for the five tables
 the curve queries read, with marginals matched to the driver generator's
 observed distributions at sf0.01/sf0.1:
 
