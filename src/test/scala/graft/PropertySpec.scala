@@ -181,6 +181,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("H.264 I_PCM law: random frames at random even dims round-trip " +
+      "pixel-exactly") {
+    import graft.multimodal.H264
+    val gen = for {
+      w <- Gen.choose(1, 17).map(_ * 2) // 2..34: crosses MB boundaries
+      h <- Gen.choose(1, 17).map(_ * 2)
+      seed <- Gen.choose(Int.MinValue, Int.MaxValue)
+    } yield (w, h, seed)
+    forAll(gen, cases = 20) { case (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val y = new Array[Byte](w * h); rnd.nextBytes(y)
+      val cb = new Array[Byte](w * h / 4); rnd.nextBytes(cb)
+      val cr = new Array[Byte](w * h / 4); rnd.nextBytes(cr)
+      val f = H264.Frame(w, h, y, cb, cr)
+      val out = H264.decodeNals(Seq(H264.encodeSpsNal(w, h),
+        H264.encodePpsNal(), H264.encodeIdrIPcmNal(f)))
+      assert(out.length == 1)
+      val g = out.head
+      assert(g.width == w && g.height == h, s"dims ${g.width}x${g.height}")
+      assert(java.util.Arrays.equals(g.y, y), s"luma ${w}x$h seed $seed")
+      assert(java.util.Arrays.equals(g.cb, cb), "cb")
+      assert(java.util.Arrays.equals(g.cr, cr), "cr")
+    }
+  }
+
   test("Haar pyramid law: random cell tables equal a plain-Scala replay") {
     val s = spark
     import s.implicits._
