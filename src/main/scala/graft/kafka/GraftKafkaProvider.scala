@@ -312,14 +312,23 @@ private[kafka] class GraftKafkaStreamingWrite(options: CaseInsensitiveStringMap,
   private val keyIsString = keyIdx >= 0 &&
     schema(keyIdx).dataType == StringType
   private val valueIsString = schema(valueIdx).dataType == StringType
+  // compression=gzip ships each per-partition batch as one gzip wrapper
+  // (the stock producer's compression.type contract; Wire unwraps on the
+  // broker). Unknown codecs are refused HERE, at plan time, not per task
+  private val gzip = Option(options.get("compression")) match {
+    case None | Some("none") | Some("uncompressed") => false
+    case Some("gzip") => true
+    case Some(c) => throw new IllegalArgumentException(
+      s"unsupported sink compression '$c' (none|uncompressed|gzip)")
+  }
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    val (h, pt, tp, ki, vi, ks, vs) =
-      (host, port, topic, keyIdx, valueIdx, keyIsString, valueIsString)
+    val (h, pt, tp, ki, vi, ks, vs, gz) =
+      (host, port, topic, keyIdx, valueIdx, keyIsString, valueIsString, gzip)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
                                 epochId: Long): DataWriter[InternalRow] =
-        new GraftKafkaDataWriter(h, pt, tp, ki, vi, ks, vs)
+        new GraftKafkaDataWriter(h, pt, tp, ki, vi, ks, vs, gz)
     }
   }
 
@@ -330,7 +339,8 @@ private[kafka] class GraftKafkaStreamingWrite(options: CaseInsensitiveStringMap,
 private[kafka] case class GraftKafkaCommit() extends WriterCommitMessage
 
 private[kafka] class GraftKafkaDataWriter(host: String, port: Int, topic: String,
-    keyIdx: Int, valueIdx: Int, keyIsString: Boolean, valueIsString: Boolean)
+    keyIdx: Int, valueIdx: Int, keyIsString: Boolean, valueIsString: Boolean,
+    gzip: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val rows = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte])]
@@ -360,7 +370,8 @@ private[kafka] class GraftKafkaDataWriter(host: String, port: Int, topic: String
           (p, k, v)
         }.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (p, rs) =>
           client.produce(topic, p,
-            rs.toSeq.map { case (_, k, v) => WireRecord(0L, now, k, v) })
+            rs.toSeq.map { case (_, k, v) => WireRecord(0L, now, k, v) },
+            gzip = gzip)
         }
       } finally client.close()
     }

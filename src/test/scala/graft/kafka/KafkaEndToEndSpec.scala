@@ -429,6 +429,50 @@ class KafkaEndToEndSpec extends SparkSpec {
     }
   }
 
+  test("sink compression=gzip: the written topic reads back identically") {
+    val s = spark
+    import s.implicits._
+    val broker = new MiniBroker(numPartitions = 2)
+    val producer = new MiniKafkaClient("localhost", broker.port)
+    try {
+      producer.produceStrings("gzin", Seq(
+        ("a", "va", 10L), ("b", "vb", 20L), ("c", "vc", 30L)))
+      val src = s.readStream.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "gzin").load()
+      val q = src.selectExpr("key", "value")
+        .writeStream.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("topic", "gzout")
+        .option("compression", "gzip")
+        .option("checkpointLocation",
+          Files.createTempDirectory("gzsink").toString)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val out = s.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "gzout").load()
+        .selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)")
+        .as[(String, String)].collect().sortBy(_._1).toSeq
+      assert(out == Seq(("a", "va"), ("b", "vb"), ("c", "vc")))
+      // unknown codecs refuse when the writer is built, not per task
+      val e = intercept[Exception] {
+        val bad = src.selectExpr("key", "value")
+          .writeStream.format("graft-kafka")
+          .option("kafka.bootstrap.servers", broker.bootstrapServers)
+          .option("topic", "bad").option("compression", "snappy")
+          .option("checkpointLocation",
+            Files.createTempDirectory("badsink").toString)
+          .outputMode("append").start()
+        try bad.processAllAvailable() finally bad.stop()
+      }
+      assert(e.getMessage != null)
+    } finally {
+      producer.close()
+      broker.close()
+    }
+  }
+
   test("startingOffsets=latest skips records produced before the stream started") {
     val s = spark
     import s.implicits._
