@@ -315,7 +315,9 @@ private[kafka] class GraftKafkaStreamingWrite(options: CaseInsensitiveStringMap,
   // compression=gzip ships each per-partition batch as one gzip wrapper
   // (the stock producer's compression.type contract; Wire unwraps on the
   // broker). Unknown codecs are refused HERE, at plan time, not per task
-  private val gzip = Option(options.get("compression")) match {
+  // value matched case-insensitively, like the (CaseInsensitiveStringMap)
+  // option KEY lookup — 'GZIP' and 'gzip' must behave the same
+  private val gzip = Option(options.get("compression")).map(_.toLowerCase) match {
     case None | Some("none") | Some("uncompressed") => false
     case Some("gzip") => true
     case Some(c) => throw new IllegalArgumentException(

@@ -214,8 +214,9 @@ object Wire {
     require(magic == 0 || magic == 1,
       s"unsupported message magic $magic (codec speaks v0/v1 message sets)")
     val attrs = r.int8()
-    require(magic == 1 || body.length >= 10,
-      s"magic-0 body ${body.length} below the 10-byte floor at offset $offset")
+    // the v0 10-byte body floor is already guaranteed by decodeMessageSet's
+    // size >= 14 check (body = size − 4); only v1's timestamp-bearing
+    // larger floor needs enforcing here
     require(magic == 0 || body.length >= 18,
       s"magic-1 body ${body.length} below the 18-byte floor at offset $offset")
     val ts = if (magic == 1) r.int64() else -1L // v0 carries no timestamp

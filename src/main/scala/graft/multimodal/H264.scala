@@ -201,7 +201,11 @@ object H264 {
     r.ue() // sps id
     // profiles ≥ High carry chroma/bit-depth/scaling syntax here; the
     // I_PCM subset speaks baseline/main/extended (4:2:0 implied)
-    require(!Set(100, 110, 122, 244, 44, 83, 86, 118, 128).contains(profile),
+    // full spec list (7.4.2.1.1): every profile_idc whose SPS carries
+    // chroma_format/bit-depth/scaling syntax after sps_id — misparsing
+    // one of these would read those bits as log2_max_frame_num/poc
+    require(!Set(100, 110, 122, 244, 44, 83, 86, 118, 128,
+                 134, 135, 138, 139).contains(profile),
       s"high-profile SPS (profile_idc $profile) outside the I_PCM subset")
     val log2MaxFrameNum = r.ue() + 4
     val pocType = r.ue()
@@ -426,6 +430,13 @@ object H264 {
         case NalIdr =>
           frames += decodeIdr(n,
             sps.getOrElse(sys.error("IDR before SPS in the NAL stream")))
+        case t if t >= 1 && t <= 4 =>
+          // non-IDR coded slices / data partitions: silently skipping
+          // them would under-decode a real IDR+P stream into an
+          // IDR-only frame sequence presented as complete — reject so
+          // callers fall back to the labeled stub instead
+          throw new IllegalArgumentException(
+            s"non-IDR coded slice NAL (type $t) outside the I_PCM subset")
         case _ => () // SEI / AUD / filler: legal to skip
       }
     }
