@@ -93,8 +93,41 @@ object Bench {
       jstr(k) + ":" + (if (err.isEmpty && suiteMedian > 0)
         r4(sec / suiteMedian).toString else "null")
     }.mkString("{", ",", "}")
+    // Cross-round delta, also carried IN the artifact: read the previous
+    // round's BENCH_DETAIL (env SPARK_GRAFT_BENCH_PREV, else the
+    // highest-numbered BENCH_DETAIL_r*.json in the cwd), pull its `norm`
+    // map, and emit norm_ratio_vs_prev[q] = norm_now / norm_prev — the
+    // freeze artifact itself then answers "which queries regressed
+    // beyond noise" (ratio ≫ 1 against a stable suite median) without
+    // a manual A/B.
+    val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
+      val rx = "BENCH_DETAIL_r(\\d+)\\.json".r
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => f.getName match {
+          case rx(n) => Some((n.toInt, f.getPath)); case _ => None })
+        .sortBy(-_._1).headOption.map(_._2)
+    }
+    val prevNorm: Map[String, Double] = prevPath.flatMap { path =>
+      try {
+        val txt = new String(Files.readAllBytes(Paths.get(path)),
+          StandardCharsets.UTF_8)
+        val normRx = "\"norm\"\\s*:\\s*\\{([^}]*)\\}".r
+        normRx.findFirstMatchIn(txt).map { m =>
+          val pairRx = "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+          pairRx.findAllMatchIn(m.group(1))
+            .map(p => p.group(1) -> p.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => None }
+    }.getOrElse(Map.empty)
+    val vsPrev = results.map { case (k, sec, err) =>
+      val cur = if (err.isEmpty && suiteMedian > 0) Some(sec / suiteMedian) else None
+      val ratio = for (c <- cur; p <- prevNorm.get(k) if p > 0) yield r4(c / p)
+      jstr(k) + ":" + ratio.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val prevField = prevPath.filter(_ => prevNorm.nonEmpty)
+      .map(p => jstr(p)).getOrElse("null")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"suite_median_sec":${r4(suiteMedian)},"queries":$qs,"p50":$p50s,"norm":$norms,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"suite_median_sec":${r4(suiteMedian)},"prev_detail":$prevField,"queries":$qs,"p50":$p50s,"norm":$norms,"norm_ratio_vs_prev":$vsPrev,"errors":$errs,"sf":"$sfDir"}"""
     // stdout gets buried in sbt [info] noise — the file is the reliable channel.
     val p = Paths.get(outPath)
     if (p.getParent != null) Files.createDirectories(p.getParent)
