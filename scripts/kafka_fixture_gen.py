@@ -100,6 +100,210 @@ def message_set_gzip(records):
         struct.pack(">I", crc) + body
 
 
+# ---- snappy (raw block + xerial framing), from the public format doc ----
+
+def snappy_raw_compress(data):
+    """Greedy raw-snappy encoder: literals + copy-2 elements (16-bit
+    offsets), so fixtures exercise the decoder's REAL copy path, not just
+    literals. Independent of the Scala side by construction."""
+    out = bytearray()
+    v = len(data)
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+    def emit_literal(lo, hi):
+        n = hi - lo
+        while n > 0:
+            chunk = min(n, 60)
+            out.append((chunk - 1) << 2)
+            out.extend(data[lo:lo + chunk])
+            lo += chunk
+            n -= chunk
+    table = {}
+    lit_start = 0
+    i = 0
+    while i + 4 <= len(data):
+        key = bytes(data[i:i + 4])
+        j = table.get(key, -1)
+        table[key] = i
+        if j >= 0 and i - j <= 0xFFFF:
+            length = 4
+            while (i + length < len(data) and length < 64
+                   and data[j + length] == data[i + length]):
+                length += 1
+            emit_literal(lit_start, i)
+            off = i - j
+            out.append(((length - 1) << 2) | 2)   # copy-2 tag
+            out.append(off & 0xFF)
+            out.append(off >> 8)
+            i += length
+            lit_start = i
+        else:
+            i += 1
+    emit_literal(lit_start, len(data))
+    return bytes(out)
+
+
+def snappy_xerial(data):
+    """xerial SnappyOutputStream framing (what a compression.type=snappy
+    producer ships): magic, two version ints, then (len, block)*."""
+    out = bytearray(b"\x82SNAPPY\x00" + i32(1) + i32(1))
+    p = 0
+    while True:
+        block = snappy_raw_compress(data[p:p + 32768])
+        out += i32(len(block)) + block
+        p += 32768
+        if p >= len(data):
+            break
+    return bytes(out)
+
+
+def message_set_snappy(records):
+    """ONE snappy wrapper message (codec bits = 2), KIP-31 relative
+    offsets, xerial-framed value."""
+    inner = message_set([(i, ts, k, v)
+                         for i, (_o, ts, k, v) in enumerate(records)])
+    sn = snappy_xerial(inner)
+    body = i8(1) + i8(2) + i64(max(ts for _o, ts, _k, _v in records)) + \
+        nbytes(None) + nbytes(sn)
+    crc = zlib.crc32(body) & 0xFFFFFFFF
+    return i64(len(records) - 1) + i32(4 + len(body)) + \
+        struct.pack(">I", crc) + body
+
+
+# ---- xxHash32 + LZ4 (block + frame), from the public specs --------------
+
+def xxh32(data, seed=0):
+    M = 0xFFFFFFFF
+    P1, P2, P3, P4, P5 = 2654435761, 2246822519, 3266489917, 668265263, 374761393
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (32 - r))) & M
+
+    def le32(i):
+        return int.from_bytes(data[i:i + 4], "little")
+    i = 0
+    n = len(data)
+    if n >= 16:
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed & M
+        v4 = (seed - P1) & M
+        while i <= n - 16:
+            v1 = (rotl((v1 + le32(i) * P2) & M, 13) * P1) & M
+            v2 = (rotl((v2 + le32(i + 4) * P2) & M, 13) * P1) & M
+            v3 = (rotl((v3 + le32(i + 8) * P2) & M, 13) * P1) & M
+            v4 = (rotl((v4 + le32(i + 12) * P2) & M, 13) * P1) & M
+            i += 16
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i <= n - 4:
+        h = (rotl((h + le32(i) * P3) & M, 17) * P4) & M
+        i += 4
+    while i < n:
+        h = (rotl((h + data[i] * P5) & M, 11) * P1) & M
+        i += 1
+    h ^= h >> 15
+    h = (h * P2) & M
+    h ^= h >> 13
+    h = (h * P3) & M
+    h ^= h >> 16
+    return h
+
+
+def lz4_block_compress(data):
+    """Greedy LZ4 block encoder with real matches (16-bit offsets); the
+    spec's end-of-block rules (final sequence literals-only, no match
+    into the last bytes) are respected."""
+    out = bytearray()
+    table = {}
+    anchor = 0
+    i = 0
+
+    def lens(n):
+        b = bytearray()
+        n -= 15
+        while n >= 255:
+            b.append(255)
+            n -= 255
+        b.append(n)
+        return bytes(b)
+    limit = len(data) - 12
+    while i < limit and i + 4 <= len(data):
+        key = bytes(data[i:i + 4])
+        j = table.get(key, -1)
+        table[key] = i
+        if j >= 0 and i - j <= 0xFFFF:
+            length = 4
+            while (i + length < len(data) - 5
+                   and data[j + length] == data[i + length]):
+                length += 1
+            lit = data[anchor:i]
+            ll = len(lit)
+            ml = length - 4
+            out.append((min(ll, 15) << 4) | min(ml, 15))
+            if ll >= 15:
+                out += lens(ll)
+            out += lit
+            off = i - j
+            out.append(off & 0xFF)
+            out.append(off >> 8)
+            if ml >= 15:
+                out += lens(ml)
+            i += length
+            anchor = i
+        else:
+            i += 1
+    lit = data[anchor:]
+    ll = len(lit)
+    out.append(min(ll, 15) << 4)
+    if ll >= 15:
+        out += lens(ll)
+    out += lit
+    return bytes(out)
+
+
+def lz4_frame(data, legacy_hc=False):
+    """LZ4 FRAME: magic, FLG/BD descriptor, xxh32 header checksum,
+    compressed blocks, end mark, content checksum. legacy_hc=True emits
+    the KAFKA-3160 broken header checksum (computed over magic +
+    descriptor) that pre-0.10 clients shipped."""
+    flg = (1 << 6) | (1 << 5) | (1 << 2)   # v01, block-independent, content checksum
+    bd = 4 << 4                            # 64 KiB max block
+    desc = bytes([flg, bd])
+    magic = struct.pack("<I", 0x184D2204)
+    hc_src = magic + desc if legacy_hc else desc
+    hc = (xxh32(hc_src) >> 8) & 0xFF
+    out = bytearray(magic + desc + bytes([hc]))
+    p = 0
+    while True:
+        block = lz4_block_compress(data[p:p + 65536])
+        out += struct.pack("<I", len(block)) + block
+        p += 65536
+        if p >= len(data):
+            break
+    out += struct.pack("<I", 0)
+    out += struct.pack("<I", xxh32(data))
+    return bytes(out)
+
+
+def message_set_lz4(records, legacy_hc=False):
+    """ONE lz4 wrapper message (codec bits = 3), KIP-31 relative offsets,
+    frame-format value."""
+    inner = message_set([(i, ts, k, v)
+                         for i, (_o, ts, k, v) in enumerate(records)])
+    fz = lz4_frame(inner, legacy_hc=legacy_hc)
+    body = i8(1) + i8(3) + i64(max(ts for _o, ts, _k, _v in records)) + \
+        nbytes(None) + nbytes(fz)
+    crc = zlib.crc32(body) & 0xFFFFFFFF
+    return i64(len(records) - 1) + i32(4 + len(body)) + \
+        struct.pack(">I", crc) + body
+
+
 # ---- murmur2 (seed 0x9747b28c), the default-partitioner hash ------------
 
 def murmur2(data):
@@ -237,6 +441,61 @@ fx["fetch_v0_req"] = request(1, 9, fetch_v0_body)
 fx["fetch_v0_resp"] = i32(9) + i32(1) + string(TOPIC) + i32(1) + \
     i32(1) + i16(0) + i64(2) + nbytes(message_set(
         [(i, -1, k, v) for i, (_o, _t, k, v) in enumerate(V0_RECORDS)]))
+
+# 10. Produce v0 request carrying a SNAPPY batch (corr 10): xerial-framed
+# wrapper with REAL copy elements (the repeated key/value prefixes give
+# the greedy matcher 16-bit-offset copies). Appends at base 6 on p0
+SN_RECORDS = [
+    (0, 3000, b"snappy-key-1", b"snappy-value-aaaaaaaa"),
+    (0, 3001, b"snappy-key-2", b"snappy-value-aaaaaaaa"),
+    (0, 3002, b"snappy-key-3", b"snappy-value-bbbbbbbb"),
+]
+SN_ASSIGNED = [(6 + i, ts, k, v) for i, (_o, ts, k, v) in enumerate(SN_RECORDS)]
+produce_snappy_body = i16(1) + i32(10000) + i32(1) + string(TOPIC) + \
+    i32(1) + i32(0) + nbytes(message_set_snappy(SN_RECORDS))
+fx["produce_snappy_req"] = request(0, 10, produce_snappy_body)
+fx["produce_snappy_resp"] = i32(10) + i32(1) + string(TOPIC) + i32(1) + \
+    i32(0) + i16(0) + i64(6)
+
+# 11. Fetch v0 from offset 6 (corr 11): stored decompressed
+fetch_snappy_body = i32(-1) + i32(0) + i32(0) + i32(1) + string(TOPIC) + \
+    i32(1) + i32(0) + i64(6) + i32(4 << 20)
+fx["fetch_snappy_req"] = request(1, 11, fetch_snappy_body)
+fx["fetch_snappy_resp"] = i32(11) + i32(1) + string(TOPIC) + i32(1) + \
+    i32(0) + i16(0) + i64(9) + nbytes(message_set(SN_ASSIGNED))
+
+# 12. Produce v0 request carrying an LZ4 batch (corr 12): frame format
+# with spec header checksum. Appends at base 9 on p0
+LZ_RECORDS = [
+    (0, 4000, b"lz4-key-1", b"lz4-value-cccccccc"),
+    (0, 4001, b"lz4-key-2", b"lz4-value-cccccccc"),
+    (0, 4002, None, b"lz4-value-dddddddd"),
+]
+LZ_ASSIGNED = [(9 + i, ts, k, v) for i, (_o, ts, k, v) in enumerate(LZ_RECORDS)]
+produce_lz4_body = i16(1) + i32(10000) + i32(1) + string(TOPIC) + \
+    i32(1) + i32(0) + nbytes(message_set_lz4(LZ_RECORDS))
+fx["produce_lz4_req"] = request(0, 12, produce_lz4_body)
+fx["produce_lz4_resp"] = i32(12) + i32(1) + string(TOPIC) + i32(1) + \
+    i32(0) + i16(0) + i64(9)
+
+# 13. Fetch v0 from offset 9 (corr 13)
+fetch_lz4_body = i32(-1) + i32(0) + i32(0) + i32(1) + string(TOPIC) + \
+    i32(1) + i32(0) + i64(9) + i32(4 << 20)
+fx["fetch_lz4_req"] = request(1, 13, fetch_lz4_body)
+fx["fetch_lz4_resp"] = i32(13) + i32(1) + string(TOPIC) + i32(1) + \
+    i32(0) + i16(0) + i64(12) + nbytes(message_set(LZ_ASSIGNED))
+
+# ---- standalone codec fixtures (unit-level cross-checks) ----------------
+
+# plaintext with strong repetition → both greedy matchers emit copies
+CODEC_PLAIN = (b"the quick brown fox jumps over the lazy dog; " * 20 +
+               b"0123456789abcdef" * 32)
+fx["codec_plain"] = CODEC_PLAIN
+fx["snappy_raw_fx"] = snappy_raw_compress(CODEC_PLAIN)
+fx["snappy_xerial_fx"] = snappy_xerial(CODEC_PLAIN)
+fx["lz4_frame_fx"] = lz4_frame(CODEC_PLAIN)
+# KAFKA-3160 legacy header checksum (magic included) — must still decode
+fx["lz4_frame_legacy_fx"] = lz4_frame(CODEC_PLAIN, legacy_hc=True)
 
 # ---- client-side fixtures (MiniKafkaClient's FIRST call => corr 1) ------
 

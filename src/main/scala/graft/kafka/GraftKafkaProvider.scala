@@ -312,25 +312,27 @@ private[kafka] class GraftKafkaStreamingWrite(options: CaseInsensitiveStringMap,
   private val keyIsString = keyIdx >= 0 &&
     schema(keyIdx).dataType == StringType
   private val valueIsString = schema(valueIdx).dataType == StringType
-  // compression=gzip ships each per-partition batch as one gzip wrapper
-  // (the stock producer's compression.type contract; Wire unwraps on the
-  // broker). Unknown codecs are refused HERE, at plan time, not per task
-  // value matched case-insensitively, like the (CaseInsensitiveStringMap)
-  // option KEY lookup — 'GZIP' and 'gzip' must behave the same
-  private val gzip = Option(options.get("compression")).map(_.toLowerCase) match {
-    case None | Some("none") | Some("uncompressed") => false
-    case Some("gzip") => true
+  // compression=gzip|snappy|lz4 ships each per-partition batch as one
+  // compressed wrapper (the stock producer's compression.type contract;
+  // Wire unwraps on the broker). Unknown codecs are refused HERE, at
+  // plan time, not per task. Value matched case-insensitively, like the
+  // (CaseInsensitiveStringMap) option KEY lookup
+  private val codec = Option(options.get("compression")).map(_.toLowerCase) match {
+    case None | Some("none") | Some("uncompressed") => 0
+    case Some("gzip") => 1
+    case Some("snappy") => 2
+    case Some("lz4") => 3
     case Some(c) => throw new IllegalArgumentException(
-      s"unsupported sink compression '$c' (none|uncompressed|gzip)")
+      s"unsupported sink compression '$c' (none|uncompressed|gzip|snappy|lz4)")
   }
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    val (h, pt, tp, ki, vi, ks, vs, gz) =
-      (host, port, topic, keyIdx, valueIdx, keyIsString, valueIsString, gzip)
+    val (h, pt, tp, ki, vi, ks, vs, cd) =
+      (host, port, topic, keyIdx, valueIdx, keyIsString, valueIsString, codec)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
                                 epochId: Long): DataWriter[InternalRow] =
-        new GraftKafkaDataWriter(h, pt, tp, ki, vi, ks, vs, gz)
+        new GraftKafkaDataWriter(h, pt, tp, ki, vi, ks, vs, cd)
     }
   }
 
@@ -342,7 +344,7 @@ private[kafka] case class GraftKafkaCommit() extends WriterCommitMessage
 
 private[kafka] class GraftKafkaDataWriter(host: String, port: Int, topic: String,
     keyIdx: Int, valueIdx: Int, keyIsString: Boolean, valueIsString: Boolean,
-    gzip: Boolean = false)
+    codec: Int = 0)
     extends DataWriter[InternalRow] {
 
   private val rows = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte])]
@@ -373,7 +375,7 @@ private[kafka] class GraftKafkaDataWriter(host: String, port: Int, topic: String
         }.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (p, rs) =>
           client.produce(topic, p,
             rs.toSeq.map { case (_, k, v) => WireRecord(0L, now, k, v) },
-            gzip = gzip)
+            codec)
         }
       } finally client.close()
     }

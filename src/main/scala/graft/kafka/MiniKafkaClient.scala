@@ -76,14 +76,20 @@ final class MiniKafkaClient(host: String, port: Int) extends AutoCloseable {
     * message (the `compression.type=gzip` wire shape) — the broker
     * stores it decompressed, so fetches are unaffected. */
   def produce(topic: String, partition: Int,
-              records: Seq[WireRecord], gzip: Boolean = false): Long = {
+              records: Seq[WireRecord], gzip: Boolean = false): Long =
+    produce(topic, partition, records, if (gzip) 1 else 0)
+
+  /** Codec-general produce: 0 none, 1 gzip, 2 snappy, 3 lz4 — the
+    * `compression.type` wire shapes a stock producer emits. */
+  def produce(topic: String, partition: Int,
+              records: Seq[WireRecord], codec: Int): Long = {
     val body = new Buf
     body.int16(1) // acks=1
     body.int32(10000)
     body.int32(1).string(topic)
     body.int32(1).int32(partition)
-    body.bytes(if (gzip) encodeMessageSetGzip(records)
-               else encodeMessageSet(records))
+    body.bytes(if (codec == 0) encodeMessageSet(records)
+               else encodeMessageSetCompressed(records, codec))
     val r = call(ApiProduce, body)
     val nt = r.int32()
     var base = -1L

@@ -28,12 +28,15 @@ import java.util.zip.CRC32
   * wrapper carries the last inner offset, per KIP-31 — both the
   * producer convention, wrapper = n−1 over relative 0..n−1, and the
   * broker-log convention, wrapper = absolute last, resolve through the
-  * same base = wrapper − lastInner formula). Snappy/LZ4/zstd (codecs
-  * 2–4) have no JDK implementation and are rejected LOUDLY as
-  * unsupported rather than misread. The encode side stays
+  * same base = wrapper − lastInner formula). Snappy (codec 2, xerial
+  * framing or raw block) and LZ4 (codec 3, frame format with
+  * KAFKA-3160-tolerant header checksum) decode through the from-spec
+  * [[BlockCodecs]]; zstd (codec 4) belongs to record-batch v2 producers
+  * and is rejected LOUDLY rather than misread. The encode side stays
   * uncompressed-magic-1 by default ([[encodeMessageSet]]);
-  * [[encodeMessageSetGzip]] builds a spec-shaped gzip wrapper for
-  * producers that want the on-wire compression.
+  * [[encodeMessageSetGzip]] / [[encodeMessageSetCompressed]] build
+  * spec-shaped compressed wrappers for producers that want the on-wire
+  * compression.
   *
   * Nothing here is Spark-specific; the DSv2 edge
   * ([[GraftKafkaSourceProvider]]) rides on [[MiniKafkaClient]].
@@ -224,14 +227,29 @@ object Wire {
     val value = r.bytes()
     (attrs & 0x07) match {
       case 0 => Seq(WireRecord(offset, ts, key, value))
-      case 1 => // gzip wrapper: value = gzip(inner MessageSet)
+      case c @ (1 | 2 | 3) => // compressed wrapper: value = codec(inner MessageSet)
         require(!inWrapper,
           s"nested compressed wrapper at offset $offset — the protocol " +
             "forbids compression inside a compressed message set")
-        require(value != null, s"gzip wrapper with null value at offset $offset")
-        val inner = decodeMessageSet(gzipDecompress(value),
+        require(value != null,
+          s"compressed wrapper (codec $c) with null value at offset $offset")
+        val plain = c match {
+          case 1 => gzipDecompress(value)
+          case 2 => // snappy: xerial-framed or raw block (BlockCodecs)
+            try BlockCodecs.snappyDecompress(value, MaxFrame)
+            catch { case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"corrupt snappy wrapper at offset $offset: ${e.getMessage}") }
+          case _ => // lz4: frame format, KAFKA-3160-tolerant header checksum
+            try BlockCodecs.lz4FrameDecompress(value, MaxFrame)
+            catch { case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"corrupt lz4 wrapper at offset $offset: ${e.getMessage}") }
+        }
+        val inner = decodeMessageSet(plain,
           allowTruncatedTail = false, inWrapper = true)
-        require(inner.nonEmpty, s"gzip wrapper with empty inner set at offset $offset")
+        require(inner.nonEmpty,
+          s"compressed wrapper with empty inner set at offset $offset")
         if (magic == 1) {
           // KIP-31: inner offsets are relative; the wrapper carries the
           // last inner offset (absolute in a broker log, n−1 from a
@@ -242,8 +260,8 @@ object Wire {
       case c =>
         throw new IllegalArgumentException(
           s"unsupported compression codec $c at offset $offset " +
-            "(none=0 and gzip=1 are the JDK-available codecs; " +
-            "snappy/lz4/zstd need vendor libraries)")
+            "(none=0, gzip=1, snappy=2, lz4=3 decode here; zstd=4 needs " +
+            "a record-batch v2 producer and is outside the v0/v1 codec)")
     }
   }
 
@@ -251,16 +269,27 @@ object Wire {
     * `compression.type=gzip` producer sends): inner set with relative
     * offsets 0..n−1, wrapper offset n−1, wrapper timestamp = max inner
     * timestamp, codec bits = 1. */
-  def encodeMessageSetGzip(records: Seq[WireRecord]): Array[Byte] = {
-    require(records.nonEmpty, "gzip wrapper needs at least one record")
+  def encodeMessageSetGzip(records: Seq[WireRecord]): Array[Byte] =
+    encodeMessageSetCompressed(records, codec = 1)
+
+  /** As [[encodeMessageSetGzip]] for the other v1 wrapper codecs:
+    * codec 2 = snappy (xerial framing), codec 3 = lz4 (frame format) —
+    * both emitted by [[BlockCodecs]]' from-spec encoders. */
+  def encodeMessageSetCompressed(records: Seq[WireRecord], codec: Int): Array[Byte] = {
+    require(records.nonEmpty, "compressed wrapper needs at least one record")
+    require(codec >= 1 && codec <= 3, s"wrapper codec $codec not encodable (gzip|snappy|lz4)")
     val inner = encodeMessageSet(
       records.zipWithIndex.map { case (r, i) => r.copy(offset = i.toLong) })
     val msg = new Buf
     msg.int8(1) // magic
-    msg.int8(1) // attributes: gzip, CreateTime
+    msg.int8(codec.toByte) // attributes: codec bits, CreateTime
     msg.int64(records.map(_.timestamp).max)
     msg.bytes(null) // wrapper key
-    msg.bytes(gzipCompress(inner))
+    msg.bytes(codec match {
+      case 1 => gzipCompress(inner)
+      case 2 => BlockCodecs.snappyCompress(inner)
+      case _ => BlockCodecs.lz4FrameCompress(inner)
+    })
     val body = msg.toArray
     val crc = new CRC32
     crc.update(body)

@@ -455,12 +455,30 @@ class KafkaEndToEndSpec extends SparkSpec {
         .selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)")
         .as[(String, String)].collect().sortBy(_._1).toSeq
       assert(out == Seq(("a", "va"), ("b", "vb"), ("c", "vc")))
+      // snappy and lz4 are now first-class sink codecs: each written
+      // topic must read back identically through the unwrapping broker
+      Seq("snappy" -> "snout", "lz4" -> "lzout").foreach { case (codec, topic) =>
+        val qc = src.selectExpr("key", "value")
+          .writeStream.format("graft-kafka")
+          .option("kafka.bootstrap.servers", broker.bootstrapServers)
+          .option("topic", topic).option("compression", codec)
+          .option("checkpointLocation",
+            Files.createTempDirectory(s"${codec}sink").toString)
+          .outputMode("append").start()
+        qc.processAllAvailable(); qc.stop()
+        val got = s.read.format("graft-kafka")
+          .option("kafka.bootstrap.servers", broker.bootstrapServers)
+          .option("subscribe", topic).load()
+          .selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)")
+          .as[(String, String)].collect().sortBy(_._1).toSeq
+        assert(got == Seq(("a", "va"), ("b", "vb"), ("c", "vc")), codec)
+      }
       // unknown codecs refuse when the writer is built, not per task
       val e = intercept[Exception] {
         val bad = src.selectExpr("key", "value")
           .writeStream.format("graft-kafka")
           .option("kafka.bootstrap.servers", broker.bootstrapServers)
-          .option("topic", "bad").option("compression", "snappy")
+          .option("topic", "bad").option("compression", "zstd")
           .option("checkpointLocation",
             Files.createTempDirectory("badsink").toString)
           .outputMode("append").start()

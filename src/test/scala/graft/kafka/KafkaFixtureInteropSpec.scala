@@ -88,8 +88,60 @@ class KafkaFixtureInteropSpec extends AnyFunSuite {
       // with ts = −1, fetched back up-converted to magic 1
       roundTrip("produce_v0_req", "produce_v0_resp")
       roundTrip("fetch_v0_req", "fetch_v0_resp")
+      // a compression.type=snappy batch (Python xerial framing with real
+      // copy-2 elements) and a compression.type=lz4 batch (Python frame
+      // format with real matches): broker unwraps both via the from-spec
+      // BlockCodecs decoders and stores plain
+      roundTrip("produce_snappy_req", "produce_snappy_resp")
+      roundTrip("fetch_snappy_req", "fetch_snappy_resp")
+      roundTrip("produce_lz4_req", "produce_lz4_resp")
+      roundTrip("fetch_lz4_req", "fetch_lz4_resp")
       sock.close()
     } finally broker.close()
+  }
+
+  test("snappy and lz4 produce via the Scala client round-trip end-to-end") {
+    val broker = new MiniBroker(numPartitions = 2)
+    val client = new MiniKafkaClient("localhost", broker.port)
+    try {
+      assert(client.produce("sn", 0, records, codec = 2) == 0L)
+      val sn = client.fetch("sn", 0, 0L)
+      assert(sn.map(r => (r.offset, r.timestamp)) == Seq((0L, 1000L), (1L, 1001L), (2L, 1002L)))
+      assert(new String(sn(1).value, "UTF-8") == "v2" && sn(2).value == null)
+      assert(client.produce("lz", 0, records, codec = 3) == 0L)
+      val lz = client.fetch("lz", 0, 0L)
+      assert(lz.map(_.offset) == Seq(0L, 1L, 2L))
+      assert(new String(lz(0).key, "UTF-8") == "k1")
+    } finally { client.close(); broker.close() }
+  }
+
+  test("BlockCodecs decode the independent Python snappy/lz4 streams byte-exactly") {
+    val plain = fx("codec_plain")
+    // raw block and xerial framing, both with REAL copy elements
+    assert(java.util.Arrays.equals(
+      BlockCodecs.snappyRawDecompress(fx("snappy_raw_fx"), Wire.MaxFrame), plain))
+    assert(java.util.Arrays.equals(
+      BlockCodecs.snappyDecompress(fx("snappy_xerial_fx"), Wire.MaxFrame), plain))
+    // lz4 frame with spec header checksum AND the KAFKA-3160 legacy one
+    assert(java.util.Arrays.equals(
+      BlockCodecs.lz4FrameDecompress(fx("lz4_frame_fx"), Wire.MaxFrame), plain))
+    assert(java.util.Arrays.equals(
+      BlockCodecs.lz4FrameDecompress(fx("lz4_frame_legacy_fx"), Wire.MaxFrame), plain))
+    // the Scala encoders' output is decoded by the same from-spec
+    // decoders (identity), and corruption dies loudly, not quietly
+    assert(java.util.Arrays.equals(
+      BlockCodecs.snappyDecompress(BlockCodecs.snappyCompress(plain), Wire.MaxFrame), plain))
+    assert(java.util.Arrays.equals(
+      BlockCodecs.lz4FrameDecompress(BlockCodecs.lz4FrameCompress(plain), Wire.MaxFrame), plain))
+    val bad = fx("lz4_frame_fx").clone(); bad(6) = (bad(6) ^ 0x55).toByte // header checksum byte
+    val e = intercept[IllegalArgumentException](
+      BlockCodecs.lz4FrameDecompress(bad, Wire.MaxFrame))
+    assert(e.getMessage.contains("checksum"))
+    val badSn = fx("snappy_raw_fx").clone()
+    badSn(badSn.length - 1) = (badSn(badSn.length - 1) ^ 0x55).toByte
+    intercept[IllegalArgumentException](
+      BlockCodecs.snappyRawDecompress(java.util.Arrays.copyOf(badSn, badSn.length - 2),
+        Wire.MaxFrame))
   }
 
   test("gzip produce via the Scala client round-trips end-to-end") {
@@ -142,7 +194,8 @@ class KafkaFixtureInteropSpec extends AnyFunSuite {
     }
     val e1 = intercept[IllegalArgumentException](Wire.decodeMessageSet(corrupt))
     assert(e1.getMessage.contains("gzip"))
-    // snappy (codec 2) must be refused as unsupported, never misread
+    // a gzip payload relabeled snappy (codec 2) is not valid snappy —
+    // the from-spec decoder must refuse it loudly, never misread it
     val snappy = wrapper.clone()
     snappy(17) = 2 // attributes byte (offset 8 + size 4 + crc 4 + magic 1)
     locally {
@@ -154,7 +207,21 @@ class KafkaFixtureInteropSpec extends AnyFunSuite {
       snappy(14) = (c >>> 8).toByte; snappy(15) = c.toByte
     }
     val e2 = intercept[IllegalArgumentException](Wire.decodeMessageSet(snappy))
-    assert(e2.getMessage.contains("unsupported compression codec 2"))
+    assert(e2.getMessage.contains("snappy"))
+    // zstd (codec 4) belongs to record-batch v2 — still refused as
+    // unsupported in the v0/v1 codec, never misread
+    val zstd = wrapper.clone()
+    zstd(17) = 4
+    locally {
+      val body = java.util.Arrays.copyOfRange(zstd, 16, zstd.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(body)
+      val c = crc.getValue.toInt
+      zstd(12) = (c >>> 24).toByte; zstd(13) = (c >>> 16).toByte
+      zstd(14) = (c >>> 8).toByte; zstd(15) = c.toByte
+    }
+    val e3 = intercept[IllegalArgumentException](Wire.decodeMessageSet(zstd))
+    assert(e3.getMessage.contains("unsupported compression codec 4"))
   }
 
   test("nested compressed wrappers are rejected (stack-depth guard)") {
