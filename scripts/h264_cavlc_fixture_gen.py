@@ -1,0 +1,951 @@
+#!/usr/bin/env python3
+"""Second-implementation H.264 CAVLC-intra fixtures.
+
+graft.multimodal.{H264,H264Intra,H264Cavlc} (Scala) and this script are
+separate implementations of the same public spec subset (ITU-T H.264:
+CAVLC residual coding 9.2, intra prediction 8.3, inverse transforms and
+dequantization 8.5, I-slice macroblock layer 7.3.5). This script both
+ENCODES fixture pictures (deterministic, formula-stated prediction
+modes and residual coefficients) and RECONSTRUCTS the expected YUV
+planes with its own prediction/transform arithmetic, so the Scala
+decoder is held to independently-computed pixels and the Scala encoder
+to independently-computed bytes. (The VLC table constants are spec
+constants shared by both sides; the cross-check therefore validates
+the surrounding arithmetic and bit-serialization, while the Scala
+H264CavlcSpec validates the tables structurally: prefix-freeness and
+Kraft completeness.)
+
+Output: src/test/resources/h264_cavlc_fixtures.txt, one line per
+fixture: `name mbW mbH qp nal_hex y_hex cb_hex cr_hex`.
+Regenerate with: python3 scripts/h264_cavlc_fixture_gen.py
+"""
+from pathlib import Path
+
+OUT = Path(__file__).resolve().parent.parent / \
+    "src/test/resources/h264_cavlc_fixtures.txt"
+
+
+class BitWriter:
+    def __init__(self):
+        self.bytes_ = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def bit(self, b):
+        self.cur = (self.cur << 1) | (b & 1)
+        self.nbits += 1
+        if self.nbits == 8:
+            self.bytes_.append(self.cur)
+            self.cur = 0
+            self.nbits = 0
+
+    def u(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bit((v >> i) & 1)
+
+    def ue(self, v):
+        cw = v + 1
+        ln = cw.bit_length()
+        self.u(0, ln - 1)
+        self.u(cw, ln)
+
+    def se(self, v):
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def code(self, s):
+        for ch in s:
+            self.bit(1 if ch == "1" else 0)
+
+    def trailing(self):
+        self.bit(1)
+        while self.nbits != 0:
+            self.bit(0)
+
+    def rbsp(self):
+        assert self.nbits == 0
+        return bytes(self.bytes_)
+
+
+def ebsp(rbsp):
+    out = bytearray()
+    zeros = 0
+    for v in rbsp:
+        if zeros >= 2 and v <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(v)
+        zeros = zeros + 1 if v == 0 else 0
+    return bytes(out)
+
+
+def nal(nal_type, rbsp):
+    return bytes([0x60 | nal_type]) + ebsp(rbsp)
+
+
+# ---- CAVLC tables (ITU-T H.264 Table 9-5 .. 9-10) -----------------------
+
+CT_N0 = [
+    ["1"], ["000101", "01"], ["00000111", "000100", "001"],
+    ["000000111", "00000110", "0000101", "00011"],
+    ["0000000111", "000000110", "00000101", "000011"],
+    ["00000000111", "0000000110", "000000101", "0000100"],
+    ["0000000001111", "00000000110", "0000000101", "00000100"],
+    ["0000000001011", "0000000001110", "00000000101", "000000100"],
+    ["0000000001000", "0000000001010", "0000000001101", "0000000100"],
+    ["00000000001111", "00000000001110", "0000000001001", "00000000100"],
+    ["00000000001011", "00000000001010", "00000000001101", "0000000001100"],
+    ["000000000001111", "000000000001110", "00000000001001", "00000000001100"],
+    ["000000000001011", "000000000001010", "000000000001101", "00000000001000"],
+    ["0000000000001111", "000000000000001", "000000000001001", "000000000001100"],
+    ["0000000000001011", "0000000000001110", "0000000000001101", "000000000001000"],
+    ["0000000000000111", "0000000000001010", "0000000000001001", "0000000000001100"],
+    ["0000000000000100", "0000000000000110", "0000000000000101", "0000000000001000"],
+]
+CT_N2 = [
+    ["11"], ["001011", "10"], ["000111", "00111", "011"],
+    ["0000111", "001010", "001001", "0101"],
+    ["00000111", "000110", "000101", "0100"],
+    ["00000100", "0000110", "0000101", "00110"],
+    ["000000111", "00000110", "00000101", "001000"],
+    ["00000001111", "000000110", "000000101", "000100"],
+    ["00000001011", "00000001110", "00000001101", "0000100"],
+    ["000000001111", "00000001010", "00000001001", "000000100"],
+    ["000000001011", "000000001110", "000000001101", "00000001100"],
+    ["000000001000", "000000001010", "000000001001", "00000001000"],
+    ["0000000001111", "0000000001110", "0000000001101", "000000001100"],
+    ["0000000001011", "0000000001010", "0000000001001", "0000000001100"],
+    ["0000000000111", "00000000001011", "0000000000110", "0000000001000"],
+    ["00000000001001", "00000000001000", "00000000001010", "0000000000001"],
+    ["00000000000111", "00000000000110", "00000000000101", "00000000000100"],
+]
+CT_CDC = [
+    ["01"], ["000111", "1"], ["000100", "000110", "001"],
+    ["000011", "0000011", "0000010", "000101"],
+    ["000010", "00000011", "00000010", "0000000"],
+]
+TZ = [
+    ["1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+     "000010", "0000011", "0000010", "00000011", "00000010", "000000011",
+     "000000010", "000000001"],
+    ["111", "110", "101", "100", "011", "0101", "0100", "0011",
+     "0010", "00011", "00010", "000011", "000010", "000001", "000000"],
+    ["0101", "111", "110", "101", "0100", "0011", "100", "011",
+     "0010", "00011", "00010", "000001", "00001", "000000"],
+    ["00011", "111", "0101", "0100", "110", "101", "100", "0011",
+     "011", "0010", "00010", "00001", "00000"],
+    ["0101", "0100", "0011", "111", "110", "101", "100", "011",
+     "0010", "00001", "0001", "00000"],
+    ["000001", "00001", "111", "110", "101", "100", "011", "010",
+     "0001", "001", "000000"],
+    ["000001", "00001", "101", "100", "011", "11", "010", "0001",
+     "001", "000000"],
+    ["000001", "0001", "00001", "011", "11", "10", "010", "001",
+     "000000"],
+    ["000001", "000000", "0001", "11", "10", "001", "01", "00001"],
+    ["00001", "00000", "001", "11", "10", "01", "0001"],
+    ["0000", "0001", "001", "010", "1", "011"],
+    ["0000", "0001", "01", "1", "001"],
+    ["000", "001", "1", "01"],
+    ["00", "01", "1"],
+    ["0", "1"],
+]
+TZ_CDC = [["1", "01", "001", "000"], ["1", "01", "00"], ["1", "0"]]
+RB = [
+    ["1", "0"], ["1", "01", "00"], ["11", "10", "01", "00"],
+    ["11", "10", "01", "001", "000"],
+    ["11", "10", "011", "010", "001", "000"],
+    ["11", "000", "001", "011", "010", "101", "100"],
+    ["111", "110", "101", "100", "011", "010", "001"],
+]
+
+ZIGZAG = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
+BLK_POS = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+           (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3)]
+CBP_INTRA = [47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+             16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+             8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41]
+DEQUANT_V = [(10, 13, 16), (11, 14, 18), (13, 16, 20),
+             (14, 18, 23), (16, 20, 25), (18, 23, 29)]
+CHROMA_QP = [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37,
+             38, 38, 38, 39, 39, 39, 39]
+
+
+def chroma_qp(qp):
+    return qp if qp < 30 else CHROMA_QP[qp - 30]
+
+
+def v_class(raster):
+    i, j = raster >> 2, raster & 3
+    if i % 2 == 0 and j % 2 == 0:
+        return 0
+    if i % 2 == 1 and j % 2 == 1:
+        return 2
+    return 1
+
+
+# ---- CAVLC residual encode ---------------------------------------------
+
+def encode_residual(w, levels, nC):
+    """levels: scan-order ints (len 4, 15 or 16). Returns TotalCoeff."""
+    nz = [(v, p) for p, v in enumerate(levels) if v != 0]
+    nz.reverse()  # highest frequency first
+    tc = len(nz)
+    t1 = 0
+    while t1 < min(3, tc) and abs(nz[t1][0]) == 1:
+        t1 += 1
+    if nC == -1:
+        w.code(CT_CDC[tc][t1])
+    elif nC < 2:
+        w.code(CT_N0[tc][t1])
+    elif nC < 4:
+        w.code(CT_N2[tc][t1])
+    else:
+        w.u(3 if tc == 0 else (tc - 1) * 4 + t1, 6)
+    if tc == 0:
+        return 0
+    for i in range(t1):
+        w.bit(1 if nz[i][0] < 0 else 0)
+    suffix_len = 1 if tc > 10 and t1 < 3 else 0
+    for i in range(t1, tc):
+        level = nz[i][0]
+        lc = 2 * level - 2 if level > 0 else -2 * level - 1
+        if i == t1 and t1 < 3:
+            lc -= 2
+        if lc < (14 if suffix_len == 0 else 15 << suffix_len):
+            w.u(0, lc >> suffix_len)
+            w.bit(1)
+            if suffix_len > 0:
+                w.u(lc & ((1 << suffix_len) - 1), suffix_len)
+        elif suffix_len == 0 and lc < 30:
+            w.u(0, 14)
+            w.bit(1)
+            w.u(lc - 14, 4)
+        else:
+            adj = lc - 15 if suffix_len == 0 else lc
+            rem = adj - (15 << suffix_len)
+            p = 15
+            while p < 28 and rem - ((1 << (p - 3)) - 4096 if p >= 16 else 0) \
+                    >= (1 << (p - 3)):
+                p += 1
+            w.u(0, p)
+            w.bit(1)
+            w.u(rem - ((1 << (p - 3)) - 4096 if p >= 16 else 0), p - 3)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    highest = nz[0][1]
+    total_zeros = highest + 1 - tc
+    if tc < len(levels):
+        if len(levels) == 4:
+            w.code(TZ_CDC[tc - 1][total_zeros])
+        else:
+            w.code(TZ[tc - 1][total_zeros])
+    zeros_left = total_zeros
+    for i in range(tc - 1):
+        if zeros_left <= 0:
+            break
+        run = nz[i][1] - nz[i + 1][1] - 1
+        zl = min(zeros_left, 7)
+        if zl < 7:
+            w.code(RB[zl - 1][run])
+        elif run < 7:
+            w.code(RB[6][run])
+        else:
+            w.u(0, run - 4)
+            w.bit(1)
+        zeros_left -= run
+    return tc
+
+
+# ---- transforms / reconstruction ---------------------------------------
+
+def clip(v):
+    return max(0, min(255, v))
+
+
+def dequant4x4(levels, qp, skip_dc, dc_override):
+    d = [0] * 16
+    m, shift = qp % 6, qp // 6
+    for s in range(16):
+        raster = ZIGZAG[s]
+        c = levels[s]
+        if c != 0 and not (skip_dc and s == 0):
+            ls = DEQUANT_V[m][v_class(raster)] * 16
+            if qp >= 24:
+                d[raster] = (c * ls) << (shift - 4)
+            else:
+                d[raster] = (c * ls + (1 << (3 - shift))) >> (4 - shift)
+    if skip_dc:
+        d[0] = dc_override
+    return d
+
+
+def itransform(d):
+    e = [0] * 16
+    for i in range(4):
+        d0, d1, d2, d3 = d[i * 4:i * 4 + 4]
+        a0, a1 = d0 + d2, d0 - d2
+        a2, a3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
+        e[i * 4:i * 4 + 4] = [a0 + a3, a1 + a2, a1 - a2, a0 - a3]
+    r = [0] * 16
+    for j in range(4):
+        d0, d1, d2, d3 = e[j], e[4 + j], e[8 + j], e[12 + j]
+        a0, a1 = d0 + d2, d0 - d2
+        a2, a3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
+        vals = [a0 + a3, a1 + a2, a1 - a2, a0 - a3]
+        for k in range(4):
+            r[k * 4 + j] = (vals[k] + 32) >> 6
+    return r
+
+
+def luma_dc_transform(zz, qp):
+    f = [0] * 16
+    for s in range(16):
+        f[ZIGZAG[s]] = zz[s]
+    g = [0] * 16
+    for i in range(4):
+        a, b = f[i * 4] + f[i * 4 + 2], f[i * 4] - f[i * 4 + 2]
+        c, d = f[i * 4 + 1] + f[i * 4 + 3], f[i * 4 + 1] - f[i * 4 + 3]
+        g[i * 4:i * 4 + 4] = [a + c, b + d, b - d, a - c]
+    h = [0] * 16
+    for j in range(4):
+        a, b = g[j] + g[8 + j], g[j] - g[8 + j]
+        c, d = g[4 + j] + g[12 + j], g[4 + j] - g[12 + j]
+        h[j], h[4 + j], h[8 + j], h[12 + j] = a + c, b + d, b - d, a - c
+    ls = DEQUANT_V[qp % 6][0] * 16
+    out = []
+    for v in h:
+        if qp >= 36:
+            out.append((v * ls) << (qp // 6 - 6))
+        else:
+            out.append((v * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6))
+    return out
+
+
+def chroma_dc_transform(c, qpc):
+    f = [c[0] + c[1] + c[2] + c[3], c[0] - c[1] + c[2] - c[3],
+         c[0] + c[1] - c[2] - c[3], c[0] - c[1] - c[2] + c[3]]
+    ls = DEQUANT_V[qpc % 6][0] * 16
+    return [((v * ls) << (qpc // 6)) >> 5 for v in f]
+
+
+# ---- intra prediction ---------------------------------------------------
+
+MODE_NEEDS = {0: {"up"}, 1: {"left"}, 2: set(), 3: {"up"},
+              4: {"up", "left", "upleft"}, 5: {"up", "left", "upleft"},
+              6: {"up", "left", "upleft"}, 7: {"up"}, 8: {"left"}}
+
+
+def predict4x4(get, x0, y0, mode, avail, pred):
+    aL, aU, aUL, aUR = (avail["left"], avail["up"], avail["upleft"],
+                        avail["upright"])
+    left = [get(x0 - 1, y0 + i) for i in range(4)] if aL else [0] * 4
+    up = [0] * 8
+    if aU:
+        for i in range(4):
+            up[i] = get(x0 + i, y0 - 1)
+        if aUR:
+            for j in range(4, 8):
+                up[j] = get(x0 + j, y0 - 1)
+        else:
+            for j in range(4, 8):
+                up[j] = up[3]
+    ul = get(x0 - 1, y0 - 1) if aUL else 0
+
+    def px(k):
+        return ul if k < 0 else up[k]
+
+    def pl(k):
+        return ul if k < 0 else left[k]
+
+    def st(i, j, v):
+        pred[j * 4 + i] = v
+    if mode == 0:
+        for j in range(4):
+            for i in range(4):
+                st(i, j, up[i])
+    elif mode == 1:
+        for j in range(4):
+            for i in range(4):
+                st(i, j, left[j])
+    elif mode == 2:
+        if aL and aU:
+            dc = (sum(left) + sum(up[:4]) + 4) >> 3
+        elif aL:
+            dc = (sum(left) + 2) >> 2
+        elif aU:
+            dc = (sum(up[:4]) + 2) >> 2
+        else:
+            dc = 128
+        for j in range(4):
+            for i in range(4):
+                st(i, j, dc)
+    elif mode == 3:
+        for j in range(4):
+            for i in range(4):
+                if i == 3 and j == 3:
+                    st(i, j, (up[6] + 3 * up[7] + 2) >> 2)
+                else:
+                    st(i, j, (up[i + j] + 2 * up[i + j + 1] + up[i + j + 2] + 2) >> 2)
+    elif mode == 4:
+        for j in range(4):
+            for i in range(4):
+                if i > j:
+                    st(i, j, (px(i - j - 2) + 2 * px(i - j - 1) + px(i - j) + 2) >> 2)
+                elif i < j:
+                    st(i, j, (pl(j - i - 2) + 2 * pl(j - i - 1) + pl(j - i) + 2) >> 2)
+                else:
+                    st(i, j, (up[0] + 2 * ul + left[0] + 2) >> 2)
+    elif mode == 5:
+        for j in range(4):
+            for i in range(4):
+                z = 2 * i - j
+                if z >= 0 and z % 2 == 0:
+                    k = i - (j >> 1)
+                    st(i, j, (px(k - 1) + px(k) + 1) >> 1)
+                elif z >= 0:
+                    k = i - (j >> 1)
+                    st(i, j, (px(k - 2) + 2 * px(k - 1) + px(k) + 2) >> 2)
+                elif z == -1:
+                    st(i, j, (left[0] + 2 * ul + up[0] + 2) >> 2)
+                else:
+                    st(i, j, (pl(j - 1) + 2 * pl(j - 2) + pl(j - 3) + 2) >> 2)
+    elif mode == 6:
+        for j in range(4):
+            for i in range(4):
+                z = 2 * j - i
+                if z >= 0 and z % 2 == 0:
+                    k = j - (i >> 1)
+                    st(i, j, (pl(k - 1) + pl(k) + 1) >> 1)
+                elif z >= 0:
+                    k = j - (i >> 1)
+                    st(i, j, (pl(k - 2) + 2 * pl(k - 1) + pl(k) + 2) >> 2)
+                elif z == -1:
+                    st(i, j, (left[0] + 2 * ul + up[0] + 2) >> 2)
+                else:
+                    st(i, j, (px(i - 1) + 2 * px(i - 2) + px(i - 3) + 2) >> 2)
+    elif mode == 7:
+        for j in range(4):
+            for i in range(4):
+                k = i + (j >> 1)
+                if j % 2 == 0:
+                    st(i, j, (up[k] + up[k + 1] + 1) >> 1)
+                else:
+                    st(i, j, (up[k] + 2 * up[k + 1] + up[k + 2] + 2) >> 2)
+    elif mode == 8:
+        for j in range(4):
+            for i in range(4):
+                z = i + 2 * j
+                if z % 2 == 0 and z < 6:
+                    st(i, j, (left[j + (i >> 1)] + left[j + (i >> 1) + 1] + 1) >> 1)
+                elif z % 2 == 1 and z < 5:
+                    st(i, j, (left[j + (i >> 1)] + 2 * left[j + (i >> 1) + 1] +
+                              left[j + (i >> 1) + 2] + 2) >> 2)
+                elif z == 5:
+                    st(i, j, (left[2] + 3 * left[3] + 2) >> 2)
+                else:
+                    st(i, j, left[3])
+    else:
+        raise ValueError(mode)
+
+
+def predict16x16(get, x0, y0, mode, aL, aU, aUL, pred):
+    left = [get(x0 - 1, y0 + i) for i in range(16)] if aL else [0] * 16
+    up = [get(x0 + i, y0 - 1) for i in range(16)] if aU else [0] * 16
+    if mode == 0:
+        for j in range(16):
+            for i in range(16):
+                pred[j * 16 + i] = up[i]
+    elif mode == 1:
+        for j in range(16):
+            for i in range(16):
+                pred[j * 16 + i] = left[j]
+    elif mode == 2:
+        if aL and aU:
+            dc = (sum(left) + sum(up) + 16) >> 5
+        elif aL:
+            dc = (sum(left) + 8) >> 4
+        elif aU:
+            dc = (sum(up) + 8) >> 4
+        else:
+            dc = 128
+        for k in range(256):
+            pred[k] = dc
+    elif mode == 3:
+        ul = get(x0 - 1, y0 - 1)
+        hs = sum(i * (up[7 + i] - (up[7 - i] if 7 - i >= 0 else ul))
+                 for i in range(1, 9))
+        vs = sum(i * (left[7 + i] - (left[7 - i] if 7 - i >= 0 else ul))
+                 for i in range(1, 9))
+        b = (5 * hs + 32) >> 6
+        c = (5 * vs + 32) >> 6
+        a = 16 * (left[15] + up[15])
+        for j in range(16):
+            for i in range(16):
+                pred[j * 16 + i] = clip((a + b * (i - 7) + c * (j - 7) + 16) >> 5)
+    else:
+        raise ValueError(mode)
+
+
+def predict_chroma(get, x0, y0, mode, aL, aU, aUL, pred):
+    left = [get(x0 - 1, y0 + i) for i in range(8)] if aL else [0] * 8
+    up = [get(x0 + i, y0 - 1) for i in range(8)] if aU else [0] * 8
+    if mode == 0:
+        for sb in range(4):
+            sx, sy = (sb & 1) * 4, (sb >> 1) * 4
+            if sb == 0:
+                if aU and aL:
+                    dc = (sum(up[:4]) + sum(left[:4]) + 4) >> 3
+                elif aU:
+                    dc = (sum(up[:4]) + 2) >> 2
+                elif aL:
+                    dc = (sum(left[:4]) + 2) >> 2
+                else:
+                    dc = 128
+            elif sb == 1:
+                if aU:
+                    dc = (sum(up[4:]) + 2) >> 2
+                elif aL:
+                    dc = (sum(left[:4]) + 2) >> 2
+                else:
+                    dc = 128
+            elif sb == 2:
+                if aL:
+                    dc = (sum(left[4:]) + 2) >> 2
+                elif aU:
+                    dc = (sum(up[:4]) + 2) >> 2
+                else:
+                    dc = 128
+            else:
+                if aU and aL:
+                    dc = (sum(up[4:]) + sum(left[4:]) + 4) >> 3
+                elif aU:
+                    dc = (sum(up[4:]) + 2) >> 2
+                elif aL:
+                    dc = (sum(left[4:]) + 2) >> 2
+                else:
+                    dc = 128
+            for j in range(4):
+                for i in range(4):
+                    pred[(sy + j) * 8 + sx + i] = dc
+    elif mode == 1:
+        for j in range(8):
+            for i in range(8):
+                pred[j * 8 + i] = left[j]
+    elif mode == 2:
+        for j in range(8):
+            for i in range(8):
+                pred[j * 8 + i] = up[i]
+    elif mode == 3:
+        ul = get(x0 - 1, y0 - 1)
+        hs = sum(i * (up[3 + i] - (up[3 - i] if 3 - i >= 0 else ul))
+                 for i in range(1, 5))
+        vs = sum(i * (left[3 + i] - (left[3 - i] if 3 - i >= 0 else ul))
+                 for i in range(1, 5))
+        b = (17 * hs + 16) >> 5
+        c = (17 * vs + 16) >> 5
+        a = 16 * (left[7] + up[7])
+        for j in range(8):
+            for i in range(8):
+                pred[j * 8 + i] = clip((a + b * (i - 3) + c * (j - 3) + 16) >> 5)
+    else:
+        raise ValueError(mode)
+
+# ---- SPS / PPS (same subset fields as the I_PCM generator) --------------
+
+def sps_nal(width, height):
+    w = BitWriter()
+    w.u(66, 8)          # profile_idc baseline
+    w.u(0, 8)
+    w.u(10, 8)          # level
+    w.ue(0)             # sps id
+    w.ue(0)             # log2_max_frame_num_minus4
+    w.ue(2)             # pic_order_cnt_type
+    w.ue(0)             # max_num_ref_frames
+    w.u(0, 1)
+    mb_w = (width + 15) // 16
+    mb_h = (height + 15) // 16
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.u(1, 1)           # frame_mbs_only
+    w.u(0, 1)           # direct_8x8
+    crop_r = (mb_w * 16 - width) // 2
+    crop_b = (mb_h * 16 - height) // 2
+    if crop_r or crop_b:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)           # vui
+    w.trailing()
+    return nal(7, w.rbsp())
+
+
+def pps_nal():
+    w = BitWriter()
+    w.ue(0); w.ue(0)
+    w.u(0, 1); w.u(0, 1)
+    w.ue(0); w.ue(0); w.ue(0)
+    w.u(0, 1); w.u(0, 2)
+    w.se(0); w.se(0); w.se(0)
+    w.u(0, 1); w.u(0, 1); w.u(0, 1)
+    w.trailing()
+    return nal(8, w.rbsp())
+
+
+# ---- picture state -------------------------------------------------------
+
+class Pic:
+    def __init__(self, mb_w, mb_h, qp):
+        self.mb_w, self.mb_h, self.qp = mb_w, mb_h, qp
+        self.w, self.h = mb_w * 16, mb_h * 16
+        self.y = [0] * (self.w * self.h)
+        self.cb = [0] * (self.w * self.h // 4)
+        self.cr = [0] * (self.w * self.h // 4)
+        self.luma_tc = [-1] * (mb_w * 4 * mb_h * 4)
+        self.cb_tc = [-1] * (mb_w * 2 * mb_h * 2)
+        self.cr_tc = [-1] * (mb_w * 2 * mb_h * 2)
+        self.i4_mode = [-1] * (mb_w * 4 * mb_h * 4)
+
+    def luma_tc_at(self, bx, by):
+        if bx < 0 or by < 0 or bx >= self.mb_w * 4 or by >= self.mb_h * 4:
+            return -1
+        return self.luma_tc[by * self.mb_w * 4 + bx]
+
+    def chroma_tc_at(self, arr, bx, by):
+        if bx < 0 or by < 0 or bx >= self.mb_w * 2 or by >= self.mb_h * 2:
+            return -1
+        return arr[by * self.mb_w * 2 + bx]
+
+    @staticmethod
+    def nC(a, b):
+        if a >= 0 and b >= 0:
+            return (a + b + 1) >> 1
+        return a if a >= 0 else (b if b >= 0 else 0)
+
+
+IDX_OF = {pos: i for i, pos in enumerate(BLK_POS)}
+
+
+def luma_block_avail(pic, mx, my, k, bx, by):
+    if bx < 0 or by < 0 or bx >= pic.mb_w * 4 or by >= pic.mb_h * 4:
+        return False
+    nmx, nmy = bx // 4, by // 4
+    if nmy < my or (nmy == my and nmx < mx):
+        return True
+    if nmx == mx and nmy == my:
+        return IDX_OF[(bx % 4, by % 4)] < k
+    return False
+
+
+def legal_modes(pic, mx, my, k):
+    bx0, by0 = mx * 4, my * 4
+    x4, y4 = BLK_POS[k]
+    avail = {
+        "left": luma_block_avail(pic, mx, my, k, bx0 + x4 - 1, by0 + y4),
+        "up": luma_block_avail(pic, mx, my, k, bx0 + x4, by0 + y4 - 1),
+        "upleft": luma_block_avail(pic, mx, my, k, bx0 + x4 - 1, by0 + y4 - 1),
+    }
+    return [m for m in range(9) if all(
+        avail.get(need, False) for need in MODE_NEEDS[m])], avail
+
+
+# ---- the shared recipe formulas (restated in the Scala interop spec) ----
+
+def i4_levels(k, m):
+    lv = [0] * 16
+    for p in range(16):
+        if (p * 7 + k * 3 + m * 5) % 6 == 0:
+            v = ((p + k + m) % 5) - 2
+            if v == 0:
+                v = 1
+            if p == 0:
+                v *= 3
+            lv[p] = v
+    return lv
+
+
+def i16_dc_levels(m):
+    lv = [0] * 16
+    for p in range(16):
+        if (p * 5 + m * 7) % 7 == 0:
+            v = ((p + m) % 7) - 3
+            if v == 0:
+                v = 2
+            lv[p] = v
+    return lv
+
+
+def i16_ac_levels(k, m):
+    lv = [0] * 16
+    for p in range(1, 16):
+        if (p * 7 + k * 3 + m * 5) % 8 == 0:
+            v = ((p + k + m) % 5) - 2
+            if v == 0:
+                v = 1
+            lv[p] = v
+    return lv
+
+
+def chroma_dc_levels(c, m):
+    lv = [0] * 4
+    for p in range(4):
+        if (p + c + m) % 2 == 0:
+            v = ((p + c + m) % 3) - 1
+            if v == 0:
+                v = 1
+            lv[p] = v
+    return lv
+
+
+def chroma_ac_levels(c, b, m):
+    lv = [0] * 16
+    for p in range(1, 16):
+        if (p * 5 + b * 3 + c + m * 7) % 9 == 0:
+            v = ((p + b + c + m) % 5) - 2
+            if v == 0:
+                v = -1
+            lv[p] = v
+    return lv
+
+
+# ---- macroblock encode + reconstruct ------------------------------------
+
+def do_chroma(w, pic, mx, my, m, cbp_chroma, chroma_mode, qpc):
+    cg = pic.mb_w * 2
+    cx0, cy0 = mx * 2, my * 2
+    for plane, arr, comp in ((pic.cb, pic.cb_tc, 0), (pic.cr, pic.cr_tc, 1)):
+        pass  # residual bits are interleaved Cb-DC, Cr-DC, Cb-AC, Cr-AC below
+    dc_levels = [chroma_dc_levels(0, m) if cbp_chroma else [0] * 4,
+                 chroma_dc_levels(1, m) if cbp_chroma else [0] * 4]
+    ac_levels = [[chroma_ac_levels(c, b, m) if cbp_chroma == 2 else [0] * 16
+                  for b in range(4)] for c in range(2)]
+    if cbp_chroma:
+        encode_residual(w, dc_levels[0], -1)
+        encode_residual(w, dc_levels[1], -1)
+    for c in range(2):
+        arr = pic.cb_tc if c == 0 else pic.cr_tc
+        for b in range(4):
+            bx, by = cx0 + (b & 1), cy0 + (b >> 1)
+            if cbp_chroma == 2:
+                nc = Pic.nC(pic.chroma_tc_at(arr, bx - 1, by),
+                            pic.chroma_tc_at(arr, bx, by - 1))
+                tc = encode_residual(w, ac_levels[c][b][1:], nc)
+                arr[by * cg + bx] = tc
+            else:
+                arr[by * cg + bx] = 0
+    # reconstruction
+    cw, chh = pic.w // 2, pic.h // 2
+    for c in range(2):
+        plane = pic.cb if c == 0 else pic.cr
+        pred = [0] * 64
+
+        def get(x, yy):
+            return plane[yy * cw + x]
+        predict_chroma(get, mx * 8, my * 8, chroma_mode,
+                       mx > 0, my > 0, mx > 0 and my > 0, pred)
+        dc = chroma_dc_transform(dc_levels[c], qpc)
+        for b in range(4):
+            x4, y4 = b & 1, b >> 1
+            d = dequant4x4(ac_levels[c][b], qpc, True, dc[b])
+            r = itransform(d)
+            for j in range(4):
+                for i in range(4):
+                    px, py = x4 * 4 + i, y4 * 4 + j
+                    plane[(my * 8 + py) * cw + mx * 8 + px] = \
+                        clip(pred[py * 8 + px] + r[j * 4 + i])
+
+
+def encode_mb(w, pic, mx, my, m, spec):
+    kind = spec["kind"]
+    lg = pic.mb_w * 4
+    bx0, by0 = mx * 4, my * 4
+    qp_delta = spec.get("qp_delta", 0)
+    chroma_mode = spec.get("chroma_mode", 0)
+    cbp_chroma = spec.get("cbp_chroma", 0)
+    if kind == "i16":
+        mode = spec["mode"]
+        cbp_luma_ac = spec.get("ac", False)
+        t = mode + cbp_chroma * 4 + (12 if cbp_luma_ac else 0)
+        w.ue(t + 1)
+        w.ue(chroma_mode)
+        w.se(qp_delta)
+        pic.qp = ((pic.qp + qp_delta) % 52 + 52) % 52
+        qp, qpc = pic.qp, chroma_qp(pic.qp)
+        dc_zz = i16_dc_levels(m)
+        nc = Pic.nC(pic.luma_tc_at(bx0 - 1, by0), pic.luma_tc_at(bx0, by0 - 1))
+        encode_residual(w, dc_zz, nc)
+        ac = [i16_ac_levels(k, m) if cbp_luma_ac else [0] * 16
+              for k in range(16)]
+        for k in range(16):
+            x4, y4 = BLK_POS[k]
+            bx, by = bx0 + x4, by0 + y4
+            if cbp_luma_ac:
+                nck = Pic.nC(pic.luma_tc_at(bx - 1, by), pic.luma_tc_at(bx, by - 1))
+                tc = encode_residual(w, ac[k][1:], nck)
+                pic.luma_tc[by * lg + bx] = tc
+            else:
+                pic.luma_tc[by * lg + bx] = 0
+        # reconstruction
+        pred = [0] * 256
+
+        def gety(x, yy):
+            return pic.y[yy * pic.w + x]
+        predict16x16(gety, mx * 16, my * 16, mode,
+                     mx > 0, my > 0, mx > 0 and my > 0, pred)
+        dc = luma_dc_transform(dc_zz, qp)
+        for k in range(16):
+            x4, y4 = BLK_POS[k]
+            d = dequant4x4(ac[k], qp, True, dc[y4 * 4 + x4])
+            r = itransform(d)
+            for j in range(4):
+                for i in range(4):
+                    px, py = x4 * 4 + i, y4 * 4 + j
+                    pic.y[(my * 16 + py) * pic.w + mx * 16 + px] = \
+                        clip(pred[py * 16 + px] + r[j * 4 + i])
+        do_chroma(w, pic, mx, my, m, cbp_chroma, chroma_mode, qpc)
+    else:  # i4
+        w.ue(0)
+        modes = []
+        for k in range(16):
+            legal, _ = legal_modes(pic, mx, my, k)
+            mode = legal[(k * 3 + m * 5) % len(legal)]
+            modes.append(mode)
+        # signal modes with prediction
+        for k in range(16):
+            x4, y4 = BLK_POS[k]
+
+            def nb_mode(bx, by):
+                if bx < 0 or by < 0 or bx >= lg or by >= pic.mb_h * 4:
+                    return 2
+                nmx, nmy = bx // 4, by // 4
+                decoded = (nmy < my or (nmy == my and nmx < mx) or
+                           (nmx == mx and nmy == my and
+                            IDX_OF[(bx % 4, by % 4)] < k))
+                if not decoded:
+                    return 2
+                mm = (modes[IDX_OF[(bx % 4, by % 4)]]
+                      if (nmx, nmy) == (mx, my)
+                      else pic.i4_mode[by * lg + bx])
+                return 2 if mm < 0 else mm
+            pm = min(nb_mode(bx0 + x4 - 1, by0 + y4),
+                     nb_mode(bx0 + x4, by0 + y4 - 1))
+            if modes[k] == pm:
+                w.bit(1)
+            else:
+                w.bit(0)
+                w.u(modes[k] if modes[k] < pm else modes[k] - 1, 3)
+        w.ue(chroma_mode)
+        luma = [i4_levels(k, m) for k in range(16)]
+        cbp_luma = 0
+        for q in range(4):
+            if any(any(luma[q * 4 + i]) for i in range(4)):
+                cbp_luma |= 1 << q
+        cbp = cbp_luma | (cbp_chroma << 4)
+        w.ue(CBP_INTRA.index(cbp))
+        if cbp != 0:
+            w.se(qp_delta)
+            pic.qp = ((pic.qp + qp_delta) % 52 + 52) % 52
+        qp, qpc = pic.qp, chroma_qp(pic.qp)
+        for k in range(16):
+            x4, y4 = BLK_POS[k]
+            bx, by = bx0 + x4, by0 + y4
+            if cbp_luma & (1 << (k >> 2)):
+                nck = Pic.nC(pic.luma_tc_at(bx - 1, by), pic.luma_tc_at(bx, by - 1))
+                tc = encode_residual(w, luma[k], nck)
+                pic.luma_tc[by * lg + bx] = tc
+            else:
+                pic.luma_tc[by * lg + bx] = 0
+        # sequential per-block reconstruction
+        for k in range(16):
+            x4, y4 = BLK_POS[k]
+            x0, y0 = mx * 16 + x4 * 4, my * 16 + y4 * 4
+            bx, by = bx0 + x4, by0 + y4
+            avail = {
+                "left": luma_block_avail(pic, mx, my, k, bx - 1, by),
+                "up": luma_block_avail(pic, mx, my, k, bx, by - 1),
+                "upleft": luma_block_avail(pic, mx, my, k, bx - 1, by - 1),
+                "upright": luma_block_avail(pic, mx, my, k, bx + 1, by - 1),
+            }
+            pred = [0] * 16
+
+            def gety(x, yy):
+                return pic.y[yy * pic.w + x]
+            predict4x4(gety, x0, y0, modes[k], avail, pred)
+            d = dequant4x4(luma[k], qp, False, 0)
+            r = itransform(d)
+            for j in range(4):
+                for i in range(4):
+                    pic.y[(y0 + j) * pic.w + x0 + i] = \
+                        clip(pred[j * 4 + i] + r[j * 4 + i])
+            pic.i4_mode[by * lg + bx] = modes[k]
+        do_chroma(w, pic, mx, my, m, cbp_chroma, chroma_mode, qpc)
+
+
+def encode_picture(mb_w, mb_h, slice_qp_delta, specs):
+    w = BitWriter()
+    w.ue(0)        # first_mb_in_slice
+    w.ue(7)        # slice_type I
+    w.ue(0)        # pps id
+    w.u(0, 4)      # frame_num
+    w.ue(0)        # idr_pic_id
+    w.u(0, 1); w.u(0, 1)
+    w.se(slice_qp_delta)
+    pic = Pic(mb_w, mb_h, ((26 + slice_qp_delta) % 52 + 52) % 52)
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            m = my * mb_w + mx
+            encode_mb(w, pic, mx, my, m, specs[m])
+    w.trailing()
+    return nal(5, w.rbsp()), pic
+
+
+# ---- fixtures ------------------------------------------------------------
+
+FIXTURES = {
+    # Intra_16x16: all four pred modes, AC residuals, chroma DC+AC,
+    # per-MB qp deltas, all four chroma modes
+    "i16_rich": (2, 2, 2, [
+        {"kind": "i16", "mode": 2, "ac": True, "cbp_chroma": 2,
+         "qp_delta": 0, "chroma_mode": 0},
+        {"kind": "i16", "mode": 1, "ac": True, "cbp_chroma": 1,
+         "qp_delta": 2, "chroma_mode": 1},
+        {"kind": "i16", "mode": 0, "ac": False, "cbp_chroma": 0,
+         "qp_delta": -2, "chroma_mode": 2},
+        {"kind": "i16", "mode": 3, "ac": True, "cbp_chroma": 2,
+         "qp_delta": 0, "chroma_mode": 3},
+    ]),
+    # Intra_4x4: availability-derived mode sweep (all nine modes reached),
+    # dense residual formulas, mixed chroma patterns
+    "i4_rich": (2, 2, 0, [
+        {"kind": "i4", "cbp_chroma": 2, "qp_delta": 0, "chroma_mode": 0},
+        {"kind": "i4", "cbp_chroma": 0, "qp_delta": 2, "chroma_mode": 1},
+        {"kind": "i4", "cbp_chroma": 1, "qp_delta": -4, "chroma_mode": 2},
+        {"kind": "i4", "cbp_chroma": 2, "qp_delta": 2, "chroma_mode": 3},
+    ]),
+    # high QP: the qp >= 36 luma DC branch and the chroma QP table
+    "i16_hiqp": (1, 1, 14, [
+        {"kind": "i16", "mode": 2, "ac": True, "cbp_chroma": 2,
+         "qp_delta": 0, "chroma_mode": 0},
+    ]),
+    # low QP: the qp < 24 dequant rounding branch
+    "i4_loqp": (2, 1, -6, [
+        {"kind": "i4", "cbp_chroma": 2, "qp_delta": 0, "chroma_mode": 0},
+        {"kind": "i4", "cbp_chroma": 2, "qp_delta": 0, "chroma_mode": 1},
+    ]),
+}
+
+lines = []
+for name, (mb_w, mb_h, sqd, specs) in sorted(FIXTURES.items()):
+    nal_bytes, pic = encode_picture(mb_w, mb_h, sqd, specs)
+    lines.append(" ".join([
+        name, str(mb_w), str(mb_h), str(sqd), nal_bytes.hex(),
+        bytes(pic.y).hex(), bytes(pic.cb).hex(), bytes(pic.cr).hex()]))
+
+OUT.parent.mkdir(parents=True, exist_ok=True)
+OUT.write_text("\n".join(lines) + "\n")
+print(f"wrote {len(lines)} CAVLC fixtures to {OUT}")

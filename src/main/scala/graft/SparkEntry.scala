@@ -2098,6 +2098,40 @@ object SparkEntry {
         .toDF("doc_id", "n_frames", "frame_w", "frame_h", "y_mean_first")
     }),
 
+    // ENTROPY-CODED H.264: the m11 shape with CAVLC Intra_16x16 access
+    // units instead of raw I_PCM — coeff_token/level/total_zeros bits,
+    // DC dequant + Hadamard, intra DC prediction propagating across
+    // macroblocks. The generator plants a known DC level in the first
+    // macroblock at QP 28 (where the §8.5.10 chain reduces to
+    // pixel += level), so the decoded full-plane mean is id arithmetic
+    // the oracle can state. Map-only, zero exchanges, like m10/m11
+    "m12_h264_cavlc" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select("doc_id").as[Long]
+        .map { id =>
+          val bytes = graft.multimodal.SyntheticMedia.h264CavlcMp4Bytes(id)
+          val frames = graft.multimodal.Multimodal.mp4Avc1Track(bytes)
+            .toSeq.flatMap { case (sps, pps, lenSize, samples) =>
+              samples.flatMap(smp => graft.multimodal.H264.decodeNals(
+                Seq(sps, pps) ++
+                  graft.multimodal.Multimodal.avccNals(smp, lenSize)))
+            }
+          val yMean = frames.headOption.map { f =>
+            f.y.foldLeft(0L)((a, b) => a + (b & 0xff)) / f.y.length
+          }.getOrElse(-1L)
+          // and the LAST frame too: each sample decodes independently
+          // through the entropy path (different DC level per frame)
+          val yMeanLast = frames.lastOption.map { f =>
+            f.y.foldLeft(0L)((a, b) => a + (b & 0xff)) / f.y.length
+          }.getOrElse(-1L)
+          (id, frames.length,
+            frames.headOption.map(_.width).getOrElse(0),
+            frames.headOption.map(_.height).getOrElse(0), yMean, yMeanLast)
+        }
+        .toDF("doc_id", "n_frames", "frame_w", "frame_h",
+          "y_mean_first", "y_mean_last")
+    }),
+
     // relational extras (set ops, top-k, rollup, analytic, json) -----------
 
     "x1_setops" -> ((s, dir) => {
@@ -7061,6 +7095,18 @@ object SparkEntry {
         |  (16 + 2 * (doc_id % 9))::INT AS frame_w,
         |  (16 + 2 * (doc_id % 7))::INT AS frame_h,
         |  ((doc_id * 5) % 200 + 28)::BIGINT AS y_mean_first
+        |FROM documents""".stripMargin,
+
+    // the CAVLC generator plants luma DC level ((id·7 + i·13) mod 15) − 7
+    // in frame i at QP 28; the decoded plane is constant 128 + level, so
+    // mean luma is exactly that arithmetic for the first and last frame
+    "m12_h264_cavlc" ->
+      """SELECT doc_id,
+        |  (1 + doc_id % 3)::INT AS n_frames,
+        |  (16 * (1 + doc_id % 3))::INT AS frame_w,
+        |  (16 * (1 + doc_id % 2))::INT AS frame_h,
+        |  (128 + (doc_id * 7) % 15 - 7)::BIGINT AS y_mean_first,
+        |  (128 + (doc_id * 7 + (doc_id % 3) * 13) % 15 - 7)::BIGINT AS y_mean_last
         |FROM documents""".stripMargin,
 
     "x1_setops" ->

@@ -317,7 +317,8 @@ private[kafka] class GraftKafkaStreamingWrite(options: CaseInsensitiveStringMap,
   // Wire unwraps on the broker). Unknown codecs are refused HERE, at
   // plan time, not per task. Value matched case-insensitively, like the
   // (CaseInsensitiveStringMap) option KEY lookup
-  private val codec = Option(options.get("compression")).map(_.toLowerCase) match {
+  private val codec = Option(options.get("compression"))
+      .map(_.toLowerCase(java.util.Locale.ROOT)) match {
     case None | Some("none") | Some("uncompressed") => 0
     case Some("gzip") => 1
     case Some("snappy") => 2

@@ -23,10 +23,13 @@ package graft.multimodal
   *
   * The encoder exists so the synthetic-media generator can emit REAL
   * H.264 the decoder can be held to (and any spec-conformant decoder
-  * would decode identically — I_PCM is lossless by definition). Streams
-  * using entropy-coded macroblocks (CAVLC/CABAC residuals) are outside
-  * this subset and are rejected loudly; the multimodal stub now covers
-  * only those. Reference behavior context: the reference treats media
+  * would decode identically — I_PCM is lossless by definition). Beyond
+  * I_PCM, CAVLC-coded INTRA macroblocks (Intra_4x4/Intra_16x16, §9.2
+  * residual decoding, §8.3 prediction, §8.5 transforms) decode for real
+  * via [[H264Intra]]/[[H264Cavlc]]; CABAC streams and inter-predicted
+  * (P/B) slices remain outside the subset, rejected loudly — the
+  * multimodal stub now covers only those. Reference behavior context:
+  * the reference treats media
   * values as opaque payloads end-to-end (`serdes/JsonSerde.scala:10-36`
   * is its only value codec), so this whole layer is beyond-reference
   * capability for the multimodal pipeline family.
@@ -109,6 +112,14 @@ object H264 {
     def alignZero(): Unit = while ((pos & 7) != 0)
       require(bit() == 0, "alignment bit not zero")
     def rawByte(): Byte = { require((pos & 7) == 0, "not byte-aligned"); ensure(8); val v = b(pos >> 3); pos += 8; v }
+    /** rbsp_trailing_bits: a stop 1 then only zeros to the end — the
+      * full-consumption check that keeps a garbage stream from parsing
+      * as a plausible short slice. */
+    def expectTrailing(): Unit = {
+      require(bit() == 1, "rbsp_stop_one_bit missing after slice data")
+      while (pos < b.length * 8)
+        require(bit() == 0, "nonzero bit after the rbsp stop bit")
+    }
   }
 
   // ---- RBSP ⇄ EBSP (emulation prevention, 7.3.1/7.4.1) -------------------
@@ -260,13 +271,23 @@ object H264 {
 
   /** The I_PCM subset only needs to know the PPS is CAVLC + single
     * slice group with no deblocking-override syntax in slice headers. */
-  private def validatePps(nalUnit: Array[Byte]): Unit = {
+  /** Validated PPS fields the intra subset consumes downstream. */
+  final case class Pps(initQp: Int, chromaQpOffset: Int)
+
+  private def validatePps(nalUnit: Array[Byte]): Pps = {
     require(nalType(nalUnit) == NalPps, s"not a PPS NAL: type ${nalType(nalUnit)}")
     val r = new BitReader(ebspToRbsp(nalUnit.drop(1)))
     r.ue(); r.ue()
-    require(r.u(1) == 0, "CABAC streams outside the I_PCM subset")
+    require(r.u(1) == 0, "CABAC streams outside the CAVLC intra subset")
     r.u(1)
-    require(r.ue() == 0, "slice groups outside the I_PCM subset")
+    require(r.ue() == 0, "slice groups outside the CAVLC intra subset")
+    r.ue(); r.ue()            // num_ref_idx_l{0,1}_default_active_minus1
+    r.u(1); r.u(2)            // weighted_pred_flag, weighted_bipred_idc
+    val initQp = 26 + r.se()  // pic_init_qp_minus26
+    r.se()                    // pic_init_qs_minus26
+    val cqo = r.se()          // chroma_qp_index_offset
+    require(cqo == 0, "chroma_qp_index_offset != 0 outside the subset")
+    Pps(initQp, cqo)
   }
 
   // ---- IDR slice: encode --------------------------------------------------
@@ -337,15 +358,49 @@ object H264 {
     }
   }
 
+  /** One IDR picture of CAVLC intra macroblocks (the fixture/synthetic
+    * serializer): per-MB choices in raster order, chosen residual
+    * coefficients and prediction modes — bits depend only on the
+    * choices and CAVLC neighbor bookkeeping, never on pixels, so this
+    * is a pure serializer; expected pixels come from [[decodeIdr]] (and
+    * independently from the Python fixture generator). */
+  def encodeIdrCavlcNal(mbW: Int, mbH: Int, initQp: Int, sliceQpDelta: Int,
+                        choices: Seq[H264Intra.MbChoice]): Array[Byte] = {
+    require(choices.size == mbW * mbH,
+      s"${choices.size} choices for ${mbW}x$mbH MBs")
+    val w = new BitWriter
+    w.ue(0)      // first_mb_in_slice
+    w.ue(7)      // slice_type: I
+    w.ue(0)      // pic_parameter_set_id
+    w.u(0, 4)    // frame_num (log2MaxFrameNum = 4 in encodeSpsNal)
+    w.ue(0)      // idr_pic_id
+    w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR)
+    w.se(sliceQpDelta)
+    val ctx = new H264Intra.EncCtx(mbW, mbH,
+      ((initQp + sliceQpDelta) % 52 + 52) % 52)
+    var my = 0
+    while (my < mbH) {
+      var mx = 0
+      while (mx < mbW) {
+        H264Intra.encodeIntraMb(w, ctx, mx, my, choices(my * mbW + mx))
+        mx += 1
+      }
+      my += 1
+    }
+    w.trailing()
+    nal(NalIdr, refIdc = 3, w.toArray)
+  }
+
   // ---- IDR slice: decode --------------------------------------------------
 
-  /** Decode one IDR NAL against its SPS. Rejects (loudly) any
-    * macroblock that is not I_PCM — residual-coded streams need an
-    * entropy decoder this subset deliberately does not implement. */
-  def decodeIdr(nalUnit: Array[Byte], sps: Sps): Frame = {
+  /** Decode one IDR NAL against its SPS. I_PCM macroblocks read raw;
+    * Intra_4x4 / Intra_16x16 macroblocks decode through the CAVLC
+    * residual + intra-prediction path ([[H264Intra]]/[[H264Cavlc]]).
+    * `initQp` is the PPS `pic_init_qp` (26 when no PPS preceded). */
+  def decodeIdr(nalUnit: Array[Byte], sps: Sps, initQp: Int = 26): Frame = {
     require(nalType(nalUnit) == NalIdr, s"not an IDR NAL: type ${nalType(nalUnit)}")
     val r = new BitReader(ebspToRbsp(nalUnit.drop(1)))
-    require(r.ue() == 0, "multi-slice pictures outside the I_PCM subset")
+    require(r.ue() == 0, "multi-slice pictures outside the intra subset")
     val sliceType = r.ue()
     require(sliceType == 2 || sliceType == 7,
       s"slice_type $sliceType is not I")
@@ -353,49 +408,51 @@ object H264 {
     r.u(sps.log2MaxFrameNum)  // frame_num
     r.ue()                    // idr_pic_id
     r.u(1); r.u(1)            // dec_ref_pic_marking (IDR)
-    r.se()                    // slice_qp_delta
-    val fullW = sps.mbWidth * 16
-    val fullH = sps.mbHeight * 16
-    val y = new Array[Byte](fullW * fullH)
-    val cb = new Array[Byte](fullW * fullH / 4)
-    val cr = new Array[Byte](fullW * fullH / 4)
+    val sliceQpDelta = r.se()
+    val ctx = new H264Intra.SliceCtx(sps.mbWidth, sps.mbHeight,
+      ((initQp + sliceQpDelta) % 52 + 52) % 52)
+    val fullW = ctx.width
     var my = 0
     while (my < sps.mbHeight) {
       var mx = 0
       while (mx < sps.mbWidth) {
         val mbType = r.ue()
-        require(mbType == 25,
-          s"mb_type $mbType at ($mx,$my) — only I_PCM (25) is decodable " +
-            "in this subset; entropy-coded macroblocks take the stub")
-        r.alignZero()
-        var py = 0
-        while (py < 16) {
-          var px = 0
-          while (px < 16) {
-            y((my * 16 + py) * fullW + mx * 16 + px) = r.rawByte()
-            px += 1
-          }
-          py += 1
-        }
-        var c = 0
-        while (c < 2) {
-          val plane = if (c == 0) cb else cr
-          var py2 = 0
-          while (py2 < 8) {
-            var px2 = 0
-            while (px2 < 8) {
-              plane((my * 8 + py2) * (fullW / 2) + mx * 8 + px2) = r.rawByte()
-              px2 += 1
+        if (mbType == 25) {
+          r.alignZero()
+          var py = 0
+          while (py < 16) {
+            var px = 0
+            while (px < 16) {
+              ctx.y((my * 16 + py) * fullW + mx * 16 + px) = r.rawByte()
+              px += 1
             }
-            py2 += 1
+            py += 1
           }
-          c += 1
-        }
+          var c = 0
+          while (c < 2) {
+            val plane = if (c == 0) ctx.cb else ctx.cr
+            var py2 = 0
+            while (py2 < 8) {
+              var px2 = 0
+              while (px2 < 8) {
+                plane((my * 8 + py2) * (fullW / 2) + mx * 8 + px2) = r.rawByte()
+                px2 += 1
+              }
+              py2 += 1
+            }
+            c += 1
+          }
+          ctx.markPcm(mx, my)
+        } else if (mbType <= 24) {
+          H264Intra.decodeIntraMb(r, ctx, mx, my, mbType)
+        } else throw new IllegalArgumentException(
+          s"mb_type $mbType at ($mx,$my) is not an I-slice macroblock")
         mx += 1
       }
       my += 1
     }
-    crop(Frame(fullW, fullH, y, cb, cr), sps.width, sps.height)
+    r.expectTrailing()
+    crop(Frame(fullW, ctx.height, ctx.y, ctx.cb, ctx.cr), sps.width, sps.height)
   }
 
   private def crop(f: Frame, w: Int, h: Int): Frame =
@@ -422,14 +479,15 @@ object H264 {
     * validated against the subset), each IDR NAL yields one frame. */
   def decodeNals(nals: Seq[Array[Byte]]): Seq[Frame] = {
     var sps: Option[Sps] = None
+    var initQp = 26
     val frames = Seq.newBuilder[Frame]
     nals.foreach { n =>
       nalType(n) match {
         case NalSps => sps = Some(parseSps(n))
-        case NalPps => validatePps(n)
+        case NalPps => initQp = validatePps(n).initQp
         case NalIdr =>
           frames += decodeIdr(n,
-            sps.getOrElse(sys.error("IDR before SPS in the NAL stream")))
+            sps.getOrElse(sys.error("IDR before SPS in the NAL stream")), initQp)
         case t if t >= 1 && t <= 4 =>
           // non-IDR coded slices / data partitions: silently skipping
           // them would under-decode a real IDR+P stream into an

@@ -828,9 +828,11 @@ object JdkFeatureDecoder extends FeatureDecoder {
 }
 
 /** STUB — deterministic fake decoder for the payloads still outside
-  * every real path: ENTROPY-CODED video (CAVLC/CABAC H.264 residual
-  * macroblocks, H.265 — I_PCM baseline H.264 decodes for real via
-  * [[H264]]) and exotic image/audio containers; stands in with a
+  * every real path: CABAC-coded and inter-predicted (P/B-slice) H.264
+  * plus H.265 — I_PCM baseline AND CAVLC-intra H.264 (I-slices:
+  * Intra_4x4/Intra_16x16 prediction, full CAVLC residual decode,
+  * dequant/IDCT) decode for real via [[H264]]/[[H264Intra]]/
+  * [[H264Cavlc]] — and exotic image/audio containers; stands in with a
   * hash-derived vector (stable across runs/engines) so the pipeline
   * plumbing is fully exercisable. Marked ??? on the real path. */
 object StubFeatureDecoder extends FeatureDecoder {

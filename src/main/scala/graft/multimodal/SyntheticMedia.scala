@@ -293,6 +293,64 @@ object SyntheticMedia {
     mp4Container(entry, samples, samplesPerChunk = 1, w = w, h = h)
   }
 
+  // ==== real H.264 (CAVLC intra baseline) in MP4 =======================
+
+  def h264CavlcFrameCount(id: Long): Int = (1 + id % 3).toInt
+  def h264CavlcFrameW(id: Long): Int = (16 * (1 + id % 3)).toInt
+  def h264CavlcFrameH(id: Long): Int = (16 * (1 + id % 2)).toInt
+
+  /** The id-deterministic luma delta of frame i: the first macroblock
+    * carries exactly this value as its Intra_16x16 luma DC level at
+    * QP 28, where the §8.5.10 DC chain reduces to pixel += level; DC
+    * prediction then propagates the constant plane into every later
+    * macroblock (zero residuals), so frame luma = 128 + delta
+    * EVERYWHERE — the closed form the m12 oracle states. |delta| ≤ 7
+    * keeps the level inside the plain prefix range of the CAVLC level
+    * coder. */
+  def h264CavlcDelta(id: Long, i: Int): Int = (((id * 7 + i * 13) % 15) - 7).toInt
+
+  /** A playable CAVLC H.264-in-MP4 for id: same container layout as
+    * [[h264Mp4Bytes]], but the access units are entropy-coded
+    * Intra_16x16 macroblocks (coeff_token / level / total_zeros CAVLC
+    * bits), not raw I_PCM samples — the m12 proof that the decoder's
+    * residual path, not just its raw path, runs under the oracle. */
+  def h264CavlcMp4Bytes(id: Long): Array[Byte] = {
+    val w = h264CavlcFrameW(id)
+    val h = h264CavlcFrameH(id)
+    val n = h264CavlcFrameCount(id)
+    val mbW = w / 16; val mbH = h / 16
+    val sps = H264.encodeSpsNal(w, h)
+    val pps = H264.encodePpsNal()
+    val zeroChromaDc = Array.fill(2)(new Array[Int](4))
+    val zeroChromaAc = Array.fill(2, 4)(new Array[Int](16))
+    def dcMb(level: Int) = H264Intra.I16Choice(
+      predMode = 2, cbpLumaAc = false, cbpChroma = 0, qpDelta = 0,
+      lumaDc = { val a = new Array[Int](16); a(0) = level; a },
+      lumaAc = Array.fill(16)(new Array[Int](16)),
+      chromaDc = zeroChromaDc, chromaAc = zeroChromaAc)
+    val samples = Array.tabulate(n) { i =>
+      val choices = dcMb(h264CavlcDelta(id, i)) +:
+        Seq.fill(mbW * mbH - 1)(dcMb(0))
+      val idr = H264.encodeIdrCavlcNal(mbW, mbH, initQp = 26,
+        sliceQpDelta = 2, choices)
+      be32(idr.length) ++ idr
+    }
+    val avcC = box("avcC",
+      Array[Byte](1, 66, 0, 10, (0xfc | 3).toByte, (0xe0 | 1).toByte) ++
+        be16(sps.length) ++ sps ++ Array[Byte](1) ++ be16(pps.length) ++ pps)
+    val visual = new Array[Byte](70)
+    System.arraycopy(be16(w), 0, visual, 16, 2)
+    System.arraycopy(be16(h), 0, visual, 18, 2)
+    System.arraycopy(be32(0x00480000), 0, visual, 20, 4)
+    System.arraycopy(be32(0x00480000), 0, visual, 24, 4)
+    System.arraycopy(be16(1), 0, visual, 32, 2)
+    System.arraycopy(be16(24), 0, visual, 66, 2)
+    val entry = be32(8 + 8 + 70 + avcC.length) ++
+      "avc1".getBytes("US-ASCII") ++ new Array[Byte](6) ++ be16(1) ++
+      visual ++ avcC
+    mp4Container(entry, samples, samplesPerChunk = 1, w = w, h = h)
+  }
+
   // ==== id-deterministic PIXEL content (m3/m5): DCT-basis patterns =====
   //
   // The m2 trick, pushed from headers to pixels. Each id selects exactly

@@ -70,17 +70,26 @@ class H264Spec extends AnyFunSuite {
     Seq(0, 1, -1, 2, -2, 7, -9).foreach(v => assert(r2.se() == v))
   }
 
-  test("entropy-coded macroblocks are rejected loudly, not misdecoded") {
+  test("out-of-subset macroblocks and slices are rejected loudly, not misdecoded") {
     val sps = H264.parseSps(H264.encodeSpsNal(16, 16))
-    // a slice whose first mb_type is 0 (I_4x4 — needs CAVLC residuals)
+    // mb_type beyond the I-slice range (26): not an intra macroblock
     val w = new H264.BitWriter
     w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
     w.u(0, 1); w.u(0, 1); w.se(0)
-    w.ue(0) // mb_type I_4x4
+    w.ue(26)
     w.trailing()
     val nal = Array((3 << 5 | 5).toByte) ++ w.toArray
     val e = intercept[IllegalArgumentException](H264.decodeIdr(nal, sps))
-    assert(e.getMessage.contains("only I_PCM"))
+    assert(e.getMessage.contains("not an I-slice macroblock"))
+    // a truncated Intra_4x4 macroblock (header only, no mode/residual
+    // bits) dies as a clean parse error, never a silent frame
+    val w2 = new H264.BitWriter
+    w2.ue(0); w2.ue(7); w2.ue(0); w2.u(0, 4); w2.ue(0)
+    w2.u(0, 1); w2.u(0, 1); w2.se(0)
+    w2.ue(0) // mb_type I_4x4 with nothing behind it
+    w2.trailing()
+    val nal2 = Array((3 << 5 | 5).toByte) ++ w2.toArray
+    intercept[IllegalArgumentException](H264.decodeIdr(nal2, sps))
   }
 
   test("a malformed SPS declaring huge dims dies as a parse error, not an alloc") {
