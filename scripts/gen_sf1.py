@@ -179,3 +179,51 @@ gen_zipf_docs(50_000, OUT.parent / "sf1_zipf")
 print("done:", [p.name for p in OUT.iterdir()],
       [p.name for p in (OUT.parent / "sf0.1_zipf").iterdir()],
       [p.name for p in (OUT.parent / "sf1_zipf").iterdir()])
+
+# ---- 5th decade (round 14): sf10 documents + embeddings ------------------
+# VERDICT r13 #4: the three steepest 4th-decade survivors (x109 0.91,
+# s22 0.72, d23 0.70) get one more decade to show no hidden
+# super-linear term is amortizing out of view. Only the two tables
+# those queries read are materialized (documents for x109/d23,
+# embeddings for s22) — same marginals and planted-dup process as sf1,
+# 10x the rows, fresh iid draw (a growing crawl, not a superset).
+OUT10 = Path(__file__).resolve().parent.parent / "localdata" / "sf10"
+OUT10.mkdir(parents=True, exist_ok=True)
+rng10 = np.random.default_rng(43)
+
+N10 = 500_000
+print("sf10 documents ...")
+lengths = rng10.integers(10, 101, size=N10)
+all_words = rng10.choice(VOCAB, size=int(lengths.sum()))
+texts10 = []
+off = 0
+for n in lengths:
+    texts10.append(" ".join(all_words[off:off + n]))
+    off += n
+dup_ids10 = rng10.choice(np.arange(1, N10), size=int(N10 * DUP_FRACTION),
+                         replace=False)
+for i in sorted(dup_ids10):
+    victim = int(rng10.integers(0, i))
+    words = texts10[victim].split(" ")
+    words[int(rng10.integers(0, len(words)))] = "dup"
+    texts10[i] = " ".join(words)
+langs10 = rng10.choice(LANGS, size=N10, p=LANG_P)
+sources10 = [f"src{int(s)}" for s in rng10.integers(0, 20, size=N10)]
+pq.write_table(pa.table({
+    "doc_id": pa.array(range(N10), pa.int64()),
+    "text": pa.array(texts10, pa.string()),
+    "lang": pa.array(langs10, pa.string()),
+    "source": pa.array(sources10, pa.string()),
+    "n_chars": pa.array([len(t) for t in texts10], pa.int64()),
+}), OUT10 / "documents.parquet")
+
+print("sf10 embeddings ...")
+NV10 = 200_000
+v10 = rng10.standard_normal((NV10, DIM)).astype(np.float32)
+v10 /= np.linalg.norm(v10, axis=1, keepdims=True)
+pq.write_table(pa.table({
+    "vec_id": pa.array(range(NV10), pa.int64()),
+    "embedding": pa.array(list(v10), pa.list_(pa.float32())),
+    "label": pa.array(rng10.integers(0, 10, size=NV10), pa.int32()),
+}), OUT10 / "embeddings.parquet")
+print("sf10 done")
