@@ -179,6 +179,10 @@ private[multimodal] object H264Cavlc {
     val trailingOnes = token % 4
     require(totalCoeff <= maxNumCoeff,
       s"CAVLC: TotalCoeff $totalCoeff exceeds maxNumCoeff $maxNumCoeff")
+    // only the 6-bit enumeration can produce this shape (the VLC tables
+    // have no such entries); it is not a valid coeff_token
+    require(trailingOnes <= totalCoeff,
+      s"CAVLC: TrailingOnes $trailingOnes exceeds TotalCoeff $totalCoeff")
     val levels = new Array[Int](maxNumCoeff)
     if (totalCoeff == 0) return ResidualBlock(levels, 0)
 
