@@ -758,6 +758,63 @@ object StreamVerify {
         (out, SparkEntry.queries("m5_phash_neardup")(s, dir))
       }),
 
+    ("k4_scd2_stream", "k4_scd2", "full",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val evs = eventsSorted(s, dir)
+        // valid_from = ts_sec; seq = the batch operator's (ts, event_id)
+        // rank, so same-second orderings cannot fork
+        val recs = evs.zipWithIndex.map { case (e, i) =>
+          Rec(e.user_id.toString, e.event_type, e.ts_sec, i + 1L)
+        }.toSeq
+        val table = java.nio.file.Files.createTempDirectory("sv_scd2").toString + "/table"
+        val ckpt = java.nio.file.Files.createTempDirectory("sv_scd2_ck").toString
+        implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[Rec]
+        val q = StreamScd2.start(in.toDS(), table, ckpt)
+        try chunksOf(recs, 4).foreach { c => in.addData(c); q.processAllAvailable() }
+        finally q.stop()
+        val out = StreamScd2.table(s, table).toDF()
+          .select(col("key").cast("long").as("user_id"),
+            col("value").as("event_type"),
+            col("valid_from"), col("valid_to").cast("long").as("valid_to"),
+            col("is_current"))
+        (out, SparkEntry.queries("k4_scd2")(s, dir))
+      }),
+
+    ("x45_retention", "x45_retention_cohorts",
+      "cell-delta sums over the STREAMED signed deltas",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val evs = eventsSorted(s, dir)
+        val uws = evs.map(e =>
+          StreamRetention.UserWeek(e.user_id, e.ts_sec / 604800L)).toSeq
+        val streamed = replay(s, chunksOf(uws, 4))(in =>
+          StreamRetention.cellDeltas(in).toDF())
+        val out = streamed.groupBy("cohort_week", "week_offset")
+          .agg(sum("delta").as("n_users"))
+          .filter(col("n_users") =!= 0L)
+        (out, SparkEntry.queries("x45_retention_cohorts")(s, dir))
+      }),
+
+    ("w1_timer_close", "w1_tumbling_count",
+      "event-time-timer emit-on-close variant of the w1 window",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val evs = eventsSorted(s, dir)
+        val maxSec = evs.last.ts_sec
+        val recs = evs.zipWithIndex.map { case (e, i) =>
+          Rec(e.event_type, "", e.ts_sec * 1000, i + 1L) }.toSeq
+        val sent = Rec("view", "", (maxSec + 40L * 86400) * 1000, recs.size + 1L)
+        val streamed = replay(s, chunksOf(recs, 4) :+ Seq(sent))(in =>
+          TimerWindows.tumblingCountsOnClose(in, 3600L * 1000, "1 hour").toDF())
+        val out = streamed
+          .select((col("win_start") / 1000).cast("long").as("win_start"),
+            col("key").as("event_type"), col("cnt"))
+          .filter(col("win_start") <= maxSec)
+        (out, SparkEntry.queries("w1_tumbling_count")(s, dir))
+      }),
+
     ("emb_neardup", "(derived: SRP band-agree AND cosine >= 0.9)",
       "distinct pairs vs an exhaustive batch recomputation of the twin's contract",
       (s: SparkSession, dir: String) => {
