@@ -815,6 +815,39 @@ object StreamVerify {
         (out, SparkEntry.queries("w1_tumbling_count")(s, dir))
       }),
 
+    ("k5_temporal_asof", "k5_scd2_asof",
+      "one as-of probe per user at the k5 cutoff against the streamed change log",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val evs = eventsSorted(s, dir)
+        val cutoff = 1704067200L + 10 * 86400 // the k5 probe instant
+        // dim stream = the per-user VALUE-CHANGE rows (the scd2 change
+        // detect, computed here so dim_from is the run's valid_from)
+        val changes = evs.groupBy(_.user_id).toSeq.flatMap { case (_, es) =>
+          val sorted = es.sortBy(e => (e.ts_sec, e.event_id))
+          sorted.zip(None +: sorted.map(e => Some(e.event_type)))
+            .collect { case (e, prev) if !prev.contains(e.event_type) => e }
+        }.sortBy(e => (e.ts_sec, e.event_id))
+        val dimRecs = changes.zipWithIndex.map { case (e, i) =>
+          Rec(e.user_id.toString, e.event_type, e.ts_sec * 1000, i + 1L) }
+        val (before, after) = dimRecs.partition(_.ts <= cutoff * 1000)
+        val users = evs.map(_.user_id).distinct.sorted
+        val probes = users.zipWithIndex.map { case (u, i) =>
+          Rec(u.toString, "probe", cutoff * 1000, 1000000L + i) }.toSeq
+        val sentinel = Rec("zz-sentinel", "v", (cutoff + 400L * 86400) * 1000,
+          2000000L)
+        val streamed = replay2(s,
+          chunksOf(before, 3) ++ Seq(Seq.empty[Rec], after :+ sentinel),
+          Seq(Seq.empty[Rec], Seq.empty[Rec], Seq.empty[Rec], probes))(
+          (d, e) => StreamTemporalJoin.joinAsOf(e, d, "1 second").toDF())
+        val out = streamed
+          .filter(col("key") =!= "zz-sentinel" && col("dim_value").isNotNull)
+          .select(col("key").cast("long").as("user_id"),
+            col("dim_value").as("event_type"),
+            (col("dim_from") / 1000).cast("long").as("valid_from"))
+        (out, SparkEntry.queries("k5_scd2_asof")(s, dir))
+      }),
+
     ("emb_neardup", "(derived: SRP band-agree AND cosine >= 0.9)",
       "distinct pairs vs an exhaustive batch recomputation of the twin's contract",
       (s: SparkSession, dir: String) => {
