@@ -304,6 +304,76 @@ def message_set_lz4(records, legacy_hc=False):
         struct.pack(">I", crc) + body
 
 
+# ---- v2 RecordBatch (KIP-98 "magic 2", what 0.11+ clients ship) ---------
+
+def crc32c(data):
+    """CRC32C (Castagnoli), bitwise from the polynomial — independent of
+    the JVM's java.util.zip.CRC32C."""
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = (crc >> 1) ^ (0x82F63B78 if crc & 1 else 0)
+    return (crc ^ 0xFFFFFFFF) & 0xFFFFFFFF
+
+
+def vlong(v):
+    """Zigzag varint (the protocol's varint/varlong)."""
+    u = ((v << 1) ^ (v >> 63)) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while u & ~0x7F:
+        out.append((u & 0x7F) | 0x80)
+        u >>= 7
+    out.append(u)
+    return bytes(out)
+
+
+def vbytes(b):
+    if b is None:
+        return vlong(-1)
+    return vlong(len(b)) + b
+
+
+def v2_record(offset_delta, ts_delta, key, value, headers=()):
+    body = b"\x00" + vlong(ts_delta) + vlong(offset_delta) + \
+        vbytes(key) + vbytes(value) + vlong(len(headers))
+    for hk, hv in headers:
+        body += vlong(len(hk)) + hk + vbytes(hv)
+    return vlong(len(body)) + body
+
+
+def record_batch_v2(records, codec=0, base_offset=0, control=False,
+                    headers_on_first=()):
+    """records: [(ts_ms, key, value)]; offsets dense from base_offset."""
+    base_ts = min(ts for ts, _k, _v in records)
+    max_ts = max(ts for ts, _k, _v in records)
+    recs = b"".join(
+        v2_record(i, ts - base_ts, k, v,
+                  headers_on_first if i == 0 else ())
+        for i, (ts, k, v) in enumerate(records))
+    if codec == 1:
+        import gzip as _gzip
+        recs = _gzip.compress(recs, mtime=0)
+    elif codec == 2:
+        recs = snappy_xerial(recs)
+    elif codec == 3:
+        recs = lz4_frame(recs)
+    attributes = codec | (0x20 if control else 0)
+    covered = i16(attributes) + i32(len(records) - 1) + i64(base_ts) + \
+        i64(max_ts) + i64(-1) + i16(-1) + i32(-1) + i32(len(records)) + recs
+    batch_len = 4 + 1 + 4 + len(covered)
+    return i64(base_offset) + i32(batch_len) + i32(-1) + b"\x02" + \
+        struct.pack(">I", crc32c(covered)) + covered
+
+
+# the shared v2 fixture records (restated in KafkaFixtureInteropSpec)
+V2_RECORDS = [
+    (5000, b"vk1", b"vv1"),
+    (5001, None, b"vv2"),
+    (5002, b"vk3", None),
+]
+
+
 # ---- murmur2 (seed 0x9747b28c), the default-partitioner hash ------------
 
 def murmur2(data):
@@ -496,6 +566,23 @@ fx["snappy_xerial_fx"] = snappy_xerial(CODEC_PLAIN)
 fx["lz4_frame_fx"] = lz4_frame(CODEC_PLAIN)
 # KAFKA-3160 legacy header checksum (magic included) — must still decode
 fx["lz4_frame_legacy_fx"] = lz4_frame(CODEC_PLAIN, legacy_hc=True)
+
+# ---- v2 RecordBatch fixtures (standalone; see record_batch_v2) ----------
+fx["v2_plain"] = record_batch_v2(V2_RECORDS)
+fx["v2_gzip"] = record_batch_v2(V2_RECORDS, codec=1)
+fx["v2_snappy"] = record_batch_v2(V2_RECORDS, codec=2)
+fx["v2_lz4"] = record_batch_v2(V2_RECORDS, codec=3)
+fx["v2_headers"] = record_batch_v2(
+    V2_RECORDS, headers_on_first=((b"h1", b"hv"), (b"h2", None)))
+# a transaction-marker control batch: decoders must skip it wholesale
+fx["v2_control"] = record_batch_v2(
+    [(5000, struct.pack(">hh", 0, 0), b"")], control=True)
+# a broker-log-shaped buffer interleaving all three entry formats
+fx["v2_interleaved"] = (
+    message_set([(0, 1000, b"k1", b"v1")]) +
+    record_batch_v2([(5000, b"vk1", b"vv1"), (5001, None, b"vv2")],
+                    base_offset=1) +
+    message_set_v0([(3, None, b"ok", b"ov")]))
 
 # ---- client-side fixtures (MiniKafkaClient's FIRST call => corr 1) ------
 

@@ -21,7 +21,11 @@ import java.util.zip.CRC32
   * `utils/Producer.scala:41-45` assigns event time at produce).
   *
   * The DECODE side additionally accepts what real-world clients send:
-  * magic-0 messages (pre-0.10 producers; no timestamp field → ts = −1,
+  * v2 RecordBatches (magic 2 — every 0.11+ producer; KIP-98 header,
+  * CRC32C, zigzag-varint records, whole-batch compression, control
+  * batches skipped — see [[RecordBatchV2]], dispatched on the magic
+  * byte shared at entry position 16 by both layouts), magic-0 messages
+  * (pre-0.10 producers; no timestamp field → ts = −1,
   * the broker up-converts on fetch) and gzip-compressed sets (attribute
   * codec bits = 1: the wrapper's value is a gzip stream of an inner
   * MessageSet; for magic 1 the inner offsets are RELATIVE and the
@@ -175,6 +179,14 @@ object Wire {
     val bb = ByteBuffer.wrap(data)
     val out = Seq.newBuilder[WireRecord]
     while (bb.remaining() >= 12) {
+      // both layouts carry the magic byte 16 bytes into the entry
+      // (v0/v1: offset+size+crc+magic; v2: baseOffset+length+epoch+magic)
+      // — a modern producer's v2 RecordBatch dispatches to its own codec,
+      // so a log buffer may interleave formats like a real broker log
+      if (bb.remaining() >= 17 && data(bb.position() + 16) == 2) {
+        require(!inWrapper, "v2 record batch inside a compressed v0/v1 wrapper")
+        out ++= RecordBatchV2.decode(bb)
+      } else {
       val offset = bb.getLong()
       val size = bb.getInt()
       // magic-0 message floor: crc(4) + magic(1) + attrs(1) + two
@@ -197,6 +209,7 @@ object Wire {
         require(crc.getValue.toInt == stored,
           s"CRC mismatch at offset $offset: wire ${stored}, computed ${crc.getValue.toInt}")
         out ++= parseMessage(offset, body, inWrapper)
+      }
       }
     }
     // a sub-header tail (< 12 bytes) is the same truncation case
@@ -300,6 +313,11 @@ object Wire {
     out.raw(body)
     out.toArray
   }
+
+  /** gzip helpers for the v2 record-batch codec (same bomb-capped
+    * implementations as the v0/v1 wrapper path). */
+  private[kafka] def gzipForV2(data: Array[Byte]): Array[Byte] = gzipCompress(data)
+  private[kafka] def gunzipForV2(data: Array[Byte]): Array[Byte] = gzipDecompress(data)
 
   private def gzipCompress(data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
