@@ -848,6 +848,31 @@ object StreamVerify {
         (out, SparkEntry.queries("k5_scd2_asof")(s, dir))
       }),
 
+    ("x112_daily_cells", "x112_changepoint",
+      "the shared changepoint readout over the STREAM-MAINTAINED cell table",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val evs = eventsSorted(s, dir)
+        val rows = evs.map(e =>
+          (e.event_type, e.ts_sec, math.round(e.value * 1000))).toSeq
+        val table = java.nio.file.Files.createTempDirectory("sv_cells").toString + "/t"
+        val ckpt = java.nio.file.Files.createTempDirectory("sv_cells_ck").toString
+        implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[(String, Long, Long)]
+        val q = StreamDailyCells.start(
+          in.toDF().toDF("g", "ts_sec", "milli"), table, ckpt)
+        try chunksOf(rows, 4).foreach { c => in.addData(c); q.processAllAvailable() }
+        finally q.stop()
+        // the view ≡ recompute theorem, machine-checked: the BATCH
+        // readout function over the maintained cells must equal the
+        // oracle query over the raw events
+        val out = graft.functions.TimeSeries.changepointFromCells(
+          StreamDailyCells.cells(s, table)
+            .select(col("g").as("event_type"), col("day"), col("m")),
+          "event_type")
+        (out, SparkEntry.queries("x112_changepoint")(s, dir))
+      }),
+
     ("emb_neardup", "(derived: SRP band-agree AND cosine >= 0.9)",
       "distinct pairs vs an exhaustive batch recomputation of the twin's contract",
       (s: SparkSession, dir: String) => {
