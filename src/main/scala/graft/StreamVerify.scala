@@ -873,6 +873,33 @@ object StreamVerify {
         (out, SparkEntry.queries("x112_changepoint")(s, dir))
       }),
 
+    ("x78_kl_drift", "x78_source_kl",
+      "final per-source KL against the frozen corpus baseline (x65's frozen-fit contract)",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            graft.functions.TextAnalysis.tokens(col("text")).as("toks"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+          .sortBy(_._2)
+        // frozen baseline q = the corpus unigram model (C_w / T), the
+        // same reference distribution the batch x78 divides by
+        val cw = scala.collection.mutable.Map.empty[String, Long]
+        docs.foreach(_._3.foreach(w => cw(w) = cw.getOrElse(w, 0L) + 1L))
+        val t = cw.values.sum.toDouble
+        val baseline = cw.map { case (w, c) => w -> c / t }.toMap
+        val tds = docs.map { case (src, id, toks) =>
+          StreamKlDrift.TokDoc(src, id, id, toks) }.toSeq
+        val streamed = replay(s, chunksOf(tds, 4))(in =>
+          StreamKlDrift.monitor(in, baseline, oovProb = 1e-9).toDF())
+        // the LAST emission per source is the full-prefix KL = batch x78
+        val out = graft.operators.Changelog
+          .latestByKey(streamed, Seq("group"), Seq(col("ts_sec"), col("seq_id")))
+          .select(col("group").as("source"), col("n_tokens"), col("kl"))
+        (out, SparkEntry.queries("x78_source_kl")(s, dir))
+      }),
+
     ("emb_neardup", "(derived: SRP band-agree AND cosine >= 0.9)",
       "distinct pairs vs an exhaustive batch recomputation of the twin's contract",
       (s: SparkSession, dir: String) => {
