@@ -67,13 +67,14 @@ object StreamVerify {
   /** Replay `chunks` through a streaming transformation built over one
     * MemoryStream, one micro-batch per chunk (append mode, memory sink),
     * and return the sink contents detached from the stopped query. */
-  private def replay[T: Encoder](spark: SparkSession, chunks: Seq[Seq[T]])(
+  private def replay[T: Encoder](spark: SparkSession, chunks: Seq[Seq[T]],
+      outputMode: String = "append")(
       build: Dataset[T] => DataFrame): DataFrame = {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[T]
     val name = s"sv${qid.incrementAndGet()}"
     val q = build(in.toDS()).writeStream.format("memory")
-      .queryName(name).outputMode("append").start()
+      .queryName(name).outputMode(outputMode).start()
     try {
       chunks.foreach { c => in.addData(c); q.processAllAvailable() }
       detach(spark, spark.table(name))
@@ -898,6 +899,32 @@ object StreamVerify {
           .latestByKey(streamed, Seq("group"), Seq(col("ts_sec"), col("seq_id")))
           .select(col("group").as("source"), col("n_tokens"), col("kl"))
         (out, SparkEntry.queries("x78_source_kl")(s, dir))
+      }),
+
+    ("a2_wordcount_dsl", "a2_wordcount",
+      "the reference WordCount topology via the dsl facade (update-mode changelog; latest count per word)",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        import graft.streaming.dsl._
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.functions.TextAnalysis.tokens(col("text")).as("toks"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList)
+          .sortBy(_._1)
+        val tokMap = docs.toMap
+        val recs = docs.map { case (id, _) =>
+          Rec(id.toString, id.toString, 0L, id) }.toSeq
+        // the reference WordCount, ported via the facade: flatMapValues
+        // split -> selectKey(word) -> groupBy(key).count (update mode,
+        // the continuous changelog; counts are monotone so the final
+        // value per word is the max the sink saw)
+        val streamed = replay(s, chunksOf(recs, 4), outputMode = "update")(in =>
+          in.flatMapValues(v => tokMap(v.toLong))
+            .selectKey((_, w) => w)
+            .toDF().groupBy(col("key")).count())
+        val out = streamed.groupBy(col("key").as("word"))
+          .agg(max("count").as("cnt"))
+        (out, SparkEntry.queries("a2_wordcount")(s, dir))
       }),
 
     ("emb_neardup", "(derived: SRP band-agree AND cosine >= 0.9)",
