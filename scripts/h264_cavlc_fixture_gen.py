@@ -118,6 +118,29 @@ CT_N2 = [
     ["00000000001001", "00000000001000", "00000000001010", "0000000000001"],
     ["00000000000111", "00000000000110", "00000000000101", "00000000000100"],
 ]
+# 4 <= nC < 8 column of Table 9-5, as (bitlength, value) pairs —
+# deliberately a different representation from the Scala bit-string
+# table (H264Cavlc.CoeffTokenN4) so a transcription slip on either side
+# breaks the byte-level cross-check instead of cancelling out.
+CT_N4_LV = [
+    [(4, 15)],
+    [(6, 15), (4, 14)],
+    [(6, 11), (5, 15), (4, 13)],
+    [(6, 8), (5, 12), (5, 14), (4, 12)],
+    [(7, 15), (5, 10), (5, 11), (4, 11)],
+    [(7, 11), (5, 8), (5, 9), (4, 10)],
+    [(7, 9), (6, 14), (6, 13), (4, 9)],
+    [(7, 8), (6, 10), (6, 9), (4, 8)],
+    [(8, 15), (7, 14), (7, 13), (5, 13)],
+    [(8, 11), (8, 14), (7, 10), (6, 12)],
+    [(9, 15), (8, 10), (8, 13), (7, 12)],
+    [(9, 11), (9, 14), (8, 9), (8, 12)],
+    [(9, 8), (9, 10), (9, 13), (8, 8)],
+    [(10, 13), (9, 7), (9, 9), (9, 12)],
+    [(10, 9), (10, 12), (10, 11), (10, 10)],
+    [(10, 5), (10, 8), (10, 7), (10, 6)],
+    [(10, 1), (10, 4), (10, 3), (10, 2)],
+]
 CT_CDC = [
     ["01"], ["000111", "1"], ["000100", "000110", "001"],
     ["000011", "0000011", "0000010", "000101"],
@@ -185,8 +208,12 @@ def v_class(raster):
 
 # ---- CAVLC residual encode ---------------------------------------------
 
+NC_SEEN = set()  # coeff_token contexts exercised, asserted at the end
+
+
 def encode_residual(w, levels, nC):
     """levels: scan-order ints (len 4, 15 or 16). Returns TotalCoeff."""
+    NC_SEEN.add(nC)
     nz = [(v, p) for p, v in enumerate(levels) if v != 0]
     nz.reverse()  # highest frequency first
     tc = len(nz)
@@ -199,7 +226,10 @@ def encode_residual(w, levels, nC):
         w.code(CT_N0[tc][t1])
     elif nC < 4:
         w.code(CT_N2[tc][t1])
-    else:
+    elif nC < 8:
+        ln, val = CT_N4_LV[tc][t1]
+        w.u(val, ln)
+    else:  # nC >= 8: the 6-bit FLC
         w.u(3 if tc == 0 else (tc - 1) * 4 + t1, 6)
     if tc == 0:
         return 0
@@ -669,6 +699,33 @@ def i4_levels(k, m):
     return lv
 
 
+def i4_mid_levels(k, m):
+    # ~5-6 nonzeros per block: neighbor-averaged nC lands in 4 <= nC < 8
+    lv = [0] * 16
+    for p in range(16):
+        if (p + k + m) % 3 == 0:
+            v = ((p + 2 * k + m) % 7) - 3
+            if v == 0:
+                v = -2
+            lv[p] = v
+    return lv
+
+
+def i4_dense_levels(k, m):
+    # ~14 nonzeros per block: neighbor-averaged nC reaches the >= 8 FLC
+    lv = [0] * 16
+    for p in range(16):
+        if (p + k + m) % 8 != 7:
+            v = ((p * 3 + k + m) % 9) - 4
+            if v == 0:
+                v = 2
+            lv[p] = v
+    return lv
+
+
+I4_FORMULAS = {"std": i4_levels, "mid": i4_mid_levels, "dense": i4_dense_levels}
+
+
 def i16_dc_levels(m):
     lv = [0] * 16
     for p in range(16):
@@ -840,7 +897,8 @@ def encode_mb(w, pic, mx, my, m, spec):
                 w.bit(0)
                 w.u(modes[k] if modes[k] < pm else modes[k] - 1, 3)
         w.ue(chroma_mode)
-        luma = [i4_levels(k, m) for k in range(16)]
+        formula = I4_FORMULAS[spec.get("levels", "std")]
+        luma = [formula(k, m) for k in range(16)]
         cbp_luma = 0
         for q in range(4):
             if any(any(luma[q * 4 + i]) for i in range(4)):
@@ -937,6 +995,25 @@ FIXTURES = {
         {"kind": "i4", "cbp_chroma": 2, "qp_delta": 0, "chroma_mode": 0},
         {"kind": "i4", "cbp_chroma": 2, "qp_delta": 0, "chroma_mode": 1},
     ]),
+    # medium residual density: neighbor-averaged nC lands in the
+    # 4 <= nC < 8 coeff_token VLC column (Table 9-5 column 3)
+    "i4_nc_mid": (2, 2, 0, [
+        {"kind": "i4", "cbp_chroma": 2, "qp_delta": 0, "chroma_mode": 0,
+         "levels": "mid"},
+        {"kind": "i4", "cbp_chroma": 1, "qp_delta": 2, "chroma_mode": 1,
+         "levels": "mid"},
+        {"kind": "i4", "cbp_chroma": 0, "qp_delta": 0, "chroma_mode": 2,
+         "levels": "mid"},
+        {"kind": "i4", "cbp_chroma": 2, "qp_delta": -2, "chroma_mode": 3,
+         "levels": "mid"},
+    ]),
+    # dense residuals: neighbor-averaged nC reaches the nC >= 8 FLC
+    "i4_nc_hi": (2, 1, 0, [
+        {"kind": "i4", "cbp_chroma": 2, "qp_delta": 0, "chroma_mode": 0,
+         "levels": "dense"},
+        {"kind": "i4", "cbp_chroma": 2, "qp_delta": 0, "chroma_mode": 1,
+         "levels": "dense"},
+    ]),
 }
 
 lines = []
@@ -946,6 +1023,14 @@ for name, (mb_w, mb_h, sqd, specs) in sorted(FIXTURES.items()):
         name, str(mb_w), str(mb_h), str(sqd), nal_bytes.hex(),
         bytes(pic.y).hex(), bytes(pic.cb).hex(), bytes(pic.cr).hex()]))
 
+# the fixture suite must exercise every coeff_token context class,
+# in particular the 4 <= nC < 8 VLC column and the nC >= 8 FLC
+assert any(n == -1 for n in NC_SEEN), NC_SEEN
+assert any(0 <= n < 2 for n in NC_SEEN), NC_SEEN
+assert any(2 <= n < 4 for n in NC_SEEN), NC_SEEN
+assert any(4 <= n < 8 for n in NC_SEEN), NC_SEEN
+assert any(n >= 8 for n in NC_SEEN), NC_SEEN
+
 OUT.parent.mkdir(parents=True, exist_ok=True)
 OUT.write_text("\n".join(lines) + "\n")
-print(f"wrote {len(lines)} CAVLC fixtures to {OUT}")
+print(f"wrote {len(lines)} CAVLC fixtures to {OUT}; nC contexts: {sorted(NC_SEEN)}")

@@ -100,34 +100,80 @@ object Bench {
     // freeze artifact itself then answers "which queries regressed
     // beyond noise" (ratio ≫ 1 against a stable suite median) without
     // a manual A/B.
+    // p50-based normalization carried alongside the min-based one: the
+    // two estimators disagreed in round 14 (0.967 vs 1.024 median) and
+    // the honest artifact states both. p50 resists "one lucky reaped
+    // round" per query; min resists one slow round.
+    val okP50s = results.collect { case (k, _, None) => p50(k) }.sorted
+    val suiteMedianP50 =
+      if (okP50s.isEmpty) 0.0 else okP50s((okP50s.length - 1) / 2)
+    val normsP50 = results.map { case (k, _, err) =>
+      jstr(k) + ":" + (if (err.isEmpty && suiteMedianP50 > 0)
+        r4(p50(k) / suiteMedianP50).toString else "null")
+    }.mkString("{", ",", "}")
+    // the current round's own artifact (a rerun) must not become the
+    // "previous" baseline — self-ratios of ~1.0 hide real deltas
+    val outName = Paths.get(outPath).getFileName.toString
     val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
       val rx = "BENCH_DETAIL_r(\\d+)\\.json".r
       Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .filter(_.getName != outName)
         .flatMap(f => f.getName match {
           case rx(n) => Some((n.toInt, f.getPath)); case _ => None })
         .sortBy(-_._1).headOption.map(_._2)
     }
-    val prevNorm: Map[String, Double] = prevPath.flatMap { path =>
+    // real JSON parse (Jackson ships with Spark) — the old regex pull
+    // was brittle to field reordering/nesting
+    val prevTree = prevPath.flatMap { path =>
       try {
         val txt = new String(Files.readAllBytes(Paths.get(path)),
           StandardCharsets.UTF_8)
-        val normRx = "\"norm\"\\s*:\\s*\\{([^}]*)\\}".r
-        normRx.findFirstMatchIn(txt).map { m =>
-          val pairRx = "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
-          pairRx.findAllMatchIn(m.group(1))
-            .map(p => p.group(1) -> p.group(2).toDouble).toMap
-        }
+        Option(new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt))
       } catch { case _: Throwable => None }
+    }
+    def numMap(field: String): Map[String, Double] = prevTree.flatMap { t =>
+      Option(t.get(field)).filter(_.isObject).map { node =>
+        val it = node.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isNumber) b += (e.getKey -> e.getValue.asDouble())
+        }
+        b.result()
+      }
     }.getOrElse(Map.empty)
-    val vsPrev = results.map { case (k, sec, err) =>
-      val cur = if (err.isEmpty && suiteMedian > 0) Some(sec / suiteMedian) else None
-      val ratio = for (c <- cur; p <- prevNorm.get(k) if p > 0) yield r4(c / p)
-      jstr(k) + ":" + ratio.map(_.toString).getOrElse("null")
-    }.mkString("{", ",", "}")
-    val prevField = prevPath.filter(_ => prevNorm.nonEmpty)
+    val prevNorm = numMap("norm")
+    // prev norm_p50: prefer the emitted map; else rebuild from prev p50s
+    val prevNormP50: Map[String, Double] = {
+      val direct = numMap("norm_p50")
+      if (direct.nonEmpty) direct
+      else {
+        val p = numMap("p50")
+        if (p.isEmpty) Map.empty
+        else {
+          val vs = p.values.toSeq.sorted
+          val med = vs((vs.length - 1) / 2)
+          if (med > 0) p.view.mapValues(_ / med).toMap else Map.empty
+        }
+      }
+    }
+    def ratios(curNorm: String => Option[Double], prev: Map[String, Double]) =
+      results.map { case (k, _, err) =>
+        val ratio = for {
+          c <- if (err.isEmpty) curNorm(k) else None
+          p <- prev.get(k) if p > 0
+        } yield r4(c / p)
+        jstr(k) + ":" + ratio.map(_.toString).getOrElse("null")
+      }.mkString("{", ",", "}")
+    val vsPrev = ratios(
+      k => if (suiteMedian > 0) Some(best(k) / suiteMedian) else None, prevNorm)
+    val vsPrevP50 = ratios(
+      k => if (suiteMedianP50 > 0) Some(p50(k) / suiteMedianP50) else None,
+      prevNormP50)
+    val prevField = prevPath.filter(_ => prevNorm.nonEmpty || prevNormP50.nonEmpty)
       .map(p => jstr(p)).getOrElse("null")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"suite_median_sec":${r4(suiteMedian)},"prev_detail":$prevField,"queries":$qs,"p50":$p50s,"norm":$norms,"norm_ratio_vs_prev":$vsPrev,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"suite_median_sec":${r4(suiteMedian)},"suite_median_p50_sec":${r4(suiteMedianP50)},"prev_detail":$prevField,"queries":$qs,"p50":$p50s,"norm":$norms,"norm_p50":$normsP50,"norm_ratio_vs_prev":$vsPrev,"norm_ratio_vs_prev_p50":$vsPrevP50,"errors":$errs,"sf":"$sfDir"}"""
     // stdout gets buried in sbt [info] noise — the file is the reliable channel.
     val p = Paths.get(outPath)
     if (p.getParent != null) Files.createDirectories(p.getParent)

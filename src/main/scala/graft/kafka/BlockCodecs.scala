@@ -69,7 +69,9 @@ private[kafka] object BlockCodecs {
             p += n; len = v + 1
             if (len < 0) fail("snappy: negative literal length")
           }
-          if (p + len > in.length || o + len > out.length)
+          // overflow-safe form: `p + len` could wrap negative for a
+          // crafted 4-byte length near Int.MaxValue
+          if (len > in.length - p || len > out.length - o)
             fail("snappy: literal overruns")
           System.arraycopy(in, p, out, o, len); p += len; o += len
         case c => // copy
@@ -87,7 +89,7 @@ private[kafka] object BlockCodecs {
               p += 4
           }
           if (off <= 0 || off > o) fail(s"snappy: copy offset $off at $o")
-          if (o + len > out.length) fail("snappy: copy overruns output")
+          if (len > out.length - o) fail("snappy: copy overruns output")
           var i = 0
           while (i < len) { out(o) = out(o - off); o += 1; i += 1 } // overlap-legal
       }
@@ -204,7 +206,8 @@ private[kafka] object BlockCodecs {
     var buf = new Array[Byte](math.min(cap, math.max(64, len0 * 3)))
     var o = 0
     def ensure(n: Int): Unit = {
-      if (o + n > cap) fail(s"lz4: output exceeds the $cap cap")
+      // overflow-safe: `o + n` could wrap negative for n near Int.MaxValue
+      if (n < 0 || n > cap - o) fail(s"lz4: output exceeds the $cap cap")
       if (o + n > buf.length) {
         var c = buf.length * 2
         while (c < o + n) c *= 2
@@ -224,7 +227,7 @@ private[kafka] object BlockCodecs {
     while (!done) {
       val token = u8()
       val litLen = extLen(token >>> 4)
-      if (p + litLen > end) fail("lz4: literals overrun input")
+      if (litLen > end - p) fail("lz4: literals overrun input")
       ensure(litLen)
       System.arraycopy(in, p, buf, o, litLen); p += litLen; o += litLen
       if (p == end) done = true // literals-only final sequence
@@ -233,6 +236,7 @@ private[kafka] object BlockCodecs {
         val offv = (in(p) & 0xff) | ((in(p + 1) & 0xff) << 8); p += 2
         if (offv == 0 || offv > o) fail(s"lz4: match offset $offv at $o")
         val matchLen = extLen(token & 0xf) + 4
+        if (matchLen < 0) fail("lz4: match length overflow") // +4 wrapped
         ensure(matchLen)
         var i = 0
         while (i < matchLen) { buf(o) = buf(o - offv); o += 1; i += 1 }

@@ -175,6 +175,10 @@ final class MiniBroker(val numPartitions: Int = 2) extends AutoCloseable {
               // are the same "reject the batch, keep the connection" case
               case _: IllegalArgumentException => (ErrCorruptMessage, -1L)
               case _: java.nio.BufferUnderflowException => (ErrCorruptMessage, -1L)
+              // defense in depth: a decoder bounds-check slip on crafted
+              // lengths must still read as corruption, never kill the
+              // connection thread
+              case _: IndexOutOfBoundsException => (ErrCorruptMessage, -1L)
             }
         b.int32(partition).int16(err).int64(base)
       }

@@ -145,7 +145,8 @@ private[kafka] object RecordBatchV2 {
 
   private def readBytes(rb: ByteBuffer): Array[Byte] = {
     val n = readVarInt(rb)
-    if (n < 0) null
+    if (n < -1) fail(s"v2: bytes length $n (only -1 encodes null)")
+    else if (n == -1) null
     else {
       if (n > rb.remaining()) fail(s"v2: bytes length $n exceeds ${rb.remaining()}")
       val a = new Array[Byte](n); rb.get(a); a

@@ -185,7 +185,17 @@ object Wire {
       // so a log buffer may interleave formats like a real broker log
       if (bb.remaining() >= 17 && data(bb.position() + 16) == 2) {
         require(!inWrapper, "v2 record batch inside a compressed v0/v1 wrapper")
-        out ++= RecordBatchV2.decode(bb)
+        // Kafka cuts fetch responses at max_bytes mid-batch: a trailing
+        // v2 batch whose declared length overruns the buffer is a legal
+        // truncated tail on the fetch path (mirror of the v0/v1 branch);
+        // on the produce path it stays corruption
+        val declared = bb.getInt(bb.position() + 8) // batchLength peek
+        if (declared.toLong + 12L > bb.remaining()) {
+          require(allowTruncatedTail,
+            s"truncated v2 record batch: ${declared.toLong + 12} declared, " +
+              s"${bb.remaining()} present")
+          bb.position(bb.limit())
+        } else out ++= RecordBatchV2.decode(bb)
       } else {
       val offset = bb.getLong()
       val size = bb.getInt()

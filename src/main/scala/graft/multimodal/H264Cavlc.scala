@@ -1,10 +1,10 @@
 package graft.multimodal
 
 /** CAVLC residual coding (ITU-T H.264 §9.2) for the intra-frame subset:
-  * `coeff_token` (Table 9-5 — the two low-nC VLC columns, the 6-bit
-  * `(TotalCoeff−1)·4 + TrailingOnes` enumeration shared by the
-  * 4 ≤ nC < 8 column and the nC ≥ 8 FLC, and the chroma-DC nC = −1
-  * column), trailing-one signs, the level prefix/suffix state machine
+  * `coeff_token` (Table 9-5 — the three VLC columns for nC < 8, the
+  * 6-bit `(TotalCoeff−1)·4 + TrailingOnes` FLC for nC ≥ 8, and the
+  * chroma-DC nC = −1 column), trailing-one signs, the level
+  * prefix/suffix state machine
   * (§9.2.2.1 including the level_prefix ≥ 15 escape), `total_zeros`
   * (Tables 9-7/9-8 for 4×4 blocks, Table 9-9(a) for 4:2:0 chroma DC)
   * and `run_before` (Table 9-10).
@@ -65,6 +65,28 @@ private[multimodal] object H264Cavlc {
     Array("0000000000111", "00000000001011", "0000000000110", "0000000001000"),
     Array("00000000001001", "00000000001000", "00000000001010", "0000000000001"),
     Array("00000000000111", "00000000000110", "00000000000101", "00000000000100"))
+
+  /** 4 ≤ nC < 8. Kraft sum is 1 − 2⁻¹⁰; the free slot is the
+    * all-zeros 10-bit codeword (spec structure: long zero runs cannot
+    * alias a coeff_token). */
+  private[multimodal] val CoeffTokenN4: Array[Array[String]] = Array(
+    Array("1111", null, null, null),
+    Array("001111", "1110", null, null),
+    Array("001011", "01111", "1101", null),
+    Array("001000", "01100", "01110", "1100"),
+    Array("0001111", "01010", "01011", "1011"),
+    Array("0001011", "01000", "01001", "1010"),
+    Array("0001001", "001110", "001101", "1001"),
+    Array("0001000", "001010", "001001", "1000"),
+    Array("00001111", "0001110", "0001101", "01101"),
+    Array("00001011", "00001110", "0001010", "001100"),
+    Array("000001111", "00001010", "00001101", "0001100"),
+    Array("000001011", "000001110", "00001001", "00001100"),
+    Array("000001000", "000001010", "000001101", "00001000"),
+    Array("0000001101", "000000111", "000001001", "000001100"),
+    Array("0000001001", "0000001100", "0000001011", "0000001010"),
+    Array("0000000101", "0000001000", "0000000111", "0000000110"),
+    Array("0000000001", "0000000100", "0000000011", "0000000010"))
 
   /** nC = −1 (4:2:0 chroma DC, 4-coefficient blocks). */
   private[multimodal] val CoeffTokenChromaDc: Array[Array[String]] = Array(
@@ -154,6 +176,7 @@ private[multimodal] object H264Cavlc {
 
   private lazy val N0Entries = tokenEntries(CoeffTokenN0)
   private lazy val N2Entries = tokenEntries(CoeffTokenN2)
+  private lazy val N4Entries = tokenEntries(CoeffTokenN4)
   private lazy val CdcEntries = tokenEntries(CoeffTokenChromaDc)
 
   /** One decoded residual block: coefficient levels in SCAN order
@@ -171,7 +194,8 @@ private[multimodal] object H264Cavlc {
       if (nC == -1) readCode(r, CdcEntries)
       else if (nC < 2) readCode(r, N0Entries)
       else if (nC < 4) readCode(r, N2Entries)
-      else { // 4 ≤ nC: the 6-bit (TotalCoeff−1)·4 + TrailingOnes code
+      else if (nC < 8) readCode(r, N4Entries)
+      else { // nC ≥ 8: the 6-bit (TotalCoeff−1)·4 + TrailingOnes FLC
         val v = r.u(6)
         if (v == 3) 0 else { val tc = (v >> 2) + 1; tc * 4 + (v & 3) }
       }
@@ -294,6 +318,7 @@ private[multimodal] object H264Cavlc {
     if (nC == -1) writeCode(w, CoeffTokenChromaDc(totalCoeff)(trailingOnes))
     else if (nC < 2) writeCode(w, CoeffTokenN0(totalCoeff)(trailingOnes))
     else if (nC < 4) writeCode(w, CoeffTokenN2(totalCoeff)(trailingOnes))
+    else if (nC < 8) writeCode(w, CoeffTokenN4(totalCoeff)(trailingOnes))
     else w.u(if (totalCoeff == 0) 3 else (totalCoeff - 1) * 4 + trailingOnes, 6)
     if (totalCoeff == 0) return 0
 

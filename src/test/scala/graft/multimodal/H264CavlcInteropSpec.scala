@@ -53,6 +53,29 @@ class H264CavlcInteropSpec extends AnyFunSuite {
     lv
   }
 
+  private def i4MidLevels(k: Int, m: Int): Array[Int] = {
+    val lv = new Array[Int](16)
+    for (p <- 0 until 16 if (p + k + m) % 3 == 0) {
+      var v = ((p + 2 * k + m) % 7) - 3
+      if (v == 0) v = -2
+      lv(p) = v
+    }
+    lv
+  }
+
+  private def i4DenseLevels(k: Int, m: Int): Array[Int] = {
+    val lv = new Array[Int](16)
+    for (p <- 0 until 16 if (p + k + m) % 8 != 7) {
+      var v = ((p * 3 + k + m) % 9) - 4
+      if (v == 0) v = 2
+      lv(p) = v
+    }
+    lv
+  }
+
+  private val I4Formulas: Map[String, (Int, Int) => Array[Int]] = Map(
+    "std" -> i4Levels, "mid" -> i4MidLevels, "dense" -> i4DenseLevels)
+
   private def i16DcLevels(m: Int): Array[Int] = {
     val lv = new Array[Int](16)
     for (p <- 0 until 16 if (p * 5 + m * 7) % 7 == 0) {
@@ -124,7 +147,8 @@ class H264CavlcInteropSpec extends AnyFunSuite {
     }
 
   private case class MbRecipe(kind: String, mode: Int, ac: Boolean,
-                              cbpChroma: Int, qpDelta: Int, chromaMode: Int)
+                              cbpChroma: Int, qpDelta: Int, chromaMode: Int,
+                              lv: String = "std")
 
   private val Recipes: Map[String, Seq[MbRecipe]] = Map(
     "i16_rich" -> Seq(
@@ -140,7 +164,17 @@ class H264CavlcInteropSpec extends AnyFunSuite {
     "i16_hiqp" -> Seq(MbRecipe("i16", 2, ac = true, 2, 0, 0)),
     "i4_loqp" -> Seq(
       MbRecipe("i4", -1, ac = false, 2, 0, 0),
-      MbRecipe("i4", -1, ac = false, 2, 0, 1)))
+      MbRecipe("i4", -1, ac = false, 2, 0, 1)),
+    // mid density drives neighbor-averaged nC into the 4 <= nC < 8
+    // Table 9-5 column; dense density reaches the nC >= 8 FLC
+    "i4_nc_mid" -> Seq(
+      MbRecipe("i4", -1, ac = false, 2, 0, 0, lv = "mid"),
+      MbRecipe("i4", -1, ac = false, 1, 2, 1, lv = "mid"),
+      MbRecipe("i4", -1, ac = false, 0, 0, 2, lv = "mid"),
+      MbRecipe("i4", -1, ac = false, 2, -2, 3, lv = "mid")),
+    "i4_nc_hi" -> Seq(
+      MbRecipe("i4", -1, ac = false, 2, 0, 0, lv = "dense"),
+      MbRecipe("i4", -1, ac = false, 2, 0, 1, lv = "dense")))
 
   private def choices(fx: Fx): Seq[H264Intra.MbChoice] =
     Recipes(fx.name).zipWithIndex.map { case (r, m) =>
@@ -156,7 +190,7 @@ class H264CavlcInteropSpec extends AnyFunSuite {
           chromaDc, chromaAc, r.chromaMode)
       else
         H264Intra.I4Choice(i4Modes(fx.mbW, fx.mbH, mx, my, m), r.cbpChroma,
-          r.qpDelta, Array.tabulate(16)(k => i4Levels(k, m)),
+          r.qpDelta, Array.tabulate(16)(k => I4Formulas(r.lv)(k, m)),
           chromaDc, chromaAc, r.chromaMode)
     }
 

@@ -51,6 +51,7 @@ class H264CavlcSpec extends AnyFunSuite {
       t.flatten.filter(_ != null).toSeq
     checkTable("coeff_token nC<2", flat(H264Cavlc.CoeffTokenN0))
     checkTable("coeff_token 2<=nC<4", flat(H264Cavlc.CoeffTokenN2))
+    checkTable("coeff_token 4<=nC<8", flat(H264Cavlc.CoeffTokenN4))
     checkTable("coeff_token chroma DC", flat(H264Cavlc.CoeffTokenChromaDc),
       allowFreeAllZeros = false)
   }
