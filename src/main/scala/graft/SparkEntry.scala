@@ -3223,11 +3223,13 @@ object SparkEntry {
     // candidate verified by the same EXACT integer ε-test — precision
     // exact, recall = the bucket contract (pairs split across buckets
     // are unseen; DbscanSpec pins blocked ≡ exact where the corpus
-    // respects the bucket geometry). The oracle replays bucket + ε-graph
-    // + reachability on exact integers
+    // respects the bucket geometry). `bits` is DERIVED from the corpus
+    // (smallest b ≥ 4 with 512·2^b ≥ n, integer rule the oracle
+    // replays) so bucket occupancy — and Σ|bucket|² — stays flat as the
+    // corpus grows; a Σ|bucket|² budget guard refuses saturated buckets
     "s22_dbscan_blocked" -> ((s, dir) =>
       SimilarityOps.dbscanBlocked(Tables.embeddings(s, dir), "vec_id",
-        "embedding", eps2 = 1250000L, minPts = 4, bits = 4)),
+        "embedding", eps2 = 1250000L, minPts = 4)),
 
     // ranking-quality eval: NDCG@1..20 of the BM25 ranking against
     // graded term-overlap relevance — the metric a retrieval change is
@@ -7828,16 +7830,25 @@ object SparkEntry {
 
     // s16's replay with the ε-graph restricted to sign-bucket cohabitants
     // (bucket bit i = qv[i] > 0 on the SAME quantized integers), then the
-    // identical core/reach/border chain
+    // identical core/reach/border chain. `bits` is replayed by the same
+    // INTEGER rule the Spark side derives: smallest b in [4, min(dim,40)]
+    // with (512 << b) >= n — no floating log, so the engines agree at
+    // every corpus size
     "s22_dbscan_blocked" ->
       """WITH RECURSIVE q AS (SELECT vec_id,
         |    list_transform(embedding, x -> round(x * 1000)::BIGINT) AS qv
         |  FROM embeddings),
+        |params AS (SELECT count(*)::BIGINT AS n, min(len(qv))::INT AS d FROM q),
+        |bitsel AS (SELECT greatest(4, least(least(p.d, 40),
+        |    (SELECT min(t.i)::INT FROM range(4, 41) t(i)
+        |     WHERE (512::BIGINT << t.i::INT) >= p.n))) AS bits
+        |  FROM params p),
         |bk AS (SELECT vec_id, qv,
-        |    (CASE WHEN qv[1] > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN qv[2] > 0 THEN 2 ELSE 0 END
-        |     + CASE WHEN qv[3] > 0 THEN 4 ELSE 0 END
-        |     + CASE WHEN qv[4] > 0 THEN 8 ELSE 0 END)::BIGINT AS bkt
+        |    list_aggregate(list_transform(
+        |      range(1, (SELECT bits FROM bitsel) + 1),
+        |      i -> CASE WHEN qv[i::INT] > 0
+        |             THEN (1::BIGINT << (i - 1)::INT) ELSE 0::BIGINT END),
+        |    'sum')::BIGINT AS bkt
         |  FROM q),
         |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
         |    list_aggregate(list_transform(range(1, len(x.qv) + 1),

@@ -286,6 +286,48 @@ object SimilarityOps {
   /** The exact kernel's enforced corpus bound (see [[dbscan]]). */
   val MaxExactDbscanVectors: Int = 100000
 
+  /** [[dbscanBlocked]]'s enforced budget on estimated candidate work
+    * Σ_bucket |bucket|² — the [[MaxExactDbscanVectors]] discipline
+    * applied to the blocked path: a bits choice whose buckets have
+    * saturated (the quadratic crossover the sf10 decade measured at
+    * bits = 4 / 200k vectors) is refused loudly with the fix named,
+    * never run quadratically. */
+  val MaxBlockedCandidatePairs: Long = 2000000000L
+
+  /** Sign-bucket occupancy the auto-bits derivation targets: smallest
+    * `bits` with `2^bits * TargetBucketOccupancy >= n` (and ≥ 4), so
+    * Σ|bucket|² stays ~n·occupancy — linear in the corpus — instead of
+    * quadratic under a fixed bucket count. */
+  val TargetBucketOccupancy: Long = 512L
+
+  /** [[dbscanBlocked]] with `bits` DERIVED from the corpus: one cheap
+    * aggregate reads (n, dim), then bits = the smallest value ≥ 4 with
+    * `2^bits · TargetBucketOccupancy ≥ n`, capped by the vector
+    * dimension (and 40 — beyond that the long bucket id is headroom,
+    * not information). Integer derivation, no floating log, so an
+    * oracle replays it exactly. This is the committed scale path: at
+    * 10× the corpus the bucket count grows 10×, occupancy stays flat,
+    * and Σ|bucket|² stays linear (sf10 decade: slope 0.63 at derived
+    * bits vs 1.01 at a pinned bits = 4). */
+  def dbscanBlocked(vecs: DataFrame, idCol: String, vecCol: String,
+                    eps2: Long, minPts: Int): DataFrame = {
+    val q = quantizedVecs(vecs, idCol, vecCol)
+    val row = q.agg(count(lit(1)), max(size(col("qv")))).head()
+    val n = row.getLong(0)
+    val dim = if (row.isNullAt(1)) 1 else row.getInt(1)
+    dbscanBlocked(vecs, idCol, vecCol, eps2, minPts, deriveBits(n, dim))
+  }
+
+  /** The integer auto-bits rule (public so oracles and specs replay
+    * it): smallest b in [4, min(dim, 40)] with
+    * `TargetBucketOccupancy << b >= n`. */
+  def deriveBits(n: Long, dim: Int): Int = {
+    val cap = math.max(4, math.min(dim, 40))
+    var b = 4
+    while (b < cap && (TargetBucketOccupancy << b) < n) b += 1
+    b
+  }
+
   /** [[dbscan]]'s 100 TB path: identical density semantics, but the
     * ε-candidate pairs come from a sign-bucket LSH self-join instead of
     * the all-pairs scan — work is Σ_bucket |bucket|² (the LSH
@@ -297,9 +339,18 @@ object SimilarityOps {
     * geometry the result is pinned EQUAL to [[dbscan]], see
     * `DbscanSpec`). The bucket bit is decided on the QUANTIZED integer
     * component (qv_i > 0), so bucketing, like the ε-test, is exact
-    * integer arithmetic any engine replays bit-for-bit. */
+    * integer arithmetic any engine replays bit-for-bit.
+    *
+    * Scale guard: before the self-join, one cheap aggregate estimates
+    * the candidate work Σ|bucket|² and REFUSES (loudly, naming the
+    * auto-bits fix) when it exceeds `maxCandidatePairs` — a fixed
+    * `bits` under a grown corpus is the one measured way this operator
+    * goes quadratic, and it must fail the way the exact kernel fails
+    * over-contract corpora, not run. Prefer the bits-free overload,
+    * which derives `bits` from the corpus and stays linear. */
   def dbscanBlocked(vecs: DataFrame, idCol: String, vecCol: String,
-                    eps2: Long, minPts: Int, bits: Int): DataFrame = {
+                    eps2: Long, minPts: Int, bits: Int,
+                    maxCandidatePairs: Long = MaxBlockedCandidatePairs): DataFrame = {
     require(eps2 > 0 && minPts >= 2, s"need eps2 > 0, minPts >= 2")
     require(bits >= 1 && bits <= 62, s"need 1 <= bits <= 62, got $bits")
     val q = quantizedVecs(vecs, idCol, vecCol)
@@ -307,6 +358,15 @@ object SimilarityOps {
       when(element_at(col("qv"), i + 1) > 0L, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     val b = q.withColumn("bkt", bkt)
+    val estRow = b.groupBy("bkt").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n"))).head()
+    val est = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
+    require(est <= maxCandidatePairs,
+      s"dbscanBlocked: estimated candidate work $est (Σ|bucket|² at " +
+        s"bits=$bits) exceeds the $maxCandidatePairs budget — the " +
+        "buckets have saturated and the self-join would go quadratic; " +
+        "use the bits-free overload (auto-derived bits) or raise bits " +
+        "so occupancy ~ TargetBucketOccupancy")
     val l = b.select(col("bkt"), col("vec_id").as("a"), col("qv").as("qa"))
     val r = b.select(col("bkt").as("bkt2"), col("vec_id").as("b"),
       col("qv").as("qb"))

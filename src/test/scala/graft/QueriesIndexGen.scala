@@ -146,23 +146,28 @@ object QueriesIndexGen {
 
   def render(shapes: Map[String, String], scaleMd: String): String = {
     val descs = descriptions()
+    // batch query id → gated streaming twin ids (the STREAMCHECK column)
+    val twinsOf: Map[String, Seq[String]] = StreamVerify.twins
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
     val header =
-      """# QUERIES — generated index of the 306-query surface
+      s"""# QUERIES — generated index of the ${descs.size}-query surface
         |
         |Generated by `sbt "Test/runMain graft.QueriesIndexGen"` — do not
         |edit by hand; `QueriesIndexSpec` fails when this file drifts from
         |`SparkEntry.scala`. Columns: query id (the `SparkEntry.queries` /
         |oracle key), one-line description (from the in-source comment),
         |physical plan shape (executed-plan node counts at sf0.001, AQE
-        |off), and whether SCALE.md carries a measured scaling note for
-        |the id.
+        |off), whether SCALE.md carries a measured scaling note for the
+        |id, and the STREAMCHECK twin ids hash-gated against the query
+        |(`graft.StreamVerify`), — when none.
         |
-        || id | description | plan shape | SCALE.md |
-        ||---|---|---|---|""".stripMargin
+        || id | description | plan shape | SCALE.md | STREAMCHECK |
+        ||---|---|---|---|---|""".stripMargin
     val rows = descs.map { case (id, desc) =>
       val anchor = if (scaleMd.contains(id)) "✓" else "—"
       val shape = shapes.getOrElse(id, "?")
-      s"| $id | ${desc.replace("|", "\\|")} | $shape | $anchor |"
+      val twins = twinsOf.get(id).map(_.mkString(", ")).getOrElse("—")
+      s"| $id | ${desc.replace("|", "\\|")} | $shape | $anchor | $twins |"
     }
     (header +: rows).mkString("\n") + "\n"
   }

@@ -29,22 +29,31 @@ class QueriesIndexSpec extends AnyFunSuite {
   test("committed QUERIES.md matches the current source extraction") {
     val path = Paths.get("QUERIES.md")
     assert(Files.exists(path), "QUERIES.md missing — run Test/runMain graft.QueriesIndexGen")
-    val rows = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+    val text = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+    // the headline count is generated too — it must not be able to drift
+    // from the row count (the round-14 "306-query surface"/307-row slip)
+    assert(text.startsWith(s"# QUERIES — generated index of the ${descs.size}-query surface"),
+      s"stale headline count (expect ${descs.size}) — regenerate QUERIES.md")
+    val rows = text
       .split('\n').filter(l => l.startsWith("| ") && !l.startsWith("| id "))
       .map { l =>
         // split on unescaped pipes only — descriptions may carry \| escapes
         val cells = l.split("(?<!\\\\)\\|").map(_.trim)
         // cells(0) is the empty prefix before the leading pipe
-        (cells(1), cells(2), cells(3))
+        (cells(1), cells(2), cells(3), cells(5))
       }
     val byId = rows.map(r => r._1 -> r).toMap
     assert(rows.length == descs.size,
       s"QUERIES.md has ${rows.length} rows, source has ${descs.size} — regenerate")
+    val twinsOf = StreamVerify.twins.groupBy(_._2)
+      .view.mapValues(_.map(_._1).sorted.mkString(", ")).toMap
     descs.foreach { case (id, desc) =>
       val row = byId.getOrElse(id, fail(s"QUERIES.md missing row for $id — regenerate"))
       assert(row._2 == desc.replace("|", "\\|"),
         s"stale description for $id — regenerate QUERIES.md")
       assert(row._3.nonEmpty && row._3 != "?", s"empty plan shape for $id")
+      assert(row._4 == twinsOf.getOrElse(id, "—"),
+        s"stale STREAMCHECK column for $id — regenerate QUERIES.md")
     }
   }
 }

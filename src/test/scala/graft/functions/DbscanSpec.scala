@@ -71,6 +71,41 @@ class DbscanSpec extends SparkSpec {
       (5L, "noise", -1L)), out.toSeq.sortBy(_._1).toString)
   }
 
+  test("the bits-free overload derives bits from the corpus and matches explicit bits") {
+    // 15 vectors, dim 4: the integer rule gives max(4, min(4, ...)) = 4,
+    // so the committed auto path must equal the explicit bits = 4 call
+    val auto = SimilarityOps.dbscanBlocked(corpus, "vec_id", "embedding",
+      eps2 = 1250000L, minPts = 4)
+    val explicit = SimilarityOps.dbscanBlocked(corpus, "vec_id", "embedding",
+      eps2 = 1250000L, minPts = 4, bits = 4)
+    assert(collectRoles(auto) == collectRoles(explicit))
+  }
+
+  test("the integer auto-bits rule holds occupancy flat across decades") {
+    import SimilarityOps.deriveBits
+    assert(deriveBits(500, 64) == 4)     // sf0.01 — unchanged results
+    assert(deriveBits(2000, 64) == 4)    // sf0.1
+    assert(deriveBits(20000, 64) == 6)   // sf1
+    assert(deriveBits(200000, 64) == 9)  // sf10 — past the measured crossover
+    assert(deriveBits(512L << 13, 64) == 13) // exact power boundary
+    assert(deriveBits((512L << 13) + 1, 64) == 14)
+    assert(deriveBits(1L << 40, 8) == 8) // capped by the vector dimension
+    assert(deriveBits(0, 64) == 4 && deriveBits(1, 64) == 4)
+  }
+
+  test("saturated buckets are refused loudly, naming the auto-bits fix") {
+    // 15 vectors in 3 sign-buckets: Σ|bucket|² = 25+25+16+1 = 67 — a
+    // budget below that must refuse BEFORE the self-join runs
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.dbscanBlocked(corpus, "vec_id", "embedding",
+        eps2 = 1250000L, minPts = 4, bits = 4, maxCandidatePairs = 50L)
+    }
+    assert(e.getMessage.contains("saturated") &&
+      e.getMessage.contains("bits-free overload"), e.getMessage)
+    // and the same corpus under the default budget runs fine (covered
+    // by the equality tests above)
+  }
+
   test("the exact kernel refuses an over-contract corpus loudly") {
     val over = spark.range(SimilarityOps.MaxExactDbscanVectors + 1)
       .select(col("id").as("vec_id"),
