@@ -5646,8 +5646,90 @@ object SparkEntry {
           .as("symbol_density"))
         .withColumn("is_code",
           col("symbol_density") > 0.015 || col("kw_hits") >= 3)
+    }),
+
+    // ---- round-15 streaming-gate batch contracts ----------------------
+    // four queries whose ONLY reason to exist is honesty: each is the
+    // exact batch semantics of a shipped streaming operator that had no
+    // hash gate (StreamQuota / IncrementalView / StreamPercolate /
+    // IncrementalIndex), so STREAMCHECK can hold the operator to an
+    // oracle-gated reference instead of a spec-only claim
+
+    // arrival-order ingestion quota: the first 10 documents per source
+    // in doc_id (arrival) order survive, with their 1-based admission
+    // rank — streaming.StreamQuota's contract (a stream cannot rank by
+    // quality what it has not seen — x69 ranks because it sees the whole
+    // corpus; the honest online rule is first-come-first-admitted). The
+    // rank window's hash(source) exchange is the same partitioning the
+    // streaming gate's groupByKey(source) uses; state there is one long
+    // per source, and here one bounded rank per row
+    "x133_quota_admission" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      Tables.documents(s, dir).select("source", "doc_id")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+    }),
+
+    // KEY-derived-group maintained view: live rows of the user changelog
+    // (latest per user; 'error' = tombstone, the k2 convention) grouped
+    // by user_id mod 7 into (n_keys, total exact cents) —
+    // streaming.IncrementalView's contract, whose adder/subtractor fold
+    // maintains exactly this aggregate without rescanning history (k3
+    // groups by a VALUE-derived attribute and gates TableAggregate; the
+    // view keyed on the key itself was the missing contract)
+    "x134_view_maintenance" -> ((s, dir) =>
+      Changelog.upsertView(ev(s, dir), Seq("user_id"),
+          Seq(col("ts_sec"), col("event_id")),
+          col("event_type") === "error")
+        .select(concat(lit("g"), pmod(col("user_id"), lit(7))).as("grp"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_keys"), sum("cents").as("total"))),
+
+    // standing-query alerts over the ARRIVING-document shape (key =
+    // doc_id, event time rides along): one row per (standing query,
+    // matching document) — streaming.StreamPercolate's contract, the
+    // identical stateless projection it runs per micro-batch (s18 is
+    // the corpus-side percolator with rarest-term anchoring; this is
+    // the live alert shape, |batch| × |queries| inside codegen)
+    "x135_percolate_alerts" -> ((s, dir) =>
+      graft.streaming.StreamPercolate.alertsBatch(
+        Tables.documents(s, dir).select(
+          col("doc_id").cast("string").as("key"),
+          col("text").as("value"),
+          col("doc_id").as("ts")),
+        percolateQueries)),
+
+    // incrementally-maintainable inverted-index statistics: live rows of
+    // a document changelog (key = doc_id mod 150, replayed in doc_id
+    // order, every 17th doc a tombstone) tokenized to per-term
+    // (df, total_tf) — streaming.IncrementalIndex's contract, which
+    // maintains this table by adder/subtractor deltas without ever
+    // re-tokenizing the corpus. TextAnalysis.tokens is the ONE
+    // tokenizer (the x29/t3 discipline), so the maintained index and
+    // this recompute cannot fork on tokenization
+    "x136_incr_index" -> ((s, dir) => {
+      val ch = Tables.documents(s, dir).select(
+        pmod(col("doc_id"), lit(150)).cast("string").as("key"),
+        when(pmod(col("doc_id"), lit(17)) === 0, lit(null).cast("string"))
+          .otherwise(col("text")).as("value"),
+        col("doc_id").as("seq"))
+      val live = Changelog.latestByKey(ch, Seq("key"), Seq(col("seq")))
+        .filter(col("value").isNotNull)
+      live.select(col("key"),
+          explode(TextAnalysis.tokens(col("value"))).as("term"))
+        .groupBy("term")
+        .agg(countDistinct("key").as("df"), count(lit(1)).as("total_tf"))
     })
   )
+
+  /** The standing query set shared by the x117 batch contract and its
+    * STREAMCHECK twin (StreamVerify) — one definition, so the gate and
+    * the gated can never disagree on what the queries are. */
+  private[graft] val percolateQueries: Seq[(String, Seq[String])] = Seq(
+    ("q_hash_join", Seq("hash", "join")),
+    ("q_merge", Seq("merge")),
+    ("q_sort_window", Seq("sort", "window")))
 
   /** The t8 chain over an arbitrary document set (t8 scores the whole
     * table; c2 scores only the decontamination corpus — the bigram model
@@ -10740,6 +10822,47 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, n_lines, n_semi, n_braces, kw_hits, symbol_density,
         |  (symbol_density > 0.015 OR kw_hits >= 3) AS is_code
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // first 10 per source in doc_id order, 1-based rank
+    "x133_quota_admission" ->
+      """SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id)::BIGINT AS rank
+        |FROM documents QUALIFY rank <= 10""".stripMargin,
+
+    // live changelog rows (k2's latest-per-user minus tombstones)
+    // re-grouped by the key-derived group; exact integer cents
+    "x134_view_maintenance" ->
+      s"""WITH $latestSql
+        |SELECT 'g' || (user_id % 7)::VARCHAR AS grp,
+        |  count(*) AS n_keys,
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS total
+        |FROM latest WHERE event_type <> 'error' GROUP BY 1""".stripMargin,
+
+    // brute (doc × standing query) containment over the ONE tokenizer
+    "x135_percolate_alerts" ->
+      s"""WITH $toksSql,
+        |qs AS (SELECT * FROM (VALUES
+        |    ('q_hash_join', ['hash', 'join']),
+        |    ('q_merge', ['merge']),
+        |    ('q_sort_window', ['sort', 'window'])) v(query_id, qterms))
+        |SELECT query_id, doc_id::VARCHAR AS key, doc_id::BIGINT AS ts
+        |FROM toks JOIN qs ON list_has_all(t, qterms)""".stripMargin,
+
+    // the changelog replay (latest per key in seq = doc_id order, NULL
+    // text = tombstone), then per-term stats over the live texts
+    "x136_incr_index" ->
+      """WITH ch AS (SELECT (doc_id % 150)::VARCHAR AS key,
+        |    CASE WHEN doc_id % 17 = 0 THEN NULL ELSE text END AS value,
+        |    doc_id AS seq FROM documents),
+        |live AS (SELECT key, value FROM (SELECT key, value,
+        |    row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |  FROM ch) WHERE rn = 1 AND value IS NOT NULL),
+        |terms AS (SELECT key, unnest(list_filter(
+        |    regexp_split_to_array(lower(value), '\W+'), x -> x <> '')) AS term
+        |  FROM live)
+        |SELECT term, count(DISTINCT key)::BIGINT AS df,
+        |  count(*)::BIGINT AS total_tf
+        |FROM terms GROUP BY 1""".stripMargin
   )
 }

@@ -967,6 +967,79 @@ object StreamVerify {
           math.max(sigs(i)._1, sigs(j)._1),
           math.floor(c * 1e6 + 0.5) / 1e6)
         (out, want.toDF("a", "b", "cosine"))
+      }),
+
+    // ---- round-15: the four previously-ungated streaming operators ----
+
+    ("x133_quota", "x133_quota_admission",
+      "admitted (source, doc_id, rank); ts_sec is the replay clock, not compared",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val arrivals = Tables.documents(s, dir).select("source", "doc_id")
+          .collect()
+          .map(r => StreamQuota.Arrival(r.getString(0), r.getLong(1),
+            r.getLong(1)))
+          .sortBy(_.doc_id)
+        val streamed = replay(s, chunksOf(arrivals.toSeq, 4))(in =>
+          StreamQuota.admit(in, cap = 10).toDF())
+        val out = streamed.select(col("source"), col("doc_id"), col("rank"))
+        (out, SparkEntry.queries("x133_quota_admission")(s, dir))
+      }),
+
+    ("x134_incr_view", "x134_view_maintenance",
+      "maintained (grp, n_keys, total) view read back after the final swap",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val evs = eventsSorted(s, dir)
+        val recs = eventRecs(evs)(e =>
+          if (e.event_type == "error") null
+          else math.round(e.value * 100).toString)
+        val table = Files.createTempDirectory("sv_iview").toString + "/table"
+        val ckpt = Files.createTempDirectory("sv_iview_ck").toString
+        implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[Rec]
+        val q = IncrementalView.start(KTableStream.changes(in.toDS()),
+          k => "g" + (k.toLong % 7), _.toLong, table, ckpt)
+        try chunksOf(recs, 4).foreach { c => in.addData(c); q.processAllAvailable() }
+        finally q.stop()
+        val out = IncrementalView.view(s, table).toDF()
+          .select(col("group").as("grp"), col("n_keys"), col("total"))
+        (detach(s, out), SparkEntry.queries("x134_view_maintenance")(s, dir))
+      }),
+
+    ("x135_percolate", "x135_percolate_alerts", "full",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+          .collect()
+          .map(r => Rec(r.getLong(0).toString, r.getString(1), r.getLong(0),
+            r.getLong(0) + 1L))
+          .sortBy(_.ts)
+        val streamed = replay(s, chunksOf(docs.toSeq, 4))(in =>
+          StreamPercolate.alerts(in, SparkEntry.percolateQueries).toDF())
+        (streamed, SparkEntry.queries("x135_percolate_alerts")(s, dir))
+      }),
+
+    ("x136_incr_index", "x136_incr_index",
+      "maintained (term, df, total_tf) index read back after the final swap",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val recs = docs.map { case (id, text) =>
+          Rec((id % 150).toString,
+            if (id % 17 == 0) null else text, 0L, id + 1L)
+        }.toSeq
+        val table = Files.createTempDirectory("sv_iidx").toString + "/table"
+        val ckpt = Files.createTempDirectory("sv_iidx_ck").toString
+        implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[Rec]
+        val q = IncrementalIndex.start(KTableStream.changes(in.toDS()),
+          table, ckpt)
+        try chunksOf(recs, 4).foreach { c => in.addData(c); q.processAllAvailable() }
+        finally q.stop()
+        val out = IncrementalIndex.index(s, table).toDF()
+        (detach(s, out), SparkEntry.queries("x136_incr_index")(s, dir))
       })
   )
 
