@@ -24,4 +24,15 @@ object GraftShims {
       }
     case _ => ()
   }
+
+  /** The EXECUTED physical plan of a streaming query's last micro-batch
+    * — the streaming analog of `df.queryExecution.executedPlan`, for
+    * plan guards over streaming twins. `StreamingQueryWrapper` is
+    * `private[sql]`, hence this bridge. None before the first batch. */
+  def lastMicroBatchPlan(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Option[execution.SparkPlan] = q match {
+    case w: execution.streaming.runtime.StreamingQueryWrapper =>
+      Option(w.streamingQuery.lastExecution).map(_.executedPlan)
+    case _ => None
+  }
 }
