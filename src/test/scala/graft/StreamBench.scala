@@ -4,7 +4,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import java.nio.file.Files
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
 
 /** One replayed document row (top-level: Spark's codegen needs an
   * outer-free constructor for the product encoder). */
@@ -18,24 +19,35 @@ case class StreamBenchImg(doc_id: Long, content: Array[Byte],
 case class StreamBenchVec(vec_id: Long, embedding: Seq[Float],
                           ets: java.sql.Timestamp)
 
-/** Streaming throughput harness (not part of the library surface):
-  * replays the sf events table through three representative streaming
-  * operators in fixed-size micro-batches and reports rows/s plus final
-  * state size — the measured numbers SCALE.md quotes next to the batch
-  * sf-curves. Run:
+/** Streaming throughput harness → the STREAMBENCH artifact.
   *
-  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "Test/runMain graft.StreamBench"
+  * Replays the sf tables through five representative streaming operators
+  * in fixed-size micro-batches and writes one JSON artifact with per-
+  * stream rows/s — the streaming counterpart of `graft.Bench`, wired
+  * into the per-round freeze protocol as `STREAMBENCH_r{N}.json`. Run:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+  *   SPARK_GRAFT_STREAM_OUT=STREAMBENCH_r15.json \
+  *   sbt "Test/runMain graft.StreamBench"
   *
   * Method: MemoryStream input (the spec harness), chunked adds, wall
   * time from first add to last processAllAvailable; state rows from the
-  * final progress event. Min-of-1 by design — streaming runs amortize
-  * their own warmup (10+ micro-batches each), and the number of
-  * interest is sustained rows/s, not cold-start. */
+  * final progress event. Each stream repeats `SPARK_GRAFT_BENCH_REPEAT`
+  * (default 3) times with fresh state/checkpoints; the artifact carries
+  * min and p50 seconds, and — the Bench discipline — per-stream
+  * suite-median-normalized ratios plus `norm_ratio_vs_prev` against the
+  * previous round's STREAMBENCH artifact (min- AND p50-based), so
+  * cross-round streaming throughput regressions are readable from the
+  * artifact alone under host-steal noise. */
 object StreamBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val chunk = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNK", "10000").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT",
+      "target/streambench.json")
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+      .flatMap(_.trim.toIntOption).getOrElse(3).max(1)
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -47,19 +59,28 @@ object StreamBench {
       else p.stateOperators.map(_.numRowsTotal).sum
     }
 
+    final case class Res(rows: Long, secs: List[Double], stateRows: Long,
+                         microBatches: Long)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Res]
+
     def run[T](name: String, rows: Seq[T])
               (start: MemoryStream[T] => StreamingQuery)
               (implicit enc: org.apache.spark.sql.Encoder[T]): Unit = {
-      val in = MemoryStream[T]
-      val q = start(in)
-      val t0 = System.nanoTime()
-      rows.grouped(chunk).foreach { b => in.addData(b); q.processAllAvailable() }
-      val sec = (System.nanoTime() - t0) / 1e9
-      val st = stateRows(q)
-      q.stop()
-      println(f"""{"stream":"$name","rows":${rows.size},"sec":$sec%.3f,""" +
-        f""""rows_per_sec":${(rows.size / sec).toLong},"micro_batches":${
-          (rows.size + chunk - 1) / chunk},"state_rows":$st}""")
+      var secs = List.empty[Double]
+      var st = -1L
+      for (_ <- 1 to repeat) {
+        val in = MemoryStream[T]
+        val q = start(in)
+        val t0 = System.nanoTime()
+        rows.grouped(chunk).foreach { b => in.addData(b); q.processAllAvailable() }
+        secs ::= (System.nanoTime() - t0) / 1e9
+        st = stateRows(q)
+        q.stop()
+      }
+      val r = Res(rows.size.toLong, secs, st, (rows.size + chunk - 1) / chunk)
+      results(name) = r
+      System.err.println(f"[streambench] $name%-22s min=${secs.min}%.3fs " +
+        f"rows/s=${(r.rows / secs.min).toLong} state=$st reps=$repeat")
     }
 
     // shared input: the events table, ordered by time (arrival ~ event
@@ -147,6 +168,82 @@ object StreamBench {
         .outputMode("append").start()
     }
 
+    // ---- artifact (the Bench discipline: min + p50, suite-median norms,
+    // cross-round ratios from the previous artifact, real JSON parse) ----
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    def p50of(xs: List[Double]): Double = {
+      val s = xs.sorted; s((s.length - 1) / 2)
+    }
+    val mins = results.view.mapValues(_.secs.min).toMap
+    val p50s = results.view.mapValues(r => p50of(r.secs)).toMap
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else { val s = xs.sorted; s((s.length - 1) / 2) }
+    val medMin = median(mins.values.toSeq)
+    val medP50 = median(p50s.values.toSeq)
+
+    val outName = Paths.get(outPath).getFileName.toString
+    val prevPath = sys.env.get("SPARK_GRAFT_STREAM_PREV").orElse {
+      val rx = "STREAMBENCH_r(\\d+)\\.json".r
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .filter(_.getName != outName)
+        .flatMap(f => f.getName match {
+          case rx(n) => Some((n.toInt, f.getPath)); case _ => None })
+        .sortBy(-_._1).headOption.map(_._2)
+    }
+    val prevTree = prevPath.flatMap { path =>
+      try Option(new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)))
+      catch { case _: Throwable => None }
+    }
+    def prevMap(field: String): Map[String, Double] = prevTree.flatMap { t =>
+      Option(t.get(field)).filter(_.isObject).map { node =>
+        val it = node.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isNumber) b += (e.getKey -> e.getValue.asDouble())
+        }
+        b.result()
+      }
+    }.getOrElse(Map.empty)
+    val prevNorm = prevMap("norm")
+    val prevNormP50 = prevMap("norm_p50")
+
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\]", " ") + "\""
+    def obj(f: String => Option[Double]): String =
+      results.keys.map(k => jstr(k) + ":" +
+        f(k).map(v => r4(v).toString).getOrElse("null"))
+        .mkString("{", ",", "}")
+    val streamsJson = results.map { case (k, r) =>
+      jstr(k) + s""":{"rows":${r.rows},"sec_min":${r4(r.secs.min)},""" +
+        s""""sec_p50":${r4(p50of(r.secs))},""" +
+        s""""rows_per_sec":${(r.rows / r.secs.min).toLong},""" +
+        s""""micro_batches":${r.microBatches},"state_rows":${r.stateRows}}"""
+    }.mkString("{", ",", "}")
+    val norms = obj(k => if (medMin > 0) Some(mins(k) / medMin) else None)
+    val normsP50 = obj(k => if (medP50 > 0) Some(p50s(k) / medP50) else None)
+    val vsPrev = obj(k => for {
+      c <- if (medMin > 0) Some(mins(k) / medMin) else None
+      p <- prevNorm.get(k) if p > 0
+    } yield c / p)
+    val vsPrevP50 = obj(k => for {
+      c <- if (medP50 > 0) Some(p50s(k) / medP50) else None
+      p <- prevNormP50.get(k) if p > 0
+    } yield c / p)
+    val prevField = prevPath.filter(_ => prevNorm.nonEmpty || prevNormP50.nonEmpty)
+      .map(jstr).getOrElse("null")
+    val total = r4(mins.values.sum)
+    val json =
+      s"""{"metric":"stream_total","value":$total,"unit":"sec","repeat":$repeat,""" +
+      s""""chunk":$chunk,"suite_median_sec":${r4(medMin)},""" +
+      s""""suite_median_p50_sec":${r4(medP50)},"prev_detail":$prevField,""" +
+      s""""streams":$streamsJson,"norm":$norms,"norm_p50":$normsP50,""" +
+      s""""norm_ratio_vs_prev":$vsPrev,"norm_ratio_vs_prev_p50":$vsPrevP50,""" +
+      s""""sf":"$sfDir"}"""
+    val p = Paths.get(outPath)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.write(p, (json + "\n").getBytes(StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }
