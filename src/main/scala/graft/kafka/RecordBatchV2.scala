@@ -107,7 +107,9 @@ private[kafka] object RecordBatchV2 {
         catch { case e: IllegalArgumentException => fail(s"v2: ${e.getMessage}") }
       case 2 => BlockCodecs.snappyDecompress(raw, Wire.MaxFrame)
       case 3 => BlockCodecs.lz4FrameDecompress(raw, Wire.MaxFrame)
-      case 4 => fail("v2: zstd batches unsupported (no JDK/from-spec codec)")
+      case 4 => // zstd (KIP-110), from-spec RFC 8878 decoder
+        try Zstd.decompress(raw, Wire.MaxFrame)
+        catch { case e: IllegalArgumentException => fail(s"v2: ${e.getMessage}") }
       case c => fail(s"v2: unknown codec $c")
     }
     val rb = ByteBuffer.wrap(plain)
@@ -161,7 +163,7 @@ private[kafka] object RecordBatchV2 {
   def encode(records: Seq[WireRecord], codec: Int = 0,
              baseOffset: Long = 0L): Array[Byte] = {
     require(records.nonEmpty, "v2 batch needs at least one record")
-    require(codec >= 0 && codec <= 3, s"v2 codec $codec not encodable")
+    require(codec >= 0 && codec <= 4, s"v2 codec $codec not encodable")
     val baseTs = records.map(_.timestamp).min
     val recBuf = new java.io.ByteArrayOutputStream(256)
     records.zipWithIndex.foreach { case (r, i) =>
@@ -182,7 +184,8 @@ private[kafka] object RecordBatchV2 {
       case 0 => recBuf.toByteArray
       case 1 => Wire.gzipForV2(recBuf.toByteArray)
       case 2 => BlockCodecs.snappyCompress(recBuf.toByteArray)
-      case _ => BlockCodecs.lz4FrameCompress(recBuf.toByteArray)
+      case 3 => BlockCodecs.lz4FrameCompress(recBuf.toByteArray)
+      case _ => Zstd.compressRaw(recBuf.toByteArray) // spec-valid raw frame
     }
     // body from attributes to end (CRC-covered)
     val covered = ByteBuffer.allocate(2 + 4 + 8 + 8 + 8 + 2 + 4 + 4 + recs.length)
