@@ -817,7 +817,7 @@ def do_chroma(w, pic, mx, my, m, cbp_chroma, chroma_mode, qpc):
                         clip(pred[py * 8 + px] + r[j * 4 + i])
 
 
-def encode_mb(w, pic, mx, my, m, spec):
+def encode_mb(w, pic, mx, my, m, spec, mb_type_offset=0):
     kind = spec["kind"]
     lg = pic.mb_w * 4
     bx0, by0 = mx * 4, my * 4
@@ -828,7 +828,7 @@ def encode_mb(w, pic, mx, my, m, spec):
         mode = spec["mode"]
         cbp_luma_ac = spec.get("ac", False)
         t = mode + cbp_chroma * 4 + (12 if cbp_luma_ac else 0)
-        w.ue(t + 1)
+        w.ue(t + 1 + mb_type_offset)
         w.ue(chroma_mode)
         w.se(qp_delta)
         pic.qp = ((pic.qp + qp_delta) % 52 + 52) % 52
@@ -866,7 +866,7 @@ def encode_mb(w, pic, mx, my, m, spec):
                         clip(pred[py * 16 + px] + r[j * 4 + i])
         do_chroma(w, pic, mx, my, m, cbp_chroma, chroma_mode, qpc)
     else:  # i4
-        w.ue(0)
+        w.ue(mb_type_offset)
         modes = []
         for k in range(16):
             legal, _ = legal_modes(pic, mx, my, k)
@@ -1034,3 +1034,323 @@ assert any(n >= 8 for n in NC_SEEN), NC_SEEN
 OUT.parent.mkdir(parents=True, exist_ok=True)
 OUT.write_text("\n".join(lines) + "\n")
 print(f"wrote {len(lines)} CAVLC fixtures to {OUT}; nC contexts: {sorted(NC_SEEN)}")
+
+
+# ==== P-slice fixtures (graft.multimodal.H264Inter) =======================
+#
+# Second implementation of the integer-MV P subset: mb_skip_run, the
+# 8.4.1.1 skip vector and 8.4.1.3 median predictor, P_L0_16x16 with
+# mvd + inter CBP (Table 9-4) + CAVLC residuals over motion-compensated
+# prediction (edge-clamped luma, eighth-pel bilinear chroma), and intra
+# macroblocks inside P slices (mb_type offset 5). Output:
+# src/test/resources/h264_p_fixtures.txt, one line per fixture:
+# `name mbW mbH nal0,nal1,... y0,y1,... cb0,... cr0,...`
+# (comma-joined per frame; frame 0 is the IDR).
+
+P_OUT = Path(__file__).resolve().parent.parent / \
+    "src/test/resources/h264_p_fixtures.txt"
+
+CBP_INTER = [0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+             14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+             17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41]
+assert sorted(CBP_INTER) == list(range(48))
+
+
+def median3(a, b, c):
+    return max(min(a, b), min(max(a, b), c))
+
+
+class Motion:
+    def __init__(self, mb_w, mb_h):
+        self.mb_w, self.mb_h = mb_w, mb_h
+        self.mv = [(0, 0)] * (mb_w * mb_h)
+        self.kind = [0] * (mb_w * mb_h)  # 0 undecoded, 1 inter, 2 intra
+
+    def inside(self, mx, my):
+        return 0 <= mx < self.mb_w and 0 <= my < self.mb_h
+
+    def info(self, mx, my):
+        if not self.inside(mx, my) or self.kind[my * self.mb_w + mx] != 1:
+            return (0, 0, -1)
+        vx, vy = self.mv[my * self.mb_w + mx]
+        return (vx, vy, 0)
+
+    def set(self, mx, my, vx, vy, kind):
+        self.mv[my * self.mb_w + mx] = (vx, vy)
+        self.kind[my * self.mb_w + mx] = kind
+
+
+def mv_pred(mot, mx, my):
+    a = mot.info(mx - 1, my)
+    b = mot.info(mx, my - 1)
+    c_in = mot.inside(mx + 1, my - 1)
+    c = mot.info(mx + 1, my - 1) if c_in else mot.info(mx - 1, my - 1)
+    b_in = mot.inside(mx, my - 1)
+    d_in = mot.inside(mx - 1, my - 1)
+    if not b_in and not c_in and not d_in and mot.inside(mx - 1, my):
+        return a[0], a[1]
+    matches = [x for x in (a, b, c) if x[2] == 0]
+    if len(matches) == 1:
+        return matches[0][0], matches[0][1]
+    return (median3(a[0], b[0], c[0]), median3(a[1], b[1], c[1]))
+
+
+def skip_mv(mot, mx, my):
+    if not mot.inside(mx - 1, my) or not mot.inside(mx, my - 1):
+        return (0, 0)
+    a = mot.info(mx - 1, my)
+    b = mot.info(mx, my - 1)
+    if (a[2] == 0 and a[0] == 0 and a[1] == 0) or \
+       (b[2] == 0 and b[0] == 0 and b[1] == 0):
+        return (0, 0)
+    return mv_pred(mot, mx, my)
+
+
+def clamp_fetch(plane, w, h, x, y):
+    return plane[max(0, min(h - 1, y)) * w + max(0, min(w - 1, x))]
+
+
+def motion_compensate(pic, prev, mx, my, mvx, mvy):
+    assert mvx % 4 == 0 and mvy % 4 == 0, "integer-pel subset"
+    dx, dy = mvx >> 2, mvy >> 2
+    w, h = pic.w, pic.h
+    for py in range(16):
+        for px in range(16):
+            pic.y[(my * 16 + py) * w + mx * 16 + px] = \
+                clamp_fetch(prev.y, w, h, mx * 16 + px + dx, my * 16 + py + dy)
+    cw, ch = w // 2, h // 2
+    cdx, cdy = mvx >> 3, mvy >> 3
+    xf, yf = mvx & 7, mvy & 7
+    for plane, src in ((pic.cb, prev.cb), (pic.cr, prev.cr)):
+        for cy in range(8):
+            for cx in range(8):
+                bx, by = mx * 8 + cx + cdx, my * 8 + cy + cdy
+                if xf == 0 and yf == 0:
+                    v = clamp_fetch(src, cw, ch, bx, by)
+                else:
+                    p00 = clamp_fetch(src, cw, ch, bx, by)
+                    p10 = clamp_fetch(src, cw, ch, bx + 1, by)
+                    p01 = clamp_fetch(src, cw, ch, bx, by + 1)
+                    p11 = clamp_fetch(src, cw, ch, bx + 1, by + 1)
+                    v = ((8 - xf) * (8 - yf) * p00 + xf * (8 - yf) * p10 +
+                         (8 - xf) * yf * p01 + xf * yf * p11 + 32) >> 6
+                plane[(my * 8 + cy) * cw + mx * 8 + cx] = v
+
+
+def zero_tc(pic, mx, my):
+    lg, cg = pic.mb_w * 4, pic.mb_w * 2
+    for k in range(16):
+        x4, y4 = BLK_POS[k]
+        pic.luma_tc[(my * 4 + y4) * lg + mx * 4 + x4] = 0
+    for b in range(4):
+        bx, by = mx * 2 + (b & 1), my * 2 + (b >> 1)
+        pic.cb_tc[by * cg + bx] = 0
+        pic.cr_tc[by * cg + bx] = 0
+
+
+def encode_p16(w, pic, prev, mot, mx, my, spec):
+    mvx, mvy = spec["mv"]
+    px, py = mv_pred(mot, mx, my)
+    w.se(mvx - px)
+    w.se(mvy - py)
+    mot.set(mx, my, mvx, mvy, 1)
+    motion_compensate(pic, prev, mx, my, mvx, mvy)
+    luma = spec["luma"]
+    cbp_luma = 0
+    for q in range(4):
+        if any(any(luma[q * 4 + i]) for i in range(4)):
+            cbp_luma |= 1 << q
+    cbp = cbp_luma | (spec["cbp_chroma"] << 4)
+    w.ue(CBP_INTER.index(cbp))
+    if cbp != 0:
+        w.se(spec["qp_delta"])
+        pic.qp = ((pic.qp + spec["qp_delta"]) % 52 + 52) % 52
+    qp = pic.qp
+    qpc = chroma_qp(qp)
+    lg = pic.mb_w * 4
+    bx0, by0 = mx * 4, my * 4
+    for k in range(16):
+        x4, y4 = BLK_POS[k]
+        bx, by = bx0 + x4, by0 + y4
+        if cbp_luma & (1 << (k >> 2)):
+            nc = Pic.nC(pic.luma_tc_at(bx - 1, by), pic.luma_tc_at(bx, by - 1))
+            tc = encode_residual(w, luma[k], nc)
+            pic.luma_tc[by * lg + bx] = tc
+            d = dequant4x4(luma[k], qp, False, 0)
+            r = itransform(d)
+            x0, y0 = mx * 16 + x4 * 4, my * 16 + y4 * 4
+            for j in range(4):
+                for i in range(4):
+                    at = (y0 + j) * pic.w + x0 + i
+                    pic.y[at] = clip(pic.y[at] + r[j * 4 + i])
+        else:
+            pic.luma_tc[by * lg + bx] = 0
+    # chroma residual over the MC prediction
+    cg = pic.mb_w * 2
+    cx0, cy0 = mx * 2, my * 2
+    cbp_chroma = spec["cbp_chroma"]
+    dc_levels = [spec["chroma_dc"][c] if cbp_chroma else [0] * 4
+                 for c in range(2)]
+    ac_levels = [[spec["chroma_ac"][c][b] if cbp_chroma == 2 else [0] * 16
+                  for b in range(4)] for c in range(2)]
+    if cbp_chroma:
+        encode_residual(w, dc_levels[0], -1)
+        encode_residual(w, dc_levels[1], -1)
+    cw = pic.w // 2
+    for c in range(2):
+        arr = pic.cb_tc if c == 0 else pic.cr_tc
+        plane = pic.cb if c == 0 else pic.cr
+        dc = chroma_dc_transform(dc_levels[c], qpc)
+        for b in range(4):
+            bx, by = cx0 + (b & 1), cy0 + (b >> 1)
+            if cbp_chroma == 2:
+                nc = Pic.nC(pic.chroma_tc_at(arr, bx - 1, by),
+                            pic.chroma_tc_at(arr, bx, by - 1))
+                tc = encode_residual(w, ac_levels[c][b][1:], nc)
+                arr[by * cg + bx] = tc
+            else:
+                arr[by * cg + bx] = 0
+            d = dequant4x4(ac_levels[c][b], qpc, True, dc[b])
+            r = itransform(d)
+            x0, y0 = mx * 8 + (b & 1) * 4, my * 8 + (b >> 1) * 4
+            for j in range(4):
+                for i in range(4):
+                    at = (y0 + j) * cw + x0 + i
+                    plane[at] = clip(plane[at] + r[j * 4 + i])
+
+
+def encode_p_picture(prev_pic, mb_w, mb_h, frame_num, sqd, specs):
+    w = BitWriter()
+    w.ue(0)              # first_mb_in_slice
+    w.ue(5)              # slice_type: P (all-slices-same form)
+    w.ue(0)              # pps id
+    w.u(frame_num, 4)
+    w.u(0, 1)            # num_ref_idx_active_override_flag
+    w.u(0, 1)            # ref_pic_list_modification_flag_l0
+    w.u(0, 1)            # adaptive_ref_pic_marking_mode_flag
+    w.se(sqd)
+    pic = Pic(mb_w, mb_h, ((26 + sqd) % 52 + 52) % 52)
+    mot = Motion(mb_w, mb_h)
+    skip_run = 0
+    for idx in range(mb_w * mb_h):
+        mx, my = idx % mb_w, idx // mb_w
+        spec = specs[idx]
+        if spec["kind"] == "skip":
+            vx, vy = skip_mv(mot, mx, my)
+            mot.set(mx, my, vx, vy, 1)
+            motion_compensate(pic, prev_pic, mx, my, vx, vy)
+            zero_tc(pic, mx, my)
+            skip_run += 1
+        elif spec["kind"] == "p16":
+            w.ue(skip_run)
+            skip_run = 0
+            w.ue(0)      # mb_type: P_L0_16x16
+            encode_p16(w, pic, prev_pic, mot, mx, my, spec)
+        else:            # intra MB inside the P slice (mb_type offset 5)
+            w.ue(skip_run)
+            skip_run = 0
+            encode_mb(w, pic, mx, my, spec["m"], spec, mb_type_offset=5)
+            mot.set(mx, my, 0, 0, 2)
+    if skip_run:
+        w.ue(skip_run)   # trailing all-skip run
+    w.trailing()
+    return bytes([0x41]) + ebsp(w.rbsp()), pic  # nal_ref_idc 2, type 1
+
+
+# ---- the shared P recipe (restated in the Scala H264InterInteropSpec) ----
+
+def p16_luma(k, m):
+    # quadrant-gated mid-density levels: exactly two cbp quadrants set
+    if ((k >> 2) + m) % 2 == 1:
+        return [0] * 16
+    return i4_mid_levels(k, m)
+
+
+def p16_spec(m, t):
+    return {"kind": "p16",
+            "mv": (4 * ((m + t) % 5 - 2), 4 * ((2 * m + t) % 5 - 2)),
+            "luma": [p16_luma(k, m + t) for k in range(16)],
+            "cbp_chroma": (m + t) % 3,
+            "qp_delta": (t % 3) - 1,
+            "chroma_dc": [chroma_dc_levels(c, m + t) for c in range(2)],
+            "chroma_ac": [[chroma_ac_levels(c, b, m + t) for b in range(4)]
+                          for c in range(2)]}
+
+
+def p_intra_spec(m, t):
+    return {"kind": "i16", "mode": 2, "ac": False, "cbp_chroma": 0,
+            "qp_delta": 0, "chroma_mode": 0, "m": m + t}
+
+
+def p_frame_specs(mb_w, mb_h, t):
+    out = []
+    for m in range(mb_w * mb_h):
+        role = (m + t) % 3
+        if role == 0:
+            out.append({"kind": "skip"})
+        elif role == 1:
+            out.append(p16_spec(m, t))
+        else:
+            out.append(p_intra_spec(m, t))
+    return out
+
+
+P_FIXTURES = {
+    # mixed skip/coded/intra P MBs over an Intra_4x4 IDR; leading,
+    # mid and trailing skip runs across the three P frames
+    "p_mixed": (2, 2, 0, [
+        {"kind": "i4", "cbp_chroma": 2, "qp_delta": 0, "chroma_mode": 0},
+        {"kind": "i4", "cbp_chroma": 1, "qp_delta": 2, "chroma_mode": 1},
+        {"kind": "i4", "cbp_chroma": 0, "qp_delta": 0, "chroma_mode": 2},
+        {"kind": "i4", "cbp_chroma": 2, "qp_delta": -2, "chroma_mode": 3},
+    ], [lambda t: p_frame_specs(2, 2, t), 3]),
+    # all-P16 with varied vectors (negative, border-clamping, odd-pel →
+    # half-phase chroma) and zero residual: the cbp = 0 coded path
+    "p_motion": (2, 2, 0, [
+        {"kind": "i16", "mode": 2, "ac": True, "cbp_chroma": 2,
+         "qp_delta": 0, "chroma_mode": 0},
+        {"kind": "i16", "mode": 1, "ac": True, "cbp_chroma": 1,
+         "qp_delta": 2, "chroma_mode": 1},
+        {"kind": "i16", "mode": 0, "ac": False, "cbp_chroma": 0,
+         "qp_delta": -2, "chroma_mode": 2},
+        {"kind": "i16", "mode": 3, "ac": True, "cbp_chroma": 2,
+         "qp_delta": 0, "chroma_mode": 3},
+    ], [lambda t: [{"kind": "p16",
+                    "mv": (4 * ((m + t) % 5 - 2), 4 * ((2 * m + t) % 5 - 2)),
+                    "luma": [[0] * 16 for _ in range(16)],
+                    "cbp_chroma": 0, "qp_delta": 0,
+                    "chroma_dc": [[0] * 4] * 2,
+                    "chroma_ac": [[[0] * 16] * 4] * 2}
+                   for m in range(4)], 2]),
+    # one all-skip P frame (a single trailing skip run, stationary copy)
+    "p_allskip": (2, 1, 2, [
+        {"kind": "i16", "mode": 2, "ac": True, "cbp_chroma": 2,
+         "qp_delta": 0, "chroma_mode": 0},
+        {"kind": "i16", "mode": 2, "ac": False, "cbp_chroma": 0,
+         "qp_delta": 0, "chroma_mode": 1},
+    ], [lambda t: [{"kind": "skip"}, {"kind": "skip"}], 1]),
+}
+
+p_lines = []
+for name, (mb_w, mb_h, sqd, idr_specs, (p_spec_fn, n_p)) in sorted(
+        P_FIXTURES.items()):
+    nal0, pic = encode_picture(mb_w, mb_h, sqd, idr_specs)
+    nals = [nal0]
+    planes = [(bytes(pic.y), bytes(pic.cb), bytes(pic.cr))]
+    prev = pic
+    for t in range(1, n_p + 1):
+        p_sqd = (t % 2) * 2
+        nal_t, pic_t = encode_p_picture(prev, mb_w, mb_h, t, p_sqd,
+                                        p_spec_fn(t))
+        nals.append(nal_t)
+        planes.append((bytes(pic_t.y), bytes(pic_t.cb), bytes(pic_t.cr)))
+        prev = pic_t
+    p_lines.append(" ".join([
+        name, str(mb_w), str(mb_h),
+        ",".join(n.hex() for n in nals),
+        ",".join(p[0].hex() for p in planes),
+        ",".join(p[1].hex() for p in planes),
+        ",".join(p[2].hex() for p in planes)]))
+
+P_OUT.write_text("\n".join(p_lines) + "\n")
+print(f"wrote {len(p_lines)} P-slice fixtures to {P_OUT}")

@@ -2132,6 +2132,37 @@ object SparkEntry {
           "y_mean_first", "y_mean_last")
     }),
 
+    // inter-predicted H.264 (IDR + P GOP): every sample after the first
+    // decodes through the P path — mb_skip_run, mv prediction, motion
+    // compensation (integer-pel luma, half-phase chroma bilinear), the
+    // inter CBP mapping, and CAVLC residual over prediction. The GOP is
+    // built so each coded P frame shifts the constant plane by exactly
+    // 4·c_t (QP-28 DC algebra) and skip frames copy it, so the oracle
+    // states first/last frame means in closed form — the m12 discipline
+    // extended to inter prediction. Map-only; media bytes never shuffle
+    "m13_h264_pframes" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select("doc_id").as[Long]
+        .map { id =>
+          val bytes = graft.multimodal.SyntheticMedia.h264PMp4Bytes(id)
+          val frames = graft.multimodal.Multimodal.mp4Avc1Track(bytes)
+            .toSeq.flatMap { case (sps, pps, lenSize, samples) =>
+              graft.multimodal.H264.decodeNals(
+                Seq(sps, pps) ++ samples.flatMap(smp =>
+                  graft.multimodal.Multimodal.avccNals(smp, lenSize)))
+            }
+          def yMean(f: graft.multimodal.H264.Frame): Long =
+            f.y.foldLeft(0L)((a, b) => a + (b & 0xff)) / f.y.length
+          (id, frames.length,
+            frames.headOption.map(_.width).getOrElse(0),
+            frames.headOption.map(_.height).getOrElse(0),
+            frames.headOption.map(yMean).getOrElse(-1L),
+            frames.lastOption.map(yMean).getOrElse(-1L))
+        }
+        .toDF("doc_id", "n_frames", "frame_w", "frame_h",
+          "y_mean_first", "y_mean_last")
+    }),
+
     // relational extras (set ops, top-k, rollup, analytic, json) -----------
 
     "x1_setops" -> ((s, dir) => {
@@ -7191,6 +7222,23 @@ object SparkEntry {
         |  (16 * (1 + doc_id % 2))::INT AS frame_h,
         |  (128 + (doc_id * 7) % 15 - 7)::BIGINT AS y_mean_first,
         |  (128 + (doc_id * 7 + (doc_id % 3) * 13) % 15 - 7)::BIGINT AS y_mean_last
+        |FROM documents""".stripMargin,
+
+    // the IDR plane is 128 + d0 (the m12 algebra); each coded (odd) P
+    // frame adds exactly 4·c_t = 4·((id + t) % 5 − 2) to the constant
+    // plane, skip frames copy it — frames = 2 + id % 3, so frame 1 is
+    // always coded and frame 3 is coded only when id % 3 = 2
+    "m13_h264_pframes" ->
+      """SELECT doc_id,
+        |  (2 + doc_id % 3)::INT AS n_frames,
+        |  (16 * (1 + doc_id % 3))::INT AS frame_w,
+        |  (16 * (1 + doc_id % 2))::INT AS frame_h,
+        |  (128 + (doc_id * 7) % 15 - 7)::BIGINT AS y_mean_first,
+        |  (128 + (doc_id * 7) % 15 - 7
+        |     + 4 * ((doc_id + 1) % 5 - 2)
+        |     + CASE WHEN doc_id % 3 = 2
+        |            THEN 4 * ((doc_id + 3) % 5 - 2) ELSE 0 END
+        |  )::BIGINT AS y_mean_last
         |FROM documents""".stripMargin,
 
     "x1_setops" ->

@@ -162,9 +162,15 @@ object H264 {
   val NalIdr = 5
   val NalSps = 7
   val NalPps = 8
+  val NalNonIdr = 1
 
   private def nal(nalType: Int, refIdc: Int, rbsp: Array[Byte]): Array[Byte] =
     Array(((refIdc << 5) | nalType).toByte) ++ rbspToEbsp(rbsp)
+
+  /** A non-IDR coded-slice NAL (type 1) around a P-slice RBSP — the
+    * [[H264Inter]] encoder's wrapper (ref idc 2: a stored reference). */
+  private[multimodal] def nonIdrNal(rbsp: Array[Byte]): Array[Byte] =
+    nal(NalNonIdr, refIdc = 2, rbsp)
 
   def nalType(nalUnit: Array[Byte]): Int = nalUnit(0) & 0x1f
 
@@ -398,6 +404,15 @@ object H264 {
     * residual + intra-prediction path ([[H264Intra]]/[[H264Cavlc]]).
     * `initQp` is the PPS `pic_init_qp` (26 when no PPS preceded). */
   def decodeIdr(nalUnit: Array[Byte], sps: Sps, initQp: Int = 26): Frame = {
+    val full = decodeIdrFull(nalUnit, sps, initQp)
+    crop(full, sps.width, sps.height)
+  }
+
+  /** [[decodeIdr]] without the display crop — P slices motion-compensate
+    * against the full macroblock grid, so the reference list keeps the
+    * uncropped picture. */
+  private[multimodal] def decodeIdrFull(nalUnit: Array[Byte], sps: Sps,
+                                        initQp: Int = 26): Frame = {
     require(nalType(nalUnit) == NalIdr, s"not an IDR NAL: type ${nalType(nalUnit)}")
     val r = new BitReader(ebspToRbsp(nalUnit.drop(1)))
     require(r.ue() == 0, "multi-slice pictures outside the intra subset")
@@ -452,7 +467,23 @@ object H264 {
       my += 1
     }
     r.expectTrailing()
-    crop(Frame(fullW, ctx.height, ctx.y, ctx.cb, ctx.cr), sps.width, sps.height)
+    Frame(fullW, ctx.height, ctx.y, ctx.cb, ctx.cr)
+  }
+
+  /** Decode a non-IDR coded slice (the [[H264Inter]] P subset) against
+    * its SPS and the previous decoded picture (UNCROPPED); returns the
+    * uncropped picture. */
+  private[multimodal] def decodeNonIdrFull(nalUnit: Array[Byte], sps: Sps,
+                                           ref: Frame, initQp: Int): Frame = {
+    require(nalType(nalUnit) == NalNonIdr,
+      s"not a non-IDR slice NAL: type ${nalType(nalUnit)}")
+    val refIdc = (nalUnit(0) >> 5) & 3
+    val r = new BitReader(ebspToRbsp(nalUnit.drop(1)))
+    require(r.ue() == 0, "multi-slice pictures outside the subset")
+    val sliceType = r.ue()
+    require(sliceType == 0 || sliceType == 5,
+      s"non-IDR slice_type $sliceType outside the P subset")
+    H264Inter.decodePSlice(r, sps, ref, initQp, refIdc)
   }
 
   private def crop(f: Frame, w: Int, h: Int): Frame =
@@ -480,21 +511,33 @@ object H264 {
   def decodeNals(nals: Seq[Array[Byte]]): Seq[Frame] = {
     var sps: Option[Sps] = None
     var initQp = 26
+    var prevFull: Option[Frame] = None // decode-order reference, uncropped
     val frames = Seq.newBuilder[Frame]
     nals.foreach { n =>
       nalType(n) match {
         case NalSps => sps = Some(parseSps(n))
         case NalPps => initQp = validatePps(n).initQp
         case NalIdr =>
-          frames += decodeIdr(n,
-            sps.getOrElse(sys.error("IDR before SPS in the NAL stream")), initQp)
-        case t if t >= 1 && t <= 4 =>
-          // non-IDR coded slices / data partitions: silently skipping
-          // them would under-decode a real IDR+P stream into an
-          // IDR-only frame sequence presented as complete — reject so
-          // callers fall back to the labeled stub instead
+          val s = sps.getOrElse(sys.error("IDR before SPS in the NAL stream"))
+          val full = decodeIdrFull(n, s, initQp)
+          prevFull = Some(full)
+          frames += crop(full, s.width, s.height)
+        case NalNonIdr =>
+          // P slices ([[H264Inter]]): motion-compensated against the
+          // previous decoded picture
+          val s = sps.getOrElse(sys.error("P slice before SPS in the NAL stream"))
+          val ref = prevFull.getOrElse(
+            sys.error("P slice with no prior decoded picture"))
+          val full = decodeNonIdrFull(n, s, ref, initQp)
+          prevFull = Some(full)
+          frames += crop(full, s.width, s.height)
+        case t if t >= 2 && t <= 4 =>
+          // data partitions / non-IDR forms outside the subset: silently
+          // skipping would under-decode a real stream into fewer frames
+          // presented as complete — reject so callers fall back to the
+          // labeled stub instead
           throw new IllegalArgumentException(
-            s"non-IDR coded slice NAL (type $t) outside the I_PCM subset")
+            s"coded slice NAL type $t outside the IDR+P subset")
         case _ => () // SEI / AUD / filler: legal to skip
       }
     }

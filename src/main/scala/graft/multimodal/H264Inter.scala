@@ -1,0 +1,423 @@
+package graft.multimodal
+
+/** P-slice (inter-predicted) H.264 decode/encode for the integer-MV
+  * baseline subset (ITU-T H.264 §7.3.5 / §8.4) — the next bite of the
+  * entropy-coded video surface after CAVLC-intra:
+  *
+  *  - `P_Skip` runs (`mb_skip_run`, §7.3.4) with the §8.4.1.1 skip
+  *    motion-vector rule (zero vector when the left/up neighbor is
+  *    unavailable or stationary, else the 16×16 predictor);
+  *  - `P_L0_16x16` (mb_type 0) with the §8.4.1.3 median motion-vector
+  *    predictor (left/up/up-right neighbors, up-left substitution,
+  *    single-matching-reference shortcut, the B/C/D-unavailable → A
+  *    special case), `mvd_l0` se(v) deltas, and full CAVLC residuals
+  *    over motion-compensated prediction (inter CBP mapping, Table 9-4);
+  *  - intra macroblocks inside P slices (mb_type ≥ 5 → the I types,
+  *    including I_PCM at 30) through the existing [[H264Intra]] path;
+  *  - motion compensation with the spec's edge extension (clamped
+  *    full-pel fetches) for luma, and the §8.4.2.2.2 eighth-pel
+  *    bilinear for chroma (integer luma vectors land on {0, ½} chroma
+  *    phases; the general weighting is implemented).
+  *
+  * LUMA vectors are restricted to integer pel (quarter-pel units
+  * divisible by 4): the 6-tap half-pel filter and quarter-pel averaging
+  * are OUTSIDE this subset and rejected loudly, never approximated —
+  * the remaining honest stub is sub-pel luma + B slices + CABAC.
+  * One reference picture (the previously decoded frame), matching the
+  * `max_num_ref_frames = 1` SPS this repo emits.
+  *
+  * Cross-checked against the independent Python implementation
+  * (`scripts/h264_cavlc_fixture_gen.py` P-fixture section): decode is
+  * held to Python-computed pixels, encode to Python-computed bytes —
+  * mixed skip/coded/intra pictures with negative, edge-clamping, and
+  * odd-pel (half-phase chroma) motion vectors.
+  */
+private[multimodal] object H264Inter {
+
+  import H264.{BitReader, BitWriter, Frame}
+  import H264Intra._
+
+  /** Table 9-4, the Inter column: coded_block_pattern codeNum → cbp.
+    * Spec-validated by `H264InterSpec`: must be a permutation of 0..47
+    * (a mistranscription cannot be one AND round-trip the fixtures). */
+  private[multimodal] val CbpInter: Array[Int] = Array(
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+
+  /** Per-MB motion state for one P picture. `kind`: 0 = undecoded,
+    * 1 = inter (mv valid, refIdx 0), 2 = intra/PCM (no motion). */
+  private[multimodal] final class Motion(val mbW: Int, val mbH: Int) {
+    val mvx = new Array[Int](mbW * mbH)
+    val mvy = new Array[Int](mbW * mbH)
+    val kind = new Array[Int](mbW * mbH)
+    def inside(mx: Int, my: Int): Boolean =
+      mx >= 0 && my >= 0 && mx < mbW && my < mbH
+    /** (mvx, mvy, refIdx): intra / outside → (0, 0, −1), per §8.4.1.3. */
+    def info(mx: Int, my: Int): (Int, Int, Int) =
+      if (!inside(mx, my) || kind(my * mbW + mx) != 1) (0, 0, -1)
+      else (mvx(my * mbW + mx), mvy(my * mbW + mx), 0)
+    def set(mx: Int, my: Int, x: Int, y: Int, k: Int): Unit = {
+      mvx(my * mbW + mx) = x; mvy(my * mbW + mx) = y; kind(my * mbW + mx) = k
+    }
+  }
+
+  private def median3(a: Int, b: Int, c: Int): Int =
+    math.max(math.min(a, b), math.min(math.max(a, b), c))
+
+  /** §8.4.1.3 motion-vector prediction for a 16×16 partition with
+    * refIdxL0 = 0 (the one-reference subset). */
+  private[multimodal] def mvPred16x16(mot: Motion, mx: Int, my: Int): (Int, Int) = {
+    val a = mot.info(mx - 1, my)
+    val b = mot.info(mx, my - 1)
+    // up-right, substituted by up-left when outside (§6.4.11.7)
+    val cInside = mot.inside(mx + 1, my - 1)
+    val c = if (cInside) mot.info(mx + 1, my - 1) else mot.info(mx - 1, my - 1)
+    // B, C and D all unavailable (outside) and A available → mvA
+    val bIn = mot.inside(mx, my - 1)
+    val dIn = mot.inside(mx - 1, my - 1)
+    if (!bIn && !cInside && !dIn && mot.inside(mx - 1, my)) (a._1, a._2)
+    else {
+      val matches = Seq(a, b, c).filter(_._3 == 0)
+      if (matches.size == 1) (matches.head._1, matches.head._2)
+      else (median3(a._1, b._1, c._1), median3(a._2, b._2, c._2))
+    }
+  }
+
+  /** §8.4.1.1 P_Skip motion vector. */
+  private[multimodal] def skipMv(mot: Motion, mx: Int, my: Int): (Int, Int) = {
+    val aIn = mot.inside(mx - 1, my)
+    val bIn = mot.inside(mx, my - 1)
+    if (!aIn || !bIn) (0, 0)
+    else {
+      val a = mot.info(mx - 1, my)
+      val b = mot.info(mx, my - 1)
+      if ((a._3 == 0 && a._1 == 0 && a._2 == 0) ||
+          (b._3 == 0 && b._1 == 0 && b._2 == 0)) (0, 0)
+      else mvPred16x16(mot, mx, my)
+    }
+  }
+
+  // ---- motion compensation ------------------------------------------------
+
+  private def clampFetch(p: Array[Byte], w: Int, h: Int, x: Int, y: Int): Int =
+    p(math.max(0, math.min(h - 1, y)) * w + math.max(0, math.min(w - 1, x))) & 0xff
+
+  /** Write the 16×16 luma + 8×8 chroma MC prediction for MB (mx,my)
+    * into the slice planes (residuals add on top afterwards). */
+  private def motionCompensate(ctx: SliceCtx, ref: Frame, mx: Int, my: Int,
+                               mvx: Int, mvy: Int): Unit = {
+    if ((mvx & 3) != 0 || (mvy & 3) != 0)
+      throw new IllegalArgumentException(
+        s"sub-pel luma motion vector ($mvx, $mvy)/4 outside the integer-MV " +
+          "P-slice subset (6-tap interpolation not implemented — stub path)")
+    val dx = mvx >> 2; val dy = mvy >> 2
+    val w = ctx.width; val h = ctx.height
+    var py = 0
+    while (py < 16) {
+      var px = 0
+      while (px < 16) {
+        ctx.y((my * 16 + py) * w + mx * 16 + px) =
+          clampFetch(ref.y, w, h, mx * 16 + px + dx, my * 16 + py + dy).toByte
+        px += 1
+      }
+      py += 1
+    }
+    // chroma: the same vector at eighth-pel phase (§8.4.2.2.2 bilinear)
+    val cw = w / 2; val ch = h / 2
+    val cdx = mvx >> 3; val cdy = mvy >> 3
+    val xF = mvx & 7; val yF = mvy & 7
+    var c = 0
+    while (c < 2) {
+      val dst = if (c == 0) ctx.cb else ctx.cr
+      val src = if (c == 0) ref.cb else ref.cr
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val bx = mx * 8 + cx + cdx; val by = my * 8 + cy + cdy
+          val v =
+            if (xF == 0 && yF == 0) clampFetch(src, cw, ch, bx, by)
+            else {
+              val p00 = clampFetch(src, cw, ch, bx, by)
+              val p10 = clampFetch(src, cw, ch, bx + 1, by)
+              val p01 = clampFetch(src, cw, ch, bx, by + 1)
+              val p11 = clampFetch(src, cw, ch, bx + 1, by + 1)
+              ((8 - xF) * (8 - yF) * p00 + xF * (8 - yF) * p10 +
+                (8 - xF) * yF * p01 + xF * yF * p11 + 32) >> 6
+            }
+          dst((my * 8 + cy) * cw + mx * 8 + cx) = v.toByte
+          cx += 1
+        }
+        cy += 1
+      }
+      c += 1
+    }
+  }
+
+  // ---- P macroblocks: decode ------------------------------------------------
+
+  /** Decode one P_Skip MB: MC with the skip vector, zero residual. */
+  private def decodeSkipMb(ctx: SliceCtx, mot: Motion, ref: Frame,
+                           mx: Int, my: Int): Unit = {
+    val (mvx, mvy) = skipMv(mot, mx, my)
+    motionCompensate(ctx, ref, mx, my, mvx, mvy)
+    zeroTc(ctx, mx, my)
+    mot.set(mx, my, mvx, mvy, 1)
+    ctx.mbKind(my * ctx.mbW + mx) = 3 // inter-decoded (available, not intra)
+  }
+
+  private def zeroTc(ctx: SliceCtx, mx: Int, my: Int): Unit = {
+    val lumaGrid = ctx.mbW * 4; val chromaGrid = ctx.mbW * 2
+    for (k <- 0 until 16) {
+      val (x4, y4) = Blk4x4Pos(k)
+      ctx.lumaTc((my * 4 + y4) * lumaGrid + mx * 4 + x4) = 0
+    }
+    for (b <- 0 until 4) {
+      val bx = mx * 2 + (b & 1); val by = my * 2 + (b >> 1)
+      ctx.cbTc(by * chromaGrid + bx) = 0
+      ctx.crTc(by * chromaGrid + bx) = 0
+    }
+  }
+
+  /** Decode one coded P_L0_16x16 MB (mvd + inter CBP + residuals). */
+  private def decodeP16Mb(r: BitReader, ctx: SliceCtx, mot: Motion, ref: Frame,
+                          mx: Int, my: Int): Unit = {
+    val (px, py) = mvPred16x16(mot, mx, my)
+    val mvx = px + r.se()
+    val mvy = py + r.se()
+    motionCompensate(ctx, ref, mx, my, mvx, mvy)
+    mot.set(mx, my, mvx, mvy, 1)
+
+    val cn = r.ue()
+    require(cn < 48, s"inter coded_block_pattern codeNum $cn")
+    val cbp = CbpInter(cn)
+    val cbpLuma = cbp & 15
+    val cbpChroma = cbp >> 4
+    require(cbpChroma <= 2, s"chroma cbp $cbpChroma")
+    if (cbp != 0) {
+      val delta = r.se()
+      ctx.qpY = ((ctx.qpY + delta) % 52 + 52) % 52
+    }
+    val qp = ctx.qpY
+    val qpc = chromaQp(qp)
+    val lumaGrid = ctx.mbW * 4; val chromaGrid = ctx.mbW * 2
+    val bx0 = mx * 4; val by0 = my * 4
+    val cx0 = mx * 2; val cy0 = my * 2
+
+    // luma residual: full 16-coefficient blocks (no DC split for inter)
+    val yPlane = ctx.y
+    var k = 0
+    while (k < 16) {
+      val (x4, y4) = Blk4x4Pos(k)
+      val bx = bx0 + x4; val by = by0 + y4
+      if ((cbpLuma & (1 << (k >> 2))) != 0) {
+        val nc = ctx.nC(ctx.lumaTcAt(bx - 1, by), ctx.lumaTcAt(bx, by - 1))
+        val blk = H264Cavlc.decodeResidualBlock(r, nc, 16)
+        ctx.lumaTc(by * lumaGrid + bx) = blk.totalCoeff
+        val d = dequant4x4(blk.levels, qp, skipDc = false, dcOverride = 0)
+        val x0 = mx * 16 + x4 * 4; val y0 = my * 16 + y4 * 4
+        inverseTransformAdd(d, (i, j, res) => {
+          val at = (y0 + j) * ctx.width + x0 + i
+          yPlane(at) = clip255((yPlane(at) & 0xff) + res).toByte
+        })
+      } else ctx.lumaTc(by * lumaGrid + bx) = 0
+      k += 1
+    }
+    // chroma residual over the MC prediction
+    val cbDc = new Array[Int](4); val crDc = new Array[Int](4)
+    if (cbpChroma != 0) {
+      System.arraycopy(H264Cavlc.decodeResidualBlock(r, -1, 4).levels, 0, cbDc, 0, 4)
+      System.arraycopy(H264Cavlc.decodeResidualBlock(r, -1, 4).levels, 0, crDc, 0, 4)
+    }
+    val cw = ctx.width / 2
+    var c = 0
+    while (c < 2) {
+      val (tcArr, dcIn, plane) =
+        if (c == 0) (ctx.cbTc, cbDc, ctx.cb) else (ctx.crTc, crDc, ctx.cr)
+      val dc = chromaDcTransform(dcIn, qpc)
+      var b = 0
+      while (b < 4) {
+        val bx = cx0 + (b & 1); val by = cy0 + (b >> 1)
+        val acZz = new Array[Int](16)
+        if (cbpChroma == 2) {
+          val nc = ctx.nC(ctx.chromaTcAt(tcArr, bx - 1, by),
+            ctx.chromaTcAt(tcArr, bx, by - 1))
+          val blk = H264Cavlc.decodeResidualBlock(r, nc, 15)
+          System.arraycopy(blk.levels, 0, acZz, 1, 15)
+          tcArr(by * chromaGrid + bx) = blk.totalCoeff
+        } else tcArr(by * chromaGrid + bx) = 0
+        val d = dequant4x4(acZz, qpc, skipDc = true, dcOverride = dc(b))
+        val x0 = mx * 8 + (b & 1) * 4; val y0 = my * 8 + (b >> 1) * 4
+        inverseTransformAdd(d, (i, j, res) => {
+          val at = (y0 + j) * cw + x0 + i
+          plane(at) = clip255((plane(at) & 0xff) + res).toByte
+        })
+        b += 1
+      }
+      c += 1
+    }
+    ctx.mbKind(my * ctx.mbW + mx) = 3
+  }
+
+  // ---- P slice: decode ------------------------------------------------------
+
+  /** Decode one P-slice RBSP (header fields after slice_type already
+    * validated by the caller's contract below). `ref` is the previous
+    * decoded picture, UNCROPPED. Returns the uncropped picture. */
+  def decodePSlice(r: BitReader, sps: H264.Sps, ref: Frame, initQp: Int,
+                   nalRefIdc: Int): Frame = {
+    require(ref.width == sps.mbWidth * 16 && ref.height == sps.mbHeight * 16,
+      "reference picture does not match the SPS macroblock grid")
+    r.ue()                    // pic_parameter_set_id
+    r.u(sps.log2MaxFrameNum)  // frame_num
+    if (r.bit() == 1) {       // num_ref_idx_active_override_flag
+      require(r.ue() == 0, "more than one L0 reference outside the subset")
+    }
+    require(r.bit() == 0, "ref_pic_list_modification outside the subset")
+    if (nalRefIdc != 0)
+      require(r.bit() == 0, "adaptive ref-pic marking outside the subset")
+    val sliceQpDelta = r.se()
+    val ctx = new SliceCtx(sps.mbWidth, sps.mbHeight,
+      ((initQp + sliceQpDelta) % 52 + 52) % 52)
+    val mot = new Motion(sps.mbWidth, sps.mbHeight)
+    val total = sps.mbWidth * sps.mbHeight
+    var mbIdx = 0
+    while (mbIdx < total) {
+      val skipRun = r.ue()
+      require(mbIdx + skipRun <= total,
+        s"mb_skip_run $skipRun overruns the picture at MB $mbIdx")
+      var s = 0
+      while (s < skipRun) {
+        decodeSkipMb(ctx, mot, ref, mbIdx % sps.mbWidth, mbIdx / sps.mbWidth)
+        mbIdx += 1; s += 1
+      }
+      if (mbIdx < total) {
+        val mx = mbIdx % sps.mbWidth; val my = mbIdx / sps.mbWidth
+        val mbType = r.ue()
+        if (mbType == 0) decodeP16Mb(r, ctx, mot, ref, mx, my)
+        else if (mbType >= 1 && mbType <= 4)
+          throw new IllegalArgumentException(
+            s"P partition mb_type $mbType (16x8/8x16/8x8) outside the " +
+              "P_L0_16x16 subset")
+        else if (mbType >= 5 && mbType <= 30) {
+          val intraType = mbType - 5
+          if (intraType == 25)
+            throw new IllegalArgumentException("I_PCM inside P slices outside the subset")
+          decodeIntraMb(r, ctx, mx, my, intraType)
+          mot.set(mx, my, 0, 0, 2)
+        } else throw new IllegalArgumentException(s"P-slice mb_type $mbType")
+        mbIdx += 1
+      }
+    }
+    r.expectTrailing()
+    Frame(ctx.width, ctx.height, ctx.y, ctx.cb, ctx.cr)
+  }
+
+  // ---- P slice: encode (the subset fixture serializer) ----------------------
+
+  sealed trait PMbChoice
+  case object PSkip extends PMbChoice
+  /** Coded 16×16 inter MB: absolute integer-unit quarter-pel vector
+    * (components divisible by 4), 16 scan-indexed luma residual blocks,
+    * chroma as in the intra choices. */
+  final case class P16Choice(mvx: Int, mvy: Int, luma: Array[Array[Int]],
+      cbpChroma: Int, qpDelta: Int, chromaDc: Array[Array[Int]],
+      chromaAc: Array[Array[Array[Int]]]) extends PMbChoice
+  /** An intra MB inside the P slice. */
+  final case class PIntraChoice(choice: MbChoice) extends PMbChoice
+
+  /** Encode one P slice as a non-IDR NAL (type 1). */
+  def encodePSliceNal(mbW: Int, mbH: Int, frameNum: Int, initQp: Int,
+                      sliceQpDelta: Int, choices: Seq[PMbChoice]): Array[Byte] = {
+    require(choices.size == mbW * mbH, s"${choices.size} choices for ${mbW}x$mbH")
+    val w = new BitWriter
+    w.ue(0)      // first_mb_in_slice
+    w.ue(5)      // slice_type: P (the all-slices-same form)
+    w.ue(0)      // pic_parameter_set_id
+    w.u(frameNum, 4)
+    w.u(0, 1)    // num_ref_idx_active_override_flag
+    w.u(0, 1)    // ref_pic_list_modification_flag_l0
+    w.u(0, 1)    // adaptive_ref_pic_marking_mode_flag (nal_ref_idc > 0)
+    w.se(sliceQpDelta)
+    val ctx = new EncCtx(mbW, mbH, ((initQp + sliceQpDelta) % 52 + 52) % 52)
+    val mot = new Motion(mbW, mbH)
+    var skipRun = 0
+    var idx = 0
+    while (idx < mbW * mbH) {
+      val mx = idx % mbW; val my = idx / mbW
+      choices(idx) match {
+        case PSkip =>
+          val (vx, vy) = skipMv(mot, mx, my)
+          mot.set(mx, my, vx, vy, 1)
+          zeroEncTc(ctx, mx, my)
+          skipRun += 1
+        case c: P16Choice =>
+          require((c.mvx & 3) == 0 && (c.mvy & 3) == 0,
+            "the subset encoder emits integer-pel luma vectors only")
+          w.ue(skipRun); skipRun = 0
+          w.ue(0) // mb_type P_L0_16x16
+          val (px, py) = mvPred16x16(mot, mx, my)
+          w.se(c.mvx - px)
+          w.se(c.mvy - py)
+          mot.set(mx, my, c.mvx, c.mvy, 1)
+          encodeP16Residual(w, ctx, mx, my, c)
+        case PIntraChoice(intra) =>
+          w.ue(skipRun); skipRun = 0
+          encodeIntraMb(w, ctx, mx, my, intra, mbTypeOffset = 5)
+          mot.set(mx, my, 0, 0, 2)
+      }
+      idx += 1
+    }
+    if (skipRun > 0) w.ue(skipRun) // trailing all-skip run
+    w.trailing()
+    H264.nonIdrNal(w.toArray)
+  }
+
+  private def zeroEncTc(ctx: EncCtx, mx: Int, my: Int): Unit = {
+    val lumaGrid = ctx.mbW * 4; val chromaGrid = ctx.mbW * 2
+    for (k <- 0 until 16) {
+      val (x4, y4) = Blk4x4Pos(k)
+      ctx.lumaTc((my * 4 + y4) * lumaGrid + mx * 4 + x4) = 0
+    }
+    for (b <- 0 until 4) {
+      val bx = mx * 2 + (b & 1); val by = my * 2 + (b >> 1)
+      ctx.cbTc(by * chromaGrid + bx) = 0
+      ctx.crTc(by * chromaGrid + bx) = 0
+    }
+  }
+
+  private def encodeP16Residual(w: BitWriter, ctx: EncCtx, mx: Int, my: Int,
+                                c: P16Choice): Unit = {
+    val lumaGrid = ctx.mbW * 4
+    val bx0 = mx * 4; val by0 = my * 4
+    val cbpLuma = (0 until 4).map { q =>
+      val any = (0 until 4).exists(i => c.luma(q * 4 + i).exists(_ != 0))
+      if (any) 1 << q else 0
+    }.sum
+    val cbp = cbpLuma | (c.cbpChroma << 4)
+    val cn = CbpInter.indexOf(cbp)
+    require(cn >= 0, s"cbp $cbp not in the inter table")
+    w.ue(cn)
+    if (cbp != 0) {
+      w.se(c.qpDelta)
+      ctx.qpY = ((ctx.qpY + c.qpDelta) % 52 + 52) % 52
+    }
+    var k = 0
+    while (k < 16) {
+      val (x4, y4) = Blk4x4Pos(k)
+      val bx = bx0 + x4; val by = by0 + y4
+      if ((cbpLuma & (1 << (k >> 2))) != 0) {
+        val nc = ctx.nC(ctx.lumaTcAt(bx - 1, by), ctx.lumaTcAt(bx, by - 1))
+        val tc = H264Cavlc.encodeResidualBlock(w, c.luma(k), nc)
+        ctx.lumaTc(by * lumaGrid + bx) = tc
+      } else {
+        require(c.luma(k).forall(_ == 0),
+          s"luma block $k has coefficients but its cbp bit is clear")
+        ctx.lumaTc(by * lumaGrid + bx) = 0
+      }
+      k += 1
+    }
+    encodeChromaResidual(w, ctx, mx, my, c.cbpChroma, c.chromaDc, c.chromaAc)
+  }
+}

@@ -727,8 +727,10 @@ private[multimodal] object H264Intra {
       else if (a >= 0) a else if (b >= 0) b else 0
   }
 
+  /** `mbTypeOffset` shifts the written mb_type (5 inside P slices,
+    * §7.4.5's I-type offset; 0 in I slices). */
   def encodeIntraMb(w: BitWriter, ctx: EncCtx, mx: Int, my: Int,
-                    choice: MbChoice): Unit = {
+                    choice: MbChoice, mbTypeOffset: Int = 0): Unit = {
     val lumaGrid = ctx.mbW * 4
     val chromaGrid = ctx.mbW * 2
     val bx0 = mx * 4; val by0 = my * 4
@@ -737,7 +739,7 @@ private[multimodal] object H264Intra {
       case c: I16Choice =>
         val cbpLuma = if (c.cbpLumaAc) 15 else 0
         val t = c.predMode + c.cbpChroma * 4 + (if (c.cbpLumaAc) 12 else 0)
-        w.ue(t + 1) // mb_type 1..24
+        w.ue(t + 1 + mbTypeOffset) // mb_type 1..24 (+5 in P slices)
         w.ue(c.chromaMode) // intra_chroma_pred_mode
         w.se(c.qpDelta)
         ctx.qpY = ((ctx.qpY + c.qpDelta) % 52 + 52) % 52
@@ -756,9 +758,9 @@ private[multimodal] object H264Intra {
           } else ctx.lumaTc(by * lumaGrid + bx) = 0
           k += 1
         }
-        encodeChroma(w, ctx, mx, my, c.cbpChroma, c.chromaDc, c.chromaAc)
+        encodeChromaResidual(w, ctx, mx, my, c.cbpChroma, c.chromaDc, c.chromaAc)
       case c: I4Choice =>
-        w.ue(0) // mb_type: Intra_4x4
+        w.ue(mbTypeOffset) // mb_type: Intra_4x4 (5 in P slices)
         var k = 0
         val newModes = new Array[Int](16)
         while (k < 16) {
@@ -822,13 +824,17 @@ private[multimodal] object H264Intra {
           ctx.i4Mode((by0 + y4) * lumaGrid + (bx0 + x4)) = newModes(bi)
           bi += 1
         }
-        encodeChroma(w, ctx, mx, my, c.cbpChroma, c.chromaDc, c.chromaAc)
+        encodeChromaResidual(w, ctx, mx, my, c.cbpChroma, c.chromaDc, c.chromaAc)
     }
   }
 
-  private def encodeChroma(w: BitWriter, ctx: EncCtx, mx: Int, my: Int,
-                           cbpChroma: Int, chromaDc: Array[Array[Int]],
-                           chromaAc: Array[Array[Array[Int]]]): Unit = {
+  /** Chroma residual serializer, shared with the P-slice encoder
+    * ([[H264Inter]]) — the chroma layer is identical for intra and
+    * inter macroblocks. */
+  private[multimodal] def encodeChromaResidual(
+      w: BitWriter, ctx: EncCtx, mx: Int, my: Int,
+      cbpChroma: Int, chromaDc: Array[Array[Int]],
+      chromaAc: Array[Array[Array[Int]]]): Unit = {
     val chromaGrid = ctx.mbW * 2
     val cx0 = mx * 2; val cy0 = my * 2
     if (cbpChroma != 0) {

@@ -828,13 +828,15 @@ object JdkFeatureDecoder extends FeatureDecoder {
 }
 
 /** STUB — deterministic fake decoder for the payloads still outside
-  * every real path: CABAC-coded and inter-predicted (P/B-slice) H.264
-  * plus H.265 — I_PCM baseline AND CAVLC-intra H.264 (I-slices:
+  * every real path: CABAC-coded H.264, sub-pel / B-slice inter
+  * prediction, and H.265 — I_PCM baseline, CAVLC-intra (I-slices:
   * Intra_4x4/Intra_16x16 prediction, full CAVLC residual decode,
-  * dequant/IDCT) decode for real via [[H264]]/[[H264Intra]]/
-  * [[H264Cavlc]] — and exotic image/audio containers; stands in with a
-  * hash-derived vector (stable across runs/engines) so the pipeline
-  * plumbing is fully exercisable. Marked ??? on the real path. */
+  * dequant/IDCT) AND integer-MV P-slices (P_Skip, P_L0_16x16 motion
+  * compensation, inter CBP, residual-over-prediction) decode for real
+  * via [[H264]]/[[H264Intra]]/[[H264Cavlc]]/[[H264Inter]] — and exotic
+  * image/audio containers; stands in with a hash-derived vector (stable
+  * across runs/engines) so the pipeline plumbing is fully exercisable.
+  * Marked ??? on the real path. */
 object StubFeatureDecoder extends FeatureDecoder {
   val Dim = 8
 

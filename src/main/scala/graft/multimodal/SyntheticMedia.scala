@@ -309,6 +309,75 @@ object SyntheticMedia {
     * coder. */
   def h264CavlcDelta(id: Long, i: Int): Int = (((id * 7 + i * 13) % 15) - 7).toInt
 
+  // ==== real H.264 IDR+P GOP (inter prediction) in MP4 ==================
+
+  def h264PFrameCount(id: Long): Int = (2 + id % 3).toInt
+
+  /** Per-4×4-block DC residual level of coded P frame t: at QP 28 a DC
+    * level c dequantizes to 256·c and the constant inverse transform
+    * gives exactly (256·c + 32) >> 6 = 4·c per pixel — so each coded P
+    * frame shifts the constant plane by 4·c_t and the m13 oracle states
+    * the GOP's final mean in closed form. */
+  def h264PDelta(id: Long, t: Int): Int = (((id + t) % 5) - 2).toInt
+
+  /** An IDR + P GOP in an avc1 MP4: frame 0 is the m12 constant-plane
+    * CAVLC IDR (luma 128 + d₀); odd frames are all-P_L0_16x16 with
+    * id-deterministic integer-pel motion vectors (a translation of a
+    * constant plane — MC, border clamping and the half-phase chroma
+    * bilinear all run without moving the mean) plus the per-block DC
+    * residual above; even frames are all-P_Skip. The m13 proof that the
+    * INTER path — skip runs, mv prediction, motion compensation,
+    * inter CBP, residual-over-prediction — runs under the oracle. */
+  def h264PMp4Bytes(id: Long): Array[Byte] = {
+    val w = h264CavlcFrameW(id)
+    val h = h264CavlcFrameH(id)
+    val n = h264PFrameCount(id)
+    val mbW = w / 16; val mbH = h / 16
+    val sps = H264.encodeSpsNal(w, h)
+    val pps = H264.encodePpsNal()
+    val zeroChromaDc = Array.fill(2)(new Array[Int](4))
+    val zeroChromaAc = Array.fill(2, 4)(new Array[Int](16))
+    def dcMb(level: Int) = H264Intra.I16Choice(
+      predMode = 2, cbpLumaAc = false, cbpChroma = 0, qpDelta = 0,
+      lumaDc = { val a = new Array[Int](16); a(0) = level; a },
+      lumaAc = Array.fill(16)(new Array[Int](16)),
+      chromaDc = zeroChromaDc, chromaAc = zeroChromaAc)
+    val idr = H264.encodeIdrCavlcNal(mbW, mbH, initQp = 26, sliceQpDelta = 2,
+      dcMb(h264CavlcDelta(id, 0)) +: Seq.fill(mbW * mbH - 1)(dcMb(0)))
+    val nals = idr +: (1 until n).map { t =>
+      val choices: Seq[H264Inter.PMbChoice] =
+        if (t % 2 == 0) Seq.fill(mbW * mbH)(H264Inter.PSkip)
+        else Seq.tabulate(mbW * mbH) { m =>
+          val c = h264PDelta(id, t)
+          H264Inter.P16Choice(
+            mvx = 4 * (((id + t + m) % 5).toInt - 2),
+            mvy = 4 * (((2 * id + t + m) % 5).toInt - 2),
+            luma = Array.fill(16) {
+              val a = new Array[Int](16); a(0) = c; a
+            },
+            cbpChroma = 0, qpDelta = 0,
+            chromaDc = zeroChromaDc, chromaAc = zeroChromaAc)
+        }
+      H264Inter.encodePSliceNal(mbW, mbH, frameNum = t % 16, initQp = 26,
+        sliceQpDelta = 2, choices)
+    }
+    val samples = nals.map(nal => be32(nal.length) ++ nal).toArray
+    val avcC = box("avcC",
+      Array[Byte](1, 66, 0, 10, (0xfc | 3).toByte, (0xe0 | 1).toByte) ++
+        be16(sps.length) ++ sps ++ Array[Byte](1) ++ be16(pps.length) ++ pps)
+    val visual = new Array[Byte](70)
+    System.arraycopy(be16(w), 0, visual, 16, 2)
+    System.arraycopy(be16(h), 0, visual, 18, 2)
+    System.arraycopy(be32(0x00480000), 0, visual, 20, 4)
+    System.arraycopy(be32(0x00480000), 0, visual, 24, 4)
+    System.arraycopy(be16(1), 0, visual, 32, 2)
+    System.arraycopy(be16(24), 0, visual, 66, 2)
+    val entry = be32(8 + 8 + 70 + avcC.length) ++
+      "avc1".getBytes("US-ASCII") ++ new Array[Byte](6) ++ be16(1) ++
+      visual ++ avcC
+    mp4Container(entry, samples, samplesPerChunk = 1, w = w, h = h)
+  }
+
   /** A playable CAVLC H.264-in-MP4 for id: same container layout as
     * [[h264Mp4Bytes]], but the access units are entropy-coded
     * Intra_16x16 macroblocks (coeff_token / level / total_zeros CAVLC

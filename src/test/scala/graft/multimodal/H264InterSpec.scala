@@ -1,0 +1,113 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit pins for the P-slice machinery: the inter CBP table must be a
+  * permutation (a mistranscription cannot be one), the §8.4.1.3 median
+  * predictor and §8.4.1.1 skip rule on hand-built neighbor states, and
+  * the loud sub-pel rejection (the subset boundary must be an error,
+  * never an approximation). */
+class H264InterSpec extends AnyFunSuite {
+
+  test("the inter coded_block_pattern table is a permutation of 0..47") {
+    assert(H264Inter.CbpInter.sorted.toSeq == (0 until 48),
+      H264Inter.CbpInter.mkString(","))
+    // and distinct from the intra column (same values, different order)
+    assert(!java.util.Arrays.equals(H264Inter.CbpInter, H264Intra.CbpIntra))
+  }
+
+  test("mv prediction: median, single-match shortcut, edge special cases") {
+    val mot = new H264Inter.Motion(3, 3)
+    // first MB: nothing available → (0,0)
+    assert(H264Inter.mvPred16x16(mot, 0, 0) == ((0, 0)))
+    mot.set(0, 0, 8, 4, 1)
+    // (1,0): row 0 → B/C/D outside; A available → mvA
+    assert(H264Inter.mvPred16x16(mot, 1, 0) == ((8, 4)))
+    mot.set(1, 0, 16, -8, 1)
+    mot.set(2, 0, -4, 12, 1)
+    // (0,1): A outside (ref −1), B=(8,4), C=(16,−8) → two matches →
+    // median with A=(0,0): x med(0,8,16)=8, y med(0,4,−8)=0
+    assert(H264Inter.mvPred16x16(mot, 0, 1) == ((8, 0)))
+    mot.set(0, 1, 8, 0, 1)
+    // (1,1): A=(8,0) B=(16,−8) C=(−4,12) all match → median (8, 0)
+    assert(H264Inter.mvPred16x16(mot, 1, 1) == ((8, 0)))
+    // intra neighbor drops out: make B intra → exactly A and C match →
+    // median with B=(0,0): med(8,0,−4)=0, med(0,0,12)=0
+    mot.set(1, 0, 0, 0, 2)
+    assert(H264Inter.mvPred16x16(mot, 1, 1) == ((0, 0)))
+    // single-match shortcut: only A inter
+    mot.set(2, 0, 0, 0, 2)
+    assert(H264Inter.mvPred16x16(mot, 1, 1) == ((8, 0)))
+  }
+
+  test("skip vector: zero at edges and next to stationary neighbors") {
+    val mot = new H264Inter.Motion(3, 2)
+    assert(H264Inter.skipMv(mot, 0, 0) == ((0, 0))) // A unavailable
+    mot.set(0, 0, 8, 8, 1); mot.set(1, 0, 8, 8, 1); mot.set(2, 0, 8, 8, 1)
+    assert(H264Inter.skipMv(mot, 0, 1) == ((0, 0))) // A unavailable (col 0)
+    mot.set(0, 1, 8, 8, 1)
+    // both neighbors moving → the 16x16 predictor
+    assert(H264Inter.skipMv(mot, 1, 1) == ((8, 8)))
+    // a stationary inter neighbor forces zero
+    mot.set(1, 0, 0, 0, 1)
+    assert(H264Inter.skipMv(mot, 1, 1) == ((0, 0)))
+  }
+
+  test("sub-pel luma vectors are rejected loudly, not approximated") {
+    val w = 16; val h = 16
+    val sps = H264.parseSps(H264.encodeSpsNal(w, h))
+    // decode an IDR first for the reference
+    val zeroCd = Array.fill(2)(new Array[Int](4))
+    val zeroCa = Array.fill(2, 4)(new Array[Int](16))
+    val idr = H264.encodeIdrCavlcNal(1, 1, 26, 0, Seq(H264Intra.I16Choice(
+      2, cbpLumaAc = false, 0, 0, new Array[Int](16),
+      Array.fill(16)(new Array[Int](16)), zeroCd, zeroCa)))
+    // hand-write a P slice whose mvd gives a quarter-pel vector
+    val bw = new H264.BitWriter
+    bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
+    bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+    bw.se(0)
+    bw.ue(0) // mb_skip_run
+    bw.ue(0) // mb_type P_L0_16x16
+    bw.se(1) // mvd x = 1 quarter-pel (pred 0) → sub-pel
+    bw.se(0)
+    bw.ue(0) // cbp 0
+    bw.trailing()
+    val pNal = H264.nonIdrNal(bw.toArray)
+    val e = intercept[IllegalArgumentException] {
+      H264.decodeNals(Seq(H264.encodeSpsNal(w, h), H264.encodePpsNal(),
+        idr, pNal))
+    }
+    assert(e.getMessage.contains("sub-pel"), e.getMessage)
+    // and the encoder refuses to emit one
+    val e2 = intercept[IllegalArgumentException] {
+      H264Inter.encodePSliceNal(1, 1, 1, 26, 0, Seq(H264Inter.P16Choice(
+        1, 0, Array.fill(16)(new Array[Int](16)), 0, 0, zeroCd, zeroCa)))
+    }
+    assert(e2.getMessage.contains("integer-pel"), e2.getMessage)
+  }
+
+  test("P partitions and I_PCM inside P are outside the subset, loudly") {
+    val sps16 = H264.encodeSpsNal(16, 16)
+    val zeroCd = Array.fill(2)(new Array[Int](4))
+    val zeroCa = Array.fill(2, 4)(new Array[Int](16))
+    val idr = H264.encodeIdrCavlcNal(1, 1, 26, 0, Seq(H264Intra.I16Choice(
+      2, cbpLumaAc = false, 0, 0, new Array[Int](16),
+      Array.fill(16)(new Array[Int](16)), zeroCd, zeroCa)))
+    for ((mbType, what) <- Seq(1 -> "16x8", 3 -> "8x8", 30 -> "I_PCM")) {
+      val bw = new H264.BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+      bw.se(0)
+      bw.ue(0) // mb_skip_run
+      bw.ue(mbType)
+      bw.trailing()
+      val e = intercept[IllegalArgumentException] {
+        H264.decodeNals(Seq(sps16, H264.encodePpsNal(), idr,
+          H264.nonIdrNal(bw.toArray)))
+      }
+      assert(e.getMessage.contains("subset") || e.getMessage.contains("mb_type"),
+        s"$what: ${e.getMessage}")
+    }
+  }
+}
