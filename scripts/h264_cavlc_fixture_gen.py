@@ -1110,14 +1110,51 @@ def clamp_fetch(plane, w, h, x, y):
     return plane[max(0, min(h - 1, y)) * w + max(0, min(w - 1, x))]
 
 
+def luma_sample(plane, w, h, xq, yq):
+    """8.4.2.2.1 fractional luma sample at quarter-pel (xq, yq)."""
+    xi, yi = xq >> 2, yq >> 2
+    xf, yf = xq & 3, yq & 3
+
+    def g(dx, dy):
+        return clamp_fetch(plane, w, h, xi + dx, yi + dy)
+    if xf == 0 and yf == 0:
+        return g(0, 0)
+
+    def b1(dy):  # unrounded horizontal 6-tap at row yi + dy
+        return (g(-2, dy) - 5 * g(-1, dy) + 20 * g(0, dy)
+                + 20 * g(1, dy) - 5 * g(2, dy) + g(3, dy))
+
+    def h1(dx):  # unrounded vertical 6-tap at column xi + dx
+        return (g(dx, -2) - 5 * g(dx, -1) + 20 * g(dx, 0)
+                + 20 * g(dx, 1) - 5 * g(dx, 2) + g(dx, 3))
+
+    b = clip((b1(0) + 16) >> 5)
+    s = clip((b1(1) + 16) >> 5)
+    hv = clip((h1(0) + 16) >> 5)
+    m = clip((h1(1) + 16) >> 5)
+    j1 = (b1(-2) - 5 * b1(-1) + 20 * b1(0) + 20 * b1(1)
+          - 5 * b1(2) + b1(3))
+    j = clip((j1 + 512) >> 10)
+
+    def avg(a, c):
+        return (a + c + 1) >> 1
+    return {
+        (1, 0): avg(g(0, 0), b), (2, 0): b, (3, 0): avg(g(1, 0), b),
+        (0, 1): avg(g(0, 0), hv), (0, 2): hv, (0, 3): avg(g(0, 1), hv),
+        (1, 1): avg(b, hv), (3, 1): avg(b, m),
+        (1, 3): avg(hv, s), (3, 3): avg(m, s),
+        (2, 1): avg(b, j), (2, 2): j, (2, 3): avg(j, s),
+        (1, 2): avg(hv, j), (3, 2): avg(j, m),
+    }[(xf, yf)]
+
+
 def motion_compensate(pic, prev, mx, my, mvx, mvy):
-    assert mvx % 4 == 0 and mvy % 4 == 0, "integer-pel subset"
-    dx, dy = mvx >> 2, mvy >> 2
     w, h = pic.w, pic.h
     for py in range(16):
         for px in range(16):
-            pic.y[(my * 16 + py) * w + mx * 16 + px] = \
-                clamp_fetch(prev.y, w, h, mx * 16 + px + dx, my * 16 + py + dy)
+            pic.y[(my * 16 + py) * w + mx * 16 + px] = luma_sample(
+                prev.y, w, h,
+                (mx * 16 + px) * 4 + mvx, (my * 16 + py) * 4 + mvy)
     cw, ch = w // 2, h // 2
     cdx, cdy = mvx >> 3, mvy >> 3
     xf, yf = mvx & 7, mvy & 7
@@ -1295,7 +1332,36 @@ def p_frame_specs(mb_w, mb_h, t):
     return out
 
 
+def p_subpel_spec(m, t):
+    # frac combo index (t-1)*4 + m sweeps ALL 16 (xF, yF) pairs over
+    # 4 frames x 4 MBs; integer part varies sign for negative vectors
+    i = (t - 1) * 4 + m
+    xf, yf = i & 3, i >> 2
+    mvx = 4 * ((m + t) % 3 - 1) + xf
+    mvy = 4 * ((2 * m + t) % 3 - 1) + yf
+    return {"kind": "p16", "mv": (mvx, mvy),
+            "luma": [[0] * 16 for _ in range(16)],
+            "cbp_chroma": (m + t) % 3, "qp_delta": 0,
+            "chroma_dc": [chroma_dc_levels(c, m + t) for c in range(2)],
+            "chroma_ac": [[chroma_ac_levels(c, b, m + t) for b in range(4)]
+                          for c in range(2)]}
+
+
+# every quarter-pel phase pair must be exercised by the p_subpel recipe
+_fracs = {(p_subpel_spec(m, t)["mv"][0] & 3, p_subpel_spec(m, t)["mv"][1] & 3)
+          for t in range(1, 5) for m in range(4)}
+assert _fracs == {(x, y) for x in range(4) for y in range(4)}, _fracs
+
+
 P_FIXTURES = {
+    # quarter/half-pel vectors over a textured Intra_4x4 IDR: all 16
+    # fractional phase pairs, negative integer parts, border clamping
+    "p_subpel": (2, 2, 0, [
+        {"kind": "i4", "cbp_chroma": 2, "qp_delta": 0, "chroma_mode": 0},
+        {"kind": "i4", "cbp_chroma": 1, "qp_delta": 2, "chroma_mode": 1},
+        {"kind": "i4", "cbp_chroma": 0, "qp_delta": 0, "chroma_mode": 2},
+        {"kind": "i4", "cbp_chroma": 2, "qp_delta": -2, "chroma_mode": 3},
+    ], [lambda t: [p_subpel_spec(m, t) for m in range(4)], 4]),
     # mixed skip/coded/intra P MBs over an Intra_4x4 IDR; leading,
     # mid and trailing skip runs across the three P frames
     "p_mixed": (2, 2, 0, [

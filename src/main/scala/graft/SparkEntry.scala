@@ -2134,7 +2134,7 @@ object SparkEntry {
 
     // inter-predicted H.264 (IDR + P GOP): every sample after the first
     // decodes through the P path — mb_skip_run, mv prediction, motion
-    // compensation (integer-pel luma, half-phase chroma bilinear), the
+    // compensation (full quarter-pel luma 6-tap, eighth-pel chroma), the
     // inter CBP mapping, and CAVLC residual over prediction. The GOP is
     // built so each coded P frame shifts the constant plane by exactly
     // 4·c_t (QP-28 DC algebra) and skip frames copy it, so the oracle

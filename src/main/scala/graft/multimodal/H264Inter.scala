@@ -1,7 +1,7 @@
 package graft.multimodal
 
-/** P-slice (inter-predicted) H.264 decode/encode for the integer-MV
-  * baseline subset (ITU-T H.264 §7.3.5 / §8.4) — the next bite of the
+/** P-slice (inter-predicted) H.264 decode/encode for the baseline
+  * subset (ITU-T H.264 §7.3.5 / §8.4) — the next bite of the
   * entropy-coded video surface after CAVLC-intra:
   *
   *  - `P_Skip` runs (`mb_skip_run`, §7.3.4) with the §8.4.1.1 skip
@@ -14,17 +14,16 @@ package graft.multimodal
   *    over motion-compensated prediction (inter CBP mapping, Table 9-4);
   *  - intra macroblocks inside P slices (mb_type ≥ 5 → the I types,
   *    including I_PCM at 30) through the existing [[H264Intra]] path;
-  *  - motion compensation with the spec's edge extension (clamped
-  *    full-pel fetches) for luma, and the §8.4.2.2.2 eighth-pel
-  *    bilinear for chroma (integer luma vectors land on {0, ½} chroma
-  *    phases; the general weighting is implemented).
+  *  - FULL quarter-pel motion compensation: the §8.4.2.2.1 6-tap
+  *    half-pel filter (including the unrounded-intermediate center
+  *    position) and quarter-pel averaging for luma with the spec's
+  *    edge extension (clamped full-pel fetches), and the §8.4.2.2.2
+  *    eighth-pel bilinear for chroma.
   *
-  * LUMA vectors are restricted to integer pel (quarter-pel units
-  * divisible by 4): the 6-tap half-pel filter and quarter-pel averaging
-  * are OUTSIDE this subset and rejected loudly, never approximated —
-  * the remaining honest stub is sub-pel luma + B slices + CABAC.
   * One reference picture (the previously decoded frame), matching the
-  * `max_num_ref_frames = 1` SPS this repo emits.
+  * `max_num_ref_frames = 1` SPS this repo emits. P partitions
+  * (16×8/8×16/8×8), B slices and CABAC remain outside the subset and
+  * are rejected loudly, never approximated.
   *
   * Cross-checked against the independent Python implementation
   * (`scripts/h264_cavlc_fixture_gen.py` P-fixture section): decode is
@@ -103,22 +102,68 @@ private[multimodal] object H264Inter {
   private def clampFetch(p: Array[Byte], w: Int, h: Int, x: Int, y: Int): Int =
     p(math.max(0, math.min(h - 1, y)) * w + math.max(0, math.min(w - 1, x))) & 0xff
 
+  /** §8.4.2.2.1 fractional luma sample at quarter-pel position
+    * (xQ, yQ): integer fetches are edge-clamped; half-pel samples come
+    * from the 6-tap (1, −5, 20, 20, −5, 1) filter ((v + 16) >> 5, the
+    * center half-half j from UNROUNDED intermediates, (v + 512) >> 10);
+    * quarter-pel samples average the two nearest integer/half samples
+    * with upward rounding. */
+  private def lumaSample(p: Array[Byte], w: Int, h: Int, xQ: Int, yQ: Int): Int = {
+    val xI = xQ >> 2; val yI = yQ >> 2 // floor for negatives
+    val xF = xQ & 3; val yF = yQ & 3
+    def g(dx: Int, dy: Int): Int = clampFetch(p, w, h, xI + dx, yI + dy)
+    if (xF == 0 && yF == 0) g(0, 0)
+    else {
+      def clip(v: Int): Int = H264Intra.clip255(v)
+      // unrounded 6-tap intermediates
+      def b1(dy: Int): Int = // horizontal filter at row yI + dy
+        g(-2, dy) - 5 * g(-1, dy) + 20 * g(0, dy) + 20 * g(1, dy) -
+          5 * g(2, dy) + g(3, dy)
+      def h1(dx: Int): Int = // vertical filter at column xI + dx
+        g(dx, -2) - 5 * g(dx, -1) + 20 * g(dx, 0) + 20 * g(dx, 1) -
+          5 * g(dx, 2) + g(dx, 3)
+      lazy val b = clip((b1(0) + 16) >> 5)   // half-horiz, this row
+      lazy val s = clip((b1(1) + 16) >> 5)   // half-horiz, next row
+      lazy val hv = clip((h1(0) + 16) >> 5)  // half-vert, this column
+      lazy val m = clip((h1(1) + 16) >> 5)   // half-vert, next column
+      lazy val j = clip({                    // center: filter the b1 row sums
+        val j1 = b1(-2) - 5 * b1(-1) + 20 * b1(0) + 20 * b1(1) -
+          5 * b1(2) + b1(3)
+        (j1 + 512) >> 10
+      })
+      def avg(a: Int, c: Int): Int = (a + c + 1) >> 1
+      (xF, yF) match {
+        case (1, 0) => avg(g(0, 0), b)
+        case (2, 0) => b
+        case (3, 0) => avg(g(1, 0), b)
+        case (0, 1) => avg(g(0, 0), hv)
+        case (0, 2) => hv
+        case (0, 3) => avg(g(0, 1), hv)
+        case (1, 1) => avg(b, hv)
+        case (3, 1) => avg(b, m)
+        case (1, 3) => avg(hv, s)
+        case (3, 3) => avg(m, s)
+        case (2, 1) => avg(b, j)
+        case (2, 2) => j
+        case (2, 3) => avg(j, s)
+        case (1, 2) => avg(hv, j)
+        case _      => avg(j, m) // (3, 2)
+      }
+    }
+  }
+
   /** Write the 16×16 luma + 8×8 chroma MC prediction for MB (mx,my)
     * into the slice planes (residuals add on top afterwards). */
   private def motionCompensate(ctx: SliceCtx, ref: Frame, mx: Int, my: Int,
                                mvx: Int, mvy: Int): Unit = {
-    if ((mvx & 3) != 0 || (mvy & 3) != 0)
-      throw new IllegalArgumentException(
-        s"sub-pel luma motion vector ($mvx, $mvy)/4 outside the integer-MV " +
-          "P-slice subset (6-tap interpolation not implemented — stub path)")
-    val dx = mvx >> 2; val dy = mvy >> 2
     val w = ctx.width; val h = ctx.height
     var py = 0
     while (py < 16) {
       var px = 0
       while (px < 16) {
         ctx.y((my * 16 + py) * w + mx * 16 + px) =
-          clampFetch(ref.y, w, h, mx * 16 + px + dx, my * 16 + py + dy).toByte
+          lumaSample(ref.y, w, h,
+            (mx * 16 + px) * 4 + mvx, (my * 16 + py) * 4 + mvy).toByte
         px += 1
       }
       py += 1
@@ -353,8 +398,6 @@ private[multimodal] object H264Inter {
           zeroEncTc(ctx, mx, my)
           skipRun += 1
         case c: P16Choice =>
-          require((c.mvx & 3) == 0 && (c.mvy & 3) == 0,
-            "the subset encoder emits integer-pel luma vectors only")
           w.ue(skipRun); skipRun = 0
           w.ue(0) // mb_type P_L0_16x16
           val (px, py) = mvPred16x16(mot, mx, my)

@@ -828,12 +828,13 @@ object JdkFeatureDecoder extends FeatureDecoder {
 }
 
 /** STUB — deterministic fake decoder for the payloads still outside
-  * every real path: CABAC-coded H.264, sub-pel / B-slice inter
-  * prediction, and H.265 — I_PCM baseline, CAVLC-intra (I-slices:
-  * Intra_4x4/Intra_16x16 prediction, full CAVLC residual decode,
-  * dequant/IDCT) AND integer-MV P-slices (P_Skip, P_L0_16x16 motion
-  * compensation, inter CBP, residual-over-prediction) decode for real
-  * via [[H264]]/[[H264Intra]]/[[H264Cavlc]]/[[H264Inter]] — and exotic
+  * every real path: CABAC-coded H.264, B slices / P partitions, and
+  * H.265 — I_PCM baseline, CAVLC-intra (I-slices: Intra_4x4/
+  * Intra_16x16 prediction, full CAVLC residual decode, dequant/IDCT)
+  * AND P-slices with FULL quarter-pel motion compensation (P_Skip,
+  * P_L0_16x16, the 6-tap half-pel filter + quarter-pel averaging,
+  * inter CBP, residual-over-prediction) decode for real via
+  * [[H264]]/[[H264Intra]]/[[H264Cavlc]]/[[H264Inter]] — and exotic
   * image/audio containers; stands in with a hash-derived vector (stable
   * across runs/engines) so the pipeline plumbing is fully exercisable.
   * Marked ??? on the real path. */

@@ -322,12 +322,14 @@ object SyntheticMedia {
 
   /** An IDR + P GOP in an avc1 MP4: frame 0 is the m12 constant-plane
     * CAVLC IDR (luma 128 + d₀); odd frames are all-P_L0_16x16 with
-    * id-deterministic integer-pel motion vectors (a translation of a
-    * constant plane — MC, border clamping and the half-phase chroma
-    * bilinear all run without moving the mean) plus the per-block DC
-    * residual above; even frames are all-P_Skip. The m13 proof that the
-    * INTER path — skip runs, mv prediction, motion compensation,
-    * inter CBP, residual-over-prediction — runs under the oracle. */
+    * id-deterministic QUARTER-PEL motion vectors (interpolating a
+    * constant plane returns the constant exactly — the 6-tap sums to
+    * 32 and (32C + 16) >> 5 = C — so full fractional MC, border
+    * clamping and the eighth-pel chroma bilinear all run without
+    * moving the mean) plus the per-block DC residual above; even
+    * frames are all-P_Skip. The m13 proof that the INTER path — skip
+    * runs, mv prediction, sub-pel motion compensation, inter CBP,
+    * residual-over-prediction — runs under the oracle. */
   def h264PMp4Bytes(id: Long): Array[Byte] = {
     val w = h264CavlcFrameW(id)
     val h = h264CavlcFrameH(id)
@@ -350,8 +352,8 @@ object SyntheticMedia {
         else Seq.tabulate(mbW * mbH) { m =>
           val c = h264PDelta(id, t)
           H264Inter.P16Choice(
-            mvx = 4 * (((id + t + m) % 5).toInt - 2),
-            mvy = 4 * (((2 * id + t + m) % 5).toInt - 2),
+            mvx = ((id + t + m) % 17).toInt - 8, // quarter-pel, all phases
+            mvy = ((2 * id + t + m) % 17).toInt - 8,
             luma = Array.fill(16) {
               val a = new Array[Int](16); a(0) = c; a
             },

@@ -175,6 +175,18 @@ class H264InterInteropSpec extends AnyFunSuite {
       }
     }
 
+  private def pSubpelFrame(t: Int): Seq[H264Inter.PMbChoice] =
+    (0 until 4).map { m =>
+      val i = (t - 1) * 4 + m // sweeps all 16 (xF, yF) phase pairs
+      val (cd, ca) = chroma(m + t, (m + t) % 3)
+      H264Inter.P16Choice(
+        mvx = 4 * ((m + t) % 3 - 1) + (i & 3),
+        mvy = 4 * ((2 * m + t) % 3 - 1) + (i >> 2),
+        luma = Array.fill(16)(new Array[Int](16)),
+        cbpChroma = (m + t) % 3, qpDelta = 0,
+        chromaDc = cd, chromaAc = ca)
+    }
+
   private def pMotionFrame(t: Int): Seq[H264Inter.PMbChoice] =
     (0 until 4).map { m =>
       H264Inter.P16Choice(
@@ -189,7 +201,7 @@ class H264InterInteropSpec extends AnyFunSuite {
     * P_FIXTURES block (sliceQpDelta for P frame t is (t % 2) * 2). */
   private def encodeFixture(fx: Fx): Seq[Array[Byte]] = {
     val idr: Seq[H264Intra.MbChoice] = fx.name match {
-      case "p_mixed" => Seq(
+      case "p_mixed" | "p_subpel" => Seq(
         i4Choice(2, 2, 0, 0, 0, 2, 0, 0), i4Choice(2, 2, 1, 0, 1, 1, 2, 1),
         i4Choice(2, 2, 0, 1, 2, 0, 0, 2), i4Choice(2, 2, 1, 1, 3, 2, -2, 3))
       case "p_motion" => Seq(
@@ -211,6 +223,7 @@ class H264InterInteropSpec extends AnyFunSuite {
       val choices: Seq[H264Inter.PMbChoice] = fx.name match {
         case "p_mixed" => pMixedFrame(t)
         case "p_motion" => pMotionFrame(t)
+        case "p_subpel" => pSubpelFrame(t)
         case "p_allskip" => Seq(H264Inter.PSkip, H264Inter.PSkip)
       }
       H264Inter.encodePSliceNal(fx.mbW, fx.mbH, frameNum = t, initQp = 26,
@@ -258,5 +271,14 @@ class H264InterInteropSpec extends AnyFunSuite {
     assert(mvs.exists(v => v._1 < 0 || v._2 < 0), "negative vectors")
     assert(mvs.exists(v => (v._1 / 4) % 2 != 0 || (v._2 / 4) % 2 != 0),
       "odd-pel vectors (half-phase chroma)")
+    // p_subpel sweeps every quarter-pel phase pair (the 6-tap half-pel
+    // positions, the unrounded-center j, and all quarter averages)
+    val fracs = (for (t <- 1 to 4; m <- 0 until 4) yield {
+      val i = (t - 1) * 4 + m
+      (((4 * ((m + t) % 3 - 1) + (i & 3)) & 3,
+        (4 * ((2 * m + t) % 3 - 1) + (i >> 2)) & 3))
+    }).toSet
+    assert(fracs == (for (x <- 0 to 3; y <- 0 to 3) yield (x, y)).toSet,
+      s"phase pairs covered: $fracs")
   }
 }

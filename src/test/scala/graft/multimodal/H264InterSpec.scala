@@ -53,38 +53,50 @@ class H264InterSpec extends AnyFunSuite {
     assert(H264Inter.skipMv(mot, 1, 1) == ((0, 0)))
   }
 
-  test("sub-pel luma vectors are rejected loudly, not approximated") {
+  test("half-pel MC over a step edge matches the 6-tap filter computed independently") {
+    // reference: an I_PCM frame with a vertical step edge in luma
     val w = 16; val h = 16
-    val sps = H264.parseSps(H264.encodeSpsNal(w, h))
-    // decode an IDR first for the reference
+    val refY = Array.tabulate(w * h)(i =>
+      (if (i % w < 8) 0 else 255).toByte)
+    val flat = Array.fill(w * h / 4)(128.toByte)
+    val idr = H264.encodeIdrIPcmNal(
+      H264.Frame(w, h, refY, flat.clone(), flat.clone()))
+    // P frame: one MB, mv = (2, 0) — the pure half-horizontal position
     val zeroCd = Array.fill(2)(new Array[Int](4))
     val zeroCa = Array.fill(2, 4)(new Array[Int](16))
-    val idr = H264.encodeIdrCavlcNal(1, 1, 26, 0, Seq(H264Intra.I16Choice(
-      2, cbpLumaAc = false, 0, 0, new Array[Int](16),
-      Array.fill(16)(new Array[Int](16)), zeroCd, zeroCa)))
-    // hand-write a P slice whose mvd gives a quarter-pel vector
-    val bw = new H264.BitWriter
-    bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
-    bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
-    bw.se(0)
-    bw.ue(0) // mb_skip_run
-    bw.ue(0) // mb_type P_L0_16x16
-    bw.se(1) // mvd x = 1 quarter-pel (pred 0) → sub-pel
-    bw.se(0)
-    bw.ue(0) // cbp 0
-    bw.trailing()
-    val pNal = H264.nonIdrNal(bw.toArray)
-    val e = intercept[IllegalArgumentException] {
-      H264.decodeNals(Seq(H264.encodeSpsNal(w, h), H264.encodePpsNal(),
-        idr, pNal))
+    val pNal = H264Inter.encodePSliceNal(1, 1, 1, 26, 0,
+      Seq(H264Inter.P16Choice(2, 0, Array.fill(16)(new Array[Int](16)),
+        0, 0, zeroCd, zeroCa)))
+    val frames = H264.decodeNals(
+      Seq(H264.encodeSpsNal(w, h), H264.encodePpsNal(), idr, pNal))
+    assert(frames.size == 2)
+    // independent expectation: clip((E - 5F + 20G + 20H - 5I + J + 16) >> 5)
+    // with edge-clamped fetches
+    def px(x: Int, y: Int): Int = refY(y * w + math.max(0, math.min(w - 1, x))) & 0xff
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = math.max(0, math.min(255,
+        (px(x - 2, y) - 5 * px(x - 1, y) + 20 * px(x, y) + 20 * px(x + 1, y)
+          - 5 * px(x + 2, y) + px(x + 3, y) + 16) >> 5))
+      assert((frames(1).y(y * w + x) & 0xff) == want, s"($x,$y)")
     }
-    assert(e.getMessage.contains("sub-pel"), e.getMessage)
-    // and the encoder refuses to emit one
-    val e2 = intercept[IllegalArgumentException] {
-      H264Inter.encodePSliceNal(1, 1, 1, 26, 0, Seq(H264Inter.P16Choice(
-        1, 0, Array.fill(16)(new Array[Int](16)), 0, 0, zeroCd, zeroCa)))
+  }
+
+  test("quarter-pel vectors decode (every phase is a real code path, not a refusal)") {
+    val zeroCd = Array.fill(2)(new Array[Int](4))
+    val zeroCa = Array.fill(2, 4)(new Array[Int](16))
+    val rnd = new scala.util.Random(9L)
+    val refY = Array.tabulate(256)(_ => (rnd.nextInt(256) - 128).toByte)
+    val flat = Array.fill(64)(128.toByte)
+    val idr = H264.encodeIdrIPcmNal(
+      H264.Frame(16, 16, refY, flat.clone(), flat.clone()))
+    for (fx <- 0 to 3; fy <- 0 to 3) {
+      val pNal = H264Inter.encodePSliceNal(1, 1, 1, 26, 0,
+        Seq(H264Inter.P16Choice(-4 + fx, 4 + fy,
+          Array.fill(16)(new Array[Int](16)), 0, 0, zeroCd, zeroCa)))
+      val frames = H264.decodeNals(
+        Seq(H264.encodeSpsNal(16, 16), H264.encodePpsNal(), idr, pNal))
+      assert(frames.size == 2, s"phase ($fx,$fy)")
     }
-    assert(e2.getMessage.contains("integer-pel"), e2.getMessage)
   }
 
   test("P partitions and I_PCM inside P are outside the subset, loudly") {
