@@ -1061,33 +1061,56 @@ def median3(a, b, c):
 
 
 class Motion:
+    """Per-4x4-BLOCK motion state (grid 4*mb_w x 4*mb_h)."""
+
     def __init__(self, mb_w, mb_h):
         self.mb_w, self.mb_h = mb_w, mb_h
-        self.mv = [(0, 0)] * (mb_w * mb_h)
-        self.kind = [0] * (mb_w * mb_h)  # 0 undecoded, 1 inter, 2 intra
+        self.gw, self.gh = mb_w * 4, mb_h * 4
+        self.mv = [(0, 0)] * (self.gw * self.gh)
+        self.kind = [0] * (self.gw * self.gh)  # 0 undecoded, 1 inter, 2 intra
+
+    def avail_blk(self, bx, by):
+        return (0 <= bx < self.gw and 0 <= by < self.gh
+                and self.kind[by * self.gw + bx] != 0)
+
+    def info_blk(self, bx, by):
+        if not self.avail_blk(bx, by) or self.kind[by * self.gw + bx] != 1:
+            return (0, 0, -1)
+        vx, vy = self.mv[by * self.gw + bx]
+        return (vx, vy, 0)
+
+    def set_rect(self, bx0, by0, wb, hb, vx, vy, kind):
+        for by in range(by0, by0 + hb):
+            for bx in range(bx0, bx0 + wb):
+                self.mv[by * self.gw + bx] = (vx, vy)
+                self.kind[by * self.gw + bx] = kind
+
+    def set(self, mx, my, vx, vy, kind):
+        self.set_rect(mx * 4, my * 4, 4, 4, vx, vy, kind)
 
     def inside(self, mx, my):
         return 0 <= mx < self.mb_w and 0 <= my < self.mb_h
 
-    def info(self, mx, my):
-        if not self.inside(mx, my) or self.kind[my * self.mb_w + mx] != 1:
-            return (0, 0, -1)
-        vx, vy = self.mv[my * self.mb_w + mx]
-        return (vx, vy, 0)
 
-    def set(self, mx, my, vx, vy, kind):
-        self.mv[my * self.mb_w + mx] = (vx, vy)
-        self.kind[my * self.mb_w + mx] = kind
+# partition kinds for the 8.4.1.3.2 directional preferences
+PART_NONE, P16X8_TOP, P16X8_BOT, P8X16_LEFT, P8X16_RIGHT = range(5)
 
 
-def mv_pred(mot, mx, my):
-    a = mot.info(mx - 1, my)
-    b = mot.info(mx, my - 1)
-    c_in = mot.inside(mx + 1, my - 1)
-    c = mot.info(mx + 1, my - 1) if c_in else mot.info(mx - 1, my - 1)
-    b_in = mot.inside(mx, my - 1)
-    d_in = mot.inside(mx - 1, my - 1)
-    if not b_in and not c_in and not d_in and mot.inside(mx - 1, my):
+def mv_pred_partition(mot, bx0, by0, wb, hb, pref):
+    a = mot.info_blk(bx0 - 1, by0)
+    b = mot.info_blk(bx0, by0 - 1)
+    c_av = mot.avail_blk(bx0 + wb, by0 - 1)
+    c = mot.info_blk(bx0 + wb, by0 - 1) if c_av \
+        else mot.info_blk(bx0 - 1, by0 - 1)
+    if pref == P16X8_TOP and b[2] == 0:
+        return b[0], b[1]
+    if pref in (P16X8_BOT, P8X16_LEFT) and a[2] == 0:
+        return a[0], a[1]
+    if pref == P8X16_RIGHT and c[2] == 0:
+        return c[0], c[1]
+    b_av = mot.avail_blk(bx0, by0 - 1)
+    d_av = mot.avail_blk(bx0 - 1, by0 - 1)
+    if not b_av and not c_av and not d_av and mot.avail_blk(bx0 - 1, by0):
         return a[0], a[1]
     matches = [x for x in (a, b, c) if x[2] == 0]
     if len(matches) == 1:
@@ -1095,11 +1118,15 @@ def mv_pred(mot, mx, my):
     return (median3(a[0], b[0], c[0]), median3(a[1], b[1], c[1]))
 
 
+def mv_pred(mot, mx, my):
+    return mv_pred_partition(mot, mx * 4, my * 4, 4, 4, PART_NONE)
+
+
 def skip_mv(mot, mx, my):
     if not mot.inside(mx - 1, my) or not mot.inside(mx, my - 1):
         return (0, 0)
-    a = mot.info(mx - 1, my)
-    b = mot.info(mx, my - 1)
+    a = mot.info_blk(mx * 4 - 1, my * 4)
+    b = mot.info_blk(mx * 4, my * 4 - 1)
     if (a[2] == 0 and a[0] == 0 and a[1] == 0) or \
        (b[2] == 0 and b[0] == 0 and b[1] == 0):
         return (0, 0)
@@ -1148,20 +1175,20 @@ def luma_sample(plane, w, h, xq, yq):
     }[(xf, yf)]
 
 
-def motion_compensate(pic, prev, mx, my, mvx, mvy):
+def motion_compensate_rect(pic, prev, x0, y0, pw, ph, mvx, mvy):
     w, h = pic.w, pic.h
-    for py in range(16):
-        for px in range(16):
-            pic.y[(my * 16 + py) * w + mx * 16 + px] = luma_sample(
-                prev.y, w, h,
-                (mx * 16 + px) * 4 + mvx, (my * 16 + py) * 4 + mvy)
+    for py in range(ph):
+        for px in range(pw):
+            pic.y[(y0 + py) * w + x0 + px] = luma_sample(
+                prev.y, w, h, (x0 + px) * 4 + mvx, (y0 + py) * 4 + mvy)
     cw, ch = w // 2, h // 2
+    cx0, cy0 = x0 // 2, y0 // 2
     cdx, cdy = mvx >> 3, mvy >> 3
     xf, yf = mvx & 7, mvy & 7
     for plane, src in ((pic.cb, prev.cb), (pic.cr, prev.cr)):
-        for cy in range(8):
-            for cx in range(8):
-                bx, by = mx * 8 + cx + cdx, my * 8 + cy + cdy
+        for cy in range(ph // 2):
+            for cx in range(pw // 2):
+                bx, by = cx0 + cx + cdx, cy0 + cy + cdy
                 if xf == 0 and yf == 0:
                     v = clamp_fetch(src, cw, ch, bx, by)
                 else:
@@ -1171,7 +1198,11 @@ def motion_compensate(pic, prev, mx, my, mvx, mvy):
                     p11 = clamp_fetch(src, cw, ch, bx + 1, by + 1)
                     v = ((8 - xf) * (8 - yf) * p00 + xf * (8 - yf) * p10 +
                          (8 - xf) * yf * p01 + xf * yf * p11 + 32) >> 6
-                plane[(my * 8 + cy) * cw + mx * 8 + cx] = v
+                plane[(cy0 + cy) * cw + cx0 + cx] = v
+
+
+def motion_compensate(pic, prev, mx, my, mvx, mvy):
+    motion_compensate_rect(pic, prev, mx * 16, my * 16, 16, 16, mvx, mvy)
 
 
 def zero_tc(pic, mx, my):
@@ -1192,6 +1223,30 @@ def encode_p16(w, pic, prev, mot, mx, my, spec):
     w.se(mvy - py)
     mot.set(mx, my, mvx, mvy, 1)
     motion_compensate(pic, prev, mx, my, mvx, mvy)
+    encode_p_residual(w, pic, mx, my, spec)
+
+
+def encode_p2(w, pic, prev, mot, mx, my, spec):
+    """16x8 (vertical False) / 8x16 (vertical True): per-partition mvd
+    with the 8.4.1.3.2 directional predictors, MB-level residual."""
+    bx0, by0 = mx * 4, my * 4
+    if not spec["vertical"]:
+        parts = [(bx0, by0, 4, 2, P16X8_TOP, spec["mv0"]),
+                 (bx0, by0 + 2, 4, 2, P16X8_BOT, spec["mv1"])]
+    else:
+        parts = [(bx0, by0, 2, 4, P8X16_LEFT, spec["mv0"]),
+                 (bx0 + 2, by0, 2, 4, P8X16_RIGHT, spec["mv1"])]
+    for bx, by, wb, hb, pref, (vx, vy) in parts:
+        px, py = mv_pred_partition(mot, bx, by, wb, hb, pref)
+        w.se(vx - px)
+        w.se(vy - py)
+        mot.set_rect(bx, by, wb, hb, vx, vy, 1)
+        motion_compensate_rect(pic, prev, bx * 4, by * 4, wb * 4, hb * 4,
+                               vx, vy)
+    encode_p_residual(w, pic, mx, my, spec)
+
+
+def encode_p_residual(w, pic, mx, my, spec):
     luma = spec["luma"]
     cbp_luma = 0
     for q in range(4):
@@ -1283,6 +1338,11 @@ def encode_p_picture(prev_pic, mb_w, mb_h, frame_num, sqd, specs):
             skip_run = 0
             w.ue(0)      # mb_type: P_L0_16x16
             encode_p16(w, pic, prev_pic, mot, mx, my, spec)
+        elif spec["kind"] == "p2":
+            w.ue(skip_run)
+            skip_run = 0
+            w.ue(2 if spec["vertical"] else 1)  # mb_type 8x16 / 16x8
+            encode_p2(w, pic, prev_pic, mot, mx, my, spec)
         else:            # intra MB inside the P slice (mb_type offset 5)
             w.ue(skip_run)
             skip_run = 0
@@ -1353,7 +1413,42 @@ _fracs = {(p_subpel_spec(m, t)["mv"][0] & 3, p_subpel_spec(m, t)["mv"][1] & 3)
 assert _fracs == {(x, y) for x in range(4) for y in range(4)}, _fracs
 
 
+def p_part_spec(m, t):
+    return {"kind": "p2", "vertical": (m + t) % 2 == 1,
+            "mv0": (((m * 5 + t) % 11) - 5, ((m * 3 + t * 2) % 11) - 5),
+            "mv1": (((m * 7 + t * 3) % 11) - 5, ((m + t * 5) % 11) - 5),
+            "luma": [p16_luma(k, m + t) for k in range(16)],
+            "cbp_chroma": (m + t) % 3, "qp_delta": (t % 3) - 1,
+            "chroma_dc": [chroma_dc_levels(c, m + t) for c in range(2)],
+            "chroma_ac": [[chroma_ac_levels(c, b, m + t) for b in range(4)]
+                          for c in range(2)]}
+
+
+def p_part_frame(t):
+    out = []
+    for m in range(4):
+        role = (m + 2 * t) % 4
+        if role == 0:
+            out.append({"kind": "skip"})
+        elif role == 1:
+            out.append(p_part_spec(m, t))
+        elif role == 2:
+            out.append(p16_spec(m, t))
+        else:
+            out.append(p_intra_spec(m, t))
+    return out
+
+
 P_FIXTURES = {
+    # two-partition MBs (16x8 / 8x16) with per-partition sub-pel vectors,
+    # mixed with skip / 16x16 / intra so the directional predictors see
+    # both matching-inter and intra/unavailable neighbors
+    "p_partitions": (2, 2, 0, [
+        {"kind": "i4", "cbp_chroma": 2, "qp_delta": 0, "chroma_mode": 0},
+        {"kind": "i4", "cbp_chroma": 1, "qp_delta": 2, "chroma_mode": 1},
+        {"kind": "i4", "cbp_chroma": 0, "qp_delta": 0, "chroma_mode": 2},
+        {"kind": "i4", "cbp_chroma": 2, "qp_delta": -2, "chroma_mode": 3},
+    ], [p_part_frame, 3]),
     # quarter/half-pel vectors over a textured Intra_4x4 IDR: all 16
     # fractional phase pairs, negative integer parts, border clamping
     "p_subpel": (2, 2, 0, [

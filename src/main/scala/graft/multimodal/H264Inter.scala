@@ -12,6 +12,11 @@ package graft.multimodal
   *    single-matching-reference shortcut, the B/C/D-unavailable → A
   *    special case), `mvd_l0` se(v) deltas, and full CAVLC residuals
   *    over motion-compensated prediction (inter CBP mapping, Table 9-4);
+  *  - the two-partition macroblocks `P_L0_L0_16x8` / `P_L0_L0_8x16`
+  *    (mb_types 1/2): per-partition mvd with the §8.4.1.3.2 directional
+  *    predictors (top prefers B, bottom/left prefer A, right prefers C)
+  *    over 4×4-block-granular motion state, the first partition a live
+  *    neighbor of the second;
   *  - intra macroblocks inside P slices (mb_type ≥ 5 → the I types,
   *    including I_PCM at 30) through the existing [[H264Intra]] path;
   *  - FULL quarter-pel motion compensation: the §8.4.2.2.1 6-tap
@@ -21,9 +26,9 @@ package graft.multimodal
   *    eighth-pel bilinear for chroma.
   *
   * One reference picture (the previously decoded frame), matching the
-  * `max_num_ref_frames = 1` SPS this repo emits. P partitions
-  * (16×8/8×16/8×8), B slices and CABAC remain outside the subset and
-  * are rejected loudly, never approximated.
+  * `max_num_ref_frames = 1` SPS this repo emits. P_8x8 sub-macroblock
+  * partitions, B slices and CABAC remain outside the subset and are
+  * rejected loudly, never approximated.
   *
   * Cross-checked against the independent Python implementation
   * (`scripts/h264_cavlc_fixture_gen.py` P-fixture section): decode is
@@ -44,38 +49,76 @@ private[multimodal] object H264Inter {
     14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
     17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
 
-  /** Per-MB motion state for one P picture. `kind`: 0 = undecoded,
-    * 1 = inter (mv valid, refIdx 0), 2 = intra/PCM (no motion). */
+  /** Per-4×4-BLOCK motion state for one P picture (grid 4·mbW ×
+    * 4·mbH): macroblock partitions (16×8 / 8×16) give neighbors at
+    * sub-MB granularity, so prediction reads blocks, not MBs.
+    * `kind`: 0 = undecoded, 1 = inter (mv valid, refIdx 0),
+    * 2 = intra/PCM (no motion). */
   private[multimodal] final class Motion(val mbW: Int, val mbH: Int) {
-    val mvx = new Array[Int](mbW * mbH)
-    val mvy = new Array[Int](mbW * mbH)
-    val kind = new Array[Int](mbW * mbH)
+    private val gw = mbW * 4
+    private val gh = mbH * 4
+    val mvx = new Array[Int](gw * gh)
+    val mvy = new Array[Int](gw * gh)
+    val kind = new Array[Int](gw * gh)
+    /** Block available = inside the picture AND already decoded
+      * (§6.4.11.7 availability in decode order — within-MB earlier
+      * partitions included, later/right MBs excluded). */
+    def availBlk(bx: Int, by: Int): Boolean =
+      bx >= 0 && by >= 0 && bx < gw && by < gh && kind(by * gw + bx) != 0
+    /** (mvx, mvy, refIdx): intra / unavailable → (0, 0, −1). */
+    def infoBlk(bx: Int, by: Int): (Int, Int, Int) =
+      if (!availBlk(bx, by) || kind(by * gw + bx) != 1) (0, 0, -1)
+      else (mvx(by * gw + bx), mvy(by * gw + bx), 0)
+    def setRect(bx0: Int, by0: Int, wB: Int, hB: Int,
+                x: Int, y: Int, k: Int): Unit =
+      for (by <- by0 until by0 + hB; bx <- bx0 until bx0 + wB) {
+        mvx(by * gw + bx) = x; mvy(by * gw + bx) = y; kind(by * gw + bx) = k
+      }
+    /** MB-level write (16×16 partitions, skip, intra). */
+    def set(mx: Int, my: Int, x: Int, y: Int, k: Int): Unit =
+      setRect(mx * 4, my * 4, 4, 4, x, y, k)
     def inside(mx: Int, my: Int): Boolean =
       mx >= 0 && my >= 0 && mx < mbW && my < mbH
-    /** (mvx, mvy, refIdx): intra / outside → (0, 0, −1), per §8.4.1.3. */
-    def info(mx: Int, my: Int): (Int, Int, Int) =
-      if (!inside(mx, my) || kind(my * mbW + mx) != 1) (0, 0, -1)
-      else (mvx(my * mbW + mx), mvy(my * mbW + mx), 0)
-    def set(mx: Int, my: Int, x: Int, y: Int, k: Int): Unit = {
-      mvx(my * mbW + mx) = x; mvy(my * mbW + mx) = y; kind(my * mbW + mx) = k
-    }
   }
 
   private def median3(a: Int, b: Int, c: Int): Int =
     math.max(math.min(a, b), math.min(math.max(a, b), c))
 
-  /** §8.4.1.3 motion-vector prediction for a 16×16 partition with
-    * refIdxL0 = 0 (the one-reference subset). */
-  private[multimodal] def mvPred16x16(mot: Motion, mx: Int, my: Int): (Int, Int) = {
-    val a = mot.info(mx - 1, my)
-    val b = mot.info(mx, my - 1)
-    // up-right, substituted by up-left when outside (§6.4.11.7)
-    val cInside = mot.inside(mx + 1, my - 1)
-    val c = if (cInside) mot.info(mx + 1, my - 1) else mot.info(mx - 1, my - 1)
-    // B, C and D all unavailable (outside) and A available → mvA
-    val bIn = mot.inside(mx, my - 1)
-    val dIn = mot.inside(mx - 1, my - 1)
-    if (!bIn && !cInside && !dIn && mot.inside(mx - 1, my)) (a._1, a._2)
+  /** Partition kinds for the §8.4.1.3.2 directional preferences. */
+  private[multimodal] final val PartNone = 0
+  private[multimodal] final val Part16x8Top = 1
+  private[multimodal] final val Part16x8Bottom = 2
+  private[multimodal] final val Part8x16Left = 3
+  private[multimodal] final val Part8x16Right = 4
+
+  /** §8.4.1.3 motion-vector prediction for the partition whose top-left
+    * 4×4 block is (bx0, by0) with size (wB, hB) blocks, refIdxL0 = 0
+    * (the one-reference subset). `pref` applies the 16×8/8×16
+    * directional shortcut first; the general process (single-matching-
+    * reference shortcut, B/C/D-unavailable → A, component median)
+    * otherwise. */
+  private[multimodal] def mvPredPartition(mot: Motion, bx0: Int, by0: Int,
+                                          wB: Int, hB: Int,
+                                          pref: Int): (Int, Int) = {
+    val a = mot.infoBlk(bx0 - 1, by0)
+    val b = mot.infoBlk(bx0, by0 - 1)
+    val cAvail = mot.availBlk(bx0 + wB, by0 - 1)
+    val c = if (cAvail) mot.infoBlk(bx0 + wB, by0 - 1)
+            else mot.infoBlk(bx0 - 1, by0 - 1) // D substitution
+    // §8.4.1.3.2: directional preference when that neighbor's reference
+    // matches (refIdx 0 here)
+    pref match {
+      case Part16x8Top if b._3 == 0 => return (b._1, b._2)
+      case Part16x8Bottom if a._3 == 0 => return (a._1, a._2)
+      case Part8x16Left if a._3 == 0 => return (a._1, a._2)
+      case Part8x16Right if c._3 == 0 => return (c._1, c._2)
+      case _ => ()
+    }
+    // general process: B, C and D all unavailable and A available → mvA
+    val bAvail = mot.availBlk(bx0, by0 - 1)
+    val dAvail = mot.availBlk(bx0 - 1, by0 - 1)
+    if (!bAvail && !cAvail && !dAvail && mot.availBlk(bx0 - 1, by0))
+      (a._1, a._2)
     else {
       val matches = Seq(a, b, c).filter(_._3 == 0)
       if (matches.size == 1) (matches.head._1, matches.head._2)
@@ -83,14 +126,18 @@ private[multimodal] object H264Inter {
     }
   }
 
+  /** §8.4.1.3 prediction for a whole-MB 16×16 partition. */
+  private[multimodal] def mvPred16x16(mot: Motion, mx: Int, my: Int): (Int, Int) =
+    mvPredPartition(mot, mx * 4, my * 4, 4, 4, PartNone)
+
   /** §8.4.1.1 P_Skip motion vector. */
   private[multimodal] def skipMv(mot: Motion, mx: Int, my: Int): (Int, Int) = {
     val aIn = mot.inside(mx - 1, my)
     val bIn = mot.inside(mx, my - 1)
     if (!aIn || !bIn) (0, 0)
     else {
-      val a = mot.info(mx - 1, my)
-      val b = mot.info(mx, my - 1)
+      val a = mot.infoBlk(mx * 4 - 1, my * 4)
+      val b = mot.infoBlk(mx * 4, my * 4 - 1)
       if ((a._3 == 0 && a._1 == 0 && a._2 == 0) ||
           (b._3 == 0 && b._1 == 0 && b._2 == 0)) (0, 0)
       else mvPred16x16(mot, mx, my)
@@ -152,24 +199,28 @@ private[multimodal] object H264Inter {
     }
   }
 
-  /** Write the 16×16 luma + 8×8 chroma MC prediction for MB (mx,my)
-    * into the slice planes (residuals add on top afterwards). */
-  private def motionCompensate(ctx: SliceCtx, ref: Frame, mx: Int, my: Int,
-                               mvx: Int, mvy: Int): Unit = {
+  /** Write the MC prediction for the luma pixel rect (x0, y0, pw, ph)
+    * (and its half-size chroma rect) into the slice planes — residuals
+    * add on top afterwards. Whole MBs and 16×8/8×16 partitions are
+    * both just rects here. */
+  private def motionCompensateRect(ctx: SliceCtx, ref: Frame,
+                                   x0: Int, y0: Int, pw: Int, ph: Int,
+                                   mvx: Int, mvy: Int): Unit = {
     val w = ctx.width; val h = ctx.height
     var py = 0
-    while (py < 16) {
+    while (py < ph) {
       var px = 0
-      while (px < 16) {
-        ctx.y((my * 16 + py) * w + mx * 16 + px) =
+      while (px < pw) {
+        ctx.y((y0 + py) * w + x0 + px) =
           lumaSample(ref.y, w, h,
-            (mx * 16 + px) * 4 + mvx, (my * 16 + py) * 4 + mvy).toByte
+            (x0 + px) * 4 + mvx, (y0 + py) * 4 + mvy).toByte
         px += 1
       }
       py += 1
     }
     // chroma: the same vector at eighth-pel phase (§8.4.2.2.2 bilinear)
     val cw = w / 2; val ch = h / 2
+    val cx0 = x0 / 2; val cy0 = y0 / 2
     val cdx = mvx >> 3; val cdy = mvy >> 3
     val xF = mvx & 7; val yF = mvy & 7
     var c = 0
@@ -177,10 +228,10 @@ private[multimodal] object H264Inter {
       val dst = if (c == 0) ctx.cb else ctx.cr
       val src = if (c == 0) ref.cb else ref.cr
       var cy = 0
-      while (cy < 8) {
+      while (cy < ph / 2) {
         var cx = 0
-        while (cx < 8) {
-          val bx = mx * 8 + cx + cdx; val by = my * 8 + cy + cdy
+        while (cx < pw / 2) {
+          val bx = cx0 + cx + cdx; val by = cy0 + cy + cdy
           val v =
             if (xF == 0 && yF == 0) clampFetch(src, cw, ch, bx, by)
             else {
@@ -191,7 +242,7 @@ private[multimodal] object H264Inter {
               ((8 - xF) * (8 - yF) * p00 + xF * (8 - yF) * p10 +
                 (8 - xF) * yF * p01 + xF * yF * p11 + 32) >> 6
             }
-          dst((my * 8 + cy) * cw + mx * 8 + cx) = v.toByte
+          dst((cy0 + cy) * cw + cx0 + cx) = v.toByte
           cx += 1
         }
         cy += 1
@@ -199,6 +250,11 @@ private[multimodal] object H264Inter {
       c += 1
     }
   }
+
+  /** Whole-MB MC (16×16 partitions and skip). */
+  private def motionCompensate(ctx: SliceCtx, ref: Frame, mx: Int, my: Int,
+                               mvx: Int, mvy: Int): Unit =
+    motionCompensateRect(ctx, ref, mx * 16, my * 16, 16, 16, mvx, mvy)
 
   // ---- P macroblocks: decode ------------------------------------------------
 
@@ -233,7 +289,37 @@ private[multimodal] object H264Inter {
     val mvy = py + r.se()
     motionCompensate(ctx, ref, mx, my, mvx, mvy)
     mot.set(mx, my, mvx, mvy, 1)
+    decodePResidual(r, ctx, mx, my)
+  }
 
+  /** Decode one two-partition MB: P_L0_L0_16x8 (mb_type 1) or
+    * P_L0_L0_8x16 (mb_type 2). Each partition carries its own mvd; the
+    * §8.4.1.3.2 directional predictor applies per partition, and the
+    * first partition's decoded vector is a live neighbor for the
+    * second's. Residual layer is MB-level, shared with P_L0_16x16. */
+  private def decodeP2Mb(r: BitReader, ctx: SliceCtx, mot: Motion, ref: Frame,
+                         mx: Int, my: Int, vertical: Boolean): Unit = {
+    val bx0 = mx * 4; val by0 = my * 4
+    val parts =
+      if (!vertical) Seq( // 16x8: top then bottom
+        (bx0, by0, 4, 2, Part16x8Top), (bx0, by0 + 2, 4, 2, Part16x8Bottom))
+      else Seq(           // 8x16: left then right
+        (bx0, by0, 2, 4, Part8x16Left), (bx0 + 2, by0, 2, 4, Part8x16Right))
+    parts.foreach { case (bx, by, wB, hB, pref) =>
+      val (px, py) = mvPredPartition(mot, bx, by, wB, hB, pref)
+      val mvx = px + r.se()
+      val mvy = py + r.se()
+      mot.setRect(bx, by, wB, hB, mvx, mvy, 1)
+      motionCompensateRect(ctx, ref, bx * 4, by * 4, wB * 4, hB * 4, mvx, mvy)
+    }
+    decodePResidual(r, ctx, mx, my)
+  }
+
+  /** The MB-level inter residual layer (inter CBP → qp delta → luma
+    * 4×4 CAVLC blocks → chroma DC/AC), added onto whatever prediction
+    * already sits in the planes. */
+  private def decodePResidual(r: BitReader, ctx: SliceCtx,
+                              mx: Int, my: Int): Unit = {
     val cn = r.ue()
     require(cn < 48, s"inter coded_block_pattern codeNum $cn")
     val cbp = CbpInter(cn)
@@ -341,10 +427,12 @@ private[multimodal] object H264Inter {
         val mx = mbIdx % sps.mbWidth; val my = mbIdx / sps.mbWidth
         val mbType = r.ue()
         if (mbType == 0) decodeP16Mb(r, ctx, mot, ref, mx, my)
-        else if (mbType >= 1 && mbType <= 4)
+        else if (mbType == 1) decodeP2Mb(r, ctx, mot, ref, mx, my, vertical = false)
+        else if (mbType == 2) decodeP2Mb(r, ctx, mot, ref, mx, my, vertical = true)
+        else if (mbType == 3 || mbType == 4)
           throw new IllegalArgumentException(
-            s"P partition mb_type $mbType (16x8/8x16/8x8) outside the " +
-              "P_L0_16x16 subset")
+            s"P_8x8 mb_type $mbType (sub-macroblock partitions) outside " +
+              "the subset")
         else if (mbType >= 5 && mbType <= 30) {
           val intraType = mbType - 5
           if (intraType == 25)
@@ -363,11 +451,17 @@ private[multimodal] object H264Inter {
 
   sealed trait PMbChoice
   case object PSkip extends PMbChoice
-  /** Coded 16×16 inter MB: absolute integer-unit quarter-pel vector
-    * (components divisible by 4), 16 scan-indexed luma residual blocks,
-    * chroma as in the intra choices. */
+  /** Coded 16×16 inter MB: absolute quarter-pel vector, 16 scan-indexed
+    * luma residual blocks, chroma as in the intra choices. */
   final case class P16Choice(mvx: Int, mvy: Int, luma: Array[Array[Int]],
       cbpChroma: Int, qpDelta: Int, chromaDc: Array[Array[Int]],
+      chromaAc: Array[Array[Array[Int]]]) extends PMbChoice
+  /** Two-partition inter MB (16×8 when `vertical` is false, 8×16 when
+    * true): one absolute quarter-pel vector per partition, MB-level
+    * residual as in [[P16Choice]]. */
+  final case class P2Choice(vertical: Boolean, mv0: (Int, Int),
+      mv1: (Int, Int), luma: Array[Array[Int]], cbpChroma: Int,
+      qpDelta: Int, chromaDc: Array[Array[Int]],
       chromaAc: Array[Array[Array[Int]]]) extends PMbChoice
   /** An intra MB inside the P slice. */
   final case class PIntraChoice(choice: MbChoice) extends PMbChoice
@@ -404,7 +498,27 @@ private[multimodal] object H264Inter {
           w.se(c.mvx - px)
           w.se(c.mvy - py)
           mot.set(mx, my, c.mvx, c.mvy, 1)
-          encodeP16Residual(w, ctx, mx, my, c)
+          encodePResidual(w, ctx, mx, my, c.luma, c.cbpChroma, c.qpDelta,
+            c.chromaDc, c.chromaAc)
+        case c: P2Choice =>
+          w.ue(skipRun); skipRun = 0
+          w.ue(if (c.vertical) 2 else 1) // mb_type 16x8 / 8x16
+          val bx0 = mx * 4; val by0 = my * 4
+          val parts =
+            if (!c.vertical) Seq(
+              (bx0, by0, 4, 2, Part16x8Top, c.mv0),
+              (bx0, by0 + 2, 4, 2, Part16x8Bottom, c.mv1))
+            else Seq(
+              (bx0, by0, 2, 4, Part8x16Left, c.mv0),
+              (bx0 + 2, by0, 2, 4, Part8x16Right, c.mv1))
+          parts.foreach { case (bx, by, wB, hB, pref, (vx, vy)) =>
+            val (px, py) = mvPredPartition(mot, bx, by, wB, hB, pref)
+            w.se(vx - px)
+            w.se(vy - py)
+            mot.setRect(bx, by, wB, hB, vx, vy, 1)
+          }
+          encodePResidual(w, ctx, mx, my, c.luma, c.cbpChroma, c.qpDelta,
+            c.chromaDc, c.chromaAc)
         case PIntraChoice(intra) =>
           w.ue(skipRun); skipRun = 0
           encodeIntraMb(w, ctx, mx, my, intra, mbTypeOffset = 5)
@@ -430,21 +544,23 @@ private[multimodal] object H264Inter {
     }
   }
 
-  private def encodeP16Residual(w: BitWriter, ctx: EncCtx, mx: Int, my: Int,
-                                c: P16Choice): Unit = {
+  private def encodePResidual(w: BitWriter, ctx: EncCtx, mx: Int, my: Int,
+                              luma: Array[Array[Int]], cbpChroma: Int,
+                              qpDelta: Int, chromaDc: Array[Array[Int]],
+                              chromaAc: Array[Array[Array[Int]]]): Unit = {
     val lumaGrid = ctx.mbW * 4
     val bx0 = mx * 4; val by0 = my * 4
     val cbpLuma = (0 until 4).map { q =>
-      val any = (0 until 4).exists(i => c.luma(q * 4 + i).exists(_ != 0))
+      val any = (0 until 4).exists(i => luma(q * 4 + i).exists(_ != 0))
       if (any) 1 << q else 0
     }.sum
-    val cbp = cbpLuma | (c.cbpChroma << 4)
+    val cbp = cbpLuma | (cbpChroma << 4)
     val cn = CbpInter.indexOf(cbp)
     require(cn >= 0, s"cbp $cbp not in the inter table")
     w.ue(cn)
     if (cbp != 0) {
-      w.se(c.qpDelta)
-      ctx.qpY = ((ctx.qpY + c.qpDelta) % 52 + 52) % 52
+      w.se(qpDelta)
+      ctx.qpY = ((ctx.qpY + qpDelta) % 52 + 52) % 52
     }
     var k = 0
     while (k < 16) {
@@ -452,15 +568,15 @@ private[multimodal] object H264Inter {
       val bx = bx0 + x4; val by = by0 + y4
       if ((cbpLuma & (1 << (k >> 2))) != 0) {
         val nc = ctx.nC(ctx.lumaTcAt(bx - 1, by), ctx.lumaTcAt(bx, by - 1))
-        val tc = H264Cavlc.encodeResidualBlock(w, c.luma(k), nc)
+        val tc = H264Cavlc.encodeResidualBlock(w, luma(k), nc)
         ctx.lumaTc(by * lumaGrid + bx) = tc
       } else {
-        require(c.luma(k).forall(_ == 0),
+        require(luma(k).forall(_ == 0),
           s"luma block $k has coefficients but its cbp bit is clear")
         ctx.lumaTc(by * lumaGrid + bx) = 0
       }
       k += 1
     }
-    encodeChromaResidual(w, ctx, mx, my, c.cbpChroma, c.chromaDc, c.chromaAc)
+    encodeChromaResidual(w, ctx, mx, my, cbpChroma, chromaDc, chromaAc)
   }
 }

@@ -351,14 +351,21 @@ object SyntheticMedia {
         if (t % 2 == 0) Seq.fill(mbW * mbH)(H264Inter.PSkip)
         else Seq.tabulate(mbW * mbH) { m =>
           val c = h264PDelta(id, t)
-          H264Inter.P16Choice(
-            mvx = ((id + t + m) % 17).toInt - 8, // quarter-pel, all phases
-            mvy = ((2 * id + t + m) % 17).toInt - 8,
-            luma = Array.fill(16) {
-              val a = new Array[Int](16); a(0) = c; a
-            },
-            cbpChroma = 0, qpDelta = 0,
-            chromaDc = zeroChromaDc, chromaAc = zeroChromaAc)
+          val luma = Array.fill(16) {
+            val a = new Array[Int](16); a(0) = c; a
+          }
+          val mvx = ((id + t + m) % 17).toInt - 8 // quarter-pel, all phases
+          val mvy = ((2 * id + t + m) % 17).toInt - 8
+          if (m % 2 == 0)
+            H264Inter.P16Choice(mvx, mvy, luma, cbpChroma = 0, qpDelta = 0,
+              chromaDc = zeroChromaDc, chromaAc = zeroChromaAc)
+          else // partitioned MBs under the oracle: constant-plane algebra
+            // is partition-invariant, so 16x8/8x16 with two different
+            // vectors still land exactly on 128 + Σ4c
+            H264Inter.P2Choice(vertical = (m + t) % 4 == 1,
+              mv0 = (mvx, mvy), mv1 = (-mvy, mvx),
+              luma = luma, cbpChroma = 0, qpDelta = 0,
+              chromaDc = zeroChromaDc, chromaAc = zeroChromaAc)
         }
       H264Inter.encodePSliceNal(mbW, mbH, frameNum = t % 16, initQp = 26,
         sliceQpDelta = 2, choices)

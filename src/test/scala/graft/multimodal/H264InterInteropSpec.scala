@@ -164,6 +164,29 @@ class H264InterInteropSpec extends AnyFunSuite {
       chromaDc = cd, chromaAc = ca)
   }
 
+  private def pPartSpec(m: Int, t: Int): H264Inter.P2Choice = {
+    val (cd, ca) = chroma(m + t, (m + t) % 3)
+    H264Inter.P2Choice(
+      vertical = (m + t) % 2 == 1,
+      mv0 = ((m * 5 + t) % 11 - 5, (m * 3 + t * 2) % 11 - 5),
+      mv1 = ((m * 7 + t * 3) % 11 - 5, (m + t * 5) % 11 - 5),
+      luma = Array.tabulate(16)(k => p16Luma(k, m + t)),
+      cbpChroma = (m + t) % 3, qpDelta = (t % 3) - 1,
+      chromaDc = cd, chromaAc = ca)
+  }
+
+  private def pPartFrame(t: Int): Seq[H264Inter.PMbChoice] =
+    (0 until 4).map { m =>
+      (m + 2 * t) % 4 match {
+        case 0 => H264Inter.PSkip
+        case 1 => pPartSpec(m, t)
+        case 2 => p16Spec(m, t)
+        case _ => H264Inter.PIntraChoice(
+          i16Choice(m + t, mode = 2, ac = false, cbpChroma = 0,
+            qpDelta = 0, chromaMode = 0))
+      }
+    }
+
   private def pMixedFrame(t: Int): Seq[H264Inter.PMbChoice] =
     (0 until 4).map { m =>
       (m + t) % 3 match {
@@ -201,7 +224,7 @@ class H264InterInteropSpec extends AnyFunSuite {
     * P_FIXTURES block (sliceQpDelta for P frame t is (t % 2) * 2). */
   private def encodeFixture(fx: Fx): Seq[Array[Byte]] = {
     val idr: Seq[H264Intra.MbChoice] = fx.name match {
-      case "p_mixed" | "p_subpel" => Seq(
+      case "p_mixed" | "p_subpel" | "p_partitions" => Seq(
         i4Choice(2, 2, 0, 0, 0, 2, 0, 0), i4Choice(2, 2, 1, 0, 1, 1, 2, 1),
         i4Choice(2, 2, 0, 1, 2, 0, 0, 2), i4Choice(2, 2, 1, 1, 3, 2, -2, 3))
       case "p_motion" => Seq(
@@ -224,6 +247,7 @@ class H264InterInteropSpec extends AnyFunSuite {
         case "p_mixed" => pMixedFrame(t)
         case "p_motion" => pMotionFrame(t)
         case "p_subpel" => pSubpelFrame(t)
+        case "p_partitions" => pPartFrame(t)
         case "p_allskip" => Seq(H264Inter.PSkip, H264Inter.PSkip)
       }
       H264Inter.encodePSliceNal(fx.mbW, fx.mbH, frameNum = t, initQp = 26,

@@ -99,14 +99,45 @@ class H264InterSpec extends AnyFunSuite {
     }
   }
 
-  test("P partitions and I_PCM inside P are outside the subset, loudly") {
+  test("the 16x8/8x16 directional predictors prefer B/A/A/C respectively") {
+    // left MB inter (8,4); above MB inter (−4, 12); current MB partitions
+    val mot = new H264Inter.Motion(3, 3)
+    mot.set(0, 1, 8, 4, 1)   // A neighbor MB of current (1,1)
+    mot.set(1, 0, -4, 12, 1) // B neighbor MB
+    mot.set(2, 0, 16, 0, 1)  // C neighbor MB (up-right)
+    val bx0 = 4; val by0 = 4 // current MB (1,1)
+    // 16x8 top prefers B
+    assert(H264Inter.mvPredPartition(mot, bx0, by0, 4, 2,
+      H264Inter.Part16x8Top) == ((-4, 12)))
+    // 8x16 left prefers A
+    assert(H264Inter.mvPredPartition(mot, bx0, by0, 2, 4,
+      H264Inter.Part8x16Left) == ((8, 4)))
+    // 8x16 right prefers C (block above-right of the right partition =
+    // the C neighbor MB)
+    assert(H264Inter.mvPredPartition(mot, bx0 + 2, by0, 2, 4,
+      H264Inter.Part8x16Right) == ((16, 0)))
+    // decode the top partition, then the bottom 16x8 prefers A (the
+    // left MB), not the freshly decoded top partition above it
+    mot.setRect(bx0, by0, 4, 2, 20, 20, 1)
+    assert(H264Inter.mvPredPartition(mot, bx0, by0 + 2, 4, 2,
+      H264Inter.Part16x8Bottom) == ((8, 4)))
+    // directional MISS (A intra) falls back to the general process:
+    // B = the freshly decoded top partition (20,20); C at (8,5) sits in
+    // the undecoded right MB → D substitution → the (now intra) left MB
+    // → B is the single matching reference → (20,20)
+    mot.set(0, 1, 0, 0, 2)
+    assert(H264Inter.mvPredPartition(mot, bx0, by0 + 2, 4, 2,
+      H264Inter.Part16x8Bottom) == ((20, 20)))
+  }
+
+  test("P_8x8 and I_PCM inside P are outside the subset, loudly") {
     val sps16 = H264.encodeSpsNal(16, 16)
     val zeroCd = Array.fill(2)(new Array[Int](4))
     val zeroCa = Array.fill(2, 4)(new Array[Int](16))
     val idr = H264.encodeIdrCavlcNal(1, 1, 26, 0, Seq(H264Intra.I16Choice(
       2, cbpLumaAc = false, 0, 0, new Array[Int](16),
       Array.fill(16)(new Array[Int](16)), zeroCd, zeroCa)))
-    for ((mbType, what) <- Seq(1 -> "16x8", 3 -> "8x8", 30 -> "I_PCM")) {
+    for ((mbType, what) <- Seq(3 -> "8x8", 4 -> "8x8ref0", 30 -> "I_PCM")) {
       val bw = new H264.BitWriter
       bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
       bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
