@@ -1246,6 +1246,35 @@ def encode_p2(w, pic, prev, mot, mx, my, spec):
     encode_p_residual(w, pic, mx, my, spec)
 
 
+def sub_partitions(px8, py8, sub_type):
+    if sub_type == 0:
+        return [(px8, py8, 2, 2)]
+    if sub_type == 1:
+        return [(px8, py8, 2, 1), (px8, py8 + 1, 2, 1)]
+    if sub_type == 2:
+        return [(px8, py8, 1, 2), (px8 + 1, py8, 1, 2)]
+    return [(px8, py8, 1, 1), (px8 + 1, py8, 1, 1),
+            (px8, py8 + 1, 1, 1), (px8 + 1, py8 + 1, 1, 1)]
+
+
+def encode_p8x8(w, pic, prev, mot, mx, my, spec):
+    for st in spec["sub_types"]:
+        w.ue(st)
+    bx0, by0 = mx * 4, my * 4
+    for p8 in range(4):
+        px8, py8 = bx0 + (p8 & 1) * 2, by0 + (p8 >> 1) * 2
+        parts = sub_partitions(px8, py8, spec["sub_types"][p8])
+        assert len(parts) == len(spec["mvs"][p8])
+        for (bx, by, wb, hb), (vx, vy) in zip(parts, spec["mvs"][p8]):
+            px, py = mv_pred_partition(mot, bx, by, wb, hb, PART_NONE)
+            w.se(vx - px)
+            w.se(vy - py)
+            mot.set_rect(bx, by, wb, hb, vx, vy, 1)
+            motion_compensate_rect(pic, prev, bx * 4, by * 4, wb * 4, hb * 4,
+                                   vx, vy)
+    encode_p_residual(w, pic, mx, my, spec)
+
+
 def encode_p_residual(w, pic, mx, my, spec):
     luma = spec["luma"]
     cbp_luma = 0
@@ -1343,6 +1372,11 @@ def encode_p_picture(prev_pic, mb_w, mb_h, frame_num, sqd, specs):
             skip_run = 0
             w.ue(2 if spec["vertical"] else 1)  # mb_type 8x16 / 16x8
             encode_p2(w, pic, prev_pic, mot, mx, my, spec)
+        elif spec["kind"] == "p8x8":
+            w.ue(skip_run)
+            skip_run = 0
+            w.ue(3)  # mb_type P_8x8
+            encode_p8x8(w, pic, prev_pic, mot, mx, my, spec)
         else:            # intra MB inside the P slice (mb_type offset 5)
             w.ue(skip_run)
             skip_run = 0
@@ -1439,7 +1473,47 @@ def p_part_frame(t):
     return out
 
 
+def p8_spec(m, t):
+    # one of each sub_mb_type across the four 8x8s, rotated per MB/frame
+    sub_types = [(m + t + i) % 4 for i in range(4)]
+    mvs = []
+    n_of = [1, 2, 2, 4]
+    for p8 in range(4):
+        mvs.append([((m * 3 + t + p8 * 5 + s * 7) % 11 - 5,
+                     (m + t * 3 + p8 * 2 + s * 5) % 11 - 5)
+                    for s in range(n_of[sub_types[p8]])])
+    return {"kind": "p8x8", "sub_types": sub_types, "mvs": mvs,
+            "luma": [p16_luma(k, m + t) for k in range(16)],
+            "cbp_chroma": (m + t) % 3, "qp_delta": (t % 3) - 1,
+            "chroma_dc": [chroma_dc_levels(c, m + t) for c in range(2)],
+            "chroma_ac": [[chroma_ac_levels(c, b, m + t) for b in range(4)]
+                          for c in range(2)]}
+
+
+def p8_frame(t):
+    out = []
+    for m in range(4):
+        role = (m + 3 * t) % 4
+        if role == 0:
+            out.append({"kind": "skip"})
+        elif role == 1:
+            out.append(p8_spec(m, t))
+        elif role == 2:
+            out.append(p_part_spec(m, t))
+        else:
+            out.append(p16_spec(m, t))
+    return out
+
+
 P_FIXTURES = {
+    # P_8x8 sub-macroblock partitions: all four sub_mb_types, sub-pel
+    # per-sub-partition vectors, mixed with 16x8/8x16/16x16/skip
+    "p_8x8": (2, 2, 0, [
+        {"kind": "i4", "cbp_chroma": 2, "qp_delta": 0, "chroma_mode": 0},
+        {"kind": "i4", "cbp_chroma": 1, "qp_delta": 2, "chroma_mode": 1},
+        {"kind": "i4", "cbp_chroma": 0, "qp_delta": 0, "chroma_mode": 2},
+        {"kind": "i4", "cbp_chroma": 2, "qp_delta": -2, "chroma_mode": 3},
+    ], [p8_frame, 3]),
     # two-partition MBs (16x8 / 8x16) with per-partition sub-pel vectors,
     # mixed with skip / 16x16 / intra so the directional predictors see
     # both matching-inter and intra/unavailable neighbors

@@ -315,6 +315,46 @@ private[multimodal] object H264Inter {
     decodePResidual(r, ctx, mx, my)
   }
 
+  /** The sub-partition layout of one 8×8 (block coords + sizes), per
+    * sub_mb_type: 0 = 8×8, 1 = 8×4 (top, bottom), 2 = 4×8 (left,
+    * right), 3 = 4×4 (2×2 raster). */
+  private def subPartitions(px8: Int, py8: Int,
+                            subType: Int): Seq[(Int, Int, Int, Int)] =
+    subType match {
+      case 0 => Seq((px8, py8, 2, 2))
+      case 1 => Seq((px8, py8, 2, 1), (px8, py8 + 1, 2, 1))
+      case 2 => Seq((px8, py8, 1, 2), (px8 + 1, py8, 1, 2))
+      case _ => Seq((px8, py8, 1, 1), (px8 + 1, py8, 1, 1),
+                    (px8, py8 + 1, 1, 1), (px8 + 1, py8 + 1, 1, 1))
+    }
+
+  /** Decode one P_8x8 MB (mb_type 3 / 4=ref0 — identical with one
+    * reference): four sub_mb_types, then per-sub-partition mvds in
+    * raster order; sub-partition prediction is the GENERAL §8.4.1.3
+    * process (the directional shortcuts apply only to 16×8/8×16), each
+    * decoded sub-partition a live neighbor of the next. MB-level
+    * residual shared with the other inter shapes. */
+  private def decodeP8x8Mb(r: BitReader, ctx: SliceCtx, mot: Motion,
+                           ref: Frame, mx: Int, my: Int): Unit = {
+    val subTypes = Array.fill(4) {
+      val st = r.ue()
+      require(st <= 3, s"P sub_mb_type $st (B forms) outside P slices")
+      st
+    }
+    val bx0 = mx * 4; val by0 = my * 4
+    for (p8 <- 0 until 4) {
+      val px8 = bx0 + (p8 & 1) * 2; val py8 = by0 + (p8 >> 1) * 2
+      subPartitions(px8, py8, subTypes(p8)).foreach { case (bx, by, wB, hB) =>
+        val (px, py) = mvPredPartition(mot, bx, by, wB, hB, PartNone)
+        val vx = px + r.se()
+        val vy = py + r.se()
+        mot.setRect(bx, by, wB, hB, vx, vy, 1)
+        motionCompensateRect(ctx, ref, bx * 4, by * 4, wB * 4, hB * 4, vx, vy)
+      }
+    }
+    decodePResidual(r, ctx, mx, my)
+  }
+
   /** The MB-level inter residual layer (inter CBP → qp delta → luma
     * 4×4 CAVLC blocks → chroma DC/AC), added onto whatever prediction
     * already sits in the planes. */
@@ -430,9 +470,7 @@ private[multimodal] object H264Inter {
         else if (mbType == 1) decodeP2Mb(r, ctx, mot, ref, mx, my, vertical = false)
         else if (mbType == 2) decodeP2Mb(r, ctx, mot, ref, mx, my, vertical = true)
         else if (mbType == 3 || mbType == 4)
-          throw new IllegalArgumentException(
-            s"P_8x8 mb_type $mbType (sub-macroblock partitions) outside " +
-              "the subset")
+          decodeP8x8Mb(r, ctx, mot, ref, mx, my)
         else if (mbType >= 5 && mbType <= 30) {
           val intraType = mbType - 5
           if (intraType == 25)
@@ -461,6 +499,14 @@ private[multimodal] object H264Inter {
     * residual as in [[P16Choice]]. */
   final case class P2Choice(vertical: Boolean, mv0: (Int, Int),
       mv1: (Int, Int), luma: Array[Array[Int]], cbpChroma: Int,
+      qpDelta: Int, chromaDc: Array[Array[Int]],
+      chromaAc: Array[Array[Array[Int]]]) extends PMbChoice
+  /** P_8x8 MB: four sub_mb_types (0 = 8×8, 1 = 8×4, 2 = 4×8, 3 = 4×4)
+    * and, per 8×8, the absolute quarter-pel vectors of its
+    * sub-partitions (1/2/2/4 of them, in the decode order above);
+    * MB-level residual as in [[P16Choice]]. */
+  final case class P8x8Choice(subTypes: Array[Int],
+      mvs: Seq[Seq[(Int, Int)]], luma: Array[Array[Int]], cbpChroma: Int,
       qpDelta: Int, chromaDc: Array[Array[Int]],
       chromaAc: Array[Array[Array[Int]]]) extends PMbChoice
   /** An intra MB inside the P slice. */
@@ -516,6 +562,26 @@ private[multimodal] object H264Inter {
             w.se(vx - px)
             w.se(vy - py)
             mot.setRect(bx, by, wB, hB, vx, vy, 1)
+          }
+          encodePResidual(w, ctx, mx, my, c.luma, c.cbpChroma, c.qpDelta,
+            c.chromaDc, c.chromaAc)
+        case c: P8x8Choice =>
+          w.ue(skipRun); skipRun = 0
+          w.ue(3) // mb_type P_8x8
+          require(c.subTypes.length == 4 && c.subTypes.forall(_ <= 3))
+          c.subTypes.foreach(st => w.ue(st))
+          val bx0 = mx * 4; val by0 = my * 4
+          for (p8 <- 0 until 4) {
+            val px8 = bx0 + (p8 & 1) * 2; val py8 = by0 + (p8 >> 1) * 2
+            val parts = subPartitions(px8, py8, c.subTypes(p8))
+            require(parts.size == c.mvs(p8).size,
+              s"sub_mb_type ${c.subTypes(p8)} needs ${parts.size} vectors")
+            parts.zip(c.mvs(p8)).foreach { case ((bx, by, wB, hB), (vx, vy)) =>
+              val (px, py) = mvPredPartition(mot, bx, by, wB, hB, PartNone)
+              w.se(vx - px)
+              w.se(vy - py)
+              mot.setRect(bx, by, wB, hB, vx, vy, 1)
+            }
           }
           encodePResidual(w, ctx, mx, my, c.luma, c.cbpChroma, c.qpDelta,
             c.chromaDc, c.chromaAc)

@@ -356,16 +356,27 @@ object SyntheticMedia {
           }
           val mvx = ((id + t + m) % 17).toInt - 8 // quarter-pel, all phases
           val mvy = ((2 * id + t + m) % 17).toInt - 8
-          if (m % 2 == 0)
-            H264Inter.P16Choice(mvx, mvy, luma, cbpChroma = 0, qpDelta = 0,
-              chromaDc = zeroChromaDc, chromaAc = zeroChromaAc)
-          else // partitioned MBs under the oracle: constant-plane algebra
-            // is partition-invariant, so 16x8/8x16 with two different
-            // vectors still land exactly on 128 + Σ4c
-            H264Inter.P2Choice(vertical = (m + t) % 4 == 1,
-              mv0 = (mvx, mvy), mv1 = (-mvy, mvx),
-              luma = luma, cbpChroma = 0, qpDelta = 0,
-              chromaDc = zeroChromaDc, chromaAc = zeroChromaAc)
+          m % 3 match {
+            case 0 =>
+              H264Inter.P16Choice(mvx, mvy, luma, cbpChroma = 0, qpDelta = 0,
+                chromaDc = zeroChromaDc, chromaAc = zeroChromaAc)
+            case 1 => // partitioned MBs under the oracle: constant-plane
+              // algebra is partition-invariant, so 16x8/8x16 with two
+              // different vectors still land exactly on 128 + Σ4c
+              H264Inter.P2Choice(vertical = (m + t) % 4 == 1,
+                mv0 = (mvx, mvy), mv1 = (-mvy, mvx),
+                luma = luma, cbpChroma = 0, qpDelta = 0,
+                chromaDc = zeroChromaDc, chromaAc = zeroChromaAc)
+            case _ => // and P_8x8 down to 4x4 sub-partitions, same algebra
+              H264Inter.P8x8Choice(
+                subTypes = Array.tabulate(4)(i => (m + t + i) % 4),
+                mvs = (0 until 4).map { p8 =>
+                  val n = Array(1, 2, 2, 4)((m + t + p8) % 4)
+                  (0 until n).map(s => (mvx + s, mvy - s))
+                },
+                luma = luma, cbpChroma = 0, qpDelta = 0,
+                chromaDc = zeroChromaDc, chromaAc = zeroChromaAc)
+          }
         }
       H264Inter.encodePSliceNal(mbW, mbH, frameNum = t % 16, initQp = 26,
         sliceQpDelta = 2, choices)

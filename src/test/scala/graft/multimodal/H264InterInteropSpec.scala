@@ -187,6 +187,32 @@ class H264InterInteropSpec extends AnyFunSuite {
       }
     }
 
+  private def p8Spec(m: Int, t: Int): H264Inter.P8x8Choice = {
+    val subTypes = Array.tabulate(4)(i => (m + t + i) % 4)
+    val nOf = Array(1, 2, 2, 4)
+    val mvs = (0 until 4).map { p8 =>
+      (0 until nOf(subTypes(p8))).map { s =>
+        ((m * 3 + t + p8 * 5 + s * 7) % 11 - 5,
+          (m + t * 3 + p8 * 2 + s * 5) % 11 - 5)
+      }
+    }
+    val (cd, ca) = chroma(m + t, (m + t) % 3)
+    H264Inter.P8x8Choice(subTypes, mvs,
+      luma = Array.tabulate(16)(k => p16Luma(k, m + t)),
+      cbpChroma = (m + t) % 3, qpDelta = (t % 3) - 1,
+      chromaDc = cd, chromaAc = ca)
+  }
+
+  private def p8Frame(t: Int): Seq[H264Inter.PMbChoice] =
+    (0 until 4).map { m =>
+      (m + 3 * t) % 4 match {
+        case 0 => H264Inter.PSkip
+        case 1 => p8Spec(m, t)
+        case 2 => pPartSpec(m, t)
+        case _ => p16Spec(m, t)
+      }
+    }
+
   private def pMixedFrame(t: Int): Seq[H264Inter.PMbChoice] =
     (0 until 4).map { m =>
       (m + t) % 3 match {
@@ -224,7 +250,7 @@ class H264InterInteropSpec extends AnyFunSuite {
     * P_FIXTURES block (sliceQpDelta for P frame t is (t % 2) * 2). */
   private def encodeFixture(fx: Fx): Seq[Array[Byte]] = {
     val idr: Seq[H264Intra.MbChoice] = fx.name match {
-      case "p_mixed" | "p_subpel" | "p_partitions" => Seq(
+      case "p_mixed" | "p_subpel" | "p_partitions" | "p_8x8" => Seq(
         i4Choice(2, 2, 0, 0, 0, 2, 0, 0), i4Choice(2, 2, 1, 0, 1, 1, 2, 1),
         i4Choice(2, 2, 0, 1, 2, 0, 0, 2), i4Choice(2, 2, 1, 1, 3, 2, -2, 3))
       case "p_motion" => Seq(
@@ -248,6 +274,7 @@ class H264InterInteropSpec extends AnyFunSuite {
         case "p_motion" => pMotionFrame(t)
         case "p_subpel" => pSubpelFrame(t)
         case "p_partitions" => pPartFrame(t)
+        case "p_8x8" => p8Frame(t)
         case "p_allskip" => Seq(H264Inter.PSkip, H264Inter.PSkip)
       }
       H264Inter.encodePSliceNal(fx.mbW, fx.mbH, frameNum = t, initQp = 26,

@@ -130,27 +130,59 @@ class H264InterSpec extends AnyFunSuite {
       H264Inter.Part16x8Bottom) == ((20, 20)))
   }
 
-  test("P_8x8 and I_PCM inside P are outside the subset, loudly") {
+  test("I_PCM inside P and B-form sub_mb_types are outside the subset, loudly") {
     val sps16 = H264.encodeSpsNal(16, 16)
     val zeroCd = Array.fill(2)(new Array[Int](4))
     val zeroCa = Array.fill(2, 4)(new Array[Int](16))
     val idr = H264.encodeIdrCavlcNal(1, 1, 26, 0, Seq(H264Intra.I16Choice(
       2, cbpLumaAc = false, 0, 0, new Array[Int](16),
       Array.fill(16)(new Array[Int](16)), zeroCd, zeroCa)))
-    for ((mbType, what) <- Seq(3 -> "8x8", 4 -> "8x8ref0", 30 -> "I_PCM")) {
+    def pSlice(body: H264.BitWriter => Unit): Array[Byte] = {
       val bw = new H264.BitWriter
       bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
       bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
       bw.se(0)
       bw.ue(0) // mb_skip_run
-      bw.ue(mbType)
+      body(bw)
       bw.trailing()
-      val e = intercept[IllegalArgumentException] {
-        H264.decodeNals(Seq(sps16, H264.encodePpsNal(), idr,
-          H264.nonIdrNal(bw.toArray)))
-      }
-      assert(e.getMessage.contains("subset") || e.getMessage.contains("mb_type"),
-        s"$what: ${e.getMessage}")
+      H264.nonIdrNal(bw.toArray)
     }
+    // I_PCM in a P slice (mb_type 30)
+    val e1 = intercept[IllegalArgumentException] {
+      H264.decodeNals(Seq(sps16, H264.encodePpsNal(), idr,
+        pSlice(bw => bw.ue(30))))
+    }
+    assert(e1.getMessage.contains("subset") || e1.getMessage.contains("mb_type"),
+      e1.getMessage)
+    // P_8x8 with a sub_mb_type outside 0..3 (a B-slice form)
+    val e2 = intercept[IllegalArgumentException] {
+      H264.decodeNals(Seq(sps16, H264.encodePpsNal(), idr,
+        pSlice { bw => bw.ue(3); bw.ue(4) }))
+    }
+    assert(e2.getMessage.contains("sub_mb_type"), e2.getMessage)
+  }
+
+  test("a P_8x8 MB with per-sub-partition vectors round-trips encode → decode") {
+    val zeroCd = Array.fill(2)(new Array[Int](4))
+    val zeroCa = Array.fill(2, 4)(new Array[Int](16))
+    val rnd = new scala.util.Random(11L)
+    val refY = Array.tabulate(256)(_ => (rnd.nextInt(256) - 128).toByte)
+    val flat = Array.fill(64)(128.toByte)
+    val idr = H264.encodeIdrIPcmNal(
+      H264.Frame(16, 16, refY, flat.clone(), flat.clone()))
+    val choice = H264Inter.P8x8Choice(
+      subTypes = Array(0, 1, 2, 3),
+      mvs = Seq(Seq((5, -3)), Seq((0, 0), (-7, 2)), Seq((4, 4), (1, -1)),
+        Seq((2, 0), (0, 2), (-2, 0), (3, 3))),
+      luma = Array.fill(16)(new Array[Int](16)),
+      cbpChroma = 0, qpDelta = 0, chromaDc = zeroCd, chromaAc = zeroCa)
+    val pNal = H264Inter.encodePSliceNal(1, 1, 1, 26, 0, Seq(choice))
+    val frames = H264.decodeNals(
+      Seq(H264.encodeSpsNal(16, 16), H264.encodePpsNal(), idr, pNal))
+    assert(frames.size == 2)
+    // the 8x8 sub-partition with mv (0,0) must be an exact copy of the
+    // reference region (top-right 8x8, upper 8x4)
+    for (y <- 0 until 4; x <- 8 until 16)
+      assert(frames(1).y(y * 16 + x) == refY(y * 16 + x), s"($x,$y)")
   }
 }
