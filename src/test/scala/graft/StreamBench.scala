@@ -131,6 +131,34 @@ object StreamBench {
         .outputMode("append").start()
     }
 
+    // 3b. transformWithState arrival-order quota (the x133-gated op):
+    //     per-source admission counters, state = one long per source
+    run[streaming.StreamQuota.Arrival]("quota_admit",
+      ev.toSeq.map(r => streaming.StreamQuota.Arrival(
+        r.getString(3), r.getLong(0), r.getLong(2)))) { in =>
+      streaming.StreamQuota.admit(in.toDS(), cap = 500)
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("sb_quota").toString)
+        .outputMode("append").start()
+    }
+
+    // 3c. incrementally-maintained view (the x134-gated op): KTable
+    //     change feed folded into a swap-committed per-group aggregate
+    //     (one parquet swap per micro-batch — the measured cost of the
+    //     crash-safe materialization)
+    run[streaming.Rec]("incr_view",
+      ev.toSeq.zipWithIndex.map { case (r, i) =>
+        streaming.Rec(r.getLong(1).toString,
+          math.round(r.getDouble(4) * 100).toString, r.getLong(2), i + 1L)
+      }) { in =>
+      val dir = Files.createTempDirectory("sb_iview").toString
+      streaming.IncrementalView.start(
+        streaming.KTableStream.changes(in.toDS()),
+        k => "g" + (k.toLong % 7), _.toLong,
+        dir + "/table", dir + "/ckpt")
+    }
+
     // 4. streaming image near-dup: map-side decode + pHash, banded
     //    bucket state (10,000 synthetic BMPs, m5 corpus shape: 5,000
     //    brightness-rescaled pairs — every row decodes a real image)
