@@ -312,7 +312,10 @@ object SimilarityOps {
   def dbscanBlocked(vecs: DataFrame, idCol: String, vecCol: String,
                     eps2: Long, minPts: Int): DataFrame = {
     val q = quantizedVecs(vecs, idCol, vecCol)
-    val row = q.agg(count(lit(1)), max(size(col("qv")))).head()
+    // min(dim), matching the DuckDB oracle replay exactly: with ragged
+    // embedding dimensions both engines must derive the SAME bits, and
+    // min is the conservative cap (never indexes past a short vector).
+    val row = q.agg(count(lit(1)), min(size(col("qv")))).head()
     val n = row.getLong(0)
     val dim = if (row.isNullAt(1)) 1 else row.getInt(1)
     dbscanBlocked(vecs, idCol, vecCol, eps2, minPts, deriveBits(n, dim))

@@ -374,6 +374,10 @@ private[kafka] object Zstd {
   private final class Out(cap: Int) {
     var buf = new Array[Byte](1024)
     var len = 0
+    /** Start offset of the frame currently being decoded: RFC 8878 §3.1.1
+      * scopes the match window to the frame, so a match offset reaching
+      * into a PREVIOUS frame's output is spec-invalid and rejected. */
+    var frameStart = 0
     def ensure(n: Int): Unit = {
       if (n < 0 || n > cap - len) fail(s"zstd: output exceeds the $cap cap")
       if (len + n > buf.length) {
@@ -388,9 +392,11 @@ private[kafka] object Zstd {
     def appendRun(b: Byte, n: Int): Unit = {
       ensure(n); java.util.Arrays.fill(buf, len, len + n, b); len += n
     }
-    /** Overlap-legal match copy from `offset` back. */
+    /** Overlap-legal match copy from `offset` back (bounded to the
+      * current frame, never a previous frame's output). */
     def matchCopy(offset: Long, n: Int): Unit = {
-      if (offset <= 0 || offset > len) fail(s"zstd: match offset $offset at $len")
+      if (offset <= 0 || offset > len - frameStart)
+        fail(s"zstd: match offset $offset at ${len - frameStart} into the frame")
       ensure(n)
       var i = 0
       val off = offset.toInt
@@ -663,6 +669,7 @@ private[kafka] object Zstd {
 
     val st = new FrameState
     val frameStart = out.len
+    out.frameStart = frameStart
     var last = false
     while (!last) {
       if (p + 3 > in.length) fail("zstd: truncated block header")
@@ -676,6 +683,9 @@ private[kafka] object Zstd {
           out.append(in, p, blockSize)
           p += blockSize
         case 1 => // RLE: blockSize is the REGENERATED size, content 1 byte
+          // §3.1.1.2: Block_Size (the regenerated size here) is bounded
+          // by Block_Maximum_Size like every other block type
+          if (blockSize > MaxBlockSize) fail(s"zstd: RLE block size $blockSize > 128 KiB")
           if (p >= in.length) fail("zstd: RLE block missing byte")
           out.appendRun(in(p), blockSize)
           p += 1

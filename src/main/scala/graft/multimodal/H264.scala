@@ -478,6 +478,14 @@ object H264 {
     require(nalType(nalUnit) == NalNonIdr,
       s"not a non-IDR slice NAL: type ${nalType(nalUnit)}")
     val refIdc = (nalUnit(0) >> 5) & 3
+    // Non-reference pictures (nal_ref_idc == 0) are conformant H.264 but
+    // outside this subset: [[decodeNals]] keeps every decoded non-IDR
+    // picture as the single reference, so accepting one would silently
+    // motion-compensate later P slices against a picture the encoder
+    // marked as never-a-reference. Reject loudly like every other
+    // out-of-subset input instead of approximating.
+    require(refIdc != 0,
+      "non-reference P slice (nal_ref_idc = 0) outside the subset")
     val r = new BitReader(ebspToRbsp(nalUnit.drop(1)))
     require(r.ue() == 0, "multi-slice pictures outside the subset")
     val sliceType = r.ue()

@@ -17,8 +17,12 @@ package graft.multimodal
   *    predictors (top prefers B, bottom/left prefer A, right prefers C)
   *    over 4×4-block-granular motion state, the first partition a live
   *    neighbor of the second;
+  *  - `P_8x8` sub-macroblock partitions (mb_types 3/4): per-8×8
+  *    sub_mb_type down to 4×4 sub-partitions, each with its own mvd
+  *    over the 4×4-block motion grid;
   *  - intra macroblocks inside P slices (mb_type ≥ 5 → the I types,
-  *    including I_PCM at 30) through the existing [[H264Intra]] path;
+  *    EXCLUDING I_PCM at 30, which is rejected as outside the subset
+  *    inside P slices) through the existing [[H264Intra]] path;
   *  - FULL quarter-pel motion compensation: the §8.4.2.2.1 6-tap
   *    half-pel filter (including the unrounded-intermediate center
   *    position) and quarter-pel averaging for luma with the spec's
@@ -26,9 +30,9 @@ package graft.multimodal
   *    eighth-pel bilinear for chroma.
   *
   * One reference picture (the previously decoded frame), matching the
-  * `max_num_ref_frames = 1` SPS this repo emits. P_8x8 sub-macroblock
-  * partitions, B slices and CABAC remain outside the subset and are
-  * rejected loudly, never approximated.
+  * `max_num_ref_frames = 1` SPS this repo emits. B slices and CABAC
+  * remain outside the subset and are rejected loudly, never
+  * approximated.
   *
   * Cross-checked against the independent Python implementation
   * (`scripts/h264_cavlc_fixture_gen.py` P-fixture section): decode is

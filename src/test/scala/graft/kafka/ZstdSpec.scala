@@ -112,6 +112,48 @@ class ZstdSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("reserved block"), e3.getMessage)
   }
 
+  /** A hand-built minimal compressed frame (single-segment, no
+    * checksum, declared content 4): one raw literal 'X', then one
+    * sequence via RLE sequence tables (LL sym 1 → litLen 1, ML sym 0 →
+    * matchLen 3, OF sym `ofSym`) with backward bitstream `bits`. */
+  private def oneSeqFrame(ofSym: Int, bits: Int): Array[Byte] =
+    hex("28b52ffd2004") ++ // magic, FHD single-segment, FCS = 4
+      hex("450000") ++     // block header: last, compressed, size 8
+      hex("0858") ++       // literals: raw, 1 byte, 'X'
+      Array[Byte](0x01, 0x54, 0x01, ofSym.toByte, 0x00, bits.toByte)
+
+  test("match offsets are bounded to the current frame, not prior frames") {
+    // OF code 0 → Offset_Value 1 → rep1 = 1: well-formed, decodes alone
+    assert(new String(Zstd.decompress(oneSeqFrame(0, 0x01), Cap)) == "XXXX")
+    // OF code 4 (+4 zero bits) → Offset_Value 16 → offset 13: reaches
+    // past this frame's 1 produced byte, into the PREVIOUS frame's
+    // output when one is prepended — spec-invalid either way (RFC 8878
+    // scopes the match window to the frame)
+    val cross = oneSeqFrame(4, 0x10)
+    val e1 = intercept[IllegalArgumentException](Zstd.decompress(cross, Cap))
+    assert(e1.getMessage.contains("offset"), e1.getMessage)
+    val prior = Zstd.compressRaw("thirteen-plus bytes of prior frame".getBytes)
+    val e2 = intercept[IllegalArgumentException](Zstd.decompress(prior ++ cross, Cap))
+    assert(e2.getMessage.contains("offset"), e2.getMessage)
+  }
+
+  test("RLE blocks obey the 128 KiB block-size ceiling") {
+    def rleFrame(regen: Int): Array[Byte] = {
+      val h = (regen << 3) | (1 << 1) | 1
+      hex("28b52ffda0") ++
+        Array[Byte](
+          (regen & 0xff).toByte, ((regen >> 8) & 0xff).toByte,
+          ((regen >> 16) & 0xff).toByte, ((regen >> 24) & 0xff).toByte) ++
+        Array[Byte]((h & 0xff).toByte, ((h >> 8) & 0xff).toByte,
+          ((h >> 16) & 0xff).toByte, 0x41)
+    }
+    val max = Zstd.decompress(rleFrame(128 * 1024), Cap)
+    assert(max.length == 128 * 1024 && max.forall(_ == 'A'.toByte))
+    val e = intercept[IllegalArgumentException](
+      Zstd.decompress(rleFrame(128 * 1024 + 1), Cap))
+    assert(e.getMessage.contains("RLE"), e.getMessage)
+  }
+
   test("content checksum mismatches are detected") {
     val frame = Zstd.compressRaw("checksummed payload".getBytes)
     frame(frame.length - 1) = (frame(frame.length - 1) ^ 1).toByte

@@ -99,6 +99,28 @@ class H264InterSpec extends AnyFunSuite {
     }
   }
 
+  test("non-reference P slices (nal_ref_idc = 0) are outside the subset, loudly") {
+    // decodeNals keeps every decoded picture as THE reference; a
+    // conformant non-reference P frame must therefore be rejected, not
+    // silently promoted to a reference later P slices would use
+    val zeroCd = Array.fill(2)(new Array[Int](4))
+    val zeroCa = Array.fill(2, 4)(new Array[Int](16))
+    val flat = Array.fill(64)(128.toByte)
+    val idr = H264.encodeIdrIPcmNal(
+      H264.Frame(16, 16, Array.fill(256)(77.toByte), flat.clone(), flat.clone()))
+    val pNal = H264Inter.encodePSliceNal(1, 1, 1, 26, 0,
+      Seq(H264Inter.P16Choice(0, 0, Array.fill(16)(new Array[Int](16)),
+        0, 0, zeroCd, zeroCa)))
+    // same NAL with nal_ref_idc forced to 0 (header byte keeps type 1)
+    val nonRef = pNal.clone(); nonRef(0) = (nonRef(0) & 0x1f).toByte
+    val ok = H264.decodeNals(
+      Seq(H264.encodeSpsNal(16, 16), H264.encodePpsNal(), idr, pNal))
+    assert(ok.size == 2)
+    val e = intercept[IllegalArgumentException](H264.decodeNals(
+      Seq(H264.encodeSpsNal(16, 16), H264.encodePpsNal(), idr, nonRef)))
+    assert(e.getMessage.contains("non-reference"), e.getMessage)
+  }
+
   test("the 16x8/8x16 directional predictors prefer B/A/A/C respectively") {
     // left MB inter (8,4); above MB inter (−4, 12); current MB partitions
     val mot = new H264Inter.Motion(3, 3)
