@@ -1,7 +1,7 @@
 package graft
 
 import graft.streaming._
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -564,6 +564,85 @@ object StreamVerify {
           .select(col("key").as("event_type"), col("n_regs"),
             col("est_distinct").as("est_users"))
         (out, SparkEntry.queries("x39_hll_distinct")(s, dir))
+      }),
+
+    // The last three sketch faces: each streams its corpus through the
+    // SAME bounded aggregator the gated batch query uses (the UDAF
+    // buffer IS the state-store state, folded across micro-batches) in
+    // update mode; the final emission — identified by a monotone
+    // running count — gets the batch query's own finalization readout.
+    // All three sketches are exact on the sf corpora (vocab/users below
+    // the sketch bound), so the estimates are order-independent and
+    // hash-gate cleanly.
+
+    ("x15_kmv", "x15_kmv_distinct",
+      "kmvEstimate (the shared finalizer expression) over the LAST update emission per event_type",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val evs = eventsSorted(s, dir)
+        val pairs = evs.map(e => (e.event_type, e.user_id)).toSeq
+        val pick = udaf(graft.functions.Aggregators.topKByKey(64),
+          Encoders.product[graft.functions.KeyedHit])
+        val streamed = replay(s, chunksOf(pairs, 4), outputMode = "update")(in =>
+          in.toDF("event_type", "user_id")
+            .groupBy("event_type")
+            .agg(pick(md5(col("user_id").cast("string")), lit(0L)).as("tk"),
+              count(lit(1)).as("n_seen")))
+        val latest = streamed.withColumn("rk", row_number().over(
+            Window.partitionBy("event_type").orderBy(col("n_seen").desc)))
+          .filter(col("rk") === 1)
+        val out = latest.select(col("event_type"),
+          graft.functions.Sketches.kmvEstimate(col("tk"), 64).as("est_users"))
+        (out, SparkEntry.queries("x15_kmv_distinct")(s, dir))
+      }),
+
+    ("t12_quantiles", "t12_length_quantiles",
+      "type-1 quantiles read off the STREAMED running histogram (final count per (source, n_chars) = max across update emissions)",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val rows = Tables.documents(s, dir)
+          .select(col("source"), col("n_chars"))
+          .as[(String, Long)].collect().sorted.toSeq
+        val streamed = replay(s, chunksOf(rows, 4), outputMode = "update")(in =>
+          in.toDF("source", "n_chars")
+            .groupBy("source", "n_chars").agg(count(lit(1)).as("c")))
+        // per-key counts only grow, so the final histogram is max(c)
+        val hist = streamed.groupBy("source", "n_chars").agg(max("c").as("c"))
+        // the batch query's own readout, over the STREAMED histogram
+        val cum = hist
+          .withColumn("cum", sum("c").over(
+            Window.partitionBy("source").orderBy("n_chars")))
+          .withColumn("n", sum("c").over(Window.partitionBy("source")))
+        val out = cum.select(col("source"), col("n_chars"), col("cum"),
+            col("n"),
+            explode(array(Seq(0.25, 0.5, 0.75, 0.9).map(lit): _*)).as("q"))
+          .filter(col("cum") >= ceil(col("n") * col("q")))
+          .groupBy("source", "q").agg(min("n_chars").as("value"))
+        (out, SparkEntry.queries("t12_length_quantiles")(s, dir))
+      }),
+
+    ("x26_heavy", "x26_heavy_hitters",
+      "top-15 readout over the LAST update emission of the streamed SpaceSaving sketch",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val t0 = new Timestamp(1700000000000L)
+        val docs = Tables.documents(s, dir).select("doc_id", "text").collect()
+          .map(r => DocRow(r.getLong(0), r.getString(1), t0)).sortBy(_.doc_id)
+        val hh = udaf(graft.functions.Aggregators.spaceSaving(256),
+          Encoders.STRING)
+        val streamed = replay(s, chunksOf(docs.toSeq, 4), outputMode = "update")(in =>
+          in.toDF()
+            .select(explode(
+              graft.functions.TextAnalysis.tokens(col("text"))).as("w"))
+            .agg(hh(col("w")).as("sk"), count(lit(1)).as("n_tok")))
+        val latest = streamed.orderBy(col("n_tok").desc).limit(1)
+        val out = latest
+          .select(explode(col("sk.hits")).as("h"))
+          .select(col("h.item").as("word"), col("h.cnt").as("cnt"),
+            col("h.err").as("err"))
+          .orderBy(col("cnt").desc, col("word"))
+          .limit(15)
+        (out, SparkEntry.queries("x26_heavy_hitters")(s, dir))
       }),
 
     ("x43_funnel", "x43_funnel",

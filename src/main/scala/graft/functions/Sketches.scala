@@ -39,15 +39,23 @@ object Sketches {
       .select(keys :+ md5(col(valueCol).cast("string")).as("__h"): _*)
       .groupBy(keys: _*)
       .agg(pick(col("__h"), lit(0L)).as("__tk"))
-    val hits = col("__tk.hits")
+    agged.select(keys :+ kmvEstimate(col("__tk"), k).as(outCol): _*)
+  }
+
+  /** Finalize a KMV digest buffer (a [[graft.functions.TopKKeyed]]
+    * column holding the k SMALLEST md5 digests) into the distinct
+    * estimate — the one estimate expression, shared by the batch
+    * [[kmvDistinct]] and its streaming face so the two can never use
+    * different arithmetic. */
+  def kmvEstimate(tkCol: Column, k: Int): Column = {
+    val hits = tkCol.getField("hits")
     val n = size(hits)
     // evaluated only on the n >= k branch (CaseWhen evaluates the taken
     // branch), so the out-of-bounds element_at never runs
     val u = conv(substring(element_at(hits, k).getField("key"), 1, 15), 16, 10)
       .cast("long").cast("double") / lit(TwoPow60)
-    agged.select(keys :+
-      round(when(n < k, n.cast("double"))
-        .otherwise(lit((k - 1).toDouble) / u), 4).as(outCol): _*)
+    round(when(n < k, n.cast("double"))
+      .otherwise(lit((k - 1).toDouble) / u), 4)
   }
 
   /** Per-group HyperLogLog distinct estimate (Flajolet et al. 2007) —
