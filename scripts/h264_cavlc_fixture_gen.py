@@ -1385,7 +1385,8 @@ def encode_p_picture(prev_pic, mb_w, mb_h, frame_num, sqd, specs):
     if skip_run:
         w.ue(skip_run)   # trailing all-skip run
     w.trailing()
-    return bytes([0x41]) + ebsp(w.rbsp()), pic  # nal_ref_idc 2, type 1
+    # nal_ref_idc 2, type 1; motion returned for B colocated derivation
+    return bytes([0x41]) + ebsp(w.rbsp()), pic, mot
 
 
 # ---- the shared P recipe (restated in the Scala H264InterInteropSpec) ----
@@ -1575,8 +1576,8 @@ for name, (mb_w, mb_h, sqd, idr_specs, (p_spec_fn, n_p)) in sorted(
     prev = pic
     for t in range(1, n_p + 1):
         p_sqd = (t % 2) * 2
-        nal_t, pic_t = encode_p_picture(prev, mb_w, mb_h, t, p_sqd,
-                                        p_spec_fn(t))
+        nal_t, pic_t, _ = encode_p_picture(prev, mb_w, mb_h, t, p_sqd,
+                                           p_spec_fn(t))
         nals.append(nal_t)
         planes.append((bytes(pic_t.y), bytes(pic_t.cb), bytes(pic_t.cr)))
         prev = pic_t
@@ -1589,3 +1590,411 @@ for name, (mb_w, mb_h, sqd, idr_specs, (p_spec_fn, n_p)) in sorted(
 
 P_OUT.write_text("\n".join(p_lines) + "\n")
 print(f"wrote {len(p_lines)} P-slice fixtures to {P_OUT}")
+
+
+# ==== B-slice fixtures (graft.multimodal.H264BInter) ======================
+#
+# Second implementation of the CAVLC B subset: two one-picture reference
+# lists (list0 = the newer stored reference, list1 = the older), B_Skip
+# and B_Direct_16x16 via SPATIAL direct prediction (8.4.1.2.2: min
+# positive refIdx over A/B/C with C->D substitution, the
+# directZeroPrediction fallback, per-list 8.4.1.3 medians, per-4x4
+# colZeroFlag off the colocated list1 motion), B_L0/L1/Bi_16x16 with
+# per-list mv prediction, DEFAULT bi-prediction ((p0 + p1 + 1) >> 1
+# after full quarter-pel/eighth-pel interpolation per list), inter CBP
+# residuals, and intra MBs inside B slices (mb_type offset 23).
+# Output: src/test/resources/h264_b_fixtures.txt, same line format as
+# the P fixtures (frame 0 is the IDR).
+
+B_OUT = Path(__file__).resolve().parent.parent / \
+    "src/test/resources/h264_b_fixtures.txt"
+
+
+class BMotion:
+    """Per-4x4-block TWO-LIST motion state for one B picture."""
+
+    def __init__(self, mb_w, mb_h):
+        self.mb_w, self.mb_h = mb_w, mb_h
+        self.gw, self.gh = mb_w * 4, mb_h * 4
+        n = self.gw * self.gh
+        self.mv = [[(0, 0)] * n, [(0, 0)] * n]
+        self.use = [[False] * n, [False] * n]
+        self.kind = [0] * n  # 0 undecoded, 1 inter, 2 intra
+
+    def avail_blk(self, bx, by):
+        return (0 <= bx < self.gw and 0 <= by < self.gh
+                and self.kind[by * self.gw + bx] != 0)
+
+    def info_blk(self, lst, bx, by):
+        at = by * self.gw + bx
+        if (not self.avail_blk(bx, by) or self.kind[at] != 1
+                or not self.use[lst][at]):
+            return (0, 0, -1)
+        vx, vy = self.mv[lst][at]
+        return (vx, vy, 0)
+
+    def set_blk(self, lst, bx, by, vx, vy):
+        at = by * self.gw + bx
+        self.mv[lst][at] = (vx, vy)
+        self.use[lst][at] = True
+        self.kind[at] = 1
+
+    def set_inter(self, bx, by):
+        self.kind[by * self.gw + bx] = 1
+
+    def set_intra(self, mx, my):
+        for by in range(my * 4, my * 4 + 4):
+            for bx in range(mx * 4, mx * 4 + 4):
+                self.kind[by * self.gw + bx] = 2
+
+
+def col_zero_of(mot):
+    """colZeroFlag predicate over a colocated P Motion (None: never)."""
+    if mot is None:
+        return lambda bx, by: False
+
+    def f(bx, by):
+        at = by * mot.gw + bx
+        if mot.kind[at] != 1:
+            return False
+        vx, vy = mot.mv[at]
+        return -1 <= vx <= 1 and -1 <= vy <= 1
+    return f
+
+
+def mv_pred_list(m, lst, mx, my):
+    """8.4.1.3 median prediction for a 16x16 partition in list lst."""
+    bx0, by0 = mx * 4, my * 4
+    a = m.info_blk(lst, bx0 - 1, by0)
+    b = m.info_blk(lst, bx0, by0 - 1)
+    c_av = m.avail_blk(bx0 + 4, by0 - 1)
+    c = m.info_blk(lst, bx0 + 4, by0 - 1) if c_av \
+        else m.info_blk(lst, bx0 - 1, by0 - 1)
+    b_av = m.avail_blk(bx0, by0 - 1)
+    d_av = m.avail_blk(bx0 - 1, by0 - 1)
+    if not b_av and not c_av and not d_av and m.avail_blk(bx0 - 1, by0):
+        return a[0], a[1]
+    matches = [x for x in (a, b, c) if x[2] == 0]
+    if len(matches) == 1:
+        return matches[0][0], matches[0][1]
+    return (median3(a[0], b[0], c[0]), median3(a[1], b[1], c[1]))
+
+
+def direct_ref_idx(m, lst, mx, my):
+    bx0, by0 = mx * 4, my * 4
+    a = m.info_blk(lst, bx0 - 1, by0)[2]
+    b = m.info_blk(lst, bx0, by0 - 1)[2]
+    c = (m.info_blk(lst, bx0 + 4, by0 - 1)[2]
+         if m.avail_blk(bx0 + 4, by0 - 1)
+         else m.info_blk(lst, bx0 - 1, by0 - 1)[2])
+    pos = [x for x in (a, b, c) if x >= 0]
+    return min(pos) if pos else -1
+
+
+def derive_direct(m, mx, my, col_zero):
+    """Spatial direct for one MB: (useL0, useL1, v0[16], v1[16])."""
+    r0 = direct_ref_idx(m, 0, mx, my)
+    r1 = direct_ref_idx(m, 1, mx, my)
+    if r0 < 0 and r1 < 0:
+        z = [(0, 0)] * 16
+        return True, True, z, z
+    mb0 = mv_pred_list(m, 0, mx, my) if r0 == 0 else (0, 0)
+    mb1 = mv_pred_list(m, 1, mx, my) if r1 == 0 else (0, 0)
+    v0, v1 = [mb0] * 16, [mb1] * 16
+    for blk in range(16):
+        bx, by = mx * 4 + (blk & 3), my * 4 + (blk >> 2)
+        if col_zero(bx, by):
+            if r0 == 0:
+                v0[blk] = (0, 0)
+            if r1 == 0:
+                v1[blk] = (0, 0)
+    return r0 == 0, r1 == 0, v0, v1
+
+
+def chroma_sample(src, cw, ch, bx, by, xf, yf):
+    if xf == 0 and yf == 0:
+        return clamp_fetch(src, cw, ch, bx, by)
+    p00 = clamp_fetch(src, cw, ch, bx, by)
+    p10 = clamp_fetch(src, cw, ch, bx + 1, by)
+    p01 = clamp_fetch(src, cw, ch, bx, by + 1)
+    p11 = clamp_fetch(src, cw, ch, bx + 1, by + 1)
+    return ((8 - xf) * (8 - yf) * p00 + xf * (8 - yf) * p10 +
+            (8 - xf) * yf * p01 + xf * yf * p11 + 32) >> 6
+
+
+def bi_compensate_rect(pic, r0, r1, x0, y0, pw, ph, mv0, mv1):
+    """Default bi-prediction (8.4.2.3.1): per-list full interpolation,
+    then (p0 + p1 + 1) >> 1 per sample."""
+    w, h = pic.w, pic.h
+    for py in range(ph):
+        for px in range(pw):
+            p0 = luma_sample(r0.y, w, h, (x0 + px) * 4 + mv0[0],
+                             (y0 + py) * 4 + mv0[1])
+            p1 = luma_sample(r1.y, w, h, (x0 + px) * 4 + mv1[0],
+                             (y0 + py) * 4 + mv1[1])
+            pic.y[(y0 + py) * w + x0 + px] = (p0 + p1 + 1) >> 1
+    cw, ch = w // 2, h // 2
+    cx0, cy0 = x0 // 2, y0 // 2
+    for plane, s0, s1 in ((pic.cb, r0.cb, r1.cb), (pic.cr, r0.cr, r1.cr)):
+        for cy in range(ph // 2):
+            for cx in range(pw // 2):
+                p0 = chroma_sample(s0, cw, ch, cx0 + cx + (mv0[0] >> 3),
+                                   cy0 + cy + (mv0[1] >> 3),
+                                   mv0[0] & 7, mv0[1] & 7)
+                p1 = chroma_sample(s1, cw, ch, cx0 + cx + (mv1[0] >> 3),
+                                   cy0 + cy + (mv1[1] >> 3),
+                                   mv1[0] & 7, mv1[1] & 7)
+                plane[(cy0 + cy) * cw + cx0 + cx] = (p0 + p1 + 1) >> 1
+
+
+def direct_compensate(pic, r0, r1, mx, my, u0, u1, v0, v1):
+    for blk in range(16):
+        x0, y0 = mx * 16 + (blk & 3) * 4, my * 16 + (blk >> 2) * 4
+        if u0 and u1:
+            bi_compensate_rect(pic, r0, r1, x0, y0, 4, 4, v0[blk], v1[blk])
+        elif u0:
+            motion_compensate_rect(pic, r0, x0, y0, 4, 4, *v0[blk])
+        else:
+            motion_compensate_rect(pic, r1, x0, y0, 4, 4, *v1[blk])
+
+
+def record_direct(m, mx, my, u0, u1, v0, v1):
+    for blk in range(16):
+        bx, by = mx * 4 + (blk & 3), my * 4 + (blk >> 2)
+        m.set_inter(bx, by)
+        if u0:
+            m.set_blk(0, bx, by, *v0[blk])
+        if u1:
+            m.set_blk(1, bx, by, *v1[blk])
+
+
+def record16(m, mx, my, u0, u1, mv0, mv1):
+    for by in range(my * 4, my * 4 + 4):
+        for bx in range(mx * 4, mx * 4 + 4):
+            m.set_inter(bx, by)
+            if u0:
+                m.set_blk(0, bx, by, *mv0)
+            if u1:
+                m.set_blk(1, bx, by, *mv1)
+
+
+def encode_b_picture(ref0, ref1, col_zero, mb_w, mb_h, frame_num, sqd,
+                     specs):
+    """ref0 = RefPicList0[0] (newer), ref1 = RefPicList1[0] (older)."""
+    w = BitWriter()
+    w.ue(0)              # first_mb_in_slice
+    w.ue(6)              # slice_type: B (all-slices-same form)
+    w.ue(0)              # pps id
+    w.u(frame_num, 4)
+    w.u(1, 1)            # direct_spatial_mv_pred_flag
+    w.u(0, 1)            # num_ref_idx_active_override_flag
+    w.u(0, 1)            # ref_pic_list_modification_flag_l0
+    w.u(0, 1)            # ref_pic_list_modification_flag_l1
+    w.se(sqd)            # nal_ref_idc 0 -> no dec_ref_pic_marking
+    pic = Pic(mb_w, mb_h, ((26 + sqd) % 52 + 52) % 52)
+    mot = BMotion(mb_w, mb_h)
+    skip_run = 0
+    for idx in range(mb_w * mb_h):
+        mx, my = idx % mb_w, idx // mb_w
+        spec = specs[idx]
+        kind = spec["kind"]
+        if kind == "bskip":
+            u0, u1, v0, v1 = derive_direct(mot, mx, my, col_zero)
+            direct_compensate(pic, ref0, ref1, mx, my, u0, u1, v0, v1)
+            record_direct(mot, mx, my, u0, u1, v0, v1)
+            zero_tc(pic, mx, my)
+            skip_run += 1
+        elif kind == "bdirect":
+            w.ue(skip_run)
+            skip_run = 0
+            w.ue(0)      # mb_type B_Direct_16x16
+            u0, u1, v0, v1 = derive_direct(mot, mx, my, col_zero)
+            direct_compensate(pic, ref0, ref1, mx, my, u0, u1, v0, v1)
+            record_direct(mot, mx, my, u0, u1, v0, v1)
+            encode_p_residual(w, pic, mx, my, spec)
+        elif kind == "b16":
+            mode = spec["mode"]  # 0 = L0, 1 = L1, 2 = Bi
+            w.ue(skip_run)
+            skip_run = 0
+            w.ue(mode + 1)
+            u0, u1 = mode in (0, 2), mode in (1, 2)
+            mv0 = spec["mv0"] if u0 else (0, 0)
+            mv1 = spec["mv1"] if u1 else (0, 0)
+            if u0:
+                px, py = mv_pred_list(mot, 0, mx, my)
+                w.se(mv0[0] - px)
+                w.se(mv0[1] - py)
+            if u1:
+                px, py = mv_pred_list(mot, 1, mx, my)
+                w.se(mv1[0] - px)
+                w.se(mv1[1] - py)
+            if u0 and u1:
+                bi_compensate_rect(pic, ref0, ref1, mx * 16, my * 16,
+                                   16, 16, mv0, mv1)
+            elif u0:
+                motion_compensate_rect(pic, ref0, mx * 16, my * 16,
+                                       16, 16, *mv0)
+            else:
+                motion_compensate_rect(pic, ref1, mx * 16, my * 16,
+                                       16, 16, *mv1)
+            record16(mot, mx, my, u0, u1, mv0, mv1)
+            encode_p_residual(w, pic, mx, my, spec)
+        else:                # intra MB inside the B slice
+            w.ue(skip_run)
+            skip_run = 0
+            encode_mb(w, pic, mx, my, spec["m"], spec, mb_type_offset=23)
+            mot.set_intra(mx, my)
+    if skip_run:
+        w.ue(skip_run)       # trailing all-skip run
+    w.trailing()
+    return bytes([0x01]) + ebsp(w.rbsp()), pic  # nal_ref_idc 0, type 1
+
+
+# ---- the shared B recipe (restated in the Scala H264BInterInteropSpec) ---
+
+def b16_spec(m, t, mode):
+    return {"kind": "b16", "mode": mode,
+            "mv0": (((m * 5 + t) % 13) - 6, ((m * 3 + 2 * t) % 13) - 6),
+            "mv1": (((m * 7 + 3 * t) % 13) - 6, ((m + 5 * t) % 13) - 6),
+            "luma": [p16_luma(k, m + t) for k in range(16)],
+            "cbp_chroma": (m + t) % 3, "qp_delta": (t % 3) - 1,
+            "chroma_dc": [chroma_dc_levels(c, m + t) for c in range(2)],
+            "chroma_ac": [[chroma_ac_levels(c, b, m + t) for b in range(4)]
+                          for c in range(2)]}
+
+
+def bdirect_spec(m, t):
+    return {"kind": "bdirect",
+            "luma": [p16_luma(k, m + t) for k in range(16)],
+            "cbp_chroma": (m + t) % 3, "qp_delta": (t % 3) - 1,
+            "chroma_dc": [chroma_dc_levels(c, m + t) for c in range(2)],
+            "chroma_ac": [[chroma_ac_levels(c, b, m + t) for b in range(4)]
+                          for c in range(2)]}
+
+
+def b_intra_spec(m, t):
+    return {"kind": "i16", "mode": 2, "ac": False, "cbp_chroma": 0,
+            "qp_delta": 0, "chroma_mode": 0, "m": m + t}
+
+
+def b_mixed_frame(t):
+    # cycle Bi / direct / L0 / skip / L1 / intra across the 2x2 grid and
+    # frames; a Bi MB leads so direct/skip always see both lists
+    out = []
+    for m in range(4):
+        role = (m + 2 * t) % 6
+        if m == 0 or role == 0:
+            out.append(b16_spec(m, t, 2))
+        elif role == 1:
+            out.append(bdirect_spec(m, t))
+        elif role == 2:
+            out.append(b16_spec(m, t, 0))
+        elif role == 3:
+            out.append({"kind": "bskip"})
+        elif role == 4:
+            out.append(b16_spec(m, t, 1))
+        else:
+            out.append(b_intra_spec(m, t))
+    return out
+
+
+def b_subpel_frame(t):
+    # Bi MBs sweeping distinct quarter-pel phase PAIRS on the two lists
+    out = []
+    for m in range(4):
+        i = (t - 1) * 4 + m
+        s = b16_spec(m, t, 2)
+        s["mv0"] = (4 * ((m + t) % 3 - 1) + (i & 3),
+                    4 * ((2 * m + t) % 3 - 1) + (i >> 2 & 3))
+        s["mv1"] = (4 * ((m + 2 * t) % 3 - 1) + (15 - i & 3),
+                    4 * ((m + t) % 3 - 1) + (15 - i >> 2 & 3))
+        out.append(s)
+    return out
+
+
+def b_onelist_frame(t):
+    # direct MBs whose neighborhoods carry only ONE list: MB0 = L0,
+    # MB1 = direct (A has L0 only -> L0-only direct), MB2 = L1,
+    # MB3 = direct (A = L1-only, B = L0-only -> both lists)
+    return [b16_spec(0, t, 0), bdirect_spec(1, t),
+            b16_spec(2, t, 1), bdirect_spec(3, t)]
+
+
+B_FIXTURES = {
+    # every in-subset B MB kind mixed over IDR+P references, with
+    # residuals, qp deltas and chroma; direct/skip derive from mixed
+    # neighborhoods
+    "b_mixed": ("idr_p", 3, b_mixed_frame),
+    # bi-prediction quarter-pel phases: both lists interpolate at
+    # different fractional positions, then average
+    "b_subpel": ("idr_p", 4, b_subpel_frame),
+    # one-list direct: derived refIdx covers L0-only / both-lists cases
+    "b_onelist": ("idr_p", 2, b_onelist_frame),
+    # colZero: colocated P1 has small (|mv| <= 1) and large vectors ->
+    # per-4x4 zero overrides fire inside direct/skip MBs of a B whose
+    # list1 ref is that P1
+    "b_colzero": ("idr_p_p", 2, b_mixed_frame),
+    # a single all-skip B picture (one trailing skip run)
+    "b_allskip": ("idr_p", 1,
+                  lambda t: [{"kind": "bskip"}] * 4),
+}
+
+IDR_SPECS_B = [
+    {"kind": "i4", "cbp_chroma": 2, "qp_delta": 0, "chroma_mode": 0},
+    {"kind": "i4", "cbp_chroma": 1, "qp_delta": 2, "chroma_mode": 1},
+    {"kind": "i4", "cbp_chroma": 0, "qp_delta": 0, "chroma_mode": 2},
+    {"kind": "i4", "cbp_chroma": 2, "qp_delta": -2, "chroma_mode": 3},
+]
+
+
+def b_p1_specs(t):
+    # colZero-relevant P: half the MBs move by <= 1 quarter-pel
+    return [{"kind": "p16",
+             "mv": ((m + t) % 3 - 1, (2 * m + t) % 3 - 1) if m % 2 == 0
+                   else (8 + m, -6 - t),
+             "luma": [p16_luma(k, m + t) for k in range(16)],
+             "cbp_chroma": 0, "qp_delta": 0,
+             "chroma_dc": [[0] * 4] * 2,
+             "chroma_ac": [[[0] * 16] * 4] * 2}
+            for m in range(4)]
+
+
+b_lines = []
+for name, (shape, n_b, b_spec_fn) in sorted(B_FIXTURES.items()):
+    mb_w, mb_h = 2, 2
+    nal0, idr_pic = encode_picture(mb_w, mb_h, 0, IDR_SPECS_B)
+    nals = [nal0]
+    planes = [(bytes(idr_pic.y), bytes(idr_pic.cb), bytes(idr_pic.cr))]
+    # references: decode order IDR, P1[, P2]; B list0 = newest, list1 =
+    # the one before; colocated = list1's motion (None for the IDR)
+    p1_nal, p1_pic, p1_mot = encode_p_picture(idr_pic, mb_w, mb_h, 1, 0,
+                                              b_p1_specs(1))
+    nals.append(p1_nal)
+    planes.append((bytes(p1_pic.y), bytes(p1_pic.cb), bytes(p1_pic.cr)))
+    if shape == "idr_p":
+        ref0, ref1, col = p1_pic, idr_pic, col_zero_of(None)
+        next_frame_num = 2
+    else:  # idr_p_p: a second P so the B's colocated picture is P1
+        p2_nal, p2_pic, _ = encode_p_picture(p1_pic, mb_w, mb_h, 2, 2,
+                                             b_p1_specs(2))
+        nals.append(p2_nal)
+        planes.append((bytes(p2_pic.y), bytes(p2_pic.cb), bytes(p2_pic.cr)))
+        ref0, ref1, col = p2_pic, p1_pic, col_zero_of(p1_mot)
+        next_frame_num = 3
+    for t in range(1, n_b + 1):
+        b_sqd = (t % 2) * 2
+        b_nal, b_pic = encode_b_picture(ref0, ref1, col, mb_w, mb_h,
+                                        next_frame_num, b_sqd,
+                                        b_spec_fn(t))
+        nals.append(b_nal)
+        planes.append((bytes(b_pic.y), bytes(b_pic.cb), bytes(b_pic.cr)))
+        # B pictures are non-references: refs and frame_num stay put
+    b_lines.append(" ".join([
+        name, str(mb_w), str(mb_h),
+        ",".join(n.hex() for n in nals),
+        ",".join(p[0].hex() for p in planes),
+        ",".join(p[1].hex() for p in planes),
+        ",".join(p[2].hex() for p in planes)]))
+
+B_OUT.write_text("\n".join(b_lines) + "\n")
+print(f"wrote {len(b_lines)} B-slice fixtures to {B_OUT}")

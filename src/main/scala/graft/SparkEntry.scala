@@ -2163,6 +2163,38 @@ object SparkEntry {
           "y_mean_first", "y_mean_last")
     }),
 
+    // bi-predicted H.264 (IDR + P + B GOP): B frames decode through two
+    // reference lists — spatial direct + B_Skip derivation (per-4x4
+    // colZeroFlag off the colocated P motion), B_L0/L1/Bi 16x16 with
+    // per-list median mv prediction, and DEFAULT bi-prediction averaging
+    // two full quarter-pel interpolations. Even P deltas make every B
+    // macroblock kind land on the exact bi-average constant, so the
+    // oracle states first/B1/last frame means in closed form — the m13
+    // discipline extended to bi-prediction. Map-only; bytes never shuffle
+    "m14_h264_bframes" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select("doc_id").as[Long]
+        .map { id =>
+          val bytes = graft.multimodal.SyntheticMedia.h264BMp4Bytes(id)
+          val frames = graft.multimodal.Multimodal.mp4Avc1Track(bytes)
+            .toSeq.flatMap { case (sps, pps, lenSize, samples) =>
+              graft.multimodal.H264.decodeNals(
+                Seq(sps, pps) ++ samples.flatMap(smp =>
+                  graft.multimodal.Multimodal.avccNals(smp, lenSize)))
+            }
+          def yMean(f: graft.multimodal.H264.Frame): Long =
+            f.y.foldLeft(0L)((a, b) => a + (b & 0xff)) / f.y.length
+          (id, frames.length,
+            frames.headOption.map(_.width).getOrElse(0),
+            frames.headOption.map(_.height).getOrElse(0),
+            frames.headOption.map(yMean).getOrElse(-1L),
+            if (frames.length > 2) yMean(frames(2)) else -1L,
+            frames.lastOption.map(yMean).getOrElse(-1L))
+        }
+        .toDF("doc_id", "n_frames", "frame_w", "frame_h",
+          "y_mean_first", "y_mean_b1", "y_mean_last")
+    }),
+
     // relational extras (set ops, top-k, rollup, analytic, json) -----------
 
     "x1_setops" -> ((s, dir) => {
@@ -7239,6 +7271,27 @@ object SparkEntry {
         |     + CASE WHEN doc_id % 3 = 2
         |            THEN 4 * ((doc_id + 3) % 5 - 2) ELSE 0 END
         |  )::BIGINT AS y_mean_last
+        |FROM documents""".stripMargin,
+
+    // GOP algebra: a = the m12 IDR plane; c1/c2 = the EVEN per-frame
+    // deltas 2*((doc_id+t)%3 - 1); P adds 4c, B lands on the exact
+    // bi-average a + 2c (see SyntheticMedia.h264BMp4Bytes)
+    "m14_h264_bframes" ->
+      """SELECT doc_id,
+        |  (3 + doc_id % 3)::INT AS n_frames,
+        |  (16 * (1 + doc_id % 3))::INT AS frame_w,
+        |  (16 * (1 + doc_id % 2))::INT AS frame_h,
+        |  (128 + (doc_id * 7) % 15 - 7)::BIGINT AS y_mean_first,
+        |  (128 + (doc_id * 7) % 15 - 7
+        |     + 2 * (2 * ((doc_id + 1) % 3 - 1)))::BIGINT AS y_mean_b1,
+        |  (128 + (doc_id * 7) % 15 - 7
+        |     + CASE doc_id % 3
+        |         WHEN 0 THEN 2 * (2 * ((doc_id + 1) % 3 - 1))
+        |         WHEN 1 THEN 4 * (2 * ((doc_id + 1) % 3 - 1))
+        |                   + 4 * (2 * ((doc_id + 2) % 3 - 1))
+        |         ELSE 4 * (2 * ((doc_id + 1) % 3 - 1))
+        |                   + 2 * (2 * ((doc_id + 2) % 3 - 1))
+        |       END)::BIGINT AS y_mean_last
         |FROM documents""".stripMargin,
 
     "x1_setops" ->

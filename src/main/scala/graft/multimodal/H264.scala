@@ -172,16 +172,26 @@ object H264 {
   private[multimodal] def nonIdrNal(rbsp: Array[Byte]): Array[Byte] =
     nal(NalNonIdr, refIdc = 2, rbsp)
 
+  /** A NON-REFERENCE coded-slice NAL (type 1, nal_ref_idc 0) — the
+    * [[H264BInter]] encoder's wrapper (B pictures are never stored). */
+  private[multimodal] def nonRefNonIdrNal(rbsp: Array[Byte]): Array[Byte] =
+    nal(NalNonIdr, refIdc = 0, rbsp)
+
   def nalType(nalUnit: Array[Byte]): Int = nalUnit(0) & 0x1f
 
   // ---- SPS ---------------------------------------------------------------
 
   /** Baseline (profile 66) SPS for a frame-only 4:2:0 stream of the
     * given EVEN pixel dimensions; cropping expresses non-multiple-of-16
-    * sizes exactly. */
-  def encodeSpsNal(width: Int, height: Int): Array[Byte] = {
+    * sizes exactly. `numRefFrames` sizes the DPB the stream declares:
+    * 0 for all-IDR, 1 for IDR+P, 2 for the IDR+P+B GOPs (a B needs two
+    * stored references). */
+  def encodeSpsNal(width: Int, height: Int,
+                   numRefFrames: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
       s"even dims required, got ${width}x$height")
+    require(numRefFrames >= 0 && numRefFrames <= 2,
+      s"numRefFrames $numRefFrames outside the subset")
     val mbW = (width + 15) / 16
     val mbH = (height + 15) / 16
     val cropRight = (mbW * 16 - width) / 2
@@ -193,7 +203,7 @@ object H264 {
     w.ue(0)    // seq_parameter_set_id
     w.ue(0)    // log2_max_frame_num_minus4 → MaxFrameNum 16
     w.ue(2)    // pic_order_cnt_type 2: order = decode order, no POC syntax
-    w.ue(0)    // max_num_ref_frames: all-IDR stream references nothing
+    w.ue(numRefFrames) // max_num_ref_frames
     w.u(0, 1)  // gaps_in_frame_num_value_allowed_flag
     w.ue(mbW - 1)
     w.ue(mbH - 1)
@@ -470,28 +480,50 @@ object H264 {
     Frame(fullW, ctx.height, ctx.y, ctx.cb, ctx.cr)
   }
 
-  /** Decode a non-IDR coded slice (the [[H264Inter]] P subset) against
-    * its SPS and the previous decoded picture (UNCROPPED); returns the
-    * uncropped picture. */
+  /** One decoded reference picture with the motion field a later B
+    * slice's colocated derivation reads (None for intra/IDR pictures). */
+  private[multimodal] final case class RefPic(frame: Frame,
+                                              motion: Option[H264Inter.Motion])
+
+  /** Decode a non-IDR coded slice — a P slice ([[H264Inter]]) against
+    * `ref0`, or a B slice ([[H264BInter]]) against (`ref0`, `ref1`) —
+    * all pictures UNCROPPED. Returns the picture plus its motion field
+    * when it is a stored reference (P), None for non-reference B. */
   private[multimodal] def decodeNonIdrFull(nalUnit: Array[Byte], sps: Sps,
-                                           ref: Frame, initQp: Int): Frame = {
+      ref0: Option[RefPic], ref1: Option[RefPic],
+      initQp: Int): (Frame, Option[H264Inter.Motion]) = {
     require(nalType(nalUnit) == NalNonIdr,
       s"not a non-IDR slice NAL: type ${nalType(nalUnit)}")
     val refIdc = (nalUnit(0) >> 5) & 3
-    // Non-reference pictures (nal_ref_idc == 0) are conformant H.264 but
-    // outside this subset: [[decodeNals]] keeps every decoded non-IDR
-    // picture as the single reference, so accepting one would silently
-    // motion-compensate later P slices against a picture the encoder
-    // marked as never-a-reference. Reject loudly like every other
-    // out-of-subset input instead of approximating.
-    require(refIdc != 0,
-      "non-reference P slice (nal_ref_idc = 0) outside the subset")
     val r = new BitReader(ebspToRbsp(nalUnit.drop(1)))
     require(r.ue() == 0, "multi-slice pictures outside the subset")
-    val sliceType = r.ue()
-    require(sliceType == 0 || sliceType == 5,
-      s"non-IDR slice_type $sliceType outside the P subset")
-    H264Inter.decodePSlice(r, sps, ref, initQp, refIdc)
+    r.ue() match {
+      case 0 | 5 => // P
+        // Non-reference P (nal_ref_idc == 0) is conformant H.264 but
+        // outside this subset: the decoder keeps every decoded P as a
+        // reference, so accepting one would silently motion-compensate
+        // later slices against a picture the encoder marked
+        // never-a-reference. Reject loudly, never approximate.
+        require(refIdc != 0,
+          "non-reference P slice (nal_ref_idc = 0) outside the subset")
+        val ref = ref0.getOrElse(
+          sys.error("P slice with no prior reference picture")).frame
+        val (f, mot) = H264Inter.decodePSlice(r, sps, ref, initQp, refIdc)
+        (f, Some(mot))
+      case 1 | 6 => // B
+        // the dual constraint: a REFERENCE B would need adaptive
+        // ref-pic marking to manage a 3-deep DPB — outside the subset
+        require(refIdc == 0,
+          "reference B slice (nal_ref_idc != 0) outside the subset")
+        val r0 = ref0.getOrElse(
+          sys.error("B slice with no prior reference picture"))
+        val r1 = ref1.getOrElse(
+          sys.error("B slice with only one prior reference picture"))
+        (H264BInter.decodeBSlice(r, sps, r0.frame, r1.frame, r1.motion,
+          initQp), None)
+      case t => throw new IllegalArgumentException(
+        s"non-IDR slice_type $t outside the P+B subset")
+    }
   }
 
   private def crop(f: Frame, w: Int, h: Int): Frame =
@@ -515,11 +547,21 @@ object H264 {
     }
 
   /** Decode a NAL sequence: SPS/PPS establish context (the PPS is
-    * validated against the subset), each IDR NAL yields one frame. */
+    * validated against the subset), each coded-slice NAL yields one
+    * frame. A two-picture sliding-window DPB carries the references:
+    * `ref0` = the most recent stored reference (what a P predicts
+    * from, and RefPicList0[0] of a B), `ref1` = the one before it
+    * (RefPicList1[0] of a B) — the §8.2.4.2.4 default list order for
+    * two past references. Every reference is kept WITH its motion
+    * field so B spatial direct can read the colocated picture. Decode
+    * order is display order throughout (the `pic_order_cnt_type = 2`
+    * subset — B slices here are generalized-B over two past
+    * references, never display-reordered). */
   def decodeNals(nals: Seq[Array[Byte]]): Seq[Frame] = {
     var sps: Option[Sps] = None
     var initQp = 26
-    var prevFull: Option[Frame] = None // decode-order reference, uncropped
+    var ref0: Option[RefPic] = None // most recent reference, uncropped
+    var ref1: Option[RefPic] = None // second most recent reference
     val frames = Seq.newBuilder[Frame]
     nals.foreach { n =>
       nalType(n) match {
@@ -528,16 +570,18 @@ object H264 {
         case NalIdr =>
           val s = sps.getOrElse(sys.error("IDR before SPS in the NAL stream"))
           val full = decodeIdrFull(n, s, initQp)
-          prevFull = Some(full)
+          ref0 = Some(RefPic(full, None)) // IDR flushes the DPB
+          ref1 = None
           frames += crop(full, s.width, s.height)
         case NalNonIdr =>
-          // P slices ([[H264Inter]]): motion-compensated against the
-          // previous decoded picture
-          val s = sps.getOrElse(sys.error("P slice before SPS in the NAL stream"))
-          val ref = prevFull.getOrElse(
-            sys.error("P slice with no prior decoded picture"))
-          val full = decodeNonIdrFull(n, s, ref, initQp)
-          prevFull = Some(full)
+          // P slices ([[H264Inter]]) against ref0; B slices
+          // ([[H264BInter]]) against (ref0, ref1)
+          val s = sps.getOrElse(sys.error("coded slice before SPS in the NAL stream"))
+          val (full, motion) = decodeNonIdrFull(n, s, ref0, ref1, initQp)
+          if (motion.isDefined) { // stored reference (P): slide the window
+            ref1 = ref0
+            ref0 = Some(RefPic(full, motion))
+          }
           frames += crop(full, s.width, s.height)
         case t if t >= 2 && t <= 4 =>
           // data partitions / non-IDR forms outside the subset: silently
@@ -545,7 +589,7 @@ object H264 {
           // presented as complete — reject so callers fall back to the
           // labeled stub instead
           throw new IllegalArgumentException(
-            s"coded slice NAL type $t outside the IDR+P subset")
+            s"coded slice NAL type $t outside the IDR+P+B subset")
         case _ => () // SEI / AUD / filler: legal to skip
       }
     }

@@ -29,10 +29,11 @@ package graft.multimodal
   *    edge extension (clamped full-pel fetches), and the §8.4.2.2.2
   *    eighth-pel bilinear for chroma.
   *
-  * One reference picture (the previously decoded frame), matching the
-  * `max_num_ref_frames = 1` SPS this repo emits. B slices and CABAC
-  * remain outside the subset and are rejected loudly, never
-  * approximated.
+  * One reference picture (the previously decoded frame) for P slices;
+  * B slices (two reference lists, bi-prediction, spatial direct) live
+  * in [[H264BInter]] and reuse this file's motion-compensation and
+  * residual machinery. CABAC remains outside the subset and is
+  * rejected loudly, never approximated.
   *
   * Cross-checked against the independent Python implementation
   * (`scripts/h264_cavlc_fixture_gen.py` P-fixture section): decode is
@@ -85,7 +86,7 @@ private[multimodal] object H264Inter {
       mx >= 0 && my >= 0 && mx < mbW && my < mbH
   }
 
-  private def median3(a: Int, b: Int, c: Int): Int =
+  private[multimodal] def median3(a: Int, b: Int, c: Int): Int =
     math.max(math.min(a, b), math.min(math.max(a, b), c))
 
   /** Partition kinds for the §8.4.1.3.2 directional preferences. */
@@ -150,7 +151,7 @@ private[multimodal] object H264Inter {
 
   // ---- motion compensation ------------------------------------------------
 
-  private def clampFetch(p: Array[Byte], w: Int, h: Int, x: Int, y: Int): Int =
+  private[multimodal] def clampFetch(p: Array[Byte], w: Int, h: Int, x: Int, y: Int): Int =
     p(math.max(0, math.min(h - 1, y)) * w + math.max(0, math.min(w - 1, x))) & 0xff
 
   /** §8.4.2.2.1 fractional luma sample at quarter-pel position
@@ -159,7 +160,7 @@ private[multimodal] object H264Inter {
     * center half-half j from UNROUNDED intermediates, (v + 512) >> 10);
     * quarter-pel samples average the two nearest integer/half samples
     * with upward rounding. */
-  private def lumaSample(p: Array[Byte], w: Int, h: Int, xQ: Int, yQ: Int): Int = {
+  private[multimodal] def lumaSample(p: Array[Byte], w: Int, h: Int, xQ: Int, yQ: Int): Int = {
     val xI = xQ >> 2; val yI = yQ >> 2 // floor for negatives
     val xF = xQ & 3; val yF = yQ & 3
     def g(dx: Int, dy: Int): Int = clampFetch(p, w, h, xI + dx, yI + dy)
@@ -207,7 +208,7 @@ private[multimodal] object H264Inter {
     * (and its half-size chroma rect) into the slice planes — residuals
     * add on top afterwards. Whole MBs and 16×8/8×16 partitions are
     * both just rects here. */
-  private def motionCompensateRect(ctx: SliceCtx, ref: Frame,
+  private[multimodal] def motionCompensateRect(ctx: SliceCtx, ref: Frame,
                                    x0: Int, y0: Int, pw: Int, ph: Int,
                                    mvx: Int, mvy: Int): Unit = {
     val w = ctx.width; val h = ctx.height
@@ -236,16 +237,7 @@ private[multimodal] object H264Inter {
         var cx = 0
         while (cx < pw / 2) {
           val bx = cx0 + cx + cdx; val by = cy0 + cy + cdy
-          val v =
-            if (xF == 0 && yF == 0) clampFetch(src, cw, ch, bx, by)
-            else {
-              val p00 = clampFetch(src, cw, ch, bx, by)
-              val p10 = clampFetch(src, cw, ch, bx + 1, by)
-              val p01 = clampFetch(src, cw, ch, bx, by + 1)
-              val p11 = clampFetch(src, cw, ch, bx + 1, by + 1)
-              ((8 - xF) * (8 - yF) * p00 + xF * (8 - yF) * p10 +
-                (8 - xF) * yF * p01 + xF * yF * p11 + 32) >> 6
-            }
+          val v = chromaSample(src, cw, ch, bx, by, xF, yF)
           dst((cy0 + cy) * cw + cx0 + cx) = v.toByte
           cx += 1
         }
@@ -255,6 +247,22 @@ private[multimodal] object H264Inter {
     }
   }
 
+  /** §8.4.2.2.2 chroma sample at integer base (bx, by) with eighth-pel
+    * phase (xF, yF): edge-clamped bilinear — shared by the P MC above
+    * and the B bi-prediction in [[H264BInter]]. */
+  private[multimodal] def chromaSample(src: Array[Byte], cw: Int, ch: Int,
+                                       bx: Int, by: Int,
+                                       xF: Int, yF: Int): Int =
+    if (xF == 0 && yF == 0) clampFetch(src, cw, ch, bx, by)
+    else {
+      val p00 = clampFetch(src, cw, ch, bx, by)
+      val p10 = clampFetch(src, cw, ch, bx + 1, by)
+      val p01 = clampFetch(src, cw, ch, bx, by + 1)
+      val p11 = clampFetch(src, cw, ch, bx + 1, by + 1)
+      ((8 - xF) * (8 - yF) * p00 + xF * (8 - yF) * p10 +
+        (8 - xF) * yF * p01 + xF * yF * p11 + 32) >> 6
+    }
+
   /** Whole-MB MC (16×16 partitions and skip). */
   private def motionCompensate(ctx: SliceCtx, ref: Frame, mx: Int, my: Int,
                                mvx: Int, mvy: Int): Unit =
@@ -263,7 +271,7 @@ private[multimodal] object H264Inter {
   // ---- P macroblocks: decode ------------------------------------------------
 
   /** Decode one P_Skip MB: MC with the skip vector, zero residual. */
-  private def decodeSkipMb(ctx: SliceCtx, mot: Motion, ref: Frame,
+  private[multimodal] def decodeSkipMb(ctx: SliceCtx, mot: Motion, ref: Frame,
                            mx: Int, my: Int): Unit = {
     val (mvx, mvy) = skipMv(mot, mx, my)
     motionCompensate(ctx, ref, mx, my, mvx, mvy)
@@ -272,7 +280,7 @@ private[multimodal] object H264Inter {
     ctx.mbKind(my * ctx.mbW + mx) = 3 // inter-decoded (available, not intra)
   }
 
-  private def zeroTc(ctx: SliceCtx, mx: Int, my: Int): Unit = {
+  private[multimodal] def zeroTc(ctx: SliceCtx, mx: Int, my: Int): Unit = {
     val lumaGrid = ctx.mbW * 4; val chromaGrid = ctx.mbW * 2
     for (k <- 0 until 16) {
       val (x4, y4) = Blk4x4Pos(k)
@@ -362,7 +370,7 @@ private[multimodal] object H264Inter {
   /** The MB-level inter residual layer (inter CBP → qp delta → luma
     * 4×4 CAVLC blocks → chroma DC/AC), added onto whatever prediction
     * already sits in the planes. */
-  private def decodePResidual(r: BitReader, ctx: SliceCtx,
+  private[multimodal] def decodePResidual(r: BitReader, ctx: SliceCtx,
                               mx: Int, my: Int): Unit = {
     val cn = r.ue()
     require(cn < 48, s"inter coded_block_pattern codeNum $cn")
@@ -439,9 +447,12 @@ private[multimodal] object H264Inter {
 
   /** Decode one P-slice RBSP (header fields after slice_type already
     * validated by the caller's contract below). `ref` is the previous
-    * decoded picture, UNCROPPED. Returns the uncropped picture. */
+    * decoded picture, UNCROPPED. Returns the uncropped picture AND its
+    * 4×4-block motion field — kept by the caller so a later B slice's
+    * spatial-direct colZeroFlag (§8.4.1.2.2) can read the colocated
+    * motion. */
   def decodePSlice(r: BitReader, sps: H264.Sps, ref: Frame, initQp: Int,
-                   nalRefIdc: Int): Frame = {
+                   nalRefIdc: Int): (Frame, Motion) = {
     require(ref.width == sps.mbWidth * 16 && ref.height == sps.mbHeight * 16,
       "reference picture does not match the SPS macroblock grid")
     r.ue()                    // pic_parameter_set_id
@@ -486,7 +497,7 @@ private[multimodal] object H264Inter {
       }
     }
     r.expectTrailing()
-    Frame(ctx.width, ctx.height, ctx.y, ctx.cb, ctx.cr)
+    (Frame(ctx.width, ctx.height, ctx.y, ctx.cb, ctx.cr), mot)
   }
 
   // ---- P slice: encode (the subset fixture serializer) ----------------------
@@ -518,7 +529,16 @@ private[multimodal] object H264Inter {
 
   /** Encode one P slice as a non-IDR NAL (type 1). */
   def encodePSliceNal(mbW: Int, mbH: Int, frameNum: Int, initQp: Int,
-                      sliceQpDelta: Int, choices: Seq[PMbChoice]): Array[Byte] = {
+                      sliceQpDelta: Int, choices: Seq[PMbChoice]): Array[Byte] =
+    encodePSliceNalWithMotion(mbW, mbH, frameNum, initQp, sliceQpDelta,
+      choices)._1
+
+  /** [[encodePSliceNal]] also returning the encoded picture's motion
+    * field — a GOP builder encoding a later B slice needs it for the
+    * colocated colZeroFlag derivation ([[H264BInter.colZeroOf]]). */
+  def encodePSliceNalWithMotion(mbW: Int, mbH: Int, frameNum: Int, initQp: Int,
+                                sliceQpDelta: Int,
+                                choices: Seq[PMbChoice]): (Array[Byte], Motion) = {
     require(choices.size == mbW * mbH, s"${choices.size} choices for ${mbW}x$mbH")
     val w = new BitWriter
     w.ue(0)      // first_mb_in_slice
@@ -598,10 +618,10 @@ private[multimodal] object H264Inter {
     }
     if (skipRun > 0) w.ue(skipRun) // trailing all-skip run
     w.trailing()
-    H264.nonIdrNal(w.toArray)
+    (H264.nonIdrNal(w.toArray), mot)
   }
 
-  private def zeroEncTc(ctx: EncCtx, mx: Int, my: Int): Unit = {
+  private[multimodal] def zeroEncTc(ctx: EncCtx, mx: Int, my: Int): Unit = {
     val lumaGrid = ctx.mbW * 4; val chromaGrid = ctx.mbW * 2
     for (k <- 0 until 16) {
       val (x4, y4) = Blk4x4Pos(k)
@@ -614,7 +634,7 @@ private[multimodal] object H264Inter {
     }
   }
 
-  private def encodePResidual(w: BitWriter, ctx: EncCtx, mx: Int, my: Int,
+  private[multimodal] def encodePResidual(w: BitWriter, ctx: EncCtx, mx: Int, my: Int,
                               luma: Array[Array[Int]], cbpChroma: Int,
                               qpDelta: Int, chromaDc: Array[Array[Int]],
                               chromaAc: Array[Array[Array[Int]]]): Unit = {

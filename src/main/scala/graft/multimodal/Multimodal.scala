@@ -828,16 +828,19 @@ object JdkFeatureDecoder extends FeatureDecoder {
 }
 
 /** STUB — deterministic fake decoder for the payloads still outside
-  * every real path: CABAC-coded H.264, B slices, and H.265 — I_PCM baseline, CAVLC-intra (I-slices: Intra_4x4/
-  * Intra_16x16 prediction, full CAVLC residual decode, dequant/IDCT)
-  * AND P-slices with FULL quarter-pel motion compensation (P_Skip,
-  * every P partitioning down to 4x4 sub-macroblock partitions, the
-  * directional and median predictors, the 6-tap half-pel filter +
-  * quarter-pel averaging, inter CBP, residual-over-prediction) decode for real via
-  * [[H264]]/[[H264Intra]]/[[H264Cavlc]]/[[H264Inter]] — and exotic
-  * image/audio containers; stands in with a hash-derived vector (stable
-  * across runs/engines) so the pipeline plumbing is fully exercisable.
-  * Marked ??? on the real path. */
+  * every real path: CABAC-coded H.264 and H.265 — I_PCM baseline,
+  * CAVLC-intra (I-slices: Intra_4x4/Intra_16x16 prediction, full CAVLC
+  * residual decode, dequant/IDCT), P-slices with FULL quarter-pel
+  * motion compensation (P_Skip, every P partitioning down to 4x4
+  * sub-macroblock partitions, the directional and median predictors,
+  * the 6-tap half-pel filter + quarter-pel averaging, inter CBP,
+  * residual-over-prediction) AND B-slices (two reference lists,
+  * default bi-prediction, spatial direct + B_Skip, B_L0/L1/Bi 16x16,
+  * intra-in-B) decode for real via
+  * [[H264]]/[[H264Intra]]/[[H264Cavlc]]/[[H264Inter]]/[[H264BInter]] —
+  * and exotic image/audio containers; stands in with a hash-derived
+  * vector (stable across runs/engines) so the pipeline plumbing is
+  * fully exercisable. Marked ??? on the real path. */
 object StubFeatureDecoder extends FeatureDecoder {
   val Dim = 8
 

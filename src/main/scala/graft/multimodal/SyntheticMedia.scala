@@ -398,6 +398,118 @@ object SyntheticMedia {
     mp4Container(entry, samples, samplesPerChunk = 1, w = w, h = h)
   }
 
+  // ==== real H.264 IDR+P+B GOP (bi-prediction) in MP4 ====================
+
+  def h264BFrameCount(id: Long): Int = (3 + id % 3).toInt
+
+  /** The EVEN per-4×4-block DC level of coded frame t ∈ {1, 2} (P1 /
+    * P2): evenness makes every B target constant reachable by integer
+    * DC levels from all three predictions (L0 at b, L1 at a, Bi at
+    * (a + b + 1) >> 1 = a + 2c — all ≡ a mod 4 exactly when c is
+    * even), so a B frame lands UNIFORMLY on the bi-average and the m14
+    * oracle states it in closed form. */
+  def h264BDelta(id: Long, t: Int): Int = (2 * ((id + t) % 3 - 1)).toInt
+
+  /** An IDR + P + B GOP in an avc1 MP4 (`max_num_ref_frames = 2` SPS):
+    * decode order IDR, P1, B1[, P2[, B2]] — the generalized-B shape
+    * where a B predicts from the TWO most recent stored references
+    * (list0 = the newer, list1 = the older), so decode order stays
+    * display order. Constants: IDR = a (the m12 plane), P1 = a + 4c₁,
+    * B1 = a + 2c₁ (the exact bi-average), P2 = a + 4c₁ + 4c₂,
+    * B2 = a + 4c₁ + 2c₂. Each B frame cycles every in-subset B
+    * macroblock kind — B_Bi / B_Direct_16x16 / B_L0 / B_Skip / B_L1 in
+    * an order that guarantees every direct/skip MB sees a bi-predicted
+    * neighbor (so its derived reference indices cover both lists and
+    * its prediction is the bi-average) — with quarter-pel vectors on
+    * the coded kinds and per-kind DC residuals placing every MB on the
+    * SAME constant. B2's colocated picture is P1, whose small decoded
+    * vectors make real colZeroFlag overrides fire (constant-plane
+    * invariant, machine-checked by the cross-impl fixtures). */
+  def h264BMp4Bytes(id: Long): Array[Byte] = {
+    val w = h264CavlcFrameW(id)
+    val h = h264CavlcFrameH(id)
+    val n = h264BFrameCount(id)
+    val mbW = w / 16; val mbH = h / 16
+    val nMb = mbW * mbH
+    val sps = H264.encodeSpsNal(w, h, numRefFrames = 2)
+    val pps = H264.encodePpsNal()
+    val zeroChromaDc = Array.fill(2)(new Array[Int](4))
+    val zeroChromaAc = Array.fill(2, 4)(new Array[Int](16))
+    def dcMb(level: Int) = H264Intra.I16Choice(
+      predMode = 2, cbpLumaAc = false, cbpChroma = 0, qpDelta = 0,
+      lumaDc = { val a = new Array[Int](16); a(0) = level; a },
+      lumaAc = Array.fill(16)(new Array[Int](16)),
+      chromaDc = zeroChromaDc, chromaAc = zeroChromaAc)
+    def lumaOf(c: Int) = Array.fill(16) {
+      val a = new Array[Int](16); a(0) = c; a
+    }
+    val idr = H264.encodeIdrCavlcNal(mbW, mbH, initQp = 26, sliceQpDelta = 2,
+      dcMb(h264CavlcDelta(id, 0)) +: Seq.fill(nMb - 1)(dcMb(0)))
+    def pNal(t: Int, frameNum: Int) = {
+      val c = h264BDelta(id, t)
+      val choices: Seq[H264Inter.PMbChoice] = Seq.tabulate(nMb) { m =>
+        val mvx = ((id + t + m) % 17).toInt - 8
+        val mvy = ((2 * id + t + m) % 17).toInt - 8
+        H264Inter.P16Choice(mvx, mvy, lumaOf(c), cbpChroma = 0, qpDelta = 0,
+          chromaDc = zeroChromaDc, chromaAc = zeroChromaAc)
+      }
+      H264Inter.encodePSliceNalWithMotion(mbW, mbH, frameNum, initQp = 26,
+        sliceQpDelta = 2, choices)
+    }
+    def bNal(t: Int, frameNum: Int, c: Int,
+             colZero: (Int, Int) => Boolean) = {
+      // every MB lands on the bi-average: Bi/Direct/Skip carry level 0,
+      // L0 carries −c/2 (prediction is the newer ref), L1 carries +c/2
+      val choices: Seq[H264BInter.BMbChoice] = Seq.tabulate(nMb) { m =>
+        val mvx = ((id + t + 2 * m) % 17).toInt - 8
+        val mvy = ((2 * id + t + 3 * m) % 17).toInt - 8
+        m % 6 match {
+          case 0 | 3 => H264BInter.B16Choice(mode = 2, (mvx, mvy),
+            (-mvy, mvx), lumaOf(0), cbpChroma = 0, qpDelta = 0,
+            chromaDc = zeroChromaDc, chromaAc = zeroChromaAc)
+          case 1 => H264BInter.BDirectChoice(lumaOf(0), cbpChroma = 0,
+            qpDelta = 0, chromaDc = zeroChromaDc, chromaAc = zeroChromaAc)
+          case 2 => H264BInter.B16Choice(mode = 0, (mvx, mvy), (0, 0),
+            lumaOf(-c / 2), cbpChroma = 0, qpDelta = 0,
+            chromaDc = zeroChromaDc, chromaAc = zeroChromaAc)
+          case 4 => H264BInter.BSkip
+          case _ => H264BInter.B16Choice(mode = 1, (0, 0), (mvx, mvy),
+            lumaOf(c / 2), cbpChroma = 0, qpDelta = 0,
+            chromaDc = zeroChromaDc, chromaAc = zeroChromaAc)
+        }
+      }
+      H264BInter.encodeBSliceNal(mbW, mbH, frameNum, initQp = 26,
+        sliceQpDelta = 2, choices, colZero)
+    }
+    val neverCol: (Int, Int) => Boolean = (_, _) => false
+    val (p1, p1Mot) = pNal(1, frameNum = 1)
+    val b1 = bNal(1, frameNum = 2, h264BDelta(id, 1), neverCol)
+    val nals: Seq[Array[Byte]] =
+      if (n == 3) Seq(idr, p1, b1)
+      else {
+        val (p2, _) = pNal(2, frameNum = 2)
+        if (n == 4) Seq(idr, p1, b1, p2)
+        else Seq(idr, p1, b1, p2,
+          bNal(2, frameNum = 3, h264BDelta(id, 2),
+            H264BInter.colZeroOf(Some(p1Mot))))
+      }
+    val samples = nals.map(nal => be32(nal.length) ++ nal).toArray
+    val avcC = box("avcC",
+      Array[Byte](1, 66, 0, 10, (0xfc | 3).toByte, (0xe0 | 1).toByte) ++
+        be16(sps.length) ++ sps ++ Array[Byte](1) ++ be16(pps.length) ++ pps)
+    val visual = new Array[Byte](70)
+    System.arraycopy(be16(w), 0, visual, 16, 2)
+    System.arraycopy(be16(h), 0, visual, 18, 2)
+    System.arraycopy(be32(0x00480000), 0, visual, 20, 4)
+    System.arraycopy(be32(0x00480000), 0, visual, 24, 4)
+    System.arraycopy(be16(1), 0, visual, 32, 2)
+    System.arraycopy(be16(24), 0, visual, 66, 2)
+    val entry = be32(8 + 8 + 70 + avcC.length) ++
+      "avc1".getBytes("US-ASCII") ++ new Array[Byte](6) ++ be16(1) ++
+      visual ++ avcC
+    mp4Container(entry, samples, samplesPerChunk = 1, w = w, h = h)
+  }
+
   /** A playable CAVLC H.264-in-MP4 for id: same container layout as
     * [[h264Mp4Bytes]], but the access units are entropy-coded
     * Intra_16x16 macroblocks (coeff_token / level / total_zeros CAVLC

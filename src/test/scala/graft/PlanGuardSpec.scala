@@ -859,7 +859,8 @@ class PlanGuardSpec extends SparkSpec {
     // only (id, scalar...) rows may ever shuffle
     Seq("m2_media_decode", "m3_phash", "m4_audio_spectral",
         "m6_video_meta", "m8_avi_frames", "m10_mp4_frames",
-        "m11_h264_frames", "m12_h264_cavlc", "m13_h264_pframes").foreach { q =>
+        "m11_h264_frames", "m12_h264_cavlc", "m13_h264_pframes",
+        "m14_h264_bframes").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("Exchange"), s"$q grew an Exchange:\n$p")
       assert(!p.toLowerCase.contains("join"), s"$q grew a join:\n$p")
