@@ -312,10 +312,12 @@ private[kafka] class GraftKafkaStreamingWrite(options: CaseInsensitiveStringMap,
   private val keyIsString = keyIdx >= 0 &&
     schema(keyIdx).dataType == StringType
   private val valueIsString = schema(valueIdx).dataType == StringType
-  // compression=gzip|snappy|lz4 ships each per-partition batch as one
-  // compressed wrapper (the stock producer's compression.type contract;
-  // Wire unwraps on the broker). Unknown codecs are refused HERE, at
-  // plan time, not per task. Value matched case-insensitively, like the
+  // compression=gzip|snappy|lz4|zstd ships each per-partition batch as
+  // one compressed unit (the stock producer's compression.type
+  // contract; Wire unwraps on the broker): gzip/snappy/lz4 as a v1
+  // compressed wrapper, zstd as a v2 RecordBatch (KIP-110 — codec 4
+  // exists only in magic 2). Unknown codecs are refused HERE, at plan
+  // time, not per task. Value matched case-insensitively, like the
   // (CaseInsensitiveStringMap) option KEY lookup
   private val codec = Option(options.get("compression"))
       .map(_.toLowerCase(java.util.Locale.ROOT)) match {
@@ -323,8 +325,9 @@ private[kafka] class GraftKafkaStreamingWrite(options: CaseInsensitiveStringMap,
     case Some("gzip") => 1
     case Some("snappy") => 2
     case Some("lz4") => 3
+    case Some("zstd") => 4
     case Some(c) => throw new IllegalArgumentException(
-      s"unsupported sink compression '$c' (none|uncompressed|gzip|snappy|lz4)")
+      s"unsupported sink compression '$c' (none|uncompressed|gzip|snappy|lz4|zstd)")
   }
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {

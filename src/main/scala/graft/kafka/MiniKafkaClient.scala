@@ -79,8 +79,12 @@ final class MiniKafkaClient(host: String, port: Int) extends AutoCloseable {
               records: Seq[WireRecord], gzip: Boolean = false): Long =
     produce(topic, partition, records, if (gzip) 1 else 0)
 
-  /** Codec-general produce: 0 none, 1 gzip, 2 snappy, 3 lz4 — the
-    * `compression.type` wire shapes a stock producer emits. */
+  /** Codec-general produce: 0 none, 1 gzip, 2 snappy, 3 lz4, 4 zstd —
+    * the `compression.type` wire shapes a stock producer emits. Codecs
+    * 1–3 ship as v1 compressed wrappers; zstd exists only in the v2
+    * RecordBatch format (KIP-110: magic-1 wrappers have no codec 4), so
+    * codec 4 produces a magic-2 batch, exactly as a real 2.1+ producer
+    * must. */
   def produce(topic: String, partition: Int,
               records: Seq[WireRecord], codec: Int): Long = {
     val body = new Buf
@@ -88,8 +92,10 @@ final class MiniKafkaClient(host: String, port: Int) extends AutoCloseable {
     body.int32(10000)
     body.int32(1).string(topic)
     body.int32(1).int32(partition)
-    body.bytes(if (codec == 0) encodeMessageSet(records)
-               else encodeMessageSetCompressed(records, codec))
+    body.bytes(
+      if (codec == 0) encodeMessageSet(records)
+      else if (codec == 4) RecordBatchV2.encode(records, codec = 4)
+      else encodeMessageSetCompressed(records, codec))
     val r = call(ApiProduce, body)
     val nt = r.int32()
     var base = -1L

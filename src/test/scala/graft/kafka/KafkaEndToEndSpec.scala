@@ -455,9 +455,11 @@ class KafkaEndToEndSpec extends SparkSpec {
         .selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)")
         .as[(String, String)].collect().sortBy(_._1).toSeq
       assert(out == Seq(("a", "va"), ("b", "vb"), ("c", "vc")))
-      // snappy and lz4 are now first-class sink codecs: each written
-      // topic must read back identically through the unwrapping broker
-      Seq("snappy" -> "snout", "lz4" -> "lzout").foreach { case (codec, topic) =>
+      // snappy, lz4 and zstd are first-class sink codecs (zstd ships
+      // as a v2 RecordBatch — KIP-110): each written topic must read
+      // back identically through the unwrapping broker
+      Seq("snappy" -> "snout", "lz4" -> "lzout",
+          "zstd" -> "zsout").foreach { case (codec, topic) =>
         val qc = src.selectExpr("key", "value")
           .writeStream.format("graft-kafka")
           .option("kafka.bootstrap.servers", broker.bootstrapServers)
@@ -478,7 +480,7 @@ class KafkaEndToEndSpec extends SparkSpec {
         val bad = src.selectExpr("key", "value")
           .writeStream.format("graft-kafka")
           .option("kafka.bootstrap.servers", broker.bootstrapServers)
-          .option("topic", "bad").option("compression", "zstd")
+          .option("topic", "bad").option("compression", "brotli")
           .option("checkpointLocation",
             Files.createTempDirectory("badsink").toString)
           .outputMode("append").start()
