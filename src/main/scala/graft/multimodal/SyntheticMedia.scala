@@ -335,7 +335,7 @@ object SyntheticMedia {
     val h = h264CavlcFrameH(id)
     val n = h264PFrameCount(id)
     val mbW = w / 16; val mbH = h / 16
-    val sps = H264.encodeSpsNal(w, h)
+    val sps = H264.encodeSpsNal(w, h, numRefFrames = 1)
     val pps = H264.encodePpsNal()
     val zeroChromaDc = Array.fill(2)(new Array[Int](4))
     val zeroChromaAc = Array.fill(2, 4)(new Array[Int](16))

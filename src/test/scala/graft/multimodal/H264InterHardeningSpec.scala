@@ -28,12 +28,12 @@ class H264InterHardeningSpec extends AnyFunSuite {
     val p = line.split(" ")
     val nals = p(3).split(',').toSeq.map(
       _.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
-    (nals, H264.parseSps(H264.encodeSpsNal(p(1).toInt * 16, p(2).toInt * 16)))
+    (nals, H264.parseSps(H264.encodeSpsNal(p(1).toInt * 16, p(2).toInt * 16, numRefFrames = 1)))
   }
 
   private def decodeSeq(nals: Seq[Array[Byte]]): Seq[H264.Frame] =
     H264.decodeNals(Seq(H264.encodeSpsNal(fixture._2.mbWidth * 16,
-      fixture._2.mbHeight * 16), H264.encodePpsNal()) ++ nals)
+      fixture._2.mbHeight * 16, numRefFrames = 1), H264.encodePpsNal()) ++ nals)
 
   private def outcomeOk(r: Try[Seq[H264.Frame]], what: String): Unit = r match {
     case Success(fs) =>

@@ -287,7 +287,7 @@ class H264InterInteropSpec extends AnyFunSuite {
 
   test("Scala decode of Python IDR+P bytes is pixel-exact on every frame") {
     fixtures.foreach { fx =>
-      val sps = H264.encodeSpsNal(fx.mbW * 16, fx.mbH * 16)
+      val sps = H264.encodeSpsNal(fx.mbW * 16, fx.mbH * 16, numRefFrames = 1)
       val pps = H264.encodePpsNal()
       val frames = H264.decodeNals(Seq(sps, pps) ++ fx.nals)
       assert(frames.size == fx.nals.size, fx.name)
