@@ -73,7 +73,12 @@ object StreamBench {
       .flatMap(_.trim.toIntOption).getOrElse(math.max(1, repeat - 1))
     val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    // SPARK_GRAFT_STREAM_SHUFFLE overrides the state-partition count
+    // (streaming state partitioning = shuffle partitions at first run):
+    // the knob behind SCALE.md's fixed-cost-vs-partition-count study
+    val shuffle = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE")
+      .flatMap(_.trim.toIntOption).getOrElse(32)
+    val spark = GraftSession.builder("local[32]", shuffle).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     implicit val sql = spark.sqlContext
