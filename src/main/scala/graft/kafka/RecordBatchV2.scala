@@ -185,7 +185,7 @@ private[kafka] object RecordBatchV2 {
       case 1 => Wire.gzipForV2(recBuf.toByteArray)
       case 2 => BlockCodecs.snappyCompress(recBuf.toByteArray)
       case 3 => BlockCodecs.lz4FrameCompress(recBuf.toByteArray)
-      case _ => Zstd.compressRaw(recBuf.toByteArray) // spec-valid raw frame
+      case _ => Zstd.compress(recBuf.toByteArray) // real LZ77 + FSE frame
     }
     // body from attributes to end (CRC-covered)
     val covered = ByteBuffer.allocate(2 + 4 + 8 + 8 + 8 + 2 + 4 + 4 + recs.length)

@@ -26,13 +26,17 @@ package graft.kafka
   *    code tables, and the three-slot repeated-offset history including
   *    the literals-length-0 index shift and the rep1−1 special case.
   *
-  * Decode-only by design (the consumer side of the wire); the encode
-  * side ships spec-valid RAW-block frames ([[compressRaw]]) — exactly
-  * the literal-only stance snappy/LZ4 take in [[BlockCodecs]]:
-  * losslessness is the contract, ratio is quality-of-service. Every
-  * declared size is bounds-checked against the caller's `cap` BEFORE
-  * any allocation or copy, so a crafted frame dies as a clean
-  * IllegalArgumentException, never as an attacker-chosen allocation.
+  * The encode side is REAL compression ([[compress]]): greedy hash-4
+  * LZ77 over the frame-scoped window, raw literals, and sequences
+  * entropy-coded with the predefined FSE tables — the encode tables
+  * derived as the exact inverse of this decoder's own tables
+  * ([[FseEnc]]), with a RAW-block fallback on incompressible blocks
+  * (and [[compressRaw]] kept as the minimal literal-only variant).
+  * Output frames are held to the upstream `zstd` CLI byte-exactly in
+  * `ZstdEncodeInteropSpec`. Every declared size on the decode side is
+  * bounds-checked against the caller's `cap` BEFORE any allocation or
+  * copy, so a crafted frame dies as a clean IllegalArgumentException,
+  * never as an attacker-chosen allocation.
   *
   * Cross-checked against the REFERENCE implementation: the committed
   * `src/test/resources/zstd_fixtures.txt` frames are produced by the
@@ -739,6 +743,260 @@ private[kafka] object Zstd {
       out.write(data, p, len)
       p += len
     } while (p < n)
+    le(xxh64(data, 0, n, 0L) & 0xFFFFFFFFL, 4)
+    out.toByteArray
+  }
+
+  // ---- real compressor: greedy LZ77 + predefined-FSE sequences ------------
+  //
+  // The encode direction of the block format, built as the EXACT
+  // inverse of this file's decoder: matches come from a greedy hash-4
+  // LZ77 over the whole frame (offsets may reach previous blocks —
+  // the frame-scoped window the decoder enforces), literals ship RAW,
+  // and sequences are entropy-coded with the PREDEFINED FSE tables
+  // (mode 0 — no table serialization), so every (code, extra-bits,
+  // state-transition) decision is derived from the same decode tables
+  // `decodeSequences` reads. Blocks that fail to shrink fall back to
+  // RAW, so output never exceeds input + headers.
+
+  /** Per-symbol ENCODE view of a decode [[FseTable]]: decode cell `u`
+    * covers the next-state interval [newState(u), newState(u) +
+    * 2^nbBits(u)); the intervals of one symbol's cells tile the whole
+    * state space, so encoding symbol s from known next-decoder-state c
+    * means finding the covering u, emitting (c − newState(u)) in
+    * nbBits(u) bits, and making u the state — FSE encoding without a
+    * separately-built (and separately-trusted) encode table. */
+  private final class FseEnc(val t: FseTable) {
+    private val states: Array[Array[Int]] = {
+      val maxSym = t.symbol.max
+      val buf = Array.fill(maxSym + 1)(
+        scala.collection.mutable.ArrayBuffer.empty[Int])
+      for (u <- 0 until (1 << t.accuracyLog)) buf(t.symbol(u)) += u
+      buf.map(_.sortBy(u => t.newState(u)).toArray)
+    }
+    /** Any state decoding `sym` (the free choice for the last sequence). */
+    def first(sym: Int): Int = states(sym)(0)
+    /** The state decoding `sym` whose next-interval covers `c`. */
+    def covering(sym: Int, c: Int): Int = {
+      val ss = states(sym)
+      var i = 0
+      while (i < ss.length) {
+        val u = ss(i)
+        if (c >= t.newState(u) && c < t.newState(u) + (1 << t.nbBits(u)))
+          return u
+        i += 1
+      }
+      fail(s"zstd: FSE encode state $c uncovered for symbol $sym") // unreachable
+    }
+  }
+
+  private lazy val LlEnc = new FseEnc(LlDefault)
+  private lazy val OfEnc = new FseEnc(OfDefault)
+  private lazy val MlEnc = new FseEnc(MlDefault)
+
+  /** The length code whose [base, base + 2^bits) range holds `len`
+    * (the base/bits arrays tile the representable lengths). */
+  private def codeOf(base: Array[Int], bits: Array[Int], len: Int): Int = {
+    var c = base.length - 1
+    while (base(c) > len) c -= 1
+    if (len - base(c) >= (1 << bits(c)))
+      fail(s"zstd: length $len outside code $c range") // unreachable by construction
+    c
+  }
+
+  /** One LZ77 sequence: `ofValue` is the real offset + 3 (repeat
+    * offsets are never emitted). */
+  private final case class Sq(litLen: Int, ofValue: Long, matchLen: Int)
+
+  /** Backward-bitstream writer: fields pushed in DECODER READ order,
+    * rendered little-endian with the sentinel bit above the
+    * first-read field — the exact inverse of [[BwdBits]]. */
+  private final class BwdWriter {
+    private val fields = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    def push(v: Long, n: Int): Unit = {
+      if (n > 0) fields += ((v, n))
+    }
+    def render(): Array[Byte] = {
+      var total = 0L
+      fields.foreach(total += _._2)
+      val out = new Array[Byte](((total + 1 + 7) / 8).toInt)
+      def setBit(b: Long): Unit = {
+        val at = (b >> 3).toInt
+        out(at) = (out(at) | (1 << (b & 7).toInt)).toByte
+      }
+      var cursor = 0L
+      var i = fields.length - 1
+      while (i >= 0) { // last-read field sits at the lowest stream bits
+        val (v, n) = fields(i)
+        var j = 0
+        while (j < n) {
+          if (((v >> j) & 1L) != 0) setBit(cursor + j)
+          j += 1
+        }
+        cursor += n
+        i -= 1
+      }
+      setBit(cursor) // the sentinel
+      out
+    }
+  }
+
+  /** Serialize one block's sequences section (predefined tables). */
+  private def encodeSequencesSection(seqs: IndexedSeq[Sq]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(16 + seqs.length * 3)
+    val n = seqs.length
+    if (n < 128) out.write(n)
+    else if (n < 0x7F00) { out.write((n >> 8) + 128); out.write(n & 0xff) }
+    else { out.write(255); out.write((n - 0x7F00) & 0xff); out.write(((n - 0x7F00) >> 8) & 0xff) }
+    if (n == 0) return out.toByteArray
+    out.write(0) // symbol compression modes: LL/OF/ML all predefined
+    val llC = new Array[Int](n); val mlC = new Array[Int](n); val ofC = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      llC(i) = codeOf(LlBase, LlBits, seqs(i).litLen)
+      mlC(i) = codeOf(MlBase, MlBits, seqs(i).matchLen)
+      ofC(i) = 63 - java.lang.Long.numberOfLeadingZeros(seqs(i).ofValue)
+      i += 1
+    }
+    // backward induction of the three decoder-state chains: pick any
+    // state for the last sequence, then each earlier state must map
+    // onto its successor through the decode transition
+    val llU = new Array[Int](n); val mlU = new Array[Int](n); val ofU = new Array[Int](n)
+    llU(n - 1) = LlEnc.first(llC(n - 1))
+    mlU(n - 1) = MlEnc.first(mlC(n - 1))
+    ofU(n - 1) = OfEnc.first(ofC(n - 1))
+    i = n - 2
+    while (i >= 0) {
+      llU(i) = LlEnc.covering(llC(i), llU(i + 1))
+      mlU(i) = MlEnc.covering(mlC(i), mlU(i + 1))
+      ofU(i) = OfEnc.covering(ofC(i), ofU(i + 1))
+      i -= 1
+    }
+    val w = new BwdWriter
+    w.push(llU(0).toLong, LlDefault.accuracyLog) // init states, read first
+    w.push(ofU(0).toLong, OfDefault.accuracyLog)
+    w.push(mlU(0).toLong, MlDefault.accuracyLog)
+    i = 0
+    while (i < n) {
+      w.push(seqs(i).ofValue - (1L << ofC(i)), ofC(i))
+      w.push((seqs(i).matchLen - MlBase(mlC(i))).toLong, MlBits(mlC(i)))
+      w.push((seqs(i).litLen - LlBase(llC(i))).toLong, LlBits(llC(i)))
+      if (i < n - 1) { // decoder updates LL, ML, OF after each non-final seq
+        w.push((llU(i + 1) - LlDefault.newState(llU(i))).toLong,
+          LlDefault.nbBits(llU(i)))
+        w.push((mlU(i + 1) - MlDefault.newState(mlU(i))).toLong,
+          MlDefault.nbBits(mlU(i)))
+        w.push((ofU(i + 1) - OfDefault.newState(ofU(i))).toLong,
+          OfDefault.nbBits(ofU(i)))
+      }
+      i += 1
+    }
+    val bits = w.render()
+    out.write(bits, 0, bits.length)
+    out.toByteArray
+  }
+
+  /** Raw-literals section header + bytes. */
+  private def rawLiteralsSection(data: Array[Byte], off: Int,
+                                 len: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(len + 3)
+    if (len <= 31) out.write(len << 3) // size_format 0, 1-byte header
+    else if (len <= 4095) { // size_format 1, 12-bit size
+      out.write(((len & 15) << 4) | (1 << 2))
+      out.write((len >> 4) & 0xff)
+    } else { // size_format 3, 20-bit size
+      out.write(((len & 15) << 4) | (3 << 2))
+      out.write((len >> 4) & 0xff)
+      out.write((len >> 12) & 0xff)
+    }
+    out.write(data, off, len)
+    out.toByteArray
+  }
+
+  private val MatchWindow = 1 << 27 // ofValue stays within OF code 28
+
+  private def read32(a: Array[Byte], p: Int): Int =
+    (a(p) & 0xff) | ((a(p + 1) & 0xff) << 8) |
+      ((a(p + 2) & 0xff) << 16) | ((a(p + 3) & 0xff) << 24)
+
+  private def hash4(a: Array[Byte], p: Int): Int =
+    (read32(a, p) * 0x9E3779B1) >>> 16
+
+  /** A real zstd compressor: single-segment frame, content checksum,
+    * ≤128 KiB blocks of raw literals + greedy-LZ77 matches entropy-
+    * coded with the predefined FSE tables. Deterministic; every block
+    * that does not shrink ships RAW, so the frame never exceeds the
+    * input by more than the per-block headers. */
+  def compress(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    def le(v: Long, n: Int): Unit =
+      for (i <- 0 until n) out.write(((v >> (8 * i)) & 0xff).toInt)
+    le(FrameMagic & 0xFFFFFFFFL, 4)
+    val n = data.length
+    val fcsFlag = if (n < 256) 0 else if (n < 65536 + 256) 1 else 2
+    out.write((fcsFlag << 6) | 0x20 | 0x04) // single-segment + checksum
+    fcsFlag match {
+      case 0 => le(n, 1)
+      case 1 => le(n - 256, 2)
+      case _ => le(n, 4)
+    }
+    val head = new Array[Int](1 << 16) // hash4 -> position + 1, frame-wide
+    var bs = 0
+    do {
+      val be = math.min(n, bs + MaxBlockSize)
+      val lastBit = if (be >= n) 1 else 0
+      // greedy matcher over [bs, be) against the whole frame history
+      val seqs = scala.collection.immutable.IndexedSeq.newBuilder[Sq]
+      var nSeqs = 0
+      var anchor = bs
+      var i = bs
+      val limit = be - 4
+      while (i < limit) {
+        val h = hash4(data, i)
+        val cand = head(h) - 1
+        head(h) = i + 1
+        if (cand >= 0 && i - cand <= MatchWindow &&
+            read32(data, cand) == read32(data, i)) {
+          var l = 4
+          while (i + l < be && data(cand + l) == data(i + l)) l += 1
+          seqs += Sq(i - anchor, (i - cand).toLong + 3, l)
+          nSeqs += 1
+          // index a couple of positions inside the match so runs and
+          // periodic data keep finding themselves, then jump past it
+          if (i + 1 < limit) head(hash4(data, i + 1)) = i + 2
+          if (i + 2 < limit) head(hash4(data, i + 2)) = i + 3
+          i += l
+          anchor = i
+        } else i += 1
+      }
+      val content =
+        if (nSeqs == 0) null // no matches: RAW block is strictly smaller
+        else {
+          val lits = new java.io.ByteArrayOutputStream(be - bs)
+          var litFrom = bs
+          val built = seqs.result()
+          built.foreach { s =>
+            lits.write(data, litFrom, s.litLen)
+            litFrom += s.litLen + s.matchLen
+          }
+          lits.write(data, anchor, be - anchor) // trailing literals
+          val litBytes = lits.toByteArray
+          val sect = rawLiteralsSection(litBytes, 0, litBytes.length)
+          val seqSect = encodeSequencesSection(built)
+          val c = new Array[Byte](sect.length + seqSect.length)
+          System.arraycopy(sect, 0, c, 0, sect.length)
+          System.arraycopy(seqSect, 0, c, sect.length, seqSect.length)
+          c
+        }
+      if (content != null && content.length < be - bs) {
+        le((content.length.toLong << 3) | (2L << 1) | lastBit, 3) // Compressed
+        out.write(content, 0, content.length)
+      } else {
+        le(((be - bs).toLong << 3) | lastBit, 3) // Raw fallback
+        out.write(data, bs, be - bs)
+      }
+      bs = be
+    } while (bs < n)
     le(xxh64(data, 0, n, 0L) & 0xFFFFFFFFL, 4)
     out.toByteArray
   }

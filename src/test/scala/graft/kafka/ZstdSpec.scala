@@ -61,6 +61,37 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
+  test("the real compressor round-trips and actually compresses") {
+    val rnd = new scala.util.Random(77)
+    val text = ("the quick brown fox jumps over the lazy dog; " * 500).getBytes
+    val runs = Array.fill(100000)('A'.toByte)
+    val periodic = Array.tabulate(150000)(i => (i % 251).toByte)
+    val random = { val a = new Array[Byte](80000); rnd.nextBytes(a); a }
+    val tiny = "abc".getBytes
+    val crossBlock = { // a 130 KiB payload whose tail repeats its head:
+      // matches reach across the 128 KiB block boundary, within the frame
+      val a = new Array[Byte](133000)
+      rnd.nextBytes(a)
+      System.arraycopy(a, 0, a, 129000, 4000)
+      a
+    }
+    val cases = Seq("text" -> text, "runs" -> runs, "periodic" -> periodic,
+      "random" -> random, "tiny" -> tiny, "empty" -> Array.empty[Byte],
+      "crossBlock" -> crossBlock) ++
+      payloads.toSeq.map { case (k, v) => s"fixture:$k" -> v }
+    cases.foreach { case (name, data) =>
+      val frame = Zstd.compress(data)
+      assert(java.util.Arrays.equals(Zstd.decompress(frame, Cap), data),
+        s"$name: round-trip")
+    }
+    // the point of the exercise: repetitive payloads SHRINK
+    assert(Zstd.compress(text).length < text.length / 5, "text ratio")
+    assert(Zstd.compress(runs).length < 200, "run ratio")
+    assert(Zstd.compress(periodic).length < periodic.length / 10, "periodic ratio")
+    // and incompressible ones fall back to RAW blocks (bounded overhead)
+    assert(Zstd.compress(random).length <= random.length + 32, "raw fallback")
+  }
+
   test("concatenated frames and skippable frames decode in sequence") {
     val a = Zstd.compressRaw("first|".getBytes)
     val b = Zstd.compressRaw("second".getBytes)
