@@ -896,6 +896,176 @@ private[kafka] object Zstd {
     out.toByteArray
   }
 
+  // ---- Huffman literal encoding (direct weights, 1 or 4 streams) ----------
+
+  /** Plain Huffman code lengths over `freq` (two smallest merged until
+    * one root; absent symbols get length 0). */
+  private def plainHuffmanLengths(freq: Array[Long]): Array[Int] = {
+    final case class Nd(f: Long, id: Int)
+    implicit val ord: Ordering[Nd] = Ordering.by(n => (-n.f, -n.id))
+    val pq = scala.collection.mutable.PriorityQueue.empty[Nd]
+    val parent = new Array[Int](512)
+    java.util.Arrays.fill(parent, -1)
+    var next = 256
+    for (s <- 0 until 256 if freq(s) > 0) pq.enqueue(Nd(freq(s), s))
+    if (pq.size == 1) { // degenerate: a single symbol still needs 1 bit
+      val lens = new Array[Int](256)
+      lens(pq.head.id) = 1
+      return lens
+    }
+    while (pq.size > 1) {
+      val a = pq.dequeue(); val b = pq.dequeue()
+      parent(a.id) = next; parent(b.id) = next
+      pq.enqueue(Nd(a.f + b.f, next))
+      next += 1
+    }
+    val lens = new Array[Int](256)
+    for (s <- 0 until 256 if freq(s) > 0) {
+      var d = 0
+      var p = parent(s)
+      while (p != -1) { d += 1; p = parent(p) }
+      lens(s) = d
+    }
+    lens
+  }
+
+  /** Length-limited (≤ 11) Huffman via frequency halving: a true
+    * Huffman tree is rebuilt over halved counts until it fits, so the
+    * lengths stay Kraft-TIGHT (Σ 2^−len = 1) — exactly the property
+    * the weight format's power-of-two completion requires. */
+  private def huffmanLengths(freq0: Array[Long]): Array[Int] = {
+    var freq = freq0
+    var lens = plainHuffmanLengths(freq)
+    while (lens.max > 11) {
+      freq = freq.map(f => if (f == 0) 0L else math.max(1L, f >> 1))
+      lens = plainHuffmanLengths(freq)
+    }
+    lens
+  }
+
+  /** One backward Huffman stream over `lits[from, from+count)`. */
+  private def hufEncodeStream(lits: Array[Byte], from: Int, count: Int,
+                              codes: Array[Int],
+                              lens: Array[Int]): Array[Byte] = {
+    val w = new BwdWriter
+    var i = 0
+    while (i < count) {
+      val s = lits(from + i) & 0xff
+      w.push(codes(s).toLong, lens(s))
+      i += 1
+    }
+    w.render()
+  }
+
+  /** A Compressed_Literals_Block (type 2) for `lits`: per-block
+    * Huffman table shipped as DIRECT 4-bit weights, codes derived from
+    * the decoder's OWN canonical table build ([[buildHufTable]] over
+    * the same weights), one stream under 1 KiB and the four-stream
+    * layout above it. None when the direct-weight format cannot
+    * express the alphabet (a single symbol; a present byte above 128 —
+    * the 127 + n header ceiling) or the result does not shrink. */
+  private def huffmanLiteralsSection(lits: Array[Byte]): Option[Array[Byte]] = {
+    val regen = lits.length
+    if (regen < 32 || regen > 262143) return None
+    val freq = new Array[Long](256)
+    lits.foreach(b => freq(b & 0xff) += 1)
+    var maxSym = 255
+    while (maxSym >= 0 && freq(maxSym) == 0) maxSym -= 1
+    if ((0 to maxSym).count(freq(_) > 0) < 2) return None
+    if (maxSym > 128) return None // direct weights carry at most 128 entries
+    val lens = huffmanLengths(freq)
+    var maxLen = 0
+    for (s <- 0 to maxSym if freq(s) > 0) maxLen = math.max(maxLen, lens(s))
+    val weights = Array.tabulate(maxSym + 1)(s =>
+      if (freq(s) == 0) 0 else maxLen + 1 - lens(s))
+    // Kraft-tightness check: the decoder derives the LAST weight from
+    // power-of-two completion, so it must equal the one we assigned
+    var explicitTotal = 0L
+    for (s <- 0 until maxSym if weights(s) > 0)
+      explicitTotal += 1L << (weights(s) - 1)
+    val rest = (1L << maxLen) - explicitTotal
+    if (rest != (1L << (weights(maxSym) - 1))) return None // not tight (unreachable)
+    val table = buildHufTable(weights.init)
+    // per-symbol (code, len) from the canonical table: symbol cells are
+    // contiguous; code = first cell's prefix truncated to its length
+    val codes = new Array[Int](256)
+    val codeLens = new Array[Int](256)
+    var idx = 0
+    while (idx < (1 << table.tableLog)) {
+      val s = table.symbol(idx) & 0xff
+      if (codeLens(s) == 0) {
+        val l = table.nbBits(idx).toInt
+        codes(s) = idx >> (table.tableLog - l)
+        codeLens(s) = l
+      }
+      idx += 1
+    }
+    val treeBytes = {
+      val out = new java.io.ByteArrayOutputStream(2 + maxSym / 2)
+      out.write(127 + maxSym) // n = maxSym explicit weights (symbols 0..maxSym-1)
+      var i = 0
+      while (i < maxSym) {
+        val hi = weights(i)
+        val lo = if (i + 1 < maxSym) weights(i + 1) else 0
+        out.write((hi << 4) | lo)
+        i += 2
+      }
+      out.toByteArray
+    }
+    val streams: Seq[Array[Byte]] =
+      if (regen <= 1023) Seq(hufEncodeStream(lits, 0, regen, codes, codeLens))
+      else {
+        val seg = (regen + 3) / 4
+        (0 until 4).map { i =>
+          val cnt = if (i < 3) seg else regen - 3 * seg
+          hufEncodeStream(lits, i * seg, cnt, codes, codeLens)
+        }
+      }
+    val oneStream = streams.size == 1
+    val jump =
+      if (oneStream) Array.emptyByteArray
+      else {
+        val j = new Array[Byte](6)
+        for (i <- 0 until 3) {
+          val s = streams(i).length
+          if (s > 0xffff) return None // jump-table field ceiling
+          j(2 * i) = (s & 0xff).toByte
+          j(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        }
+        j
+      }
+    val csize = treeBytes.length + jump.length + streams.map(_.length).sum
+    val header: Array[Byte] =
+      if (oneStream) { // size_format 0: 10-bit sizes, 3-byte header
+        if (csize > 1023) return None
+        val h = 2 | (0 << 2) | (regen << 4) | (csize << 14)
+        Array((h & 0xff).toByte, ((h >> 8) & 0xff).toByte,
+          ((h >> 16) & 0xff).toByte)
+      } else if (regen <= 16383 && csize <= 16383) { // format 2: 14-bit
+        val h = 2 | (2 << 2) | (regen << 4) | (csize << 18)
+        Array((h & 0xff).toByte, ((h >> 8) & 0xff).toByte,
+          ((h >> 16) & 0xff).toByte, ((h >> 24) & 0xff).toByte)
+      } else { // format 3: 18-bit sizes, 5-byte header
+        if (csize > 262143) return None
+        val h = 2L | (3L << 2) | (regen.toLong << 4) | (csize.toLong << 22)
+        Array((h & 0xff).toByte, ((h >> 8) & 0xff).toByte,
+          ((h >> 16) & 0xff).toByte, ((h >> 24) & 0xff).toByte,
+          ((h >> 32) & 0xff).toByte)
+      }
+    val total = header.length + csize
+    // only worth it when smaller than the raw section it replaces
+    val rawSize = regen + (if (regen <= 31) 1 else if (regen <= 4095) 2 else 3)
+    if (total >= rawSize) None
+    else {
+      val out = new Array[Byte](total)
+      var p = 0
+      for (part <- Seq(header, treeBytes, jump) ++ streams) {
+        System.arraycopy(part, 0, out, p, part.length); p += part.length
+      }
+      Some(out)
+    }
+  }
+
   /** Raw-literals section header + bytes. */
   private def rawLiteralsSection(data: Array[Byte], off: Int,
                                  len: Int): Array[Byte] = {
@@ -969,26 +1139,25 @@ private[kafka] object Zstd {
           anchor = i
         } else i += 1
       }
-      val content =
-        if (nSeqs == 0) null // no matches: RAW block is strictly smaller
-        else {
-          val lits = new java.io.ByteArrayOutputStream(be - bs)
-          var litFrom = bs
-          val built = seqs.result()
-          built.foreach { s =>
-            lits.write(data, litFrom, s.litLen)
-            litFrom += s.litLen + s.matchLen
-          }
-          lits.write(data, anchor, be - anchor) // trailing literals
-          val litBytes = lits.toByteArray
-          val sect = rawLiteralsSection(litBytes, 0, litBytes.length)
-          val seqSect = encodeSequencesSection(built)
-          val c = new Array[Byte](sect.length + seqSect.length)
-          System.arraycopy(sect, 0, c, 0, sect.length)
-          System.arraycopy(seqSect, 0, c, sect.length, seqSect.length)
-          c
+      val content = {
+        val lits = new java.io.ByteArrayOutputStream(be - bs)
+        var litFrom = bs
+        val built = seqs.result()
+        built.foreach { s =>
+          lits.write(data, litFrom, s.litLen)
+          litFrom += s.litLen + s.matchLen
         }
-      if (content != null && content.length < be - bs) {
+        lits.write(data, anchor, be - anchor) // trailing literals
+        val litBytes = lits.toByteArray
+        val sect = huffmanLiteralsSection(litBytes)
+          .getOrElse(rawLiteralsSection(litBytes, 0, litBytes.length))
+        val seqSect = encodeSequencesSection(built)
+        val c = new Array[Byte](sect.length + seqSect.length)
+        System.arraycopy(sect, 0, c, 0, sect.length)
+        System.arraycopy(seqSect, 0, c, sect.length, seqSect.length)
+        c
+      }
+      if (content.length < be - bs) {
         le((content.length.toLong << 3) | (2L << 1) | lastBit, 3) // Compressed
         out.write(content, 0, content.length)
       } else {
