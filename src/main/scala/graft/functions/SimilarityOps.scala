@@ -312,12 +312,22 @@ object SimilarityOps {
   def dbscanBlocked(vecs: DataFrame, idCol: String, vecCol: String,
                     eps2: Long, minPts: Int): DataFrame = {
     val q = quantizedVecs(vecs, idCol, vecCol)
-    // min(dim), matching the DuckDB oracle replay exactly: with ragged
-    // embedding dimensions both engines must derive the SAME bits, and
-    // min is the conservative cap (never indexes past a short vector).
-    val row = q.agg(count(lit(1)), min(size(col("qv")))).head()
+    // one cheap aggregate reads (n, min dim, max dim). The derivation
+    // uses min(dim) — the aggregate the DuckDB oracle replays — but a
+    // RAGGED corpus is refused outright: a single degenerate short
+    // vector would otherwise collapse `bits` (deriveBits floors at 4)
+    // for the whole corpus and trip the candidate-pair guard at scale,
+    // and the sign-bucket expression would read past the short vector.
+    // Same-dimension embeddings are the operator's contract; breaking
+    // it must fail loudly, never degrade quietly.
+    val row = q.agg(count(lit(1)), min(size(col("qv"))),
+      max(size(col("qv")))).head()
     val n = row.getLong(0)
     val dim = if (row.isNullAt(1)) 1 else row.getInt(1)
+    val dimMax = if (row.isNullAt(2)) 1 else row.getInt(2)
+    require(dim == dimMax,
+      s"dbscanBlocked needs uniform embedding dimensions, got [$dim, $dimMax]" +
+        " — fix the corpus (pad/filter) or pass bits explicitly")
     dbscanBlocked(vecs, idCol, vecCol, eps2, minPts, deriveBits(n, dim))
   }
 

@@ -50,7 +50,7 @@ private[multimodal] object H264BInter {
 
   import H264.{BitReader, BitWriter, Frame}
   import H264Intra._
-  import H264Inter.{Motion, CbpInter, median3, lumaSample, chromaSample,
+  import H264Inter.{Motion, lumaSample, chromaSample,
     motionCompensateRect, decodePResidual, encodePResidual, zeroTc, zeroEncTc}
 
   /** Per-4×4-block TWO-LIST motion state for one B picture.
@@ -99,25 +99,14 @@ private[multimodal] object H264BInter {
     }
 
   /** §8.4.1.3 median motion-vector prediction for a 16×16 partition in
-    * list `list` (neighbors predict only within their own list). */
+    * list `list` (neighbors predict only within their own list) — the
+    * shared [[H264Inter.mvPredGeneral]] process over a one-list view
+    * of the B motion state, so the subtle availability/median rules
+    * exist exactly once across the P and B slice kinds. */
   private[multimodal] def mvPredList(m: BMotion, list: Int,
-                                     mx: Int, my: Int): (Int, Int) = {
-    val bx0 = mx * 4; val by0 = my * 4
-    val a = m.infoBlk(list, bx0 - 1, by0)
-    val b = m.infoBlk(list, bx0, by0 - 1)
-    val cAvail = m.availBlk(bx0 + 4, by0 - 1)
-    val c = if (cAvail) m.infoBlk(list, bx0 + 4, by0 - 1)
-            else m.infoBlk(list, bx0 - 1, by0 - 1) // D substitution
-    val bAvail = m.availBlk(bx0, by0 - 1)
-    val dAvail = m.availBlk(bx0 - 1, by0 - 1)
-    if (!bAvail && !cAvail && !dAvail && m.availBlk(bx0 - 1, by0))
-      (a._1, a._2)
-    else {
-      val matches = Seq(a, b, c).filter(_._3 == 0)
-      if (matches.size == 1) (matches.head._1, matches.head._2)
-      else (median3(a._1, b._1, c._1), median3(a._2, b._2, c._2))
-    }
-  }
+                                     mx: Int, my: Int): (Int, Int) =
+    H264Inter.mvPredGeneral(m.availBlk,
+      (bx, by) => m.infoBlk(list, bx, by), mx * 4, my * 4, 4)
 
   /** §8.4.1.2.2 reference-index part of spatial direct: minimum
     * positive refIdx over neighbors A/B/C (C→D substitution) for
@@ -377,6 +366,10 @@ private[multimodal] object H264BInter {
                       sliceQpDelta: Int, choices: Seq[BMbChoice],
                       colZero: (Int, Int) => Boolean): Array[Byte] = {
     require(choices.size == mbW * mbH, s"${choices.size} choices for ${mbW}x$mbH")
+    // the 4-bit frame_num matches log2_max_frame_num = 4, the ONLY
+    // width encodeSpsNal emits — pair this NAL with that SPS
+    require(frameNum >= 0 && frameNum < 16,
+      s"frame_num $frameNum outside the 4-bit SPS width")
     val w = new BitWriter
     w.ue(0)      // first_mb_in_slice
     w.ue(6)      // slice_type: B (the all-slices-same form)

@@ -96,39 +96,59 @@ private[multimodal] object H264Inter {
   private[multimodal] final val Part8x16Left = 3
   private[multimodal] final val Part8x16Right = 4
 
-  /** §8.4.1.3 motion-vector prediction for the partition whose top-left
-    * 4×4 block is (bx0, by0) with size (wB, hB) blocks, refIdxL0 = 0
-    * (the one-reference subset). `pref` applies the 16×8/8×16
-    * directional shortcut first; the general process (single-matching-
-    * reference shortcut, B/C/D-unavailable → A, component median)
-    * otherwise. */
-  private[multimodal] def mvPredPartition(mot: Motion, bx0: Int, by0: Int,
-                                          wB: Int, hB: Int,
-                                          pref: Int): (Int, Int) = {
-    val a = mot.infoBlk(bx0 - 1, by0)
-    val b = mot.infoBlk(bx0, by0 - 1)
-    val cAvail = mot.availBlk(bx0 + wB, by0 - 1)
-    val c = if (cAvail) mot.infoBlk(bx0 + wB, by0 - 1)
-            else mot.infoBlk(bx0 - 1, by0 - 1) // D substitution
-    // §8.4.1.3.2: directional preference when that neighbor's reference
-    // matches (refIdx 0 here)
-    pref match {
-      case Part16x8Top if b._3 == 0 => return (b._1, b._2)
-      case Part16x8Bottom if a._3 == 0 => return (a._1, a._2)
-      case Part8x16Left if a._3 == 0 => return (a._1, a._2)
-      case Part8x16Right if c._3 == 0 => return (c._1, c._2)
-      case _ => ()
-    }
-    // general process: B, C and D all unavailable and A available → mvA
-    val bAvail = mot.availBlk(bx0, by0 - 1)
-    val dAvail = mot.availBlk(bx0 - 1, by0 - 1)
-    if (!bAvail && !cAvail && !dAvail && mot.availBlk(bx0 - 1, by0))
+  /** The GENERAL §8.4.1.3 motion-vector prediction process over
+    * neighbor VIEWS — one implementation of the subtle rules (C→D
+    * substitution, B/C/D-all-unavailable → A, single-matching-
+    * reference shortcut, component median), shared by the P predictor
+    * below and [[H264BInter]]'s per-list predictor so the two slice
+    * kinds can never drift apart. `avail` is block availability;
+    * `info` yields (mvx, mvy, refIdx) with refIdx −1 for
+    * unavailable/intra/other-list blocks. */
+  private[multimodal] def mvPredGeneral(avail: (Int, Int) => Boolean,
+                                        info: (Int, Int) => (Int, Int, Int),
+                                        bx0: Int, by0: Int,
+                                        wB: Int): (Int, Int) = {
+    val a = info(bx0 - 1, by0)
+    val b = info(bx0, by0 - 1)
+    val cAvail = avail(bx0 + wB, by0 - 1)
+    val c = if (cAvail) info(bx0 + wB, by0 - 1)
+            else info(bx0 - 1, by0 - 1) // D substitution
+    // B, C and D all unavailable and A available → mvA
+    val bAvail = avail(bx0, by0 - 1)
+    val dAvail = avail(bx0 - 1, by0 - 1)
+    if (!bAvail && !cAvail && !dAvail && avail(bx0 - 1, by0))
       (a._1, a._2)
     else {
       val matches = Seq(a, b, c).filter(_._3 == 0)
       if (matches.size == 1) (matches.head._1, matches.head._2)
       else (median3(a._1, b._1, c._1), median3(a._2, b._2, c._2))
     }
+  }
+
+  /** §8.4.1.3 motion-vector prediction for the partition whose top-left
+    * 4×4 block is (bx0, by0) with size (wB, hB) blocks, refIdxL0 = 0
+    * (the one-reference subset). `pref` applies the 16×8/8×16
+    * directional shortcut first; [[mvPredGeneral]] otherwise. */
+  private[multimodal] def mvPredPartition(mot: Motion, bx0: Int, by0: Int,
+                                          wB: Int, hB: Int,
+                                          pref: Int): (Int, Int) = {
+    // §8.4.1.3.2: directional preference when that neighbor's reference
+    // matches (refIdx 0 here)
+    pref match {
+      case Part16x8Top =>
+        val b = mot.infoBlk(bx0, by0 - 1)
+        if (b._3 == 0) return (b._1, b._2)
+      case Part16x8Bottom | Part8x16Left =>
+        val a = mot.infoBlk(bx0 - 1, by0)
+        if (a._3 == 0) return (a._1, a._2)
+      case Part8x16Right =>
+        val c = if (mot.availBlk(bx0 + wB, by0 - 1))
+          mot.infoBlk(bx0 + wB, by0 - 1)
+        else mot.infoBlk(bx0 - 1, by0 - 1)
+        if (c._3 == 0) return (c._1, c._2)
+      case _ => ()
+    }
+    mvPredGeneral(mot.availBlk, mot.infoBlk, bx0, by0, wB)
   }
 
   /** §8.4.1.3 prediction for a whole-MB 16×16 partition. */
@@ -540,6 +560,10 @@ private[multimodal] object H264Inter {
                                 sliceQpDelta: Int,
                                 choices: Seq[PMbChoice]): (Array[Byte], Motion) = {
     require(choices.size == mbW * mbH, s"${choices.size} choices for ${mbW}x$mbH")
+    // the 4-bit frame_num matches log2_max_frame_num = 4, the ONLY
+    // width encodeSpsNal emits — pair this NAL with that SPS
+    require(frameNum >= 0 && frameNum < 16,
+      s"frame_num $frameNum outside the 4-bit SPS width")
     val w = new BitWriter
     w.ue(0)      // first_mb_in_slice
     w.ue(5)      // slice_type: P (the all-slices-same form)

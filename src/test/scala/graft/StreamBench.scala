@@ -90,7 +90,11 @@ object StreamBench {
     }
 
     final case class ChunkRes(chunk: Int, batches: Long, secs: List[Double])
-    final case class Res(rows: Long, headline: ChunkRes,
+    // `rows` = total rows processed (headline throughput); `fitRows` =
+    // the CHUNKED side only — a two-input stream's dim side is fed once
+    // and does not vary with the decade, so the per-row fit term must
+    // divide by the rows that actually scale with it
+    final case class Res(rows: Long, fitRows: Long, headline: ChunkRes,
                          decade: List[ChunkRes], stateRows: Long)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Res]
 
@@ -148,7 +152,7 @@ object StreamBench {
           f"rows/s=${(total / secs.min).toLong} reps=$reps")
         cr
       }.toList
-      results(name) = Res(total.toLong, headline, decade, st)
+      results(name) = Res(total.toLong, rows.size.toLong, headline, decade, st)
     }
 
     def run[T](name: String, rows: Seq[T])
@@ -402,7 +406,7 @@ object StreamBench {
         val ssRes = pts.map(p => {
           val e = p._2 - (f * p._1 + w); e * e }).sum
         val r2 = if (ssTot <= 0) 1.0 else 1.0 - ssRes / ssTot
-        Some(Fit(f, w / r.rows * 1e6, r2))
+        Some(Fit(f, w / r.fitRows * 1e6, r2))
       })
     }.toMap
 

@@ -81,6 +81,21 @@ class DbscanSpec extends SparkSpec {
     assert(collectRoles(auto) == collectRoles(explicit))
   }
 
+  test("the bits-free overload refuses ragged embedding dimensions loudly") {
+    // one degenerate short vector must not silently collapse the
+    // derived bits for the whole corpus (min-dim would floor at 4)
+    val s = spark
+    import s.implicits._
+    val ragged = corpus.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+      .patch(0, Seq((999L, Seq(0.1f, 0.2f))), 1)
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      SimilarityOps.dbscanBlocked(ragged, "vec_id", "embedding",
+        eps2 = 1250000L, minPts = 4))
+    assert(e.getMessage.contains("uniform embedding dimensions"), e.getMessage)
+  }
+
   test("the integer auto-bits rule holds occupancy flat across decades") {
     import SimilarityOps.deriveBits
     assert(deriveBits(500, 64) == 4)     // sf0.01 — unchanged results
