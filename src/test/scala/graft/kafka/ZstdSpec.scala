@@ -92,6 +92,25 @@ class ZstdSpec extends AnyFunSuite {
     assert(Zstd.compress(random).length <= random.length + 32, "raw fallback")
   }
 
+  test("mutations of OUR OWN compressed frames die cleanly or decode (never crash)") {
+    // the CLI fixtures exercise upstream's encoder choices; our frames
+    // exercise the direct-weight Huffman + predefined-sequence shapes —
+    // mutate those too so the decoder's walls cover both producers
+    val payload = ("quality data for the training corpus; " * 200).getBytes
+    val frame = Zstd.compress(payload)
+    var decoded = 0
+    for (i <- 4 until frame.length; bit <- Seq(0x01, 0x80)) {
+      val m = frame.clone()
+      m(i) = (m(i) ^ bit).toByte
+      try { Zstd.decompress(m, Cap); decoded += 1 }
+      catch { case _: IllegalArgumentException => () } // the clean wall
+    }
+    // the checksum catches nearly everything; a mutation may still land
+    // on another VALID frame of different content — crashing is the
+    // only forbidden outcome
+    assert(decoded < frame.length / 4, s"$decoded mutations decoded")
+  }
+
   test("concatenated frames and skippable frames decode in sequence") {
     val a = Zstd.compressRaw("first|".getBytes)
     val b = Zstd.compressRaw("second".getBytes)
